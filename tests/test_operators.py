@@ -1,0 +1,80 @@
+"""Unit tests for window filter, partitioning, parsing (SURVEY.md §2.2/§2.5)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tranquility_spark.operators.parse import parse_json_events
+from tranquility_spark.operators.partitioning import portable_shard_sql, with_shard
+from tranquility_spark.operators.window_filter import (
+    two_sided_window_filter,
+    window_period_seconds,
+)
+
+
+def test_window_period_parser():
+    assert window_period_seconds("PT10M") == 600
+    assert window_period_seconds("PT1H30M") == 5400
+    assert window_period_seconds("PT45S") == 45
+    assert window_period_seconds(120) == 120
+
+
+def test_two_sided_window_filter_drops_late_and_future(spark):
+    now = dt.datetime(2024, 1, 15, 12, 0, 0)
+    rows = [
+        (1, now - dt.timedelta(minutes=9)),   # in window (late side)
+        (2, now + dt.timedelta(minutes=9)),   # in window (future side)
+        (3, now - dt.timedelta(minutes=11)),  # too late → drop
+        (4, now + dt.timedelta(minutes=11)),  # too far future → drop (watermark can't do this)
+        (5, now),                             # exactly now
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    kept = {r["id"] for r in two_sided_window_filter(df, "ts", "PT10M", now=now).collect()}
+    assert kept == {1, 2, 5}
+
+
+def test_window_filter_latest_close_time(spark):
+    # reference: no event may land at/before latestCloseTime (ClusteredBeam ZK state)
+    now = dt.datetime(2024, 1, 15, 12, 0, 0)
+    close = dt.datetime(2024, 1, 15, 11, 55, 0)
+    rows = [(1, now - dt.timedelta(minutes=7)), (2, now - dt.timedelta(minutes=3))]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    kept = {r["id"] for r in two_sided_window_filter(df, "ts", "PT10M", now=now, latest_close_time=close).collect()}
+    assert kept == {2}
+
+
+def test_portable_shard_matches_duckdb(spark, duck):
+    n = 8
+    df = spark.createDataFrame([(i,) for i in range(1000)], "user_id long")
+    spark_shards = {
+        r["user_id"]: r["shard"] for r in with_shard(df, "user_id", n).collect()
+    }
+    duck_rows = duck.sql(
+        f"SELECT i AS user_id, {portable_shard_sql('i', n)} AS shard FROM range(1000) t(i)"
+    ).fetchall()
+    for uid, shard in duck_rows:
+        assert spark_shards[uid] == shard
+
+
+def test_shard_routing_stable_and_complete(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "user_id long")
+    out = with_shard(df, "user_id", 4).groupBy("shard").count().collect()
+    assert {r["shard"] for r in out} == {0, 1, 2, 3}
+    assert sum(r["count"] for r in out) == 500
+
+
+def test_parse_json_drop_malformed(spark):
+    df = spark.createDataFrame(
+        [('{"k": 1}',), ("not json",), ('{"k": 3}',)], "props string"
+    )
+    ok = parse_json_events(df, "props", "k INT", drop_malformed=True)
+    assert sorted(r["k"] for r in ok.collect()) == [1, 3]
+
+
+def test_parse_json_corrupt_record_mode(spark):
+    df = spark.createDataFrame([('{"k": 1}',), ("not json",)], "props string")
+    out = parse_json_events(df, "props", "k INT", drop_malformed=False)
+    rows = out.collect()
+    assert len(rows) == 2
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1 and corrupt[0]["_corrupt_record"] == "not json"

@@ -1,0 +1,169 @@
+"""Unit tests for the ingest spec machinery (SURVEY.md §2.2/§2.4)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tranquility_spark.specs import (
+    Count,
+    DimensionsSpec,
+    DoubleSum,
+    Filtered,
+    Granularity,
+    GranularitySpec,
+    IngestSpec,
+    LongSum,
+    TimestampSpec,
+    filter_to_column,
+)
+
+
+def test_granularity_hour_truncates(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 13, 45, 12),)], "ts timestamp"
+    )
+    out = df.select(Granularity("HOUR").truncate(F.col("ts")).alias("b")).first()
+    assert out["b"] == dt.datetime(2024, 1, 1, 13, 0, 0)
+
+
+def test_granularity_five_minute(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 13, 47, 12),)], "ts timestamp"
+    )
+    out = df.select(Granularity("FIVE_MINUTE").truncate(F.col("ts")).alias("b")).first()
+    assert out["b"] == dt.datetime(2024, 1, 1, 13, 45, 0)
+
+
+def test_granularity_none_identity(spark):
+    t = dt.datetime(2024, 1, 1, 13, 47, 12, 345678)
+    df = spark.createDataFrame([(t,)], "ts timestamp")
+    out = df.select(Granularity("NONE").truncate(F.col("ts")).alias("b")).first()
+    assert out["b"] == t
+
+
+def test_unknown_granularity_raises():
+    with pytest.raises(ValueError):
+        Granularity("FORTNIGHT")
+
+
+def test_timestamp_spec_posix_and_millis(spark):
+    df = spark.createDataFrame([(1704067200, 1704067200123)], "s long, ms long")
+    posix = TimestampSpec(column="s", format="posix").extract(df)
+    millis = TimestampSpec(column="ms", format="millis").extract(df)
+    row = df.select(posix.alias("p"), millis.alias("m")).first()
+    assert row["p"] == dt.datetime(2024, 1, 1, 0, 0, 0)
+    assert row["m"] == dt.datetime(2024, 1, 1, 0, 0, 0, 123000)
+
+
+def test_timestamp_auto_numeric_magnitude(spark):
+    # Druid 'auto': large numerics are millis, small are seconds
+    df = spark.createDataFrame([(1704067200, 1704067200123)], "sec long, msec long")
+    r1 = df.select(TimestampSpec(column="sec", format="auto").extract(df).alias("t")).first()
+    r2 = df.select(TimestampSpec(column="msec", format="auto").extract(df).alias("t")).first()
+    assert r1["t"].year == 2024 and r2["t"].year == 2024
+
+
+def test_timestamp_unparseable_dropped(spark):
+    from tranquility_spark.plans.rollup import build_rollup
+
+    df = spark.createDataFrame(
+        [("2024-01-01T05:00:00", "a", 1.0), ("not-a-time", "b", 2.0)],
+        "t string, d string, v double",
+    )
+    spec = IngestSpec(
+        datasource="x",
+        timestamp_spec=TimestampSpec(column="t", format="iso", output="ts"),
+        dimensions_spec=DimensionsSpec(dimensions=["d"]),
+        metrics=(Count("n"),),
+        granularity_spec=GranularitySpec(query_granularity="HOUR"),
+    )
+    rows = build_rollup(spec)(df).collect()
+    assert len(rows) == 1 and rows[0]["d"] == "a"
+
+
+def test_dimensions_schemaless_resolution(spark):
+    df = spark.createDataFrame([(1, "x", 2.0, "j", dt.datetime(2024, 1, 1))],
+                               "a long, b string, v double, skip string, ts timestamp")
+    dims = DimensionsSpec(dimensions=None, exclusions=("skip",)).resolve(df, "ts", ["v"])
+    assert dims == ["a", "b"]
+
+
+def test_spec_name_collision_raises():
+    spec = IngestSpec(
+        datasource="x",
+        timestamp_spec=TimestampSpec(column="t", output="ts"),
+        dimensions_spec=DimensionsSpec(dimensions=["d", "d"]),
+        metrics=(),
+    )
+    with pytest.raises(ValueError, match="collision"):
+        spec.validate()
+
+
+def test_filter_to_column_variants(spark):
+    df = spark.createDataFrame(
+        [("purchase", 120.0), ("click", 10.0), ("signup", 60.0)], "et string, v double"
+    )
+    sel = df.filter(filter_to_column({"type": "selector", "dimension": "et", "value": "click"}))
+    assert sel.count() == 1
+    bound = df.filter(
+        filter_to_column({"type": "bound", "dimension": "v", "lower": 50, "upper": 130, "ordering": "numeric"})
+    )
+    assert bound.count() == 2
+    neg = df.filter(filter_to_column({"type": "not", "field": {"type": "regex", "dimension": "et", "pattern": "^c"}}))
+    assert neg.count() == 2
+
+
+def test_rollup_collapses_duplicate_keys(spark):
+    # FIXTURES.md B5 rollup_dupes: identical (trunc ts, dims) rows collapse
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (base + dt.timedelta(seconds=10), "a", 1.0),
+        (base + dt.timedelta(seconds=50), "a", 2.0),
+        (base + dt.timedelta(minutes=2), "a", 4.0),
+        (base + dt.timedelta(seconds=30), "b", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, d string, v double")
+    spec = IngestSpec(
+        datasource="x",
+        timestamp_spec=TimestampSpec(column="ts", output="ts"),
+        dimensions_spec=DimensionsSpec(dimensions=["d"]),
+        metrics=(Count("n"), DoubleSum("s", "v"), LongSum("ls", "v")),
+        granularity_spec=GranularitySpec(query_granularity="MINUTE"),
+    )
+    from tranquility_spark.plans.rollup import build_rollup
+
+    out = {(r["ts"], r["d"]): (r["n"], r["s"], r["ls"]) for r in build_rollup(spec)(df).collect()}
+    assert out[(base, "a")] == (2, 3.0, 3)
+    assert out[(base + dt.timedelta(minutes=2), "a")] == (1, 4.0, 4)
+    assert out[(base, "b")] == (1, 8.0, 8)
+
+
+def test_rollup_disabled_appends_raw(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 10, 0, 5), "a", 1.0)] * 3, "ts timestamp, d string, v double"
+    )
+    spec = IngestSpec(
+        datasource="x",
+        timestamp_spec=TimestampSpec(column="ts", output="ts"),
+        dimensions_spec=DimensionsSpec(dimensions=["d"]),
+        metrics=(DoubleSum("s", "v"),),
+        granularity_spec=GranularitySpec(rollup=False),
+    )
+    from tranquility_spark.plans.rollup import build_rollup
+
+    out = build_rollup(spec)(df)
+    assert out.count() == 3  # no aggregation
+    assert set(out.columns) == {"ts", "d", "v"}
+
+
+def test_filtered_aggregator_matches_manual(spark):
+    df = spark.createDataFrame(
+        [("purchase", 10.0), ("purchase", 20.0), ("click", 99.0)], "event_type string, value double"
+    )
+    m = Filtered(
+        {"type": "selector", "dimension": "event_type", "value": "purchase"},
+        DoubleSum("rev", "value"),
+    )
+    row = df.agg(m.column()).first()
+    assert row["rev"] == 30.0

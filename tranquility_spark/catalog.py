@@ -1,0 +1,511 @@
+"""The query catalog: every operator exposed through the driver contract.
+
+Each entry pairs a Spark implementation (built on the engine modules) with an
+equivalent DuckDB oracle SQL (hash-checked at sf0.01 by the driver), or
+``oracle=None`` for genuinely non-SQL-expressible ops (sketches, LSH) which
+get the weaker rows-only check.
+
+Cross-engine determinism policy (applies to every oracle-checked entry):
+- double SUMs accumulate in DECIMAL (exact, order-independent) then cast to
+  DOUBLE — see ``specs.DoubleSum``;
+- double→long casts go through an explicit floor() (Spark truncates, DuckDB
+  rounds — floor makes them agree);
+- every ORDER BY ... LIMIT carries a unique-key tie-break;
+- single-value float math (ratios, cosines, quantiles) is rounded to 6
+  decimals on both sides;
+- all computed columns are aliased identically on both sides (the driver
+  sorts columns by name before hashing).
+
+Operator ids follow SURVEY.md §2 (p*, t*, a*, d* = reference parity;
+q*/j*/w*/s*/set*/f* = relational extensions; dd*/sim*/txt*/mm* = north-star
+LLM-pipeline ops).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tranquility_spark.operators import dedup as dd
+from tranquility_spark.operators import multimodal as mm
+from tranquility_spark.operators import similarity as sim
+from tranquility_spark.operators import text as tx
+from tranquility_spark.operators.parse import parse_json_events
+from tranquility_spark.operators.partitioning import portable_shard_sql, with_shard
+from tranquility_spark.operators.window_filter import two_sided_window_filter
+from tranquility_spark.plans.rollup import build_rollup, rollup_oracle_sql
+from tranquility_spark.sources.files import load_table
+from tranquility_spark.specs import (
+    Cardinality,
+    Count,
+    DimensionsSpec,
+    DoubleMax,
+    DoubleMin,
+    DoubleSum,
+    Filtered,
+    GranularitySpec,
+    HyperUnique,
+    IngestSpec,
+    LongMax,
+    LongMin,
+    LongSum,
+    TimestampSpec,
+)
+
+
+@dataclass(frozen=True)
+class QueryEntry:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+
+
+CATALOG: dict[str, QueryEntry] = {}
+
+
+def register(name: str, oracle: Optional[str], doc: str = ""):
+    def deco(fn):
+        CATALOG[name] = QueryEntry(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# Reference parity: parsing / projection / filters (SURVEY.md §2.2)
+# ===========================================================================
+
+
+@register(
+    "p1_json_parse",
+    """
+    SELECT event_type,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+    doc="P1: JSON event parse (from_json) — ref TranquilityServlet / TranquilityEventWriter",
+)
+def p1_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    parsed = parse_json_events(ev, "props", "k INT")
+    return parsed.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "p3_ts_extract",
+    """
+    SELECT date_trunc('hour',
+             strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
+           ) AS hour_bucket,
+           count(*) AS n,
+           min(epoch_ms(CAST(floor(epoch(ts)) AS BIGINT) * 1000)) AS min_posix_ts,
+           max(epoch_ms(CAST(floor(epoch(ts)) AS BIGINT) * 1000 + 500)) AS max_millis_ts
+    FROM events
+    GROUP BY 1
+    """,
+    doc="P3: timestamp extraction matrix (iso pattern / posix / millis) — ref Druid TimestampSpec",
+)
+def p3_ts_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # round-trip through the three formats the reference accepts
+    staged = ev.select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("iso_str"),
+        F.unix_timestamp("ts").alias("posix_s"),
+        (F.unix_timestamp("ts") * 1000 + 500).alias("millis"),
+    )
+    iso_spec = TimestampSpec(column="iso_str", format="yyyy-MM-dd HH:mm:ss")
+    posix_spec = TimestampSpec(column="posix_s", format="posix")
+    millis_spec = TimestampSpec(column="millis", format="millis")
+    parsed = staged.select(
+        iso_spec.extract(staged).alias("iso_ts"),
+        posix_spec.extract(staged).alias("posix_ts"),
+        millis_spec.extract(staged).alias("millis_ts"),
+    )
+    return parsed.groupBy(F.date_trunc("hour", "iso_ts").alias("hour_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("posix_ts").alias("min_posix_ts"),
+        F.max("millis_ts").alias("max_millis_ts"),
+    )
+
+
+_P4_SPEC = IngestSpec(
+    datasource="events",
+    timestamp_spec=TimestampSpec(column="ts", output="ts"),
+    dimensions_spec=DimensionsSpec(dimensions=["event_type"]),
+    metrics=(DoubleSum("value_sum", "value"),),
+    granularity_spec=GranularitySpec(rollup=False),
+)
+
+
+@register(
+    "p4_projection",
+    rollup_oracle_sql(_P4_SPEC, "events"),
+    doc="P4: projection to declared dims (SpecificDruidDimensions) — ref DruidRollup.scala",
+)
+def p4_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_rollup(_P4_SPEC)(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "p5_schemaless",
+    "SELECT ts AS ts, event_id, user_id, event_type, value FROM events",
+    doc="P5: schemaless projection (everything minus exclusions) — ref SchemalessDruidDimensions",
+)
+def p5_schemaless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = IngestSpec(
+        datasource="events",
+        timestamp_spec=TimestampSpec(column="ts", output="ts"),
+        dimensions_spec=DimensionsSpec(dimensions=None, exclusions=("props",)),
+        metrics=(DoubleSum("value_sum", "value"),),
+        granularity_spec=GranularitySpec(rollup=False),
+    )
+    return build_rollup(spec)(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "p6_window_filter",
+    """
+    SELECT event_id, ts AS ts, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15 11:50:00'
+      AND ts <= TIMESTAMP '2024-01-15 12:10:00'
+    """,
+    doc="P6: two-sided windowPeriod filter at fixed now (PT10M) — ref ClusteredBeam#sendAll",
+)
+def p6_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    kept = two_sided_window_filter(ev, "ts", "PT10M", now="2024-01-15 12:00:00")
+    return kept.select("event_id", "ts", "event_type", "value")
+
+
+@register(
+    "p7_metric_coercion",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(coalesce(CASE WHEN user_id % 7 = 0 THEN NULL ELSE value END, 0.0)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS coerced_sum,
+           count(CASE WHEN user_id % 7 = 0 THEN NULL ELSE value END) AS non_null_n,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="P7: null/type coercion on metric inputs (null→0 for sums) — Druid aggregator semantics",
+)
+def p7_metric_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("user_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    return ev.groupBy("event_type").agg(
+        F.sum(F.coalesce(v, F.lit(0.0)).cast("decimal(28,6)")).cast("double").alias("coerced_sum"),
+        F.count(v).alias("non_null_n"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ===========================================================================
+# Reference parity: time bucketing (T1/T2) + rollup aggregators (A1..A12)
+# ===========================================================================
+
+_T1_SPEC = IngestSpec(
+    datasource="events",
+    timestamp_spec=TimestampSpec(column="ts", output="segment_start"),
+    dimensions_spec=DimensionsSpec(dimensions=[]),
+    metrics=(Count("n"), DoubleSum("sum_value", "value")),
+    granularity_spec=GranularitySpec(segment_granularity="HOUR", query_granularity="HOUR"),
+)
+
+
+@register(
+    "t1_segment_bucket",
+    rollup_oracle_sql(_T1_SPEC, "events"),
+    doc="T1: segmentGranularity bucketing (HOUR default) — ref ClusteredBeamTuning#segmentBucket",
+)
+def t1_segment_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_rollup(_T1_SPEC)(_t(spark, sf_dir, "events"))
+
+
+_T2_SPEC = IngestSpec(
+    datasource="events",
+    timestamp_spec=TimestampSpec(column="ts", output="ts"),
+    dimensions_spec=DimensionsSpec(dimensions=["event_type"]),
+    metrics=(Count("n"), DoubleSum("sum_value", "value")),
+    granularity_spec=GranularitySpec(query_granularity="FIVE_MINUTE"),
+)
+
+
+@register(
+    "t2_query_granularity",
+    rollup_oracle_sql(_T2_SPEC, "events"),
+    doc="T2: queryGranularity truncation inside the bucket (FIVE_MINUTE) — ref DruidRollup#indexGranularity",
+)
+def t2_query_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_rollup(_T2_SPEC)(_t(spark, sf_dir, "events"))
+
+
+_A15_SPEC = IngestSpec(
+    datasource="events",
+    timestamp_spec=TimestampSpec(column="ts", output="ts"),
+    dimensions_spec=DimensionsSpec(dimensions=["event_type"]),
+    metrics=(
+        Count("cnt"),
+        LongSum("sum_value_long", "value"),
+        DoubleSum("sum_value", "value"),
+        LongMin("min_value_long", "value"),
+        LongMax("max_value_long", "value"),
+        DoubleMin("min_value", "value"),
+        DoubleMax("max_value", "value"),
+    ),
+    granularity_spec=GranularitySpec(query_granularity="HOUR"),
+)
+
+
+@register(
+    "a1_a5_rollup_core",
+    rollup_oracle_sql(_A15_SPEC, "events"),
+    doc="A1–A5: count/longSum/doubleSum/longMin/longMax/doubleMin/doubleMax ingest rollup — ref metricsSpec",
+)
+def a1_a5_rollup_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_rollup(_A15_SPEC)(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "a6_hyperunique_exact",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS uniq_users
+    FROM events GROUP BY event_type
+    """,
+    doc="A6 exact twin: hyperUnique → count(distinct) — ref HyperUniquesAggregatorFactory (policy SURVEY.md §2.4)",
+)
+def a6_hyperunique_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        HyperUnique("uniq_users", "user_id", exact=True).column()
+    )
+
+
+@register(
+    "a6_hyperunique_approx",
+    None,  # HLL++ rsd differs from Druid HLL — rows-only by policy
+    doc="A6 approx twin: approx_count_distinct (HLL++) — rows-only check",
+)
+def a6_hyperunique_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        HyperUnique("uniq_users_approx", "user_id", exact=False).column()
+    )
+
+
+@register(
+    "a7_cardinality_exact",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           count(DISTINCT (CAST(user_id AS VARCHAR) || chr(31) || CAST(event_type AS VARCHAR))) AS card
+    FROM events GROUP BY 1
+    """,
+    doc="A7 exact twin: cardinality(byRow) over (user_id, event_type) — ref CardinalityAggregatorFactory",
+)
+def a7_cardinality_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        Cardinality("card", ("user_id", "event_type"), exact=True).column()
+    )
+
+
+_A8_METRICS = (
+    Filtered({"type": "selector", "dimension": "event_type", "value": "purchase"}, DoubleSum("purchase_rev", "value")),
+    Filtered({"type": "in", "dimension": "event_type", "values": ["click", "view"]}, Count("impressions")),
+    Filtered(
+        {"type": "bound", "dimension": "value", "lower": 100, "ordering": "numeric"},
+        Count("big_values"),
+    ),
+    Filtered({"type": "regex", "dimension": "event_type", "pattern": "^(sign|err)"}, Count("sig_or_err")),
+    Filtered(
+        {
+            "type": "and",
+            "fields": [
+                {"type": "selector", "dimension": "event_type", "value": "purchase"},
+                {"type": "bound", "dimension": "value", "lower": 50, "lowerStrict": True, "ordering": "numeric"},
+            ],
+        },
+        DoubleMax("max_big_purchase", "value"),
+    ),
+)
+
+
+@register(
+    "a8_filtered_aggs",
+    "SELECT date_trunc('day', ts) AS day, "
+    + ", ".join(m.oracle() for m in _A8_METRICS)
+    + " FROM events GROUP BY 1",
+    doc="A8: filtered aggregators (selector/in/bound/regex/and) — ref Druid filter JSON in metricsSpec",
+)
+def a8_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        *[m.column() for m in _A8_METRICS]
+    )
+
+
+@register(
+    "a9_custom_fold_agg",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS folded,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="A9: javascript-aggregator analog — user fold as Arrow-batched GROUPED_AGG pandas UDF "
+    "(integer fold so the oracle is exact) — ref JavaScriptAggregatorFactory",
+)
+def a9_custom_fold_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.custom_agg import fold_count, fold_floor_sum
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        fold_floor_sum(F.col("value")).alias("folded"),
+        fold_count(F.col("value")).alias("n"),
+    )
+
+
+@register(
+    "a10_quantiles_exact",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS median_value,
+           round(quantile_cont(value, 0.9), 6) AS p90_value
+    FROM events GROUP BY event_type
+    """,
+    doc="A10 exact twin: approxHistogram/quantile → exact percentile — policy SURVEY.md §2.4",
+)
+def a10_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("median_value"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90_value"),
+    )
+
+
+@register(
+    "a10_quantiles_approx",
+    None,
+    doc="A10 approx twin: percentile_approx sketch — rows-only check",
+)
+def a10_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5).alias("median_value_approx"),
+        F.percentile_approx("value", 0.9).alias("p90_value_approx"),
+    )
+
+
+@register(
+    "a11_theta_sketch_approx",
+    None,
+    doc="A11: thetaSketch distinct — approx_count_distinct twin, rows-only",
+)
+def a11_theta_sketch_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.approx_count_distinct("user_id").alias("theta_users")
+    )
+
+
+_A12_SPEC = IngestSpec(
+    datasource="events",
+    timestamp_spec=TimestampSpec(column="ts", output="ts"),
+    dimensions_spec=DimensionsSpec(dimensions=["event_id", "event_type"]),
+    metrics=(),
+    granularity_spec=GranularitySpec(rollup=False),
+)
+
+
+@register(
+    "a12_rollup_disabled",
+    rollup_oracle_sql(_A12_SPEC, "events"),
+    doc="A12: granularitySpec.rollup=false appends raw rows — ref DruidBeams#fromConfig",
+)
+def a12_rollup_disabled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_rollup(_A12_SPEC)(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "a_derived_avg",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Druid-style post-aggregation: avg = doubleSum/count as a derived column (SURVEY.md §2.4 note)",
+)
+def a_derived_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_value")
+    )
+
+
+# ===========================================================================
+# Reference parity: partitioning (D1)
+# ===========================================================================
+
+
+@register(
+    "d1_hash_partition",
+    f"""
+    SELECT {portable_shard_sql('user_id', 8)} AS shard,
+           count(*) AS n,
+           count(DISTINCT user_id) AS uniq_users
+    FROM events GROUP BY 1
+    """,
+    doc="D1: hash partitioning — portable shard id (engine-defined hashCode replaced by a "
+    "cross-engine multiplicative hash, SURVEY.md §4.2-4) — ref HashPartitionBeam",
+)
+def d1_hash_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return with_shard(ev, "user_id", 8).groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("uniq_users"),
+    )
+
+
+# ===========================================================================
+# Flagship: the tranquility heartbeat — hourly ingest rollup
+# ===========================================================================
+
+_FLAGSHIP_SPEC = IngestSpec(
+    datasource="events",
+    timestamp_spec=TimestampSpec(column="ts", output="segment_start"),
+    dimensions_spec=DimensionsSpec(dimensions=["event_type"]),
+    metrics=(
+        Count("cnt"),
+        DoubleSum("sum_value", "value"),
+        DoubleMin("min_value", "value"),
+        DoubleMax("max_value", "value"),
+        HyperUnique("uniq_users", "user_id", exact=True),
+    ),
+    granularity_spec=GranularitySpec(segment_granularity="HOUR", query_granularity="HOUR"),
+)
+
+
+@register(
+    "flagship_hourly_rollup",
+    rollup_oracle_sql(_FLAGSHIP_SPEC, "events"),
+    doc="Flagship: hourly segment rollup by event_type with the core metricsSpec — "
+    "the end-to-end shape of §3.1 steps 2–5 restated in Spark",
+)
+def flagship_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_rollup(_FLAGSHIP_SPEC)(_t(spark, sf_dir, "events"))

@@ -1,0 +1,274 @@
+"""Deduplication operators for training-data pipelines (north-star phase 4).
+
+All variants are designed for the 100 TB shape first:
+
+- exact dedup      — hash-groupBy on a content digest; one shuffle, partial
+                     aggregation map-side; never collects.
+- MinHash + LSH    — shingle → minhash signature → band buckets → bucket-join.
+                     Candidate generation never compares all pairs: the join
+                     key is (band_id, band_hash), so cost is O(sum of bucket²)
+                     not O(n²). Signatures are computed with built-in
+                     higher-order functions (transform/aggregate) — pure JVM,
+                     whole-stage codegen, no Python in the row path.
+- SimHash          — 64-bit signature via a vectorized pandas UDF (numpy bit
+                     ops are genuinely awkward in Spark SQL); Arrow-batched.
+- n-gram Jaccard   — exact verifier: explode token sets → co-occurrence join →
+                     |A∩B| / |A∪B|. Used to confirm LSH candidates and as the
+                     SQL-checkable oracle twin of MinHash.
+
+Reference note: the reference (tranquility) has no dedup surface at all —
+these are extensions mandated by the build brief, not parity ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# large Mersenne prime for minhash permutations
+_MH_PRIME = (1 << 61) - 1
+
+
+def content_hash(text: Column) -> Column:
+    """Portable content digest (md5 hex — identical in Spark and DuckDB)."""
+    return F.md5(text)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest id per content hash, count duplicates."""
+    return (
+        df.groupBy(content_hash(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_" + id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _word_shingles(text: Column, k: int) -> Column:
+    """k-word shingles as an array<string> (distinct), via higher-order fns."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    shingle = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return F.array_distinct(F.when(n >= k, shingle).otherwise(F.array()))
+
+
+def minhash_signature(text: Column, num_hashes: int = 64, shingle_k: int = 3, seed: int = 42) -> Column:
+    """MinHash signature: array<long> of length ``num_hashes``.
+
+    h_i(s) = (a_i * xxhash64(s) + b_i) mod p; signature[i] = min over shingles.
+    a_i/b_i derive deterministically from ``seed``. Entirely built-in
+    expressions — at scale this is one narrow map stage, no shuffle.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _MH_PRIME), rnd.randrange(0, _MH_PRIME)) for _ in range(num_hashes)]
+    shingles = _word_shingles(text, shingle_k)
+    base = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)))
+
+    def perm_min(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(base, lambda h: (h % F.lit(_MH_PRIME) * F.lit(a % 100003) + F.lit(b)) % F.lit(_MH_PRIME))
+        )
+
+    sig = F.array(*[perm_min(a, b) for a, b in coeffs])
+    return F.when(F.size(shingles) > 0, sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH, with an estimated
+    Jaccard (fraction of agreeing signature positions) ≥ ``threshold``.
+
+    Plan shape (scale-critical): signature map → explode to ``bands`` rows →
+    shuffle by (band, band_hash) → within-bucket self-join → distinct pairs →
+    signature re-compare. No all-pairs comparison ever materializes.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k, seed).alias("sig"),
+    ).filter(F.col("sig").isNotNull())
+
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ))).alias("bhash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(num_hashes)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact token-set Jaccard for all co-occurring pairs (the dedup verifier).
+
+    Distributed as: explode distinct tokens → join on token (co-occurrence) →
+    count intersections → join per-doc set sizes. On huge corpora, run it only
+    on LSH candidates or a key-range slice — the caller controls the input df.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("token"),
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        inter.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document via an Arrow-batched pandas UDF.
+
+    Bit-vote accumulation over token hashes is a numpy one-liner per batch;
+    doing it in Spark SQL would need 64 aggregate expressions per row. The UDF
+    is deterministic (hash is blake2b-derived, no randomness).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash64(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in (t or "").split():
+                h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+                bits = (h >> np.arange(64)) & 1
+                votes += np.where(bits == 1, 1, -1)
+            sig = 0
+            for b in range(64):
+                if votes[b] > 0:
+                    sig |= 1 << b
+            # fold into signed int64
+            out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH + exact verify.
+
+    Bucket key = sign bits against ``num_planes`` fixed hyperplanes (built-in
+    expressions); exact cosine is recomputed only inside buckets. At 100 TB the
+    bucket join bounds the pair explosion the same way MinHash banding does.
+    """
+    import random
+
+    dim_df = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = dim_df[0]["d"] if dim_df else 0
+    rnd = random.Random(seed)
+    planes = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def dot_const(plane: list[float]) -> Column:
+        arr = F.array(*[F.lit(float(p)) for p in plane])
+        return F.aggregate(
+            F.zip_with(v, arr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    bucket = F.concat_ws("", *[(dot_const(p) >= 0).cast("int").cast("string") for p in planes])
+    sigs = df.select(F.col(id_col).alias("id"), v.alias("v"), bucket.alias("bucket"))
+
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(F.col(f"{side}.v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cosine", dot / (norm("a") * norm("b")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.round("cosine", 6).alias("cosine"))
+    )

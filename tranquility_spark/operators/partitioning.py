@@ -1,0 +1,74 @@
+"""Partitioning operators (D1/D2) + the portable shard hash.
+
+Reference:
+- ``core/.../beam/HashPartitionBeam.scala`` + ``partition/HashCodePartitioner.scala``
+  (D1): ``event.hashCode % partitions`` routes an event to a partition beam.
+- ``core/.../partition/GenericTimeAndDimsPartitioner.scala`` (D2): partition
+  key = (queryGranularity-truncated ts, all dim values), so equal rollup keys
+  land in one partition, maximizing rollup.
+
+Spark mapping:
+- D2 is what Catalyst's hash-partitioned aggregation already does (the shuffle
+  key of ``groupBy(trunc(ts), dims)`` IS the rollup key, with map-side partial
+  aggregation on top) — ``rollup_repartition`` exists for sinks that want the
+  physical layout without an aggregation.
+- D1's *observable* output (a shard id column) uses a portable hash defined
+  identically in Spark and DuckDB SQL so the oracle can verify it. Spark's own
+  ``hash()``/``xxhash64`` are engine-defined, hence unusable in a
+  cross-engine-checked result (SURVEY.md §4.2-4).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tranquility_spark.specs import Granularity
+
+# Knuth multiplicative constant; inputs are reduced mod 1e5+3 first so the
+# product stays far below 2^63 (DuckDB raises on BIGINT overflow; Spark wraps —
+# bounding the operands keeps both engines exact and identical).
+_MULT = 2654435761
+_REDUCE = 100003
+_PRIME = 1000000007
+
+
+def portable_shard(key: Column, partitions: int) -> Column:
+    """Deterministic, engine-portable shard id for a non-negative integer key."""
+    k = key.cast("long")
+    return (F.pmod(F.pmod(k, F.lit(_REDUCE)) * F.lit(_MULT), F.lit(_PRIME)) % partitions).alias(
+        "shard"
+    )
+
+
+def portable_shard_sql(key_expr: str, partitions: int) -> str:
+    """DuckDB SQL fragment computing the identical shard id."""
+    return (
+        f"(((CAST({key_expr} AS BIGINT) % {_REDUCE}) * {_MULT}) % {_PRIME}) % {partitions}"
+    )
+
+
+def with_shard(df: DataFrame, key: str, partitions: int, out: str = "shard") -> DataFrame:
+    return df.withColumn(out, portable_shard(F.col(key), partitions))
+
+
+def rollup_repartition(
+    df: DataFrame,
+    ts_col: str,
+    dims: Sequence[str],
+    query_granularity: str | Granularity = "NONE",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """D2: co-locate equal rollup keys (truncated ts, dims) in one partition.
+
+    At 100 TB this is the layout you want before a sink write so each output
+    file holds whole rollup groups; for aggregation itself, skip this — the
+    groupBy shuffle already partitions by these keys.
+    """
+    gran = Granularity(query_granularity) if isinstance(query_granularity, str) else query_granularity
+    keys = [gran.truncate(F.col(ts_col)), *[F.col(d) for d in dims]]
+    if num_partitions is None:
+        return df.repartition(*keys)
+    return df.repartition(num_partitions, *keys)

@@ -1,0 +1,113 @@
+"""Text-analysis operators for training-data pipelines (north-star phase 4).
+
+Every function here is pure built-in Spark SQL expressions (JVM, codegen) —
+no Python in the row path — and each has an exactly-equivalent DuckDB SQL
+twin in the catalog so the oracle hash-checks it.
+
+- language-ID  — stopword-marker n-gram heuristic (deliberately simple and
+  portable; a real model would be a pandas_udf, but the plumbing is the same).
+- quality score — length / punctuation / stopword-ratio features.
+- token counting — whitespace tokens + a BPE-ish `[a-z]+|[0-9]+` regex count.
+- fingerprinting — md5 over normalized text, plus a polynomial rolling hash
+  over tokens (both portable to the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker words per language for the heuristic language-ID
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "fr": ["le", "la", "et"],
+    "de": ["der", "die", "und"],
+    "es": ["el", "los", "que"],
+}
+
+_ROLL_PRIME = 1000000007
+_ROLL_BASE = 31
+
+
+def _count_occurrences(text: Column, word: str) -> Column:
+    """Occurrences of a word surrounded by spaces — portable arithmetic form."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {word} "
+    return (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {
+        lang: sum((_count_occurrences(text, w) for w in words), F.lit(0.0))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(text: Column) -> Column:
+    """argmax over marker-word counts; 'unk' when no marker appears.
+
+    Ties break by language order (en, fr, de, es) — the SQL twin uses the same
+    chained CASE so the tie-break is identical.
+    """
+    scores = lang_scores(text)
+    langs = list(LANG_MARKERS)
+    max_score = F.greatest(*scores.values())
+    expr: Column = F.lit("unk")
+    for lang in reversed(langs):  # wrap inside-out so the FIRST language wins ties
+        expr = F.when(scores[lang] == max_score, F.lit(lang)).otherwise(expr)
+    return F.when(max_score > 0, expr).otherwise(F.lit("unk"))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count via pure length arithmetic (engine-portable)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    )
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish token count: alpha runs + digit runs."""
+    return F.regexp_count(F.lower(text), F.lit("[a-z]+|[0-9]+"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring features + a composite score in [0, 1]."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    avg_token_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens.cast("double")
+    stop_hits = sum((_count_occurrences(t, w) for ws in LANG_MARKERS.values() for w in ws), F.lit(0.0))
+    stop_ratio = stop_hits / n_tokens.cast("double")
+    length_score = F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+    score = F.round(F.lit(0.5) * length_score + F.lit(0.5) * F.least(stop_ratio * 5, F.lit(1.0)), 6)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_measured"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(avg_token_len, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint: md5 of lowercased, whitespace-collapsed text."""
+    normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def rolling_token_hash(text: Column) -> Column:
+    """Polynomial rolling hash over token lengths+first-letters.
+
+    value(tok) = length(tok) * 96 + (first codepoint mod 96);
+    h = fold(h * 31 + value) mod 1e9+7. Exact integer arithmetic, portable to
+    DuckDB via list_reduce (the catalog carries the SQL twin).
+    """
+    toks = F.split(F.trim(text), r"\s+")
+    vals = F.transform(toks, lambda tk: F.length(tk) * 96 + F.ascii(tk) % 96)
+    return F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * _ROLL_BASE + x) % _ROLL_PRIME,
+    )

@@ -1,0 +1,587 @@
+"""Druid-shaped ingestion specs re-expressed for Spark.
+
+Mirrors the schema surface of the reference (druid-io/tranquility):
+
+- ``TimestampSpec``      — reference: Druid ``TimestampSpec`` consumed in
+  ``core/.../druid/DruidBeams.scala#fromConfig`` (SURVEY.md §2.2 P3).
+- ``DimensionsSpec``     — reference: ``core/.../druid/DruidRollup.scala``
+  ``SpecificDruidDimensions`` / ``SchemalessDruidDimensions`` (P4/P5).
+- aggregator classes     — reference: Druid ``AggregatorFactory`` types named in
+  ``metricsSpec`` (``count``, ``longSum``, ``doubleSum``, ``longMin``,
+  ``longMax``, ``doubleMin``, ``doubleMax``, ``hyperUnique``, ``cardinality``,
+  ``filtered``) — SURVEY.md §2.4 A1–A12.
+- ``GranularitySpec``    — reference: ``granularitySpec{segmentGranularity,
+  queryGranularity, rollup}``; truncation in
+  ``core/.../beam/ClusteredBeamTuning.scala#segmentBucket`` and
+  ``DruidRollup#indexGranularity`` (T1/T2).
+- filter dicts           — reference: Druid filter JSON used by the
+  ``filtered`` aggregator (``selector`` / ``in`` / ``bound`` / ``regex`` /
+  ``and`` / ``or`` / ``not``) — SURVEY.md §2.4 A8.
+
+Every spec object knows how to render BOTH a Spark ``Column`` and an
+equivalent ANSI/DuckDB SQL fragment, so the correctness oracle is generated
+from the same declaration the engine executes — aliases cannot drift apart.
+
+Design note (100 TB): all aggregators compile to built-in Catalyst expressions
+(``HashAggregateExec`` with partial aggregation / whole-stage codegen). No
+Python executes per-row anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Granularities (Druid QueryGranularity / segmentGranularity)
+# ---------------------------------------------------------------------------
+
+# unit-based granularities map straight to date_trunc in both engines
+_TRUNC_UNITS = {
+    "SECOND": "second",
+    "MINUTE": "minute",
+    "HOUR": "hour",
+    "DAY": "day",
+    "WEEK": "week",
+    "MONTH": "month",
+    "YEAR": "year",
+}
+
+# period granularities expressed as a whole number of seconds
+_PERIOD_SECONDS = {
+    "FIVE_MINUTE": 300,
+    "TEN_MINUTE": 600,
+    "FIFTEEN_MINUTE": 900,
+    "THIRTY_MINUTE": 1800,
+    "SIX_HOUR": 21600,
+}
+
+
+@dataclass(frozen=True)
+class Granularity:
+    """A Druid-style time granularity: NONE, a calendar unit, or an N-second period.
+
+    Reference: ``ClusteredBeamTuning#segmentGranularity`` (segment buckets,
+    default HOUR) and ``DruidRollup#indexGranularity`` (rollup truncation).
+    """
+
+    name: str
+
+    def __post_init__(self):
+        n = self.name.upper()
+        if n != "NONE" and n not in _TRUNC_UNITS and n not in _PERIOD_SECONDS:
+            raise ValueError(f"unknown granularity: {self.name}")
+        object.__setattr__(self, "name", n)
+
+    @property
+    def is_none(self) -> bool:
+        return self.name == "NONE"
+
+    def truncate(self, col: Column) -> Column:
+        """Spark expression truncating a timestamp column to this granularity."""
+        if self.is_none:
+            return col
+        if self.name in _TRUNC_UNITS:
+            return F.date_trunc(_TRUNC_UNITS[self.name], col)
+        secs = _PERIOD_SECONDS[self.name]
+        # integer arithmetic on epoch seconds — exact, engine-portable
+        return F.timestamp_seconds(
+            (F.unix_timestamp(col) - F.pmod(F.unix_timestamp(col), F.lit(secs)))
+        )
+
+    def truncate_sql(self, expr: str) -> str:
+        """DuckDB SQL fragment computing the identical truncation."""
+        if self.is_none:
+            return expr
+        if self.name in _TRUNC_UNITS:
+            return f"date_trunc('{_TRUNC_UNITS[self.name]}', {expr})"
+        secs = _PERIOD_SECONDS[self.name]
+        # epoch() returns seconds; epoch_ms(BIGINT) returns a naive TIMESTAMP
+        return (
+            f"epoch_ms(CAST((CAST(floor(epoch({expr})) AS BIGINT) "
+            f"- CAST(floor(epoch({expr})) AS BIGINT) % {secs}) * 1000 AS BIGINT))"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Timestamp spec (P3)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TimestampSpec:
+    """Timestamp extraction: column + format (auto|iso|posix|millis|<pattern>).
+
+    Reference: Druid ``TimestampSpec`` via
+    ``dataSchema.parser.parseSpec.timestampSpec``, applied by the task spec
+    built in ``core/.../druid/DruidBeamMaker.scala`` (SURVEY.md §2.2 P3).
+    Rows whose timestamp cannot be parsed are dropped (Druid semantics).
+    """
+
+    column: str = "timestamp"
+    format: str = "auto"
+    output: str = "ts"
+
+    def extract(self, df: DataFrame) -> Column:
+        src = df[self.column]
+        dtype = dict(df.dtypes)[self.column]
+        fmt = self.format.lower()
+        if dtype in ("timestamp", "timestamp_ntz"):
+            return src
+        # try_* variants: Druid drops rows with unparseable timestamps rather
+        # than failing the ingest (and Spark 4 ANSI mode would throw otherwise)
+        num = src.try_cast("long") if dtype == "string" else src.cast("long")
+        if fmt == "posix":
+            return F.timestamp_seconds(num)
+        if fmt == "millis":
+            return F.timestamp_millis(num)
+        if fmt == "iso":
+            return F.try_to_timestamp(src)
+        if fmt == "auto":
+            if dtype in ("bigint", "int", "long", "double"):
+                # Druid 'auto': numeric → posix millis if large, else seconds
+                return F.when(
+                    num > F.lit(31507200000),  # year ~2968 in seconds
+                    F.timestamp_millis(num),
+                ).otherwise(F.timestamp_seconds(num))
+            return F.try_to_timestamp(src)
+        # explicit Joda-style pattern (subset compatible with java.time)
+        return F.try_to_timestamp(src, F.lit(self.format))
+
+
+# ---------------------------------------------------------------------------
+# Dimensions spec (P4 / P5)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DimensionsSpec:
+    """Which input fields become dimensions.
+
+    ``dimensions`` set  → SpecificDruidDimensions (fixed schema, P4).
+    ``dimensions`` None → SchemalessDruidDimensions (everything except
+    ``exclusions`` ∪ metric fieldNames ∪ the timestamp column, P5).
+    Reference: ``core/.../druid/DruidRollup.scala``.
+    """
+
+    dimensions: Optional[Sequence[str]] = None
+    exclusions: Sequence[str] = field(default_factory=tuple)
+
+    def resolve(self, df: DataFrame, ts_column: str, metric_fields: Sequence[str]) -> list[str]:
+        if self.dimensions is not None:
+            return list(self.dimensions)
+        banned = set(self.exclusions) | set(metric_fields) | {ts_column}
+        return [c for c in df.columns if c not in banned]
+
+
+# ---------------------------------------------------------------------------
+# Druid filter JSON → Column + SQL (A8 predicates)
+# ---------------------------------------------------------------------------
+
+
+def filter_to_column(spec: dict) -> Column:
+    """Compile a Druid filter dict to a Spark Column.
+
+    Reference: Druid filter JSON accepted by the ``filtered`` aggregator
+    (selector / in / bound / regex / and / or / not) — SURVEY.md §2.4 A8.
+    """
+    t = spec["type"]
+    if t == "selector":
+        return F.col(spec["dimension"]) == F.lit(spec["value"])
+    if t == "in":
+        return F.col(spec["dimension"]).isin(list(spec["values"]))
+    if t == "bound":
+        col = F.col(spec["dimension"])
+        if spec.get("ordering") == "numeric":
+            col = col.cast("double")
+        conds = []
+        if "lower" in spec:
+            lo = F.lit(spec["lower"])
+            conds.append(col > lo if spec.get("lowerStrict") else col >= lo)
+        if "upper" in spec:
+            hi = F.lit(spec["upper"])
+            conds.append(col < hi if spec.get("upperStrict") else col <= hi)
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+    if t == "regex":
+        return F.col(spec["dimension"]).rlike(spec["pattern"])
+    if t == "and":
+        out = filter_to_column(spec["fields"][0])
+        for f_ in spec["fields"][1:]:
+            out = out & filter_to_column(f_)
+        return out
+    if t == "or":
+        out = filter_to_column(spec["fields"][0])
+        for f_ in spec["fields"][1:]:
+            out = out | filter_to_column(f_)
+        return out
+    if t == "not":
+        return ~filter_to_column(spec["field"])
+    raise ValueError(f"unsupported filter type: {t}")
+
+
+def _sql_lit(v) -> str:
+    if isinstance(v, str):
+        escaped = v.replace("'", "''")
+        return f"'{escaped}'"
+    return repr(v)
+
+
+def filter_to_sql(spec: dict) -> str:
+    """DuckDB SQL predicate equivalent to :func:`filter_to_column`."""
+    t = spec["type"]
+    if t == "selector":
+        return f"{spec['dimension']} = {_sql_lit(spec['value'])}"
+    if t == "in":
+        vals = ", ".join(_sql_lit(v) for v in spec["values"])
+        return f"{spec['dimension']} IN ({vals})"
+    if t == "bound":
+        col = spec["dimension"]
+        if spec.get("ordering") == "numeric":
+            col = f"CAST({col} AS DOUBLE)"
+        conds = []
+        if "lower" in spec:
+            op = ">" if spec.get("lowerStrict") else ">="
+            conds.append(f"{col} {op} {_sql_lit(spec['lower'])}")
+        if "upper" in spec:
+            op = "<" if spec.get("upperStrict") else "<="
+            conds.append(f"{col} {op} {_sql_lit(spec['upper'])}")
+        return "(" + " AND ".join(conds) + ")"
+    if t == "regex":
+        return f"regexp_matches({spec['dimension']}, {_sql_lit(spec['pattern'])})"
+    if t == "and":
+        return "(" + " AND ".join(filter_to_sql(f_) for f_ in spec["fields"]) + ")"
+    if t == "or":
+        return "(" + " OR ".join(filter_to_sql(f_) for f_ in spec["fields"]) + ")"
+    if t == "not":
+        return f"(NOT {filter_to_sql(spec['field'])})"
+    raise ValueError(f"unsupported filter type: {t}")
+
+
+# ---------------------------------------------------------------------------
+# Aggregators (metricsSpec) — A1..A12
+# ---------------------------------------------------------------------------
+#
+# Oracle-portability policy (SURVEY.md §4.2-3):
+#  * integer sums stay in BIGINT (exact in both engines);
+#  * double sums are accumulated in DECIMAL(28,6) (exact, order-independent,
+#    identical in Spark and DuckDB) and then cast to DOUBLE — this removes
+#    float-reassociation nondeterminism from the hash-compared results;
+#  * sketch aggregators (hyperUnique / cardinality) ship as exact twins
+#    (count distinct — hash-checked) plus approx twins (HLL++ — rows-only).
+
+
+class Aggregator:
+    """One metricsSpec entry. Subclasses render a Spark Column + oracle SQL."""
+
+    name: str
+
+    def column(self) -> Column:
+        raise NotImplementedError
+
+    def oracle(self) -> str:
+        raise NotImplementedError
+
+    @property
+    def field_names(self) -> list[str]:
+        return []
+
+    @property
+    def sql_checkable(self) -> bool:
+        return True
+
+
+@dataclass(frozen=True)
+class Count(Aggregator):
+    """`count` — number of input rows in the rollup group (A1)."""
+
+    name: str = "count"
+
+    def column(self) -> Column:
+        return F.count(F.lit(1)).alias(self.name)
+
+    def oracle(self) -> str:
+        return f"count(*) AS {self.name}"
+
+
+@dataclass(frozen=True)
+class LongSum(Aggregator):
+    """`longSum` — sum of the field cast to long (A2).
+
+    Doubles are floored before the cast: Spark truncates double→long while
+    DuckDB rounds, so an explicit floor() keeps both engines identical.
+    """
+
+    name: str
+    fieldName: str
+
+    def column(self) -> Column:
+        return F.sum(F.floor(F.col(self.fieldName)).cast("long")).alias(self.name)
+
+    def oracle(self) -> str:
+        return f"CAST(sum(CAST(floor({self.fieldName}) AS BIGINT)) AS BIGINT) AS {self.name}"
+
+    @property
+    def field_names(self) -> list[str]:
+        return [self.fieldName]
+
+
+@dataclass(frozen=True)
+class DoubleSum(Aggregator):
+    """`doubleSum` (A3) — accumulated in DECIMAL(28,6), returned as DOUBLE.
+
+    Decimal accumulation is exact and order-independent, so the result is
+    bit-identical across engines and across shuffle orders — double
+    accumulation is not (float addition does not reassociate).
+    """
+
+    name: str
+    fieldName: str
+
+    def column(self) -> Column:
+        return (
+            F.sum(F.col(self.fieldName).cast("decimal(28,6)"))
+            .cast("double")
+            .alias(self.name)
+        )
+
+    def oracle(self) -> str:
+        return (
+            f"CAST(sum(CAST({self.fieldName} AS DECIMAL(28,6))) AS DOUBLE) AS {self.name}"
+        )
+
+    @property
+    def field_names(self) -> list[str]:
+        return [self.fieldName]
+
+
+@dataclass(frozen=True)
+class LongMin(Aggregator):
+    name: str
+    fieldName: str
+
+    def column(self) -> Column:
+        return F.min(F.floor(F.col(self.fieldName)).cast("long")).alias(self.name)
+
+    def oracle(self) -> str:
+        return f"min(CAST(floor({self.fieldName}) AS BIGINT)) AS {self.name}"
+
+    @property
+    def field_names(self) -> list[str]:
+        return [self.fieldName]
+
+
+@dataclass(frozen=True)
+class LongMax(Aggregator):
+    name: str
+    fieldName: str
+
+    def column(self) -> Column:
+        return F.max(F.floor(F.col(self.fieldName)).cast("long")).alias(self.name)
+
+    def oracle(self) -> str:
+        return f"max(CAST(floor({self.fieldName}) AS BIGINT)) AS {self.name}"
+
+    @property
+    def field_names(self) -> list[str]:
+        return [self.fieldName]
+
+
+@dataclass(frozen=True)
+class DoubleMin(Aggregator):
+    name: str
+    fieldName: str
+
+    def column(self) -> Column:
+        return F.min(F.col(self.fieldName).cast("double")).alias(self.name)
+
+    def oracle(self) -> str:
+        return f"min(CAST({self.fieldName} AS DOUBLE)) AS {self.name}"
+
+    @property
+    def field_names(self) -> list[str]:
+        return [self.fieldName]
+
+
+@dataclass(frozen=True)
+class DoubleMax(Aggregator):
+    name: str
+    fieldName: str
+
+    def column(self) -> Column:
+        return F.max(F.col(self.fieldName).cast("double")).alias(self.name)
+
+    def oracle(self) -> str:
+        return f"max(CAST({self.fieldName} AS DOUBLE)) AS {self.name}"
+
+    @property
+    def field_names(self) -> list[str]:
+        return [self.fieldName]
+
+
+@dataclass(frozen=True)
+class HyperUnique(Aggregator):
+    """`hyperUnique` (A6) — HLL distinct count at ingest.
+
+    ``exact=True`` → ``count(distinct)`` twin, hash-checked against the oracle.
+    ``exact=False`` → Spark HLL++ (``approx_count_distinct``), rows-only check
+    (Druid HLL error ≈2% vs Spark HLL++ rsd 5% — values are not comparable,
+    SURVEY.md §4.3).
+    """
+
+    name: str
+    fieldName: str
+    exact: bool = True
+
+    def column(self) -> Column:
+        if self.exact:
+            return F.count_distinct(F.col(self.fieldName)).alias(self.name)
+        return F.approx_count_distinct(self.fieldName).alias(self.name)
+
+    def oracle(self) -> str:
+        return f"count(DISTINCT {self.fieldName}) AS {self.name}"
+
+    @property
+    def field_names(self) -> list[str]:
+        return [self.fieldName]
+
+    @property
+    def sql_checkable(self) -> bool:
+        return self.exact
+
+
+@dataclass(frozen=True)
+class Cardinality(Aggregator):
+    """`cardinality` (A7) — HLL over a tuple of dimensions (byRow=true).
+
+    Exact twin counts distinct concatenated tuples; the concat form is chosen
+    because it is expressible identically in Spark and DuckDB SQL.
+    """
+
+    name: str
+    fieldNames: Sequence[str]
+    exact: bool = True
+
+    def _tuple_col(self) -> Column:
+        return F.concat_ws("\x1f", *[F.col(f).cast("string") for f in self.fieldNames])
+
+    def column(self) -> Column:
+        if self.exact:
+            return F.count_distinct(self._tuple_col()).alias(self.name)
+        return F.approx_count_distinct(self._tuple_col()).alias(self.name)
+
+    def oracle(self) -> str:
+        parts = " || chr(31) || ".join(f"CAST({f} AS VARCHAR)" for f in self.fieldNames)
+        return f"count(DISTINCT ({parts})) AS {self.name}"
+
+    @property
+    def field_names(self) -> list[str]:
+        return list(self.fieldNames)
+
+    @property
+    def sql_checkable(self) -> bool:
+        return self.exact
+
+
+@dataclass(frozen=True)
+class Filtered(Aggregator):
+    """`filtered` (A8) — wraps another aggregator behind a Druid filter."""
+
+    filter: dict
+    aggregator: Aggregator
+
+    @property
+    def name(self) -> str:  # type: ignore[override]
+        return self.aggregator.name
+
+    def column(self) -> Column:
+        inner = self.aggregator
+        cond = filter_to_column(self.filter)
+        if isinstance(inner, Count):
+            return F.count(F.when(cond, F.lit(1))).alias(inner.name)
+        if isinstance(inner, (LongSum, DoubleSum, LongMin, LongMax, DoubleMin, DoubleMax)):
+            src = F.when(cond, F.col(inner.fieldName))
+            if isinstance(inner, LongSum):
+                return F.sum(F.floor(src).cast("long")).alias(inner.name)
+            if isinstance(inner, DoubleSum):
+                return F.sum(src.cast("decimal(28,6)")).cast("double").alias(inner.name)
+            if isinstance(inner, LongMin):
+                return F.min(F.floor(src).cast("long")).alias(inner.name)
+            if isinstance(inner, LongMax):
+                return F.max(F.floor(src).cast("long")).alias(inner.name)
+            if isinstance(inner, DoubleMin):
+                return F.min(src.cast("double")).alias(inner.name)
+            return F.max(src.cast("double")).alias(inner.name)
+        raise ValueError(f"filtered() does not wrap {type(inner).__name__}")
+
+    def oracle(self) -> str:
+        cond = filter_to_sql(self.filter)
+        inner = self.aggregator
+        if isinstance(inner, Count):
+            return f"count(CASE WHEN {cond} THEN 1 END) AS {inner.name}"
+        f_ = f"CASE WHEN {cond} THEN {inner.fieldName} END"
+        if isinstance(inner, LongSum):
+            return f"CAST(sum(CAST(floor({f_}) AS BIGINT)) AS BIGINT) AS {inner.name}"
+        if isinstance(inner, DoubleSum):
+            return f"CAST(sum(CAST({f_} AS DECIMAL(28,6))) AS DOUBLE) AS {inner.name}"
+        if isinstance(inner, LongMin):
+            return f"min(CAST(floor({f_}) AS BIGINT)) AS {inner.name}"
+        if isinstance(inner, LongMax):
+            return f"max(CAST(floor({f_}) AS BIGINT)) AS {inner.name}"
+        if isinstance(inner, DoubleMin):
+            return f"min(CAST({f_} AS DOUBLE)) AS {inner.name}"
+        return f"max(CAST({f_} AS DOUBLE)) AS {inner.name}"
+
+    @property
+    def field_names(self) -> list[str]:
+        return self.aggregator.field_names
+
+
+# ---------------------------------------------------------------------------
+# Granularity spec + the full ingest spec
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GranularitySpec:
+    """segmentGranularity / queryGranularity / rollup switch (T1/T2/A12)."""
+
+    segment_granularity: Union[str, Granularity] = "HOUR"
+    query_granularity: Union[str, Granularity] = "NONE"
+    rollup: bool = True
+
+    def __post_init__(self):
+        if isinstance(self.segment_granularity, str):
+            object.__setattr__(self, "segment_granularity", Granularity(self.segment_granularity))
+        if isinstance(self.query_granularity, str):
+            object.__setattr__(self, "query_granularity", Granularity(self.query_granularity))
+
+
+@dataclass(frozen=True)
+class IngestSpec:
+    """The full dataSchema analog (reference: ``DataSourceConfig`` +
+    ``DruidBeams#fromConfig`` — SURVEY.md §1.2)."""
+
+    datasource: str
+    timestamp_spec: TimestampSpec
+    dimensions_spec: DimensionsSpec
+    metrics: Sequence[Aggregator] = field(default_factory=tuple)
+    granularity_spec: GranularitySpec = field(default_factory=GranularitySpec)
+
+    def validate(self) -> None:
+        """Dimension/metric/timestamp name-collision check.
+
+        Reference: ``DruidRollup#validate`` throws on collisions.
+        """
+        dims = list(self.dimensions_spec.dimensions or [])
+        metric_names = [m.name for m in self.metrics]
+        seen: set[str] = set()
+        for n in dims + metric_names + [self.timestamp_spec.output]:
+            if n in seen:
+                raise ValueError(f"name collision in spec: {n!r}")
+            seen.add(n)
