@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly ONE JSON line:
+  {"metric": "suite_wall_clock", "value": <total_sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (count() — forces the full plan without
+driver-side collection of wide results). Timings are per-query wall clock on a
+warm session; the suite value is the sum (matches how the driver compares
+against BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# the representative slice: flagship rollup, parity aggregations, the join/
+# window/topk extension surface, and the LLM-pipeline operators
+HEADLINE = [
+    "flagship_hourly_rollup",
+    "a1_a5_rollup_core",
+    "a8_filtered_aggs",
+    "t2_query_granularity",
+    "p6_window_filter",
+    "d1_hash_partition",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "j4_asof_last_event",
+    "w3_running_total",
+    "s1_topk",
+    "dd1_exact_dedup",
+    "dd2_minhash_lsh_pairs",
+    "sim1_cosine_topk",
+    "txt2_quality_score",
+    "txt4_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.session import get_spark
+
+    spark = get_spark("tranquility-spark-bench")
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = CATALOG[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

