@@ -1,0 +1,209 @@
+"""Streaming-path tests, modeled on the reference's test strategy (SURVEY.md §5):
+injected clock (``TestingTimekeeper`` analog), memory sink (``MemoryBeam``),
+assertions on collected rows — plus sink idempotence (replay a batch, no dupes)
+and a true Structured Streaming end-to-end run checked against the batch rollup.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tranquility_spark.specs import Count, DimensionsSpec, DoubleSum, GranularitySpec, IngestSpec, TimestampSpec
+from tranquility_spark.plans.rollup import build_rollup
+from tranquility_spark.streaming import MessageDroppedException, SegmentSink, Tranquilizer, stream_rollup
+from tranquility_spark.streaming.beams import HashPartitionBeam, MemoryBeam, ReplicatingBeam
+
+NOW = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+
+def _spec(rollup=True, query_gran="MINUTE"):
+    return IngestSpec(
+        datasource="wiki",
+        timestamp_spec=TimestampSpec(column="timestamp", format="iso", output="ts"),
+        dimensions_spec=DimensionsSpec(dimensions=["page"]),
+        metrics=(Count("n"), DoubleSum("added_sum", "added")),
+        granularity_spec=GranularitySpec("HOUR", query_gran, rollup=rollup),
+    )
+
+
+def _ev(ts: str, page: str = "a", added: float = 1.0) -> dict:
+    return {"timestamp": ts, "page": page, "added": added}
+
+
+# ---------------------------------------------------------------------------
+# Tranquilizer: batching + window drops (ref: TranquilizerTest, ClusteredBeamTest)
+# ---------------------------------------------------------------------------
+
+
+def test_tranquilizer_send_and_drop(spark):
+    beam = MemoryBeam()
+    t = Tranquilizer(spark, _spec(), beam, window_period="PT10M", clock=lambda: NOW)
+    ok = t.send(_ev("2024-06-01T11:55:00"))       # in window
+    late = t.send(_ev("2024-06-01T10:00:00"))      # too late
+    future = t.send(_ev("2024-06-01T13:00:00"))    # too far ahead (two-sided!)
+    bad = t.send(_ev("not-a-timestamp"))           # unparseable → dropped (P3)
+    t.close()
+
+    assert ok.result().sent is True
+    for f in (late, future, bad):
+        with pytest.raises(MessageDroppedException):
+            f.result()
+    assert t.sent_count == 1 and t.dropped_count == 3
+    rows = beam.rows()
+    assert len(rows) == 1 and rows.iloc[0]["page"] == "a"
+
+
+def test_tranquilizer_autoflush_at_max_batch(spark):
+    beam = MemoryBeam()
+    t = Tranquilizer(spark, _spec(), beam, max_batch_size=3, window_period=None)
+    for i in range(3):
+        t.send(_ev("2024-06-01T11:55:00", page=f"p{i}"))
+    # batch size reached → flushed without close()
+    assert len(beam.batches) == 1 and len(beam.rows()) == 3
+    t.close()
+
+
+# ---------------------------------------------------------------------------
+# Beam composition (ref: HashPartitionBeamTest, partitioner tests)
+# ---------------------------------------------------------------------------
+
+
+def test_hash_partition_beam_routes_consistently(spark):
+    children = [MemoryBeam(), MemoryBeam(), MemoryBeam()]
+    beam = HashPartitionBeam(children, key="page")
+    df = spark.createDataFrame(
+        [(p, i) for i, p in enumerate(["a", "b", "c", "a", "b", "a"])], "page string, i int"
+    )
+    assert beam.send_all(df) == 6
+    # same key ⇒ same child (the rollup-key co-location invariant, D1/D2)
+    for child in children:
+        rows = child.rows()
+        if len(rows):
+            by_page = rows.groupby("page").size()
+            assert set(by_page.index).issubset({"a", "b", "c"})
+    all_pages = {p for c in children for p in (c.rows()["page"] if len(c.rows()) else [])}
+    assert all_pages == {"a", "b", "c"}
+    counts = {p: sum(len(c.rows()[c.rows()["page"] == p]) for c in children if len(c.rows())) for p in "abc"}
+    assert counts == {"a": 3, "b": 2, "c": 1}
+
+
+def test_replicating_beam_counts_once(spark):
+    replicas = [MemoryBeam(), MemoryBeam()]
+    beam = ReplicatingBeam(replicas)
+    df = spark.createDataFrame([("a",), ("b",)], "page string")
+    assert beam.send_all(df) == 2  # counted once per event, not per replica
+    assert len(replicas[0].rows()) == 2 and len(replicas[1].rows()) == 2
+
+
+# ---------------------------------------------------------------------------
+# SegmentSink: layout, idempotence, replication (S5/S6/D3/W5)
+# ---------------------------------------------------------------------------
+
+
+def test_segment_sink_idempotent_replay(spark, tmp_path):
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR", partitions=2, shard_key="page")
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 6, 1, 11, 5), "a", 1.0), (dt.datetime(2024, 6, 1, 12, 10), "b", 2.0)],
+        "ts timestamp, page string, added double",
+    )
+    assert sink.write_batch(df, batch_id=7) == 2
+    assert sink.write_batch(df, batch_id=7) == 0  # replay → skipped
+    back = sink.read(spark)
+    assert back.count() == 2
+    assert sink.buckets() == ["2024-06-01-11-00", "2024-06-01-12-00"]
+
+
+def test_segment_sink_replication(spark, tmp_path):
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR", replicants=2)
+    df = spark.createDataFrame([(dt.datetime(2024, 6, 1, 11, 5), "a")], "ts timestamp, page string")
+    sink.write_batch(df, batch_id=1)
+    assert sink.read(spark, replica=0).count() == 1
+    assert sink.read(spark, replica=1).count() == 1
+
+
+def test_segment_sink_window_period_with_injected_clock(spark, tmp_path):
+    sink = SegmentSink(
+        str(tmp_path / "seg"), "wiki", "HOUR", window_period="PT10M", clock=lambda: NOW
+    )
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 6, 1, 11, 55), "in"),
+            (dt.datetime(2024, 6, 1, 10, 0), "late"),
+            (dt.datetime(2024, 6, 1, 13, 0), "future"),
+        ],
+        "ts timestamp, page string",
+    )
+    assert sink.write_batch(df, batch_id=1) == 1
+    assert [r.page for r in sink.read(spark).select("page").collect()] == ["in"]
+
+
+# ---------------------------------------------------------------------------
+# stream_rollup: static-vs-streaming equivalence + true streaming run
+# ---------------------------------------------------------------------------
+
+
+def test_stream_rollup_on_static_matches_batch_rollup(spark):
+    spec = _spec()
+    df = spark.createDataFrame(
+        [
+            ("2024-06-01T11:05:10", "a", 1.0),
+            ("2024-06-01T11:05:40", "a", 2.0),
+            ("2024-06-01T11:06:10", "b", 3.0),
+            ("2024-06-01T12:05:10", "a", 4.0),
+        ],
+        "timestamp string, page string, added double",
+    )
+    streamed = stream_rollup(df, spec).drop("segment_start")
+    batch = build_rollup(spec)(df)
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_end_to_end_file_source(spark, tmp_path):
+    """File stream → stream_rollup → SegmentSink, checked against batch rollup."""
+    spec = _spec()
+    src = tmp_path / "src"
+    src.mkdir()
+    events = [
+        {"timestamp": "2024-06-01T11:05:10", "page": "a", "added": 1.0},
+        {"timestamp": "2024-06-01T11:05:40", "page": "a", "added": 2.0},
+        {"timestamp": "2024-06-01T11:06:10", "page": "b", "added": 3.0},
+        {"timestamp": "2024-06-01T12:05:10", "page": "a", "added": 4.0},
+    ]
+    # watermark-advancing event: pushes the watermark past 13:00 so both real
+    # windows close and emit (append mode); its own window stays open
+    flush = {"timestamp": "2024-06-01T14:00:00", "page": "__flush", "added": 0.0}
+    with open(src / "part-0.json", "w") as f:
+        for e in events + [flush]:
+            f.write(json.dumps(e) + "\n")
+
+    stream = (
+        spark.readStream.schema("timestamp string, page string, added double")
+        .json(str(src))
+    )
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    rolled = stream_rollup(stream, spec)
+    q = (
+        rolled.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # append mode emits exactly the watermark-closed windows: both real
+    # buckets close (watermark 13:50 > their 12:00/13:00 ends), the flush
+    # event's own bucket stays open — the reference's handoff semantics (W4)
+    got = sink.read(spark).select("ts", "page", "n", "added_sum")
+    want = build_rollup(spec)(spark.createDataFrame(
+        [(e["timestamp"], e["page"], e["added"]) for e in events],
+        "timestamp string, page string, added double",
+    ))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert q.isActive is False

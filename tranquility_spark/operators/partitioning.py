@@ -36,8 +36,15 @@ _PRIME = 1000000007
 
 
 def portable_shard(key: Column, partitions: int) -> Column:
-    """Deterministic, engine-portable shard id for a non-negative integer key."""
-    k = key.cast("long")
+    """Deterministic shard id for any key.
+
+    Integer-valued keys use the engine-portable multiplicative hash (matched
+    exactly by ``portable_shard_sql`` for the DuckDB oracle). Non-numeric keys
+    (the reference hashes arbitrary ``event.hashCode``) fall back to crc32 of
+    the string form — deterministic across runs/executors, but engine-defined,
+    so string-keyed shard columns are rows-only checkable (SURVEY.md §4.2-4).
+    """
+    k = F.coalesce(key.try_cast("long"), F.crc32(key.cast("string").cast("binary")).cast("long"))
     return (F.pmod(F.pmod(k, F.lit(_REDUCE)) * F.lit(_MULT), F.lit(_PRIME)) % partitions).alias(
         "shard"
     )

@@ -1,0 +1,136 @@
+"""Streaming rollup pipeline — the reference's full ingest path, Spark-first.
+
+Reference flow (SURVEY.md §3.1 steps 2–5): ``Tranquilizer.send`` batches →
+``ClusteredBeam.sendAll`` buckets by segmentGranularity + drops out-of-window
+events → rollup-aware partition fan-out → ``DruidBeam`` pushes to realtime
+tasks. The Spark restatement is one declarative Structured Streaming query:
+
+    readStream → timestamp extraction (P3) → withWatermark (W1, late side)
+      → window(ts, segmentGranularity) + groupBy(dims).agg(metrics) (T1+A*)
+      → foreachBatch SegmentSink (S5/S6, idempotent time-partitioned Parquet)
+
+Scale notes (100 TB / 1000 executors):
+- The streaming aggregation is HashAggregateExec + state store keyed on
+  (window, dims) — Spark's shuffle-by-key IS the reference's
+  ``GenericTimeAndDimsPartitioner`` (D2), with map-side partial aggregation
+  so each rollup group crosses the wire pre-collapsed.
+- Watermark bounds state: closed windows are evicted and emitted once
+  (append mode), which is exactly the reference's bucket close / handoff
+  (W4) — a bucket stops accepting when the watermark passes bucketEnd.
+- Calendar granularities without a fixed period (MONTH/YEAR) are not valid
+  streaming window sizes; the reference's own default envelope is
+  MINUTE..DAY buckets (``ClusteredBeamTuning``, default HOUR).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tranquility_spark.specs import Granularity, IngestSpec
+
+# fixed-width granularities usable as streaming window sizes, in seconds
+_FIXED_SECONDS = {
+    "SECOND": 1,
+    "MINUTE": 60,
+    "FIVE_MINUTE": 300,
+    "TEN_MINUTE": 600,
+    "FIFTEEN_MINUTE": 900,
+    "THIRTY_MINUTE": 1800,
+    "HOUR": 3600,
+    "SIX_HOUR": 21600,
+    "DAY": 86400,
+    "WEEK": 604800,
+}
+
+
+def granularity_window_seconds(gran: Granularity) -> int:
+    """Window width in seconds for a fixed-period granularity.
+
+    Raises for NONE / MONTH / YEAR — not expressible as a tumbling window.
+    """
+    if gran.name not in _FIXED_SECONDS:
+        raise ValueError(
+            f"granularity {gran.name} is not a fixed period; streaming rollup "
+            "supports SECOND..WEEK (the reference's operating envelope)"
+        )
+    return _FIXED_SECONDS[gran.name]
+
+
+def stream_rollup(
+    stream_df: DataFrame,
+    spec: IngestSpec,
+    watermark: str = "10 minutes",
+    bucket_col: str = "segment_start",
+) -> DataFrame:
+    """Windowed streaming rollup for an IngestSpec.
+
+    Tumbling ``window(ts, segmentGranularity)`` (W2: the reference has
+    tumbling buckets only) + groupBy(all dims) + metricsSpec aggregators.
+    ``watermark`` is the lateness bound (reference ``windowPeriod``, default
+    PT10M — semantic delta vs the wall-clock two-sided filter is documented
+    in SURVEY.md §4.3; the strict variant lives in the sink's
+    ``window_period`` option).
+
+    Output schema: ``<bucket_col> TIMESTAMP, <ts_out> TIMESTAMP, <dims...>,
+    <metric outputs...>`` — bucket_col is the segment bucket start (T1),
+    ts_out the queryGranularity-truncated time (T2). Works identically on a
+    static DataFrame (used by the batch parity tests).
+    """
+    spec.validate()
+    ts_out = spec.timestamp_spec.output
+    gran = spec.granularity_spec
+
+    parsed = stream_df.withColumn(ts_out, spec.timestamp_spec.extract(stream_df)).filter(
+        F.col(ts_out).isNotNull()
+    )
+    if parsed.isStreaming:
+        parsed = parsed.withWatermark(ts_out, watermark)
+
+    metric_fields = sorted({f for m in spec.metrics for f in m.field_names})
+    dims = spec.dimensions_spec.resolve(stream_df, spec.timestamp_spec.column, metric_fields)
+
+    secs = granularity_window_seconds(gran.segment_granularity)
+    win = F.window(F.col(ts_out), f"{secs} seconds")
+
+    if not gran.rollup:
+        # A12: no aggregation — append raw rows tagged with their bucket
+        return parsed.select(
+            win.start.alias(bucket_col), ts_out, *dims, *metric_fields
+        )
+
+    q_ts = gran.query_granularity.truncate(F.col(ts_out)).alias(ts_out)
+    aggs = [m.column() for m in spec.metrics]
+    grouped = parsed.groupBy(win.alias("__w"), q_ts, *dims).agg(*aggs)
+    return grouped.withColumn(bucket_col, F.col("__w").start).drop("__w").select(
+        bucket_col, ts_out, *dims, *[m.name for m in spec.metrics]
+    )
+
+
+def start_ingest(
+    stream_df: DataFrame,
+    spec: IngestSpec,
+    sink,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+    output_mode: str = "append",
+    trigger: Optional[dict] = None,
+):
+    """Wire stream → rollup → SegmentSink and start the query.
+
+    ``output_mode='append'`` emits each (bucket, rollup-key) exactly once when
+    the watermark closes its window — the reference's handoff (W4) — and the
+    sink's batch-id marker makes replays idempotent (W5: exactly-once, strictly
+    stronger than the reference's at-least-once).
+    """
+    rolled = stream_rollup(stream_df, spec, watermark=watermark)
+    writer = (
+        rolled.writeStream.outputMode(output_mode)
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -1,0 +1,155 @@
+"""Segment-style sink: idempotent, time-partitioned Parquet (SURVEY.md §4.2-2).
+
+Replaces the reference's entire Druid-task machinery — ``DruidBeam`` (HTTP
+push, S5), ``DruidBeamMaker``/``IndexService`` (task creation + segment
+lifecycle, S6) — with a ``foreachBatch`` writer producing
+
+    <root>/ds=<datasource>/g=<bucket start>/p=<shard>/*.parquet
+
+- **Bucketing (T1)**: rows land in the segment bucket of their event time
+  (``segmentGranularity.truncate``), mirroring one-task-set-per-bucket.
+- **Sharding (D1/D2)**: ``p`` is the portable hash of the partition key
+  (rollup-aware when key = dims), mirroring the linear shard spec.
+- **Replication (D3)**: ``replicants`` writes the batch to ``r=<i>`` roots.
+- **Idempotence (W5)**: each micro-batch commits under a ``_batches/<id>``
+  marker; a replayed batch id is skipped. Combined with Structured Streaming
+  checkpointing this gives exactly-once — strictly stronger than the
+  reference's at-least-once-with-drops (documented delta, SURVEY.md §4.3).
+- **Window period (P6/W1)**: optional two-sided wall-clock filter before the
+  write, with injectable ``clock`` for deterministic tests (reference tests
+  use ``TestingTimekeeper`` the same way).
+- **Schema evolution (W7)**: the spec is applied per batch, so a dims/metrics
+  change takes effect on the next micro-batch; per-bucket directories may mix
+  schemas and are read back with ``mergeSchema`` (next segment bucket gets the
+  union — the reference's "next segment" rule, relaxed to "next batch").
+
+Scale: one ``partitionBy(g, p)`` write per micro-batch — no driver-side row
+handling; the marker protocol is O(1) per batch.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tranquility_spark.operators.partitioning import portable_shard
+from tranquility_spark.operators.window_filter import two_sided_window_filter
+from tranquility_spark.specs import Granularity
+
+Clock = Callable[[], _dt.datetime]
+
+
+class SegmentSink:
+    def __init__(
+        self,
+        root: str,
+        datasource: str,
+        segment_granularity: str | Granularity = "HOUR",
+        partitions: int = 1,
+        replicants: int = 1,
+        shard_key: Optional[str] = None,
+        ts_col: str = "ts",
+        window_period: Optional[str] = None,
+        clock: Optional[Clock] = None,
+        latest_close_time: Optional[_dt.datetime] = None,
+    ):
+        self.root = root.rstrip("/")
+        self.datasource = datasource
+        self.gran = (
+            Granularity(segment_granularity)
+            if isinstance(segment_granularity, str)
+            else segment_granularity
+        )
+        self.partitions = partitions
+        self.replicants = replicants
+        self.shard_key = shard_key
+        self.ts_col = ts_col
+        self.window_period = window_period
+        self.clock = clock
+        self.latest_close_time = latest_close_time
+
+    # -- paths ------------------------------------------------------------
+
+    def _ds_root(self, replica: int) -> str:
+        base = f"{self.root}/ds={self.datasource}"
+        return f"{base}/r={replica}" if self.replicants > 1 else base
+
+    def _marker_path(self, batch_id: int) -> str:
+        return f"{self.root}/_batches/{self.datasource}-{batch_id}"
+
+    # -- the foreachBatch body ---------------------------------------------
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> int:
+        """Idempotent write of one micro-batch; returns rows written (0 on replay)."""
+        marker = self._marker_path(batch_id)
+        if os.path.exists(marker):
+            return 0
+
+        out = df
+        if self.window_period is not None:
+            now = self.clock() if self.clock else None
+            out = two_sided_window_filter(
+                out, self.ts_col, self.window_period, now=now,
+                latest_close_time=self.latest_close_time,
+            )
+
+        bucket = self.gran.truncate(F.col(self.ts_col))
+        out = out.withColumn("g", F.date_format(bucket, "yyyy-MM-dd-HH-mm"))
+        shard = (
+            portable_shard(F.col(self.shard_key), self.partitions)
+            if self.shard_key
+            else F.lit(0)
+        )
+        out = out.withColumn("p", shard)
+
+        # one job writes all replicas; persist so the filter/bucket work runs once
+        out = out.persist()
+        try:
+            n = out.count()
+            if n > 0:
+                for r in range(self.replicants):
+                    (
+                        out.write.mode("append")
+                        .partitionBy("g", "p")
+                        .parquet(self._ds_root(r))
+                    )
+            os.makedirs(os.path.dirname(marker), exist_ok=True)
+            with open(marker, "w") as f:
+                json.dump({"rows": n, "batch_id": batch_id}, f)
+            return n
+        finally:
+            out.unpersist()
+
+    # -- streaming attach ----------------------------------------------------
+
+    def foreach_batch(self) -> Callable[[DataFrame, int], None]:
+        def _fn(df: DataFrame, batch_id: int) -> None:
+            self.write_batch(df, batch_id)
+
+        return _fn
+
+    def attach(self, stream_df: DataFrame, checkpoint: str, trigger: Optional[dict] = None):
+        writer = stream_df.writeStream.foreachBatch(self.foreach_batch()).option(
+            "checkpointLocation", checkpoint
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()
+
+    # -- read-back -----------------------------------------------------------
+
+    def read(self, spark, replica: int = 0) -> DataFrame:
+        return spark.read.option("mergeSchema", "true").option("basePath", self._ds_root(replica)).parquet(
+            self._ds_root(replica)
+        )
+
+    def buckets(self, replica: int = 0) -> list[str]:
+        base = self._ds_root(replica)
+        if not os.path.isdir(base):
+            return []
+        return sorted(d.split("=", 1)[1] for d in os.listdir(base) if d.startswith("g="))
