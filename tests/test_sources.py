@@ -1,0 +1,108 @@
+"""Source-path tests: Kafka demux/parse (S1, on static frames — no broker)
+and the HTTP ingest daemon (S2, in-process round-trip).
+Reference test models: kafka ``WriterController`` mapping tests + server
+servlet route tests asserting {received, sent} (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import urllib.request
+
+from tranquility_spark.sources.kafka import parse_kafka_batch, topic_to_datasource
+from tranquility_spark.sources.http_server import IngestServer, _parse_body
+from tranquility_spark.specs import Count, DimensionsSpec, DoubleSum, GranularitySpec, IngestSpec, TimestampSpec
+from tranquility_spark.streaming import Tranquilizer
+from tranquility_spark.streaming.beams import MemoryBeam
+
+from pyspark.sql import functions as F
+
+NOW = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+
+def _kafka_df(spark, rows):
+    return spark.createDataFrame(
+        [(t, v.encode()) for t, v in rows], "topic string, value binary"
+    )
+
+
+def test_topic_pattern_first_match_wins(spark):
+    df = spark.createDataFrame([("wiki-en",), ("wiki-de",), ("metrics-a",), ("junk",)], "topic string")
+    ds = df.select(
+        "topic",
+        topic_to_datasource(
+            F.col("topic"),
+            [("wiki-en", "english"), ("wiki-.*", "wiki_all"), ("metrics-.*", "metrics")],
+        ).alias("ds"),
+    )
+    got = {r.topic: r.ds for r in ds.collect()}
+    assert got == {"wiki-en": "english", "wiki-de": "wiki_all", "metrics-a": "metrics", "junk": None}
+
+
+def test_topic_as_datasource(spark):
+    df = spark.createDataFrame([("wiki-en",)], "topic string")
+    ds = df.select(topic_to_datasource(F.col("topic"), [("wiki-.*", "_")], use_topic_as_datasource=True).alias("ds"))
+    assert ds.first().ds == "wiki-en"
+
+
+def test_parse_kafka_batch_drops_unmatched_and_malformed(spark):
+    rows = [
+        ("wiki-en", json.dumps({"timestamp": "2024-06-01T11:55:00", "page": "a", "added": 1.0})),
+        ("wiki-en", "{not json"),
+        ("other", json.dumps({"timestamp": "2024-06-01T11:55:00", "page": "b", "added": 2.0})),
+    ]
+    out = parse_kafka_batch(
+        _kafka_df(spark, rows),
+        "timestamp string, page string, added double",
+        [("wiki-.*", "wiki")],
+    )
+    got = out.collect()
+    assert len(got) == 1
+    assert got[0].datasource == "wiki" and got[0].page == "a"
+
+
+def test_parse_body_formats():
+    assert _parse_body(b'[{"a": 1}, {"a": 2}]') == [{"a": 1}, {"a": 2}]
+    assert _parse_body(b'{"a": 1}\n{"a": 2}\n') == [{"a": 1}, {"a": 2}]
+    assert _parse_body(b"") == []
+
+
+def _post(url: str, events) -> tuple[int, dict]:
+    req = urllib.request.Request(
+        url, data=json.dumps(events).encode(), headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_ingest_received_vs_sent(spark):
+    spec = IngestSpec(
+        datasource="wiki",
+        timestamp_spec=TimestampSpec(column="timestamp", format="iso", output="ts"),
+        dimensions_spec=DimensionsSpec(dimensions=["page"]),
+        metrics=(Count("n"), DoubleSum("added_sum", "added")),
+        granularity_spec=GranularitySpec("HOUR", "MINUTE"),
+    )
+    beam = MemoryBeam()
+    t = Tranquilizer(spark, spec, beam, window_period="PT10M", clock=lambda: NOW)
+    server = IngestServer({"wiki": t}).start()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        status, body = _post(f"{base}/v1/post/wiki", [
+            {"timestamp": "2024-06-01T11:55:00", "page": "a", "added": 1.0},
+            {"timestamp": "2024-06-01T09:00:00", "page": "late", "added": 1.0},
+        ])
+        assert status == 200
+        assert body == {"result": {"received": 2, "sent": 1}}
+
+        status, body = _post(f"{base}/v1/post/nope", [{"x": 1}])
+        assert status == 404
+
+        rows = beam.rows()
+        assert len(rows) == 1 and rows.iloc[0]["page"] == "a"
+    finally:
+        server.stop()

@@ -1,0 +1,106 @@
+"""Kafka source (S1): topic-pattern consumption + topic→dataSource demux.
+
+Reference: ``kafka/src/main/scala/com/metamx/tranquility/kafka/KafkaConsumer.scala``
+(subscribe ``topicPattern`` regex, N consumer threads, commit offsets every
+``commit.periodMillis`` AFTER flushing all writers — at-least-once) and
+``kafka/.../writer/WriterController.scala`` (first dataSource whose
+``topicPattern`` matches the topic gets the message; ``useTopicAsDataSource``
+maps topic name straight to dataSource).
+
+Spark restatement (SURVEY.md §3.3): ``readStream.format("kafka")`` with
+``subscribePattern`` — offset tracking moves into the checkpoint, which
+upgrades delivery to exactly-once into idempotent sinks. The demux becomes a
+column expression + sink ``partitionBy('datasource')`` (one query) instead of
+per-topic writer threads.
+
+The wire-schema transform (bytes → parsed events with a datasource column) is
+a pure DataFrame function, unit-testable on static frames without a broker —
+the broker-facing reader is just configuration around it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic_pattern: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Build the raw Kafka stream: columns ``key/value BINARY, topic STRING, …``.
+
+    ``subscribePattern`` is the reference's ``topicPattern`` regex (Java regex
+    in both engines). ``maxOffsetsPerTrigger`` bounds batch size — the
+    ``maxBatchSize``/back-pressure analog (S3).
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribePattern", topic_pattern)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    return reader.load()
+
+
+def topic_to_datasource(
+    topic: Column,
+    mappings: Sequence[tuple[str, str]],
+    use_topic_as_datasource: bool = False,
+) -> Column:
+    """First-match topic→dataSource routing (ref: ``WriterController.getWriter``).
+
+    ``mappings`` is an ordered list of (topicPattern regex, dataSource).
+    With ``use_topic_as_datasource`` a matching topic maps to itself
+    (ref: ``useTopicAsDataSource`` — topic name IS the dataSource).
+    Non-matching topics yield NULL (the reference logs-and-skips them).
+    """
+    expr = F.lit(None).cast("string")
+    # build WHEN chain in reverse so the FIRST pattern in the list wins
+    for pattern, datasource in reversed(list(mappings)):
+        target = topic if use_topic_as_datasource else F.lit(datasource)
+        expr = F.when(topic.rlike(f"^(?:{pattern})$"), target).otherwise(expr)
+    return expr
+
+
+def parse_kafka_batch(
+    df: DataFrame,
+    schema: str,
+    mappings: Sequence[tuple[str, str]],
+    use_topic_as_datasource: bool = False,
+    drop_unmatched: bool = True,
+    drop_malformed: bool = True,
+) -> DataFrame:
+    """Kafka wire rows → parsed events tagged with ``datasource``.
+
+    Input needs ``value BINARY`` (or STRING) + ``topic STRING`` columns — the
+    shape both the real Kafka source and test fixtures share. JSON parse uses
+    PERMISSIVE mode; malformed payloads are dropped (ref:
+    ``reportDropsAsExceptions=false`` default) unless ``drop_malformed=False``,
+    in which case they surface with NULL fields for dead-lettering (W3).
+    """
+    ds = topic_to_datasource(F.col("topic"), mappings, use_topic_as_datasource)
+    # PERMISSIVE from_json yields all-NULL fields for malformed payloads; the
+    # corrupt-record column is the reliable malformed marker
+    parse_schema = f"{schema}, _corrupt_record string"
+    parsed = df.select(
+        ds.alias("datasource"),
+        F.col("topic"),
+        F.from_json(
+            F.col("value").cast("string"),
+            parse_schema,
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("event"),
+    )
+    if drop_unmatched:
+        parsed = parsed.filter(F.col("datasource").isNotNull())
+    if drop_malformed:
+        parsed = parsed.filter(F.col("event._corrupt_record").isNull())
+    return parsed.select("datasource", "topic", "event.*").drop("_corrupt_record")
