@@ -601,3 +601,257 @@ def f5_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top5_sorted"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wider TPC-H-shaped coverage (q4/q7/q10/q12/q14/q18/q19 shapes, adapted to
+# the trimmed testdata schemas — no l_shipmode/l_commitdate/o_shippriority)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS decorrelates to a left-semi join (shuffle on "
+    "orderkey, lineitem side pre-filtered at the scan) + small hash agg",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    returned = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: two independent nation lineages (supplier-side and "
+    "customer-side) with a disjunctive cross-nation predicate; all dims "
+    "broadcast, facts shuffle once on orderkey",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-revenue per customer, top-20 "
+    "(TakeOrderedAndProject; c_custkey tie-break for cross-engine determinism)",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape (shipmode→linestatus on the trimmed schema): "
+    "conditional-count aggregation over a fact-fact join — the filtered-"
+    "aggregator pattern (A8) applied post-join",
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+                     ELSE CAST(0 AS DECIMAL(28,6)) END) /
+                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+           AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: promo revenue ratio — broadcast part join, single "
+    "global aggregate, decimal accumulation for the cross-engine-exact ratio",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(_DEC))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg((F.lit(100.0) * F.sum(promo) / F.sum(rev)).cast("double").alias("promo_revenue"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: HAVING subquery → aggregate-then-semi-join; the "
+    "inner agg and outer agg share the l_orderkey shuffle partitioning "
+    "(one exchange reused, visible in the plan)",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "big_key"), li.l_orderkey == F.col("big_key"), "inner")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dsum(F.col("l_quantity"), "total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+        .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: disjunctive multi-column predicates across both join "
+    "sides — Catalyst pushes the per-side conjuncts to each scan and keeps the "
+    "cross-side residual on the broadcast join",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )

@@ -72,18 +72,28 @@ def with_minhash_signature(
     num_hashes: int = 64,
     shingle_k: int = 3,
     seed: int = 42,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Add a MinHash signature column: array<long> of length ``num_hashes``.
 
-    h_i(s) = (a_i * base(s) + b_i) mod p; signature[i] = min over shingles,
-    where base(s) = xxhash64(shingle) reduced into [0, p) ONCE and staged as a
-    real column — staging matters: inlining the base into all ``num_hashes``
-    permutation expressions makes Catalyst recompute the shingle hashing
-    num_hashes times (measured 40× slower). a_i/b_i derive deterministically
-    from ``seed``; p = 1e9+7 keeps (a*h+b) under 2^63 (ANSI-safe).
-    Entirely built-in expressions — one narrow map stage, no shuffle.
+    h_i(s) = (a_i * base(s) + b_i) mod p; signature[i] = min over shingles;
+    a_i/b_i derive deterministically from ``seed``; p = 1e9+7 keeps (a*h+b)
+    under 2^63 (ANSI-safe in Spark, exact in any engine).
+
+    ``impl='pandas'`` (default): one Arrow-batched numpy broadcast per batch —
+    the hot path. ``impl='sql'``: pure built-in higher-order functions; 8×
+    slower (transform/aggregate lambdas are interpreted per element, outside
+    whole-stage codegen — measured at sf0.1) but engine-portable and useful
+    where Python workers are unavailable. Both are one narrow map stage, no
+    shuffle; signatures differ between impls (different shingle hash).
     """
     coeffs = _minhash_coeffs(num_hashes, seed)
+    if impl == "pandas":
+        from tranquility_spark.operators.pandas_fns import make_minhash_udf
+
+        udf = make_minhash_udf(coeffs, shingle_k, _MH_PRIME)
+        return df.withColumn(out_col, udf(F.col(text_col)))
+
     hashed = df.withColumn(
         "__mh_base",
         F.transform(
@@ -92,6 +102,9 @@ def with_minhash_signature(
         ),
     )
     base = F.col("__mh_base")
+    # staging __mh_base as a real column matters: inlining it into all
+    # num_hashes permutation expressions makes Catalyst recompute the shingle
+    # hashing num_hashes times (measured 40× slower)
     sig = F.array(
         *[
             F.array_min(F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)))
@@ -110,6 +123,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, with an estimated
     Jaccard (fraction of agreeing signature positions) ≥ ``threshold``.
@@ -120,7 +134,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = (
-        with_minhash_signature(df, text_col, "sig", num_hashes, shingle_k, seed)
+        with_minhash_signature(df, text_col, "sig", num_hashes, shingle_k, seed, impl)
         .select(F.col(id_col).alias("id"), "sig")
         .filter(F.col("sig").isNotNull())
     )

@@ -35,3 +35,44 @@ def simhash64(texts: pd.Series) -> pd.Series:
                 sig |= 1 << b
         out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
     return pd.Series(out)
+
+
+def make_minhash_udf(coeffs, shingle_k: int, prime: int):
+    """Build an Arrow-batched MinHash signature UDF for the given permutations.
+
+    Why a UDF and not higher-order functions: Spark's transform/aggregate
+    lambdas are interpreted per element (no whole-stage codegen), which made
+    the pure-SQL signature ~8x slower at equal output (measured at sf0.1:
+    5.5s SQL vs 0.7s warm UDF for 5k docs). Per batch this is one numpy
+    broadcast: (h[:,None] * A + B) % p, min over the shingle axis. crc32 is
+    the shingle hash — C-speed and deterministic. Operands stay < 2^63:
+    h, a, b < p = 1e9+7 so a*h < ~1e18.
+    """
+    import zlib
+
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def minhash_sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").split()
+            if len(toks) < shingle_k:
+                out.append(None)
+                continue
+            shingles = {
+                " ".join(toks[i : i + shingle_k]) for i in range(len(toks) - shingle_k + 1)
+            }
+            h = (
+                np.fromiter(
+                    (zlib.crc32(s.encode()) for s in shingles),
+                    dtype=np.int64,
+                    count=len(shingles),
+                )
+                % prime
+            )
+            out.append(((h[:, None] * A[None, :] + B[None, :]) % prime).min(axis=0))
+        return pd.Series(out)
+
+    return minhash_sig
