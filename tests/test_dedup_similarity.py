@@ -115,3 +115,35 @@ def test_embedding_neardup_finds_identical_vectors(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = dd.embedding_neardup_pairs(df, threshold=0.99, num_planes=3).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with a full probe is exact; a partial probe keeps high recall@10."""
+    from tranquility_spark.operators import similarity as sim
+    from tranquility_spark.sources.files import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    exact = [r.vec_id for r in sim.cosine_topk(emb, qvec, k=10).collect()]
+
+    cents = sim.ivf_centroids(emb, n_centroids=8)
+    full = [r.vec_id for r in sim.ivf_topk(emb, qvec, k=10, nprobe=8, centroids=cents).collect()]
+    assert full == exact  # probing every list == brute force
+
+    part = [r.vec_id for r in sim.ivf_topk(emb, qvec, k=10, nprobe=4, centroids=cents).collect()]
+    recall = len(set(part) & set(exact)) / 10
+    assert recall >= 0.5, f"recall@10 too low: {recall}"
+
+
+def test_centroid_assignment_deterministic(spark, sf_dir):
+    from tranquility_spark.operators import similarity as sim
+    from tranquility_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    c1 = sim.ivf_centroids(emb, n_centroids=4)
+    c2 = sim.ivf_centroids(emb, n_centroids=4)
+    assert c1 == c2
+    a1 = sorted(map(tuple, sim.with_centroid_id(emb, c1).select("vec_id", "centroid_id").collect()))
+    a2 = sorted(map(tuple, sim.with_centroid_id(emb, c2).select("vec_id", "centroid_id").collect()))
+    assert a1 == a2

@@ -63,3 +63,28 @@ def test_multimodal_decode_plumbing(spark):
     assert out[1]["checksum"] == sum(b"abc")
     assert out[2]["n_bytes"] == len("wider payload here")
     assert out[1]["media_type"] == "image/fake"
+
+
+def test_resize_images_shape(spark, sf_dir):
+    from tranquility_spark.operators.multimodal import attach_binary_payload, resize_images
+    from tranquility_spark.sources.files import load_table
+
+    media = attach_binary_payload(load_table(spark, sf_dir, "documents").limit(50))
+    out = resize_images(media, target_width=8, target_height=4)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(len(r.payload) == 32 and r.width == 8 and r.height == 4 for r in rows)
+
+
+def test_sample_frames_fanout_bounded(spark, sf_dir):
+    from tranquility_spark.operators.multimodal import attach_binary_payload, sample_frames
+    from tranquility_spark.sources.files import load_table
+    from pyspark.sql import functions as F
+
+    media = attach_binary_payload(load_table(spark, sf_dir, "documents").limit(50))
+    out = sample_frames(media, every_ms=1000, max_frames=4)
+    per_doc = out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert len(per_doc) == 50
+    assert all(1 <= r.n <= 4 for r in per_doc)
+    first = out.filter(F.col("frame_idx") == 0).count()
+    assert first == 50  # every doc yields frame 0

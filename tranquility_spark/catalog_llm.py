@@ -154,6 +154,23 @@ def sim2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(emb, qvec, k=10, num_planes=4)
 
 
+@register(
+    "sim3_ivf_topk",
+    None,  # probe set is index-defined — rows-only; recall vs sim1 asserted in tests
+    doc="ANN top-k via IVF: deterministic centroids (hash-sample seeds + one "
+    "Lloyd pass), numpy-matmul assignment UDF, driver-side centroid ranking, "
+    "probe nprobe/n_centroids of the data. Written partitionBy(centroid_id) "
+    "the probe filter is pure partition pruning — the 100 TB serving shape",
+)
+def sim3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    return sim.ivf_topk(emb, qvec, k=10, nprobe=4, n_centroids=16)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -64,3 +64,80 @@ def decode_image_features(media_df: DataFrame, id_col: str = "doc_id") -> DataFr
             )
 
     return media_df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id bigint, width int, height int, payload binary"
+
+
+def resize_images(
+    media_df: DataFrame,
+    target_width: int = 224,
+    target_height: int = 224,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resize every image payload to (target_width, target_height).
+
+    STUB: a real implementation would decode → ``img.resize(...)`` → re-encode
+    per batch. The deterministic fake truncates/tiles the payload to
+    ``target_width * target_height`` bytes so output size, schema, and the
+    batch shape match a real resizer. The Spark plan is identical either way:
+    one narrow mapInPandas, no shuffle, scales linearly with executors.
+    """
+    n_out = target_width * target_height
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out_payload = pdf["payload"].map(
+                lambda b: (b * (n_out // max(len(b), 1) + 1))[:n_out]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": target_width,
+                    "height": target_height,
+                    "payload": out_payload,
+                }
+            )
+
+    return media_df.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_ts_ms int, payload binary"
+
+
+def sample_frames(
+    media_df: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sample frames from each 'video' payload — a 1→N row fan-out.
+
+    STUB: a real implementation would demux with pyav/ffmpeg per batch. The
+    fake treats the payload as ``duration_ms = 100 * n_bytes % 60000`` and
+    emits one byte-slice per sampled timestamp. What IS real: the fan-out
+    shape (mapInPandas may return more rows than it consumed — this is how
+    frame extraction distributes), the typed frame schema, and the bounded
+    ``max_frames`` guard that keeps worst-case row amplification explicit.
+    """
+
+    def frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_ts_ms": [], "payload": []}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                duration_ms = (100 * len(payload)) % 60000
+                n = min(max(duration_ms // every_ms, 1), max_frames)
+                for i in range(int(n)):
+                    ts = i * every_ms
+                    lo = (ts * 13) % max(len(payload) - 16, 1)
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_ts_ms"].append(ts)
+                    rows["payload"].append(payload[lo : lo + 16])
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(frames, schema=FRAMES_SCHEMA)

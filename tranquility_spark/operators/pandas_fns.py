@@ -76,3 +76,22 @@ def make_minhash_udf(coeffs, shingle_k: int, prime: int):
         return pd.Series(out)
 
     return minhash_sig
+
+
+def make_centroid_assign_udf(centroids):
+    """Max-cosine centroid assignment: one (batch x dim) @ (dim x C) matmul per
+    Arrow batch. Lives here because this module has no
+    ``from __future__ import annotations`` (pandas_udf needs real type hints).
+    """
+    C = np.array(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if M.ndim != 2:  # empty batch
+            return pd.Series([], dtype="int32")
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series((Mn @ Cn.T).argmax(axis=1).astype("int32"))
+
+    return assign

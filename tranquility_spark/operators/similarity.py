@@ -107,3 +107,112 @@ def lsh_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF: inverted-file ANN (the 100 TB scale path)
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    refine_iters: int = 1,
+) -> list[list[float]]:
+    """Deterministic centroids: hash-ordered sample seeds + Lloyd refinement.
+
+    Seeds are the ``n_centroids`` rows with the smallest xxhash64(id) — a
+    deterministic uniform sample needing one TakeOrdered (no full sort).
+    Each refinement iteration is one groupBy over the assignment — at 100 TB
+    this is the only full pass, and ``refine_iters`` bounds it. Centroid count
+    stays driver-side small (C × dim floats).
+    """
+    seeds = (
+        df.select(_as_double(F.col(vec_col)).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [list(r.v) for r in seeds]
+    dim = len(cents[0]) if cents else 0
+    for _ in range(refine_iters):
+        assigned = with_centroid_id(df, cents, vec_col)
+        # per-dimension means via posexplode + hash agg (whole-stage codegen);
+        # per-index element_at expressions would re-evaluate the array cast
+        # dim times per row (the same trap documented in the MinHash operator)
+        agg = (
+            assigned.select(
+                "centroid_id", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        means: dict[int, list[float]] = {}
+        for r in agg:
+            means.setdefault(r.centroid_id, [0.0] * dim)[r.pos] = r.m
+        for cid, vec in means.items():
+            cents[cid] = vec
+    return cents
+
+
+def with_centroid_id(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (Arrow-batched numpy).
+
+    One ``(batch × dim) @ (dim × C)`` matmul per Arrow batch — the same
+    reasoning as the MinHash UDF: a C-way argmax over array columns in
+    interpreted higher-order functions loses to one BLAS call by orders of
+    magnitude. Writing the result ``partitionBy(out_col)`` makes every later
+    probe a partition-pruned scan (the IVF inverted list).
+    """
+    from tranquility_spark.operators.pandas_fns import make_centroid_assign_udf
+
+    assign = make_centroid_assign_udf(centroids)
+    return df.withColumn(out_col, assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF: probe the ``nprobe`` nearest inverted lists.
+
+    Query→centroid ranking is driver-side arithmetic (C is tiny); the cluster
+    work is a filter on ``centroid_id`` — partition pruning on an IVF-
+    partitioned layout — followed by exact cosine + TakeOrderedAndProject
+    inside ~nprobe/n_centroids of the data. Pass precomputed ``centroids``
+    to reuse an index across queries (the normal serving shape).
+    """
+    import math
+
+    cents = centroids if centroids is not None else ivf_centroids(df, n_centroids, vec_col, id_col)
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1e-12
+
+    def cos_q(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1e-12
+        return sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
+
+    probe = sorted(range(len(cents)), key=lambda i: -cos_q(cents[i]))[:nprobe]
+
+    assigned = with_centroid_id(df, cents, vec_col)
+    v = _as_double(F.col(vec_col))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("centroid_id").isin(probe))
+        .select(F.col(id_col), F.round(cosine(v, q), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
