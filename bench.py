@@ -30,14 +30,22 @@ HEADLINE = [
     "d1_hash_partition",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
     "j4_asof_last_event",
     "w3_running_total",
     "s1_topk",
     "dd1_exact_dedup",
     "dd2_minhash_lsh_pairs",
     "sim1_cosine_topk",
+    "sim3_ivf_topk",
     "txt2_quality_score",
     "txt4_fingerprint",
 ]

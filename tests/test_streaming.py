@@ -207,3 +207,73 @@ def test_streaming_end_to_end_file_source(spark, tmp_path):
     ))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert q.isActive is False
+
+
+def test_stream_exact_dedup_file_source(spark, tmp_path):
+    """Duplicate content across micro-batch files: first occurrence survives."""
+    from tranquility_spark.streaming import stream_exact_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-06-01T11:00:00", "doc_id": 1, "text": "alpha beta"},
+        {"ts": "2024-06-01T11:00:05", "doc_id": 2, "text": "alpha beta"},   # dup
+        {"ts": "2024-06-01T11:00:10", "doc_id": 3, "text": "gamma delta"},
+    ]
+    with open(src / "a.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("ts string, doc_id long, text string")
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = stream_exact_dedup(stream, "text", "ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.sql("SELECT doc_id FROM dedup_out").collect())
+    assert got == [1, 3]
+
+
+def test_segment_sink_schema_evolution(spark, tmp_path):
+    """W7: a later batch may carry new columns; read-back merges schemas."""
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    df1 = spark.createDataFrame([(dt.datetime(2024, 6, 1, 11, 5), "a")], "ts timestamp, page string")
+    df2 = spark.createDataFrame(
+        [(dt.datetime(2024, 6, 1, 12, 5), "b", "mobile")],
+        "ts timestamp, page string, channel string",
+    )
+    sink.write_batch(df1, 1)
+    sink.write_batch(df2, 2)
+    back = sink.read(spark)
+    assert set(back.columns) >= {"ts", "page", "channel"}
+    rows = {r.page: r.channel for r in back.select("page", "channel").collect()}
+    assert rows == {"a": None, "b": "mobile"}
+
+
+def test_segment_sink_latest_close_time(spark, tmp_path):
+    """Buckets at or before latestCloseTime stay closed (ClusteredBeam rule)."""
+    sink = SegmentSink(
+        str(tmp_path / "seg"),
+        "wiki",
+        "HOUR",
+        window_period="PT2H",
+        clock=lambda: NOW,
+        latest_close_time=dt.datetime(2024, 6, 1, 11, 0),
+    )
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 6, 1, 10, 30), "closed_bucket"),   # ≤ latestCloseTime
+            (dt.datetime(2024, 6, 1, 11, 30), "open_bucket"),
+        ],
+        "ts timestamp, page string",
+    )
+    assert sink.write_batch(df, 1) == 1
+    assert [r.page for r in sink.read(spark).select("page").collect()] == ["open_bucket"]

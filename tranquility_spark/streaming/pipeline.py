@@ -134,3 +134,27 @@ def start_ingest(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def stream_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each content hash wins.
+
+    Streaming uses ``dropDuplicatesWithinWatermark`` so hash state is evicted
+    once the watermark passes — bounded state at 100 TB/day ingest, at the
+    cost of re-admitting a duplicate that arrives later than the horizon (the
+    same bounded-window tradeoff the reference makes for late data, P6).
+    Plain ``dropDuplicates`` on non-event-time keys would grow state forever.
+    Works identically on static frames (state-free global dedup).
+    """
+    from tranquility_spark.operators.dedup import content_hash
+
+    hashed = stream_df.withColumn("__content_hash", content_hash(F.col(text_col)))
+    if hashed.isStreaming:
+        hashed = hashed.withWatermark(ts_col, watermark)
+        return hashed.dropDuplicatesWithinWatermark(["__content_hash"]).drop("__content_hash")
+    return hashed.dropDuplicates(["__content_hash"]).drop("__content_hash")
