@@ -78,3 +78,17 @@ def test_parse_json_corrupt_record_mode(spark):
     assert len(rows) == 2
     corrupt = [r for r in rows if r["_corrupt_record"] is not None]
     assert len(corrupt) == 1 and corrupt[0]["_corrupt_record"] == "not json"
+
+
+def test_salted_join_matches_plain_join(spark):
+    from tranquility_spark.operators.partitioning import salted_join
+    from pyspark.sql import functions as F
+
+    # one pathologically hot key (90% of rows) + a long tail
+    fact = spark.createDataFrame(
+        [(1 if i % 10 else i, float(i)) for i in range(1000)], "k long, v double"
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(1000)], "k long, name string")
+    plain = fact.join(dim, "k").groupBy("name").agg(F.sum("v").alias("s"))
+    salted = salted_join(fact, dim, "k").groupBy("name").agg(F.sum("v").alias("s"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))

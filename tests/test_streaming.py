@@ -277,3 +277,52 @@ def test_segment_sink_latest_close_time(spark, tmp_path):
     )
     assert sink.write_batch(df, 1) == 1
     assert [r.page for r in sink.read(spark).select("page").collect()] == ["open_bucket"]
+
+
+def test_sessionize_static_and_streaming(spark, tmp_path):
+    from tranquility_spark.streaming.pipeline import stream_sessionize
+
+    rows = [
+        {"ts": "2024-06-01T10:00:00", "user_id": 1, "value": 1.0},
+        {"ts": "2024-06-01T10:10:00", "user_id": 1, "value": 2.0},   # same session (gap 30m)
+        {"ts": "2024-06-01T11:30:00", "user_id": 1, "value": 4.0},   # new session
+        {"ts": "2024-06-01T10:05:00", "user_id": 2, "value": 8.0},
+    ]
+    static = spark.createDataFrame(
+        [(r["ts"], r["user_id"], r["value"]) for r in rows], "ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = stream_sessionize(static, gap="30 minutes").collect()
+    by_key = {(r.user_id, r.session_start.isoformat()): (r.n_events, r.value_sum) for r in got}
+    assert by_key == {
+        (1, "2024-06-01T10:00:00"): (2, 3.0),
+        (1, "2024-06-01T11:30:00"): (1, 4.0),
+        (2, "2024-06-01T10:05:00"): (1, 8.0),
+    }
+    # session end = last event + gap (merging-window semantics)
+    ends = {r.session_start.isoformat(): r.session_end.isoformat() for r in got if r.user_id == 1}
+    assert ends["2024-06-01T10:00:00"] == "2024-06-01T10:40:00"
+
+    # streaming run over the same rows (+ flush event to close sessions)
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for r in rows + [{"ts": "2024-06-01T23:00:00", "user_id": 99, "value": 0.0}]:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("ts string, user_id long, value double")
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        stream_sessionize(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM sessions_out").collect()
+    s_by_key = {(r.user_id, r.session_start.isoformat()): (r.n_events, r.value_sum) for r in streamed}
+    assert s_by_key == by_key  # flush-closed sessions equal the static result

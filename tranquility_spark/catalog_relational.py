@@ -855,3 +855,27 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(cond).agg(
         _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
     )
+
+
+@register(
+    "mv1_multivalue_dim_rollup",
+    """
+    SELECT token, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars_sum
+    FROM (SELECT unnest(string_split(text, ' ')) AS token, n_chars FROM documents)
+    GROUP BY token
+    HAVING count(*) >= 50
+    """,
+    doc="Multi-value dimension rollup (SURVEY.md §4.3): Druid treats each value "
+    "of a multi-value dim as a group member at query time — explode + groupBy "
+    "is that unnest semantics. Explode is a narrow op; the agg shuffles once "
+    "on the exploded key with map-side partial aggregation absorbing the "
+    "fan-out before the wire",
+)
+def mv1_multivalue_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"), "n_chars")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars_sum"))
+        .filter(F.col("n") >= 50)
+    )

@@ -79,3 +79,31 @@ def rollup_repartition(
     if num_partitions is None:
         return df.repartition(*keys)
     return df.repartition(num_partitions, *keys)
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed side, replicate the other.
+
+    The skewed fact side gets a random salt in [0, salt_buckets); the other
+    side is replicated ``salt_buckets``× via an exploded literal range, and
+    the join key becomes (key, salt) — a hot key now spreads over
+    ``salt_buckets`` reducers instead of one. AQE's skew-join handles most
+    cases at runtime (leave it on); explicit salting is for the pathological
+    keys AQE can't split, e.g. one key ≫ a whole partition after split, or
+    non-shuffle-join paths. Cost: the small side is duplicated
+    ``salt_buckets``× — keep it the dimension side.
+    """
+    salted_fact = skewed.withColumn(
+        "__salt", (F.rand(seed=0) * salt_buckets).cast("int")
+    )
+    replicated = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = salted_fact.join(replicated, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -158,3 +158,36 @@ def stream_exact_dedup(
         hashed = hashed.withWatermark(ts_col, watermark)
         return hashed.dropDuplicatesWithinWatermark(["__content_hash"]).drop("__content_hash")
     return hashed.dropDuplicates(["__content_hash"]).drop("__content_hash")
+
+
+def stream_sessionize(
+    stream_df: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("user_id",),
+    watermark: str = "10 minutes",
+    metrics: Optional[list] = None,
+) -> DataFrame:
+    """Session windows — an extension beyond reference parity (W2: the
+    reference has tumbling segment buckets only; sliding/session windows are
+    our extension surface, SURVEY.md §2.6).
+
+    Built on ``F.session_window`` (merging-window state store): sessions close
+    ``gap`` after their last event, emitted in append mode once the watermark
+    passes. Works on static frames too (Catalyst computes sessions in one
+    aggregation over the sorted-by-key partition — no driver logic).
+    """
+    agg = metrics or [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("value_sum"),
+    ]
+    df = stream_df
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.session_window(F.col(ts_col), gap)
+    out = df.groupBy(win.alias("__s"), *keys).agg(*agg)
+    return (
+        out.withColumn("session_start", F.col("__s").start)
+        .withColumn("session_end", F.col("__s").end)
+        .drop("__s")
+    )
