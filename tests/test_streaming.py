@@ -326,3 +326,54 @@ def test_sessionize_static_and_streaming(spark, tmp_path):
     streamed = spark.sql("SELECT * FROM sessions_out").collect()
     s_by_key = {(r.user_id, r.session_start.isoformat()): (r.n_events, r.value_sum) for r in streamed}
     assert s_by_key == by_key  # flush-closed sessions equal the static result
+
+
+def test_stream_ewma_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: EWMA state must carry across micro-batches."""
+    from tranquility_spark.streaming.stateful import ewma_batch, stream_ewma
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batch1 = [
+        {"ts": "2024-06-01T10:00:00", "user_id": 1, "value": 10.0},
+        {"ts": "2024-06-01T10:01:00", "user_id": 1, "value": 20.0},
+        {"ts": "2024-06-01T10:00:30", "user_id": 2, "value": 5.0},
+    ]
+    batch2 = [
+        {"ts": "2024-06-01T10:02:00", "user_id": 1, "value": 40.0},
+    ]
+    with open(src / "a.json", "w") as f:
+        for r in batch1:
+            f.write(json.dumps(r) + "\n")
+    with open(src / "b.json", "w") as f:
+        for r in batch2:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("ts string, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)  # force ≥2 micro-batches
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        stream_ewma(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM ewma_out").collect()
+    # memory sink in update mode appends each emission; take the last per key
+    last = {}
+    for r in rows:
+        last[r.user_id] = (r.n_events, r.ewma)
+    # user 1 saw 10, 20 (batch 1) then 40 (batch 2) — state carried across
+    assert last[1][0] == 3
+    assert abs(last[1][1] - ewma_batch([10.0, 20.0, 40.0])) < 1e-9
+    assert last[2] == (1, 5.0)
+    # both batches emitted for user 1 → at least 2 rows for that key
+    assert sum(1 for r in rows if r.user_id == 1) >= 2

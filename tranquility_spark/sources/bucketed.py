@@ -1,0 +1,46 @@
+"""Bucketed-table layout: co-located joins without a per-query shuffle.
+
+The reference co-locates rollup keys at ingest time via its partitioner
+(D2, ``GenericTimeAndDimsPartitioner``) so downstream work is local. The
+batch-analytics analog in Spark is **bucketing**: write both fact tables
+bucketed + sorted by the join key, and every subsequent equi-join on that key
+is shuffle-free (SortMergeJoin with no Exchange on either side — verified in
+``tests/test_bucketed.py`` by asserting the plan contains no Exchange).
+
+At 100 TB this converts the dominant recurring cost of a star-schema workload
+(the orders⋈lineitem shuffle, re-paid by every query) into a one-time write
+cost. Bucket count should target ~128 MB–1 GB per bucket file at the real
+scale; testdata uses a small count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    num_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) managed table."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_key)
+    if sort:
+        writer = writer.sortBy(bucket_key)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    key_left: str,
+    key_right: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucket-count tables on their bucket keys (no shuffle)."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.join(right, left[key_left] == right[key_right], how)
