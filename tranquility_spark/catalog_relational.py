@@ -879,3 +879,29 @@ def mv1_multivalue_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars_sum"))
         .filter(F.col("n") >= 50)
     )
+
+
+@register(
+    "p8_flatten_spec",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+           count(*) AS n
+    FROM events
+    WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="flattenSpec (SURVEY.md §1.3 nested-JSON row): Druid parseSpec path "
+    "expressions become per-field get_json_object + cast — one JVM expression "
+    "per flattened field, no full-document parse",
+)
+def p8_flatten_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.parse import flatten_json
+
+    events = _t(spark, sf_dir, "events")
+    flat = flatten_json(events, "props", [("k", "$.k", "long")], keep=["event_type"])
+    return (
+        flat.filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("k_sum"), F.count(F.lit(1)).alias("n"))
+    )

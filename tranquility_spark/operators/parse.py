@@ -43,3 +43,25 @@ def parse_json_events(
         *([corrupt_col] if not drop_malformed else []),
     )
     return out
+
+
+def flatten_json(
+    df: DataFrame,
+    json_col: str,
+    fields: list[tuple[str, str, str]],
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """flattenSpec: project nested JSON paths to top-level typed columns.
+
+    Reference: the daemon config path accepts a Druid ``flattenSpec`` in
+    ``parseSpec`` (SURVEY.md §1.3, nested input JSON) with fields of
+    ``{type: "path", name, expr: "$.a.b"}``. Spark mapping:
+    ``get_json_object(col, path)`` per field + cast — each field is one
+    JVM-side expression; no full-document parse, no Python.
+
+    ``fields`` entries are ``(name, json_path, spark_type)``.
+    """
+    cols = [F.col(c) for c in (keep if keep is not None else df.columns)]
+    for name, path, typ in fields:
+        cols.append(F.get_json_object(F.col(json_col), path).cast(typ).alias(name))
+    return df.select(*cols)
