@@ -346,3 +346,83 @@ def txt4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm1_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.attach_binary_payload(_t(spark, sf_dir, "documents"))
     return mm.decode_image_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline primitives: reproducible sampling, stratified selection, packing
+# ---------------------------------------------------------------------------
+
+_SHARD100 = "(((CAST(doc_id AS BIGINT) % 100003) * 2654435761) % 1000000007) % 100"
+
+
+@register(
+    "samp1_hash_sample",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_SHARD100} < 37
+    """,
+    doc="Deterministic engine-portable sampling: portable hash of the key under "
+    "a threshold. Reproducible across engines/retries/repartitioning (rand() "
+    "is none of those); the train/test-split primitive",
+)
+def samp1_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.text import hash_sample
+
+    return hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 37).select("doc_id", "lang")
+
+
+@register(
+    "samp2_stratified_topn",
+    f"""
+    SELECT doc_id, lang
+    FROM (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY {_SHARD100}, doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 40
+    """,
+    doc="Stratified per-language quota: rank by portable hash within each "
+    "stratum, keep N — balanced corpus construction. One shuffle on the "
+    "stratum key; rank is deterministic (hash + unique-key tie-break)",
+)
+def samp2_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from tranquility_spark.operators.partitioning import portable_shard
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        portable_shard(F.col("doc_id"), 100), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "pack1_sequence_packing",
+    """
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS bin_id
+    FROM (SELECT doc_id, lang,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 sum(len(string_split(text, ' '))) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM documents)
+    """,
+    doc="Sequence packing for training contexts: per-group running token count "
+    "-> bin id (greedy sequential packing). One window shuffle; at 100 TB "
+    "partition by corpus shard, not a low-cardinality column",
+)
+def pack1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.text import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    )
+    return pack_sequences(docs, "n_tokens", "doc_id", "lang", 4096).select(
+        "doc_id", "lang", "n_tokens", "bin_id"
+    )

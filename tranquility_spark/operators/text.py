@@ -111,3 +111,44 @@ def rolling_token_hash(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * _ROLL_BASE + x) % _ROLL_PRIME,
     )
+
+
+def hash_sample(df, key_col: str, fraction_pct: int, out: "DataFrame" = None):
+    """Deterministic, engine-portable sampling: keep rows whose portable hash
+    of ``key_col`` lands below ``fraction_pct`` of the hash range.
+
+    Reproducible train/test splits are a pipeline requirement rand() can't
+    meet (different executors/retries → different samples). The portable
+    multiplicative hash (see operators/partitioning.py) makes the SAME rows
+    land in the sample in Spark, DuckDB, or any engine that can do modular
+    arithmetic — and the split is stable under repartitioning because it
+    depends only on the key.
+    """
+    from tranquility_spark.operators.partitioning import portable_shard
+
+    return df.filter(portable_shard(F.col(key_col), 100) < fraction_pct)
+
+
+def pack_sequences(
+    df,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    group_col: str = "lang",
+    context_len: int = 4096,
+):
+    """Assign each document to a training-context bin via running token count.
+
+    Greedy sequential packing per group: documents in deterministic
+    ``order_col`` order accumulate into bins of ``context_len`` tokens
+    (bin = floor((cumsum - n) / context_len) — a document that crosses the
+    boundary starts conceptually in its bin). One window (shuffle by group +
+    in-partition sort); at 100 TB group by shard-of-corpus instead of a
+    low-cardinality column so partitions stay bounded.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    cum = F.sum(F.col(token_col)).over(w)
+    return df.withColumn(
+        "bin_id", F.floor((cum - F.col(token_col)) / F.lit(context_len)).cast("long")
+    )
