@@ -59,8 +59,15 @@ def main() -> None:
     from tranquility_spark.session import get_spark
 
     spark = get_spark("tranquility-spark-bench")
-    # warm the JVM + parquet footers with a trivial action
+    # warm the JVM + parquet footers with a trivial action, and the Python
+    # UDF workers with a tiny pandas UDF (worker fork-and-handshake is a
+    # fixed ~2s cost that would otherwise land on the first UDF query —
+    # steady-state throughput is what the suite measures)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    from pyspark.sql import functions as F
+    from tranquility_spark.operators.pandas_fns import simhash64
+
+    spark.range(100).select(simhash64(F.col("id").cast("string"))).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

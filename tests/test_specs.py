@@ -167,3 +167,91 @@ def test_filtered_aggregator_matches_manual(spark):
     )
     row = df.agg(m.column()).first()
     assert row["rev"] == 30.0
+
+
+def test_parse_druid_spec_full_task_layout(spark):
+    """A realistic tranquility-era ingestion spec parses and runs end-to-end."""
+    from tranquility_spark.plans.rollup import build_rollup
+    from tranquility_spark.specs import parse_druid_spec
+
+    druid_spec = {
+        "dataSchema": {
+            "dataSource": "wikipedia",
+            "parser": {
+                "type": "string",
+                "parseSpec": {
+                    "format": "json",
+                    "timestampSpec": {"column": "timestamp", "format": "iso"},
+                    "dimensionsSpec": {
+                        "dimensions": ["page", {"type": "string", "name": "channel"}],
+                        "dimensionExclusions": [],
+                    },
+                },
+            },
+            "metricsSpec": [
+                {"type": "count", "name": "count"},
+                {"type": "doubleSum", "name": "added_sum", "fieldName": "added"},
+                {"type": "longMax", "name": "max_delta", "fieldName": "delta"},
+                {
+                    "type": "filtered",
+                    "filter": {"type": "selector", "dimension": "channel", "value": "en"},
+                    "aggregator": {"type": "count", "name": "en_count"},
+                },
+                {"type": "hyperUnique", "name": "uniq_users", "fieldName": "user"},
+            ],
+            "granularitySpec": {
+                "type": "uniform",
+                "segmentGranularity": "HOUR",
+                "queryGranularity": "MINUTE",
+                "rollup": True,
+            },
+        },
+        "tuningConfig": {"type": "realtime"},  # ignored — Spark owns tuning
+    }
+    spec = parse_druid_spec(druid_spec)
+    assert spec.datasource == "wikipedia"
+    assert spec.timestamp_spec.format == "iso"
+    assert spec.dimensions_spec.dimensions == ("page", "channel")
+    assert [m.name for m in spec.metrics] == [
+        "count", "added_sum", "max_delta", "en_count", "uniq_users",
+    ]
+    assert spec.granularity_spec.segment_granularity.name == "HOUR"
+    assert spec.granularity_spec.query_granularity.name == "MINUTE"
+
+    df = spark.createDataFrame(
+        [
+            ("2024-06-01T11:05:10", "Spark", "en", 3.0, 7, "alice"),
+            ("2024-06-01T11:05:40", "Spark", "en", 2.0, 1, "bob"),
+            ("2024-06-01T11:05:20", "Spark", "de", 5.0, 9, "alice"),
+        ],
+        "timestamp string, page string, channel string, added double, delta long, user string",
+    )
+    rows = sorted(build_rollup(spec)(df).collect(), key=lambda r: r.channel)
+    assert [r.channel for r in rows] == ["de", "en"]
+    en, de = rows[1], rows[0]
+    # r["count"]: attribute access collides with tuple.count on Row
+    assert (en["count"], en.added_sum, en.max_delta, en.en_count) == (2, 5.0, 7, 2)
+    assert (de["count"], de.en_count) == (1, 0)
+
+
+def test_parse_druid_spec_flattened_layout_defaults():
+    from tranquility_spark.specs import parse_druid_spec
+
+    spec = parse_druid_spec(
+        {"dataSchema": {"dataSource": "x", "timestampSpec": {"column": "ts"}}}
+    )
+    assert spec.datasource == "x"
+    assert spec.timestamp_spec.column == "ts"
+    assert spec.dimensions_spec.dimensions is None  # schemaless
+    assert spec.granularity_spec.segment_granularity.name == "HOUR"
+
+
+def test_parse_druid_spec_rejects_unknown_aggregator():
+    import pytest as _pytest
+
+    from tranquility_spark.specs import parse_druid_spec
+
+    with _pytest.raises(ValueError, match="javascript"):
+        parse_druid_spec(
+            {"dataSchema": {"metricsSpec": [{"type": "javascript", "name": "j"}]}}
+        )

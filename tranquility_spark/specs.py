@@ -585,3 +585,89 @@ class IngestSpec:
             if n in seen:
                 raise ValueError(f"name collision in spec: {n!r}")
             seen.add(n)
+
+
+# ---------------------------------------------------------------------------
+# Druid ingestion-spec JSON → IngestSpec (the daemon config path)
+# ---------------------------------------------------------------------------
+
+_AGG_PARSERS = {}
+
+
+def _parse_aggregator(spec: dict) -> Aggregator:
+    """One metricsSpec entry → Aggregator (A1–A12 type names)."""
+    t = spec["type"]
+    name = spec.get("name", t)
+    fn = spec.get("fieldName")
+    if t == "count":
+        return Count(name)
+    if t == "longSum":
+        return LongSum(name, fn)
+    if t == "doubleSum":
+        return DoubleSum(name, fn)
+    if t == "longMin":
+        return LongMin(name, fn)
+    if t == "longMax":
+        return LongMax(name, fn)
+    if t == "doubleMin":
+        return DoubleMin(name, fn)
+    if t == "doubleMax":
+        return DoubleMax(name, fn)
+    if t in ("hyperUnique", "thetaSketch"):
+        # approx sketches map to the HLL twin pair; exact=False is the
+        # faithful (approximate) reading — callers wanting the hash-checked
+        # twin flip `exact` after parse
+        return HyperUnique(name, fn, exact=False)
+    if t == "cardinality":
+        return Cardinality(name, tuple(spec.get("fieldNames", ())), exact=False)
+    if t == "filtered":
+        return Filtered(
+            filter=spec["filter"], aggregator=_parse_aggregator(spec["aggregator"])
+        )
+    raise ValueError(f"unsupported metricsSpec type: {t!r}")
+
+
+def parse_druid_spec(spec: dict) -> IngestSpec:
+    """Parse a Druid ingestion spec (the JSON a tranquility daemon consumes).
+
+    Reference: ``core/.../config/DataSourceConfig.scala`` +
+    ``DruidBeams#fromConfig`` (SURVEY.md §1.2) — reads
+    ``dataSchema.parser.parseSpec.{timestampSpec, dimensionsSpec}``,
+    ``dataSchema.metricsSpec`` and ``dataSchema.granularitySpec``. Accepts
+    both the nested ``parser.parseSpec`` layout and the flattened modern
+    layout (``timestampSpec``/``dimensionsSpec`` directly under dataSchema).
+    """
+    ds = spec.get("dataSchema", spec)
+    parse_spec = ds.get("parser", {}).get("parseSpec", ds)
+
+    ts = parse_spec.get("timestampSpec", {})
+    timestamp_spec = TimestampSpec(
+        column=ts.get("column", "timestamp"), format=ts.get("format", "auto")
+    )
+
+    dims = parse_spec.get("dimensionsSpec", {})
+    dimensions = dims.get("dimensions")
+    if dimensions is not None:
+        # Druid allows {"type": "string", "name": ...} dicts alongside names
+        dimensions = tuple(d["name"] if isinstance(d, dict) else d for d in dimensions)
+    dimensions_spec = DimensionsSpec(
+        dimensions=dimensions,
+        exclusions=tuple(dims.get("dimensionExclusions", ())),
+    )
+
+    metrics = tuple(_parse_aggregator(m) for m in ds.get("metricsSpec", ()))
+
+    gran = ds.get("granularitySpec", {})
+    granularity_spec = GranularitySpec(
+        segment_granularity=gran.get("segmentGranularity", "HOUR"),
+        query_granularity=gran.get("queryGranularity", "NONE"),
+        rollup=gran.get("rollup", True),
+    )
+
+    return IngestSpec(
+        datasource=ds.get("dataSource", "default"),
+        timestamp_spec=timestamp_spec,
+        dimensions_spec=dimensions_spec,
+        metrics=metrics,
+        granularity_spec=granularity_spec,
+    )
