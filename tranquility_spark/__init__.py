@@ -32,3 +32,11 @@ from tranquility_spark.specs import (  # noqa: F401
     TimestampSpec,
 )
 from tranquility_spark.plans.rollup import build_rollup, rollup_oracle_sql  # noqa: F401
+from tranquility_spark.specs import Cardinality, Granularity, parse_druid_spec  # noqa: F401
+from tranquility_spark.operators.window_filter import two_sided_window_filter  # noqa: F401
+from tranquility_spark.operators.partitioning import (  # noqa: F401
+    portable_shard,
+    rollup_repartition,
+    salted_join,
+)
+from tranquility_spark.sources.files import TABLES, load_all, load_table  # noqa: F401
