@@ -255,3 +255,35 @@ def test_parse_druid_spec_rejects_unknown_aggregator():
         parse_druid_spec(
             {"dataSchema": {"metricsSpec": [{"type": "javascript", "name": "j"}]}}
         )
+
+
+def test_spatial_dimensions_rollup(spark):
+    """spatialDimensions: lat/lon fields join into a Druid-style coord dim."""
+    from tranquility_spark.plans.rollup import build_rollup
+    from tranquility_spark.specs import parse_druid_spec
+
+    spec = parse_druid_spec({
+        "dataSchema": {
+            "dataSource": "geo",
+            "parser": {"parseSpec": {
+                "timestampSpec": {"column": "timestamp", "format": "iso"},
+                "dimensionsSpec": {
+                    "dimensions": ["city"],
+                    "spatialDimensions": [{"dimName": "coord", "dims": ["lat", "lon"]}],
+                },
+            }},
+            "metricsSpec": [{"type": "count", "name": "n"}],
+            "granularitySpec": {"segmentGranularity": "HOUR", "queryGranularity": "HOUR"},
+        }
+    })
+    assert spec.dimensions_spec.spatial_dimensions == (("coord", ("lat", "lon")),)
+    df = spark.createDataFrame(
+        [
+            ("2024-06-01T11:05:10", "sf", 37.77, -122.42),
+            ("2024-06-01T11:45:00", "sf", 37.77, -122.42),
+            ("2024-06-01T11:50:00", "nyc", 40.71, -74.01),
+        ],
+        "timestamp string, city string, lat double, lon double",
+    )
+    rows = {r.coord: r.n for r in build_rollup(spec)(df).collect()}
+    assert rows == {"37.77,-122.42": 2, "40.71,-74.01": 1}

@@ -40,6 +40,9 @@ def build_rollup(spec: IngestSpec) -> Callable[[DataFrame], DataFrame]:
         ts = spec.timestamp_spec.extract(df)
         # Druid drops rows whose timestamp is missing/unparseable (P3)
         parsed = df.withColumn(ts_out, ts).filter(F.col(ts_out).isNotNull())
+        # derived spatial dims: "lat,lon" string encoding (Druid convention)
+        for name, expr in spec.dimensions_spec.spatial_columns():
+            parsed = parsed.withColumn(name, expr)
 
         metric_fields = sorted({f for m in spec.metrics for f in m.field_names})
         dims = spec.dimensions_spec.resolve(df, spec.timestamp_spec.column, metric_fields)

@@ -164,17 +164,31 @@ class DimensionsSpec:
     ``dimensions`` set  → SpecificDruidDimensions (fixed schema, P4).
     ``dimensions`` None → SchemalessDruidDimensions (everything except
     ``exclusions`` ∪ metric fieldNames ∪ the timestamp column, P5).
+    ``spatial_dimensions`` → derived dims: each ``(dimName, (field, ...))``
+    joins its coordinate fields into Druid's "lat,lon" string encoding
+    (reference: ``spatialDimensions`` in ``DruidDimensions``; the derived
+    column is materialized by the rollup before grouping).
     Reference: ``core/.../druid/DruidRollup.scala``.
     """
 
     dimensions: Optional[Sequence[str]] = None
     exclusions: Sequence[str] = field(default_factory=tuple)
+    spatial_dimensions: Sequence[tuple] = field(default_factory=tuple)
 
     def resolve(self, df: DataFrame, ts_column: str, metric_fields: Sequence[str]) -> list[str]:
+        spatial_names = [name for name, _ in self.spatial_dimensions]
         if self.dimensions is not None:
-            return list(self.dimensions)
-        banned = set(self.exclusions) | set(metric_fields) | {ts_column}
-        return [c for c in df.columns if c not in banned]
+            return list(self.dimensions) + spatial_names
+        coord_fields = {f for _, fields in self.spatial_dimensions for f in fields}
+        banned = set(self.exclusions) | set(metric_fields) | {ts_column} | coord_fields
+        return [c for c in df.columns if c not in banned] + spatial_names
+
+    def spatial_columns(self) -> list[tuple[str, Column]]:
+        """(name, expression) for each derived spatial dimension."""
+        return [
+            (name, F.concat_ws(",", *[F.col(f) for f in fields]))
+            for name, fields in self.spatial_dimensions
+        ]
 
 
 # ---------------------------------------------------------------------------
@@ -653,6 +667,10 @@ def parse_druid_spec(spec: dict) -> IngestSpec:
     dimensions_spec = DimensionsSpec(
         dimensions=dimensions,
         exclusions=tuple(dims.get("dimensionExclusions", ())),
+        spatial_dimensions=tuple(
+            (sd["dimName"], tuple(sd["dims"]))
+            for sd in dims.get("spatialDimensions", ())
+        ),
     )
 
     metrics = tuple(_parse_aggregator(m) for m in ds.get("metricsSpec", ()))
