@@ -106,6 +106,12 @@ class SegmentSink:
             else F.lit(0)
         )
         out = out.withColumn("p", shard)
+        # co-locate each (bucket, shard) in one task before partitionBy —
+        # without this every upstream partition writes a file into every
+        # bucket directory (buckets × tasks small files; measured 8× slower
+        # at 720 buckets). This is the D2 rollup-aware layout applied to the
+        # write path; one file per (g, p) per batch.
+        out = out.repartition(F.col("g"), F.col("p"))
 
         # one job writes all replicas; persist so the filter/bucket work runs once
         out = out.persist()
