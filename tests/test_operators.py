@@ -92,3 +92,26 @@ def test_salted_join_matches_plain_join(spark):
     plain = fact.join(dim, "k").groupBy("name").agg(F.sum("v").alias("s"))
     salted = salted_join(fact, dim, "k").groupBy("name").agg(F.sum("v").alias("s"))
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_asof_join_backward_semantics(spark):
+    import datetime as dt
+
+    from tranquility_spark.operators.asof import asof_join
+
+    T = lambda m: dt.datetime(2024, 6, 1, 12, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, T(10), "a"), (1, T(20), "b"), (2, T(15), "c"), (3, T(5), "d")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, T(10), 100.0), (1, T(15), 200.0), (2, T(16), 300.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {r.tag: r.value_asof for r in asof_join(left, right, by="user_id").collect()}
+    assert out == {
+        "a": 100.0,   # tie at 12:10 → right row visible (ties-backward)
+        "b": 200.0,   # latest prior of user 1
+        "c": None,    # user 2's only right row is later
+        "d": None,    # user 3 has no right rows
+    }

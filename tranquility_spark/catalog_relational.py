@@ -905,3 +905,42 @@ def p8_flatten_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").alias("k_sum"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "j6_asof_join_two_table",
+    """
+    SELECT e.event_id,
+           (SELECT err.value FROM events err
+            WHERE err.user_id = e.user_id AND err.event_type = 'error'
+              AND err.ts <= e.ts
+            ORDER BY err.ts DESC, err.event_id DESC LIMIT 1) AS value_asof
+    FROM events e
+    WHERE e.event_type = 'click'
+    """,
+    doc="Two-table as-of join (clicks enriched with the latest prior error's "
+    "value) via union+window merge: one shuffle on the key, one in-partition "
+    "sort — the correlated-subquery oracle is the semantic spec; a range join "
+    "would be O(n*m) per key",
+)
+def j6_asof_join_two_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        # deterministic tie-break within equal ts: keep the max-event_id error
+        # (matches the oracle's ORDER BY ts DESC, event_id DESC LIMIT 1)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    out = asof_join(clicks, errors, by="user_id", left_ts="ts", right_ts="ts",
+                    value_cols=["value"])
+    return out.select("event_id", "value_asof")

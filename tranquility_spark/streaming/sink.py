@@ -125,8 +125,12 @@ class SegmentSink:
                         .parquet(self._ds_root(r))
                     )
             os.makedirs(os.path.dirname(marker), exist_ok=True)
-            with open(marker, "w") as f:
+            # write-then-rename so a crash mid-write never leaves a marker
+            # that would make a half-written batch look committed
+            tmp = f"{marker}.tmp"
+            with open(tmp, "w") as f:
                 json.dump({"rows": n, "batch_id": batch_id}, f)
+            os.rename(tmp, marker)
             return n
         finally:
             out.unpersist()
