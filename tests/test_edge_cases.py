@@ -1,0 +1,105 @@
+"""Edge-case hardening: empty frames, NULLs, unicode, degenerate inputs.
+
+Every case here is a shape the driver or a real pipeline can produce; none
+should throw (ANSI mode makes silent-coercion bugs loud, so these tests are
+cheap insurance that the try_* discipline held everywhere).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tranquility_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, with_minhash_signature
+from tranquility_spark.operators.text import quality_features, token_count
+from tranquility_spark.plans.rollup import build_rollup
+from tranquility_spark.specs import Count, DimensionsSpec, DoubleSum, GranularitySpec, IngestSpec, TimestampSpec
+from tranquility_spark.streaming.sink import SegmentSink
+
+
+def _spec():
+    return IngestSpec(
+        datasource="wiki",
+        timestamp_spec=TimestampSpec(column="timestamp", format="iso", output="ts"),
+        dimensions_spec=DimensionsSpec(dimensions=["page"]),
+        metrics=(Count("n"), DoubleSum("added_sum", "added")),
+        granularity_spec=GranularitySpec("HOUR", "MINUTE"),
+    )
+
+
+def test_rollup_on_empty_frame(spark):
+    df = spark.createDataFrame([], "timestamp string, page string, added double")
+    out = build_rollup(_spec())(df)
+    assert out.count() == 0
+    assert set(out.columns) == {"ts", "page", "n", "added_sum"}
+
+
+def test_rollup_all_timestamps_unparseable(spark):
+    df = spark.createDataFrame(
+        [("garbage", "a", 1.0), ("", "b", 2.0)], "timestamp string, page string, added double"
+    )
+    assert build_rollup(_spec())(df).count() == 0
+
+
+def test_rollup_null_dimension_and_metric(spark):
+    df = spark.createDataFrame(
+        [("2024-06-01T11:00:10", None, None), ("2024-06-01T11:00:20", None, 2.0)],
+        "timestamp string, page string, added double",
+    )
+    rows = build_rollup(_spec())(df).collect()
+    # NULL dim is a real group (Druid keeps null dimension values);
+    # NULL metric input is ignored by sum
+    assert len(rows) == 1
+    assert rows[0]["n"] == 2 and rows[0]["added_sum"] == 2.0
+
+
+def test_segment_sink_empty_batch_commits_marker(spark, tmp_path):
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    df = spark.createDataFrame([], "ts timestamp, page string")
+    assert sink.write_batch(df, batch_id=1) == 0
+    # marker written → replay of the empty batch is also a no-op
+    assert sink.write_batch(df, batch_id=1) == 0
+    assert sink.buckets() == []
+
+
+def test_minhash_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one two"), (3, "one two three four five")], "doc_id long, text string"
+    )
+    sig = with_minhash_signature(df, "text").collect()
+    by_id = {r.doc_id: r.sig for r in sig}
+    assert by_id[1] is None and by_id[2] is None  # < shingle_k tokens
+    assert len(by_id[3]) == 64
+    # and the pair op tolerates them
+    assert minhash_lsh_pairs(df, "text", "doc_id").count() == 0
+
+
+def test_dedup_and_text_ops_unicode(spark):
+    df = spark.createDataFrame(
+        [(1, "héllo wörld 你好 émoji 🎉"), (2, "héllo wörld 你好 émoji 🎉"), (3, "plain ascii")],
+        "doc_id long, text string",
+    )
+    d = exact_dedup(df, "text", "doc_id").collect()
+    assert sorted(r.dup_count for r in d) == [1, 2]
+    q = quality_features(df, "text", "doc_id")
+    assert q.count() == 3
+    tc = df.select(token_count(F.col("text")).alias("t")).collect()
+    assert all(r.t > 0 for r in tc)
+
+
+def test_window_filter_exact_boundaries(spark):
+    from tranquility_spark.operators.window_filter import two_sided_window_filter
+
+    now = dt.datetime(2024, 6, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 6, 1, 11, 50, 0), "edge_late"),    # exactly -10m: kept
+            (dt.datetime(2024, 6, 1, 12, 10, 0), "edge_future"),  # exactly +10m: kept
+            (dt.datetime(2024, 6, 1, 11, 49, 59), "too_late"),
+            (dt.datetime(2024, 6, 1, 12, 10, 1), "too_future"),
+        ],
+        "ts timestamp, tag string",
+    )
+    kept = {r.tag for r in two_sided_window_filter(df, "ts", "PT10M", now=now).collect()}
+    assert kept == {"edge_late", "edge_future"}  # inclusive bound (|Δ| ≤ W)
