@@ -431,3 +431,26 @@ def test_streaming_checkpoint_restart_no_duplicates(spark, tmp_path):
     # 'a' appears exactly once (not re-emitted on restart); 14h bucket contains
     # flush1 + b as separate rollup rows
     assert pages == ["__flush1", "a", "b"]
+
+
+def test_multi_datasource_sink_routes_and_counts_unknown(spark, tmp_path):
+    from tranquility_spark.streaming.sink import MultiDatasourceSink
+
+    sinks = {
+        "wiki": SegmentSink(str(tmp_path / "wiki"), "wiki", "HOUR"),
+        "metrics": SegmentSink(str(tmp_path / "metrics"), "metrics", "HOUR"),
+    }
+    multi = MultiDatasourceSink(sinks)
+    df = spark.createDataFrame(
+        [
+            ("wiki", dt.datetime(2024, 6, 1, 11, 5), "a"),
+            ("wiki", dt.datetime(2024, 6, 1, 11, 6), "b"),
+            ("metrics", dt.datetime(2024, 6, 1, 11, 7), "c"),
+            ("ghost", dt.datetime(2024, 6, 1, 11, 8), "d"),
+        ],
+        "datasource string, ts timestamp, page string",
+    )
+    assert multi.write_batch(df, 1) == 3
+    assert multi.unknown_dropped == 1
+    assert sinks["wiki"].read(spark).count() == 2
+    assert sinks["metrics"].read(spark).count() == 1

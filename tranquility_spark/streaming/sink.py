@@ -163,3 +163,41 @@ class SegmentSink:
         if not os.path.isdir(base):
             return []
         return sorted(d.split("=", 1)[1] for d in os.listdir(base) if d.startswith("g="))
+
+
+class MultiDatasourceSink:
+    """Route one mixed-datasource batch to per-datasource segment sinks.
+
+    Reference: ``kafka/.../writer/WriterController.scala`` — one writer per
+    dataSource, messages demuxed by topic mapping (S1). Here the batch carries
+    a ``datasource`` column (from ``sources.kafka.parse_kafka_batch``) and each
+    datasource's slice goes through its own ``SegmentSink`` (own layout, own
+    marker namespace). Rows with an unknown datasource are dropped and counted,
+    mirroring the controller's log-and-skip.
+    """
+
+    def __init__(self, sinks: dict, datasource_col: str = "datasource"):
+        self.sinks = dict(sinks)
+        self.datasource_col = datasource_col
+        self.unknown_dropped = 0
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> int:
+        df = df.persist()
+        try:
+            total = 0
+            known = list(self.sinks)
+            for ds, sink in self.sinks.items():
+                part = df.filter(F.col(self.datasource_col) == ds).drop(self.datasource_col)
+                total += sink.write_batch(part, batch_id)
+            self.unknown_dropped += df.filter(
+                ~F.col(self.datasource_col).isin(known)
+            ).count()
+            return total
+        finally:
+            df.unpersist()
+
+    def foreach_batch(self):
+        def _fn(df: DataFrame, batch_id: int) -> None:
+            self.write_batch(df, batch_id)
+
+        return _fn
