@@ -454,3 +454,15 @@ def test_multi_datasource_sink_routes_and_counts_unknown(spark, tmp_path):
     assert multi.unknown_dropped == 1
     assert sinks["wiki"].read(spark).count() == 2
     assert sinks["metrics"].read(spark).count() == 1
+
+
+def test_stream_rollup_sliding_windows_static(spark):
+    """slide option: each event contributes to width/slide windows."""
+    spec = _spec()
+    df = spark.createDataFrame(
+        [("2024-06-01T11:40:00", "a", 1.0)], "timestamp string, page string, added double"
+    )
+    out = stream_rollup(df, spec, slide="30 minutes").select("segment_start").collect()
+    starts = sorted(r.segment_start.isoformat() for r in out)
+    # 1h window sliding by 30m → the 11:40 event is in [11:00,12:00) and [11:30,12:30)
+    assert starts == ["2024-06-01T11:00:00", "2024-06-01T11:30:00"]

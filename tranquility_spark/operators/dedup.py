@@ -156,12 +156,17 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
 
-    # Truncate lineage before the self-join. Without this, the join plan holds
-    # TWO copies of the 64-permutation expression tree and Catalyst spends
-    # ~40s optimizing it (measured; execution itself is ~2s). Checkpointing
-    # materializes the tiny signature table once and gives the optimizer a
-    # leaf. Signatures are ~0.1% of corpus size, so this holds at 100 TB.
-    banded = banded.localCheckpoint(eager=False)
+    # impl='sql': the join plan would hold TWO copies of the 64-permutation
+    # expression tree and Catalyst spends ~40s optimizing it (measured) —
+    # localCheckpoint truncates the lineage to a leaf. impl='pandas': the
+    # plan is one small UDF call, and MEASURING beats intuition here: no
+    # materialization at all (signatures computed once per join side) runs
+    # 1.9s at sf0.1 vs 5.2s with localCheckpoint and 5.6s cold with persist
+    # (cache population dominates). Recomputing a cheap narrow UDF twice is
+    # the right trade at 100 TB too — it's scan-parallel work, while a
+    # materialization is a cluster-wide barrier + memory pressure.
+    if impl == "sql":
+        banded = banded.localCheckpoint(eager=False)
 
     left = banded.alias("l")
     right = banded.alias("r")

@@ -64,6 +64,7 @@ def stream_rollup(
     spec: IngestSpec,
     watermark: str = "10 minutes",
     bucket_col: str = "segment_start",
+    slide: Optional[str] = None,
 ) -> DataFrame:
     """Windowed streaming rollup for an IngestSpec.
 
@@ -93,7 +94,13 @@ def stream_rollup(
     dims = spec.dimensions_spec.resolve(stream_df, spec.timestamp_spec.column, metric_fields)
 
     secs = granularity_window_seconds(gran.segment_granularity)
-    win = F.window(F.col(ts_out), f"{secs} seconds")
+    # tumbling by default (W2: reference parity); ``slide`` opts into sliding
+    # windows — an extension (each event lands in width/slide windows, so
+    # state and output scale by that factor; keep slide a divisor of width)
+    if slide is not None:
+        win = F.window(F.col(ts_out), f"{secs} seconds", slide)
+    else:
+        win = F.window(F.col(ts_out), f"{secs} seconds")
 
     if not gran.rollup:
         # A12: no aggregation — append raw rows tagged with their bucket
