@@ -106,3 +106,49 @@ def test_http_ingest_received_vs_sent(spark):
         assert len(rows) == 1 and rows.iloc[0]["page"] == "a"
     finally:
         server.stop()
+
+
+def test_server_main_from_config_end_to_end(spark, tmp_path):
+    """Config file -> daemon graph -> HTTP ingest -> segment files on disk."""
+    from tranquility_spark.server_main import build_server
+
+    config = {
+        "dataSources": [
+            {
+                "spec": {
+                    "dataSchema": {
+                        "dataSource": "wiki",
+                        "parser": {"parseSpec": {
+                            "timestampSpec": {"column": "timestamp", "format": "iso"},
+                            "dimensionsSpec": {"dimensions": ["page"]},
+                        }},
+                        "metricsSpec": [{"type": "count", "name": "n"}],
+                        "granularitySpec": {"segmentGranularity": "HOUR",
+                                            "queryGranularity": "MINUTE"},
+                    }
+                },
+                "tuning": {"windowPeriod": None},  # accept any event time in test
+            }
+        ],
+        "sink": {"root": str(tmp_path / "segments")},
+    }
+    server = build_server(config, spark).start()
+    try:
+        status, body = _post(
+            f"http://127.0.0.1:{server.port}/v1/post/wiki",
+            [
+                {"timestamp": "2024-06-01T11:05:00", "page": "a"},
+                {"timestamp": "2024-06-01T11:06:00", "page": "b"},
+            ],
+        )
+        assert status == 200 and body["result"] == {"received": 2, "sent": 2}
+    finally:
+        server.stop()
+    import glob
+
+    files = glob.glob(str(tmp_path / "segments" / "ds=wiki" / "**" / "*.parquet"), recursive=True)
+    assert files, "no segment files written"
+    back = spark.read.option("basePath", str(tmp_path / "segments" / "ds=wiki")).parquet(
+        str(tmp_path / "segments" / "ds=wiki")
+    )
+    assert back.count() == 2
