@@ -152,3 +152,36 @@ def test_server_main_from_config_end_to_end(spark, tmp_path):
         str(tmp_path / "segments" / "ds=wiki")
     )
     assert back.count() == 2
+
+
+def test_kafka_main_pipeline_without_broker(spark, tmp_path):
+    """The kafka daemon's parse+route+sink path on a fixture batch (no broker)."""
+    import datetime as dt
+
+    from tranquility_spark.kafka_main import build_parsed_stream, build_sinks
+
+    config = {
+        "schema": "timestamp string, page string",
+        "mappings": [["wiki-.*", "wiki"], ["metrics-.*", "metrics"]],
+        "dataSources": [
+            {"spec": {"dataSchema": {
+                "dataSource": ds,
+                "parser": {"parseSpec": {
+                    "timestampSpec": {"column": "timestamp", "format": "iso"},
+                    "dimensionsSpec": {"dimensions": ["page"]}}},
+                "granularitySpec": {"segmentGranularity": "HOUR"},
+            }}}
+            for ds in ("wiki", "metrics")
+        ],
+        "sink": {"root": str(tmp_path / "segments")},
+    }
+    raw = _kafka_df(spark, [
+        ("wiki-en", json.dumps({"timestamp": "2024-06-01T11:05:00", "page": "a"})),
+        ("metrics-x", json.dumps({"timestamp": "2024-06-01T11:06:00", "page": "m"})),
+        ("unrelated", json.dumps({"timestamp": "2024-06-01T11:07:00", "page": "z"})),
+    ])
+    parsed = build_parsed_stream(config, raw).withColumn("ts", F.col("timestamp").cast("timestamp"))
+    multi = build_sinks(config)
+    assert multi.write_batch(parsed, 1) == 2
+    assert multi.sinks["wiki"].read(spark).count() == 1
+    assert multi.sinks["metrics"].read(spark).count() == 1
