@@ -103,3 +103,41 @@ def test_window_filter_exact_boundaries(spark):
     )
     kept = {r.tag for r in two_sided_window_filter(df, "ts", "PT10M", now=now).collect()}
     assert kept == {"edge_late", "edge_future"}  # inclusive bound (|Δ| ≤ W)
+
+
+def test_rollup_multivalue_array_dimension(spark):
+    """Druid multi-value dims pass through as arrays (SURVEY §1.3): the array
+    value IS the group key at ingest; the explode variant is query-side."""
+    spec = IngestSpec(
+        datasource="mv",
+        timestamp_spec=TimestampSpec(column="timestamp", format="iso", output="ts"),
+        dimensions_spec=DimensionsSpec(dimensions=["tags"]),
+        metrics=(Count("n"),),
+        granularity_spec=GranularitySpec("HOUR", "HOUR"),
+    )
+    df = spark.createDataFrame(
+        [
+            ("2024-06-01T11:00:00", ["a", "b"]),
+            ("2024-06-01T11:10:00", ["a", "b"]),
+            ("2024-06-01T11:20:00", ["b"]),
+        ],
+        "timestamp string, tags array<string>",
+    )
+    rows = {tuple(r.tags): r.n for r in build_rollup(spec)(df).collect()}
+    assert rows == {("a", "b"): 2, ("b",): 1}
+
+
+def test_segment_read_partition_pruning(spark, tmp_path):
+    """A bucket filter on the sink layout must prune at the file index level."""
+    import datetime as dt
+
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 6, 1, h, 5), f"p{h}") for h in range(6, 12)],
+        "ts timestamp, page string",
+    )
+    sink.write_batch(df, 1)
+    pruned = sink.read(spark).filter(F.col("g") == "2024-06-01-09-00")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(g" in plan
+    assert pruned.count() == 1

@@ -435,3 +435,40 @@ def pack1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "n_tokens", "doc_id", "lang", 4096).select(
         "doc_id", "lang", "n_tokens", "bin_id"
     )
+
+
+_DD6_ORACLE = """
+WITH eval_docs AS (SELECT text FROM documents WHERE doc_id % 25 = 0),
+eval_grams AS (
+  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+  FROM (SELECT string_split(trim(text), ' ') AS ws FROM eval_docs) WHERE len(ws) >= 3
+),
+train_grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws
+        FROM documents WHERE doc_id % 25 != 0) WHERE len(ws) >= 3
+)
+SELECT t.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       round(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS contamination
+FROM train_grams t LEFT JOIN eval_grams e USING (g)
+GROUP BY t.doc_id
+"""
+
+
+@register(
+    "dd6_contamination_overlap",
+    _DD6_ORACLE,
+    doc="Benchmark-contamination check: fraction of each train doc's 3-gram "
+    "shingles present in the (broadcast) eval corpus — eval split here is "
+    "doc_id % 25 == 0. Narrow train scan + broadcast join; swap broadcast "
+    "for a bloom filter when the eval set outgrows memory",
+)
+def dd6_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    return dd.contamination_overlap(train, eval_df, "text", "doc_id", ngram=3)

@@ -307,3 +307,45 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.round("cosine", 6).alias("cosine"))
     )
+
+
+def contamination_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: per train doc, the fraction of its
+    ``ngram``-word shingles that appear anywhere in the eval corpus.
+
+    Plan: eval grams → distinct (eval sets are small: broadcast) → train
+    explode → broadcast left-semi-ish join marks hits → per-doc ratio.
+    At 100 TB train / normal-size eval this is a narrow scan + broadcast —
+    no train-side shuffle except the per-doc ratio agg, which is keyed by
+    doc id (uniform). For huge eval sets swap the broadcast for a bloom
+    filter column (same plan shape).
+    """
+    eval_grams = (
+        eval_df.select(F.explode(_word_shingles(F.col(text_col), ngram)).alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train_grams = train.select(
+        F.col(id_col).alias("id"),
+        F.explode(_word_shingles(F.col(text_col), ngram)).alias("g"),
+    )
+    joined = train_grams.join(F.broadcast(eval_grams), "g", "left")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 6).alias("contamination"),
+        )
+    )
