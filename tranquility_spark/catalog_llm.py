@@ -472,3 +472,52 @@ def dd6_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = docs.filter(F.col("doc_id") % 25 == 0)
     train = docs.filter(F.col("doc_id") % 25 != 0)
     return dd.contamination_overlap(train, eval_df, "text", "doc_id", ngram=3)
+
+
+@register(
+    "txt5_pii_redact",
+    r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9][0-9()\-\. ]{7,}[0-9]', '<PHONE>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+           AS redacted
+    FROM documents
+    """,
+    doc="PII redaction: chained regexp_replace (email/phone/IPv4) — narrow JVM "
+    "expressions, scan-bound; pattern list extends without changing the shape",
+)
+def txt5_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", redact_pii(F.col("text")).alias("redacted"))
+
+
+@register(
+    "txt6_repetition",
+    """
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           max(c) AS top_bigram_count,
+           round(max(c) / sum(c), 6) AS top_bigram_frac
+    FROM (
+      SELECT doc_id, bg, count(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(ws)),
+                          i -> ws[i] || ' ' || ws[i+1])) AS bg
+            FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)
+            WHERE len(ws) >= 2)
+      GROUP BY doc_id, bg
+    )
+    GROUP BY doc_id
+    """,
+    doc="C4/Gopher-style repetition signal: fraction of a doc's bigrams taken "
+    "by its most frequent bigram (explode -> two doc-keyed hash aggs). "
+    "NOTE count(*) here counts distinct-bigram rows (the inner group)",
+)
+def txt6_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.text import top_bigram_repetition
+
+    return top_bigram_repetition(_t(spark, sf_dir, "documents"))

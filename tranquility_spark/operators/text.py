@@ -152,3 +152,59 @@ def pack_sequences(
     return df.withColumn(
         "bin_id", F.floor((cum - F.col(token_col)) / F.lit(context_len)).cast("long")
     )
+
+
+# PII patterns: deliberately simple/portable regexes (same syntax accepted by
+# Spark's regexp_replace and DuckDB's regexp_replace with 'g')
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Chained regexp_replace redaction — email → phone → IPv4.
+
+    One narrow JVM expression per pattern; the pattern order matters (emails
+    contain digit runs a phone pattern could clip). A production ruleset
+    would extend PII_PATTERNS; the operator shape doesn't change.
+    """
+    out = text
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def top_bigram_repetition(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """C4/Gopher-style repetition signal: fraction of a doc's bigrams taken by
+    its single most frequent bigram.
+
+    explode bigrams → count per (doc, bigram) → max/sum per doc. Two hash
+    aggregations, both keyed by doc id (uniform) — scan-bound at 100 TB.
+    Boilerplate/spam has top_bigram_frac near 1; clean prose is low.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    per_bigram = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_bigram.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_bigram_count"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "top_bigram_count",
+            F.round(F.col("top_bigram_count") / F.col("n_bigrams"), 6).alias("top_bigram_frac"),
+        )
+    )
