@@ -466,3 +466,34 @@ def test_stream_rollup_sliding_windows_static(spark):
     starts = sorted(r.segment_start.isoformat() for r in out)
     # 1h window sliding by 30m → the 11:40 event is in [11:00,12:00) and [11:30,12:30)
     assert starts == ["2024-06-01T11:00:00", "2024-06-01T11:30:00"]
+
+
+def test_beams_builder_end_to_end(spark, tmp_path):
+    """The DruidBeams-style fluent chain builds a working tranquilizer."""
+    from tranquility_spark.beams import Beams
+    from tranquility_spark.specs import Count, DoubleSum
+
+    t = (
+        Beams.builder()
+        .curator("zk:2181")              # no-op coordination legs accepted
+        .discovery_path("/druid/discovery")
+        .timestamp(column="timestamp", format="iso")
+        .dimensions(["page"])
+        .metrics([Count("n"), DoubleSum("added_sum", "added")])
+        .granularity(segment="HOUR", query="MINUTE")
+        .location(datasource="wiki")
+        .tuning(window_period="PT10M", max_batch_size=100)
+        .sink_root(str(tmp_path / "seg"))
+        .clock(lambda: NOW)
+        .build_tranquilizer(spark)
+    )
+    ok = t.send(_ev("2024-06-01T11:55:00"))
+    dropped = t.send(_ev("2024-06-01T09:00:00"))
+    t.close()
+    assert ok.result().sent is True
+    with pytest.raises(MessageDroppedException):
+        dropped.result()
+    back = spark.read.option("basePath", str(tmp_path / "seg" / "ds=wiki")).parquet(
+        str(tmp_path / "seg" / "ds=wiki")
+    )
+    assert back.count() == 1
