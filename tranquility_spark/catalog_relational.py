@@ -804,9 +804,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 20
     """,
-    doc="TPC-H Q18 shape: HAVING subquery → aggregate-then-semi-join; the "
-    "inner agg and outer agg share the l_orderkey shuffle partitioning "
-    "(one exchange reused, visible in the plan)",
+    doc="TPC-H Q18 shape: HAVING subquery → aggregate-then-join. Verified plan "
+    "at sf0.1: the inner agg's small result broadcasts (AQE), so the fact side "
+    "never re-shuffles for the filter; at 100 TB the broadcast threshold trips "
+    "and both aggs hash-partition on l_orderkey, making the exchange reusable",
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
