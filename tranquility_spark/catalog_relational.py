@@ -945,3 +945,102 @@ def j6_asof_join_two_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = asof_join(clicks, errors, by="user_id", left_ts="ts", right_ts="ts",
                     value_cols=["value"])
     return out.select("event_id", "value_asof")
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: left-outer join + two-level aggregation (orders per "
+    "customer, then customers per count). count(col) ignoring NULLs from the "
+    "outer join is the semantic crux; second agg is tiny",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+    doc="TPC-H Q17 shape: correlated per-part average subquery → computed as "
+    "one broadcast-joined per-part aggregate (decorrelated by hand the way "
+    "Catalyst decorrelates it); the per-part avg table is part-cardinality "
+    "small and broadcasts",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "SMALL")
+    )
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part_avg), li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+    FROM (SELECT CAST(c_custkey % 10 AS VARCHAR) AS cntrycode, c_acctbal
+          FROM customer
+          WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT'))
+    GROUP BY cntrycode
+    """,
+    doc="TPC-H Q22 shape: global scalar-aggregate filter (broadcast as a "
+    "1-row cross join) + anti join (against urgent orders — every customer "
+    "has SOME order in the synthetic data) + small group-by. cntrycode "
+    "adapted to custkey mod 10 on the trimmed schema",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("cut")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("cut"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .select((F.col("c_custkey") % 10).cast("string").alias("cntrycode"), "c_acctbal")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
