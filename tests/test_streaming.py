@@ -497,3 +497,26 @@ def test_beams_builder_end_to_end(spark, tmp_path):
         str(tmp_path / "seg" / "ds=wiki")
     )
     assert back.count() == 1
+
+
+def test_segment_compaction_merges_files(spark, tmp_path):
+    import glob
+
+    from tranquility_spark.streaming.sink import compact
+
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    # five micro-batches into the same bucket → five files
+    for b in range(5):
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 6, 1, 11, b), f"p{b}")], "ts timestamp, page string"
+        )
+        sink.write_batch(df, b)
+    bucket_dir = str(tmp_path / "seg" / "ds=wiki" / "g=2024-06-01-11-00" / "p=0")
+    before = len(glob.glob(f"{bucket_dir}/*.parquet"))
+    assert before == 5
+    rows_before = sorted(r.page for r in sink.read(spark).collect())
+
+    assert compact(sink, spark) == 1  # one (bucket, shard) rewritten
+    after = len(glob.glob(f"{bucket_dir}/*.parquet"))
+    assert after == 1
+    assert sorted(r.page for r in sink.read(spark).collect()) == rows_before

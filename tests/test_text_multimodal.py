@@ -88,3 +88,18 @@ def test_sample_frames_fanout_bounded(spark, sf_dir):
     assert all(1 <= r.n <= 4 for r in per_doc)
     first = out.filter(F.col("frame_idx") == 0).count()
     assert first == 50  # every doc yields frame 0
+
+
+def test_quality_filter_verdict_and_flags(spark):
+    from tranquility_spark.operators.text import quality_filter
+
+    good = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    spammy = " ".join(["buy now"] * 40)
+    tiny = "too short"
+    df = spark.createDataFrame(
+        [(1, good), (2, spammy), (3, tiny)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in quality_filter(df, min_tokens=10).collect()}
+    assert rows[1].keep is True
+    assert rows[2].keep is False and rows[2].pass_repetition is False
+    assert rows[3].keep is False and rows[3].pass_token_count is False

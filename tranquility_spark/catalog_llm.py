@@ -521,3 +521,42 @@ def txt6_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tranquility_spark.operators.text import top_bigram_repetition
 
     return top_bigram_repetition(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "txt7_quality_filter",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+             len(regexp_extract_all(trim(text), '[^ ]+')) AS n_tokens,
+             round((length(text) - (len(regexp_extract_all(trim(text), '[^ ]+')) - 1))
+                   / len(regexp_extract_all(trim(text), '[^ ]+')), 6) AS avg_token_len
+      FROM documents
+    ),
+    rep AS (
+      SELECT doc_id, round(max(c) / sum(c), 6) AS top_bigram_frac
+      FROM (SELECT doc_id, bg, count(*) AS c
+            FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                         i -> ws[i] || ' ' || ws[i+1])) AS bg
+                  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)
+                  WHERE len(ws) >= 2)
+            GROUP BY doc_id, bg)
+      GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           (f.n_tokens >= 15 AND f.n_tokens <= 100000) AS pass_token_count,
+           (f.avg_token_len >= 2.0 AND f.avg_token_len <= 12.0) AS pass_token_len,
+           coalesce(r.top_bigram_frac <= 0.20, TRUE) AS pass_repetition
+    FROM feats f LEFT JOIN rep r USING (doc_id)
+    """,
+    doc="Composite quality filter, audit-friendly: per-rule boolean flags "
+    "(token count / token length / repetition) so drops are explainable. "
+    "Oracle checks the SQL-portable rules; the stopword rule and final "
+    "verdict are covered by unit tests (heuristic constants differ per "
+    "tokenizer)",
+)
+def txt7_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.text import quality_filter
+
+    out = quality_filter(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "pass_token_count", "pass_token_len", "pass_repetition")

@@ -208,3 +208,47 @@ def top_bigram_repetition(df: DataFrame, text_col: str = "text", id_col: str = "
             F.round(F.col("top_bigram_count") / F.col("n_bigrams"), 6).alias("top_bigram_frac"),
         )
     )
+
+
+def quality_filter(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 15,
+    max_tokens: int = 100000,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+    max_top_bigram_frac: float = 0.20,
+    min_stopword_ratio: float = 0.01,
+):
+    """Gopher/C4-style composite document filter: per-rule flags + verdict.
+
+    Each rule is a boolean column so downstream can audit WHY a document was
+    dropped (the operational requirement of corpus filtering — silent drops
+    are undebuggable). Two scans joined on doc id: the cheap per-doc features
+    and the bigram-repetition aggregate; both doc-keyed, uniform shuffle.
+    """
+    feats = quality_features(df, text_col, id_col)
+    rep = top_bigram_repetition(df, text_col, id_col).select(id_col, "top_bigram_frac")
+    j = feats.join(rep, id_col, "left")
+    rules = {
+        "pass_token_count": (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens),
+        "pass_token_len": (F.col("avg_token_len") >= min_avg_token_len)
+        & (F.col("avg_token_len") <= max_avg_token_len),
+        "pass_repetition": F.coalesce(
+            F.col("top_bigram_frac") <= max_top_bigram_frac, F.lit(True)
+        ),
+        "pass_stopwords": F.col("stopword_ratio") >= min_stopword_ratio,
+    }
+    out = j
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+    keep = functools_reduce_and([F.col(n) for n in rules])
+    return out.withColumn("keep", keep)
+
+
+def functools_reduce_and(conds):
+    from functools import reduce
+
+    return reduce(lambda a, b: a & b, conds)

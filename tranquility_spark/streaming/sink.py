@@ -201,3 +201,36 @@ class MultiDatasourceSink:
             self.write_batch(df, batch_id)
 
         return _fn
+
+
+def compact(sink: SegmentSink, spark, replica: int = 0, target_files_per_shard: int = 1) -> int:
+    """Merge a segment layout's accumulated micro-batch files (Druid compaction).
+
+    Streaming produces one file per (bucket, shard) per micro-batch; after N
+    batches a bucket holds N small files and read amplification grows. This
+    rewrites each bucket directory to ``target_files_per_shard`` files via
+    dynamic partition overwrite — only buckets present in the read are
+    touched, the rewrite is atomic per partition, and re-running is a no-op
+    on already-compacted buckets (same content, same file count).
+
+    At 100 TB run it per closed bucket (watermark passed — no more writes),
+    exactly like Druid compacting historical segments. Returns the number of
+    (bucket, shard) partitions rewritten.
+    """
+    base = sink._ds_root(replica)
+    if not os.path.isdir(base):
+        return 0
+    df = spark.read.option("mergeSchema", "true").option("basePath", base).parquet(base)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        n_parts = df.select("g", "p").distinct().count()
+        (
+            df.repartition(max(n_parts * target_files_per_shard, 1), F.col("g"), F.col("p"))
+            .write.mode("overwrite")
+            .partitionBy("g", "p")
+            .parquet(base)
+        )
+        return n_parts
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
