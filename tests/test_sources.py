@@ -180,8 +180,13 @@ def test_kafka_main_pipeline_without_broker(spark, tmp_path):
         ("metrics-x", json.dumps({"timestamp": "2024-06-01T11:06:00", "page": "m"})),
         ("unrelated", json.dumps({"timestamp": "2024-06-01T11:07:00", "page": "z"})),
     ])
-    parsed = build_parsed_stream(config, raw).withColumn("ts", F.col("timestamp").cast("timestamp"))
+    parsed = build_parsed_stream(config, raw)
     multi = build_sinks(config)
     assert multi.write_batch(parsed, 1) == 2
-    assert multi.sinks["wiki"].read(spark).count() == 1
+    # each slice went through its spec's rollup: output schema is the
+    # rolled-up (ts, dims, metrics) shape, not raw kafka fields
+    wiki = multi.sinks["wiki"].read(spark)
+    assert multi.specs["wiki"].timestamp_spec.output in wiki.columns
+    assert "page" in wiki.columns and "timestamp" not in wiki.columns
+    assert wiki.count() == 1
     assert multi.sinks["metrics"].read(spark).count() == 1

@@ -44,9 +44,14 @@ from tranquility_spark.streaming.sink import MultiDatasourceSink, SegmentSink
 
 
 def build_sinks(config: dict) -> MultiDatasourceSink:
-    """Per-datasource segment sinks keyed for the demux column (testable)."""
+    """Per-datasource segment sinks keyed for the demux column (testable).
+
+    Each datasource's spec rides along so its batch slice is ROLLED UP before
+    the write — the full reference pipeline (Druid tasks aggregate at
+    ingest), not just raw routing.
+    """
     root = config.get("sink", {}).get("root", "/tmp/tranquility_spark_segments")
-    sinks = {}
+    sinks, specs = {}, {}
     for ds_conf in config["dataSources"]:
         spec = parse_druid_spec(ds_conf["spec"])
         tuning = ds_conf.get("tuning", {})
@@ -58,7 +63,8 @@ def build_sinks(config: dict) -> MultiDatasourceSink:
             replicants=int(tuning.get("replicants", 1)),
             ts_col=spec.timestamp_spec.output,
         )
-    return MultiDatasourceSink(sinks)
+        specs[spec.datasource] = spec
+    return MultiDatasourceSink(sinks, specs=specs)
 
 
 def build_parsed_stream(config: dict, raw: DataFrame) -> DataFrame:

@@ -55,6 +55,10 @@ def build_rollup(spec: IngestSpec) -> Callable[[DataFrame], DataFrame]:
 
         bucketed = parsed.withColumn(ts_out, gran.query_granularity.truncate(F.col(ts_out)))
         aggs = [m.column() for m in spec.metrics]
+        if not aggs:
+            # metric-less rollup: rows collapse to distinct rollup keys
+            # (Druid with an empty metricsSpec still rolls duplicate keys up)
+            return bucketed.select(ts_out, *dims).dropDuplicates()
         return bucketed.groupBy(ts_out, *dims).agg(*aggs)
 
     return transform

@@ -176,10 +176,26 @@ class MultiDatasourceSink:
     mirroring the controller's log-and-skip.
     """
 
-    def __init__(self, sinks: dict, datasource_col: str = "datasource"):
+    def __init__(self, sinks: dict, datasource_col: str = "datasource", specs: dict | None = None):
         self.sinks = dict(sinks)
         self.datasource_col = datasource_col
+        # optional per-datasource IngestSpec: slices are rolled up before the
+        # write (the reference's Druid tasks aggregate at ingest; with a spec
+        # attached this sink produces the same rolled-up segments)
+        self.specs = dict(specs or {})
+        self._transforms = {}
         self.unknown_dropped = 0
+
+    def _transform(self, ds: str):
+        if ds not in self._transforms:
+            spec = self.specs.get(ds)
+            if spec is None:
+                self._transforms[ds] = lambda df: df
+            else:
+                from tranquility_spark.plans.rollup import build_rollup
+
+                self._transforms[ds] = build_rollup(spec)
+        return self._transforms[ds]
 
     def write_batch(self, df: DataFrame, batch_id: int) -> int:
         df = df.persist()
@@ -188,7 +204,7 @@ class MultiDatasourceSink:
             known = list(self.sinks)
             for ds, sink in self.sinks.items():
                 part = df.filter(F.col(self.datasource_col) == ds).drop(self.datasource_col)
-                total += sink.write_batch(part, batch_id)
+                total += sink.write_batch(self._transform(ds)(part), batch_id)
             self.unknown_dropped += df.filter(
                 ~F.col(self.datasource_col).isin(known)
             ).count()
