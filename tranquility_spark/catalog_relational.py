@@ -1044,3 +1044,43 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("c_acctbal"), "totacctbal"),
         )
     )
+
+
+@register(
+    "a11b_distinct_set_ops",
+    """
+    SELECT
+      (SELECT count(*) FROM (SELECT user_id FROM events WHERE event_type = 'click'
+                             INTERSECT
+                             SELECT user_id FROM events WHERE event_type = 'error')) AS both_types,
+      (SELECT count(*) FROM (SELECT user_id FROM events WHERE event_type = 'click'
+                             UNION
+                             SELECT user_id FROM events WHERE event_type = 'error')) AS either_type,
+      (SELECT count(*) FROM (SELECT user_id FROM events WHERE event_type = 'click'
+                             EXCEPT
+                             SELECT user_id FROM events WHERE event_type = 'error')) AS click_only
+    """,
+    doc="Theta-sketch SET OPERATIONS (A11 extension), exact twins: distinct-set "
+    "intersection/union/difference cardinalities across event types. Each leg "
+    "is a distinct (hash agg) + set op on the deduped keys — at 100 TB the "
+    "sets shuffle once keyed by user; a sketch variant would trade exactness "
+    "for a merge of fixed-size sketches (declared absent: Spark has no "
+    "sketch-intersection builtin)",
+)
+def a11b_distinct_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one plan, one shuffle: per-user membership flags, then a single agg —
+    # intersect/union/except as conditional counts over the flag table
+    ev = _t(spark, sf_dir, "events")
+    flags = (
+        ev.filter(F.col("event_type").isin("click", "error"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("is_click"),
+            F.max((F.col("event_type") == "error").cast("int")).alias("is_error"),
+        )
+    )
+    return flags.agg(
+        F.count(F.when((F.col("is_click") == 1) & (F.col("is_error") == 1), 1)).alias("both_types"),
+        F.count(F.lit(1)).alias("either_type"),
+        F.count(F.when((F.col("is_click") == 1) & (F.col("is_error") == 0), 1)).alias("click_only"),
+    )
