@@ -577,3 +577,30 @@ def dd7_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(docs, "text", "doc_id")
     return neardup_survivors(docs, pairs, "doc_id").select("doc_id")
+
+
+@register(
+    "txt8_per_lang_quality_percentile",
+    """
+    SELECT doc_id, lang, n_chars,
+           round(pr, 6) AS len_percentile
+    FROM (SELECT doc_id, lang, n_chars,
+                 percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pr
+          FROM documents)
+    WHERE pr >= 0.5
+    """,
+    doc="Per-stratum percentile filter: keep each language's top-half by "
+    "length (any score column works the same) — dynamic cutoffs instead of "
+    "global constants. One window shuffle on the stratum key; doc_id "
+    "tie-break makes percent_rank deterministic cross-engine",
+)
+def txt8_per_lang_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.5)
+        .select("doc_id", "lang", "n_chars", F.round("pr", 6).alias("len_percentile"))
+    )
