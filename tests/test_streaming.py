@@ -520,3 +520,43 @@ def test_segment_compaction_merges_files(spark, tmp_path):
     after = len(glob.glob(f"{bucket_dir}/*.parquet"))
     assert after == 1
     assert sorted(r.page for r in sink.read(spark).collect()) == rows_before
+
+
+def test_segment_sink_crash_between_publish_and_marker(spark, tmp_path):
+    """Retry after a crash that published data but not the marker: no dupes.
+
+    This is the failure window where a naive append sink duplicates the
+    batch — deterministic publish names make the retry overwrite itself.
+    """
+    import os
+
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR", replicants=2)
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 6, 1, 11, 5), "a"), (dt.datetime(2024, 6, 1, 11, 6), "b")],
+        "ts timestamp, page string",
+    )
+    assert sink.write_batch(df, 1) == 2
+    # simulate the crash: data is published, marker vanishes
+    os.remove(sink._marker_path(1))
+    assert sink.write_batch(df, 1) == 2  # retry republishes over itself
+    assert sink.read(spark, replica=0).count() == 2
+    assert sink.read(spark, replica=1).count() == 2
+
+
+def test_segment_sink_crash_between_replicas(spark, tmp_path):
+    """Retry after a crash mid-replica-publish heals the missing replica."""
+    import glob
+    import os
+    import shutil
+
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR", replicants=2)
+    df = spark.createDataFrame([(dt.datetime(2024, 6, 1, 11, 5), "a")], "ts timestamp, page string")
+    sink.write_batch(df, 1)
+    # simulate: replica 1 never published, marker never written
+    shutil.rmtree(sink._ds_root(1))
+    os.remove(sink._marker_path(1))
+    sink.write_batch(df, 1)
+    assert sink.read(spark, replica=0).count() == 1  # not duplicated
+    assert sink.read(spark, replica=1).count() == 1  # healed
+    files0 = glob.glob(f"{sink._ds_root(0)}/**/*.parquet", recursive=True)
+    assert len(files0) == 1
