@@ -1084,3 +1084,30 @@ def a11b_distinct_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("either_type"),
         F.count(F.when((F.col("is_click") == 1) & (F.col("is_error") == 0), 1)).alias("click_only"),
     )
+
+
+@register(
+    "w4_ntile_cume_dist",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ntile(4) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS price_quartile,
+           round(cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity), 6) AS qty_cume
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+    doc="Window distribution functions: ntile quartiles + cume_dist within "
+    "return-flag partitions; unique (orderkey, linenumber) tie-break keeps "
+    "ntile deterministic cross-engine. One shuffle on the partition key",
+)
+def w4_ntile_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    w_price = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w_qty = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.ntile(4).over(w_price).alias("price_quartile"),
+        F.round(F.cume_dist().over(w_qty), 6).alias("qty_cume"),
+    )
