@@ -115,3 +115,24 @@ def test_asof_join_backward_semantics(spark):
         "c": None,    # user 2's only right row is later
         "d": None,    # user 3 has no right rows
     }
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """A6/A7 approx twins must track their exact twins (HLL++ rsd default 5%;
+    assert a loose 15% envelope so the test is load- and version-stable)."""
+    from pyspark.sql import functions as F
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    row = docs.agg(
+        F.countDistinct("source").alias("exact"),
+        F.approx_count_distinct("source").alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) <= max(0.15 * row.exact, 2)
+
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id").alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) <= 0.15 * row.exact

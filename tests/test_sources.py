@@ -190,3 +190,30 @@ def test_kafka_main_pipeline_without_broker(spark, tmp_path):
     assert "page" in wiki.columns and "timestamp" not in wiki.columns
     assert wiki.count() == 1
     assert multi.sinks["metrics"].read(spark).count() == 1
+
+
+def test_http_ingest_malformed_body_400(spark):
+    import urllib.request
+
+    spec = IngestSpec(
+        datasource="wiki",
+        timestamp_spec=TimestampSpec(column="timestamp", format="iso", output="ts"),
+        dimensions_spec=DimensionsSpec(dimensions=["page"]),
+        metrics=(Count("n"),),
+    )
+    server = IngestServer({"wiki": Tranquilizer(spark, spec, MemoryBeam(), window_period=None)}).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/v1/post/wiki",
+            data=b"{not json at all",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = True
+            assert e.code == 400
+        assert raised
+    finally:
+        server.stop()
