@@ -170,3 +170,19 @@ def test_neardup_clusters_long_chain_converges(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(8)], "id_a long, id_b long")
     labels = {r.id: r.cluster_id for r in neardup_clusters(chain).collect()}
     assert set(labels.values()) == {0}
+
+
+def test_corpus_pipeline_monotone_and_deterministic(spark, sf_dir):
+    """Each pipeline stage only removes documents; two runs agree exactly."""
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.sources.files import load_table
+
+    total = load_table(spark, sf_dir, "documents").count()
+    r1 = sorted(map(tuple, CATALOG["pipe1_corpus_pipeline"].fn(spark, sf_dir).collect()))
+    r2 = sorted(map(tuple, CATALOG["pipe1_corpus_pipeline"].fn(spark, sf_dir).collect()))
+    assert r1 == r2  # deterministic end-to-end
+    n_docs = sum(r[1] for r in r1)
+    assert 0 < n_docs < total  # filtered + deduped + sampled: strictly shrinks
+    for _lang, docs_n, tokens, bins in r1:
+        assert bins <= docs_n  # packing never creates more bins than docs
+        assert tokens > 0

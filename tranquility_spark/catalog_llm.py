@@ -604,3 +604,53 @@ def txt8_per_lang_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("pr") >= 0.5)
         .select("doc_id", "lang", "n_chars", F.round("pr", 6).alias("len_percentile"))
     )
+
+
+@register(
+    "pipe1_corpus_pipeline",
+    None,  # composes rows-only stages (MinHash survivors) — end-to-end
+           # monotonicity and determinism asserted in tests
+    doc="The full training-corpus pipeline composed from the operator "
+    "library: quality filter (per-rule flags) → exact dedup (min-id per "
+    "content hash) → near-dup survivors (MinHash-LSH + connected "
+    "components) → deterministic 80% hash-sample split → sequence packing. "
+    "Returns per-language corpus stats. Every stage is a DataFrame "
+    "transform; the composition adds no driver-side data movement",
+)
+def pipe1_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, neardup_survivors
+    from tranquility_spark.operators.text import hash_sample, pack_sequences, quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+
+    # 1. quality gate
+    verdicts = quality_filter(docs).select("doc_id", "keep")
+    kept = docs.join(verdicts.filter(F.col("keep")), "doc_id").drop("keep")
+
+    # 2. exact dedup: keep the min doc_id per content hash
+    survivors_exact = exact_dedup(kept, "text", "doc_id").select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    kept = kept.join(survivors_exact, "doc_id")
+
+    # 3. near-dup survivors (LSH pairs → components → min-id per cluster)
+    pairs = minhash_lsh_pairs(kept, "text", "doc_id")
+    kept = neardup_survivors(kept, pairs, "doc_id")
+
+    # 4. reproducible 80% train split
+    train = hash_sample(kept, "doc_id", 80)
+
+    # 5. pack into 4096-token contexts per language
+    packed = pack_sequences(
+        train.withColumn("n_tokens", F.size(F.split(F.col("text"), " "))),
+        "n_tokens", "doc_id", "lang", 4096,
+    )
+    return (
+        packed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            (F.max("bin_id") + 1).alias("n_bins"),
+        )
+        .orderBy("lang")
+    )
