@@ -136,3 +136,36 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         F.approx_count_distinct("user_id").alias("approx"),
     ).first()
     assert abs(row.approx - row.exact) <= 0.15 * row.exact
+
+
+def test_asof_join_attaches_whole_row_not_stitched_fields(spark):
+    """A NULL field inside the matched right row must stay NULL — per-column
+    back-fill would stitch fields from different right rows together."""
+    import datetime as dt
+
+    from tranquility_spark.operators.asof import asof_join
+
+    T = lambda m: dt.datetime(2024, 6, 1, 12, m)  # noqa: E731
+    left = spark.createDataFrame([(1, T(30), "x")], "user_id long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, T(10), 100.0, "old"), (1, T(20), None, "new")],
+        "user_id long, ts timestamp, value double, label string",
+    )
+    row = asof_join(left, right, by="user_id").first()
+    # matched row is the T(20) one: label carries, value stays NULL
+    assert row.label_asof == "new"
+    assert row.value_asof is None
+
+
+def test_portable_shard_negative_keys_match_duckdb(spark, duck):
+    n = 8
+    keys = [-1000, -13, -1, 0, 7, 999999]
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    spark_shards = {r["user_id"]: r["shard"] for r in with_shard(df, "user_id", n).collect()}
+    duck_rows = duck.sql(
+        f"SELECT k AS user_id, {portable_shard_sql('k', n)} AS shard "
+        f"FROM (VALUES {','.join(f'({k})' for k in keys)}) t(k)"
+    ).fetchall()
+    for uid, shard in duck_rows:
+        assert 0 <= shard < n
+        assert spark_shards[uid] == shard

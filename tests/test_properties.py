@@ -28,10 +28,12 @@ def test_duration_parser_roundtrip(h, m, s):
     assert window_period_seconds(f"PT{h}H{m}M{s}S") == h * 3600 + m * 60 + s
 
 
-@given(st.integers(min_value=0, max_value=2**62))
+@given(st.integers(min_value=-(2**62), max_value=2**62))
 @settings(max_examples=50)
 def test_portable_shard_sql_matches_python(key):
-    """The DuckDB fragment must equal the Python/Spark formula for any key."""
+    """The DuckDB fragment must equal the Python/Spark formula for any key —
+    including negative keys, where DuckDB's sign-preserving % needs the
+    pmod wrap (Python's % is already non-negative, like Spark's pmod)."""
     n = 8
     expected = (((key % _REDUCE) * _MULT) % _PRIME) % n
     got = duckdb.sql(f"SELECT {portable_shard_sql(str(key), n)} AS s").fetchone()[0]

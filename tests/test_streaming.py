@@ -560,3 +560,74 @@ def test_segment_sink_crash_between_replicas(spark, tmp_path):
     assert sink.read(spark, replica=1).count() == 1  # healed
     files0 = glob.glob(f"{sink._ds_root(0)}/**/*.parquet", recursive=True)
     assert len(files0) == 1
+
+
+def test_tranquilizer_resumes_batch_ids_after_restart(spark, tmp_path):
+    """Daemon restart against the same sink root must NOT collide with the
+    previous run's batch markers (collision = data silently skipped while
+    futures still resolve sent=True)."""
+    root = str(tmp_path / "seg")
+    sink1 = SegmentSink(root, "wiki", "HOUR")
+    t1 = Tranquilizer(spark, _spec(), sink1, window_period=None)
+    t1.send(_ev("2024-06-01T11:55:00", page="run1"))
+    t1.close()
+
+    # simulated restart: fresh Tranquilizer + fresh sink over the same root
+    sink2 = SegmentSink(root, "wiki", "HOUR")
+    t2 = Tranquilizer(spark, _spec(), sink2, window_period=None)
+    assert t2._batch_id == sink2.max_batch_id() >= 1
+    fut = t2.send(_ev("2024-06-01T12:05:00", page="run2"))
+    t2.close()
+    assert fut.result().sent is True
+
+    pages = {r["page"] for r in sink2.read(spark).select("page").collect()}
+    assert pages == {"run1", "run2"}  # run2 would be missing on marker collision
+
+
+def test_stream_rollup_week_buckets_align_to_monday(spark):
+    """WEEK segment buckets must start on Monday (date_trunc('week') / the
+    sink's g= layout), not on the epoch-aligned Thursday of F.window."""
+    from tranquility_spark.specs import Granularity
+
+    spec = IngestSpec(
+        datasource="wiki",
+        timestamp_spec=TimestampSpec(column="timestamp", format="iso", output="ts"),
+        dimensions_spec=DimensionsSpec(dimensions=["page"]),
+        metrics=(Count("n"),),
+        granularity_spec=GranularitySpec("WEEK", "DAY"),
+    )
+    # 2024-06-01 is a Saturday; its ISO week starts Monday 2024-05-27
+    df = spark.createDataFrame(
+        [("2024-06-01T10:00:00", "a"), ("2024-05-27T00:00:00", "a"), ("2024-06-03T00:00:00", "b")],
+        "timestamp string, page string",
+    )
+    out = stream_rollup(df, spec).collect()
+    starts = {r["segment_start"] for r in out}
+    assert starts == {dt.datetime(2024, 5, 27), dt.datetime(2024, 6, 3)}
+    # and agrees with Granularity.truncate (the sink's bucket function)
+    trunc = df.select(
+        Granularity("WEEK").truncate(F.to_timestamp("timestamp")).alias("b")
+    ).collect()
+    assert {r["b"] for r in trunc} == starts
+
+
+def test_ewma_update_orders_across_chunks():
+    """A key group split across Arrow chunks must fold in global ts order."""
+    import pandas as pd
+
+    from tranquility_spark.streaming.stateful import _ewma_update, ewma_batch
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    # chunk boundaries deliberately interleave timestamps
+    c1 = pd.DataFrame({"ts": [3, 1], "value": [30.0, 10.0]})
+    c2 = pd.DataFrame({"ts": [2, 4], "value": [20.0, 40.0]})
+    state = FakeState()
+    out = list(_ewma_update((1,), iter([c1, c2]), state))
+    expected = ewma_batch([10.0, 20.0, 30.0, 40.0])
+    assert abs(out[0]["ewma"].iloc[0] - expected) < 1e-12
+    assert state.value[0] == 4

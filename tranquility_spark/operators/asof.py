@@ -43,14 +43,23 @@ def asof_join(
         value_cols = [c for c in right.columns if c not in {by, right_ts}]
     out_cols = [f"{c}{suffix}" for c in value_cols]
 
-    l_tagged = left.withColumn("__ats", F.col(left_ts)).withColumn("__src", F.lit(1))
-    for c, oc in zip(value_cols, out_cols):
-        l_tagged = l_tagged.withColumn(oc, F.lit(None).cast(dict(right.dtypes)[c]))
+    # the matched right row travels as ONE struct so every attached field
+    # comes from the SAME row — per-column last(..., ignorenulls=True) would
+    # back-fill a NULL field of the matched row from an older right row,
+    # stitching together a row that never existed (true as-of semantics
+    # attach one whole row, NULL fields included)
+    row_struct = F.struct(*[F.col(c) for c in value_cols])
+    struct_type = right.select(row_struct.alias("__rrow")).schema["__rrow"].dataType
 
+    l_tagged = (
+        left.withColumn("__ats", F.col(left_ts))
+        .withColumn("__src", F.lit(1))
+        .withColumn("__rrow", F.lit(None).cast(struct_type))
+    )
     r_tagged = right.select(
         F.col(by),
         F.col(right_ts).alias("__ats"),
-        *[F.col(c).alias(oc) for c, oc in zip(value_cols, out_cols)],
+        row_struct.alias("__rrow"),
     ).withColumn("__src", F.lit(0))
     for c in left.columns:
         if c != by:
@@ -67,6 +76,12 @@ def asof_join(
     filled = unioned.select(
         *[c for c in left.columns],
         "__src",
-        *[F.last(oc, ignorenulls=True).over(w).alias(oc) for oc in out_cols],
+        F.last("__rrow", ignorenulls=True).over(w).alias("__rrow"),
     )
-    return filled.filter(F.col("__src") == 1).drop("__src")
+    return (
+        filled.filter(F.col("__src") == 1)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"__rrow.{c}").alias(oc) for c, oc in zip(value_cols, out_cols)],
+        )
+    )

@@ -51,10 +51,14 @@ def portable_shard(key: Column, partitions: int) -> Column:
 
 
 def portable_shard_sql(key_expr: str, partitions: int) -> str:
-    """DuckDB SQL fragment computing the identical shard id."""
-    return (
-        f"(((CAST({key_expr} AS BIGINT) % {_REDUCE}) * {_MULT}) % {_PRIME}) % {partitions}"
-    )
+    """DuckDB SQL fragment computing the identical shard id.
+
+    DuckDB's ``%`` is sign-preserving while Spark's ``pmod`` is non-negative,
+    so the first modulo is wrapped pmod-style (``(x % m + m) % m``) to agree
+    on negative keys; every later operand is already non-negative.
+    """
+    inner = f"((CAST({key_expr} AS BIGINT) % {_REDUCE}) + {_REDUCE}) % {_REDUCE}"
+    return f"(({inner} * {_MULT}) % {_PRIME}) % {partitions}"
 
 
 def with_shard(df: DataFrame, key: str, partitions: int, out: str = "shard") -> DataFrame:

@@ -97,10 +97,16 @@ def stream_rollup(
     # tumbling by default (W2: reference parity); ``slide`` opts into sliding
     # windows — an extension (each event lands in width/slide windows, so
     # state and output scale by that factor; keep slide a divisor of width)
+    #
+    # F.window aligns to the Unix epoch (1970-01-01, a Thursday); WEEK buckets
+    # must start on Monday to agree with Granularity.truncate /
+    # date_trunc('week') and the sink's g= layout, so shift alignment by the
+    # 4 days between epoch and the first Monday (1970-01-05).
+    start = "345600 seconds" if gran.segment_granularity.name == "WEEK" else None
     if slide is not None:
-        win = F.window(F.col(ts_out), f"{secs} seconds", slide)
+        win = F.window(F.col(ts_out), f"{secs} seconds", slide, start)
     else:
-        win = F.window(F.col(ts_out), f"{secs} seconds")
+        win = F.window(F.col(ts_out), f"{secs} seconds", f"{secs} seconds", start)
 
     if not gran.rollup:
         # A12: no aggregation — append raw rows tagged with their bucket

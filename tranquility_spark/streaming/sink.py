@@ -86,6 +86,27 @@ class SegmentSink:
     def _marker_path(self, batch_id: int) -> str:
         return f"{self.root}/_batches/{self.datasource}-{batch_id}"
 
+    def max_batch_id(self) -> int:
+        """Highest committed batch id for this datasource (0 if none).
+
+        Lets a restarting driver-side producer (``Tranquilizer``) resume its
+        batch-id sequence past the previous run's markers instead of colliding
+        with them — a collision would make ``write_batch`` silently skip live
+        data as "already committed". Streaming queries don't need this: their
+        batch ids come from the checkpoint, where a replayed id really IS the
+        same batch.
+        """
+        base = f"{self.root}/_batches"
+        if not os.path.isdir(base):
+            return 0
+        prefix = f"{self.datasource}-"
+        ids = [
+            int(name[len(prefix):])
+            for name in os.listdir(base)
+            if name.startswith(prefix) and name[len(prefix):].isdigit()
+        ]
+        return max(ids, default=0)
+
     # -- the foreachBatch body ---------------------------------------------
 
     def write_batch(self, df: DataFrame, batch_id: int) -> int:

@@ -37,8 +37,13 @@ def _ewma_update(
     else:
         n, ewma = 0, math.nan
 
-    for pdf in pdfs:
-        for v in pdf.sort_values("ts")["value"]:
+    # a key group may arrive as several Arrow chunks in arbitrary order —
+    # concatenate ALL chunks before sorting, or the order-dependent fold
+    # becomes nondeterministic across chunk boundaries for large groups
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        merged = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        for v in merged.sort_values("ts")["value"]:
             ewma = float(v) if n == 0 else alpha * float(v) + (1 - alpha) * ewma
             n += 1
 

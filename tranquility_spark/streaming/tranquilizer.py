@@ -62,7 +62,12 @@ class Tranquilizer:
         self.window_period = window_period
         self.clock = clock
         self._buffer: list[tuple[dict, Future]] = []
-        self._batch_id = 0
+        # Resume past any batch markers a previous run left in the sink:
+        # _batch_id is in-memory, but SegmentSink.write_batch skips ids whose
+        # marker exists — starting from 0 after a daemon restart would make
+        # early flushes collide with the old run's markers and be silently
+        # discarded while their futures still resolved sent=True.
+        self._batch_id = beam.max_batch_id() if hasattr(beam, "max_batch_id") else 0
         self.sent_count = 0
         self.dropped_count = 0
 
