@@ -1,0 +1,97 @@
+"""KMV/theta sketch: accuracy bounds, exact mergeability, set-op estimates.
+
+These are the quantitative quality bounds for the rows-only entries
+a11c_theta_setops_approx / a11d_sketch_merge_rollup (VERDICT round-2 ask #3/#4
+pattern: every no_oracle entry cites a numeric test against an exact twin).
+"""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from tranquility_spark.catalog import CATALOG
+from tranquility_spark.operators.sketch import kmv_merge, kmv_sketch, theta_set_ops
+
+
+def _ids(spark, lo, hi, label):
+    return spark.range(lo, hi).select(
+        F.lit(label).alias("grp"), F.concat(F.lit("id_"), F.col("id")).alias("v")
+    )
+
+
+def test_kmv_exact_below_k(spark):
+    # groups with < k distinct values are EXACT (theta == 1)
+    df = _ids(spark, 0, 100, "a")
+    row = kmv_sketch(df, ["grp"], "v", k=256).collect()[0]
+    assert row["theta"] == 1.0
+    assert row["est"] == 100.0
+    assert len(row["kmv"]) == 100
+
+
+def test_kmv_accuracy_above_k(spark):
+    # 20k distinct values, k=256 → RSE ≈ 1/sqrt(254) ≈ 6.3%; deterministic
+    # (seedless xxhash64), assert within 4·RSE = 25%
+    n, k = 20_000, 256
+    df = _ids(spark, 0, n, "a")
+    row = kmv_sketch(df, ["grp"], "v", k=k).collect()[0]
+    rse = 1.0 / math.sqrt(k - 2)
+    assert abs(row["est"] - n) / n < 4 * rse
+    assert len(row["kmv"]) == k
+    assert row["theta"] == row["kmv"][k - 1]
+
+
+def test_kmv_merge_identical_to_direct(spark):
+    # the mergeability contract: per-part partial sketches merged == direct
+    # sketch of the union, bit-for-bit (values, theta, estimate)
+    n, k = 20_000, 128
+    df = _ids(spark, 0, n, "a").withColumn("part", F.pmod(F.xxhash64("v"), F.lit(7)))
+    direct = kmv_sketch(df, ["grp"], "v", k=k).collect()[0]
+    partials = kmv_sketch(df, ["grp", "part"], "v", k=k)
+    merged = kmv_merge(partials, ["grp"], k=k).collect()[0]
+    assert merged["kmv"] == direct["kmv"]
+    assert merged["theta"] == direct["theta"]
+    assert merged["est"] == direct["est"]
+
+
+def test_theta_set_ops_accuracy(spark):
+    # A = [0, 10k), B = [6k, 16k): |A∩B| = 4k, |A∪B| = 16k, |A\B| = 6k
+    k = 256
+    a = kmv_sketch(_ids(spark, 0, 10_000, "a"), ["grp"], "v", k=k).drop("grp")
+    b = kmv_sketch(_ids(spark, 6_000, 16_000, "b"), ["grp"], "v", k=k).drop("grp")
+    row = theta_set_ops(a, b).collect()[0]
+    rse = 1.0 / math.sqrt(k - 2)
+    # union uses ~2k samples; intersection error scales with union size —
+    # standard theta behavior, so give the intersection the union's absolute
+    # error budget (4·RSE of |A∪B|)
+    assert abs(row["union_est"] - 16_000) / 16_000 < 4 * rse
+    assert abs(row["inter_est"] - 4_000) < 4 * rse * 16_000
+    assert abs(row["a_only_est"] - 6_000) < 4 * rse * 16_000
+
+
+def test_a11c_matches_exact_twin(spark, sf_dir):
+    # on testdata the click/error user sets are below k → estimates EXACT
+    approx = CATALOG["a11c_theta_setops_approx"].fn(spark, sf_dir).collect()[0]
+    exact = CATALOG["a11b_distinct_set_ops"].fn(spark, sf_dir).collect()[0]
+    assert approx["both_types_est"] == pytest.approx(exact["both_types"])
+    assert approx["either_type_est"] == pytest.approx(exact["either_type"])
+    assert approx["click_only_est"] == pytest.approx(exact["click_only"])
+
+
+def test_a11d_matches_exact_distinct(spark, sf_dir):
+    from tranquility_spark.sources.files import load_table
+
+    got = {
+        r["event_type"]: r["uniq_users_est"]
+        for r in CATALOG["a11d_sketch_merge_rollup"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rse = 1.0 / math.sqrt(254)
+    for et, n in exact.items():
+        assert abs(got[et] - n) / n < 4 * rse

@@ -518,3 +518,87 @@ def flagship_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from tranquility_spark import catalog_llm  # noqa: E402,F401
 from tranquility_spark import catalog_relational  # noqa: E402,F401
+from tranquility_spark import catalog_sketch  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# Driver-window rotation. The correctness driver certifies the FIRST 50 keys
+# of ``queries()`` in dict order each round. Rounds 1–2 certified the original
+# first 50; the entries below (the full relational-extension surface plus the
+# round-3 additions) had only judge-side verification, so round 3 rotates them
+# to the front. Certification ledger:
+#   - r01/r02 driver-green: the 50 keys that now TRAIL this list
+#     (p1..j2 in the original order — see CORRECTNESS_r01/r02.json).
+#   - r03 window (this list): j3..w4_ntile + round-3 additions.
+# The rotation only permutes dict order; every key keeps the same fn/oracle,
+# so previously recorded certifications remain valid.
+# ---------------------------------------------------------------------------
+
+_R03_DRIVER_WINDOW = [
+    # 28 relational-extension entries never yet in a driver window
+    "j3_anti_join",
+    "j4_asof_last_event",
+    "j5_range_join_bucketed",
+    "j6_asof_join_two_table",
+    "w1_rank_in_partition",
+    "w2_lag_lead_gap",
+    "w3_running_total",
+    "w4_ntile_cume_dist",
+    "s1_topk",
+    "set1_set_ops",
+    "f1_string_functions",
+    "f2_date_functions",
+    "f3_math_functions",
+    "f4_conditional_null",
+    "f5_array_functions",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    "mv1_multivalue_dim_rollup",
+    "p8_flatten_spec",
+    "a11b_distinct_set_ops",
+]
+
+
+def _rotate_driver_window() -> None:
+    lead = [k for k in _R03_DRIVER_WINDOW if k in CATALOG]
+    # round-3 additions (registered after the r02 snapshot) join the window
+    lead += [k for k in CATALOG if k not in lead and k not in _R02_CERTIFIED]
+    ordered = {k: CATALOG[k] for k in lead}
+    for k, v in list(CATALOG.items()):
+        ordered.setdefault(k, v)
+    CATALOG.clear()
+    CATALOG.update(ordered)
+
+
+_R02_CERTIFIED = frozenset(
+    {
+        "p1_json_parse", "p3_ts_extract", "p4_projection", "p5_schemaless",
+        "p6_window_filter", "p7_metric_coercion", "t1_segment_bucket",
+        "t2_query_granularity", "a1_a5_rollup_core", "a6_hyperunique_exact",
+        "a6_hyperunique_approx", "a7_cardinality_exact", "a8_filtered_aggs",
+        "a9_custom_fold_agg", "a10_quantiles_exact", "a10_quantiles_approx",
+        "a11_theta_sketch_approx", "a12_rollup_disabled", "a_derived_avg",
+        "d1_hash_partition", "flagship_hourly_rollup", "dd1_exact_dedup",
+        "dd2_minhash_lsh_pairs", "dd3_simhash_signatures", "dd4_ngram_jaccard",
+        "dd5_embedding_neardup", "sim1_cosine_topk", "sim2_lsh_topk",
+        "sim3_ivf_topk", "txt1_lang_id", "txt2_quality_score",
+        "txt3_token_count", "txt4_fingerprint", "mm1_decode_features",
+        "samp1_hash_sample", "samp2_stratified_topn", "pack1_sequence_packing",
+        "dd6_contamination_overlap", "txt5_pii_redact", "txt6_repetition",
+        "txt7_quality_filter", "dd7_neardup_survivors",
+        "txt8_per_lang_quality_percentile", "pipe1_corpus_pipeline",
+        "q1_pricing_summary", "q3_shipping_priority",
+        "q5_local_supplier_volume", "q6_forecast_revenue",
+        "j1_broadcast_dim_join", "j2_semi_join",
+    }
+)
+
+_rotate_driver_window()

@@ -1,0 +1,64 @@
+"""Mergeable-sketch catalog entries (SURVEY.md §2.4 A11 approximate twin).
+
+``a11b_distinct_set_ops`` (catalog_relational) is the exact twin; the entries
+here are the approximate, MERGEABLE variants built on operators/sketch.py.
+They are deterministic (xxhash64 is seedless) but not expressible in DuckDB
+SQL (no matching hash), so they carry the documented rows-only policy; their
+quantitative accuracy and exact-merge properties are asserted in
+tests/test_sketch.py against the exact twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tranquility_spark.catalog import _t, register
+from tranquility_spark.operators.sketch import kmv_merge, kmv_sketch, theta_set_ops
+
+_K = 256
+
+
+def _event_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "error"))
+    return kmv_sketch(ev, ["event_type"], "user_id", k=_K)
+
+
+@register(
+    "a11c_theta_setops_approx",
+    None,  # deterministic but hash-based — no cross-engine SQL oracle (policy)
+    doc="A11 approximate twin: theta-sketch intersection/union/difference of "
+    "click-vs-error user sets from two k=256 KMV sketches. Raw data is "
+    "touched once (hash-agg dedup, map-side partials); the set algebra runs "
+    "on two ≤256-element arrays. RSE ≈ 1/sqrt(k-2) ≈ 6.3% — tolerance vs the "
+    "exact twin a11b asserted in tests/test_sketch.py",
+)
+def a11c_theta_setops_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sk = _event_sketches(spark, sf_dir)
+    a = sk.filter(F.col("event_type") == "click").drop("event_type")
+    b = sk.filter(F.col("event_type") == "error").drop("event_type")
+    return theta_set_ops(a, b).select(
+        F.round("inter_est", 6).alias("both_types_est"),
+        F.round("union_est", 6).alias("either_type_est"),
+        F.round("a_only_est", 6).alias("click_only_est"),
+    )
+
+
+@register(
+    "a11d_sketch_merge_rollup",
+    None,  # rows-only by the same policy; exact-merge property unit-asserted
+    doc="A11 mergeability: per-(event_type, day) partial KMV sketches merged "
+    "down to per-type distinct-user estimates — the Druid pattern of building "
+    "sketches per segment at ingest and merging at query time without "
+    "rescanning raw data. kmv_merge(partials) is BIT-identical to a direct "
+    "sketch of the raw union (asserted in tests/test_sketch.py)",
+)
+def a11d_sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    partials = kmv_sketch(ev, ["event_type", "day"], "user_id", k=_K)
+    merged = kmv_merge(partials, ["event_type"], k=_K)
+    return merged.select(
+        "event_type",
+        F.size("kmv").alias("sketch_size"),
+        F.round("est", 6).alias("uniq_users_est"),
+    ).orderBy("event_type")

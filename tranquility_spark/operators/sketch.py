@@ -1,0 +1,153 @@
+"""Mergeable KMV (k-minimum-values) distinct sketch with theta set operations.
+
+Reference parity: SURVEY.md §2.4 A11 — Druid's thetaSketch aggregator
+(org.apache.druid.query.aggregation.datasketches.theta, used via tranquility
+metricsSpec [recall]). Druid's value proposition is that sketches built per
+segment MERGE at query time and support union/intersection/difference
+estimates. ``a11b_distinct_set_ops`` is the exact twin; this module is the
+approximate, mergeable twin.
+
+Spark-first design — the whole sketch lives in built-in expressions:
+
+- build: hash each value to uniform [0,1) via ``xxhash64`` (JVM,
+  whole-stage-codegen), dedup ``(group, hash)`` with a hash aggregate
+  (map-side partials — the only pass over the raw data), then keep the k
+  smallest per group with one window (shuffle by group, in-partition sort).
+  Sketch state per group is a bounded ``array<double>`` of ≤ k values plus a
+  ``theta`` threshold — a few KB regardless of group size.
+- merge: KMV is exactly mergeable — the k smallest distinct hashes of a
+  union are a subset of the union of per-partial k smallest, so re-running
+  the k-smallest selection over exploded partial sketches reproduces the
+  sketch of the raw union BIT-FOR-BIT (asserted in tests/test_sketch.py).
+  At 100 TB this is the point: build per segment/day at ingest (raw data
+  touched once, map-side), answer distinct/set-op queries later by merging
+  kilobyte sketches — never rescanning raw data.
+- set ops: standard theta estimators. With ``theta = min(theta_a, theta_b)``
+  and ``va/vb`` the retained values below theta, every distinct element of
+  A (resp. B) with hash < theta is present in va (resp. vb), so
+
+      |A ∪ B|  ≈ |va ∪ vb|          / theta
+      |A ∩ B|  ≈ |va ∩ vb|          / theta
+      |A \\ B| ≈ |va except vb|     / theta
+
+  computed with ``array_union/array_intersect/array_except`` — pure JVM.
+
+Accuracy: the KMV estimator (k-1)/theta has relative standard error
+≈ 1/sqrt(k-2) (Beyer et al., "On Synopses for Distinct-Value Estimation
+Under Multiset Operations", SIGMOD'07). k=256 → ~6.3%; intersection error
+grows as the true intersection shrinks relative to the union (standard theta
+behavior). Groups with fewer than k distinct values have theta=1 and are
+EXACT. Bounds are asserted in tests/test_sketch.py.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_K = 256
+
+# xxhash64 spans the full signed 64-bit range; /2^64 + 0.5 maps it onto
+# [0, 1). The double rounding loses the low ~11 bits — irrelevant for
+# k ≤ 2^20 sketches (collision probability ~k²/2^53).
+_TWO_64 = float(2**64)
+
+
+def hash01(col) -> F.Column:
+    """Uniform [0,1) hash of a column (JVM xxhash64, codegen-friendly)."""
+    return (F.xxhash64(col).cast("double") / F.lit(_TWO_64)) + F.lit(0.5)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Per-group KMV sketch: ``group_cols…, kmv array<double>, theta, est``.
+
+    One hash-aggregate over the raw data (map-side combined), one window on
+    the bounded distinct-hash set. est is exact when the group has < k
+    distinct values.
+    """
+    g = list(group_cols)
+    hashed = df.select(*g, hash01(F.col(value_col)).alias("__h")).dropDuplicates(g + ["__h"])
+    w = Window.partitionBy(*g).orderBy("__h")
+    kept = hashed.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    sk = kept.groupBy(*g).agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
+    return sk.select(
+        *g,
+        "kmv",
+        F.when(F.size("kmv") < k, F.lit(1.0))
+        .otherwise(F.element_at("kmv", k))
+        .alias("theta"),
+    ).withColumn(
+        "est",
+        F.when(F.size("kmv") < F.lit(k), F.size("kmv").cast("double")).otherwise(
+            F.lit(float(k - 1)) / F.col("theta")
+        ),
+    )
+
+
+def kmv_merge(
+    partials: DataFrame,
+    group_cols: Sequence[str],
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Merge partial sketches (e.g. per-day) down to ``group_cols``.
+
+    Input needs ``kmv`` + ``theta`` columns. Exactly reproduces
+    ``kmv_sketch`` run on the concatenated raw data: retained values are
+    filtered to the smallest partial theta, deduped, and the k smallest kept.
+    Shuffles only sketch rows (≤ k doubles each), never raw data.
+    """
+    g = list(group_cols)
+    tmin = partials.groupBy(*g).agg(F.min("theta").alias("__tmin"))
+    vals = (
+        partials.select(*g, F.explode("kmv").alias("__h"))
+        .join(tmin, g)
+        .filter(F.col("__h") < F.col("__tmin"))
+        .dropDuplicates(g + ["__h"])
+    )
+    w = Window.partitionBy(*g).orderBy("__h")
+    kept = vals.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    sk = kept.groupBy(*g).agg(
+        F.sort_array(F.collect_list("__h")).alias("kmv"),
+        F.min("__tmin").alias("__tmin"),
+    )
+    return sk.select(
+        *g,
+        "kmv",
+        F.when(F.size("kmv") < k, F.col("__tmin"))
+        .otherwise(F.element_at("kmv", k))
+        .alias("theta"),
+    ).withColumn(
+        "est",
+        F.when(
+            F.size("kmv") < F.lit(k),
+            F.size("kmv").cast("double") / F.col("theta"),
+        ).otherwise(F.lit(float(k - 1)) / F.col("theta")),
+    )
+
+
+def theta_set_ops(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Theta-sketch set-operation estimates between two single-row sketches.
+
+    Returns one row: ``inter_est, union_est, a_only_est`` (doubles). Both
+    inputs must be 1-row frames with ``kmv`` + ``theta`` (crossJoin of two
+    single rows — the same broadcast-of-one-row pattern as the cosine query
+    probe, not a data-scale cartesian).
+    """
+    a = sketch_a.select(F.col("kmv").alias("kmv_a"), F.col("theta").alias("theta_a"))
+    b = sketch_b.select(F.col("kmv").alias("kmv_b"), F.col("theta").alias("theta_b"))
+    joined = a.crossJoin(F.broadcast(b))
+    theta = F.least("theta_a", "theta_b")
+    va = F.filter("kmv_a", lambda x: x < theta)
+    vb = F.filter("kmv_b", lambda x: x < theta)
+    return joined.select(
+        (F.size(F.array_intersect(va, vb)) / theta).alias("inter_est"),
+        (F.size(F.array_union(va, vb)) / theta).alias("union_est"),
+        (F.size(F.array_except(va, vb)) / theta).alias("a_only_est"),
+    )
