@@ -65,6 +65,21 @@ def test_ngram_jaccard_exact_value(spark):
     assert len(rows) == 1 and abs(rows[0]["jaccard"] - 0.5) < 1e-12
 
 
+def test_ngram_jaccard_guards_against_full_corpus_misuse(spark):
+    """The quadratic verifier must fail fast on oversized inputs instead of
+    running O(n²) at scale (allow_full_corpus / max_docs override)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} shared") for i in range(12)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_docs"):
+        dd.ngram_jaccard_pairs(df, max_docs=10)
+    # both overrides run the same plan
+    assert dd.ngram_jaccard_pairs(df, max_docs=10, allow_full_corpus=True).count() > 0
+    assert dd.ngram_jaccard_pairs(df, max_docs=100).count() > 0
+
+
 def test_simhash_near_dups_have_small_hamming(near_dup_corpus):
     sigs = {r["doc_id"]: r["simhash"] for r in dd.simhash_signatures(near_dup_corpus).collect()}
 

@@ -157,6 +157,23 @@ def test_asof_join_attaches_whole_row_not_stitched_fields(spark):
     assert row.value_asof is None
 
 
+def test_asof_join_value_column_with_dot_in_name(spark):
+    """Struct fields are accessed with getField, so a right column whose name
+    contains a dot resolves literally instead of as a nested path."""
+    import datetime as dt
+
+    from tranquility_spark.operators.asof import asof_join
+
+    T = lambda m: dt.datetime(2024, 6, 1, 12, m)  # noqa: E731
+    left = spark.createDataFrame([(1, T(30), "x")], "user_id long, ts timestamp, tag string")
+    right = (
+        spark.createDataFrame([(1, T(10), 7.5)], "user_id long, ts timestamp, v double")
+        .withColumnRenamed("v", "price.usd")
+    )
+    row = asof_join(left, right, by="user_id").first()
+    assert row["price.usd_asof"] == 7.5
+
+
 def test_portable_shard_negative_keys_match_duckdb(spark, duck):
     n = 8
     keys = [-1000, -13, -1, 0, 7, 999999]

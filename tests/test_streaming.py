@@ -611,6 +611,33 @@ def test_stream_rollup_week_buckets_align_to_monday(spark):
     assert {r["b"] for r in trunc} == starts
 
 
+def test_stream_rollup_week_with_slide_keeps_monday_alignment(spark):
+    """Sliding WEEK windows must not violate Spark's abs(startTime) < slide
+    constraint: the Monday shift is taken modulo the slide. With slide='1 day'
+    the offset is 0 (4 days % 1 day) and every window start is a midnight;
+    the Monday-starting window must be among the windows covering an event."""
+    from tranquility_spark.specs import Granularity
+
+    spec = IngestSpec(
+        datasource="wiki",
+        timestamp_spec=TimestampSpec(column="timestamp", format="iso", output="ts"),
+        dimensions_spec=DimensionsSpec(dimensions=["page"]),
+        metrics=(Count("n"),),
+        granularity_spec=GranularitySpec("WEEK", "DAY"),
+    )
+    df = spark.createDataFrame(
+        [("2024-06-01T10:00:00", "a")], "timestamp string, page string"
+    )
+    out = stream_rollup(df, spec, slide="1 day").collect()  # must not raise
+    starts = {r["segment_start"] for r in out}
+    assert len(starts) == 7  # width/slide windows cover the event
+    assert dt.datetime(2024, 5, 27) in starts  # the Monday-aligned week
+    trunc = df.select(
+        Granularity("WEEK").truncate(F.to_timestamp("timestamp")).alias("b")
+    ).first()["b"]
+    assert trunc in starts
+
+
 def test_ewma_update_orders_across_chunks():
     """A key group split across Arrow chunks must fold in global ts order."""
     import pandas as pd

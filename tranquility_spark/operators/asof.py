@@ -24,6 +24,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _colq(name: str) -> F.Column:
+    """Backtick-quoted column reference: names with dots resolve literally
+    (F.col / string selects parse dots as nested-field paths)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -48,7 +54,7 @@ def asof_join(
     # back-fill a NULL field of the matched row from an older right row,
     # stitching together a row that never existed (true as-of semantics
     # attach one whole row, NULL fields included)
-    row_struct = F.struct(*[F.col(c) for c in value_cols])
+    row_struct = F.struct(*[_colq(c) for c in value_cols])
     struct_type = right.select(row_struct.alias("__rrow")).schema["__rrow"].dataType
 
     l_tagged = (
@@ -74,14 +80,16 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        *[c for c in left.columns],
+        *[_colq(c) for c in left.columns],
         "__src",
         F.last("__rrow", ignorenulls=True).over(w).alias("__rrow"),
     )
     return (
         filled.filter(F.col("__src") == 1)
         .select(
-            *[c for c in left.columns],
-            *[F.col(f"__rrow.{c}").alias(oc) for c, oc in zip(value_cols, out_cols)],
+            *[_colq(c) for c in left.columns],
+            # getField (not a parsed "__rrow.c" path) so value columns whose
+            # names contain dots resolve literally
+            *[F.col("__rrow").getField(c).alias(oc) for c, oc in zip(value_cols, out_cols)],
         )
     )

@@ -204,14 +204,26 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     min_jaccard: float = 0.0,
     shingle_k: int = 1,
+    max_docs: int = 100_000,
+    allow_full_corpus: bool = False,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard for all co-occurring pairs (the dedup verifier).
 
     Distributed as: explode distinct k-word shingles → join on shingle
-    (co-occurrence) → count intersections → join per-doc set sizes. On huge
-    corpora, run it only on LSH candidates or a key-range slice — the caller
-    controls the input df.
+    (co-occurrence) → count intersections → join per-doc set sizes. The
+    co-occurrence join is QUADRATIC in documents-per-shared-shingle — this is
+    a VERIFIER for LSH candidates or a key-range slice, not a corpus-scale
+    dedup. To fail fast instead of running O(n²) at 100 TB, inputs larger
+    than ``max_docs`` raise unless ``allow_full_corpus=True`` (the probe is a
+    ``limit(max_docs+1).count()`` — bounded scan, never a full count).
     """
+    if not allow_full_corpus and df.limit(max_docs + 1).count() > max_docs:
+        raise ValueError(
+            f"ngram_jaccard_pairs input exceeds max_docs={max_docs}: this "
+            "operator is a quadratic pairwise verifier meant for LSH "
+            "candidate sets (see minhash_lsh_pairs). Pass a candidate slice, "
+            "raise max_docs, or set allow_full_corpus=True to override"
+        )
     grams = (
         F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
         if shingle_k == 1

@@ -59,6 +59,26 @@ def granularity_window_seconds(gran: Granularity) -> int:
     return _FIXED_SECONDS[gran.name]
 
 
+def _interval_seconds(interval: str) -> int:
+    """Whole seconds in a Spark interval string like '1 day' / '30 minutes'.
+
+    Used to keep window startTime inside Spark's abs(start) < slide
+    constraint for sliding WEEK windows.
+    """
+    import pandas as pd
+
+    try:
+        secs = pd.to_timedelta(interval).total_seconds()
+    except ValueError as exc:
+        raise ValueError(
+            f"cannot parse slide interval {interval!r}; use a pandas-parsable "
+            "duration like '1 day' or '3600 seconds'"
+        ) from exc
+    if secs <= 0 or secs != int(secs):
+        raise ValueError(f"slide interval {interval!r} must be a positive whole-second duration")
+    return int(secs)
+
+
 def stream_rollup(
     stream_df: DataFrame,
     spec: IngestSpec,
@@ -101,8 +121,19 @@ def stream_rollup(
     # F.window aligns to the Unix epoch (1970-01-01, a Thursday); WEEK buckets
     # must start on Monday to agree with Granularity.truncate /
     # date_trunc('week') and the sink's g= layout, so shift alignment by the
-    # 4 days between epoch and the first Monday (1970-01-05).
-    start = "345600 seconds" if gran.segment_granularity.name == "WEEK" else None
+    # 4 days between epoch and the first Monday (1970-01-05). Spark requires
+    # abs(startTime) < slideDuration, so for sliding WEEK windows the shift is
+    # taken modulo the slide (same alignment: startTime is modular by
+    # definition of the window grid). NOTE: F.window's grid is epoch/UTC-
+    # anchored while date_trunc is session-timezone; parity with the sink's
+    # g= layout assumes a UTC session (set by session.prepare(); same caveat
+    # applies to DAY buckets).
+    start = None
+    if gran.segment_granularity.name == "WEEK":
+        off = 345600
+        if slide is not None:
+            off %= _interval_seconds(slide)
+        start = f"{off} seconds"
     if slide is not None:
         win = F.window(F.col(ts_out), f"{secs} seconds", slide, start)
     else:
