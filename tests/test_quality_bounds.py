@@ -1,0 +1,185 @@
+"""Quantified quality bounds for the rows-only (no_oracle) catalog entries.
+
+Every approximate/rows-only entry cites a numeric test against its exact twin
+(VERDICT round-1 ask #3): dd2/sim3 recall tests live in
+test_dedup_similarity.py, a6/a10 tolerance in test_operators.py, a11c/a11d in
+test_sketch.py — this file covers the remainder: dd5, sim2, a11_theta, dd7,
+pipe1. All LSH constructions here are seed-fixed, so the measured recalls are
+deterministic; the asserted floors sit just below the measured values at
+sf0.001 AND sf0.01 (both recorded in comments).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tranquility_spark.catalog import CATALOG
+from tranquility_spark.operators import dedup as dd
+from tranquility_spark.operators import similarity as sim
+from tranquility_spark.sources.files import load_table
+
+
+def _exact_cosine_pairs(emb, threshold):
+    e = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda s: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(F.col(f"{s}.v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("cos", dot / (nrm("a") * nrm("b")))
+        .filter(F.col("cos") >= threshold)
+        .select("a.id", "b.id")
+    )
+
+
+def test_dd5_lsh_pairs_precision_exact_recall_bounded(spark, sf_dir):
+    """dd5: multi-table LSH pairs are a SUBSET of the exact cosine pairs
+    (precision 1.0 by construction — every candidate is cosine-verified) and
+    recall ≥ 0.65 (measured: 0.763 at sf0.001, 0.745 at sf0.01; theory for
+    8 tables × 4 planes at p≈0.61: 1-(1-p⁴)⁸ ≈ 0.70)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r[0], r[1]) for r in _exact_cosine_pairs(emb, 0.35).collect()}
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dd.embedding_neardup_pairs(
+            emb, threshold=0.35, num_planes=4, num_tables=8
+        ).collect()
+    }
+    assert got <= exact, "LSH emitted a pair below the cosine threshold"
+    assert len(exact) > 0
+    assert len(got & exact) / len(exact) >= 0.65
+
+
+def test_sim2_multiprobe_recall_bounded(spark, sf_dir):
+    """sim2 vs sim1 exact top-10: query-directed multi-probe (5 of 16
+    buckets, ~3× scan reduction) must keep recall@10 ≥ 0.4 (measured: 0.5 at
+    sf0.001, 0.4 at sf0.01 — this corpus's near-uniform embeddings are the
+    adversarial case for sign-bit LSH; sim3 IVF is the high-recall path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_top = {r["vec_id"] for r in sim.cosine_topk_self(emb, query_id=0, k=10).collect()}
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    ann = sim.lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10, num_planes=4).collect()
+    ann_top = {r["vec_id"] for r in ann}
+    assert len(exact_top & ann_top) / 10 >= 0.4
+    # and every returned cosine is genuine (scores computed exactly): the ANN
+    # result's best score cannot exceed the true best
+    best_exact = sim.cosine_topk_self(emb, query_id=0, k=1).first()["cosine"]
+    assert max(r["cosine"] for r in ann) <= best_exact + 1e-9
+
+
+def test_a11_theta_tracks_exact_distinct(spark, sf_dir):
+    """a11_theta (approx_count_distinct per day) vs exact countDistinct:
+    HLL++ default rsd 5% — assert a 15% envelope per group."""
+    ev = load_table(spark, sf_dir, "events")
+    approx = {
+        r["day"]: r["theta_users"]
+        for r in CATALOG["a11_theta_sketch_approx"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(0.15 * n, 2), f"{day}: {approx[day]} vs {n}"
+
+
+def test_dd7_survivors_are_fixed_point(spark, sf_dir):
+    """dd7: survivor selection is idempotent — re-running pair generation +
+    clustering on the survivor set yields no further merges (every remaining
+    near-dup pair was collapsed), and survivors + victims partition the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "text", "doc_id")
+    survivors = dd.neardup_survivors(docs, pairs, "doc_id")
+    n_docs, n_surv = docs.count(), survivors.count()
+    n_victims = (
+        dd.neardup_clusters(pairs).filter(F.col("id") != F.col("cluster_id")).count()
+    )
+    assert n_surv == n_docs - n_victims  # partition: survivors + victims
+
+    pairs2 = dd.minhash_lsh_pairs(survivors, "text", "doc_id")
+    survivors2 = dd.neardup_survivors(survivors, pairs2, "doc_id")
+    assert survivors2.count() == n_surv  # fixed point: nothing left to merge
+
+
+def test_pipe1_stage_counts_reconcile(spark, sf_dir):
+    """pipe1: the composed pipeline's per-language outputs reconcile with the
+    stages applied individually — totals match the survivor/sample chain and
+    packing respects the 4096-token bin capacity."""
+    from tranquility_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, neardup_survivors
+    from tranquility_spark.operators.text import hash_sample, quality_filter
+
+    out = {r["lang"]: r for r in CATALOG["pipe1_corpus_pipeline"].fn(spark, sf_dir).collect()}
+
+    docs = load_table(spark, sf_dir, "documents")
+    verdicts = quality_filter(docs).select("doc_id", "keep")
+    kept = docs.join(verdicts.filter(F.col("keep")), "doc_id").drop("keep")
+    survivors_exact = exact_dedup(kept, "text", "doc_id").select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    kept = kept.join(survivors_exact, "doc_id")
+    kept = neardup_survivors(kept, minhash_lsh_pairs(kept, "text", "doc_id"), "doc_id")
+    train = hash_sample(kept, "doc_id", 80)
+    expected = {
+        r["lang"]: (r["n"], r["toks"])
+        for r in train.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("toks"),
+        )
+        .collect()
+    }
+    assert out.keys() == expected.keys()
+    for lang, (n, toks) in expected.items():
+        assert out[lang]["n_docs"] == n, lang
+        assert out[lang]["n_tokens"] == toks, lang
+        # bins hold ≥1 doc each and never exceed capacity on average
+        assert out[lang]["n_bins"] <= n
+        assert toks <= out[lang]["n_bins"] * 4096 or n == out[lang]["n_bins"]
+
+
+def test_dd3_simhash_hamming_separates_near_dups(spark):
+    """dd3 quantitative bound: near-identical docs differ in ≤ 12 of 64
+    SimHash bits; unrelated docs differ in ≥ 20 (the standard 3-bit-per-
+    shingle-change regime) — the signature is usable as a dedup key."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river banks"),
+        (3, "completely different subject matter about quantum chromodynamics lattice gauge"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in dd.simhash_signatures(df).collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(sigs[1], sigs[2]) <= 12
+    assert ham(sigs[1], sigs[3]) >= 20
+
+
+@pytest.mark.parametrize("entry", ["a6_hyperunique_approx", "a10_quantiles_approx"])
+def test_approx_twin_rows_match_exact_twin_rows(spark, sf_dir, entry):
+    """Shape parity: each approx twin returns the same group keys as its
+    exact twin (values covered by the tolerance tests)."""
+    exact_name = {
+        "a6_hyperunique_approx": "a6_hyperunique_exact",
+        "a10_quantiles_approx": "a10_quantiles_exact",
+    }[entry]
+    a = CATALOG[entry].fn(spark, sf_dir)
+    e = CATALOG[exact_name].fn(spark, sf_dir)
+    key = a.columns[0]
+    assert {r[key] for r in a.select(key).collect()} == {
+        r[key] for r in e.select(key).collect()
+    }

@@ -103,13 +103,16 @@ def dd4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dd5_embedding_neardup",
     None,  # hyperplane LSH buckets are seed-defined — rows-only
-    doc="Embedding-cosine near-dup pairs via random-hyperplane LSH buckets + exact "
-    "cosine verify inside buckets (threshold tuned to this corpus: max off-diagonal "
-    "cosine ≈ 0.51, so 0.35 demonstrates the pipeline with non-empty output)",
+    doc="Embedding-cosine near-dup pairs via multi-table hyperplane LSH (8 tables "
+    "× 4 planes, the banding construction) + exact cosine verify on deduped "
+    "candidates. Precision exact by construction; recall floor vs the "
+    "brute-force twin asserted in tests/test_quality_bounds.py. Threshold "
+    "tuned to this corpus: max off-diagonal cosine ≈ 0.51, so 0.35 "
+    "demonstrates the pipeline with non-empty output",
 )
 def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, num_planes=4
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, num_planes=4, num_tables=8
     )
 
 
@@ -141,9 +144,13 @@ def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim2_lsh_topk",
     None,  # bucket membership is seed-defined — rows-only; recall vs sim1 asserted in tests
-    doc="ANN top-k via random-hyperplane LSH: probe only the query's bucket "
-    "(~2^planes scan reduction). On a bucket-partitioned layout the bucket filter "
-    "becomes partition pruning (IVF-style)",
+    doc="ANN top-k via query-directed multi-probe hyperplane LSH (Lv et al.): "
+    "probe the 5 of 16 buckets with the smallest flipped-margin cost → ~3× "
+    "scan reduction. On a bucket-partitioned layout the bucket IN-list "
+    "becomes partition pruning (IVF-style). This corpus (near-uniform random "
+    "embeddings, neighbors at ~60°) is the adversarial case for sign-bit LSH "
+    "— recall floor vs sim1 asserted in tests/test_quality_bounds.py; sim3 "
+    "IVF is the high-recall scale path",
 )
 def sim2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -151,7 +158,8 @@ def sim2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     ]
-    return sim.lsh_topk(emb, qvec, k=10, num_planes=4)
+    # exclude the query row itself, matching sim1's neighbor semantics
+    return sim.lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10, num_planes=4)
 
 
 _IVF_INDEX_CACHE: dict = {}

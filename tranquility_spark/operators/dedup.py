@@ -277,20 +277,29 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     num_planes: int = 8,
+    num_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via random-hyperplane LSH + exact verify.
+    """Embedding-cosine near-dup pairs via multi-table hyperplane LSH + exact verify.
 
-    Bucket key = sign bits against ``num_planes`` fixed hyperplanes (built-in
-    expressions); exact cosine is recomputed only inside buckets. At 100 TB the
-    bucket join bounds the pair explosion the same way MinHash banding does.
+    The banding construction in the embedding domain: ``num_tables``
+    independent tables, each bucketing on the sign bits of ``num_planes``
+    hyperplanes (AND over planes within a table, OR across tables — exactly
+    MinHash's band/row trade-off). Candidate recall for a pair at angular
+    collision probability p is ``1 - (1 - p^planes)^tables``; precision is
+    EXACT because candidates are verified with a true cosine before emission
+    (asserted as a subset property in tests/test_quality_bounds.py).
+
+    Scale shape: bucket keys explode ×tables but carry only (id, table,
+    bucket) — vectors do NOT travel through the bucket join; candidate pairs
+    are deduped first and vectors re-attached by two id-keyed joins, so the
+    verify cost is per CANDIDATE, not per collision. Never all-pairs.
     """
     import random
 
     dim_df = df.select(F.size(vec_col).alias("d")).limit(1).collect()
     dim = dim_df[0]["d"] if dim_df else 0
     rnd = random.Random(seed)
-    planes = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
@@ -300,24 +309,48 @@ def embedding_neardup_pairs(
             F.zip_with(v, arr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
         )
 
-    bucket = F.concat_ws("", *[(dot_const(p) >= 0).cast("int").cast("string") for p in planes])
-    sigs = df.select(F.col(id_col).alias("id"), v.alias("v"), bucket.alias("bucket"))
+    table_keys = []
+    for t in range(num_tables):
+        planes = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+        bucket = F.concat_ws(
+            "", *[(dot_const(p) >= 0).cast("int").cast("string") for p in planes]
+        )
+        table_keys.append(F.struct(F.lit(t).alias("t"), bucket.alias("bucket")))
 
-    a = sigs.alias("a")
-    b = sigs.alias("b")
+    keys = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*table_keys)).alias("tb")
+    ).select("id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+
+    a = keys.alias("a")
+    b = keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    base = df.select(F.col(id_col).alias("id"), v.alias("v"))
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(F.col(f"{side}.v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("cosine", dot / (norm("a") * norm("b")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", dot / (norm("va") * norm("vb")))
         .filter(F.col("cosine") >= threshold)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.round("cosine", 6).alias("cosine"))
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
 
 

@@ -85,24 +85,44 @@ def lsh_topk(
     id_col: str = "vec_id",
     num_planes: int = 6,
     seed: int = 42,
+    probe_hamming: int = 2,
+    num_probes: int = 5,
 ) -> DataFrame:
-    """Approximate top-k: scan only rows whose hyperplane bucket matches the
-    query's. On a partitioned-by-bucket layout this becomes partition pruning
-    (IVF): the filter is a literal equality the planner pushes to the scan."""
+    """Approximate top-k: scan only rows whose hyperplane bucket is within
+    Hamming distance ``probe_hamming`` of the query's (multi-probe LSH,
+    Lv et al. VLDB'07 — near neighbors concentrate in sign patterns one bit
+    off the query's, so probing them recovers most of the recall lost to
+    quantization at the cost of ``1 + num_planes`` of the ``2^num_planes``
+    buckets). On a partitioned-by-bucket layout the bucket IN-list becomes
+    partition pruning (IVF): a literal filter the planner pushes to the scan.
+    ``probe_hamming=0`` is classic single-probe. Probe buckets are chosen
+    query-directed: among all flip-sets up to ``probe_hamming`` bits, the
+    ``num_probes`` buckets with the smallest summed squared margins (distance
+    of the query to each flipped hyperplane) — flipping a bit the query sits
+    right on costs little, flipping a confident bit costs a lot."""
+    import itertools
     import random
 
     rnd = random.Random(seed)
     dim = len(query_vec)
     planes = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
 
-    qbits = "".join(
-        "1" if sum(q * p for q, p in zip(query_vec, plane)) >= 0 else "0" for plane in planes
-    )
+    margins = [sum(q * p for q, p in zip(query_vec, plane)) for plane in planes]
+    qbits = "".join("1" if m >= 0 else "0" for m in margins)
+    scored = []
+    for dist in range(0, probe_hamming + 1):
+        for flips in itertools.combinations(range(num_planes), dist):
+            bits = list(qbits)
+            for i in flips:
+                bits[i] = "0" if bits[i] == "1" else "1"
+            scored.append((sum(margins[i] ** 2 for i in flips), "".join(bits)))
+    scored.sort()
+    probes = {bucket for _, bucket in scored[:num_probes]}
     v = _as_double(F.col(vec_col))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         df.withColumn("__bucket", hyperplane_bucket(v, planes))
-        .filter(F.col("__bucket") == qbits)
+        .filter(F.col("__bucket").isin(sorted(probes)))
         .select(F.col(id_col), F.round(cosine(v, q), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
