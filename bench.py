@@ -40,8 +40,13 @@ HEADLINE = [
     "q18_large_orders",
     "q19_discounted_revenue",
     "j4_asof_last_event",
+    "w1_rank_in_partition",
     "w3_running_total",
+    "w4_ntile_cume_dist",
     "s1_topk",
+    "set1_set_ops",
+    "a11b_distinct_set_ops",
+    "a11c_theta_setops_approx",
     "dd1_exact_dedup",
     "dd2_minhash_lsh_pairs",
     "sim1_cosine_topk",
@@ -69,14 +74,17 @@ def main() -> None:
 
     spark.range(100).select(simhash64(F.col("id").cast("string"))).count()
 
-    # min of two runs per query: the machine is multi-tenant and transient
+    # min of three runs per query: the machine is multi-tenant and transient
     # contention inflates single runs ±35% (measured); the min is the
-    # steady-state number the plan actually costs
+    # steady-state number the plan actually costs. Three (was two in r01/r02)
+    # because sub-second entries' 2× gate margin depended on a single clean
+    # sample — methodology change re-anchored in BASELINE.md §3 per the
+    # frozen-methodology rule.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = CATALOG[name].fn
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)
