@@ -1111,3 +1111,186 @@ def w4_ntile_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w_price).alias("price_quartile"),
         F.round(F.cume_dist().over(w_qty), 6).alias("qty_cume"),
     )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol
+                               ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                 / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) AS vol,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape (literals adapted to the synthetic domains): supplier "
+    "nation's market share of ECONOMY-part revenue inside customer region "
+    "AMERICA per year. Two independent nation lineages like q7; part/"
+    "supplier/customer+nation+region all broadcast — the only shuffles are "
+    "lineitem⋈orders and the final tiny agg. Share = conditional-sum / sum "
+    "in one pass (decimal-accumulated on both engines, round 6)",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key")
+    ).select("s_suppkey", "supp_nation")
+
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.cast(_DEC).alias("vol"),
+            "supp_nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("vol")).otherwise(
+            F.lit(0).cast(_DEC)
+        )
+    ).cast("double")
+    return (
+        joined.groupBy("o_year")
+        .agg(F.round(num / F.sum("vol").cast("double"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, round(total_revenue, 6) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 shape: quarterly revenue per supplier, return the max-"
+    "revenue supplier(s). The scalar max is a two-stage tree aggregate "
+    "broadcast back over the revenue table (crossJoin of ONE row — never a "
+    "single-partition global window, which would bottleneck at millions of "
+    "suppliers); supplier dim broadcast. Revenue equality is exact because "
+    "both engines accumulate the identical decimal sum",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 6).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate >= o.o_orderdate + INTERVAL 100 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate >= o.o_orderdate + INTERVAL 100 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+    doc="TPC-H Q21 shape (late = shipped ≥100 days after order date — the "
+    "trimmed schema has no receipt/commit dates): suppliers who were the "
+    "SOLE late shipper on a multi-supplier finished order. The correlated "
+    "EXISTS / NOT-EXISTS pair decorrelates to two orderkey-grained "
+    "aggregates (distinct suppliers per order; distinct LATE suppliers per "
+    "order) joined back on orderkey — every shuffle is on orderkey, so AQE "
+    "co-locates them; no correlated per-row probing at scale",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders_f = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("__nsupp"))
+        .filter(F.col("__nsupp") >= 2)
+        .select(F.col("l_orderkey").alias("__mo"))
+    )
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("__nlate"))
+        .filter(F.col("__nlate") == 1)
+        .select(F.col("l_orderkey").alias("__so"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        late.join(multi, late.l_orderkey == F.col("__mo"), "left_semi")
+        .join(sole_late, late.l_orderkey == F.col("__so"), "left_semi")
+        .join(F.broadcast(supp), late.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
