@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tranquility_spark.catalog import _t, register
+from tranquility_spark.operators.partitioning import portable_shard_sql
 from tranquility_spark.operators import dedup as dd
 from tranquility_spark.operators import multimodal as mm
 from tranquility_spark.operators import similarity as sim
@@ -661,4 +662,82 @@ def pipe1_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("bin_id") + 1).alias("n_bins"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "txt9_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT sum(c) AS s FROM freq)
+    SELECT doc_id,
+           round(CAST(sum(CAST(round(ln(c / s), 6) AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_logprob
+    FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="Perplexity-proxy quality scoring with a SELF-TRAINED unigram LM: "
+    "corpus token frequencies -> per-doc mean log-probability (the classic "
+    "CCNet/Gopher-style LM-filter signal, minus the external model). Plan: "
+    "one explode + hash-agg builds the vocab, the scalar total broadcasts, "
+    "the token->freq join broadcasts while the vocab fits (shuffle join with "
+    "AQE skew split when it does not — stopword tokens are the skewed keys). "
+    "Per-token ln is rounded then decimal-accumulated so the per-doc mean is "
+    "order-independent cross-engine",
+)
+def txt9_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("s"))
+    lp = F.round(F.log(F.col("c") / F.col("s")), 6).cast("decimal(28,6)")
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(lp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_logprob")
+        )
+    )
+
+
+@register(
+    "samp3_weighted_sample",
+    f"""
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             round(ln(({portable_shard_sql('doc_id', 1000003)} + 0.5) / 1000003.0)
+                   / greatest(n_chars, 1), 9) AS es_key
+      FROM documents
+    )
+    ORDER BY es_key DESC, doc_id
+    LIMIT 100
+    """,
+    doc="Length-weighted sample without replacement (Efraimidis–Spirakis "
+    "A-Res): key = ln(u)/w with u from the engine-portable multiplicative "
+    "hash, take the top-100 keys. Fully deterministic and retry-stable "
+    "(depends only on doc_id), reproducible across engines — rand()-based "
+    "weighted sampling can guarantee neither. Top-k is "
+    "TakeOrderedAndProject; no global sort materializes",
+)
+def samp3_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.partitioning import portable_shard
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (portable_shard(F.col("doc_id"), 1000003) + F.lit(0.5)) / F.lit(1000003.0)
+    es_key = F.round(F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)), 9)
+    return (
+        docs.withColumn("es_key", es_key)
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(100)
+        .select("doc_id", "lang", "n_chars")
     )

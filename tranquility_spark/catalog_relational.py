@@ -1294,3 +1294,74 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+@register(
+    "agg1_grouping_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Subtotal hierarchy via ROLLUP grouping sets (the OLAP cube slice "
+    "Druid answers with nested groupBys): per-(flag,status), per-flag, and "
+    "grand-total rows in ONE aggregation — Spark expands grouping sets "
+    "inside a single hash aggregate (map-side partials), no multi-pass "
+    "re-scan. grouping_id disambiguates NULL-as-subtotal from NULL data",
+)
+def agg1_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "w5_time_range_window",
+    """
+    SELECT event_id,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS moving_sum_1h,
+           count(*) OVER w AS n_in_window
+    FROM events
+    WINDOW w AS (
+      PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc="Time-RANGE window frame (not ROWS): trailing-1-hour moving sum "
+    "per event type — the frame is defined by timestamp distance, so ties "
+    "and gaps are handled identically regardless of row order (deterministic "
+    "without a unique tie-break, unlike ROWS frames). One shuffle on the "
+    "partition key + in-partition sort; Spark's rangeBetween needs a numeric "
+    "ordering column, so both engines order by floor-epoch seconds (the "
+    "events table carries sub-second timestamps — second-granularity peers "
+    "are included as frame peers on both sides)",
+)
+def w5_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("moving_sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
