@@ -29,7 +29,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         elif df[c].dtype == object:
-            pass
+            # bytes/bytearray (binary columns) are unhashable/unsortable in
+            # pandas — normalize to hex strings for the value compare
+            if df[c].map(lambda v: isinstance(v, (bytes, bytearray))).any():
+                df[c] = df[c].map(
+                    lambda v: bytes(v).hex() if isinstance(v, (bytes, bytearray)) else v
+                )
         elif str(df[c].dtype).lower().startswith(("int", "uint")):
             df[c] = df[c].astype("int64")
         elif str(df[c].dtype).startswith("float"):

@@ -741,3 +741,68 @@ def samp3_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@register(
+    "mm2_frame_sample",
+    """
+    WITH media AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+    ),
+    f AS (
+      SELECT doc_id, text, nb,
+             least(greatest(((100 * nb) % 60000) // 1000, 1), 8) AS n
+      FROM media
+    ),
+    fr AS (
+      SELECT doc_id, text, nb, CAST(unnest(range(0, n)) AS INTEGER) AS frame_idx
+      FROM f
+    )
+    SELECT doc_id, frame_idx,
+           frame_idx * 1000 AS frame_ts_ms,
+           hex(encode(substring(text, ((frame_idx * 1000 * 13) % greatest(nb - 16, 1)) + 1, 16)))
+             AS frame_hex
+    FROM fr
+    """,
+    doc="Multimodal frame sampling: the 1→N mapInPandas fan-out a video "
+    "demuxer distributes as (typed frame schema, bounded max_frames row "
+    "amplification). Demux itself STUBBED deterministically (codec libs "
+    "absent) which makes the fan-out ORACLE-CHECKABLE — the oracle slices "
+    "text (byte==char on this ASCII corpus) where Spark slices payload "
+    "bytes; frames compare as hex digests (binary columns don't survive "
+    "the driver's pandas value-hash)",
+)
+def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    frames = mm.sample_frames(media, every_ms=1000, max_frames=8)
+    return frames.select(
+        "doc_id", "frame_idx", "frame_ts_ms", F.hex("payload").alias("frame_hex")
+    )
+
+
+@register(
+    "mm3_resize",
+    """
+    SELECT doc_id, 224 AS width, 224 AS height,
+           md5(substring(repeat(text,
+                 CAST(50176 // greatest(octet_length(encode(text)), 1) + 1 AS BIGINT)),
+               1, 50176)) AS payload_md5,
+           50176 AS n_bytes
+    FROM documents
+    """,
+    doc="Multimodal resize plumbing: fixed-size output payloads via one "
+    "narrow mapInPandas (no shuffle, linear in executors). Pixel transform "
+    "STUBBED as deterministic truncate/tile (codec libs absent) so output "
+    "size, schema and Arrow batch shape are oracle-checked; the 50 KB "
+    "payloads compare as md5 digests",
+)
+def mm3_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    resized = mm.resize_images(media, target_width=224, target_height=224)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.md5("payload").alias("payload_md5"),
+        F.octet_length("payload").alias("n_bytes"),
+    )
