@@ -512,6 +512,107 @@ def flagship_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Druid query-type analogs (the query surface a Druid user points at the
+# datasource tranquility feeds — timeBoundary / segmentMetadata / search;
+# SURVEY.md §2 notes the reference is ingest-only, these are the read-side
+# twins a migrating user needs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq1_time_boundary",
+    """
+    SELECT event_type,
+           min(epoch_ms(CAST(floor(epoch(ts)) AS BIGINT) * 1000)) AS min_time,
+           max(epoch_ms(CAST(floor(epoch(ts)) AS BIGINT) * 1000)) AS max_time,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Druid timeBoundary query analog: min/max event time per datasource "
+    "slice. Pure min/max hash agg — map-side partials, one tiny shuffle; at "
+    "100 TB on a time-partitioned layout Spark answers min/max from "
+    "partition values + footer stats without a full scan",
+)
+def dq1_time_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sec = F.date_trunc("second", F.col("ts")).cast("timestamp")
+    return ev.groupBy("event_type").agg(
+        F.min(sec).alias("min_time"),
+        F.max(sec).alias("max_time"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "dq2_segment_metadata",
+    """
+    SELECT date_trunc('hour',
+             strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
+           ) AS segment_start,
+           count(*) AS n_rows,
+           count(DISTINCT event_type) AS cardinality_event_type,
+           count(DISTINCT user_id) AS cardinality_user_id,
+           CAST(sum(strlen(props)) AS BIGINT) AS props_bytes
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Druid segmentMetadata query analog: per-segment (HOUR bucket) row "
+    "counts, per-dimension cardinalities, and payload size. One hash agg "
+    "keyed on the segment bucket; distinct-counts shuffle once on "
+    "(bucket, value). The introspection a Druid operator runs before "
+    "planning compaction/rollup changes",
+)
+def dq2_segment_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts")).alias("segment_start")
+    return (
+        ev.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("event_type").alias("cardinality_event_type"),
+            F.countDistinct("user_id").alias("cardinality_user_id"),
+            F.sum(F.octet_length("props")).alias("props_bytes"),
+        )
+        .orderBy("segment_start")
+    )
+
+
+@register(
+    "dq3_search",
+    """
+    SELECT dimension, value, count(*) AS n
+    FROM (
+      SELECT 'event_type' AS dimension, event_type AS value FROM events
+      UNION ALL
+      SELECT 'props' AS dimension, props AS value FROM events
+    )
+    WHERE contains(lower(value), 'err')
+    GROUP BY dimension, value
+    ORDER BY dimension, value
+    """,
+    doc="Druid search query analog: find dimension values containing a "
+    "case-insensitive fragment across multiple dimensions, with match "
+    "counts. Column-pruned scans unioned then hash-agged; the substring "
+    "filter is evaluated in whole-stage codegen (no UDF)",
+)
+def dq3_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    legs = [
+        ev.select(F.lit(c).alias("dimension"), F.col(c).cast("string").alias("value"))
+        for c in ("event_type", "props")
+    ]
+    unioned = legs[0].unionByName(legs[1])
+    return (
+        unioned.filter(F.lower(F.col("value")).contains("err"))
+        .groupBy("dimension", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("dimension", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Extension surfaces register themselves on import (they use `register` above,
 # so these imports must stay at the bottom of this module).
 # ---------------------------------------------------------------------------
