@@ -37,22 +37,31 @@ HEADLINE = [
     "q10_returned_items",
     "q12_priority_shipping",
     "q14_promo_revenue",
+    "q8_market_share",
+    "q15_top_supplier",
     "q18_large_orders",
     "q19_discounted_revenue",
+    "q21_waiting_suppliers",
+    "agg1_grouping_rollup",
     "j4_asof_last_event",
     "w1_rank_in_partition",
     "w3_running_total",
     "w4_ntile_cume_dist",
+    "w5_time_range_window",
     "s1_topk",
     "set1_set_ops",
     "a11b_distinct_set_ops",
     "a11c_theta_setops_approx",
+    "dq2_segment_metadata",
     "dd1_exact_dedup",
     "dd2_minhash_lsh_pairs",
     "sim1_cosine_topk",
     "sim3_ivf_topk",
     "txt2_quality_score",
     "txt4_fingerprint",
+    "txt9_unigram_logprob",
+    "samp3_weighted_sample",
+    "mm2_frame_sample",
 ]
 
 
