@@ -69,6 +69,55 @@ def test_theta_set_ops_accuracy(spark):
     assert abs(row["a_only_est"] - 6_000) < 4 * rse * 16_000
 
 
+def test_streaming_sketch_partials_merge_to_batch_sketch(spark, sf_dir, tmp_path):
+    """Druid's ingest-time sketch story end-to-end: stream micro-batches →
+    per-batch KMV partials through foreachBatch → kmv_merge at read time
+    reproduces the batch sketch of the full stream bit-for-bit."""
+    import pyspark.sql.functions as FF
+
+    from tranquility_spark.operators.sketch import sketch_partials_sink
+    from tranquility_spark.sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)  # 4 files → 4 micro-batches
+
+    out = str(tmp_path / "partials")
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            sketch_partials_sink(out, ["event_type"], "user_id", k=64)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    partials = spark.read.parquet(out)
+    assert partials.select("batch_id").distinct().count() >= 2  # really streamed
+    merged = {
+        r["event_type"]: (r["kmv"], r["theta"], r["est"])
+        for r in kmv_merge(partials, ["event_type"], k=64).collect()
+    }
+    direct = {
+        r["event_type"]: (r["kmv"], r["theta"], r["est"])
+        for r in kmv_sketch(ev, ["event_type"], "user_id", k=64).collect()
+    }
+    assert merged == direct
+    # and the estimate tracks the exact distinct count
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(FF.countDistinct("user_id").alias("n")).collect()
+    }
+    for et, n in exact.items():
+        assert abs(merged[et][2] - n) / n < 4 / math.sqrt(62)
+
+
 def test_a11c_matches_exact_twin(spark, sf_dir):
     # on testdata the click/error user sets are below k → estimates EXACT
     approx = CATALOG["a11c_theta_setops_approx"].fn(spark, sf_dir).collect()[0]

@@ -132,6 +132,36 @@ def kmv_merge(
     )
 
 
+def sketch_partials_sink(
+    out_dir: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = DEFAULT_K,
+):
+    """foreachBatch sink: append one KMV partial sketch per group per
+    micro-batch (Druid's ingest-time sketch build restated for Structured
+    Streaming — the raw stream is touched once, what lands on disk is
+    kilobytes of sketch state per group, and ``kmv_merge`` at read time
+    reproduces the batch sketch of the full stream BIT-FOR-BIT; asserted in
+    tests/test_sketch.py).
+
+    The in-batch build is plain ``kmv_sketch`` — windows are legal inside
+    foreachBatch because each micro-batch is a batch DataFrame. Append-only
+    parquet keyed by batch_id stays idempotent under Spark's foreachBatch
+    replay contract as long as the checkpoint is kept with the output.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        partials = kmv_sketch(batch_df, group_cols, value_col, k=k)
+        (
+            partials.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return write
+
+
 def theta_set_ops(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
     """Theta-sketch set-operation estimates between two single-row sketches.
 
