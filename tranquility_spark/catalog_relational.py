@@ -1365,3 +1365,89 @@ def w5_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("moving_sum_1h"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
     )
+
+
+@register(
+    "w6_sessionize_batch",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+      SELECT user_id, event_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           CAST(floor(epoch(max(ts))) AS BIGINT)
+             - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+    FROM sessioned
+    GROUP BY user_id, session_id
+    """,
+    doc="Batch sessionization (30-min inactivity gap): lag marks session "
+    "starts, running sum assigns session ids, then per-session metrics — "
+    "the batch twin of streaming stream_sessionize. ONE shuffle on user_id "
+    "serves both windows AND the final groupBy (same key prefix — Catalyst "
+    "reuses the partitioning); (ts, event_id) ordering keeps ids "
+    "deterministic under timestamp ties",
+)
+def w6_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sessioned = marked.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "duration_s"
+        ),
+    )
+
+
+@register(
+    "mv2_pivot",
+    """
+    SELECT date_trunc('day',
+             strptime(strftime(ts, '%Y-%m-%d'), '%Y-%m-%d')) AS day,
+           CAST(sum(CASE WHEN event_type = 'click'
+                         THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS click_sum,
+           CAST(sum(CASE WHEN event_type = 'view'
+                         THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS view_sum,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS purchase_sum
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Pivot (long→wide): per-day columns for selected event types. "
+    "Spark's pivot with an EXPLICIT value list compiles to conditional "
+    "aggregates inside one hash aggregate — same cost as the groupBy, no "
+    "extra pass and no collect-distinct-values stage (always pass the value "
+    "list at scale: without it Spark runs a blocking distinct job first)",
+)
+def mv2_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.sum(F.col("value").cast(_DEC)).cast("double"))
+    )
+    return piv.select(
+        "day",
+        F.col("click").alias("click_sum"),
+        F.col("view").alias("view_sum"),
+        F.col("purchase").alias("purchase_sum"),
+    )
