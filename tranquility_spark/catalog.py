@@ -612,6 +612,39 @@ def dq3_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq4_scan",
+    """
+    SELECT event_id,
+           epoch_ms(CAST(floor(epoch(ts)) AS BIGINT) * 1000) AS ts_sec,
+           event_type, user_id
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    ORDER BY ts_sec, event_id
+    LIMIT 200
+    """,
+    doc="Druid scan query analog: raw-row retrieval with column projection, "
+    "dimension filter, deterministic (ts, event_id) paging order and a "
+    "limit. Projection + filter reach the parquet scan (column pruning + "
+    "pushed predicate); the limit is TakeOrderedAndProject — per-partition "
+    "heaps, no global sort. At 100 TB time-ordered paging on a "
+    "time-partitioned layout prunes to the first partitions",
+)
+def dq4_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            F.date_trunc("second", F.col("ts")).cast("timestamp").alias("ts_sec"),
+            "event_type",
+            "user_id",
+        )
+        .orderBy("ts_sec", "event_id")
+        .limit(200)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension surfaces register themselves on import (they use `register` above,
 # so these imports must stay at the bottom of this module).
