@@ -153,6 +153,34 @@ def test_pipe1_stage_counts_reconcile(spark, sf_dir):
         assert toks <= out[lang]["n_bins"] * 4096 or n == out[lang]["n_bins"]
 
 
+def test_ivf_partitioned_layout_prunes_probe_scan(spark, sf_dir, tmp_path):
+    """The sim3 100 TB serving claim, demonstrated: write the corpus
+    partitionBy(centroid_id), probe with a centroid filter, and the scan's
+    PartitionFilters prune to the probed inverted lists (no full-corpus
+    read); results equal the unpartitioned probe."""
+    from tranquility_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+        with_centroid_id,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_centroids=8)
+    out = str(tmp_path / "ivf")
+    with_centroid_id(emb, cents).write.partitionBy("centroid_id").parquet(out)
+
+    indexed = spark.read.parquet(out)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    probe = ivf_topk(indexed, qvec, k=10, nprobe=2, n_centroids=8, centroids=cents)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:200]
+    baseline = ivf_topk(emb, qvec, k=10, nprobe=2, n_centroids=8, centroids=cents)
+    assert [tuple(r) for r in probe.collect()] == [tuple(r) for r in baseline.collect()]
+
+
 def test_dd3_simhash_hamming_separates_near_dups(spark):
     """dd3 quantitative bound: near-identical docs differ in ≤ 12 of 64
     SimHash bits; unrelated docs differ in ≥ 20 (the standard 3-bit-per-

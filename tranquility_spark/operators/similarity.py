@@ -227,7 +227,11 @@ def ivf_topk(
 
     probe = sorted(range(len(cents)), key=lambda i: -cos_q(cents[i]))[:nprobe]
 
-    assigned = with_centroid_id(df, cents, vec_col)
+    # if the input already carries centroid_id (an IVF-partitioned layout),
+    # filter on the EXISTING column — a literal IN-filter the planner turns
+    # into partition pruning. Re-deriving it through the assignment UDF would
+    # force a full scan (UDF outputs can't prune partitions).
+    assigned = df if "centroid_id" in df.columns else with_centroid_id(df, cents, vec_col)
     v = _as_double(F.col(vec_col))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
