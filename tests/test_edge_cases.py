@@ -141,3 +141,87 @@ def test_segment_read_partition_pruning(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(g" in plan
     assert pruned.count() == 1
+
+
+def test_kmv_sketch_empty_and_single_value(spark):
+    """Empty input → empty sketch table; single distinct value → exact est 1,
+    theta 1 (the below-k exactness contract at its minimum)."""
+    from tranquility_spark.operators.sketch import kmv_sketch, theta_set_ops
+
+    empty = spark.createDataFrame([], "grp string, v string")
+    assert kmv_sketch(empty, ["grp"], "v", k=16).count() == 0
+
+    one = spark.createDataFrame([("a", "x"), ("a", "x")], "grp string, v string")
+    row = kmv_sketch(one, ["grp"], "v", k=16).collect()[0]
+    assert row["est"] == 1.0 and row["theta"] == 1.0 and len(row["kmv"]) == 1
+
+    # set ops of a sketch with itself: intersection == union == the set
+    sk = kmv_sketch(one, ["grp"], "v", k=16).drop("grp")
+    ops = theta_set_ops(sk, sk).collect()[0]
+    assert ops["inter_est"] == 1.0 and ops["union_est"] == 1.0 and ops["a_only_est"] == 0.0
+
+
+def test_sessionize_batch_single_event_and_exact_gap(spark, sf_dir):
+    """A lone event forms session 1 with duration 0; a gap of exactly 1800 s
+    does NOT split (threshold is strictly greater-than)."""
+    import datetime as dt
+
+    from tranquility_spark.catalog import CATALOG
+
+    # reuse the entry's logic on a crafted frame via the same operators
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    T = lambda s: dt.datetime(2024, 6, 1, 12, 0, 0) + dt.timedelta(seconds=s)  # noqa: E731
+    ev = spark.createDataFrame(
+        [(1, 10, T(0)), (1, 11, T(1800)), (2, 20, T(0))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = FF.col("ts").cast("long") - FF.lag(FF.col("ts").cast("long")).over(w)
+    sessions = (
+        ev.withColumn("new_sess", FF.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn(
+            "session_id",
+            FF.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(FF.count(FF.lit(1)).alias("n"))
+        .collect()
+    )
+    got = {(r["user_id"], r["session_id"]): r["n"] for r in sessions}
+    assert got == {(1, 1): 2, (2, 1): 1}  # 1800s gap stays one session
+
+
+def test_pivot_missing_value_yields_null_column(spark):
+    """Pivot with an explicit value list emits NULL (not a dropped column)
+    for types absent from the data — schema is stable regardless of data."""
+    import datetime as dt
+
+    from pyspark.sql import functions as FF
+
+    ev = spark.createDataFrame(
+        [(dt.datetime(2024, 6, 1, 1), "click", 1.5)],
+        "ts timestamp, event_type string, value double",
+    )
+    piv = (
+        ev.groupBy(FF.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", ["click", "view"])
+        .agg(FF.sum("value"))
+        .collect()[0]
+    )
+    assert piv["click"] == 1.5 and piv["view"] is None
+
+
+def test_weighted_sample_zero_weight_guard(spark):
+    """samp3's greatest(w, 1) floor: zero/negative token counts can't divide
+    by zero or flip the key sign."""
+    from pyspark.sql import functions as FF
+
+    from tranquility_spark.operators.partitioning import portable_shard
+
+    df = spark.createDataFrame([(1, 0), (2, -5), (3, 10)], "doc_id long, n_chars int")
+    u = (portable_shard(FF.col("doc_id"), 1000003) + FF.lit(0.5)) / FF.lit(1000003.0)
+    key = FF.round(FF.log(u) / FF.greatest(FF.col("n_chars"), FF.lit(1)), 9)
+    rows = df.withColumn("k", key).collect()
+    assert all(r["k"] < 0 for r in rows)  # ln(u)<0, weight floor keeps sign
