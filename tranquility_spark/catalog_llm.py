@@ -806,3 +806,42 @@ def mm3_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("payload").alias("payload_md5"),
         F.octet_length("payload").alias("n_bytes"),
     )
+
+
+@register(
+    "txt10_top_tokens",
+    """
+    SELECT tok, n_docs, n_total
+    FROM (
+      SELECT tok,
+             count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_total
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents)
+      GROUP BY tok
+    )
+    ORDER BY n_total DESC, tok
+    LIMIT 20
+    """,
+    doc="Top-K frequent tokens (document + total frequency) — the exact "
+    "twin of a SpaceSaving/heavy-hitters sketch and the vocabulary-"
+    "inspection step before stopword/boilerplate filtering. Explode → one "
+    "hash agg (map-side partials; distinct-doc count shuffles on "
+    "(tok, doc)) → TakeOrderedAndProject for the top-20. At open-web scale "
+    "cap with a frequency floor before the distinct to bound the shuffle",
+)
+def txt10_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy(F.col("n_total").desc(), "tok")
+        .limit(20)
+    )

@@ -1451,3 +1451,43 @@ def mv2_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view").alias("view_sum"),
         F.col("purchase").alias("purchase_sum"),
     )
+
+
+@register(
+    "mv3_unpivot",
+    """
+    SELECT day, metric, value
+    FROM (
+      SELECT date_trunc('day',
+               strptime(strftime(ts, '%Y-%m-%d'), '%Y-%m-%d')) AS day,
+             CAST(sum(CASE WHEN event_type = 'click'
+                           THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS click_sum,
+             CAST(sum(CASE WHEN event_type = 'view'
+                           THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS view_sum
+      FROM events
+      GROUP BY 1
+    )
+    UNPIVOT (value FOR metric IN (click_sum, view_sum))
+    """,
+    doc="Unpivot (wide→long), the inverse of mv2: melt per-day metric "
+    "columns back into (metric, value) rows. Spark's unpivot is a zero-"
+    "shuffle Expand node — each input row fans out to one row per metric "
+    "in place; the only shuffle is the upstream aggregate. NULL cells are "
+    "dropped by both engines (UNPIVOT default ≡ Spark melt without "
+    "includeNulls)",
+)
+def mv3_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", ["click", "view"])
+        .agg(F.sum(F.col("value").cast(_DEC)).cast("double"))
+        .select(
+            "day",
+            F.col("click").alias("click_sum"),
+            F.col("view").alias("view_sum"),
+        )
+    )
+    return wide.unpivot("day", ["click_sum", "view_sum"], "metric", "value").filter(
+        F.col("value").isNotNull()
+    )
