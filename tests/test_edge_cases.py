@@ -225,3 +225,23 @@ def test_weighted_sample_zero_weight_guard(spark):
     key = FF.round(FF.log(u) / FF.greatest(FF.col("n_chars"), FF.lit(1)), 9)
     rows = df.withColumn("k", key).collect()
     assert all(r["k"] < 0 for r in rows)  # ln(u)<0, weight floor keeps sign
+
+
+def test_druid_query_analog_plans(spark, sf_dir):
+    """dq5/dq6/dq7 plan shapes: the interval + dimension filters reach the
+    parquet scan, and the metric-ranked limits compile to
+    TakeOrderedAndProject (per-partition heaps), never a global Sort."""
+    from tranquility_spark.catalog import CATALOG
+
+    ts_plan = (
+        CATALOG["dq5_timeseries"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters:" in ts_plan and "IsNotNull(ts)" in ts_plan
+
+    for name in ("dq6_topn", "dq7_groupby_having"):
+        plan = (
+            CATALOG[name].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan, name

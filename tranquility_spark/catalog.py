@@ -645,6 +645,116 @@ def dq4_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq5_timeseries",
+    """
+    SELECT date_trunc('hour',
+             strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
+           ) AS bucket_start,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS uniq_users,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+      AND event_type <> 'error'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Druid timeseries query analog: granularity-bucketed aggregates plus "
+    "a post-aggregation (avg = sum/count) over a filtered interval. The "
+    "interval predicate and dimension filter reach the parquet scan (pushed "
+    "filters); the agg is one hash agg with map-side partials keyed on the "
+    "hour bucket. At 100 TB a time-partitioned layout prunes the interval "
+    "to the touched partitions before any task launches",
+)
+def dq5_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dec_sum = F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+            & (F.col("event_type") != "error")
+        )
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum.alias("sum_value"),
+            F.countDistinct("user_id").alias("uniq_users"),
+            (dec_sum / F.count(F.lit(1))).alias("avg_value"),
+        )
+        .orderBy("bucket_start")
+    )
+
+
+@register(
+    "dq6_topn",
+    """
+    SELECT user_id,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           count(*) AS n
+    FROM events
+    WHERE event_type IN ('click', 'purchase', 'view')
+    GROUP BY user_id
+    ORDER BY sum_value DESC, user_id
+    LIMIT 25
+    """,
+    doc="Druid topN query analog (exact): top-K dimension values ranked by a "
+    "metric aggregate, with a unique-key tie-break. Hash agg then "
+    "TakeOrderedAndProject — per-partition heaps of K rows, no global sort. "
+    "Druid's native topN is approximate (per-segment topK then merge); this "
+    "entry is the exact semantics a migrating user gets for free on Spark, "
+    "at the same two-exchange cost Druid pays",
+)
+def dq6_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("click", "purchase", "view"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.col("sum_value").desc(), "user_id")
+        .limit(25)
+    )
+
+
+@register(
+    "dq7_groupby_having",
+    """
+    SELECT event_type, user_id,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type, user_id
+    HAVING count(*) >= 3
+    ORDER BY sum_value DESC, event_type, user_id
+    LIMIT 100
+    """,
+    doc="Druid groupBy query analog: multi-dimension grouping with a "
+    "havingSpec (count >= 3) and a limitSpec (metric-descending, K=100, "
+    "deterministic tie-break). One shuffle on the full grouping key with "
+    "map-side partials; the HAVING is a post-agg filter (no second pass) "
+    "and the limit is TakeOrderedAndProject. The third core Druid query "
+    "type alongside timeseries (dq5) and topN (dq6)",
+)
+def dq7_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .filter(F.col("n") >= 3)
+        .orderBy(F.col("sum_value").desc(), "event_type", "user_id")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension surfaces register themselves on import (they use `register` above,
 # so these imports must stay at the bottom of this module).
