@@ -53,6 +53,9 @@ HEADLINE = [
     "a11b_distinct_set_ops",
     "a11c_theta_setops_approx",
     "dq2_segment_metadata",
+    "dq5_timeseries",
+    "dq6_topn",
+    "dq7_groupby_having",
     "dd1_exact_dedup",
     "dd2_minhash_lsh_pairs",
     "sim1_cosine_topk",
