@@ -245,3 +245,57 @@ def test_druid_query_analog_plans(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_chunking_boundaries(spark):
+    """Empty text -> one empty chunk (no silent doc drop); exact-stride
+    lengths don't emit a phantom empty trailing chunk; overlap is
+    chunk_size - stride."""
+    from tranquility_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "x" * 150), (3, "x" * 151), (4, "a" * 200 + "b" * 100)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_size=200, stride=150)
+    by_doc = {r["doc_id"]: r for r in out.groupBy("doc_id").count().collect()}
+    assert by_doc[1]["count"] == 1  # empty doc still emits one chunk
+    assert by_doc[2]["count"] == 1  # len == stride: no phantom 2nd chunk
+    assert by_doc[3]["count"] == 2  # one char past stride opens chunk 1
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    assert rows[(1, 0)]["chunk"] == "" and rows[(1, 0)]["chunk_chars"] == 0
+    # doc 4: chunk 0 = [0,200), chunk 1 = [150,300) — 50-char overlap
+    assert rows[(4, 0)]["chunk"] == "a" * 200
+    assert rows[(4, 1)]["chunk"] == "a" * 50 + "b" * 100
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_size=200, stride=0)
+
+
+def test_quantize_zero_norm_vector(spark):
+    """A degenerate all-zero embedding quantizes to zeros (norm 0) instead of
+    raising a divide-by-zero under ANSI mode."""
+    from tranquility_spark.operators.embeddings import l2_normalize_quantize
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [3.0, 4.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in l2_normalize_quantize(df).collect()}
+    assert rows[1]["l2_norm"] == 0.0 and rows[1]["q"] == [0, 0, 0]
+    assert rows[2]["l2_norm"] == 5.0 and rows[2]["q"] == [76, 102, 0]
+
+
+def test_label_centroids_shape(spark):
+    """Centroid table is |labels| x dims rows with exact means."""
+    from tranquility_spark.operators.embeddings import label_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 4.0]), (1, [5.0, 6.0])],
+        "label int, embedding array<float>",
+    )
+    rows = {(r["label"], r["dim"]): r for r in label_centroids(df).collect()}
+    assert len(rows) == 4
+    assert rows[(0, 0)]["mean_v"] == 2.0 and rows[(0, 1)]["mean_v"] == 3.0
+    assert rows[(1, 0)]["mean_v"] == 5.0 and rows[(1, 0)]["n_vecs"] == 1

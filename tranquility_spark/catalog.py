@@ -814,12 +814,25 @@ _R03_DRIVER_WINDOW = [
 def _rotate_driver_window() -> None:
     lead = [k for k in _R03_DRIVER_WINDOW if k in CATALOG]
     # round-3 additions (registered after the r02 snapshot) join the window
-    lead += [k for k in CATALOG if k not in lead and k not in _R02_CERTIFIED]
+    lead += [
+        k
+        for k in CATALOG
+        if k not in lead and k not in _R02_CERTIFIED and k not in _DEFER_TO_NEXT_WINDOW
+    ]
     ordered = {k: CATALOG[k] for k in lead}
     for k, v in list(CATALOG.items()):
         ordered.setdefault(k, v)
     CATALOG.clear()
     CATALOG.update(ordered)
+
+
+# Additions made after the 50-slot r03 window filled: keep them OUT of the
+# lead group so they don't push certified-window entries past slot 50. They
+# are parity-checked locally (check_parity + tests) and rotate into the r04
+# window once _R02_CERTIFIED is extended with the r03 certifications.
+_DEFER_TO_NEXT_WINDOW = frozenset(
+    {"chunk1_doc_chunking", "emb1_normalize_quantize", "emb2_label_centroids"}
+)
 
 
 _R02_CERTIFIED = frozenset(

@@ -845,3 +845,90 @@ def txt10_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_total").desc(), "tok")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunking + embedding maintenance (round-3 additions past the driver window;
+# rotate into the certification window next round)
+# ---------------------------------------------------------------------------
+
+from tranquility_spark.operators import embeddings as emb  # noqa: E402
+
+
+@register(
+    "chunk1_doc_chunking",
+    """
+    SELECT doc_id, chunk_id,
+           chunk_id * 150 AS start_off,
+           substr(text, chunk_id * 150 + 1, 200) AS chunk,
+           length(substr(text, chunk_id * 150 + 1, 200)) AS chunk_chars
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(0, greatest(CAST(floor((length(text) - 1) / 150) AS BIGINT), 0) + 1)) AS chunk_id
+      FROM documents
+    )
+    """,
+    doc="Document chunking (200-char windows, stride 150, 50-char overlap) — "
+    "the context-window preprocessing step. posexplode over a per-row "
+    "sequence of starts: narrow 1-to-N fan-out, no shuffle, linear in "
+    "executors at 100 TB; the inverse reshape of pack1",
+)
+def chunk1_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=200, stride=150
+    )
+
+
+@register(
+    "emb1_normalize_quantize",
+    """
+    SELECT vec_id,
+           round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                    x -> x * x), 'sum')), 6) AS l2_norm,
+           array_to_string(
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(CAST(floor(x * 127.0
+                      / sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                           y -> y * y), 'sum'))
+                      + 0.5) AS INT) AS VARCHAR)), ',') AS q_csv,
+           len(embedding) AS n_dims
+    FROM embeddings
+    """,
+    doc="Embedding L2-norm + symmetric int8 quantization (the 4x-smaller "
+    "storage/serving format for vector corpora). Pure JVM transform/"
+    "aggregate array exprs, embarrassingly parallel, no shuffle; floor(x+.5) "
+    "quantization is bit-identical cross-engine (round() is not). Quantized "
+    "vector compared as CSV (policy: no raw arrays in the driver compare)",
+)
+def emb1_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = emb.l2_normalize_quantize(_t(spark, sf_dir, "embeddings"), levels=127)
+    return out.select(
+        "vec_id",
+        "l2_norm",
+        F.concat_ws(",", F.col("q").cast("array<string>")).alias("q_csv"),
+        F.size("embedding").alias("n_dims"),
+    )
+
+
+@register(
+    "emb2_label_centroids",
+    """
+    SELECT label, dim,
+           CAST(sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mean_v,
+           count(*) AS n_vecs
+    FROM (
+      SELECT label,
+             unnest(range(0, len(embedding))) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+    doc="Per-label centroid pooling (class prototypes for clustering seeds / "
+    "label-balance audits). posexplode then ONE hash agg on (label, dim): "
+    "the shuffle carries |labels| x dims rows regardless of corpus size. "
+    "Round-then-decimal-accumulate (txt9 policy) makes the mean exact and "
+    "order-independent",
+)
+def emb2_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return emb.label_centroids(_t(spark, sf_dir, "embeddings"))

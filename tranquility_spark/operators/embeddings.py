@@ -1,0 +1,83 @@
+"""Embedding-column maintenance ops for a training-data pipeline.
+
+The dedup/similarity modules consume embeddings; this module produces and
+maintains them: L2 normalization, int8 quantization (the storage/serving
+format for 100 TB-scale vector corpora — 4× smaller than float32, 8× smaller
+than float64), and per-label centroid pooling (class prototypes for
+clustering seeds, label-balance audits, and centroid-based dedup).
+
+Everything here is pure JVM higher-order array expressions
+(`transform`/`aggregate`/`posexplode`) — no Python UDF, whole-stage codegen
+end-to-end, embarrassingly parallel per row (normalize/quantize) or one
+hash-agg shuffle keyed on (label, dim) (centroids).
+
+Cross-engine determinism: the squared-norm reduction folds left-to-right over
+the same array on both engines (identical IEEE-754 result, same policy as
+sim1's dot product); centroid accumulation rounds each component to 6
+decimals then sums in DECIMAL(28,6) (exact, order-independent — the txt9
+round-then-decimal-accumulate policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def l2_norm(emb: Column) -> Column:
+    """sqrt(sum(v^2)) folded left-to-right in double precision."""
+    sq = F.aggregate(
+        emb.cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    return F.sqrt(sq)
+
+
+def l2_normalize_quantize(
+    df: DataFrame, emb_col: str = "embedding", levels: int = 127
+) -> DataFrame:
+    """Attach the L2 norm and a symmetric int8 quantization of the embedding.
+
+    q_i = floor(v_i * levels / norm + 0.5)  — floor(x + 0.5) instead of
+    round() because it is bit-identical across engines for all inputs
+    (round()'s half-even/half-up behavior varies by engine and type).
+    Zero-norm vectors quantize to all-zero (try_divide semantics) rather
+    than erroring, so a degenerate row can't kill a 100 TB pass.
+    """
+    norm = l2_norm(F.col(emb_col))
+    quant = F.transform(
+        F.col(emb_col).cast("array<double>"),
+        lambda x: F.floor(
+            F.coalesce(F.try_divide(x * F.lit(float(levels)), norm), F.lit(0.0))
+            + F.lit(0.5)
+        ).cast("int"),
+    )
+    return df.withColumn("l2_norm", F.round(norm, 6)).withColumn("q", quant)
+
+
+def label_centroids(
+    df: DataFrame, emb_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label per-dimension mean — the class-prototype (centroid) table.
+
+    posexplode → one hash agg on (label, dim) with map-side partials: the
+    shuffle carries |labels| × dims rows, independent of corpus size, so
+    this scales to any number of input rows. Components are rounded to 6
+    decimals then accumulated in DECIMAL(28,6) for an exact,
+    order-independent mean.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(emb_col).cast("array<double>")).alias("dim", "v"),
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.round(F.col("v"), 6).cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_v"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )

@@ -252,3 +252,43 @@ def functools_reduce_and(conds):
     from functools import reduce
 
     return reduce(lambda a, b: a & b, conds)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks.
+
+    The context-window preprocessing step of a training pipeline: chunk k
+    covers [k*stride, k*stride + chunk_size), so consecutive chunks overlap
+    by chunk_size - stride characters. Implemented as posexplode over a
+    per-row sequence of chunk starts — a narrow 1→N fan-out with no shuffle,
+    linear in executors at 100 TB (the inverse of pack_sequences). Every
+    document emits at least one chunk (empty text → one empty chunk), so an
+    anti-join against the chunk table can never silently drop documents.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    n = F.length(F.col(text_col))
+    # floor((len-1)/stride) is the last chunk index; greatest(...,0) keeps
+    # one (empty) chunk for empty documents instead of sequence(0,-1)
+    last = F.greatest(F.floor((n - F.lit(1)) / F.lit(stride)), F.lit(0)).cast("int")
+    start = F.col("chunk_id") * stride
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.posexplode(F.sequence(F.lit(0), last)).alias("chunk_id", "_i"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            start.alias("start_off"),
+            F.substring(F.col(text_col), start + 1, F.lit(chunk_size)).alias("chunk"),
+        )
+        .withColumn("chunk_chars", F.length("chunk"))
+    )
