@@ -144,3 +144,102 @@ def test_a11d_matches_exact_distinct(spark, sf_dir):
     rse = 1.0 / math.sqrt(254)
     for et, n in exact.items():
         assert abs(got[et] - n) / n < 4 * rse
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries mergeable heavy hitters (the SpaceSaving twin of txt10)
+# ---------------------------------------------------------------------------
+
+
+def test_mg_partial_bounds(spark):
+    """est <= true <= est + deduct for every reported item; any item with
+    true count > N/(k+1) is guaranteed reported (classic MG bound)."""
+    from tranquility_spark.operators.heavy_hitters import mg_partial
+
+    # 100 'a', 50 'b', then 60 distinct singletons: N=210, k=4 -> N/(k+1)=42
+    rows = [("g", "a")] * 100 + [("g", "b")] * 50 + [("g", f"z{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    s = mg_partial(df, ["grp"], "v", k=4).collect()[0]
+    true = {"a": 100, "b": 50, **{f"z{i}": 1 for i in range(60)}}
+    assert s["n_total"] == 210
+    assert s["deduct"] <= 210 / 5
+    for item, est in s["counters"].items():
+        assert est <= true[item] <= est + s["deduct"], item
+    assert "a" in s["counters"] and "b" in s["counters"]  # true > N/(k+1)
+
+
+def test_mg_merge_matches_bound_vs_exact(spark, sf_dir):
+    """Per-source partials merged globally stay within the N/(k+1) bound
+    against the exact token counts (txt10's groupBy), and every token
+    frequent enough to be guaranteed is present."""
+    import pyspark.sql.functions as FF
+
+    from tranquility_spark.operators.heavy_hitters import mg_merge, mg_partial
+    from tranquility_spark.sources.files import load_table
+
+    k = 64
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", FF.explode(FF.split(FF.trim(FF.col("text")), r"\s+")).alias("tok")
+    ).withColumn("grp", FF.lit("all"))
+
+    partials = mg_partial(toks, ["grp", "source"], "tok", k=k).drop("source")
+    merged = mg_merge(partials, ["grp"], k=k).collect()[0]
+
+    exact = {
+        r["tok"]: r["n"]
+        for r in toks.groupBy("tok").agg(FF.count(FF.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    assert merged["n_total"] == n_total
+    assert merged["deduct"] <= n_total / (k + 1)  # mergeability keeps the bound
+    for item, est in merged["counters"].items():
+        assert est <= exact[item] <= est + merged["deduct"], item
+    for item, cnt in exact.items():
+        if cnt > merged["deduct"]:
+            assert item in merged["counters"], (item, cnt, merged["deduct"])
+
+
+def test_streaming_hh_partials_merge(spark, sf_dir, tmp_path):
+    """Stream micro-batches -> per-batch MG partials via foreachBatch ->
+    mg_merge at read time answers top-K within the bound vs exact counts
+    (user_id has more distinct values than k, so truncation really happens)."""
+    import pyspark.sql.functions as FF
+
+    from tranquility_spark.operators.heavy_hitters import hh_partials_sink, mg_merge, mg_topk
+    from tranquility_spark.sources.files import load_table
+
+    k = 32
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+
+    out = str(tmp_path / "hh_partials")
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.withColumn("grp", FF.lit("all"))
+        .writeStream.foreachBatch(hh_partials_sink(out, ["grp"], "user_id", k=k))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    partials = spark.read.parquet(out)
+    assert partials.select("batch_id").distinct().count() >= 2
+    merged_df = mg_merge(partials.drop("batch_id"), ["grp"], k=k)
+    merged = merged_df.collect()[0]
+    exact = {
+        str(r["user_id"]): r["n"]
+        for r in ev.groupBy("user_id").agg(FF.count(FF.lit(1)).alias("n")).collect()
+    }
+    assert merged["n_total"] == sum(exact.values())
+    assert 0 < len(merged["counters"]) <= k
+    for item, est in merged["counters"].items():
+        assert est <= exact[item] <= est + merged["deduct"], item
+    top = mg_topk(merged_df, ["grp"], topk=10).collect()
+    assert len(top) <= 10 and all(t["err_ub"] == merged["deduct"] for t in top)

@@ -831,7 +831,12 @@ def _rotate_driver_window() -> None:
 # are parity-checked locally (check_parity + tests) and rotate into the r04
 # window once _R02_CERTIFIED is extended with the r03 certifications.
 _DEFER_TO_NEXT_WINDOW = frozenset(
-    {"chunk1_doc_chunking", "emb1_normalize_quantize", "emb2_label_centroids"}
+    {
+        "chunk1_doc_chunking",
+        "emb1_normalize_quantize",
+        "emb2_label_centroids",
+        "hh1_heavy_hitters_merge",
+    }
 )
 
 

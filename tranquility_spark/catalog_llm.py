@@ -932,3 +932,27 @@ def emb1_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb2_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "hh1_heavy_hitters_merge",
+    None,  # counter truncation is algorithm-defined — bounds vs the exact
+    # twin txt10 asserted in tests/test_sketch.py (MG sandwich + N/(k+1))
+    doc="Mergeable Misra-Gries heavy hitters (SpaceSaving family, k=64): "
+    "per-source token-count partials (one exact map-side-combined agg per "
+    "partial, truncated to k counters) merged globally by counter addition "
+    "+ re-truncation, then top-20 with [est, est+err_ub] bounds and a "
+    "guaranteed-membership flag. The approximate twin of txt10: at open-web "
+    "scale only kilobyte summaries shuffle, never the token stream. Merge "
+    "preserves the N/(k+1) error bound (Agarwal et al., PODS'12)",
+)
+def hh1_heavy_hitters_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators import heavy_hitters as hh
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).withColumn("grp", F.lit("all"))
+    partials = hh.mg_partial(toks, ["grp", "source"], "tok", k=64).drop("source")
+    merged = hh.mg_merge(partials, ["grp"], k=64)
+    return hh.mg_topk(merged, ["grp"], topk=20).drop("grp")
