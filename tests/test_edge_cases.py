@@ -299,3 +299,49 @@ def test_label_centroids_shape(spark):
     assert len(rows) == 4
     assert rows[(0, 0)]["mean_v"] == 2.0 and rows[(0, 1)]["mean_v"] == 3.0
     assert rows[(1, 0)]["mean_v"] == 5.0 and rows[(1, 0)]["n_vecs"] == 1
+
+
+def test_mixture_resample_hits_target(spark, sf_dir):
+    """samp4: the binding stratum survives whole; achieved shares track the
+    target weights within hash-sampling noise; reproducible rerun."""
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.catalog_llm import _MIX_WEIGHTS
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_by_lang = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    weights = dict(_MIX_WEIGHTS)
+    t_total = min(n_by_lang[l] / w for l, w in weights.items())
+    binding = min(weights, key=lambda l: n_by_lang[l] / weights[l])
+
+    out = CATALOG["samp4_mixture_resample"].fn(spark, sf_dir)
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert got[binding] == n_by_lang[binding]  # keep fraction 1.0 exactly
+    for lang, w in weights.items():
+        expected = t_total * w
+        # portable-hash thresholding is binomial-ish: allow 4*sqrt(n) + 2
+        assert abs(got.get(lang, 0) - expected) <= 4 * expected**0.5 + 2, lang
+    rerun = {r["lang"]: r["count"] for r in
+             CATALOG["samp4_mixture_resample"].fn(spark, sf_dir).groupBy("lang").count().collect()}
+    assert rerun == got  # deterministic, not rand()
+
+
+def test_chunk_dedup_conservation(spark, sf_dir):
+    """pipe2: kept + dropped chunks reconcile with the raw chunk count, and
+    dropped == (total - distinct digests)."""
+    import pyspark.sql.functions as FF
+
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.operators.text import chunk_documents
+    from tranquility_spark.sources.files import load_table
+
+    chunks = chunk_documents(load_table(spark, sf_dir, "documents"))
+    totals = chunks.agg(
+        FF.count(FF.lit(1)).alias("n"),
+        FF.countDistinct(FF.md5("chunk")).alias("n_distinct"),
+    ).collect()[0]
+    out = CATALOG["pipe2_chunk_dedup"].fn(spark, sf_dir).agg(
+        FF.sum("chunks_kept").alias("kept"), FF.sum("chunks_dropped").alias("dropped")
+    ).collect()[0]
+    assert out["kept"] + out["dropped"] == totals["n"]
+    assert out["kept"] == totals["n_distinct"]

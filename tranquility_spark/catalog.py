@@ -836,6 +836,8 @@ _DEFER_TO_NEXT_WINDOW = frozenset(
         "emb1_normalize_quantize",
         "emb2_label_centroids",
         "hh1_heavy_hitters_merge",
+        "samp4_mixture_resample",
+        "pipe2_chunk_dedup",
     }
 )
 

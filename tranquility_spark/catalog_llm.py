@@ -956,3 +956,102 @@ def hh1_heavy_hitters_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = hh.mg_partial(toks, ["grp", "source"], "tok", k=64).drop("source")
     merged = hh.mg_merge(partials, ["grp"], k=64)
     return hh.mg_topk(merged, ["grp"], topk=20).drop("grp")
+
+
+_MIX_WEIGHTS = [("de", 0.2), ("en", 0.3), ("es", 0.2), ("fr", 0.15), ("zh", 0.15)]
+_MIX_M = 1_000_000
+
+
+@register(
+    "samp4_mixture_resample",
+    f"""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    w(lang, w) AS (VALUES {", ".join(f"('{l}', CAST({x} AS DOUBLE))" for l, x in _MIX_WEIGHTS)}),
+    caps AS (SELECT c.lang, c.n, w.w, CAST(c.n AS DOUBLE) / w.w AS cap
+             FROM counts c JOIN w ON c.lang = w.lang),
+    keeps AS (SELECT lang, (SELECT min(cap) FROM caps) * w / CAST(n AS DOUBLE) AS keep
+              FROM caps)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN keeps k ON d.lang = k.lang
+    WHERE {portable_shard_sql("d.doc_id", _MIX_M)}
+          < CAST(floor(k.keep * {_MIX_M}) AS BIGINT)
+    """,
+    doc="Data-mixture resampling: hit a target language mixture by "
+    "down-sampling over-represented strata to the largest total the "
+    "binding stratum allows (T = min n_i/w_i, keep_i = T*w_i/n_i). "
+    "Per-stratum keep fractions come from one tiny agg (|langs| rows, "
+    "broadcast back); row selection is the deterministic portable hash "
+    "under a threshold — reproducible across engines, retries and "
+    "repartitioning, the property rand() lacks. The mixture/reweighting "
+    "step before training; at 100 TB the only full-data work is one "
+    "map-side-combined count and one hash-filter scan",
+)
+def samp4_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.partitioning import portable_shard
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(_MIX_WEIGHTS, "lang string, w double")
+    caps = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(weights, "lang")
+        .withColumn("cap", F.col("n").cast("double") / F.col("w"))
+    )
+    t = caps.agg(F.min("cap").alias("t"))
+    keeps = caps.crossJoin(F.broadcast(t)).select(
+        "lang", (F.col("t") * F.col("w") / F.col("n").cast("double")).alias("keep")
+    )
+    return (
+        docs.join(F.broadcast(keeps), "lang")
+        .filter(
+            portable_shard(F.col("doc_id"), _MIX_M)
+            < F.floor(F.col("keep") * _MIX_M).cast("long")
+        )
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "pipe2_chunk_dedup",
+    """
+    WITH chunks AS (
+      SELECT doc_id, chunk_id,
+             substr(text, chunk_id * 150 + 1, 200) AS chunk
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(0, greatest(CAST(floor((length(text) - 1) / 150) AS BIGINT), 0) + 1)) AS chunk_id
+        FROM documents
+      )
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_id, length(chunk) AS chunk_chars,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, chunk_id) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           count(*) FILTER (rn = 1) AS chunks_kept,
+           count(*) FILTER (rn > 1) AS chunks_dropped,
+           CAST(sum(chunk_chars) FILTER (rn = 1) AS BIGINT) AS chars_kept
+    FROM ranked
+    GROUP BY doc_id
+    """,
+    doc="Sub-document exact dedup (the RefinedWeb/FineWeb repeated-passage "
+    "pass): chunk (chunk1's 200/150 windows) -> keep the first occurrence "
+    "of each chunk digest (deterministic (doc_id, chunk_id) order) -> "
+    "per-doc survival stats. Composition of chunk1 + dd1 semantics at chunk "
+    "granularity: one narrow fan-out, one digest-keyed window, one doc-keyed "
+    "agg — no join back to raw text",
+)
+def pipe2_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    chunks = tx.chunk_documents(_t(spark, sf_dir, "documents"), chunk_size=200, stride=150)
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_id")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") == 1
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.when(kept, 1)).alias("chunks_kept"),
+        F.count(F.when(~kept, 1)).alias("chunks_dropped"),
+        F.sum(F.when(kept, F.col("chunk_chars"))).alias("chars_kept"),
+    )
