@@ -21,6 +21,12 @@ Spark-first shape (mirrors operators/sketch.py's KMV lifecycle):
   (map-side combine — the only pass over raw data), one bounded window to
   rank counters, truncate to k. State per group is a ``map<item, long>`` of
   ≤ k entries plus two longs — kilobytes regardless of partial size.
+  Scale contract: the ranking window sorts the PARTIAL's distinct items
+  within each group on one reducer, so partials must be sized (per
+  day/segment/micro-batch — exactly how the sink emits them) so a single
+  partial's per-group vocabulary sorts comfortably; the merged phase then
+  never touches more than k·n_partials summary rows however large the
+  total stream is.
 - merge (``mg_merge``): explode the bounded maps, sum per item, re-truncate.
   Shuffles only summary rows, never raw data. Build per day/segment at
   ingest, answer top-K queries later by merging kilobyte summaries.
