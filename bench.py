@@ -64,7 +64,13 @@ HEADLINE = [
     "txt4_fingerprint",
     "txt9_unigram_logprob",
     "samp3_weighted_sample",
+    "samp4_mixture_resample",
     "mm2_frame_sample",
+    "chunk1_doc_chunking",
+    "pipe2_chunk_dedup",
+    "emb1_normalize_quantize",
+    "emb2_label_centroids",
+    "hh1_heavy_hitters_merge",
 ]
 
 
