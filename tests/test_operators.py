@@ -2,6 +2,7 @@
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from tranquility_spark.operators.parse import parse_json_events
@@ -186,3 +187,32 @@ def test_portable_shard_negative_keys_match_duckdb(spark, duck):
     for uid, shard in duck_rows:
         assert 0 <= shard < n
         assert spark_shards[uid] == shard
+
+
+def test_epoch_shuffle_deterministic_dense_positions(spark):
+    from tranquility_spark.operators.partitioning import epoch_shuffle
+
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    out = epoch_shuffle(df, "doc_id", seed=7, n_shards=8).collect()
+    assert len(out) == 300
+    # positions are dense 1..count within each shard
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # deterministic across runs; a different seed permutes the order
+    again = epoch_shuffle(df, "doc_id", seed=7, n_shards=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = epoch_shuffle(df, "doc_id", seed=8, n_shards=8).collect()
+    key7 = {r.doc_id: (r.shard, r.pos) for r in out}
+    key8 = {r.doc_id: (r.shard, r.pos) for r in other}
+    assert any(key7[d] != key8[d] for d in key7)
+
+
+def test_epoch_shuffle_rejects_bad_shards(spark):
+    from tranquility_spark.operators.partitioning import epoch_shuffle
+
+    df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        epoch_shuffle(df, "doc_id", seed=1, n_shards=0)

@@ -103,3 +103,30 @@ def test_quality_filter_verdict_and_flags(spark):
     assert rows[1].keep is True
     assert rows[2].keep is False and rows[2].pass_repetition is False
     assert rows[3].keep is False and rows[3].pass_token_count is False
+
+
+def test_boilerplate_ngrams_short_docs_and_min_df(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # grams: "a b c d e", "b c d e f"
+            (2, "a b c d e"),        # gram:  "a b c d e"
+            (3, "x y"),              # < 5 words -> no grams
+            (4, ""),                 # empty -> no grams
+        ],
+        "doc_id int, text string",
+    )
+    out = tx.boilerplate_ngrams(df, n=5, min_docs=2).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.gram == "a b c d e" and row.n_docs == 2 and row.n_total == 2
+
+
+def test_boilerplate_ngrams_counts_within_doc_repeats(spark):
+    df = spark.createDataFrame(
+        [(1, "p q p q p q p q"), (2, "p q p q p q")],
+        "doc_id int, text string",
+    )
+    # "p q p q p" occurs at starts 0,2 in doc1 and start 0 in doc2
+    out = {r.gram: r for r in tx.boilerplate_ngrams(df, n=5, min_docs=2).collect()}
+    assert out["p q p q p"].n_docs == 2
+    assert out["p q p q p"].n_total == 3

@@ -838,6 +838,8 @@ _DEFER_TO_NEXT_WINDOW = frozenset(
         "hh1_heavy_hitters_merge",
         "samp4_mixture_resample",
         "pipe2_chunk_dedup",
+        "txt11_boilerplate_ngrams",
+        "shuf1_epoch_shuffle",
     }
 )
 

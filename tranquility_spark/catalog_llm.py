@@ -1055,3 +1055,64 @@ def pipe2_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~kept, 1)).alias("chunks_dropped"),
         F.sum(F.when(kept, F.col("chunk_chars"))).alias("chars_kept"),
     )
+
+
+@register(
+    "txt11_boilerplate_ngrams",
+    """
+    SELECT gram,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_total
+    FROM (
+      SELECT doc_id, array_to_string(w[i+1:i+5], ' ') AS gram
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents),
+           unnest(range(0, greatest(len(w) - 4, 0))) AS t(i)
+    )
+    GROUP BY gram
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+    doc="Boilerplate detection: corpus-wide word 5-gram document frequency, "
+    "kept where >= 2 docs share the gram (C4/RefinedWeb strip repeated "
+    "spans from this table). Narrow transform() shingle expansion, ONE "
+    "hash agg shuffle on gram (map-side combined); at open-web scale "
+    "prune singleton grams with a total-count floor before paying the "
+    "distinct-doc expansion",
+)
+def txt11_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.boilerplate_ngrams(
+        _t(spark, sf_dir, "documents"), n=5, min_docs=2
+    )
+
+
+_SHUF_SEED = 7
+_SHUF_SHARDS = 16
+_SHUF_M = 1000003
+
+
+@register(
+    "shuf1_epoch_shuffle",
+    f"""
+    SELECT doc_id, ord_key, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY ord_key, doc_id)
+                AS BIGINT) AS pos
+    FROM (
+      SELECT doc_id,
+             {portable_shard_sql(f"doc_id + {_SHUF_SEED}", _SHUF_M)} AS ord_key,
+             CAST({portable_shard_sql(f"doc_id + {_SHUF_SEED}", _SHUF_M)} % {_SHUF_SHARDS}
+                  AS INT) AS shard
+      FROM documents
+    )
+    """,
+    doc="Deterministic epoch shuffle: seeded portable hash -> (shard, pos) "
+    "training order, reproducible across runs/retries (rand() is not); "
+    "each seed is a fresh permutation. The one shuffle is the "
+    "partition-by-shard exchange a shuffled-dataset write needs anyway; "
+    "n_shards sizes output files (100 TB / 512 MB ~ 200k shards)",
+)
+def shuf1_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.partitioning import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    out = epoch_shuffle(docs, "doc_id", seed=_SHUF_SEED, n_shards=_SHUF_SHARDS, m=_SHUF_M)
+    return out.select("doc_id", "ord_key", "shard", F.col("pos").cast("long").alias("pos"))

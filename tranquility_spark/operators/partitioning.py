@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tranquility_spark.specs import Granularity
@@ -111,3 +111,38 @@ def salted_join(
     )
     out = salted_fact.join(replicated, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key: str,
+    seed: int,
+    n_shards: int,
+    m: int = 1000003,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data epochs.
+
+    Assigns every row a (shard, pos) — the output file and the position
+    within it — from a seeded portable hash of its key, so the "random"
+    training order is reproducible across runs, retries and repartitioning
+    (the property ``rand()`` lacks), and each seed yields a different
+    permutation for its epoch.
+
+    Shape at 100 TB: the hash is a narrow projection; the one shuffle is the
+    window's partition-by-shard exchange — exactly the data movement a
+    shuffled-dataset write requires anyway — and the within-shard sort is
+    the shuffle-write sort. ``n_shards`` = number of output files; size it
+    so a shard fits an executor (e.g. 100 TB / 512 MB ≈ 200k shards). The
+    multiplicative portable hash keeps the oracle bit-exact; a production
+    run free of the cross-engine constraint would use ``xxhash64(key, seed)``
+    with identical plan shape.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    ord_key = portable_shard(F.col(key) + F.lit(seed), m)
+    w = Window.partitionBy("shard").orderBy("ord_key", key)
+    return (
+        df.withColumn("ord_key", ord_key)
+        .withColumn("shard", F.pmod(F.col("ord_key"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+    )

@@ -292,3 +292,47 @@ def chunk_documents(
         )
         .withColumn("chunk_chars", F.length("chunk"))
     )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide word n-gram document frequency — boilerplate detection.
+
+    Repeated n-grams that occur across many documents are boilerplate
+    (headers, license blurbs, nav text); dedup pipelines (C4, RefinedWeb)
+    compute this table first, then strip or down-weight matching spans.
+
+    Shape at 100 TB: the shingle expansion is a narrow per-row ``transform``
+    over the token array (no shuffle, ~|tokens| rows out per doc); the only
+    shuffle is the (gram) hash aggregation, which map-side-combines before
+    exchange. ``count(DISTINCT doc_id)`` expands to a two-phase agg keyed on
+    (gram, doc_id) — at open-web scale put a frequency floor on a first
+    total-count pass to prune singleton grams (the long tail is ~95% of
+    grams; see txt10's cap note) before paying the distinct.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    # starts 0..size-n; when(size<n) guards sequence()'s descending-range
+    # behavior (sequence(0,-1) yields [0,-1], not empty)
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    return (
+        exploded.groupBy("gram")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
