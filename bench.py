@@ -71,6 +71,8 @@ HEADLINE = [
     "emb1_normalize_quantize",
     "emb2_label_centroids",
     "hh1_heavy_hitters_merge",
+    "txt11_boilerplate_ngrams",
+    "shuf1_epoch_shuffle",
 ]
 
 

