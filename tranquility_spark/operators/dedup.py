@@ -48,14 +48,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _word_shingles(text: Column, k: int) -> Column:
-    """k-word shingles as an array<string> (distinct), via higher-order fns."""
-    toks = F.split(F.trim(text), r"\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
-    shingle = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
-    )
-    return F.array_distinct(F.when(n >= k, shingle).otherwise(F.array()))
+    """k-word shingles as an array<string> (distinct), via higher-order fns.
+
+    The token array is let-bound through a single-element-array transform():
+    referencing the split() expression directly inside the shingle lambda
+    re-evaluates it once per shingle (no common-subexpression elimination
+    across lambda scopes) — measured 6× slower at sf0.1. element_at per
+    token instead of slice() also avoids a per-shingle array allocation.
+    """
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        sh = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(k) + F.lit(1), F.lit(1))),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+        )
+        return F.array_distinct(
+            F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+        )
+
+    return F.element_at(F.transform(F.array(F.split(F.trim(text), r"\s+")), build), 1)
 
 
 def _minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:

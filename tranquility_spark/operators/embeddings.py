@@ -45,7 +45,10 @@ def l2_normalize_quantize(
     Zero-norm vectors quantize to all-zero (try_divide semantics) rather
     than erroring, so a degenerate row can't kill a 100 TB pass.
     """
-    norm = l2_norm(F.col(emb_col))
+    # Stage the raw norm as a column: inlining the O(dim) aggregate inside
+    # the transform() lambda re-evaluates it per element — O(dim²) per row
+    # (no common-subexpression elimination across lambda scopes).
+    norm = F.col("__l2_raw")
     quant = F.transform(
         F.col(emb_col).cast("array<double>"),
         lambda x: F.floor(
@@ -53,7 +56,12 @@ def l2_normalize_quantize(
             + F.lit(0.5)
         ).cast("int"),
     )
-    return df.withColumn("l2_norm", F.round(norm, 6)).withColumn("q", quant)
+    return (
+        df.withColumn("__l2_raw", l2_norm(F.col(emb_col)))
+        .withColumn("l2_norm", F.round(norm, 6))
+        .withColumn("q", quant)
+        .drop("__l2_raw")
+    )
 
 
 def label_centroids(
