@@ -73,6 +73,7 @@ HEADLINE = [
     "hh1_heavy_hitters_merge",
     "txt11_boilerplate_ngrams",
     "shuf1_epoch_shuffle",
+    "emb3_centroid_similarity",
 ]
 
 

@@ -201,3 +201,22 @@ def test_corpus_pipeline_monotone_and_deterministic(spark, sf_dir):
     for _lang, docs_n, tokens, bins in r1:
         assert bins <= docs_n  # packing never creates more bins than docs
         assert tokens > 0
+
+
+def test_centroid_similarity_known_geometry(spark):
+    from tranquility_spark.operators.embeddings import centroid_similarity
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 1),
+            (2, [1.0, 0.0], 1),
+            (3, [0.0, 2.0], 2),
+            (4, [3.0, 0.0], 3),
+        ],
+        "vec_id int, embedding array<double>, label int",
+    )
+    out = {(r.label_a, r.label_b): r for r in centroid_similarity(df).collect()}
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}  # a < b pairs only
+    assert out[(1, 2)].centroid_cosine == 0.0    # orthogonal prototypes
+    assert out[(1, 3)].centroid_cosine == 1.0    # co-linear prototypes
+    assert out[(1, 2)].n_a == 2 and out[(1, 2)].n_b == 1

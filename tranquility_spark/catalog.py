@@ -840,6 +840,7 @@ _DEFER_TO_NEXT_WINDOW = frozenset(
         "pipe2_chunk_dedup",
         "txt11_boilerplate_ngrams",
         "shuf1_epoch_shuffle",
+        "emb3_centroid_similarity",
     }
 )
 

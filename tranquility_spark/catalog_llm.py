@@ -1116,3 +1116,37 @@ def shuf1_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = epoch_shuffle(docs, "doc_id", seed=_SHUF_SEED, n_shards=_SHUF_SHARDS, m=_SHUF_M)
     return out.select("doc_id", "ord_key", "shard", F.col("pos").cast("long").alias("pos"))
+
+
+@register(
+    "emb3_centroid_similarity",
+    """
+    WITH cent AS (
+      SELECT label, dim,
+             CAST(sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS DECIMAL(18,6)) AS c,
+             count(*) AS n
+      FROM (
+        SELECT label,
+               unnest(range(0, len(embedding))) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings
+      )
+      GROUP BY label, dim
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(CAST(sum(a.c * b.c) AS DOUBLE)
+                 / sqrt(CAST(sum(a.c * a.c) AS DOUBLE)
+                        * CAST(sum(b.c * b.c) AS DOUBLE)), 6) AS centroid_cosine,
+           max(a.n) AS n_a, max(b.n) AS n_b
+    FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+    doc="Cluster-separation audit: pairwise cosine between label centroids "
+    "(labels whose prototypes sit near cosine 1 are confusable). Corpus-"
+    "sized work is one (label, dim) hash agg; the pair join is "
+    "centroid x centroid on dim (kilobytes, broadcast). Cosine computed "
+    "from exact decimal component SUMS (scale-invariant) — no mean "
+    "division/re-round, whose half-boundary rounding differs by engine",
+)
+def emb3_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return emb.centroid_similarity(_t(spark, sf_dir, "embeddings"))

@@ -89,3 +89,55 @@ def label_centroids(
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
+
+
+def centroid_similarity(
+    df: DataFrame, emb_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Pairwise cosine similarity between label centroids (a < b).
+
+    The cluster-separation audit: labels whose prototypes sit close
+    (cosine → 1) are confusable — candidates for merging or relabeling;
+    run it after every taxonomy or embedding-model change.
+
+    Scale shape: the only corpus-sized work is one (label, dim) hash agg
+    (shuffle carries |labels| × dims rows regardless of input size); the
+    pair join is centroid-table × centroid-table on dim — kilobytes — and
+    broadcasts. Cosine is scale-invariant, so it is computed from the
+    per-label component SUMS, not the means: the sums are exact 6-dp
+    decimals (round-then-decimal-accumulate), whereas a mean would need a
+    division and a re-round whose half-boundary behavior differs between
+    engines (observed: 8/45 pairs off by ~5e-6 at sf0.1 with the
+    mean-based form). All arithmetic stays in DECIMAL until the final
+    double sqrt/divide, which is IEEE-deterministic.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(emb_col).cast("array<double>")).alias("dim", "v"),
+    )
+    cent = exploded.groupBy("label", "dim").agg(
+        # (18,6) keeps the decimal product type at (37,12) — exact; a
+        # (28,6) operand would overflow precision 38 and silently lose scale
+        F.sum(F.round(F.col("v"), 6).cast("decimal(28,6)"))
+        .cast("decimal(18,6)")
+        .alias("c"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    joined = a.join(
+        F.broadcast(b),
+        (F.col("a.dim") == F.col("b.dim")) & (F.col("a.label") < F.col("b.label")),
+    )
+    dot = F.sum(F.col("a.c") * F.col("b.c")).cast("double")
+    na = F.sum(F.col("a.c") * F.col("a.c")).cast("double")
+    nb = F.sum(F.col("b.c") * F.col("b.c")).cast("double")
+    return (
+        joined.groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.round(dot / F.sqrt(na * nb), 6).alias("centroid_cosine"),
+            F.max(F.col("a.n_vecs")).alias("n_a"),
+            F.max(F.col("b.n_vecs")).alias("n_b"),
+        )
+    )
