@@ -74,6 +74,7 @@ HEADLINE = [
     "txt11_boilerplate_ngrams",
     "shuf1_epoch_shuffle",
     "emb3_centroid_similarity",
+    "pipe3_training_prep",
 ]
 
 

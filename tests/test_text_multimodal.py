@@ -130,3 +130,18 @@ def test_boilerplate_ngrams_counts_within_doc_repeats(spark):
     out = {r.gram: r for r in tx.boilerplate_ngrams(df, n=5, min_docs=2).collect()}
     assert out["p q p q p"].n_docs == 2
     assert out["p q p q p"].n_total == 3
+
+
+def test_training_prep_composition(spark, sf_dir):
+    from tranquility_spark.catalog import CATALOG
+
+    mixed = CATALOG["samp4_mixture_resample"].fn(spark, sf_dir)
+    prep = CATALOG["pipe3_training_prep"].fn(spark, sf_dir).collect()
+    # shuffle is a pure reshape of the mixture output: same rows, every
+    # kept doc gets exactly one (shard, pos) slot, positions dense per shard
+    assert len(prep) == mixed.count()
+    by_shard: dict[int, list[int]] = {}
+    for r in prep:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))

@@ -841,6 +841,7 @@ _DEFER_TO_NEXT_WINDOW = frozenset(
         "txt11_boilerplate_ngrams",
         "shuf1_epoch_shuffle",
         "emb3_centroid_similarity",
+        "pipe3_training_prep",
     }
 )
 

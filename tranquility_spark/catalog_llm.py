@@ -1150,3 +1150,47 @@ def shuf1_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb3_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.centroid_similarity(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "pipe3_training_prep",
+    f"""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    w(lang, w) AS (VALUES {", ".join(f"('{l}', CAST({x} AS DOUBLE))" for l, x in _MIX_WEIGHTS)}),
+    caps AS (SELECT c.lang, c.n, w.w, CAST(c.n AS DOUBLE) / w.w AS cap
+             FROM counts c JOIN w ON c.lang = w.lang),
+    keeps AS (SELECT lang, (SELECT min(cap) FROM caps) * w / CAST(n AS DOUBLE) AS keep
+              FROM caps),
+    mixed AS (
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN keeps k ON d.lang = k.lang
+      WHERE {portable_shard_sql("d.doc_id", _MIX_M)}
+            < CAST(floor(k.keep * {_MIX_M}) AS BIGINT)
+    )
+    SELECT doc_id, lang, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY ord_key, doc_id)
+                AS BIGINT) AS pos
+    FROM (
+      SELECT doc_id, lang,
+             {portable_shard_sql(f"doc_id + {_SHUF_SEED}", _SHUF_M)} AS ord_key,
+             CAST({portable_shard_sql(f"doc_id + {_SHUF_SEED}", _SHUF_M)} % {_SHUF_SHARDS}
+                  AS INT) AS shard
+      FROM mixed
+    )
+    """,
+    doc="End-to-end training-run prep: data-mixture resample (samp4) then "
+    "deterministic epoch shuffle (shuf1) -> every kept document gets its "
+    "(shard, pos) slot in the training order. Pure composition: one "
+    "|langs|-row agg broadcast back, one hash-filter scan, one "
+    "partition-by-shard exchange. Fully reproducible from (weights, seed) "
+    "alone - rerunning after a retry or a cluster resize yields the "
+    "identical corpus and order",
+)
+def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.partitioning import epoch_shuffle
+
+    mixed = samp4_mixture_resample(spark, sf_dir)
+    out = epoch_shuffle(mixed, "doc_id", seed=_SHUF_SEED, n_shards=_SHUF_SHARDS, m=_SHUF_M)
+    return out.select(
+        "doc_id", "lang", "shard", F.col("pos").cast("long").alias("pos")
+    )
