@@ -516,14 +516,14 @@ def f2_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey, l_linenumber,
            abs(l_extendedprice - 1000.0) AS abs_diff,
-           floor(l_extendedprice) AS price_floor,
-           ceil(l_extendedprice) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
            sqrt(l_quantity) AS qty_sqrt,
            round(ln(l_extendedprice), 6) AS price_ln,
            CAST(l_orderkey % 97 AS BIGINT) AS key_mod,
            greatest(l_discount, l_tax) AS max_rate,
            least(l_discount, l_tax) AS min_rate,
-           sign(l_extendedprice - 30000.0) AS above_30k
+           CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS above_30k
     FROM lineitem
     """,
     doc="Scalar math surface (ln rounded to 6 — libm last-ulp may differ across engines; "
@@ -732,8 +732,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipping",
     """
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
