@@ -1381,8 +1381,9 @@ def w5_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessioned AS (
       SELECT user_id, event_id, ts,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
       FROM marked
     )
     SELECT user_id, session_id,

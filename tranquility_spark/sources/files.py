@@ -31,16 +31,27 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing types.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads
-    (under ``legacy.parquet.nanosAsLong``) as LongType nanos; convert to a
-    proper TimestampType by integer-dividing to microseconds. Integer ``div``
-    is required — float division of an int64 epoch-nanos value loses
-    precision above 2^53.
+    ``events.ts`` has been regenerated across rounds as parquet
+    TIMESTAMP(NANOS) *and* as timestamp[us]-no-tz, so normalize BOTH here
+    (one place — catalog entries always see TimestampType):
+
+    - TIMESTAMP(NANOS): Spark reads it (under ``legacy.parquet.nanosAsLong``)
+      as LongType nanos; integer-divide to micros (``div`` — float division
+      of an int64 epoch-nanos value loses precision above 2^53).
+    - timestamp[us] without tz: Spark 4 reads it as TIMESTAMP_NTZ, which
+      rejects ``cast(ts as long)`` and diverges from DuckDB's naive read
+      unless re-interpreted in the (UTC-pinned) session zone. Cast to
+      TimestampType — with session tz UTC this is value-identical to the
+      oracle's naive interpretation.
     """
     prepare(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
