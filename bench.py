@@ -102,28 +102,34 @@ def main() -> None:
     # because sub-second entries' 2× gate margin depended on a single clean
     # sample — methodology change re-anchored in BASELINE.md §3 per the
     # frozen-methodology rule.
+    # Fault isolation (round-4 lesson: one crashing entry produced an rc=1
+    # round with NO timings): a failing query is recorded under "errors" and
+    # excluded from the suite total, never allowed to kill the run.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = CATALOG[name].fn
         best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(3):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

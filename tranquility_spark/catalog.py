@@ -767,57 +767,47 @@ from tranquility_spark import catalog_sketch  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver certifies the FIRST 50 keys
-# of ``queries()`` in dict order each round. Rounds 1–2 certified the original
-# first 50; the entries below (the full relational-extension surface plus the
-# round-3 additions) had only judge-side verification, so round 3 rotates them
-# to the front. Certification ledger:
-#   - r01/r02 driver-green: the 50 keys that now TRAIL this list
-#     (p1..j2 in the original order — see CORRECTNESS_r01/r02.json).
-#   - r03 window (this list): j3..w4_ntile + round-3 additions.
-# The rotation only permutes dict order; every key keeps the same fn/oracle,
-# so previously recorded certifications remain valid.
+# of ``queries()`` in dict order each round. Certification ledger:
+#   - r01/r02 driver-green: the original first 50 (CORRECTNESS_r01/r02.json).
+#   - r03/r04 driver-green: the 46 relational-extension + round-3/4 keys
+#     (CORRECTNESS_r03/r04.json).
+# All of those live in ``_CERTIFIED`` below. The r05 window leads with every
+# key that has NEVER had a green driver row: the 10 LLM-pipeline entries
+# deferred from the r03 window, w5/w6 (fixed this round — TIMESTAMP_NTZ
+# normalization + oracle session_id cast), and the two rows-only-by-policy
+# sketch entries (kept in-window so each round re-records their weaker
+# rows-only check). The rotation only permutes dict order; every key keeps
+# the same fn/oracle, so previously recorded certifications remain valid.
 # ---------------------------------------------------------------------------
 
-_R03_DRIVER_WINDOW = [
-    # 28 relational-extension entries never yet in a driver window
-    "j3_anti_join",
-    "j4_asof_last_event",
-    "j5_range_join_bucketed",
-    "j6_asof_join_two_table",
-    "w1_rank_in_partition",
-    "w2_lag_lead_gap",
-    "w3_running_total",
-    "w4_ntile_cume_dist",
-    "s1_topk",
-    "set1_set_ops",
-    "f1_string_functions",
-    "f2_date_functions",
-    "f3_math_functions",
-    "f4_conditional_null",
-    "f5_array_functions",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q22_global_sales_opportunity",
-    "mv1_multivalue_dim_rollup",
-    "p8_flatten_spec",
-    "a11b_distinct_set_ops",
+_R05_DRIVER_WINDOW = [
+    # 10 entries deferred past the full r03 window — never driver-certified
+    "chunk1_doc_chunking",
+    "emb1_normalize_quantize",
+    "emb2_label_centroids",
+    "emb3_centroid_similarity",
+    "hh1_heavy_hitters_merge",
+    "samp4_mixture_resample",
+    "pipe2_chunk_dedup",
+    "pipe3_training_prep",
+    "txt11_boilerplate_ngrams",
+    "shuf1_epoch_shuffle",
+    # crashed in r04 (TIMESTAMP_NTZ testdata regen), fixed this round
+    "w5_time_range_window",
+    "w6_sessionize_batch",
+    # rows-only by policy (approximate sketches — no SQL oracle)
+    "a11c_theta_setops_approx",
+    "a11d_sketch_merge_rollup",
 ]
 
 
 def _rotate_driver_window() -> None:
-    lead = [k for k in _R03_DRIVER_WINDOW if k in CATALOG]
-    # round-3 additions (registered after the r02 snapshot) join the window
+    lead = [k for k in _R05_DRIVER_WINDOW if k in CATALOG]
+    # anything registered after this snapshot auto-joins the window
     lead += [
         k
         for k in CATALOG
-        if k not in lead and k not in _R02_CERTIFIED and k not in _DEFER_TO_NEXT_WINDOW
+        if k not in lead and k not in _CERTIFIED and k not in _DEFER_TO_NEXT_WINDOW
     ]
     ordered = {k: CATALOG[k] for k in lead}
     for k, v in list(CATALOG.items()):
@@ -826,28 +816,17 @@ def _rotate_driver_window() -> None:
     CATALOG.update(ordered)
 
 
-# Additions made after the 50-slot r03 window filled: keep them OUT of the
-# lead group so they don't push certified-window entries past slot 50. They
-# are parity-checked locally (check_parity + tests) and rotate into the r04
-# window once _R02_CERTIFIED is extended with the r03 certifications.
-_DEFER_TO_NEXT_WINDOW = frozenset(
-    {
-        "chunk1_doc_chunking",
-        "emb1_normalize_quantize",
-        "emb2_label_centroids",
-        "hh1_heavy_hitters_merge",
-        "samp4_mixture_resample",
-        "pipe2_chunk_dedup",
-        "txt11_boilerplate_ngrams",
-        "shuf1_epoch_shuffle",
-        "emb3_centroid_similarity",
-        "pipe3_training_prep",
-    }
-)
+# Overflow valve: if more than 50 uncertified keys ever accumulate, park the
+# excess here so they don't push window entries past slot 50. Empty as of r05
+# (the r03-deferred ten now LEAD the window above).
+_DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 
-_R02_CERTIFIED = frozenset(
+# Every key with a green (hash-match) driver CORRECTNESS row:
+# r01/r02 certified the first 50; r03/r04 certified the next 46.
+_CERTIFIED = frozenset(
     {
+        # --- r01/r02 window ---
         "p1_json_parse", "p3_ts_extract", "p4_projection", "p5_schemaless",
         "p6_window_filter", "p7_metric_coercion", "t1_segment_bucket",
         "t2_query_granularity", "a1_a5_rollup_core", "a6_hyperunique_exact",
@@ -866,6 +845,23 @@ _R02_CERTIFIED = frozenset(
         "q1_pricing_summary", "q3_shipping_priority",
         "q5_local_supplier_volume", "q6_forecast_revenue",
         "j1_broadcast_dim_join", "j2_semi_join",
+        # --- r03/r04 window (46 green keys, CORRECTNESS_r03/r04.json) ---
+        "a11b_distinct_set_ops", "agg1_grouping_rollup", "dq1_time_boundary",
+        "dq2_segment_metadata", "dq3_search", "dq4_scan", "dq5_timeseries",
+        "dq6_topn", "dq7_groupby_having", "f1_string_functions",
+        "f2_date_functions", "f3_math_functions", "f4_conditional_null",
+        "f5_array_functions", "j3_anti_join", "j4_asof_last_event",
+        "j5_range_join_bucketed", "j6_asof_join_two_table", "mm2_frame_sample",
+        "mm3_resize", "mv1_multivalue_dim_rollup", "mv2_pivot", "mv3_unpivot",
+        "p8_flatten_spec", "q10_returned_items", "q12_priority_shipping",
+        "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+        "q17_small_quantity_revenue", "q18_large_orders",
+        "q19_discounted_revenue", "q21_waiting_suppliers",
+        "q22_global_sales_opportunity", "q4_order_priority",
+        "q7_volume_shipping", "q8_market_share", "s1_topk",
+        "samp3_weighted_sample", "set1_set_ops", "txt10_top_tokens",
+        "txt9_unigram_logprob", "w1_rank_in_partition", "w2_lag_lead_gap",
+        "w3_running_total", "w4_ntile_cume_dist",
     }
 )
 
