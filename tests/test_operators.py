@@ -210,6 +210,60 @@ def test_epoch_shuffle_deterministic_dense_positions(spark):
     assert any(key7[d] != key8[d] for d in key7)
 
 
+def test_epoch_shuffle_string_keys(spark):
+    # string keys must shuffle, not collapse: the old seed fold
+    # (F.col(key) + seed) numerically coerced strings to NULL, sending every
+    # row to one NULL shard — both hash paths must spread string-keyed rows
+    from pyspark.sql import functions as F
+
+    from tranquility_spark.operators.partitioning import epoch_shuffle
+
+    df = (
+        spark.range(0, 2000)
+        .select(F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"))
+    )
+    for portable in (False, True):
+        out = epoch_shuffle(df, "doc_id", seed=7, n_shards=16, portable=portable)
+        agg = out.agg(
+            F.countDistinct("shard").alias("n_shards"),
+            F.sum(F.col("ord_key").isNull().cast("int")).alias("null_keys"),
+        ).collect()[0]
+        assert agg["null_keys"] == 0, f"portable={portable}"
+        assert agg["n_shards"] == 16, f"portable={portable}"
+
+
+def test_epoch_shuffle_default_escapes_portable_ceiling(spark):
+    # the portable hash pre-reduces mod 100,003 so ord_key can never exceed
+    # 100,003 distinct values (half of a 200k-shard layout permanently
+    # empty); the xxhash64 default must blow past that ceiling and occupy
+    # large shard counts
+    from pyspark.sql import functions as F
+
+    from tranquility_spark.operators.partitioning import epoch_shuffle
+
+    n, shards = 250_000, 150_000
+    df = spark.range(0, n).withColumnRenamed("id", "doc_id")
+    stats = (
+        epoch_shuffle(df, "doc_id", seed=3, n_shards=shards)
+        .agg(
+            F.countDistinct("ord_key").alias("n_ord"),
+            F.countDistinct("shard").alias("n_shard"),
+        )
+        .collect()[0]
+    )
+    assert stats["n_ord"] > 100_003  # impossible on the portable path
+    # balls-in-bins: 250k keys into 150k shards occupies ~81%; portable
+    # path could never exceed 100,003
+    assert stats["n_shard"] > 110_000
+    # the portable path really is ceilinged (documented limitation)
+    port = (
+        epoch_shuffle(df, "doc_id", seed=3, n_shards=shards, portable=True)
+        .agg(F.countDistinct("ord_key").alias("n_ord"))
+        .collect()[0]
+    )
+    assert port["n_ord"] <= 100_003
+
+
 def test_epoch_shuffle_rejects_bad_shards(spark):
     from tranquility_spark.operators.partitioning import epoch_shuffle
 

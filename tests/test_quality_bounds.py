@@ -174,11 +174,41 @@ def test_ivf_partitioned_layout_prunes_probe_scan(spark, sf_dir, tmp_path):
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     ]
-    probe = ivf_topk(indexed, qvec, k=10, nprobe=2, n_centroids=8, centroids=cents)
+    probe = ivf_topk(
+        indexed,
+        qvec,
+        k=10,
+        nprobe=2,
+        n_centroids=8,
+        centroids=cents,
+        use_existing_assignment=True,
+    )
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:200]
     baseline = ivf_topk(emb, qvec, k=10, nprobe=2, n_centroids=8, centroids=cents)
     assert [tuple(r) for r in probe.collect()] == [tuple(r) for r in baseline.collect()]
+
+
+def test_ivf_topk_default_does_not_trust_stale_assignment(spark, sf_dir):
+    """A centroid_id column built from DIFFERENT centroids (stale index)
+    must not poison results: by default ivf_topk recomputes the assignment
+    from the centroids it was given, so a mismatched layout returns the
+    same neighbors as a clean probe. Trusting the column is opt-in."""
+    from pyspark.sql import functions as F
+
+    from tranquility_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_centroids=8)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    clean = ivf_topk(emb, qvec, k=10, nprobe=2, n_centroids=8, centroids=cents)
+    # adversarial stale layout: every row claims inverted list 0
+    stale = emb.withColumn("centroid_id", F.lit(0))
+    recomputed = ivf_topk(stale, qvec, k=10, nprobe=2, n_centroids=8, centroids=cents)
+    assert [tuple(r) for r in recomputed.collect()] == [tuple(r) for r in clean.collect()]
 
 
 def test_dd3_simhash_hamming_separates_near_dups(spark):

@@ -54,6 +54,21 @@ def test_kmv_merge_identical_to_direct(spark):
     assert merged["est"] == direct["est"]
 
 
+def test_kmv_merge_single_saturated_partial_is_identity(spark):
+    # adversarial boundary case: one saturated partial (theta == its k-th
+    # retained hash) merged alone must reproduce itself bit-for-bit — a
+    # strict < filter against min(theta) drops the boundary hash (the k-th
+    # value IS theta) leaving k-1 values and a wrong theta/estimate
+    n, k = 5_000, 64
+    partial = kmv_sketch(_ids(spark, 0, n, "a"), ["grp"], "v", k=k)
+    direct = partial.collect()[0]
+    assert direct["theta"] == direct["kmv"][k - 1]  # saturated precondition
+    merged = kmv_merge(partial, ["grp"], k=k).collect()[0]
+    assert merged["kmv"] == direct["kmv"]
+    assert merged["theta"] == direct["theta"]
+    assert merged["est"] == direct["est"]
+
+
 def test_theta_set_ops_accuracy(spark):
     # A = [0, 10k), B = [6k, 16k): |A∩B| = 4k, |A∪B| = 16k, |A\B| = 6k
     k = 256

@@ -90,6 +90,53 @@ def test_sample_frames_fanout_bounded(spark, sf_dir):
     assert first == 50  # every doc yields frame 0
 
 
+def test_mm_oracles_byte_exact_on_non_ascii_corpus(spark):
+    """Regression for the mm2/mm3 oracle fragility: the DuckDB oracles used
+    to slice TEXT (char == byte only on ASCII); they now slice the hex
+    encoding (2 ASCII chars per byte — exact on any corpus). Prove it on a
+    multi-byte fixture the old oracles would get wrong."""
+    import duckdb
+
+    import __spark_entry__ as ent
+
+    rows = [
+        (1, "héllo wörld — ünïcode payload with çombining marks"),
+        (2, "日本語のテキストとemoji 🎉🚀 mixed in"),
+        (3, "plain ascii control"),
+        (4, "ß" * 400),  # long multi-byte-only doc exercises tiling
+    ]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") AS t(doc_id, text)"
+    )
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from tranquility_spark.operators import multimodal as mm2mod
+
+    oracles = ent.oracle_sql()
+    # mm2: frame hex slices
+    media = mm2mod.attach_binary_payload(sdf)
+    frames = mm2mod.sample_frames(media, every_ms=1000, max_frames=8).select(
+        "doc_id", "frame_idx", "frame_ts_ms", F.hex("payload").alias("frame_hex")
+    )
+    got = sorted(map(tuple, frames.collect()))
+    want = sorted(map(tuple, con.sql(oracles["mm2_frame_sample"]).fetchall()))
+    assert got == want
+    # mm3: tiled-payload md5
+    resized = mm2mod.resize_images(media, 224, 224).select(
+        "doc_id",
+        "width",
+        "height",
+        F.md5(F.hex("payload")).alias("payload_md5"),
+        F.octet_length("payload").alias("n_bytes"),
+    )
+    got3 = sorted(map(tuple, resized.collect()))
+    want3 = sorted(map(tuple, con.sql(oracles["mm3_resize"]).fetchall()))
+    assert got3 == want3
+
+
 def test_quality_filter_verdict_and_flags(spark):
     from tranquility_spark.operators.text import quality_filter
 

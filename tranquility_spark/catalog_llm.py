@@ -747,20 +747,22 @@ def samp3_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm2_frame_sample",
     """
     WITH media AS (
-      SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents
     ),
     f AS (
-      SELECT doc_id, text, nb,
+      SELECT doc_id, hx, nb,
              least(greatest(((100 * nb) % 60000) // 1000, 1), 8) AS n
       FROM media
     ),
     fr AS (
-      SELECT doc_id, text, nb, CAST(unnest(range(0, n)) AS INTEGER) AS frame_idx
+      SELECT doc_id, hx, nb, CAST(unnest(range(0, n)) AS INTEGER) AS frame_idx
       FROM f
     )
     SELECT doc_id, frame_idx,
            frame_idx * 1000 AS frame_ts_ms,
-           hex(encode(substring(text, ((frame_idx * 1000 * 13) % greatest(nb - 16, 1)) + 1, 16)))
+           substring(hx, ((frame_idx * 1000 * 13) % greatest(nb - 16, 1)) * 2 + 1, 32)
              AS frame_hex
     FROM fr
     """,
@@ -768,9 +770,10 @@ def samp3_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "demuxer distributes as (typed frame schema, bounded max_frames row "
     "amplification). Demux itself STUBBED deterministically (codec libs "
     "absent) which makes the fan-out ORACLE-CHECKABLE — the oracle slices "
-    "text (byte==char on this ASCII corpus) where Spark slices payload "
-    "bytes; frames compare as hex digests (binary columns don't survive "
-    "the driver's pandas value-hash)",
+    "the hex encoding of the utf-8 payload (2 ASCII chars per byte, so a "
+    "char-substring of hex IS a byte-substring of the payload — exact on "
+    "ANY corpus, non-ASCII included); frames compare as hex digests "
+    "(binary columns don't survive the driver's pandas value-hash)",
 )
 def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.attach_binary_payload(_t(spark, sf_dir, "documents"))
@@ -784,17 +787,20 @@ def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm3_resize",
     """
     SELECT doc_id, 224 AS width, 224 AS height,
-           md5(substring(repeat(text,
+           md5(substring(repeat(hex(encode(text)),
                  CAST(50176 // greatest(octet_length(encode(text)), 1) + 1 AS BIGINT)),
-               1, 50176)) AS payload_md5,
+               1, 50176 * 2)) AS payload_md5,
            50176 AS n_bytes
     FROM documents
     """,
     doc="Multimodal resize plumbing: fixed-size output payloads via one "
     "narrow mapInPandas (no shuffle, linear in executors). Pixel transform "
     "STUBBED as deterministic truncate/tile (codec libs absent) so output "
-    "size, schema and Arrow batch shape are oracle-checked; the 50 KB "
-    "payloads compare as md5 digests",
+    "size, schema and Arrow batch shape are oracle-checked; payloads "
+    "compare as md5 OF THE HEX ENCODING (hex commutes with concat, and a "
+    "2-chars-per-byte substring is an exact byte-truncation — so the "
+    "compare survives a non-ASCII corpus regeneration, and DuckDB 1.0 has "
+    "no BLOB md5/substring anyway)",
 )
 def mm3_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.attach_binary_payload(_t(spark, sf_dir, "documents"))
@@ -803,7 +809,7 @@ def mm3_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "width",
         "height",
-        F.md5("payload").alias("payload_md5"),
+        F.md5(F.hex("payload")).alias("payload_md5"),
         F.octet_length("payload").alias("n_bytes"),
     )
 
@@ -954,6 +960,12 @@ def hh1_heavy_hitters_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
     ).withColumn("grp", F.lit("all"))
     partials = hh.mg_partial(toks, ["grp", "source"], "tok", k=64).drop("source")
+    # grp is a constant literal, so Catalyst folds it out of the merge's
+    # window partition spec and WindowExec warns "No Partition Defined".
+    # EXPECTED AND BENIGN HERE: the merge input is k-truncated partials
+    # (<= k x n_sources rows, kilobytes), so the single partition holds
+    # bounded summary state, never the token stream. Don't let this warning
+    # mask a real unpartitioned window over raw data elsewhere.
     merged = hh.mg_merge(partials, ["grp"], k=64)
     return hh.mg_topk(merged, ["grp"], topk=20).drop("grp")
 
@@ -1107,14 +1119,16 @@ _SHUF_M = 1000003
     doc="Deterministic epoch shuffle: seeded portable hash -> (shard, pos) "
     "training order, reproducible across runs/retries (rand() is not); "
     "each seed is a fresh permutation. The one shuffle is the "
-    "partition-by-shard exchange a shuffled-dataset write needs anyway; "
-    "n_shards sizes output files (100 TB / 512 MB ~ 200k shards)",
+    "partition-by-shard exchange a shuffled-dataset write needs anyway. "
+    "This entry runs the portable=True oracle-exact hash; production "
+    "default is xxhash64 (full 64-bit keyspace — required for 100 TB / "
+    "512 MB ~ 200k shards, beyond the portable hash's 100,003 ceiling)",
 )
 def shuf1_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tranquility_spark.operators.partitioning import epoch_shuffle
 
     docs = _t(spark, sf_dir, "documents")
-    out = epoch_shuffle(docs, "doc_id", seed=_SHUF_SEED, n_shards=_SHUF_SHARDS, m=_SHUF_M)
+    out = epoch_shuffle(docs, "doc_id", seed=_SHUF_SEED, n_shards=_SHUF_SHARDS, m=_SHUF_M, portable=True)
     return out.select("doc_id", "ord_key", "shard", F.col("pos").cast("long").alias("pos"))
 
 
@@ -1190,7 +1204,7 @@ def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tranquility_spark.operators.partitioning import epoch_shuffle
 
     mixed = samp4_mixture_resample(spark, sf_dir)
-    out = epoch_shuffle(mixed, "doc_id", seed=_SHUF_SEED, n_shards=_SHUF_SHARDS, m=_SHUF_M)
+    out = epoch_shuffle(mixed, "doc_id", seed=_SHUF_SEED, n_shards=_SHUF_SHARDS, m=_SHUF_M, portable=True)
     return out.select(
         "doc_id", "lang", "shard", F.col("pos").cast("long").alias("pos")
     )

@@ -119,27 +119,47 @@ def epoch_shuffle(
     seed: int,
     n_shards: int,
     m: int = 1000003,
+    portable: bool = False,
 ) -> DataFrame:
     """Deterministic global shuffle for training-data epochs.
 
     Assigns every row a (shard, pos) — the output file and the position
-    within it — from a seeded portable hash of its key, so the "random"
-    training order is reproducible across runs, retries and repartitioning
-    (the property ``rand()`` lacks), and each seed yields a different
+    within it — from a seeded hash of its key, so the "random" training
+    order is reproducible across runs, retries and repartitioning (the
+    property ``rand()`` lacks), and each seed yields a different
     permutation for its epoch.
 
-    Shape at 100 TB: the hash is a narrow projection; the one shuffle is the
-    window's partition-by-shard exchange — exactly the data movement a
-    shuffled-dataset write requires anyway — and the within-shard sort is
-    the shuffle-write sort. ``n_shards`` = number of output files; size it
-    so a shard fits an executor (e.g. 100 TB / 512 MB ≈ 200k shards). The
-    multiplicative portable hash keeps the oracle bit-exact; a production
-    run free of the cross-engine constraint would use ``xxhash64(key, seed)``
-    with identical plan shape.
+    Default path: ``xxhash64(string(key), seed)`` — full 64-bit ord_key
+    space, any key type (string doc ids included), every shard occupied at
+    any scale. This is the 100 TB path: ``n_shards`` = number of output
+    files, sized so a shard fits an executor (100 TB / 512 MB ≈ 200k
+    shards — which NEEDS the 64-bit keyspace, see below).
+
+    ``portable=True``: the engine-portable multiplicative hash, bit-exact
+    reproducible in ANSI SQL (the DuckDB oracle entries use it). Its
+    mod-100,003 pre-reduction caps ord_key at ``m`` distinct values, so
+    shard counts beyond ~100k leave shards permanently empty and the
+    permutation weakens for corpora ≫ 100k docs — cross-engine
+    verification only, never the production default. The seed is folded
+    AFTER the key is normalized to a long (try_cast, else crc32 of the
+    string form), so string keys shuffle instead of collapsing to a NULL
+    shard under numeric coercion.
+
+    Shape at 100 TB (both paths): the hash is a narrow projection; the one
+    shuffle is the window's partition-by-shard exchange — exactly the data
+    movement a shuffled-dataset write requires anyway — and the
+    within-shard sort is the shuffle-write sort.
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    ord_key = portable_shard(F.col(key) + F.lit(seed), m)
+    if portable:
+        k = F.coalesce(
+            F.col(key).try_cast("long"),
+            F.crc32(F.col(key).cast("string").cast("binary")).cast("long"),
+        )
+        ord_key = portable_shard(k + F.lit(seed), m)
+    else:
+        ord_key = F.xxhash64(F.col(key).cast("string"), F.lit(seed)).alias("ord_key")
     w = Window.partitionBy("shard").orderBy("ord_key", key)
     return (
         df.withColumn("ord_key", ord_key)

@@ -207,6 +207,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: list[list[float]] | None = None,
+    use_existing_assignment: bool = False,
 ) -> DataFrame:
     """Approximate top-k via IVF: probe the ``nprobe`` nearest inverted lists.
 
@@ -215,6 +216,14 @@ def ivf_topk(
     partitioned layout — followed by exact cosine + TakeOrderedAndProject
     inside ~nprobe/n_centroids of the data. Pass precomputed ``centroids``
     to reuse an index across queries (the normal serving shape).
+
+    ``use_existing_assignment=True`` additionally trusts a pre-existing
+    ``centroid_id`` column as the inverted-list layout (the partition-pruned
+    serving path — a literal IN-filter the planner pushes into partition
+    pruning; re-deriving through the assignment UDF cannot prune). It is
+    opt-in because correctness then depends on the layout having been built
+    with THESE centroids: a column built from different centroids/seed would
+    silently return wrong neighbors. Default recomputes the assignment.
     """
     import math
 
@@ -227,11 +236,15 @@ def ivf_topk(
 
     probe = sorted(range(len(cents)), key=lambda i: -cos_q(cents[i]))[:nprobe]
 
-    # if the input already carries centroid_id (an IVF-partitioned layout),
-    # filter on the EXISTING column — a literal IN-filter the planner turns
-    # into partition pruning. Re-deriving it through the assignment UDF would
-    # force a full scan (UDF outputs can't prune partitions).
-    assigned = df if "centroid_id" in df.columns else with_centroid_id(df, cents, vec_col)
+    if use_existing_assignment:
+        if "centroid_id" not in df.columns:
+            raise ValueError(
+                "use_existing_assignment=True requires a centroid_id column "
+                "(an IVF-partitioned layout written via with_centroid_id)"
+            )
+        assigned = df
+    else:
+        assigned = with_centroid_id(df.drop("centroid_id"), cents, vec_col)
     v = _as_double(F.col(vec_col))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (

@@ -105,10 +105,13 @@ def kmv_merge(
     """
     g = list(group_cols)
     tmin = partials.groupBy(*g).agg(F.min("theta").alias("__tmin"))
+    # <= not <: a saturated partial's theta IS its k-th retained hash
+    # (element_at(kmv, k)), so the boundary value is part of the sketch —
+    # strict < would drop it and break bit-identity with the direct build.
     vals = (
         partials.select(*g, F.explode("kmv").alias("__h"))
         .join(tmin, g)
-        .filter(F.col("__h") < F.col("__tmin"))
+        .filter(F.col("__h") <= F.col("__tmin"))
         .dropDuplicates(g + ["__h"])
     )
     w = Window.partitionBy(*g).orderBy("__h")
