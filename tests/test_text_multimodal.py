@@ -90,6 +90,78 @@ def test_sample_frames_fanout_bounded(spark, sf_dir):
     assert first == 50  # every doc yields frame 0
 
 
+def test_txt12_bigram_logprob_hand_computed(spark, sf_dir, tmp_path):
+    """Hand-checkable bigram LM: corpus 'a b a' + 'a b'.
+    Bigrams: (a,b)x2, (b,a)x1. V=2. c1: a->2, b->1.
+    P(b|a)=(2+1)/(2+2)=0.75; P(a|b)=(1+1)/(1+2)=2/3.
+    doc1 mean = (ln.75 + ln(2/3))/2; doc2 mean = ln .75."""
+    import math
+
+    from tranquility_spark.catalog import CATALOG
+
+    docs = spark.createDataFrame(
+        [(1, "a b a", "en", "s", 5), (2, "a b", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    docs.write.parquet(str(d / "documents.parquet"))
+    out = {
+        r.doc_id: (r.mean_bigram_logprob, r.n_bigrams)
+        for r in CATALOG["txt12_bigram_logprob"].fn(spark, str(d)).collect()
+    }
+    lp_ab = round(math.log(3 / 4), 6)
+    lp_ba = round(math.log(2 / 3), 6)
+    # compare within half an ulp of the 6-decimal rounding: the doc-1 mean
+    # lands exactly on a .xxxxxx5 half-boundary where Spark/DuckDB round
+    # half-up but Python rounds half-even — the engines agree with each
+    # other (that's what parity checks), the test just needs tolerance
+    assert out[1][1] == 2 and abs(out[1][0] - (lp_ab + lp_ba) / 2) <= 6e-7
+    assert out[2][1] == 1 and abs(out[2][0] - lp_ab) <= 6e-7
+
+
+def test_samp5_temperature_flattens_mixture(spark, sf_dir):
+    """alpha=0.5 rebalance: the smallest stratum keeps ~100% (it binds the
+    cap), kept counts track T*w_l, and the kept mixture is flatter than the
+    input (head strata shrink toward sqrt-proportionality)."""
+    import math
+
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_in = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = CATALOG["samp5_temperature_resample"].fn(spark, sf_dir)
+    n_out = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    sw = sum(math.sqrt(n) for n in n_in.values())
+    t = min(n / (math.sqrt(n) / sw) for n in n_in.values())
+    for lang, n in n_in.items():
+        target = t * (math.sqrt(n) / sw)
+        # hash thresholding is exact in expectation; allow small-sample slack
+        assert abs(n_out.get(lang, 0) - target) <= max(6, 0.2 * target), lang
+    # binding stratum (smallest n/sqrt(n) = smallest sqrt(n)) keeps everything
+    binding = min(n_in, key=lambda l: n_in[l])
+    assert n_out[binding] == n_in[binding]
+
+
+def test_emb4_matryoshka_truncate_values(spark):
+    from tranquility_spark.operators.embeddings import matryoshka_truncate
+
+    df = spark.createDataFrame(
+        [(1, [3.0] * 16 + [4.0] * 48), (2, [0.0] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in matryoshka_truncate(df, dims=16).collect()}
+    # head energy = 16*9 = 144, full = 144 + 48*16 = 912
+    assert out[1].trunc_l2 == 12.0
+    assert out[1].energy_retained == round(144 / 912, 6)
+    assert out[1].trunc_dims == 16
+    # zero vector: NULL fraction, not an error (try_divide policy)
+    assert out[2].trunc_l2 == 0.0
+    assert out[2].energy_retained is None
+
+
 def test_mm_oracles_byte_exact_on_non_ascii_corpus(spark):
     """Regression for the mm2/mm3 oracle fragility: the DuckDB oracles used
     to slice TEXT (char == byte only on ASCII); they now slice the hex

@@ -1208,3 +1208,165 @@ def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", "shard", F.col("pos").cast("long").alias("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: bigram LM scoring, temperature resampling, matryoshka
+# truncation. All three auto-rotate into the uncertified driver window.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txt12_bigram_logprob",
+    r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+      FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM d)
+      WHERE len(l) >= 2
+    ),
+    vocab AS (
+      SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(l) AS tok FROM d)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1)
+    SELECT doc_id,
+           round(CAST(sum(CAST(round(ln((c12 + 1.0) / (c1 + v)), 6)
+                              AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_bigram_logprob,
+           count(*) AS n_bigrams
+    FROM pairs
+    JOIN c12 USING (w1, w2)
+    JOIN c1 USING (w1)
+    CROSS JOIN vocab
+    GROUP BY doc_id
+    """,
+    doc="Bigram-LM perplexity proxy with add-one smoothing, self-trained on "
+    "the corpus: P(w2|w1) = (c12+1)/(c1+V) — the CCNet-style LM quality "
+    "filter one modeling step above txt9's unigram. Bigrams come from a "
+    "NARROW slice+zip over the per-doc token array (no per-token shuffle "
+    "to pair neighbors — arrays_zip of two shifted slices); the count "
+    "tables are map-side-combined aggs, joined back with AQE free to "
+    "broadcast while the vocab fits (stopword bigrams are the skew keys). "
+    "Per-pair ln is rounded then decimal-accumulated so the per-doc mean "
+    "is order-independent cross-engine (txt9 policy)",
+)
+def txt12_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("l")
+    )
+    n1 = F.size("l") - 1
+    pairs = (
+        toked.filter(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(F.slice("l", 1, n1), F.slice("l", 2, n1))
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    )
+    vocab = (
+        toked.select(F.explode("l").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    lp = F.round(
+        F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 6
+    ).cast("decimal(28,6)")
+    return (
+        pairs.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(lp).cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_bigram_logprob"
+            ),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+
+
+_TEMP_M = 1_000_000
+
+
+@register(
+    "samp5_temperature_resample",
+    f"""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT lang, n,
+                 sqrt(CAST(n AS DOUBLE))
+                   / (SELECT sum(sqrt(CAST(n AS DOUBLE))) FROM counts) AS w
+          FROM counts),
+    caps AS (SELECT lang, n, w, CAST(n AS DOUBLE) / w AS cap FROM w),
+    keeps AS (SELECT lang, (SELECT min(cap) FROM caps) * w / CAST(n AS DOUBLE) AS keep
+              FROM caps)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN keeps k ON d.lang = k.lang
+    WHERE {portable_shard_sql("d.doc_id", _TEMP_M)}
+          < CAST(floor(k.keep * {_TEMP_M}) AS BIGINT)
+    """,
+    doc="Temperature resampling (alpha = 0.5): stratum weights derived from "
+    "the data itself, w_l proportional to n_l^alpha — the standard "
+    "multilingual rebalance (flattens the head, keeps the tail) used when "
+    "no explicit target mixture exists (samp4's case). Same scale shape as "
+    "samp4: one |langs|-row count agg broadcast back, one deterministic "
+    "hash-filter scan; sqrt() is IEEE-exact on both engines so the keep "
+    "thresholds agree bit-for-bit",
+)
+def samp5_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.partitioning import portable_shard
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    sumw = counts.agg(F.sum(F.sqrt(F.col("n").cast("double"))).alias("sw"))
+    caps = (
+        counts.crossJoin(F.broadcast(sumw))
+        .withColumn("w", F.sqrt(F.col("n").cast("double")) / F.col("sw"))
+        .withColumn("cap", F.col("n").cast("double") / F.col("w"))
+    )
+    t = caps.agg(F.min("cap").alias("t"))
+    keeps = caps.crossJoin(F.broadcast(t)).select(
+        "lang", (F.col("t") * F.col("w") / F.col("n").cast("double")).alias("keep")
+    )
+    return (
+        docs.join(F.broadcast(keeps), "lang")
+        .filter(
+            portable_shard(F.col("doc_id"), _TEMP_M)
+            < F.floor(F.col("keep") * _TEMP_M).cast("long")
+        )
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "emb4_matryoshka_truncate",
+    """
+    SELECT vec_id,
+           round(sqrt(list_aggregate(list_transform(CAST(embedding[1:16] AS DOUBLE[]),
+                                                    x -> x * x), 'sum')), 6) AS trunc_l2,
+           round(list_aggregate(list_transform(CAST(embedding[1:16] AS DOUBLE[]),
+                                               x -> x * x), 'sum')
+                 / list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                 x -> x * x), 'sum'), 6)
+             AS energy_retained,
+           least(len(embedding), 16) AS trunc_dims
+    FROM embeddings
+    """,
+    doc="Matryoshka truncation (64 -> 16 dims): the leading prefix of an "
+    "MRL-trained embedding is itself a usable lower-dim embedding "
+    "(Kusupati et al. 2022) — 4x less index storage/ANN compute, and "
+    "energy_retained reports per-vector what that truncation costs. Pure "
+    "JVM slice + left-to-right aggregate folds (identical IEEE result both "
+    "engines — emb1's policy), narrow projection, no shuffle",
+)
+def emb4_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = emb.matryoshka_truncate(_t(spark, sf_dir, "embeddings"), dims=16)
+    return out.select("vec_id", "trunc_l2", "energy_retained", "trunc_dims")

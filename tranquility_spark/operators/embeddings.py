@@ -141,3 +141,39 @@ def centroid_similarity(
             F.max(F.col("b.n_vecs")).alias("n_b"),
         )
     )
+
+
+def matryoshka_truncate(
+    df: DataFrame, dims: int, emb_col: str = "embedding"
+) -> DataFrame:
+    """Matryoshka truncation: keep the leading ``dims`` components, report
+    the truncated-vector norm and the retained-energy fraction.
+
+    The serving trick behind MRL-trained embeddings (Kusupati et al. 2022):
+    a prefix of the vector is itself a usable lower-dim embedding, so a
+    64→16 truncation cuts index storage and ANN compute 4× and the
+    retained-energy column says per-vector how much signal that costs.
+
+    Pure JVM ``slice`` + left-to-right ``aggregate`` folds (identical
+    IEEE-754 result on both engines — the l2_norm policy); narrow
+    projection, no shuffle, embarrassingly parallel at 100 TB.
+    ``try_divide`` keeps zero-norm degenerates at NULL fraction rather
+    than erroring a full pass.
+    """
+    full = F.col(emb_col).cast("array<double>")
+    head = F.slice(full, 1, dims)
+
+    def energy(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+
+    return (
+        df.withColumn("__e_head", energy(head))
+        .withColumn("__e_full", energy(full))
+        .withColumn("trunc_l2", F.round(F.sqrt(F.col("__e_head")), 6))
+        .withColumn(
+            "energy_retained",
+            F.round(F.try_divide(F.col("__e_head"), F.col("__e_full")), 6),
+        )
+        .withColumn("trunc_dims", F.least(F.size(full), F.lit(dims)))
+        .drop("__e_head", "__e_full")
+    )
