@@ -75,6 +75,9 @@ HEADLINE = [
     "shuf1_epoch_shuffle",
     "emb3_centroid_similarity",
     "pipe3_training_prep",
+    "txt12_bigram_logprob",
+    "samp5_temperature_resample",
+    "emb4_matryoshka_truncate",
 ]
 
 

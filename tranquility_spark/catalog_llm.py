@@ -1233,7 +1233,7 @@ def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT unnest(l) AS tok FROM d)
     ),
     c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
-    c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1)
+    c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1)
     SELECT doc_id,
            round(CAST(sum(CAST(round(ln((c12 + 1.0) / (c1 + v)), 6)
                               AS DECIMAL(28,6))) AS DOUBLE)
@@ -1276,7 +1276,10 @@ def txt12_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("tok").alias("v"))
     )
     c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # context counts derive from the (much smaller) distinct-bigram table —
+    # sum_w2 c12 == per-w1 instance count — instead of a third full
+    # explode+shuffle over the corpus
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     lp = F.round(
         F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 6
     ).cast("decimal(28,6)")
