@@ -217,3 +217,35 @@ def test_http_ingest_malformed_body_400(spark):
         assert raised
     finally:
         server.stop()
+
+
+def test_load_table_normalizes_every_observed_ts_physical_type(spark, tmp_path):
+    """Testdata has regenerated events.ts with different parquet physical
+    types across rounds (TIMESTAMP(NANOS) in r01-r03, timestamp[us]-no-tz in
+    r04 — the latter broke w5/w6). load_table must normalize every plausible
+    form to TimestampType with identical values so no catalog entry ever
+    sees the raw physical type."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tranquility_spark.sources.files import load_table
+
+    base = dt.datetime(2024, 6, 1, 10, 30, 15, 123456)
+    micros = int(base.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    variants = {
+        "ntz": pa.array([micros], type=pa.int64()).cast(pa.timestamp("us")),
+        "nanos_long": pa.array([micros * 1000], type=pa.int64()),
+        "iso_string": pa.array(["2024-06-01 10:30:15.123456"]),
+    }
+    for name, arr in variants.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table({"event_id": pa.array([1], type=pa.int64()), "ts": arr}),
+            str(d / "events.parquet"),
+        )
+        out = load_table(spark, str(d), "events")
+        assert dict(out.dtypes)["ts"] == "timestamp", name
+        [row] = out.collect()
+        assert row.ts == base, (name, row.ts)

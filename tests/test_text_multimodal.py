@@ -94,7 +94,7 @@ def test_txt12_bigram_logprob_hand_computed(spark, sf_dir, tmp_path):
     """Hand-checkable bigram LM: corpus 'a b a' + 'a b'.
     Bigrams: (a,b)x2, (b,a)x1. V=2. c1: a->2, b->1.
     P(b|a)=(2+1)/(2+2)=0.75; P(a|b)=(1+1)/(1+2)=2/3.
-    doc1 mean = (ln.75 + ln(2/3))/2; doc2 mean = ln .75."""
+    doc1 sum = ln.75 + ln(2/3); doc2 sum = ln .75."""
     import math
 
     from tranquility_spark.catalog import CATALOG
@@ -107,17 +107,15 @@ def test_txt12_bigram_logprob_hand_computed(spark, sf_dir, tmp_path):
     d.mkdir()
     docs.write.parquet(str(d / "documents.parquet"))
     out = {
-        r.doc_id: (r.mean_bigram_logprob, r.n_bigrams)
+        r.doc_id: (r.sum_bigram_logprob, r.n_bigrams)
         for r in CATALOG["txt12_bigram_logprob"].fn(spark, str(d)).collect()
     }
     lp_ab = round(math.log(3 / 4), 6)
     lp_ba = round(math.log(2 / 3), 6)
-    # compare within half an ulp of the 6-decimal rounding: the doc-1 mean
-    # lands exactly on a .xxxxxx5 half-boundary where Spark/DuckDB round
-    # half-up but Python rounds half-even — the engines agree with each
-    # other (that's what parity checks), the test just needs tolerance
-    assert out[1][1] == 2 and abs(out[1][0] - (lp_ab + lp_ba) / 2) <= 6e-7
-    assert out[2][1] == 1 and abs(out[2][0] - lp_ab) <= 6e-7
+    # the entry emits the exact decimal-accumulated SUM (not the mean — a
+    # final mean division can land on a round-half boundary, see entry doc)
+    assert out[1] == (round(lp_ab + lp_ba, 6), 2)
+    assert out[2] == (lp_ab, 1)
 
 
 def test_samp5_temperature_flattens_mixture(spark, sf_dir):

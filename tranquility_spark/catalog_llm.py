@@ -1235,9 +1235,8 @@ def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
     c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1)
     SELECT doc_id,
-           round(CAST(sum(CAST(round(ln((c12 + 1.0) / (c1 + v)), 6)
-                              AS DECIMAL(28,6))) AS DOUBLE)
-                 / count(*), 6) AS mean_bigram_logprob,
+           CAST(sum(CAST(round(ln((c12 + 1.0) / (c1 + v)), 6)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_bigram_logprob,
            count(*) AS n_bigrams
     FROM pairs
     JOIN c12 USING (w1, w2)
@@ -1252,8 +1251,11 @@ def pipe3_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to pair neighbors — arrays_zip of two shifted slices); the count "
     "tables are map-side-combined aggs, joined back with AQE free to "
     "broadcast while the vocab fits (stopword bigrams are the skew keys). "
-    "Per-pair ln is rounded then decimal-accumulated so the per-doc mean "
-    "is order-independent cross-engine (txt9 policy)",
+    "Per-pair ln is rounded then decimal-accumulated, and the entry emits "
+    "the exact SUM + count rather than the mean (w5 precedent: a final "
+    "mean division can land on a .xxxxxx5 round-half boundary where "
+    "engines disagree — 2 rows did at sf0.1; the sum is order-independent "
+    "and boundary-free, derive the mean downstream)",
 )
 def txt12_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1289,9 +1291,7 @@ def txt12_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
-            F.round(F.sum(lp).cast("double") / F.count(F.lit(1)), 6).alias(
-                "mean_bigram_logprob"
-            ),
+            F.sum(lp).cast("double").alias("sum_bigram_logprob"),
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )

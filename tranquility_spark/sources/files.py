@@ -52,6 +52,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_type == "string":
+            # not yet observed in a regeneration, but cheap insurance:
+            # ISO-8601 strings parse under the UTC session zone (try_ —
+            # ANSI mode would otherwise fail the whole scan on one bad row)
+            df = df.withColumn("ts", F.expr("try_to_timestamp(ts)"))
     return df
 
 
