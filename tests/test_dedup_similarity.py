@@ -220,3 +220,32 @@ def test_centroid_similarity_known_geometry(spark):
     assert out[(1, 2)].centroid_cosine == 0.0    # orthogonal prototypes
     assert out[(1, 3)].centroid_cosine == 1.0    # co-linear prototypes
     assert out[(1, 2)].n_a == 2 and out[(1, 2)].n_b == 1
+
+
+def test_incremental_neardup_equals_full_run_restricted(spark, sf_dir):
+    """The incrementality contract: dedup of a new batch against the
+    existing corpus's LSH band index returns EXACTLY the full-corpus dd2
+    pairs that touch a new id — same candidates, same estimates. (Also
+    pins the new/old split logic of the dd8 catalog entry.)"""
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    params = dict(num_hashes=64, bands=16, shingle_k=3)
+
+    full = dd.minhash_lsh_pairs(docs, threshold=0.5, **params)
+    new_ids = {r.doc_id for r in docs.filter(F.col("doc_id") % 5 == 0).select("doc_id").collect()}
+    want = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in full.collect()
+        if r.id_a in new_ids or r.id_b in new_ids
+    }
+
+    index = dd.lsh_band_index(docs.filter(F.col("doc_id") % 5 != 0), **params)
+    got = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dd.incremental_neardup_pairs(
+            docs.filter(F.col("doc_id") % 5 == 0), index, threshold=0.5, **params
+        ).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no near-dup pairs touching the new batch"

@@ -55,6 +55,31 @@ def dd2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd8_incremental_neardup",
+    None,  # LSH is hash-defined — no SQL twin; exact-twin equality vs the
+    # full-corpus run asserted in tests/test_dedup_similarity.py
+    doc="Incremental near-dup: the newest 20% of docs (doc_id % 5 == 0 — a "
+    "deterministic stand-in for 'today's batch') deduped against an LSH "
+    "band index built from the other 80% ('the existing corpus'). The "
+    "production per-cycle shape: only the new batch is shingled/hashed, "
+    "the corpus is probed through its persisted (band, bhash) buckets — "
+    "cost O(new + touched buckets), independent of corpus size — and with "
+    "deterministic signatures the result EQUALS the full-corpus dd2 run "
+    "restricted to pairs touching new ids (incrementality costs no recall)",
+)
+def dd8_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    index = dd.lsh_band_index(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        num_hashes=64, bands=16, shingle_k=3,
+    )
+    return dd.incremental_neardup_pairs(
+        new, index, num_hashes=64, bands=16, shingle_k=3, threshold=0.5
+    )
+
+
+@register(
     "dd3_simhash_signatures",
     None,  # blake2b-based bit votes — no SQL twin
     doc="SimHash 64-bit signatures via Arrow-batched pandas UDF (near-dup = small "

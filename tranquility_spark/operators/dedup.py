@@ -128,6 +128,50 @@ def with_minhash_signature(
     return hashed.withColumn(out_col, F.when(F.size(base) > 0, sig)).drop("__mh_base")
 
 
+def lsh_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    impl: str = "pandas",
+) -> DataFrame:
+    """The banded-signature frame ``(id, sig, band, bhash)`` — both the
+    in-flight layout of ``minhash_lsh_pairs`` and the PERSISTED index layout
+    for incremental dedup (write it ``partitionBy("band")`` or bucketed by
+    ``(band, bhash)`` so a later batch joins without reshuffling the corpus).
+
+    All rows derived from one (num_hashes, bands, shingle_k, seed) parameter
+    set; an index built with different parameters silently produces garbage
+    candidates — persist the parameters with the index and validate before
+    joining (the ivf_topk stale-layout lesson).
+    """
+    rows_per_band = num_hashes // bands
+    sig = (
+        with_minhash_signature(df, text_col, "sig", num_hashes, shingle_k, seed, impl)
+        .select(F.col(id_col).alias("id"), "sig")
+        .filter(F.col("sig").isNotNull())
+    )
+    return sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ))).alias("bhash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -146,29 +190,9 @@ def minhash_lsh_pairs(
     shuffle by (band, band_hash) → within-bucket self-join → distinct pairs →
     signature re-compare. No all-pairs comparison ever materializes.
     """
-    rows_per_band = num_hashes // bands
-    sig = (
-        with_minhash_signature(df, text_col, "sig", num_hashes, shingle_k, seed, impl)
-        .select(F.col(id_col).alias("id"), "sig")
-        .filter(F.col("sig").isNotNull())
+    banded = lsh_band_index(
+        df, text_col, id_col, num_hashes, bands, shingle_k, seed, impl
     )
-
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.transform(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ))).alias("bhash"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
 
     # impl='sql': the join plan would hold TWO copies of the 64-permutation
     # expression tree and Catalyst spends ~40s optimizing it (measured) —
@@ -200,6 +224,12 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    return _estimate_and_filter(cand, num_hashes, threshold)
+
+
+def _estimate_and_filter(cand: DataFrame, num_hashes: int, threshold: float) -> DataFrame:
+    """Signature re-compare: estimated Jaccard = fraction of agreeing
+    positions; keep pairs at/above threshold."""
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
         F.lit(0),
@@ -210,6 +240,63 @@ def minhash_lsh_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
+
+
+def incremental_neardup_pairs(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    impl: str = "pandas",
+) -> DataFrame:
+    """Near-dup pairs for an INCREMENTAL batch against an existing corpus
+    index — the shape a production pipeline actually runs per ingest cycle
+    (re-running ``minhash_lsh_pairs`` over old ∪ new re-pays the whole
+    corpus every day; this pays only the new batch).
+
+    ``index_df`` is a persisted ``lsh_band_index`` frame built with the SAME
+    (num_hashes, bands, shingle_k, seed). Returns every pair involving at
+    least one new doc: new×index via the band-bucket join plus new×new,
+    canonically ordered (id_a < id_b). With deterministic signatures this
+    EQUALS the full-corpus run restricted to pairs touching new ids
+    (asserted in tests) — incrementality costs no recall.
+
+    Scale shape: only the new batch is shingled/hashed; the join probes
+    index buckets by (band, bhash) — with the index written bucketed or
+    partitioned on those keys the corpus side never reshuffles, so the
+    per-cycle cost is O(new batch + touched buckets), independent of
+    corpus size.
+    """
+    new_banded = lsh_band_index(
+        new_df, text_col, id_col, num_hashes, bands, shingle_k, seed, impl
+    )
+    probe_side = index_df.select("id", "sig", "band", "bhash").unionByName(new_banded)
+    cand = (
+        new_banded.alias("l")
+        .join(
+            probe_side.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") != F.col("r.id")),
+        )
+        .select(
+            F.least("l.id", "r.id").alias("id_a"),
+            F.greatest("l.id", "r.id").alias("id_b"),
+            F.when(F.col("l.id") < F.col("r.id"), F.col("l.sig"))
+            .otherwise(F.col("r.sig"))
+            .alias("sig_a"),
+            F.when(F.col("l.id") < F.col("r.id"), F.col("r.sig"))
+            .otherwise(F.col("l.sig"))
+            .alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _estimate_and_filter(cand, num_hashes, threshold)
 
 
 def ngram_jaccard_pairs(
