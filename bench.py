@@ -78,6 +78,7 @@ HEADLINE = [
     "txt12_bigram_logprob",
     "samp5_temperature_resample",
     "emb4_matryoshka_truncate",
+    "dd8_incremental_neardup",
 ]
 
 
