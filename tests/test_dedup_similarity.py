@@ -249,3 +249,39 @@ def test_incremental_neardup_equals_full_run_restricted(spark, sf_dir):
     }
     assert got == want
     assert want, "fixture produced no near-dup pairs touching the new batch"
+
+
+def test_incremental_neardup_edge_splits(spark):
+    """Boundary splits: an EMPTY index (cold start — every doc is new)
+    must reproduce the full run exactly; an empty new batch returns no
+    pairs (and no job failure on the degenerate side)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog by the river"),
+        (2, "the quick brown fox jumps over the lazy dog by the riverbank"),
+        (3, "completely unrelated text about spark physical plans and shuffles"),
+        (4, "the quick brown fox jumps over a lazy dog by the river"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    params = dict(num_hashes=64, bands=16, shingle_k=3)
+
+    full = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dd.minhash_lsh_pairs(docs, threshold=0.3, **params).collect()
+    }
+    assert full, "fixture must produce near-dup pairs"
+
+    empty = docs.limit(0)
+    cold_index = dd.lsh_band_index(empty, **params)
+    cold = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dd.incremental_neardup_pairs(
+            docs, cold_index, threshold=0.3, **params
+        ).collect()
+    }
+    assert cold == full
+
+    warm_index = dd.lsh_band_index(docs, **params)
+    none_new = dd.incremental_neardup_pairs(
+        empty, warm_index, threshold=0.3, **params
+    ).collect()
+    assert none_new == []
