@@ -700,3 +700,50 @@ def test_ewma_update_orders_across_chunks():
     expected = ewma_batch([10.0, 20.0, 30.0, 40.0])
     assert abs(out[0]["ewma"].iloc[0] - expected) < 1e-12
     assert state.value[0] == 4
+
+
+def test_streaming_neardup_index_sink_equals_batch_pass(spark, sf_dir, tmp_path):
+    """Stream the documents table in 4 micro-batches through
+    neardup_index_sink: each batch dedupes against the accumulated index of
+    prior batches. The union of emitted pairs must equal ONE batch
+    minhash_lsh_pairs pass over the full corpus — a pair surfaces exactly
+    when its later doc arrives, so streaming costs no recall."""
+    from tranquility_spark.operators.dedup import minhash_lsh_pairs, neardup_index_sink
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(src)
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            neardup_index_sink(index_dir, pairs_dir, threshold=0.5)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in spark.read.parquet(pairs_dir)
+        .dropDuplicates(["id_a", "id_b"])
+        .collect()
+    }
+    batch = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert streamed == batch
+    assert batch, "fixture must produce near-dup pairs"
+    # the index accumulated one banded row set per doc per band
+    n_docs = docs.count()
+    assert spark.read.parquet(index_dir).count() == n_docs * 16

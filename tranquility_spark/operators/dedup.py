@@ -299,6 +299,69 @@ def incremental_neardup_pairs(
     return _estimate_and_filter(cand, num_hashes, threshold)
 
 
+def neardup_index_sink(
+    index_dir: str,
+    pairs_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    impl: str = "pandas",
+):
+    """foreachBatch sink: streaming near-dup detection with a growing index.
+
+    Each micro-batch is deduped against the accumulated ``lsh_band_index``
+    of every prior batch (``incremental_neardup_pairs``), its pairs are
+    appended to ``pairs_dir``, and its own banded signatures are appended
+    to ``index_dir`` — so across the stream's lifetime the union of
+    emitted pairs equals ONE batch ``minhash_lsh_pairs`` pass over the
+    whole corpus (every pair surfaces exactly when its later doc arrives;
+    asserted e2e in tests). The raw corpus is touched once per doc; only
+    kilobyte-per-doc signature rows accumulate.
+
+    Same replay contract as ``sketch_partials_sink``: appends are keyed by
+    batch_id and idempotent ONLY while the checkpoint rides with the
+    output; after a replayed batch, readers should dedupe pairs on
+    ``(id_a, id_b)`` (the batch's own signatures may already be in the
+    index, which can re-surface that batch's internal pairs).
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            index = spark.read.parquet(index_dir).select("id", "sig", "band", "bhash")
+        except Exception:  # first batch: no index written yet
+            index = None
+        if index is None:
+            pairs = minhash_lsh_pairs(
+                batch_df, text_col, id_col, num_hashes, bands, shingle_k,
+                threshold, seed, impl,
+            )
+        else:
+            pairs = incremental_neardup_pairs(
+                batch_df, index, text_col, id_col, num_hashes, bands,
+                shingle_k, threshold, seed, impl,
+            )
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(pairs_dir)
+        )
+        banded = lsh_band_index(
+            batch_df, text_col, id_col, num_hashes, bands, shingle_k, seed, impl
+        )
+        (
+            banded.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(index_dir)
+        )
+
+    return write
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
