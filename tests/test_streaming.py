@@ -747,3 +747,40 @@ def test_streaming_neardup_index_sink_equals_batch_pass(spark, sf_dir, tmp_path)
     # the index accumulated one banded row set per doc per band
     n_docs = docs.count()
     assert spark.read.parquet(index_dir).count() == n_docs * 16
+
+
+def test_neardup_index_sink_replay_contract(spark, tmp_path):
+    """Documented replay semantics: re-running a batch through the sink
+    (foreachBatch redelivery after a crash) may re-append pairs, but a
+    reader that dedupes on (id_a, id_b) still sees exactly the batch-pass
+    result — replay inflates bytes, never answers."""
+    from tranquility_spark.operators.dedup import minhash_lsh_pairs, neardup_index_sink
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog by the river"),
+        (2, "the quick brown fox jumps over the lazy dog by the riverbank"),
+        (3, "unrelated text about catalyst plans and exchanges"),
+        (4, "the quick brown fox jumps over a lazy dog by the river"),
+    ]
+    b1 = spark.createDataFrame(rows[:2], "doc_id long, text string")
+    b2 = spark.createDataFrame(rows[2:], "doc_id long, text string")
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+
+    write = neardup_index_sink(
+        str(tmp_path / "index"), str(tmp_path / "pairs"), threshold=0.3
+    )
+    write(b1, 0)
+    write(b2, 1)
+    write(b2, 1)  # replayed delivery of batch 1
+
+    got = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in spark.read.parquet(str(tmp_path / "pairs"))
+        .dropDuplicates(["id_a", "id_b"])
+        .collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(full, threshold=0.3).collect()
+    }
+    assert got == want and want
