@@ -258,3 +258,73 @@ def test_streaming_hh_partials_merge(spark, sf_dir, tmp_path):
         assert est <= exact[item] <= est + merged["deduct"], item
     top = mg_topk(merged_df, ["grp"], topk=10).collect()
     assert len(top) <= 10 and all(t["err_ub"] == merged["deduct"] for t in top)
+
+
+def test_quantile_sample_merge_identical_to_direct(spark):
+    """Mergeability contract of the bottom-k row sample: per-part partials
+    merged == direct sketch of the union, bit-for-bit (sample AND total)."""
+    from tranquility_spark.operators.sketch import (
+        quantile_sample_merge,
+        quantile_sample_sketch,
+    )
+
+    n, k = 20_000, 128
+    df = (
+        spark.range(0, n)
+        .select(
+            F.lit("a").alias("grp"),
+            F.col("id").alias("rid"),
+            (F.col("id") % 1000).cast("double").alias("v"),
+        )
+        .withColumn("part", F.pmod(F.xxhash64("rid"), F.lit(7)))
+    )
+    direct = quantile_sample_sketch(df, ["grp"], "v", "rid", k=k).collect()[0]
+    partials = quantile_sample_sketch(df, ["grp", "part"], "v", "rid", k=k)
+    merged = quantile_sample_merge(partials, ["grp"], k=k).collect()[0]
+    assert merged["sample"] == direct["sample"]
+    assert merged["n_total"] == direct["n_total"] == n
+
+
+def test_quantile_sketch_rank_bounds_vs_exact(spark, sf_dir):
+    """CLT rank bound: the estimated p50/p90 of events.value per event_type
+    sits within 4*sqrt(q(1-q)/k) of the true quantile IN RANK SPACE."""
+    import math
+
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.sources.files import load_table
+
+    k = 256
+    est = {
+        r.event_type: r
+        for r in CATALOG["a10c_quantile_sketch_merge"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    for q, col in ((0.5, "p50_est"), (0.9, "p90_est")):
+        bound = 4 * math.sqrt(q * (1 - q) / k)
+        for etype, row in est.items():
+            vals = ev.filter(F.col("event_type") == etype).select(
+                F.col("value").cast("double").alias("v")
+            )
+            n = vals.count()
+            # realized rank of the estimate among the true values
+            rank = vals.filter(F.col("v") <= row[col]).count() / n
+            assert abs(rank - q) <= bound or n <= k, (etype, q, rank)
+
+
+def test_quantile_sketch_exact_below_k(spark):
+    """Groups that fit in k carry every row — quantiles are exact."""
+    from tranquility_spark.operators.sketch import (
+        quantile_estimates,
+        quantile_sample_sketch,
+    )
+
+    df = spark.range(0, 100).select(
+        F.lit("a").alias("grp"),
+        F.col("id").alias("rid"),
+        F.col("id").cast("double").alias("v"),
+    )
+    sk = quantile_sample_sketch(df, ["grp"], "v", "rid", k=256)
+    row = quantile_estimates(sk, ["grp"], quantiles=(0.5, 0.9)).collect()[0]
+    assert row["n_total"] == 100
+    assert row["p50"] == 49.0  # rank ceil(0.5*100)=50 → value 49
+    assert row["p90"] == 89.0

@@ -62,3 +62,37 @@ def a11d_sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("kmv").alias("sketch_size"),
         F.round("est", 6).alias("uniq_users_est"),
     ).orderBy("event_type")
+
+
+@register(
+    "a10c_quantile_sketch_merge",
+    None,  # rows-only by the sketch policy; merge bit-identity + CLT rank
+    # bounds asserted in tests/test_sketch.py
+    doc="Mergeable quantile summary — the third mergeable-summary family "
+    "next to KMV (distinct, a11c/d) and Misra-Gries (frequency, hh1): "
+    "per-(event_type, day) bottom-k-by-hash row samples of `value`, merged "
+    "down to per-type p50/p90 estimates. The deterministic bottom-k sample "
+    "is exactly mergeable (the KMV argument applied to rows), so sketches "
+    "built per segment at ingest answer quantile queries later without "
+    "rescanning raw data; rank error ~ sqrt(q(1-q)/k). The approximate, "
+    "mergeable twin of a10's percentile aggregations",
+)
+def a10c_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.sketch import (
+        quantile_estimates,
+        quantile_sample_merge,
+        quantile_sample_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    partials = quantile_sample_sketch(
+        ev, ["event_type", "day"], "value", "event_id", k=_K
+    )
+    merged = quantile_sample_merge(partials, ["event_type"], k=_K)
+    est = quantile_estimates(merged, ["event_type"], quantiles=(0.5, 0.9))
+    return est.select(
+        "event_type",
+        "n_total",
+        F.round("p50", 6).alias("p50_est"),
+        F.round("p90", 6).alias("p90_est"),
+    ).orderBy("event_type")

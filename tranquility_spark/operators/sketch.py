@@ -184,3 +184,87 @@ def theta_set_ops(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
         (F.size(F.array_union(va, vb)) / theta).alias("union_est"),
         (F.size(F.array_except(va, vb)) / theta).alias("a_only_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile summary: deterministic bottom-k-by-hash row sample.
+# Third mergeable-summary family alongside KMV (distinct) and Misra-Gries
+# (frequency). A uniform row sample supports quantiles with rank error
+# O(1/sqrt(k)) (CLT on the order statistic), and selecting the k rows with
+# the SMALLEST xxhash64(row id) makes the sample deterministic AND exactly
+# mergeable: the global bottom-k of a union is a subset of the union of
+# per-partial bottom-k's, so re-selecting over exploded partials reproduces
+# the direct sample BIT-FOR-BIT — same argument as KMV, applied to rows
+# instead of distinct values.
+# ---------------------------------------------------------------------------
+
+
+def quantile_sample_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group mergeable quantile summary:
+    ``group_cols…, sample array<struct<h,v>>, n_total``.
+
+    ``id_col`` must uniquely identify rows (it drives the sampling hash, so
+    the sample is over the value MULTISET — hashing the value itself would
+    sample distinct values, skewing quantiles). One map-side-combined pass
+    computes n_total; one window keeps the k smallest-hash rows. Groups
+    with ≤ k rows carry every row — their quantiles are EXACT.
+    """
+    g = list(group_cols)
+    hashed = df.select(
+        *g,
+        hash01(F.col(id_col)).alias("__h"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    w = Window.partitionBy(*g).orderBy("__h")
+    kept = hashed.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    totals = hashed.groupBy(*g).agg(F.count(F.lit(1)).alias("n_total"))
+    sk = kept.groupBy(*g).agg(
+        F.sort_array(F.collect_list(F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")))).alias(
+            "sample"
+        )
+    )
+    return totals.join(sk, g)
+
+
+def quantile_sample_merge(
+    partials: DataFrame,
+    group_cols: Sequence[str],
+    k: int = 256,
+) -> DataFrame:
+    """Merge partials down to ``group_cols`` — bit-identical to building the
+    sketch directly on the concatenated raw data (the KMV merge argument).
+    Only kilobyte sample rows shuffle, never raw data."""
+    g = list(group_cols)
+    vals = partials.select(
+        *g, F.explode("sample").alias("s"), F.col("n_total").alias("__nt")
+    )
+    w = Window.partitionBy(*g).orderBy(F.col("s.h"))
+    kept = vals.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    totals = partials.groupBy(*g).agg(F.sum("n_total").alias("n_total"))
+    sk = kept.groupBy(*g).agg(F.sort_array(F.collect_list("s")).alias("sample"))
+    return totals.join(sk, g)
+
+
+def quantile_estimates(
+    sketch: DataFrame,
+    group_cols: Sequence[str],
+    quantiles: Sequence[float] = (0.5, 0.9),
+) -> DataFrame:
+    """Estimated quantiles from the sample: for each q, the value at rank
+    ceil(q * |sample|) of the sample's sorted VALUES. Rank error vs the true
+    quantile is ~ z * sqrt(q(1-q)/k) (CLT); exact when the group fit in k."""
+    g = list(group_cols)
+    vs = F.sort_array(F.transform("sample", lambda s: s["v"]))
+    out = sketch.withColumn("__vs", vs)
+    for q in quantiles:
+        idx = F.greatest(
+            F.lit(1), F.ceil(F.size("__vs").cast("double") * F.lit(float(q))).cast("int")
+        )
+        out = out.withColumn(f"p{int(q * 100)}", F.element_at("__vs", idx))
+    return out.drop("__vs", "sample")
