@@ -79,6 +79,7 @@ HEADLINE = [
     "samp5_temperature_resample",
     "emb4_matryoshka_truncate",
     "dd8_incremental_neardup",
+    "a10c_quantile_sketch_merge",
 ]
 
 
