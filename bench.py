@@ -113,9 +113,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = CATALOG[name].fn
         best = float("inf")
         try:
+            fn = CATALOG[name].fn  # inside the try: a stale HEADLINE name
+            # (KeyError) must be recorded, not kill the suite
             for _ in range(3):
                 t0 = time.time()
                 fn(spark, sf_dir).count()

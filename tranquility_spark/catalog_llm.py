@@ -1339,15 +1339,19 @@ _TEMP_M = 1_000_000
     SELECT d.doc_id, d.lang
     FROM documents d JOIN keeps k ON d.lang = k.lang
     WHERE {portable_shard_sql("d.doc_id", _TEMP_M)}
-          < CAST(floor(k.keep * {_TEMP_M}) AS BIGINT)
+          < CAST(round(k.keep * {_TEMP_M}) AS BIGINT)
     """,
     doc="Temperature resampling (alpha = 0.5): stratum weights derived from "
     "the data itself, w_l proportional to n_l^alpha — the standard "
     "multilingual rebalance (flattens the head, keeps the tail) used when "
     "no explicit target mixture exists (samp4's case). Same scale shape as "
     "samp4: one |langs|-row count agg broadcast back, one deterministic "
-    "hash-filter scan; sqrt() is IEEE-exact on both engines so the keep "
-    "thresholds agree bit-for-bit",
+    "hash-filter scan. The integer threshold uses round(), not floor(): "
+    "the binding stratum's keep is ~1.0 up to summation-order ulps (sumw "
+    "is a float aggregation whose order differs across engines), and "
+    "floor(keep * M) sits exactly on the integer crossing those ulps "
+    "straddle — round() moves the disagreement point to a .5 fractional "
+    "boundary no value is systematically attracted to",
 )
 def samp5_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tranquility_spark.operators.partitioning import portable_shard
@@ -1368,7 +1372,7 @@ def samp5_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(keeps), "lang")
         .filter(
             portable_shard(F.col("doc_id"), _TEMP_M)
-            < F.floor(F.col("keep") * _TEMP_M).cast("long")
+            < F.round(F.col("keep") * _TEMP_M).cast("long")
         )
         .select("doc_id", "lang")
     )

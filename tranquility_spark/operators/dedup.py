@@ -275,6 +275,11 @@ def incremental_neardup_pairs(
     new_banded = lsh_band_index(
         new_df, text_col, id_col, num_hashes, bands, shingle_k, seed, impl
     )
+    # same guard as minhash_lsh_pairs: with impl='sql' the self-join side
+    # would embed the 64-permutation expression tree twice and stall
+    # Catalyst (~40s measured there) — truncate the lineage to a leaf
+    if impl == "sql":
+        new_banded = new_banded.localCheckpoint(eager=False)
     probe_side = index_df.select("id", "sig", "band", "bhash").unionByName(new_banded)
     cand = (
         new_banded.alias("l")
@@ -330,10 +335,17 @@ def neardup_index_sink(
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         try:
             index = spark.read.parquet(index_dir).select("id", "sig", "band", "bhash")
-        except Exception:  # first batch: no index written yet
+        except AnalysisException:  # first batch: index path doesn't exist yet.
+            # ONLY path-missing may fall through to the cold-start branch —
+            # a transient FS error or corrupt footer must propagate and fail
+            # the batch (swallowing it would silently drop every cross-batch
+            # pair of this batch, violating the union-equals-batch-pass
+            # contract with no error surfaced).
             index = None
         if index is None:
             pairs = minhash_lsh_pairs(

@@ -241,9 +241,7 @@ def quantile_sample_merge(
     sketch directly on the concatenated raw data (the KMV merge argument).
     Only kilobyte sample rows shuffle, never raw data."""
     g = list(group_cols)
-    vals = partials.select(
-        *g, F.explode("sample").alias("s"), F.col("n_total").alias("__nt")
-    )
+    vals = partials.select(*g, F.explode("sample").alias("s"))
     w = Window.partitionBy(*g).orderBy(F.col("s.h"))
     kept = vals.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
     totals = partials.groupBy(*g).agg(F.sum("n_total").alias("n_total"))
