@@ -328,3 +328,50 @@ def test_quantile_sketch_exact_below_k(spark):
     assert row["n_total"] == 100
     assert row["p50"] == 49.0  # rank ceil(0.5*100)=50 → value 49
     assert row["p90"] == 89.0
+
+
+def test_streaming_quantile_partials_merge_to_batch_sketch(spark, sf_dir, tmp_path):
+    """Quantile twin of the KMV streaming lifecycle: stream micro-batches →
+    per-batch bottom-k sample partials via foreachBatch →
+    quantile_sample_merge at read time reproduces the direct batch sample
+    of the full stream bit-for-bit."""
+    from tranquility_spark.operators.sketch import (
+        quantile_partials_sink,
+        quantile_sample_merge,
+        quantile_sample_sketch,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("value").cast("double").alias("value")
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+
+    out = str(tmp_path / "qpartials")
+    stream = (
+        spark.readStream.schema("event_type string, event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            quantile_partials_sink(out, ["event_type"], "value", "event_id", k=64)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    partials = spark.read.parquet(out)
+    assert partials.select("batch_id").distinct().count() >= 2  # really streamed
+    merged = {
+        r["event_type"]: (r["sample"], r["n_total"])
+        for r in quantile_sample_merge(partials, ["event_type"], k=64).collect()
+    }
+    direct = {
+        r["event_type"]: (r["sample"], r["n_total"])
+        for r in quantile_sample_sketch(ev, ["event_type"], "value", "event_id", k=64).collect()
+    }
+    assert merged == direct

@@ -266,3 +266,29 @@ def quantile_estimates(
         )
         out = out.withColumn(f"p{int(q * 100)}", F.element_at("__vs", idx))
     return out.drop("__vs", "sample")
+
+
+def quantile_partials_sink(
+    out_dir: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    k: int = DEFAULT_K,
+):
+    """foreachBatch sink: append one bottom-k quantile sample partial per
+    group per micro-batch; ``quantile_sample_merge`` at read time reproduces
+    the direct batch sample of the full stream BIT-FOR-BIT (same contract
+    and replay caveats as ``sketch_partials_sink`` — keep the checkpoint
+    with the output). Completes the streaming lifecycle for the third
+    mergeable-summary family (KMV distinct / MG frequency / quantiles).
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        partials = quantile_sample_sketch(batch_df, group_cols, value_col, id_col, k=k)
+        (
+            partials.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return write
