@@ -345,3 +345,33 @@ def test_chunk_dedup_conservation(spark, sf_dir):
     ).collect()[0]
     assert out["kept"] + out["dropped"] == totals["n"]
     assert out["kept"] == totals["n_distinct"]
+
+
+def test_driver_window_rotation_invariants():
+    """Structural guards for the certification machinery (round-4/5
+    lessons): every uncertified key must occupy the driver's 50-slot
+    window (>50 uncertified would silently push some past certification —
+    use _DEFER_TO_NEXT_WINDOW), and the ledger may only name real keys."""
+    from tranquility_spark.catalog import CATALOG, _CERTIFIED, _DEFER_TO_NEXT_WINDOW
+
+    keys = list(CATALOG.keys())
+    window = set(keys[:50])
+    uncertified = [
+        k for k in keys if k not in _CERTIFIED and k not in _DEFER_TO_NEXT_WINDOW
+    ]
+    outside = [k for k in uncertified if k not in window]
+    assert not outside, f"uncertified keys pushed out of the driver window: {outside}"
+    assert set(_CERTIFIED) <= set(keys), sorted(set(_CERTIFIED) - set(keys))
+    assert set(_DEFER_TO_NEXT_WINDOW) <= set(keys)
+
+
+def test_bench_headline_names_resolve():
+    """Every bench HEADLINE name must resolve in the catalog — a stale name
+    is recorded per-query at runtime (fault isolation), but it should never
+    get past CI in the first place."""
+    import bench
+
+    from tranquility_spark.catalog import CATALOG
+
+    missing = [n for n in bench.HEADLINE if n not in CATALOG]
+    assert not missing, missing
