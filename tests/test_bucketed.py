@@ -47,3 +47,46 @@ def test_bucketed_join_has_no_exchange(warehouse, sf_dir):
         assert joined.count() == plain
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@pytest.fixture()
+def lsh_warehouse(spark):
+    spark.sql("DROP TABLE IF EXISTS b_lsh_index")
+    yield spark
+    spark.sql("DROP TABLE IF EXISTS b_lsh_index")
+
+
+def test_bucketed_lsh_index_probe_corpus_side_no_exchange(lsh_warehouse, sf_dir):
+    """The dd8 100 TB serving claim, plan-asserted: an LSH band index
+    written bucketed by (band, bhash) is probed by a new batch with NO
+    Exchange on the corpus side — only the new batch shuffles, so the
+    per-cycle cost is O(new batch), independent of corpus size. (This is
+    why incremental_neardup_pairs joins new×index directly instead of
+    unioning first — a union erases the bucketed layout.)"""
+    spark = lsh_warehouse
+    from tranquility_spark.operators.dedup import lsh_band_index
+    from tranquility_spark.sources.bucketed import write_bucketed
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = lsh_band_index(docs.filter(F.col("doc_id") % 5 != 0))
+    write_bucketed(corpus, "b_lsh_index", ["band", "bhash"], 4)
+
+    new_banded = lsh_band_index(docs.filter(F.col("doc_id") % 5 == 0))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = new_banded.alias("l").join(
+            spark.table("b_lsh_index").alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") != F.col("r.id")),
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # exactly one shuffle: the NEW side repartitions to meet the bucket
+        # layout; the bucketed corpus scan must not be followed by one
+        assert plan.count("Exchange") == 1, plan
+        assert probe.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -280,16 +280,9 @@ def incremental_neardup_pairs(
     # Catalyst (~40s measured there) — truncate the lineage to a leaf
     if impl == "sql":
         new_banded = new_banded.localCheckpoint(eager=False)
-    probe_side = index_df.select("id", "sig", "band", "bhash").unionByName(new_banded)
-    cand = (
-        new_banded.alias("l")
-        .join(
-            probe_side.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bhash") == F.col("r.bhash"))
-            & (F.col("l.id") != F.col("r.id")),
-        )
-        .select(
+
+    def canonical(joined: DataFrame) -> DataFrame:
+        return joined.select(
             F.least("l.id", "r.id").alias("id_a"),
             F.greatest("l.id", "r.id").alias("id_b"),
             F.when(F.col("l.id") < F.col("r.id"), F.col("l.sig"))
@@ -299,8 +292,30 @@ def incremental_neardup_pairs(
             .otherwise(F.col("l.sig"))
             .alias("sig_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+
+    # Two SEPARATE joins, not a join against (index ∪ new): a union erases
+    # the index's bucketed/partitioned output layout, forcing the corpus
+    # side to reshuffle every cycle. Joined directly, an index written
+    # bucketed by (band, bhash) is probed with NO Exchange on the corpus
+    # side (plan-asserted in tests/test_bucketed.py) — only the new batch
+    # shuffles. new×new is the tiny in-batch self-join.
+    cand_old = canonical(
+        new_banded.alias("l").join(
+            index_df.select("id", "sig", "band", "bhash").alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") != F.col("r.id")),
+        )
     )
+    cand_new = canonical(
+        new_banded.alias("l").join(
+            new_banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+    )
+    cand = cand_old.unionByName(cand_new).dropDuplicates(["id_a", "id_b"])
     return _estimate_and_filter(cand, num_hashes, threshold)
 
 

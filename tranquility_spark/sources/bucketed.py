@@ -21,14 +21,20 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table: str,
-    bucket_key: str,
+    bucket_key: str | list[str],
     num_buckets: int,
     sort: bool = True,
 ) -> None:
-    """Persist ``df`` as a bucketed (and optionally sorted) managed table."""
-    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_key)
+    """Persist ``df`` as a bucketed (and optionally sorted) managed table.
+
+    ``bucket_key`` may be a single column or a composite key list (e.g. the
+    LSH band index buckets on ``["band", "bhash"]`` so incremental dedup
+    probes join shuffle-free on the corpus side).
+    """
+    keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, keys[0], *keys[1:])
     if sort:
-        writer = writer.sortBy(bucket_key)
+        writer = writer.sortBy(keys[0], *keys[1:])
     writer.saveAsTable(table)
 
 
