@@ -363,6 +363,14 @@ def test_driver_window_rotation_invariants():
     assert not outside, f"uncertified keys pushed out of the driver window: {outside}"
     assert set(_CERTIFIED) <= set(keys), sorted(set(_CERTIFIED) - set(keys))
     assert set(_DEFER_TO_NEXT_WINDOW) <= set(keys)
+    # the explicit window list too: _rotate_driver_window silently skips
+    # names not in CATALOG, so a typo'd entry would lose its lead slot
+    # with no error anywhere else
+    from tranquility_spark.catalog import _R05_DRIVER_WINDOW
+
+    assert set(_R05_DRIVER_WINDOW) <= set(keys), sorted(
+        set(_R05_DRIVER_WINDOW) - set(keys)
+    )
 
 
 def test_bench_headline_names_resolve():

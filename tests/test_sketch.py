@@ -375,3 +375,29 @@ def test_streaming_quantile_partials_merge_to_batch_sketch(spark, sf_dir, tmp_pa
         for r in quantile_sample_sketch(ev, ["event_type"], "value", "event_id", k=64).collect()
     }
     assert merged == direct
+
+
+def test_quantile_sample_merge_replayed_partial_is_identity(spark):
+    """Replay contract (found in self-review): a partial appended TWICE
+    (foreachBatch redelivery) must not displace genuine rows from the
+    bottom-k — merge dedupes identical (h, v) rows, mirroring kmv_merge."""
+    from tranquility_spark.operators.sketch import (
+        quantile_sample_merge,
+        quantile_sample_sketch,
+    )
+
+    n, k = 5_000, 64
+    df = spark.range(0, n).select(
+        F.lit("a").alias("grp"),
+        F.col("id").alias("rid"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    partial = quantile_sample_sketch(df, ["grp"], "v", "rid", k=k)
+    direct = partial.collect()[0]
+    replayed = partial.unionByName(partial)  # the duplicated append
+    merged = quantile_sample_merge(replayed, ["grp"], k=k).collect()[0]
+    assert merged["sample"] == direct["sample"]
+    # n_total is sum-based and DOES double under replay — documented: readers
+    # must dedupe partials by (group, batch_id) for totals, or accept sample-
+    # only queries; the sample itself is replay-safe
+    assert merged["n_total"] == 2 * n

@@ -275,14 +275,29 @@ def incremental_neardup_pairs(
     new_banded = lsh_band_index(
         new_df, text_col, id_col, num_hashes, bands, shingle_k, seed, impl
     )
-    # same guard as minhash_lsh_pairs: with impl='sql' the self-join side
-    # would embed the 64-permutation expression tree twice and stall
-    # Catalyst (~40s measured there) — truncate the lineage to a leaf
-    if impl == "sql":
-        new_banded = new_banded.localCheckpoint(eager=False)
+    # Truncate the new batch's lineage for EVERY impl here (unlike
+    # minhash_lsh_pairs, which only guards impl='sql'): the two-join shape
+    # below references new_banded THREE times (probe left + both self-join
+    # sides), so the recompute-beats-materialize measurement made at two
+    # references no longer applies — and what's materialized is only the
+    # new batch's banded rows, not the corpus.
+    new_banded = new_banded.localCheckpoint(eager=False)
 
-    def canonical(joined: DataFrame) -> DataFrame:
-        return joined.select(
+    # Two SEPARATE joins, not a join against (index ∪ new): a union erases
+    # the index's bucketed/partitioned output layout, forcing the corpus
+    # side to reshuffle every cycle. Joined directly, an index written
+    # bucketed by (band, bhash) is probed with NO Exchange on the corpus
+    # side (plan-asserted in tests/test_bucketed.py) — only the new batch
+    # shuffles. new×new is the tiny in-batch self-join.
+    cand_old = (
+        new_banded.alias("l")
+        .join(
+            index_df.select("id", "sig", "band", "bhash").alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") != F.col("r.id")),
+        )
+        .select(
             F.least("l.id", "r.id").alias("id_a"),
             F.greatest("l.id", "r.id").alias("id_b"),
             F.when(F.col("l.id") < F.col("r.id"), F.col("l.sig"))
@@ -292,27 +307,21 @@ def incremental_neardup_pairs(
             .otherwise(F.col("l.sig"))
             .alias("sig_b"),
         )
-
-    # Two SEPARATE joins, not a join against (index ∪ new): a union erases
-    # the index's bucketed/partitioned output layout, forcing the corpus
-    # side to reshuffle every cycle. Joined directly, an index written
-    # bucketed by (band, bhash) is probed with NO Exchange on the corpus
-    # side (plan-asserted in tests/test_bucketed.py) — only the new batch
-    # shuffles. new×new is the tiny in-batch self-join.
-    cand_old = canonical(
-        new_banded.alias("l").join(
-            index_df.select("id", "sig", "band", "bhash").alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bhash") == F.col("r.bhash"))
-            & (F.col("l.id") != F.col("r.id")),
-        )
     )
-    cand_new = canonical(
-        new_banded.alias("l").join(
+    # already canonical: the join condition fixes l.id < r.id
+    cand_new = (
+        new_banded.alias("l")
+        .join(
             new_banded.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bhash") == F.col("r.bhash"))
             & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
         )
     )
     cand = cand_old.unionByName(cand_new).dropDuplicates(["id_a", "id_b"])

@@ -241,7 +241,14 @@ def quantile_sample_merge(
     sketch directly on the concatenated raw data (the KMV merge argument).
     Only kilobyte sample rows shuffle, never raw data."""
     g = list(group_cols)
-    vals = partials.select(*g, F.explode("sample").alias("s"))
+    # dropDuplicates mirrors kmv_merge: a replayed micro-batch appends an
+    # IDENTICAL partial (same (h, v) rows), and without dedup those copies
+    # would occupy bottom-k slots and displace genuine rows — breaking the
+    # bit-identity contract. Distinct rows are unaffected: different source
+    # rows have different ids, hence different h (collisions ~2^-53).
+    vals = partials.select(*g, F.explode("sample").alias("s")).dropDuplicates(
+        g + ["s"]
+    )
     w = Window.partitionBy(*g).orderBy(F.col("s.h"))
     kept = vals.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
     totals = partials.groupBy(*g).agg(F.sum("n_total").alias("n_total"))
@@ -279,8 +286,11 @@ def quantile_partials_sink(
     group per micro-batch; ``quantile_sample_merge`` at read time reproduces
     the direct batch sample of the full stream BIT-FOR-BIT (same contract
     and replay caveats as ``sketch_partials_sink`` — keep the checkpoint
-    with the output). Completes the streaming lifecycle for the third
-    mergeable-summary family (KMV distinct / MG frequency / quantiles).
+    with the output). The SAMPLE is replay-safe (merge dedupes identical
+    rows), but ``n_total`` is sum-based and double-counts a replayed
+    partial — readers needing exact totals after a replay should dedupe
+    partials by (group, batch_id) first. Completes the streaming lifecycle
+    for the third mergeable-summary family (KMV / MG / quantiles).
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
