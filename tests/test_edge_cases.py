@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from tranquility_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, with_minhash_signature
@@ -383,3 +384,33 @@ def test_bench_headline_names_resolve():
 
     missing = [n for n in bench.HEADLINE if n not in CATALOG]
     assert not missing, missing
+
+
+LITERAL_DEPENDENT = [
+    # entries whose predicates embed fixture-value literals (HANDOFF soft
+    # spots): if a testdata regeneration changes the value domains these
+    # would return 0 rows on BOTH engines — rows_match would still "pass"
+    # (0 == 0) while the query stopped testing anything
+    "q7_volume_shipping",      # nation names
+    "q8_market_share",         # r_name/p_type/supplier nation
+    "q22_global_sales_opportunity",  # phone prefixes
+    "samp4_mixture_resample",  # explicit lang weight list
+    "mv2_pivot",               # event_type value list
+    "dq3_search",              # search needle
+    "samp5_temperature_resample",  # langs via sqrt weights (data-derived,
+                                   # but degenerate if lang goes single-valued)
+]
+
+
+@pytest.mark.parametrize("name", LITERAL_DEPENDENT)
+def test_literal_dependent_entries_non_degenerate(spark, name):
+    from tranquility_spark.catalog import CATALOG
+
+    # pinned to sf0.01 — the driver's CORRECTNESS scale factor. (q7 is
+    # legitimately empty at sf0.001: the tiny slice has no qualifying
+    # nation pairs; what matters is non-degeneracy where the gate runs.)
+    assert CATALOG[name].fn(spark, "/root/testdata/sf0.01").count() > 0, (
+        f"{name} returned 0 rows at the driver's SF — fixture value domains "
+        "no longer match its literals; re-adapt them (see HANDOFF soft "
+        "spots) before trusting an empty-vs-empty oracle 'match'"
+    )
