@@ -101,6 +101,35 @@ def main() -> None:
 
     spark.range(100).select(simhash64(F.col("id").cast("string"))).count()
 
+    # Calibration probes (VERDICT r05 #2): two fixed queries whose cost is
+    # independent of catalog code, timed with the same min-of-3, so ambient
+    # machine load is MEASURABLE in every bench record instead of anecdotal.
+    # "scan" is IO-shaped (full lineitem scan + one agg); "cpu" is pure JVM
+    # task throughput (no IO). Neither counts toward the suite total; a round
+    # whose calibration is >1.5x another round's was run on a loaded box and
+    # their per-query numbers are not comparable.
+    calibration: dict[str, float] = {}
+    for cal_name, cal_fn in (
+        (
+            "scan_lineitem_agg",
+            lambda: spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .agg(F.sum("l_extendedprice"), F.count(F.lit(1)))
+            .count(),
+        ),
+        (
+            "cpu_hash_50m",
+            lambda: spark.range(50_000_000)
+            .agg(F.sum(F.xxhash64("id")))
+            .count(),
+        ),
+    ):
+        cal_best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            cal_fn()
+            cal_best = min(cal_best, time.time() - t0)
+        calibration[cal_name] = round(cal_best, 3)
+
     # min of three runs per query: the machine is multi-tenant and transient
     # contention inflates single runs ±35% (measured); the min is the
     # steady-state number the plan actually costs. Three (was two in r01/r02)
@@ -126,12 +155,19 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(timings.values()), 3)
+    # n_timed/n_errors always present (ADVICE r05): with fault isolation the
+    # suite total sums only the queries that succeeded, so a consumer must be
+    # able to see the query-set size without inspecting the optional errors
+    # map — a shrunken total is otherwise silently compared across rounds.
     out = {
         "metric": "suite_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "n_timed": len(timings),
+        "n_errors": len(errors),
+        "calibration": calibration,
     }
     if errors:
         out["errors"] = errors

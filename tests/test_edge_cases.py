@@ -367,10 +367,51 @@ def test_driver_window_rotation_invariants():
     # the explicit window list too: _rotate_driver_window silently skips
     # names not in CATALOG, so a typo'd entry would lose its lead slot
     # with no error anywhere else
-    from tranquility_spark.catalog import _R05_DRIVER_WINDOW
+    from tranquility_spark.catalog import _R06_DRIVER_WINDOW
 
-    assert set(_R05_DRIVER_WINDOW) <= set(keys), sorted(
-        set(_R05_DRIVER_WINDOW) - set(keys)
+    assert set(_R06_DRIVER_WINDOW) <= set(keys), sorted(
+        set(_R06_DRIVER_WINDOW) - set(keys)
+    )
+    # VERDICT r05 #1(a): every oracle-backed entry is either certified or
+    # inside the driver's 50-slot window — no hash-checkable entry may ever
+    # silently fall out of certification coverage
+    oracle_backed = {k for k in keys if CATALOG[k].oracle is not None}
+    uncovered = sorted(oracle_backed - set(_CERTIFIED) - window)
+    assert not uncovered, f"oracle-backed entries outside certification: {uncovered}"
+
+
+def test_certified_entries_not_stale():
+    """VERDICT r05 #1(b), the mm3 trap mechanized: a _CERTIFIED entry whose
+    fn/oracle source changed since its certifying round must fail CI until it
+    is rotated back into the driver window. certified_fingerprints.json is
+    regenerated ONLY by scripts/record_certified_fingerprints.py in the same
+    commit that folds a new round's green keys into _CERTIFIED."""
+    import json
+    import os
+
+    from tranquility_spark import catalog
+
+    path = os.path.join(
+        os.path.dirname(catalog.__file__), "certified_fingerprints.json"
+    )
+    with open(path, encoding="utf-8") as fh:
+        recorded = json.load(fh)
+
+    assert set(recorded) == set(catalog._CERTIFIED), (
+        "fingerprint ledger out of sync with _CERTIFIED: "
+        f"missing={sorted(set(catalog._CERTIFIED) - set(recorded))} "
+        f"extra={sorted(set(recorded) - set(catalog._CERTIFIED))} "
+        "(run scripts/record_certified_fingerprints.py in the ledger-fold commit)"
+    )
+    stale = [
+        k
+        for k in sorted(catalog._CERTIFIED)
+        if catalog.certification_fingerprint(k) != recorded[k]
+    ]
+    assert not stale, (
+        f"certified entries changed since certification: {stale} — remove them "
+        "from _CERTIFIED and rotate them into the driver window (do NOT just "
+        "regenerate the fingerprint file)"
     )
 
 

@@ -771,44 +771,33 @@ from tranquility_spark import catalog_sketch  # noqa: E402,F401
 #   - r01/r02 driver-green: the original first 50 (CORRECTNESS_r01/r02.json).
 #   - r03/r04 driver-green: the 46 relational-extension + round-3/4 keys
 #     (CORRECTNESS_r03/r04.json).
-# All of those live in ``_CERTIFIED`` below. The r05 window leads with every
-# key that has NEVER had a green driver row: the 10 LLM-pipeline entries
-# deferred from the r03 window, w5/w6 (fixed this round — TIMESTAMP_NTZ
-# normalization + oracle session_id cast), and the two rows-only-by-policy
-# sketch entries (kept in-window so each round re-records their weaker
-# rows-only check). The rotation only permutes dict order; every key keeps
-# the same fn/oracle, so previously recorded certifications remain valid.
+#   - r05 driver-green: the 16 rotated/new keys of CORRECTNESS_r05.json
+#     (42/42 oracle-checked passed; the 16 not already certified fold in).
+# All of those live in ``_CERTIFIED`` below. The r06 window leads with the
+# rows-only-by-policy sketch/LSH entries (no SQL oracle — kept in-window
+# permanently so EVERY round re-records their weaker rows-only check), then
+# auto-fills with any key not in ``_CERTIFIED`` (i.e. new round-6 entries).
+# The rotation only permutes dict order; every key keeps the same fn/oracle,
+# so previously recorded certifications remain valid. Staleness contract:
+# changing a certified entry's fn or oracle REQUIRES removing it from
+# ``_CERTIFIED`` (mechanized — tests/test_edge_cases.py checks each certified
+# entry's source fingerprint against certified_fingerprints.json; regenerate
+# with scripts/record_certified_fingerprints.py only when folding new greens).
 # ---------------------------------------------------------------------------
 
-_R05_DRIVER_WINDOW = [
-    # 10 entries deferred past the full r03 window — never driver-certified
-    "chunk1_doc_chunking",
-    "emb1_normalize_quantize",
-    "emb2_label_centroids",
-    "emb3_centroid_similarity",
+_R06_DRIVER_WINDOW = [
+    # rows-only by policy (approximate sketches / LSH — no SQL oracle);
+    # re-recorded every round by design
     "hh1_heavy_hitters_merge",
-    "samp4_mixture_resample",
-    "pipe2_chunk_dedup",
-    "pipe3_training_prep",
-    "txt11_boilerplate_ngrams",
-    "shuf1_epoch_shuffle",
-    # crashed in r04 (TIMESTAMP_NTZ testdata regen), fixed this round
-    "w5_time_range_window",
-    "w6_sessionize_batch",
-    # rows-only by policy (approximate sketches — no SQL oracle)
     "a11c_theta_setops_approx",
     "a11d_sketch_merge_rollup",
-    # re-certify: round 5 changed mm3's OUTPUT (md5(hex(payload)) replaces
-    # md5(payload) — DuckDB 1.0 has no BLOB md5) and rewrote mm2's oracle
-    # to hex slicing; their r03/r04 green rows describe the old behavior,
-    # so they rotate back in rather than coasting on a stale certification
-    "mm2_frame_sample",
-    "mm3_resize",
+    "dd8_incremental_neardup",
+    "a10c_quantile_sketch_merge",
 ]
 
 
 def _rotate_driver_window() -> None:
-    lead = [k for k in _R05_DRIVER_WINDOW if k in CATALOG]
+    lead = [k for k in _R06_DRIVER_WINDOW if k in CATALOG]
     # anything registered after this snapshot auto-joins the window
     lead += [
         k
@@ -829,7 +818,8 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 
 # Every key with a green (hash-match) driver CORRECTNESS row:
-# r01/r02 certified the first 50; r03/r04 certified the next 46.
+# r01/r02 certified the first 50; r03/r04 certified the next 46;
+# r05 certified the 16 listed last.
 _CERTIFIED = frozenset(
     {
         # --- r01/r02 window ---
@@ -858,8 +848,6 @@ _CERTIFIED = frozenset(
         "f2_date_functions", "f3_math_functions", "f4_conditional_null",
         "f5_array_functions", "j3_anti_join", "j4_asof_last_event",
         "j5_range_join_bucketed", "j6_asof_join_two_table",
-        # mm2/mm3 were r03/r04-green but round 5 changed mm3's output and
-        # mm2's oracle — they live in _R05_DRIVER_WINDOW for re-certification
         "mv1_multivalue_dim_rollup", "mv2_pivot", "mv3_unpivot",
         "p8_flatten_spec", "q10_returned_items", "q12_priority_shipping",
         "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
@@ -870,7 +858,42 @@ _CERTIFIED = frozenset(
         "samp3_weighted_sample", "set1_set_ops", "txt10_top_tokens",
         "txt9_unigram_logprob", "w1_rank_in_partition", "w2_lag_lead_gap",
         "w3_running_total", "w4_ntile_cume_dist",
+        # --- r05 window (16 newly green keys, CORRECTNESS_r05.json; mm2/mm3
+        # re-certified after their round-5 output/oracle changes) ---
+        "chunk1_doc_chunking", "emb1_normalize_quantize",
+        "emb2_label_centroids", "emb3_centroid_similarity",
+        "samp4_mixture_resample", "pipe2_chunk_dedup", "pipe3_training_prep",
+        "txt11_boilerplate_ngrams", "shuf1_epoch_shuffle",
+        "w5_time_range_window", "w6_sessionize_batch",
+        "mm2_frame_sample", "mm3_resize", "txt12_bigram_logprob",
+        "samp5_temperature_resample", "emb4_matryoshka_truncate",
     }
 )
+
+
+def certification_fingerprint(name: str) -> str:
+    """Fingerprint of a catalog entry's observable definition: sha256 over
+    the entry fn's source text plus its oracle SQL.
+
+    Used by the staleness guard (tests/test_edge_cases.py): a ``_CERTIFIED``
+    entry whose fingerprint no longer matches certified_fingerprints.json has
+    been edited since the driver certified it and MUST be rotated back into
+    the driver window (the mm3 round-5 trap, mechanized — regenerate the
+    ledger with scripts/record_certified_fingerprints.py ONLY when folding a
+    new round's green keys). Limitation: edits to helper operators the fn
+    calls are not captured — those still require the reviewer discipline
+    documented in HANDOFF.md.
+    """
+    import hashlib
+    import inspect
+
+    entry = CATALOG[name]
+    try:
+        src = inspect.getsource(entry.fn)
+    except (OSError, TypeError):  # no retrievable source — identity only
+        src = f"{entry.fn.__module__}.{getattr(entry.fn, '__qualname__', '?')}"
+    payload = src + "\x00" + (entry.oracle or "None")
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()
+
 
 _rotate_driver_window()
