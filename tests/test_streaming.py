@@ -784,3 +784,24 @@ def test_neardup_index_sink_replay_contract(spark, tmp_path):
         for r in minhash_lsh_pairs(full, threshold=0.3).collect()
     }
     assert got == want and want
+
+
+def test_neardup_index_sink_raises_on_unreadable_index(spark, tmp_path):
+    """ADVICE r05: only a MISSING index path may trigger the cold-start
+    branch. An index dir that exists but is unreadable (here: empty after a
+    failed first append — UNABLE_TO_INFER_SCHEMA) must fail the batch loudly;
+    silently restarting the index would drop every cross-batch pair for the
+    batch with no error surfaced."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from tranquility_spark.operators.dedup import neardup_index_sink
+
+    index_dir = tmp_path / "index"
+    index_dir.mkdir()  # exists, but holds no parquet — not a cold start
+    write = neardup_index_sink(str(index_dir), str(tmp_path / "pairs"))
+    batch = spark.createDataFrame(
+        [(1, "some document text here")], "doc_id long, text string"
+    )
+    with pytest.raises(AnalysisException):
+        write(batch, 0)

@@ -793,6 +793,11 @@ _R06_DRIVER_WINDOW = [
     "a11d_sketch_merge_rollup",
     "dd8_incremental_neardup",
     "a10c_quantile_sketch_merge",
+    # re-certify: round 6 changed emb4's oracle (divide by nullif(full
+    # energy, 0) to mirror Spark's try_divide on zero-norm vectors — ADVICE
+    # r05); its r05 green row describes the old oracle, so it rotates back
+    # in rather than coasting on a stale certification
+    "emb4_matryoshka_truncate",
 ]
 
 
@@ -866,7 +871,9 @@ _CERTIFIED = frozenset(
         "txt11_boilerplate_ngrams", "shuf1_epoch_shuffle",
         "w5_time_range_window", "w6_sessionize_batch",
         "mm2_frame_sample", "mm3_resize", "txt12_bigram_logprob",
-        "samp5_temperature_resample", "emb4_matryoshka_truncate",
+        "samp5_temperature_resample",
+        # emb4_matryoshka_truncate was r05-green but round 6 changed its
+        # oracle (nullif guard) — it lives in _R06_DRIVER_WINDOW
     }
 )
 

@@ -1386,8 +1386,8 @@ def samp5_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                     x -> x * x), 'sum')), 6) AS trunc_l2,
            round(list_aggregate(list_transform(CAST(embedding[1:16] AS DOUBLE[]),
                                                x -> x * x), 'sum')
-                 / list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
-                                                 x -> x * x), 'sum'), 6)
+                 / nullif(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                        x -> x * x), 'sum'), 0), 6)
              AS energy_retained,
            least(len(embedding), 16) AS trunc_dims
     FROM embeddings

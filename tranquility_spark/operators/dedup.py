@@ -364,12 +364,20 @@ def neardup_index_sink(
         spark = batch_df.sparkSession
         try:
             index = spark.read.parquet(index_dir).select("id", "sig", "band", "bhash")
-        except AnalysisException:  # first batch: index path doesn't exist yet.
+        except AnalysisException as exc:
             # ONLY path-missing may fall through to the cold-start branch —
-            # a transient FS error or corrupt footer must propagate and fail
-            # the batch (swallowing it would silently drop every cross-batch
-            # pair of this batch, violating the union-equals-batch-pass
-            # contract with no error surfaced).
+            # any other AnalysisException (UNABLE_TO_INFER_SCHEMA from a
+            # half-written dir, permission analysis errors, ...) must
+            # propagate and fail the batch (swallowing it would silently
+            # drop every cross-batch pair of this batch, violating the
+            # union-equals-batch-pass contract with no error surfaced).
+            err_class = ""
+            try:
+                err_class = exc.getErrorClass() or ""
+            except Exception:  # older message-only exceptions
+                pass
+            if err_class != "PATH_NOT_FOUND" and "Path does not exist" not in str(exc):
+                raise
             index = None
         if index is None:
             pairs = minhash_lsh_pairs(

@@ -135,6 +135,13 @@ def epoch_shuffle(
     files, sized so a shard fits an executor (100 TB / 512 MB ≈ 200k
     shards — which NEEDS the 64-bit keyspace, see below).
 
+    COMPATIBILITY BREAK (round 5): the default hash changed from the
+    portable multiplicative hash to xxhash64, so a given (key, seed)
+    yields an entirely different (shard, pos) than earlier versions —
+    within-run determinism holds, but epoch permutations recorded before
+    the change do not reproduce under the new default. Pass
+    ``portable=True`` to recover the old assignments.
+
     ``portable=True``: the engine-portable multiplicative hash, bit-exact
     reproducible in ANSI SQL (the DuckDB oracle entries use it). Its
     mod-100,003 pre-reduction caps ord_key at ``m`` distinct values, so
