@@ -249,6 +249,46 @@ def test_boilerplate_ngrams_counts_within_doc_repeats(spark):
     assert out["p q p q p"].n_total == 3
 
 
+def test_boilerplate_ngrams_floor_preserves_result(spark, sf_dir):
+    """min_total_floor = min_docs is exactly result-preserving (n_total >=
+    n_docs, so any gram the floor drops could never clear the n_docs
+    filter) — asserted on the real documents table, all three columns."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plain = {
+        (r.gram, r.n_docs, r.n_total)
+        for r in tx.boilerplate_ngrams(docs, n=5, min_docs=2).collect()
+    }
+    floored = {
+        (r.gram, r.n_docs, r.n_total)
+        for r in tx.boilerplate_ngrams(
+            docs, n=5, min_docs=2, min_total_floor=2
+        ).collect()
+    }
+    assert plain == floored and plain
+
+
+def test_boilerplate_ngrams_floor_plan_and_aggressive_floor(spark):
+    """The floor path's physical plan must contain the hash-keyed
+    total-count pre-pass (an xxhash64 survivor agg joined back on gh) with
+    join strategy left to Catalyst/AQE (no forced broadcast at floor=2
+    scale). A floor above min_docs prunes aggressively by design."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e"), (3, "a b c d e")],
+        "doc_id int, text string",
+    )
+    out = tx.boilerplate_ngrams(df, n=5, min_docs=2, min_total_floor=3)
+    plan = out._jdf.queryExecution().toString()
+    # pre-pass + distinct expansion: at least three HashAggregate spans
+    # (total-count agg, distinct two-phase, final) and the 8-byte hash key
+    assert plan.lower().count("hashaggregate") >= 3
+    assert "xxhash64" in plan.lower()
+    rows = {r.gram: r for r in out.collect()}
+    # "a b c d e" occurs 3x across 3 docs -> survives floor=3;
+    # "b c d e f" occurs once -> floored out before the distinct phase
+    assert set(rows) == {"a b c d e"}
+    assert rows["a b c d e"].n_docs == 3 and rows["a b c d e"].n_total == 3
+
+
 def test_training_prep_composition(spark, sf_dir):
     from tranquility_spark.catalog import CATALOG
 

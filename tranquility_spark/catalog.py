@@ -798,6 +798,10 @@ _R06_DRIVER_WINDOW = [
     # r05); its r05 green row describes the old oracle, so it rotates back
     # in rather than coasting on a stale certification
     "emb4_matryoshka_truncate",
+    # re-certify: round 6 added the min_total_floor pre-pass to txt11's plan
+    # (result-preserving by the n_total >= n_docs argument, but the fn source
+    # changed — the staleness contract rotates it regardless)
+    "txt11_boilerplate_ngrams",
 ]
 
 
@@ -868,7 +872,7 @@ _CERTIFIED = frozenset(
         "chunk1_doc_chunking", "emb1_normalize_quantize",
         "emb2_label_centroids", "emb3_centroid_similarity",
         "samp4_mixture_resample", "pipe2_chunk_dedup", "pipe3_training_prep",
-        "txt11_boilerplate_ngrams", "shuf1_epoch_shuffle",
+        "shuf1_epoch_shuffle",
         "w5_time_range_window", "w6_sessionize_batch",
         "mm2_frame_sample", "mm3_resize", "txt12_bigram_logprob",
         "samp5_temperature_resample",

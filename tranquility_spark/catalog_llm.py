@@ -1112,9 +1112,11 @@ def pipe2_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Boilerplate detection: corpus-wide word 5-gram document frequency, "
     "kept where >= 2 docs share the gram (C4/RefinedWeb strip repeated "
     "spans from this table). Narrow transform() shingle expansion, ONE "
-    "hash agg shuffle on gram (map-side combined); at open-web scale "
-    "prune singleton grams with a total-count floor before paying the "
-    "distinct-doc expansion",
+    "hash agg shuffle on gram (map-side combined). min_total_floor is "
+    "the open-web scale knob (hash-keyed total-count pre-pass prunes the "
+    "singleton tail before the distinct-doc expansion; result-preserving "
+    "at floor <= min_docs, MEASURED slower at bench SF where the tail is "
+    "tiny — so off here, see boilerplate_ngrams docstring)",
 )
 def txt11_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.boilerplate_ngrams(

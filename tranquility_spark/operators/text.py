@@ -14,6 +14,8 @@ twin in the catalog so the oracle hash-checks it.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -300,6 +302,7 @@ def boilerplate_ngrams(
     id_col: str = "doc_id",
     n: int = 5,
     min_docs: int = 2,
+    min_total_floor: Optional[int] = None,
 ) -> DataFrame:
     """Corpus-wide word n-gram document frequency — boilerplate detection.
 
@@ -311,9 +314,31 @@ def boilerplate_ngrams(
     over the token array (no shuffle, ~|tokens| rows out per doc); the only
     shuffle is the (gram) hash aggregation, which map-side-combines before
     exchange. ``count(DISTINCT doc_id)`` expands to a two-phase agg keyed on
-    (gram, doc_id) — at open-web scale put a frequency floor on a first
-    total-count pass to prune singleton grams (the long tail is ~95% of
-    grams; see txt10's cap note) before paying the distinct.
+    (gram, doc_id) — whose exchange carries every (gram, doc) occurrence,
+    singleton tail included (~95% of grams at open-web scale, see txt10's
+    cap note).
+
+    ``min_total_floor``: frequency-floor pre-pass, the open-web scale knob.
+    A first total-count agg keyed on ``xxhash64(gram)`` — 8-byte exchange
+    rows instead of gram strings, map-side combined to one row per distinct
+    gram per partition — finds hash buckets with
+    ``n_total >= min_total_floor``; the surviving hash set then filters the
+    occurrence stream BEFORE the (gram, doc_id) distinct expansion, so the
+    singleton long tail (~95% of grams at open-web scale) never travels
+    through the expensive exchange with its doc ids. Hash collisions only
+    ADD false survivors (a colliding bucket's count is >= each member's
+    true count), never drop true ones, and the final ``n_docs`` filter
+    removes them — so for any floor <= ``min_docs`` the result is EXACTLY
+    preserved (``n_total >= n_docs``: a gram the floor drops could never
+    clear the output filter). Floors above ``min_docs`` prune aggressively
+    (changes results — deliberate at scale). The survivor join is left to
+    Catalyst/AQE: a high floor yields a small survivor set that broadcasts
+    (or injects a runtime Bloom filter), making the tail filter map-side;
+    forcing a broadcast here would be wrong for floor=2 at open-web scale
+    where survivors are still billions. At bench SF the pre-pass costs more
+    than it saves (extra scan + agg over tiny data) — it is OFF by default
+    and off in the txt11 catalog entry; flip it on when the singleton tail
+    dominates the shuffle.
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -336,6 +361,15 @@ def boilerplate_ngrams(
         ),
     ).otherwise(F.array().cast("array<string>"))
     exploded = toks.select(F.col(id_col), F.explode(grams).alias("gram"))
+    if min_total_floor is not None:
+        hashed = exploded.withColumn("gh", F.xxhash64("gram"))
+        survivors = (
+            hashed.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("bucket_total"))
+            .filter(F.col("bucket_total") >= min_total_floor)
+            .select("gh")
+        )
+        exploded = hashed.join(survivors, "gh").drop("gh")
     return (
         exploded.groupBy("gram")
         .agg(
