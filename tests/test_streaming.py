@@ -750,10 +750,11 @@ def test_streaming_neardup_index_sink_equals_batch_pass(spark, sf_dir, tmp_path)
 
 
 def test_neardup_index_sink_replay_contract(spark, tmp_path):
-    """Documented replay semantics: re-running a batch through the sink
-    (foreachBatch redelivery after a crash) may re-append pairs, but a
-    reader that dedupes on (id_a, id_b) still sees exactly the batch-pass
-    result — replay inflates bytes, never answers."""
+    """Round-6 replay semantics (VERDICT r05 #4): a redelivered batch
+    REWRITES its own batch_id= partitions under dynamic partition overwrite
+    and dedupes against the index view batch_id < its own — so after any
+    replay the sink contents equal first-delivery contents with NO
+    reader-side dedupe, and still equal the one-shot batch pass."""
     from tranquility_spark.operators.dedup import minhash_lsh_pairs, neardup_index_sink
 
     rows = [
@@ -766,24 +767,77 @@ def test_neardup_index_sink_replay_contract(spark, tmp_path):
     b2 = spark.createDataFrame(rows[2:], "doc_id long, text string")
     full = spark.createDataFrame(rows, "doc_id long, text string")
 
-    write = neardup_index_sink(
-        str(tmp_path / "index"), str(tmp_path / "pairs"), threshold=0.3
-    )
+    index_dir, pairs_dir = str(tmp_path / "index"), str(tmp_path / "pairs")
+    write = neardup_index_sink(index_dir, pairs_dir, threshold=0.3)
     write(b1, 0)
     write(b2, 1)
-    write(b2, 1)  # replayed delivery of batch 1
 
+    def snapshot():
+        pairs = sorted(
+            (r.id_a, r.id_b, r.est_jaccard, r.batch_id)
+            for r in spark.read.parquet(pairs_dir).collect()
+        )
+        index = sorted(
+            (r.id, r.band, r.bhash, r.batch_id)
+            for r in spark.read.parquet(index_dir).collect()
+        )
+        return pairs, index
+
+    first = snapshot()
+    write(b2, 1)  # replayed delivery of batch 1
+    assert snapshot() == first
+    write(b1, 0)  # replayed delivery of the FIRST batch (empty index view)
+    assert snapshot() == first
+
+    # no reader dedupe: raw sink pairs == one-shot batch pass
     got = {
         (r.id_a, r.id_b): r.est_jaccard
-        for r in spark.read.parquet(str(tmp_path / "pairs"))
-        .dropDuplicates(["id_a", "id_b"])
-        .collect()
+        for r in spark.read.parquet(pairs_dir).collect()
     }
     want = {
         (r.id_a, r.id_b): r.est_jaccard
         for r in minhash_lsh_pairs(full, threshold=0.3).collect()
     }
     assert got == want and want
+    assert len(got) == spark.read.parquet(pairs_dir).count()  # no dup rows
+
+
+def test_partials_sinks_replay_rewrites_partition(spark, tmp_path):
+    """The partials sinks (KMV / MG / quantile) share the same idempotent
+    write: forcing a re-run of batch N leaves sink contents identical —
+    row-for-row, including sum-based n_total — with no reader dedupe."""
+    from tranquility_spark.operators.heavy_hitters import hh_partials_sink
+    from tranquility_spark.operators.sketch import (
+        quantile_partials_sink,
+        sketch_partials_sink,
+    )
+
+    b1 = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0)],
+        "grp string, event_id long, value double",
+    )
+    b2 = spark.createDataFrame(
+        [("a", 4, 40.0), ("b", 5, 50.0)],
+        "grp string, event_id long, value double",
+    )
+    sinks = {
+        "kmv": sketch_partials_sink(str(tmp_path / "kmv"), ["grp"], "event_id", k=8),
+        "hh": hh_partials_sink(str(tmp_path / "hh"), ["grp"], "event_id", k=4),
+        "quant": quantile_partials_sink(
+            str(tmp_path / "quant"), ["grp"], "value", "event_id", k=8
+        ),
+    }
+    for name, write in sinks.items():
+        write(b1, 0)
+        write(b2, 1)
+        before = sorted(
+            map(str, spark.read.parquet(str(tmp_path / name)).collect())
+        )
+        write(b2, 1)  # forced re-run of batch 1
+        after = sorted(
+            map(str, spark.read.parquet(str(tmp_path / name)).collect())
+        )
+        assert after == before, name
 
 
 def test_neardup_index_sink_raises_on_unreadable_index(spark, tmp_path):

@@ -351,11 +351,14 @@ def neardup_index_sink(
     asserted e2e in tests). The raw corpus is touched once per doc; only
     kilobyte-per-doc signature rows accumulate.
 
-    Same replay contract as ``sketch_partials_sink``: appends are keyed by
-    batch_id and idempotent ONLY while the checkpoint rides with the
-    output; after a replayed batch, readers should dedupe pairs on
-    ``(id_a, id_b)`` (the batch's own signatures may already be in the
-    index, which can re-surface that batch's internal pairs).
+    Replay contract (round 6, matching the segment sink's exactly-once
+    bar): each batch's pairs and signatures land in their own ``batch_id=``
+    partition under dynamic partition overwrite, and the index view a batch
+    dedupes against is filtered to ``batch_id < current`` — so a replayed
+    delivery sees EXACTLY the index state of its first delivery (its own
+    already-written signatures are partition-pruned away) and rewrites its
+    own partitions with identical content. Sink contents after a replay
+    equal first-delivery contents; readers need no dedupe.
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
@@ -363,7 +366,17 @@ def neardup_index_sink(
 
         spark = batch_df.sparkSession
         try:
-            index = spark.read.parquet(index_dir).select("id", "sig", "band", "bhash")
+            index = (
+                spark.read.parquet(index_dir)
+                # replay idempotence: a redelivered batch must not see its
+                # own (or any later) signatures — partition-pruned, so the
+                # corpus-side scan never touches the excluded batches. A
+                # first-batch replay yields an EMPTY view here, which the
+                # incremental path handles identically to the cold-start
+                # branch (zero cross pairs, same in-batch pairs).
+                .filter(F.col("batch_id") < F.lit(batch_id))
+                .select("id", "sig", "band", "bhash")
+            )
         except AnalysisException as exc:
             # ONLY path-missing may fall through to the cold-start branch —
             # any other AnalysisException (UNABLE_TO_INFER_SCHEMA from a
@@ -389,19 +402,13 @@ def neardup_index_sink(
                 batch_df, index, text_col, id_col, num_hashes, bands,
                 shingle_k, threshold, seed, impl,
             )
-        (
-            pairs.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(pairs_dir)
-        )
+        from tranquility_spark.operators.batch_sink import write_batch_partition
+
+        write_batch_partition(pairs, pairs_dir, batch_id)
         banded = lsh_band_index(
             batch_df, text_col, id_col, num_hashes, bands, shingle_k, seed, impl
         )
-        (
-            banded.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(index_dir)
-        )
+        write_batch_partition(banded, index_dir, batch_id)
 
     return write
 

@@ -175,17 +175,15 @@ def hh_partials_sink(
     value_col: str,
     k: int = DEFAULT_K,
 ):
-    """foreachBatch sink: append one Misra–Gries partial per group per
-    micro-batch; ``mg_merge`` at read time answers top-K over the whole
-    stream within the N/(k+1) bound. Same idempotence contract as
-    ``sketch_partials_sink`` (append keyed by batch_id + kept checkpoint)."""
+    """foreachBatch sink: one Misra–Gries partial per group per micro-batch;
+    ``mg_merge`` at read time answers top-K over the whole stream within the
+    N/(k+1) bound. Same idempotence contract as ``sketch_partials_sink``:
+    each batch lands in its own ``batch_id=`` partition under dynamic
+    partition overwrite, so redelivery replaces rather than duplicates."""
+    from tranquility_spark.operators.batch_sink import write_batch_partition
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         partials = mg_partial(batch_df, group_cols, value_col, k=k)
-        (
-            partials.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(out_dir)
-        )
+        write_batch_partition(partials, out_dir, batch_id)
 
     return write

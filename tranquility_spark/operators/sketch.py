@@ -149,18 +149,17 @@ def sketch_partials_sink(
     tests/test_sketch.py).
 
     The in-batch build is plain ``kmv_sketch`` — windows are legal inside
-    foreachBatch because each micro-batch is a batch DataFrame. Append-only
-    parquet keyed by batch_id stays idempotent under Spark's foreachBatch
-    replay contract as long as the checkpoint is kept with the output.
+    foreachBatch because each micro-batch is a batch DataFrame. Each batch
+    lands in its own ``batch_id=`` partition under dynamic partition
+    overwrite (``batch_sink.write_batch_partition``), so a foreachBatch
+    redelivery rewrites its partition instead of appending a duplicate —
+    replays are idempotent without reader cooperation.
     """
+    from tranquility_spark.operators.batch_sink import write_batch_partition
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         partials = kmv_sketch(batch_df, group_cols, value_col, k=k)
-        (
-            partials.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(out_dir)
-        )
+        write_batch_partition(partials, out_dir, batch_id)
 
     return write
 
@@ -282,23 +281,20 @@ def quantile_partials_sink(
     id_col: str,
     k: int = DEFAULT_K,
 ):
-    """foreachBatch sink: append one bottom-k quantile sample partial per
-    group per micro-batch; ``quantile_sample_merge`` at read time reproduces
-    the direct batch sample of the full stream BIT-FOR-BIT (same contract
-    and replay caveats as ``sketch_partials_sink`` — keep the checkpoint
-    with the output). The SAMPLE is replay-safe (merge dedupes identical
-    rows), but ``n_total`` is sum-based and double-counts a replayed
-    partial — readers needing exact totals after a replay should dedupe
-    partials by (group, batch_id) first. Completes the streaming lifecycle
-    for the third mergeable-summary family (KMV / MG / quantiles).
+    """foreachBatch sink: one bottom-k quantile sample partial per group per
+    micro-batch; ``quantile_sample_merge`` at read time reproduces the
+    direct batch sample of the full stream BIT-FOR-BIT (same contract as
+    ``sketch_partials_sink`` — keep the checkpoint with the output). Each
+    batch lands in its own ``batch_id=`` partition under dynamic partition
+    overwrite, so a replayed batch REPLACES its earlier write: both the
+    sample and the sum-based ``n_total`` stay exact after redelivery with
+    no reader-side dedupe. Completes the streaming lifecycle for the third
+    mergeable-summary family (KMV / MG / quantiles).
     """
+    from tranquility_spark.operators.batch_sink import write_batch_partition
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         partials = quantile_sample_sketch(batch_df, group_cols, value_col, id_col, k=k)
-        (
-            partials.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(out_dir)
-        )
+        write_batch_partition(partials, out_dir, batch_id)
 
     return write
