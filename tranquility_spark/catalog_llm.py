@@ -80,6 +80,45 @@ def dd8_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd8b_incremental_equals_full",
+    """
+    SELECT CAST(0 AS BIGINT) AS n_mismatched
+    """,
+    doc="Driver-certified contract probe for dd8 (VERDICT r05 #5): the "
+    "symmetric difference between the INCREMENTAL pair-set (new batch vs "
+    "persisted index) and the FULL dd2 run restricted to pairs touching "
+    "new ids, compared on (id_a, id_b, est_jaccard). Emits its size as a "
+    "single count row; the oracle is the constant 0 row, so a green hash "
+    "match certifies incrementality-costs-no-recall every window rotation "
+    "rather than only in pytest. A count row, not WHERE false: 1 row == 1 "
+    "row cannot pass vacuously the way 0 == 0 would. Not in the bench "
+    "headline: it is a correctness assertion whose cost is dd2 + dd8, "
+    "both already benched individually",
+)
+def dd8b_incremental_equals_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    new_pred = F.col("doc_id") % 5 == 0
+    index = dd.lsh_band_index(
+        docs.filter(~new_pred), num_hashes=64, bands=16, shingle_k=3
+    )
+    inc = dd.incremental_neardup_pairs(
+        docs.filter(new_pred), index,
+        num_hashes=64, bands=16, shingle_k=3, threshold=0.5,
+    ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est"))
+    full = (
+        dd.minhash_lsh_pairs(docs, num_hashes=64, bands=16, shingle_k=3,
+                             threshold=0.5)
+        .filter((F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0))
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est"))
+    )
+    return (
+        inc.exceptAll(full)
+        .unionByName(full.exceptAll(inc))
+        .agg(F.count(F.lit(1)).alias("n_mismatched"))
+    )
+
+
+@register(
     "dd3_simhash_signatures",
     None,  # blake2b-based bit votes — no SQL twin
     doc="SimHash 64-bit signatures via Arrow-batched pandas UDF (near-dup = small "
