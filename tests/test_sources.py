@@ -249,3 +249,25 @@ def test_load_table_normalizes_every_observed_ts_physical_type(spark, tmp_path):
         assert dict(out.dtypes)["ts"] == "timestamp", name
         [row] = out.collect()
         assert row.ts == base, (name, row.ts)
+
+
+def test_load_table_forces_utc_under_hostile_session_zone(spark, sf_dir):
+    """VERDICT r05 #6: the NTZ normalization pins correctness to a UTC
+    session zone — prepare() (called by load_table) must FORCE it, so a
+    driver that created its session under any other zone still gets
+    oracle-identical timestamp semantics. Runs a ts-bearing entry under
+    Asia/Tokyo and asserts byte-identical results to the UTC run."""
+    from tranquility_spark.catalog import CATALOG
+
+    def run():
+        return sorted(map(str, CATALOG["p3_ts_extract"].fn(spark, sf_dir).collect()))
+
+    utc = run()
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        hostile = run()
+        # load_table -> prepare() must have reset the zone as a side effect
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert hostile == utc and utc
