@@ -80,6 +80,7 @@ HEADLINE = [
     "emb4_matryoshka_truncate",
     "dd8_incremental_neardup",
     "a10c_quantile_sketch_merge",
+    "rank1_pair_rerank",
 ]
 
 

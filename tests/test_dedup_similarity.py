@@ -285,3 +285,40 @@ def test_incremental_neardup_edge_splits(spark):
         empty, warm_index, threshold=0.3, **params
     ).collect()
     assert none_new == []
+
+
+def test_pair_rerank_properties_and_dd8_composition(spark, sf_dir):
+    """pair_rerank (the cross-encoder slot): identical texts score 1.0,
+    disjoint texts score only the length prior, more shared words ranks
+    higher; and it composes over dd8's incremental LSH candidates (the
+    production retrieve-then-rerank chain VERDICT r05 #8 names)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),        # identical to 1
+            (3, "alpha beta gamma epsilon"),      # 3/5 overlap with 1
+            (4, "zeta eta theta iota"),           # disjoint, same length-ish
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    out = {(r.id_a, r.id_b): r.ce_score for r in dd.pair_rerank(pairs, docs).collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 2)] > out[(1, 3)] > out[(1, 4)]
+    # disjoint word sets: score is purely the 0.2-weighted length ratio
+    assert out[(1, 4)] <= 0.2
+
+    # composition: rerank dd8's incremental candidates on real documents
+    real = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = real.filter(F.col("doc_id") % 5 == 0)
+    index = dd.lsh_band_index(real.filter(F.col("doc_id") % 5 != 0))
+    cand = dd.incremental_neardup_pairs(new, index, threshold=0.5)
+    scored = dd.pair_rerank(cand.select("id_a", "id_b", "est_jaccard"), real)
+    rows = scored.collect()
+    assert rows and all(0.0 <= r.ce_score <= 1.0 for r in rows)
+    # every candidate survived the join (rerank never drops pairs)
+    assert len(rows) == cand.count()

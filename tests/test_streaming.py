@@ -802,6 +802,47 @@ def test_neardup_index_sink_replay_contract(spark, tmp_path):
     assert len(got) == spark.read.parquet(pairs_dir).count()  # no dup rows
 
 
+def test_streaming_neardup_survivors_twin(spark, sf_dir, tmp_path):
+    """Streaming survivors twin (VERDICT r05 #8): docs streamed through
+    neardup_index_sink, then neardup_survivors over the ACCUMULATED pairs,
+    equals the one-shot batch dd7 pipeline (minhash pairs -> components ->
+    survivors) over the same corpus. Pure composition of existing
+    operators — the sink's lifetime-union contract makes it hold."""
+    from pyspark.sql import functions as F
+
+    from tranquility_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        neardup_index_sink,
+        neardup_survivors,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", "text")
+    )
+    write = neardup_index_sink(
+        str(tmp_path / "index"), str(tmp_path / "pairs"), threshold=0.5
+    )
+    for i, (lo, hi) in enumerate([(0, 150), (150, 300), (300, 400)]):
+        write(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), i
+        )
+
+    streamed_pairs = spark.read.parquet(str(tmp_path / "pairs"))
+    got = {
+        r.doc_id
+        for r in neardup_survivors(docs, streamed_pairs).select("doc_id").collect()
+    }
+    want = {
+        r.doc_id
+        for r in neardup_survivors(
+            docs, minhash_lsh_pairs(docs, threshold=0.5)
+        ).select("doc_id").collect()
+    }
+    assert got == want and want
+
+
 def test_partials_sinks_replay_rewrites_partition(spark, tmp_path):
     """The partials sinks (KMV / MG / quantile) share the same idempotent
     write: forcing a re-run of batch N leaves sink contents identical —

@@ -153,6 +153,76 @@ WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
 """
 
 
+_RANK1_ORACLE = """
+WITH docs_slice AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws
+  FROM documents WHERE doc_id < 1000
+),
+shingled AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+  FROM docs_slice WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT id_a, id_b,
+         round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS cand_jaccard
+  FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.3
+),
+feats AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(text), '\\s+')) AS w,
+         length(text) AS ln
+  FROM docs_slice
+)
+SELECT c.id_a, c.id_b, c.cand_jaccard,
+       round(0.8 * (len(list_intersect(fa.w, fb.w)) * 1.0
+                    / (len(fa.w) + len(fb.w) - len(list_intersect(fa.w, fb.w))))
+             + 0.2 * (least(fa.ln, fb.ln) * 1.0 / greatest(fa.ln, fb.ln, 1)),
+             6) AS ce_score
+FROM cand c
+JOIN feats fa ON c.id_a = fa.doc_id
+JOIN feats fb ON c.id_b = fb.doc_id
+ORDER BY ce_score DESC, id_a, id_b
+LIMIT 100
+"""
+
+
+@register(
+    "rank1_pair_rerank",
+    _RANK1_ORACLE,
+    doc="Retrieve-then-rerank over near-dup candidates: dd4's exact 3-gram "
+    "candidate generator (doc_id<1000 slice, threshold 0.3 for a wider "
+    "pool) feeds pair_rerank, which scores each pair from BOTH texts — "
+    "deterministic lexical cross-encoder stand-in (0.8 · distinct-word "
+    "Jaccard + 0.2 · char-length ratio), top-100 with unique-key "
+    "tie-break. At scale the candidate stage is dd2/dd8 LSH (this "
+    "SQL-checkable slice exists for the oracle); the reranker moves only "
+    "candidate pairs through two id-keyed joins, scoring JVM-side — swap "
+    "in a real model via mapInPandas without touching either join",
+)
+def rank1_pair_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    cand = dd.ngram_jaccard_pairs(docs, min_jaccard=0.3, shingle_k=3).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("cand_jaccard")
+    )
+    return (
+        dd.pair_rerank(cand, docs)
+        .select("id_a", "id_b", "cand_jaccard", "ce_score")
+        .orderBy(F.col("ce_score").desc(), "id_a", "id_b")
+        .limit(100)
+    )
+
+
 @register(
     "dd4_ngram_jaccard",
     _DD4_ORACLE,

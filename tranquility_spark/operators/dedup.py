@@ -473,6 +473,64 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= min_jaccard)
 
 
+def pair_rerank(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weight_lexical: float = 0.8,
+) -> DataFrame:
+    """Second-stage scoring of candidate near-dup pairs (the cross-encoder
+    slot): every ``(id_a, id_b)`` candidate gets a ``ce_score`` from looking
+    at BOTH texts together, the standard retrieve-then-rerank shape (cheap
+    recall stage = LSH/dd2/dd8 candidates; precise scorer over the
+    surviving pairs only).
+
+    The scorer here is a deterministic lexical stand-in — full-text
+    distinct-word Jaccard blended with a char-length-ratio prior — because
+    no model runtime ships in this environment. A real cross-encoder drops
+    into the same frame: replace the ``ce_score`` projection with a
+    ``mapInPandas`` batch over (text_a, text_b) pairs (Arrow-batched, the
+    mm1 decode pattern); everything upstream (pair joins) and downstream
+    (ranking) is unchanged.
+
+    Scale shape: per-doc features (distinct words, char length) are a
+    narrow projection computed once; the two id-keyed joins move only the
+    candidate pairs and the features of docs that appear in pairs —
+    after an LSH recall stage that is ≪ corpus. Scoring is JVM-side
+    whole-stage-codegen; no Python in the row path.
+    """
+    feats = docs.select(
+        F.col(id_col).alias("__rid"),
+        F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__words"),
+        F.length(F.col(text_col)).alias("__chars"),
+    )
+    a = feats.select(
+        F.col("__rid").alias("id_a"),
+        F.col("__words").alias("__wa"),
+        F.col("__chars").alias("__ca"),
+    )
+    b = feats.select(
+        F.col("__rid").alias("id_b"),
+        F.col("__words").alias("__wb"),
+        F.col("__chars").alias("__cb"),
+    )
+    inter = F.size(F.array_intersect(F.col("__wa"), F.col("__wb")))
+    union = F.size("__wa") + F.size("__wb") - inter
+    jacc = inter.cast("double") / union.cast("double")  # union >= 1: split()
+    # yields at least [""] so the word arrays are never empty
+    ratio = F.least("__ca", "__cb").cast("double") / F.greatest(
+        F.col("__ca"), F.col("__cb"), F.lit(1)
+    ).cast("double")
+    w = float(weight_lexical)
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("ce_score", F.round(F.lit(w) * jacc + F.lit(1.0 - w) * ratio, 6))
+        .drop("__wa", "__wb", "__ca", "__cb")
+    )
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document via an Arrow-batched pandas UDF.
 
