@@ -81,6 +81,8 @@ HEADLINE = [
     "dd8_incremental_neardup",
     "a10c_quantile_sketch_merge",
     "rank1_pair_rerank",
+    "samp6_source_cap",
+    "txt13_lexical_diversity",
 ]
 
 

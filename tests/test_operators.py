@@ -270,3 +270,39 @@ def test_epoch_shuffle_rejects_bad_shards(spark):
     df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError):
         epoch_shuffle(df, "doc_id", seed=1, n_shards=0)
+
+
+def test_per_key_topn_equals_window_form_on_skewed_keys(spark):
+    """per_key_topn's two-phase salted rank must be ROW-identical to the
+    single-window form for any total ordering — including a pathologically
+    skewed key (one key holding 90% of rows, the case the rewrite exists
+    for) and n larger than some keys' row counts."""
+    import pyspark.sql.functions as FF
+    from pyspark.sql import Window
+
+    from tranquility_spark.operators.partitioning import per_key_topn
+
+    rows = [("hot", i, float(i % 97)) for i in range(900)]
+    rows += [("warm", 1000 + i, float(i)) for i in range(80)]
+    rows += [("cold", 2000 + i, float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "key string, id long, score double")
+
+    order = [FF.col("score").desc(), FF.col("id")]
+    got = sorted(
+        (r.key, r.id, r.rn)
+        for r in per_key_topn(
+            df, "key", order, n=10, id_col="id", salt_buckets=8
+        ).collect()
+    )
+    w = Window.partitionBy("key").orderBy(*order)
+    want = sorted(
+        (r.key, r.id, r.rn)
+        for r in df.withColumn("rn", FF.row_number().over(w))
+        .filter(FF.col("rn") <= 10)
+        .collect()
+    )
+    assert got == want
+    # cold key has 3 rows < n=10: all survive, ranked by score desc
+    assert [r for r in got if r[0] == "cold"] == [
+        ("cold", 2000, 3), ("cold", 2001, 2), ("cold", 2002, 1)
+    ]

@@ -554,6 +554,72 @@ def samp2_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "samp6_source_cap",
+    """
+    SELECT doc_id, source, rn
+    FROM (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 15
+    """,
+    doc="Per-source document cap (RefinedWeb/Gopher-style domain quota): "
+    "keep the 15 longest docs per source, unique-key tie-break. The Spark "
+    "side runs the SKEW-SAFE two-phase salted rank (per_key_topn: phase 1 "
+    "ranks within (source, salt-of-doc_id) so a hot domain spreads over "
+    "32 reducers, phase 2 re-ranks <= 32*15 survivors per source), while "
+    "the oracle is the plain window SQL — a green hash match certifies "
+    "two-phase == single-window semantics cross-engine, which is exactly "
+    "the rewrite a 100 TB corpus needs when one domain dominates",
+)
+def samp6_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.partitioning import per_key_topn
+
+    docs = _t(spark, sf_dir, "documents")
+    return per_key_topn(
+        docs,
+        key_col="source",
+        order_cols=[F.col("n_chars").desc(), F.col("doc_id")],
+        n=15,
+        id_col="doc_id",
+    ).select("doc_id", "source", "rn")
+
+
+@register(
+    "txt13_lexical_diversity",
+    """
+    SELECT doc_id,
+           len(list_distinct(ws)) AS n_types,
+           len(ws) AS n_tokens,
+           round(len(list_distinct(ws)) * 1.0 / len(ws), 6) AS ttr
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents)
+    """,
+    doc="Type-token ratio (lexical diversity) per document — the classic "
+    "cheap quality signal alongside txt2/txt6: machine-generated or "
+    "keyword-stuffed text shows abnormally low TTR, and quality-filter "
+    "stacks (Gopher rules) threshold on it. Pure JVM narrow projection "
+    "(split staged once, distinct+size folds), no shuffle at any scale; "
+    "division guarded by split()'s at-least-[''] output (n_tokens >= 1)",
+)
+def txt13_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    )
+    return staged.select(
+        "doc_id",
+        F.size(F.array_distinct("ws")).alias("n_types"),
+        F.size("ws").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct("ws")).cast("double")
+            / F.size("ws").cast("double"),
+            6,
+        ).alias("ttr"),
+    )
+
+
+@register(
     "pack1_sequence_packing",
     """
     SELECT doc_id, lang, n_tokens,

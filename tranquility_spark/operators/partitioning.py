@@ -113,6 +113,48 @@ def salted_join(
     return out.drop("__salt")
 
 
+def per_key_topn(
+    df: DataFrame,
+    key_col: str,
+    order_cols: "list[Column]",
+    n: int,
+    id_col: str,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Skew-safe top-N rows per key (two-phase salted rank).
+
+    The single-window form (``row_number() OVER (PARTITION BY key ...)``,
+    samp2's shape) sends EVERY row of a key to one reducer — correct until
+    one key is a third of the corpus (one domain at open-web scale), where
+    that reducer becomes the job. Top-N distributes over any partition of
+    a key's rows (the global top-N is a subset of the union of per-slice
+    top-Ns), so phase 1 ranks within ``(key, salt)`` — the hot key spreads
+    over ``salt_buckets`` reducers, each keeping at most ``n`` — and
+    phase 2 re-ranks at most ``salt_buckets * n`` survivors per key. The
+    salt is a deterministic hash of ``id_col`` (NOT rand(): retries and
+    re-runs must land every row in the same bucket for reproducible
+    output). Result is row-identical to the single-window form for any
+    total ordering — ``order_cols`` must end in a unique tie-break, the
+    catalog-wide LIMIT policy (equality asserted in tests; the
+    samp6_source_cap oracle certifies it against the window-SQL form
+    cross-engine).
+    """
+    if n < 1 or salt_buckets < 1:
+        raise ValueError("n and salt_buckets must be >= 1")
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(F.col(key_col), salt).orderBy(*order_cols)
+    survivors = (
+        df.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= n)
+        .drop("__rn1")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order_cols)
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= n)
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     key: str,
