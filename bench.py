@@ -83,6 +83,9 @@ HEADLINE = [
     "rank1_pair_rerank",
     "samp6_source_cap",
     "txt13_lexical_diversity",
+    "a10d_fixed_histogram",
+    "f6_winsorize_clip",
+    "txt14_oov_rate",
 ]
 
 

@@ -302,3 +302,100 @@ def test_training_prep_composition(spark, sf_dir):
         by_shard.setdefault(r.shard, []).append(r.pos)
     for poss in by_shard.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_a10d_histogram_partition_of_rows_and_clamp(spark, sf_dir):
+    """The fixed-bucket histogram is a partition of the input: bucket ids
+    stay inside [0, 24] (Druid's out-of-range clamp), bucket_lo is exactly
+    bucket*width, and the counts sum to the table size."""
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.sources.files import load_table
+
+    rows = CATALOG["a10d_fixed_histogram"].fn(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n for r in rows) == n_events
+    for r in rows:
+        assert 0 <= r.bucket <= 24
+        assert r.bucket_lo == r.bucket * 20.0
+        assert r.n > 0
+
+
+def test_a10d_histogram_single_map_combined_agg(spark, sf_dir):
+    """The histogram plan must be ONE two-phase hash agg over the scan —
+    a single Exchange carrying only (event_type, bucket) groups."""
+    from tranquility_spark.catalog import CATALOG
+
+    df = CATALOG["a10d_fixed_histogram"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan, plan
+
+
+def test_f6_winsorize_thresholds_bound_the_sum(spark, sf_dir):
+    """Clip thresholds must order correctly, clipped-row counts must be
+    ~5% tails, and the winsorized sum must lie inside [n*p05, n*p95]."""
+    from tranquility_spark.catalog import CATALOG
+
+    rows = CATALOG["f6_winsorize_clip"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p05 <= r.p95
+        # interpolated exact percentiles: each tail is < 6% of rows
+        assert r.n_clipped_low <= 0.06 * r.n + 1
+        assert r.n_clipped_high <= 0.06 * r.n + 1
+        assert r.n * r.p05 - 1e-6 <= r.winsorized_sum <= r.n * r.p95 + 1e-6
+
+
+def test_f6_winsorize_broadcasts_stats_not_fact(spark, sf_dir):
+    """The per-type stats frame must come back as a broadcast join — the
+    fact table is scanned, never shuffled into the join."""
+    from tranquility_spark.catalog import CATALOG
+
+    df = CATALOG["f6_winsorize_clip"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_txt14_oov_rate_semantics_and_degenerate_vocab(spark):
+    """OOV rate: tokens outside the top-K vocab count as OOV; a vocab that
+    covers the whole corpus yields rate 0 (fixture-degeneracy guard — the
+    catalog entry must keep K below the corpus distinct-token count)."""
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.sources.files import load_table
+
+    out = {
+        r.doc_id: r
+        for r in CATALOG["txt14_oov_rate"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, "/root/testdata/sf0.001", "documents").collect()
+    }
+    assert set(out) == set(docs)
+    # recompute one doc by hand against the corpus-wide top-20 vocab
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for text in docs.values():
+        counts.update(text.strip().split())
+    vocab = {
+        t for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    }
+    assert len(counts) > 20, "fixture must have more distinct tokens than K"
+    for doc_id, text in list(docs.items())[:25]:
+        toks = text.strip().split()
+        expected = sum(1 for t in toks if t not in vocab)
+        assert out[doc_id].n_oov == expected, doc_id
+        assert out[doc_id].n_tokens == len(toks)
+
+
+def test_txt14_oov_corpus_side_never_shuffles(spark, sf_dir):
+    """Scale contract: the per-doc pass is a narrow fold against a one-row
+    broadcast vocab — the ONLY Exchange in the plan is the bounded token
+    count feeding TakeOrdered(K)."""
+    from tranquility_spark.catalog import CATALOG
+
+    df = CATALOG["txt14_oov_rate"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

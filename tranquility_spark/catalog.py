@@ -411,6 +411,50 @@ def a10_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a10d_fixed_histogram",
+    """
+    SELECT event_type, bucket,
+           round(0.0 + bucket * 20.0, 6) AS bucket_lo,
+           count(*) AS n
+    FROM (SELECT event_type,
+                 least(greatest(CAST(floor((value - 0.0) / 20.0) AS BIGINT),
+                                0), 24) AS bucket
+          FROM events)
+    GROUP BY event_type, bucket
+    """,
+    doc="A10 histogram shape: Druid approxHistogram emits BUCKET COUNTS, not "
+    "just quantiles (SURVEY.md §2.4 A10 — ref exposes it via the Druid "
+    "extension aggregator accepted in tranquility metricsSpec). Spark-first "
+    "analog: fixed [lowerLimit=0, upperLimit=500) buckets of width 20 with "
+    "Druid's out-of-range clamp into the edge buckets; pure JVM floor "
+    "arithmetic inside the groupBy key, so the histogram is ONE map-side-"
+    "combined agg — at 100 TB the exchange carries <= types*buckets rows. "
+    "Identical double arithmetic both engines => exact hash match (no "
+    "percentile interpolation involved)",
+)
+def a10d_fixed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.lit(0.0)) / F.lit(20.0)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(24),
+    )
+    return (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            F.round(F.lit(0.0) + F.col("bucket") * F.lit(20.0), 6).alias("bucket_lo"),
+            "n",
+        )
+    )
+
+
+@register(
     "a11_theta_sketch_approx",
     None,
     doc="A11: thetaSketch distinct — approx_count_distinct twin, rows-only",

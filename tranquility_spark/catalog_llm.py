@@ -620,6 +620,63 @@ def txt13_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt14_oov_rate",
+    """
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                  FROM documents),
+         vocab AS (SELECT tok
+                   FROM (SELECT tok, count(*) AS c FROM toks GROUP BY tok
+                         ORDER BY c DESC, tok LIMIT 20)),
+         per AS (SELECT t.doc_id,
+                        CAST(count(*) AS BIGINT) AS n_tokens,
+                        CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                             AS BIGINT) AS n_oov
+                 FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+                 GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens, n_oov,
+           round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
+    FROM per
+    """,
+    doc="Out-of-vocabulary token rate against a corpus-derived top-K "
+    "vocabulary — the classic CCNet/fastText-era quality signal (high OOV "
+    "=> noise/boilerplate/wrong-language). Scale shape: the vocab is a "
+    "map-side-combined token count + TakeOrdered(K) (bounded result), "
+    "re-attached as a ONE-ROW broadcast; the per-doc pass is then a narrow "
+    "JVM filter() fold over the staged token array — the corpus is never "
+    "exploded into a shuffle. K=20 here (the synthetic fixture has 31 "
+    "distinct tokens; K must stay below that for a non-degenerate rate). "
+    "Deterministic vocab boundary: ties at rank K break by token asc on "
+    "both engines",
+)
+def txt14_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    )
+    vocab = (
+        staged.select(F.explode("ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(20)
+        .agg(F.collect_list("tok").alias("vocab"))
+    )
+    joined = staged.crossJoin(F.broadcast(vocab))
+    n_oov = F.size(
+        F.filter("ws", lambda t: ~F.array_contains(F.col("vocab"), t))
+    )
+    return joined.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        n_oov.cast("long").alias("n_oov"),
+        F.round(
+            n_oov.cast("double") / F.size("ws").cast("double"), 6
+        ).alias("oov_rate"),
+    )
+
+
+@register(
     "pack1_sequence_packing",
     """
     SELECT doc_id, lang, n_tokens,

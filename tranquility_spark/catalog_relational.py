@@ -603,6 +603,64 @@ def f5_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "f6_winsorize_clip",
+    """
+    WITH pct AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.05), 6) AS p05,
+               round(quantile_cont(value, 0.95), 6) AS p95
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           any_value(p.p05) AS p05,
+           any_value(p.p95) AS p95,
+           CAST(sum(CASE WHEN e.value < p.p05 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(sum(CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
+           CAST(sum(CAST(least(greatest(e.value, p.p05), p.p95)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS winsorized_sum,
+           count(*) AS n
+    FROM events e JOIN pct p USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="Winsorization (percentile clipping) of a metric column — the "
+    "standard outlier-robust pre-aggregation step before training-data "
+    "statistics. Two-phase plan: exact interpolated p05/p95 per event_type "
+    "(one agg whose exchange carries |types| rows), then the tiny stats "
+    "frame BROADCASTS back onto the fact scan for the clip — the 100 TB "
+    "shape (no window over the fact table, no second fact shuffle; the "
+    "final agg is map-side combined). Cross-engine: thresholds rounded to "
+    "6dp on BOTH sides before clipping (Spark percentile == DuckDB "
+    "quantile_cont, linear interpolation at rank p*(n-1)); clipped sum "
+    "accumulates in DECIMAL per the float policy",
+)
+def f6_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.05), 6).alias("p05"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        ev.join(F.broadcast(pct), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("p05").alias("p05"),
+            F.any_value("p95").alias("p95"),
+            F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0)).alias(
+                "n_clipped_low"
+            ),
+            F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0)).alias(
+                "n_clipped_high"
+            ),
+            F.sum(clipped.cast("decimal(28,6)")).cast("double").alias("winsorized_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Wider TPC-H-shaped coverage (q4/q7/q10/q12/q14/q18/q19 shapes, adapted to
 # the trimmed testdata schemas — no l_shipmode/l_commitdate/o_shippriority)
