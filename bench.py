@@ -86,6 +86,7 @@ HEADLINE = [
     "a10d_fixed_histogram",
     "f6_winsorize_clip",
     "txt14_oov_rate",
+    "dd9_bloom_membership",
 ]
 
 

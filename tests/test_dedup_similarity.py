@@ -322,3 +322,96 @@ def test_pair_rerank_properties_and_dd8_composition(spark, sf_dir):
     assert rows and all(0.0 <= r.ce_score <= 1.0 for r in rows)
     # every candidate survived the join (rerank never drops pairs)
     assert len(rows) == cand.count()
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    """Every inserted key must probe present (structural guarantee); the
+    false-positive rate on non-members stays within 4x the analytic
+    (1 - e^(-kn/m))^k bound. Default xxhash64 hashing."""
+    import math
+
+    from tranquility_spark.operators.bloom import bloom_probe, bloom_words
+
+    n, m_bits, k = 400, 65536, 5
+    members = spark.range(n).withColumnRenamed("id", "key")
+    non_members = spark.range(10_000, 14_000).withColumnRenamed("id", "key")
+    words = bloom_words(members, "key", m_bits=m_bits, k=k)
+    hits_in = bloom_probe(members, words, "key", m_bits=m_bits, k=k)
+    assert hits_in.filter(F.col("in_bloom") == 0).count() == 0
+    fp = (
+        bloom_probe(non_members, words, "key", m_bits=m_bits, k=k)
+        .filter(F.col("in_bloom") == 1)
+        .count()
+    )
+    bound = (1 - math.exp(-k * n / m_bits)) ** k
+    assert fp / 4000 <= max(4 * bound, 0.005), (fp, bound)
+
+
+def test_bloom_merge_bit_identical_to_direct(spark):
+    """bit_or-merge of per-half word tables equals the direct build on the
+    union, row for row — and replaying one partial changes nothing (OR is
+    idempotent)."""
+    from tranquility_spark.operators.bloom import bloom_merge, bloom_words
+
+    all_keys = spark.range(500).withColumnRenamed("id", "key")
+    h1 = all_keys.filter(F.col("key") % 2 == 0)
+    h2 = all_keys.filter(F.col("key") % 2 == 1)
+    direct = bloom_words(all_keys, "key")
+    merged = bloom_merge([bloom_words(h1, "key"), bloom_words(h2, "key")])
+    replayed = bloom_merge(
+        [bloom_words(h1, "key"), bloom_words(h2, "key"), bloom_words(h2, "key")]
+    )
+    d = sorted(map(tuple, direct.collect()))
+    assert sorted(map(tuple, merged.collect())) == d
+    assert sorted(map(tuple, replayed.collect())) == d
+
+
+def test_bloom_probe_side_never_shuffles(spark, sf_dir):
+    """Scale contract: the probe is a narrow projection against a one-row
+    broadcast map — the only hash exchange in the whole plan is the bounded
+    word-table build agg."""
+    from tranquility_spark.catalog import CATALOG
+
+    df = CATALOG["dd9_bloom_membership"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bloom_portable_matches_oracle_semantics(spark):
+    """The portable hash variant has the same guarantees as xxhash64 (no
+    false negatives) and is deterministic across runs."""
+    from tranquility_spark.operators.bloom import bloom_probe, bloom_words
+
+    members = spark.range(300).withColumnRenamed("id", "key")
+    words = bloom_words(members, "key", hash_fn="portable")
+    out = bloom_probe(members, words, "key", hash_fn="portable")
+    assert out.filter(F.col("in_bloom") == 0).count() == 0
+    again = bloom_words(members, "key", hash_fn="portable")
+    assert sorted(map(tuple, words.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
+def test_bloom_partials_sink_lifetime_equals_batch(spark, tmp_path):
+    """Streaming lifecycle: per-batch word-table partials merged at read
+    time equal the one-shot batch build bit-for-bit, and a forced replay of
+    batch N leaves the merged filter unchanged."""
+    from tranquility_spark.operators.bloom import (
+        bloom_merge_read,
+        bloom_partials_sink,
+        bloom_words,
+    )
+
+    out = str(tmp_path / "bloom")
+    write = bloom_partials_sink(out, "key")
+    b1 = spark.range(0, 200).withColumnRenamed("id", "key")
+    b2 = spark.range(200, 350).withColumnRenamed("id", "key")
+    write(b1, 0)
+    write(b2, 1)
+    direct = bloom_words(b1.unionByName(b2), "key")
+    merged = bloom_merge_read(spark, out)
+    d = sorted(map(tuple, direct.collect()))
+    assert sorted(map(tuple, merged.collect())) == d
+    write(b2, 1)  # forced redelivery
+    assert sorted(map(tuple, bloom_merge_read(spark, out).collect())) == d

@@ -118,6 +118,76 @@ def dd8b_incremental_equals_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_oracle_sql() -> str:
+    from tranquility_spark.operators.bloom import bloom_pos_sql
+
+    pos_union = "\n              UNION ALL ".join(
+        f"SELECT doc_id, {bloom_pos_sql('doc_id', i, 65536)} AS pos FROM corpus"
+        for i in range(5)
+    )
+    probe_union = "\n              UNION ALL ".join(
+        f"SELECT doc_id, {bloom_pos_sql('doc_id', i, 65536)} AS pos FROM documents"
+        for i in range(5)
+    )
+    return f"""
+    WITH corpus AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
+         bits AS ({pos_union}),
+         words AS (SELECT pos // 63 AS word_idx,
+                          bit_or(1::BIGINT << CAST(pos % 63 AS INTEGER)) AS word
+                   FROM bits GROUP BY pos // 63),
+         probe_bits AS ({probe_union}),
+         probe AS (SELECT p.doc_id,
+                          min(CASE WHEN w.word IS NOT NULL
+                                    AND (w.word & (1::BIGINT <<
+                                         CAST(p.pos % 63 AS INTEGER))) <> 0
+                                   THEN 1 ELSE 0 END) AS in_bloom
+                   FROM probe_bits p
+                   LEFT JOIN words w ON p.pos // 63 = w.word_idx
+                   GROUP BY p.doc_id)
+    SELECT doc_id,
+           CAST(in_bloom AS BIGINT) AS in_bloom,
+           CAST(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS in_corpus
+    FROM probe
+    """
+
+
+@register(
+    "dd9_bloom_membership",
+    _bloom_oracle_sql(),
+    doc="Bloom-filter membership as a relational sketch (operators/bloom.py): "
+    "build = explode 5 bit positions per corpus key -> ONE map-combined "
+    "bit_or agg over word_idx (exchange bounded by m/64 = 1024 rows); "
+    "probe = the word table folds to a one-row broadcast map and each "
+    "probe row evaluates 5 mask terms inline — NO shuffle, NO join, NO "
+    "groupBy on the probe side, so probing costs one scan at any corpus "
+    "size. 80% of doc_ids form the filter; all docs probe it. Guarantees "
+    "hash-certified here: corpus members MUST report in_bloom=1 (no false "
+    "negatives), and the oracle rebuilds the identical filter bit-for-bit "
+    "in DuckDB via the portable hash (production default is xxhash64 — "
+    "same split as shuf1). in_corpus ships alongside so the driver row "
+    "also certifies where false positives land. Mergeable family #4: "
+    "bit_or-merge == direct build (OR associativity), streaming partials "
+    "sink included",
+)
+def dd9_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.bloom import bloom_probe, bloom_words
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    words = bloom_words(corpus, "doc_id", m_bits=65536, k=5, hash_fn="portable")
+    probed = bloom_probe(
+        docs, words, "doc_id", m_bits=65536, k=5, hash_fn="portable"
+    )
+    return probed.select(
+        "doc_id",
+        "in_bloom",
+        F.when(F.col("doc_id") % 5 != 0, 1).otherwise(0).cast("long").alias(
+            "in_corpus"
+        ),
+    )
+
+
 @register(
     "dd3_simhash_signatures",
     None,  # blake2b-based bit votes — no SQL twin

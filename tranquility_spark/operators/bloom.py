@@ -1,0 +1,185 @@
+"""Bloom-filter membership as a RELATIONAL sketch (mergeable family #4).
+
+The classic ingest-scale question — "have we already seen this key?" — needs
+an approximate membership structure whose build, merge, and probe all stay
+distributed. Instead of an opaque byte-blob UDF sketch, the filter here is a
+SPARSE BITMAP TABLE: one row per 64-bit word that has any bit set,
+
+    (word_idx BIGINT, word BIGINT)
+
+which makes every lifecycle step a plain relational operation that Catalyst
+can optimize:
+
+- build  — explode each key into its k bit positions, two-phase
+  ``groupBy(word_idx).agg(bit_or(mask))``; the exchange carries at most
+  ``m_bits/64`` rows per partition (kilobytes), never the corpus.
+- merge  — union of word tables + the same ``bit_or`` groupBy. Bit-identical
+  to building directly on the concatenated data (OR is associative and
+  commutative), the same contract as the KMV / Misra-Gries / quantile
+  partials in this package.
+- probe  — the word table is bounded by ``m_bits/64`` rows regardless of how
+  many keys were inserted, so it folds into a ONE-ROW broadcast map and the
+  membership test is a narrow per-row projection over the probe frame:
+  no explode, no join shuffle, no groupBy. Probing 100 TB costs one scan.
+
+Guarantees: no false negatives ever (every inserted key's bits are set);
+false-positive rate ~ (1 - e^(-k*n/m))^k for n inserted keys.
+
+Hashing (mirrors ``operators/partitioning.py`` policy): the default is
+``xxhash64(key, i)`` — engine-defined but full-64-bit, the production path.
+``hash_fn="portable"`` switches to the cross-engine multiplicative hash so a
+DuckDB oracle can rebuild the IDENTICAL filter and the driver can
+hash-certify build+probe end-to-end (``bloom_pos_sql`` emits the matching
+SQL). The portable variant pre-reduces keys mod 100003, so keys congruent
+mod 100003 alias — acceptable for certification fixtures, not the default.
+
+Word layout: 63 usable bits per word (``_WORD_BITS``) — DuckDB raises on
+``1::BIGINT << 63`` while Spark wraps to the sign bit, so capping the shift
+at 62 keeps mask construction exact and identical on both engines. The
+membership test is ``(word & mask) != 0`` — no right-shift of the word —
+because ``&`` and ``!= 0`` are two's-complement-identical across engines
+while ``>>`` semantics (arithmetic vs logical) are not.
+
+Reference note: the reference (tranquility) has no membership sketch; this
+is a training-data-pipeline extension per the build brief (dedup family).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tranquility_spark.operators.partitioning import _MULT, _PRIME, _REDUCE
+
+# per-hash-index offset: a prime stride decorrelates the k portable hashes
+_STRIDE = 7919
+
+# usable bits per BIGINT word: shifts stay <= 62 (see module docstring)
+_WORD_BITS = 63
+
+DEFAULT_M_BITS = 65536
+DEFAULT_K = 5
+
+
+def bloom_pos(key: Column, i: int, m_bits: int, hash_fn: str = "xxhash64") -> Column:
+    """Bit position of hash #i for ``key`` — a non-negative int in [0, m_bits)."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
+    if hash_fn == "portable":
+        mixed = key.cast("long") + F.lit(i * _STRIDE)
+        return (
+            F.pmod(F.pmod(mixed, F.lit(_REDUCE)) * F.lit(_MULT), F.lit(_PRIME))
+            % m_bits
+        )
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def bloom_pos_sql(key_expr: str, i: int, m_bits: int) -> str:
+    """DuckDB fragment computing the identical PORTABLE bit position."""
+    mixed = f"(CAST({key_expr} AS BIGINT) + {i * _STRIDE})"
+    inner = f"(({mixed} % {_REDUCE}) + {_REDUCE}) % {_REDUCE}"
+    return f"((({inner} * {_MULT}) % {_PRIME}) % {m_bits})"
+
+
+def bloom_words(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Build the sparse word table ``(word_idx, word)`` from a key column."""
+    key = F.col(key_col)
+    pos = F.explode(
+        F.array(*[bloom_pos(key, i, m_bits, hash_fn) for i in range(k)])
+    ).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            F.floor(F.col("pos") / _WORD_BITS).cast("long").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_WORD_BITS} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_merge(partials: Sequence[DataFrame]) -> DataFrame:
+    """OR-merge word tables — bit-identical to a direct build on the union.
+
+    Unlike the sample-based partials (KMV / quantiles), replay needs no
+    dedup here: OR is idempotent, so an identical replayed partial cannot
+    change any bit.
+    """
+    it = iter(partials)
+    out = next(it)
+    for p in it:
+        out = out.unionByName(p)
+    return out.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+
+
+def bloom_probe(
+    probes: DataFrame,
+    words: DataFrame,
+    key_col: str,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+    hash_fn: str = "xxhash64",
+    out_col: str = "in_bloom",
+) -> DataFrame:
+    """Append ``out_col`` (0/1 long) — whether the filter contains each key.
+
+    The word table collapses to a one-row ``map<word_idx, word>`` broadcast
+    (bounded by m_bits/64 entries however large the build side was), so the
+    probe adds NO shuffle to the probe frame: each row evaluates k
+    try_element_at + bitmask terms inline.
+    """
+    bloom_map = words.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("word_idx", "word")))
+        ).alias("__bloom_map")
+    )
+    key = F.col(key_col)
+    hit = F.lit(True)
+    for i in range(k):
+        pos = bloom_pos(key, i, m_bits, hash_fn)
+        widx = F.floor(pos / _WORD_BITS).cast("long")
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % _WORD_BITS).cast("int")
+        )
+        term = F.coalesce(
+            (F.try_element_at(F.col("__bloom_map"), widx).bitwiseAND(mask) != 0),
+            F.lit(False),
+        )
+        hit = hit & term
+    return (
+        probes.crossJoin(F.broadcast(bloom_map))
+        .withColumn(out_col, hit.cast("long"))
+        .drop("__bloom_map")
+    )
+
+
+def bloom_partials_sink(out_dir: str, key_col: str, m_bits: int = DEFAULT_M_BITS,
+                        k: int = DEFAULT_K, hash_fn: str = "xxhash64"):
+    """foreachBatch sink: one sparse word-table partial per micro-batch,
+    landed in its own ``batch_id=`` partition (idempotent replay — and OR's
+    idempotence means even a reader that ignored partitions could not be
+    corrupted by a duplicate). ``bloom_merge_read`` reconstructs the
+    lifetime filter; equals the one-shot batch build bit-for-bit."""
+    from tranquility_spark.operators.batch_sink import write_batch_partition
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        partials = bloom_words(batch_df, key_col, m_bits, k, hash_fn)
+        write_batch_partition(partials, out_dir, batch_id)
+
+    return write
+
+
+def bloom_merge_read(spark, out_dir: str) -> DataFrame:
+    """Merge every persisted partial into the lifetime filter."""
+    all_parts = spark.read.parquet(out_dir)
+    return all_parts.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
