@@ -87,6 +87,7 @@ HEADLINE = [
     "f6_winsorize_clip",
     "txt14_oov_rate",
     "dd9_bloom_membership",
+    "dd10_bloom_gated_antijoin",
 ]
 
 

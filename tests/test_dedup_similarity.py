@@ -415,3 +415,29 @@ def test_bloom_partials_sink_lifetime_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, merged.collect())) == d
     write(b2, 1)  # forced redelivery
     assert sorted(map(tuple, bloom_merge_read(spark, out).collect())) == d
+
+
+def test_bloom_gated_antijoin_decision_equals_plain_join(spark, sf_dir):
+    """The sketch-gated decision must equal the plain exact join for every
+    probe key (the gate changes the PLAN, never the answer), and the
+    fixture must exercise both hits and true-new keys."""
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.sources.files import load_table
+
+    out = {
+        r.user_id: r
+        for r in CATALOG["dd10_bloom_gated_antijoin"].fn(spark, sf_dir).collect()
+    }
+    registry = {
+        r.c_custkey
+        for r in load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 != 0)
+        .collect()
+    }
+    assert out
+    for uid, r in out.items():
+        assert r.is_known == (1 if uid in registry else 0), uid
+        if uid in registry:  # no false negatives: members must probe positive
+            assert r.in_bloom == 1, uid
+    kinds = {(r.in_bloom, r.is_known) for r in out.values()}
+    assert (1, 1) in kinds and (0, 0) in kinds, kinds
