@@ -88,6 +88,7 @@ HEADLINE = [
     "txt14_oov_rate",
     "dd9_bloom_membership",
     "dd10_bloom_gated_antijoin",
+    "emb5_binary_hamming_topk",
 ]
 
 

@@ -441,3 +441,42 @@ def test_bloom_gated_antijoin_decision_equals_plain_join(spark, sf_dir):
             assert r.in_bloom == 1, uid
     kinds = {(r.in_bloom, r.is_known) for r in out.values()}
     assert (1, 1) in kinds and (0, 0) in kinds, kinds
+
+
+def test_emb5_binary_signature_matches_numpy(spark, sf_dir):
+    """The packed sign-bit words must equal a numpy recomputation for a
+    sample of vectors, and Hamming must equal the XOR popcount."""
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.sources.files import load_table
+
+    rows = CATALOG["emb5_binary_hamming_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == 50
+    embs = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") <= max(r.vec_id for r in rows))
+        .collect()
+    }
+
+    def pack(vec):
+        w0 = sum(1 << i for i in range(32) if vec[i] > 0)
+        w1 = sum(1 << i for i in range(32) if vec[32 + i] > 0)
+        return w0, w1
+
+    q0, q1 = pack(embs[0])
+    for r in rows[:20]:
+        w0, w1 = pack(embs[r.vec_id])
+        assert (r.w0, r.w1) == (w0, w1), r.vec_id
+        assert r.hamming == bin((w0 ^ q0)).count("1") + bin((w1 ^ q1)).count("1")
+
+
+def test_emb5_plan_is_narrow_topk(spark, sf_dir):
+    """Scale contract: corpus side is a narrow projection into
+    TakeOrderedAndProject against a one-row broadcast query signature —
+    no hash exchange anywhere."""
+    from tranquility_spark.catalog import CATALOG
+
+    df = CATALOG["emb5_binary_hamming_topk"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan

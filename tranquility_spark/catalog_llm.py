@@ -1793,3 +1793,63 @@ def samp5_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb4_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = emb.matryoshka_truncate(_t(spark, sf_dir, "embeddings"), dims=16)
     return out.select("vec_id", "trunc_l2", "energy_retained", "trunc_dims")
+
+
+_EMB5_WORD_SQL = (
+    "list_reduce(list_transform(embedding[{lo}:{hi}], "
+    "(x,i) -> CASE WHEN x > 0 THEN 1::BIGINT << (i-1) "
+    "ELSE 0::BIGINT END), (a,c) -> a|c)"
+)
+
+
+@register(
+    "emb5_binary_hamming_topk",
+    f"""
+    WITH b AS (SELECT vec_id,
+                      {_EMB5_WORD_SQL.format(lo=1, hi=32)} AS w0,
+                      {_EMB5_WORD_SQL.format(lo=33, hi=64)} AS w1
+               FROM embeddings),
+         q AS (SELECT w0 AS q0, w1 AS q1 FROM b WHERE vec_id = 0)
+    SELECT b.vec_id, b.w0, b.w1,
+           CAST(bit_count(xor(b.w0, q.q0)) + bit_count(xor(b.w1, q.q1))
+                AS BIGINT) AS hamming
+    FROM b, q
+    WHERE b.vec_id <> 0
+    ORDER BY hamming, vec_id
+    LIMIT 50
+    """,
+    doc="Binary (sign-bit) embedding quantization + Hamming top-k — the "
+    "compact first-pass of binary-quantized vector search: 64 float dims "
+    "collapse to two BIGINT words (32x smaller), similarity becomes "
+    "bit_count(xor) — pure JVM bit arithmetic, whole-stage codegen, and "
+    "the candidate set it returns is what an exact-cosine rerank (sim1's "
+    "shape) would refine. Query = vec_id 0's signature as a one-row "
+    "broadcast; corpus side is a narrow projection into "
+    "TakeOrderedAndProject — no shuffle at any corpus size. 32-bit-per-"
+    "word packing keeps every shift cross-engine-safe (bloom.py policy); "
+    "strictly-positive sign rule is float-exact on both engines. "
+    "Unique-key tie-break on the LIMIT per the float policy",
+)
+def emb5_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.embeddings import binary_quantize, hamming
+
+    e = _t(spark, sf_dir, "embeddings")
+    w0, w1 = binary_quantize(F.col("embedding"))
+    b = e.select("vec_id", w0.alias("w0"), w1.alias("w1"))
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("w0").alias("q0"), F.col("w1").alias("q1")
+    )
+    return (
+        b.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "w0",
+            "w1",
+            hamming(F.col("w0"), F.col("w1"), F.col("q0"), F.col("q1")).alias(
+                "hamming"
+            ),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(50)
+    )

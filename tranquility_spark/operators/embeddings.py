@@ -177,3 +177,36 @@ def matryoshka_truncate(
         .withColumn("trunc_dims", F.least(F.size(full), F.lit(dims)))
         .drop("__e_head", "__e_full")
     )
+
+
+def binary_quantize(emb: Column, dims: int = 64) -> tuple[Column, Column]:
+    """Sign-bit binary quantization: dim i sets bit (i mod 32) of word
+    (i div 32) when the component is strictly positive — 64 float dims
+    collapse to two BIGINT words (32x compression), and similarity becomes
+    ``bit_count(xor(...))`` Hamming distance: pure JVM bit arithmetic, the
+    standard compact first-pass in binary-quantized vector search. Two
+    32-bit-per-word halves (not one 64-bit word) keep every shift <= 31,
+    inside the cross-engine-safe range (see operators/bloom.py on why
+    shifting into bit 63 is not portable).
+    """
+    if dims != 64:
+        raise ValueError("binary_quantize is fixed at 64 dims (two 32-bit words)")
+
+    def word(sl: Column) -> Column:
+        masks = F.transform(
+            sl,
+            lambda x, i: F.when(
+                x > F.lit(0.0),
+                F.call_function("shiftleft", F.lit(1).cast("long"), i.cast("int")),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(masks, F.lit(0).cast("long"), lambda a, b: a.bitwiseOR(b))
+
+    return word(F.slice(emb, 1, 32)), word(F.slice(emb, 33, 32))
+
+
+def hamming(w0a: Column, w1a: Column, w0b: Column, w1b: Column) -> Column:
+    """Hamming distance between two 2-word binary signatures."""
+    return (
+        F.bit_count(w0a.bitwiseXOR(w0b)) + F.bit_count(w1a.bitwiseXOR(w1b))
+    ).cast("long")
