@@ -90,6 +90,8 @@ HEADLINE = [
     "dd10_bloom_gated_antijoin",
     "emb5_binary_hamming_topk",
     "sim4_bq_rerank",
+    "dq8_retention_cohorts",
+    "dq9_funnel",
 ]
 
 

@@ -306,3 +306,44 @@ def test_per_key_topn_equals_window_form_on_skewed_keys(spark):
     assert [r for r in got if r[0] == "cold"] == [
         ("cold", 2000, 3), ("cold", 2001, 2), ("cold", 2002, 1)
     ]
+
+
+def test_dq8_retention_semantics(spark, sf_dir):
+    """Cohort cells must partition user-day activity: offset 0 row exists
+    per cohort (the first-seen day itself), offsets are non-negative, and
+    summing each cohort's day-0 users equals the distinct user count."""
+    from pyspark.sql import functions as F
+
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.sources.files import load_table
+
+    rows = CATALOG["dq8_retention_cohorts"].fn(spark, sf_dir).collect()
+    assert rows and all(r.day_offset >= 0 for r in rows)
+    day0 = {r.cohort_day: r.n_users for r in rows if r.day_offset == 0}
+    cohorts = {r.cohort_day for r in rows}
+    assert set(day0) == cohorts, "every cohort must have its day-0 cell"
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(day0.values()) == n_users
+
+
+def test_dq9_funnel_monotone(spark, sf_dir):
+    """Funnel stages can only shrink, and stage 1 equals the number of
+    users with any view event."""
+    from pyspark.sql import functions as F
+
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.sources.files import load_table
+
+    r = CATALOG["dq9_funnel"].fn(spark, sf_dir).collect()[0]
+    assert r.n_viewed >= r.n_clicked_after_view >= r.n_purchased_after_click >= 0
+    n_viewers = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r.n_viewed == n_viewers
+    assert r.n_clicked_after_view > 0, "fixture must exercise stage 2"

@@ -799,6 +799,103 @@ def dq7_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq8_retention_cohorts",
+    """
+    WITH act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                 FROM events),
+         fs AS (SELECT user_id, min(day) AS cohort_day FROM act
+                GROUP BY user_id)
+    SELECT fs.cohort_day,
+           CAST(date_diff('day', fs.cohort_day, act.day) AS BIGINT)
+               AS day_offset,
+           CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+    FROM act JOIN fs USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Retention-cohort analysis — the signature Druid event-analytics "
+    "query over the datasource tranquility feeds: users bucketed by "
+    "first-seen day, counted per (cohort, day-offset) activity cell. Plan: "
+    "one (user, day) distinct (the only corpus-sized shuffle), the "
+    "first-seen agg REUSES that frame, one user_id join, and a final agg "
+    "bounded by days^2 cells — at 100 TB co-partition activity and "
+    "first-seen on user_id and the join is exchange-free",
+)
+def dq8_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    fs = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(fs, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+@register(
+    "dq9_funnel",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t_click
+               FROM events e JOIN v USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts >= v.t_view
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+               FROM events e JOIN c USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+               GROUP BY e.user_id)
+    SELECT CAST(count(v.t_view) AS BIGINT) AS n_viewed,
+           CAST(count(c.t_click) AS BIGINT) AS n_clicked_after_view,
+           CAST(count(p.t_purchase) AS BIGINT) AS n_purchased_after_click
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+    doc="Ordered-sequence funnel (view -> click-after-view -> purchase-"
+    "after-click): each stage is a per-user min-timestamp agg joined to "
+    "the previous stage's anchor with an ordering predicate. All three "
+    "stage frames are per-user (bounded by |users|, not |events|) and "
+    "every join is keyed on user_id — co-partitioned at scale, with each "
+    "stage's event scan pre-filtered to its type at the source",
+)
+def dq9_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("t_view").alias("n_viewed"),
+            F.count("t_click").alias("n_clicked_after_view"),
+            F.count("t_purchase").alias("n_purchased_after_click"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension surfaces register themselves on import (they use `register` above,
 # so these imports must stay at the bottom of this module).
