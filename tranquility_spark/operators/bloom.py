@@ -137,6 +137,12 @@ def bloom_probe(
     (bounded by m_bits/64 entries however large the build side was), so the
     probe adds NO shuffle to the probe frame: each row evaluates k
     try_element_at + bitmask terms inline.
+
+    Contract: ``words`` must have UNIQUE word_idx — i.e. the output of
+    ``bloom_words`` / ``bloom_merge`` / ``bloom_merge_read``. Probing a raw
+    multi-partial append (un-merged) would hand ``map_from_entries``
+    duplicate keys, which throws under Spark's default mapKeyDedupPolicy —
+    merge first; the merge agg is bounded and cheap.
     """
     bloom_map = words.agg(
         F.map_from_entries(
