@@ -945,3 +945,70 @@ def test_streaming_bloom_partials_equal_batch_filter(spark, sf_dir, tmp_path):
     )
     probed = bloom_probe(keys, lifetime, "key")
     assert probed.filter(F.col("in_bloom") == 0).count() == 0
+
+
+def test_streaming_retention_partials_equal_batch_dq8(spark, sf_dir, tmp_path):
+    """Streaming analytics lifecycle for dq8: stream events in 3
+    micro-batches, landing (a) per-batch first-seen partials (per-user min
+    day — mergeable by min) and (b) per-batch distinct (user, day) activity,
+    both in batch_id= partitions. Retention computed from the merged sinks
+    must equal the one-shot batch dq8 — first-seen is min-mergeable the
+    same way the bloom/KMV/MG partials are, so streaming costs nothing."""
+    from pyspark.sql import functions as F
+
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.operators.batch_sink import write_batch_partition
+    from tranquility_spark.sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    src = str(tmp_path / "src")
+    ev.repartition(3).write.parquet(src)
+
+    fs_dir = str(tmp_path / "first_seen")
+    act_dir = str(tmp_path / "activity")
+
+    def sink(batch_df, batch_id):
+        days = batch_df.select(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        write_batch_partition(
+            days.groupBy("user_id").agg(F.min("day").alias("day")),
+            fs_dir,
+            batch_id,
+        )
+        write_batch_partition(days.distinct(), act_dir, batch_id)
+
+    q = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    fs = (
+        spark.read.parquet(fs_dir)
+        .groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+    )
+    act = spark.read.parquet(act_dir).select("user_id", "day").distinct()
+    streamed = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in act.join(fs, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .collect()
+    }
+    batch = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in CATALOG["dq8_retention_cohorts"].fn(spark, sf_dir).collect()
+    }
+    assert streamed == batch
