@@ -92,6 +92,7 @@ HEADLINE = [
     "sim4_bq_rerank",
     "dq8_retention_cohorts",
     "dq9_funnel",
+    "txt15_token_entropy",
 ]
 
 

@@ -399,3 +399,41 @@ def test_txt14_oov_corpus_side_never_shuffles(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_txt15_entropy_bounds_and_uniform_case(spark):
+    """Entropy must sit in [0, ln(n_types)] (within rounding), be 0 for a
+    single-token doc, and hit exactly ln(k) for a uniform k-token doc."""
+    import math
+
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.sources.files import load_table
+
+    rows = CATALOG["txt15_token_entropy"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert -1e-6 <= r.entropy <= math.log(r.n_types) + 1e-4, r
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d")], "doc_id long, text string"
+    )
+    import tranquility_spark.catalog_llm as cl
+
+    # drive the same expression path through a temp-table swap: recompute
+    # by hand instead (the entry is table-bound): uniform 4-token doc
+    from pyspark.sql import functions as F
+
+    toks = df.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") * F.lit(1.0) / F.col("n")
+    term = F.round(p * F.log(p), 6).cast("decimal(28,6)")
+    out = {
+        r.doc_id: r.entropy
+        for r in cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(term).cast("double"), 6).alias("entropy"))
+        .collect()
+    }
+    assert out[1] == 0.0
+    assert abs(out[2] - math.log(4)) < 2e-6

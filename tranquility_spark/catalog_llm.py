@@ -912,6 +912,51 @@ def txt14_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt15_token_entropy",
+    """
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                  FROM documents),
+         cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1)
+    SELECT cnt.doc_id,
+           CAST(any_value(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(-CAST(sum(CAST(round((c * 1.0 / n) * ln(c * 1.0 / n), 6)
+                                AS DECIMAL(28,6))) AS DOUBLE), 6) AS entropy
+    FROM cnt JOIN tot USING (doc_id)
+    GROUP BY cnt.doc_id
+    """,
+    doc="Within-document token (Shannon) entropy — the quality signal that "
+    "separates natural prose from keyword-stuffed or template text "
+    "orthogonally to TTR (txt13): low entropy = a few tokens dominate. "
+    "Plan: one (doc, token) count agg, a doc-keyed total that joins back "
+    "co-partitioned (both frames hash on doc_id — AQE keeps it local at "
+    "scale), and a final doc agg. Float policy: each p*ln(p) term rounds "
+    "to 6dp then decimal-accumulates (txt9's order-independence "
+    "discipline), final entropy rounded to 6dp",
+)
+def txt15_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") * F.lit(1.0) / F.col("n")
+    term = F.round(p * F.log(p), 6).cast("decimal(28,6)")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.round(-F.sum(term).cast("double"), 6).alias("entropy"),
+        )
+    )
+
+
+@register(
     "pack1_sequence_packing",
     """
     SELECT doc_id, lang, n_tokens,
