@@ -495,3 +495,19 @@ def test_sim4_rerank_recall_vs_exact(spark, sf_dir):
     recall = len(set(exact) & set(got)) / len(exact)
     assert recall >= 0.5, (recall, exact, got)
     assert all(r.hamming <= 64 for r in rer)
+
+
+def test_bloom_probe_empty_filter_says_absent(spark):
+    """Cold-start edge: probing an EMPTY word table (no keys ever
+    inserted) must report in_bloom=0 for every probe — the empty-map /
+    try_element_at / coalesce(False) path, which a first-ever micro-batch
+    hits before any partial exists."""
+    from tranquility_spark.operators.bloom import bloom_probe, bloom_words
+
+    empty = bloom_words(
+        spark.createDataFrame([], "key long"), "key"
+    )
+    probes = spark.range(50).withColumnRenamed("id", "key")
+    out = bloom_probe(probes, empty, "key")
+    assert out.count() == 50
+    assert out.filter(F.col("in_bloom") != 0).count() == 0

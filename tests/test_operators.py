@@ -347,3 +347,37 @@ def test_dq9_funnel_monotone(spark, sf_dir):
     )
     assert r.n_viewed == n_viewers
     assert r.n_clicked_after_view > 0, "fixture must exercise stage 2"
+
+
+def test_winsorize_single_row_group_degenerates_cleanly(spark):
+    """A group with one row has p05 == p95 == the value: nothing clips
+    and the winsorized sum is the value itself (pins the interpolation
+    edge the fixture never exercises)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [("solo", 42.5), ("pair", 1.0), ("pair", 3.0)],
+        "event_type string, value double",
+    )
+    pct = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.05), 6).alias("p05"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    rows = {
+        r.event_type: r
+        for r in ev.join(F.broadcast(pct), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("p05").alias("p05"),
+            F.any_value("p95").alias("p95"),
+            F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0)).alias("lo"),
+            F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0)).alias("hi"),
+            F.sum(clipped.cast("decimal(28,6)")).cast("double").alias("wsum"),
+        )
+        .collect()
+    }
+    s = rows["solo"]
+    assert s.p05 == s.p95 == 42.5 and s.lo == s.hi == 0 and s.wsum == 42.5
+    p = rows["pair"]
+    assert p.p05 < p.p95 and p.lo == p.hi == 1
