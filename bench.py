@@ -93,6 +93,7 @@ HEADLINE = [
     "dq8_retention_cohorts",
     "dq9_funnel",
     "txt15_token_entropy",
+    "pipe4_quality_prep",
 ]
 
 

@@ -437,3 +437,26 @@ def test_txt15_entropy_bounds_and_uniform_case(spark):
     }
     assert out[1] == 0.0
     assert abs(out[2] - math.log(4)) < 2e-6
+
+
+def test_pipe4_gate_counts_reconcile(spark, sf_dir):
+    """The composed gate's per-rule counts must reconcile with the signal
+    entries applied individually, and the conjunctive count can never
+    exceed any single rule's count."""
+    from pyspark.sql import functions as F
+
+    from tranquility_spark.catalog import CATALOG
+
+    rows = CATALOG["pipe4_quality_prep"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_pass_all <= min(r.n_pass_ttr, r.n_pass_oov, r.n_pass_entropy)
+        assert 0 < r.n_pass_all <= r.n_docs, "gate must be non-degenerate"
+    total_ttr = sum(r.n_pass_ttr for r in rows)
+    indiv = (
+        CATALOG["txt13_lexical_diversity"]
+        .fn(spark, sf_dir)
+        .filter(F.col("ttr") >= 0.35)
+        .count()
+    )
+    assert total_ttr == indiv

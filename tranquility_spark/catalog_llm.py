@@ -957,6 +957,83 @@ def txt15_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe4_quality_prep",
+    """
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                  FROM documents),
+         cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1),
+         ent AS (SELECT cnt.doc_id,
+                        round(-CAST(sum(CAST(round((c * 1.0 / n)
+                                                   * ln(c * 1.0 / n), 6)
+                                             AS DECIMAL(28,6))) AS DOUBLE), 6)
+                            AS entropy
+                 FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id),
+         vocab AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM toks
+                                    GROUP BY tok ORDER BY c DESC, tok
+                                    LIMIT 20)),
+         oov AS (SELECT t.doc_id,
+                        round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                              * 1.0 / count(*), 6) AS oov_rate
+                 FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+                 GROUP BY t.doc_id),
+         ttr AS (SELECT doc_id,
+                        round(len(list_distinct(ws)) * 1.0 / len(ws), 6)
+                            AS ttr
+                 FROM (SELECT doc_id,
+                              string_split_regex(trim(text), '\\s+') AS ws
+                       FROM documents))
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ttr.ttr >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_ttr,
+           CAST(sum(CASE WHEN oov.oov_rate <= 0.40 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass_oov,
+           CAST(sum(CASE WHEN ent.entropy >= 2.7 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass_entropy,
+           CAST(sum(CASE WHEN ttr.ttr >= 0.35 AND oov.oov_rate <= 0.40
+                          AND ent.entropy >= 2.7 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass_all
+    FROM documents d
+    JOIN ttr ON d.doc_id = ttr.doc_id
+    JOIN oov ON d.doc_id = oov.doc_id
+    JOIN ent ON d.doc_id = ent.doc_id
+    GROUP BY d.lang
+    """,
+    doc="Quality-gate composition over the round-6 signal stack: per-doc "
+    "TTR (txt13) + OOV rate (txt14) + token entropy (txt15), thresholded "
+    "and rolled up per language with per-rule pass counts (audit-friendly, "
+    "txt7's pattern). Decisions compare the ROUNDED 6dp signal values on "
+    "both engines, so threshold-boundary docs agree cross-engine. Plan: "
+    "the three signal frames join on doc_id (co-partitioned; the TTR side "
+    "is narrow, OOV probes a broadcast vocab, entropy's (doc,token) agg is "
+    "the only corpus-shaped shuffle), then one small per-lang agg",
+)
+def pipe4_quality_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    t = txt13_lexical_diversity(spark, sf_dir).select("doc_id", "ttr")
+    o = txt14_oov_rate(spark, sf_dir).select("doc_id", "oov_rate")
+    e = txt15_token_entropy(spark, sf_dir).select("doc_id", "entropy")
+    pass_ttr = F.when(F.col("ttr") >= 0.35, 1).otherwise(0)
+    pass_oov = F.when(F.col("oov_rate") <= 0.40, 1).otherwise(0)
+    pass_ent = F.when(F.col("entropy") >= 2.7, 1).otherwise(0)
+    return (
+        docs.join(t, "doc_id")
+        .join(o, "doc_id")
+        .join(e, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(pass_ttr).alias("n_pass_ttr"),
+            F.sum(pass_oov).alias("n_pass_oov"),
+            F.sum(pass_ent).alias("n_pass_entropy"),
+            F.sum(pass_ttr * pass_oov * pass_ent).alias("n_pass_all"),
+        )
+    )
+
+
+@register(
     "pack1_sequence_packing",
     """
     SELECT doc_id, lang, n_tokens,
