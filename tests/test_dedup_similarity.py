@@ -511,3 +511,24 @@ def test_bloom_probe_empty_filter_says_absent(spark):
     out = bloom_probe(probes, empty, "key")
     assert out.count() == 50
     assert out.filter(F.col("in_bloom") != 0).count() == 0
+
+
+def test_binary_quantize_rejects_short_embeddings(spark):
+    """ADVICE r06: an embedding shorter than 64 dims must raise, not
+    silently truncate to a zero-padded signature."""
+    import pytest
+
+    from tranquility_spark.operators.embeddings import binary_quantize
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 32)], "vec_id long, embedding array<double>"
+    )
+    w0, w1 = binary_quantize(F.col("embedding"))
+    with pytest.raises(Exception, match="binary_quantize"):
+        df.select(w0.alias("w0"), w1.alias("w1")).collect()
+
+    ok = spark.createDataFrame(
+        [(1, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    row = ok.select(w0.alias("w0"), w1.alias("w1")).collect()[0]
+    assert row.w0 == (1 << 32) - 1 and row.w1 == (1 << 32) - 1

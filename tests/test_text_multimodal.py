@@ -356,7 +356,7 @@ def test_f6_winsorize_broadcasts_stats_not_fact(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_txt14_oov_rate_semantics_and_degenerate_vocab(spark):
+def test_txt14_oov_rate_semantics_and_degenerate_vocab(spark, sf_dir):
     """OOV rate: tokens outside the top-K vocab count as OOV; a vocab that
     covers the whole corpus yields rate 0 (fixture-degeneracy guard — the
     catalog entry must keep K below the corpus distinct-token count)."""
@@ -365,11 +365,11 @@ def test_txt14_oov_rate_semantics_and_degenerate_vocab(spark):
 
     out = {
         r.doc_id: r
-        for r in CATALOG["txt14_oov_rate"].fn(spark, "/root/testdata/sf0.001").collect()
+        for r in CATALOG["txt14_oov_rate"].fn(spark, sf_dir).collect()
     }
     docs = {
         r.doc_id: r.text
-        for r in load_table(spark, "/root/testdata/sf0.001", "documents").collect()
+        for r in load_table(spark, sf_dir, "documents").collect()
     }
     assert set(out) == set(docs)
     # recompute one doc by hand against the corpus-wide top-20 vocab
@@ -401,7 +401,7 @@ def test_txt14_oov_corpus_side_never_shuffles(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
-def test_txt15_entropy_bounds_and_uniform_case(spark):
+def test_txt15_entropy_bounds_and_uniform_case(spark, sf_dir):
     """Entropy must sit in [0, ln(n_types)] (within rounding), be 0 for a
     single-token doc, and hit exactly ln(k) for a uniform k-token doc."""
     import math
@@ -409,7 +409,7 @@ def test_txt15_entropy_bounds_and_uniform_case(spark):
     from tranquility_spark.catalog import CATALOG
     from tranquility_spark.sources.files import load_table
 
-    rows = CATALOG["txt15_token_entropy"].fn(spark, "/root/testdata/sf0.001").collect()
+    rows = CATALOG["txt15_token_entropy"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert -1e-6 <= r.entropy <= math.log(r.n_types) + 1e-4, r

@@ -419,7 +419,8 @@ def a10_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT event_type,
                  least(greatest(CAST(floor((value - 0.0) / 20.0) AS BIGINT),
                                 0), 24) AS bucket
-          FROM events)
+          FROM events
+          WHERE value IS NOT NULL)
     GROUP BY event_type, bucket
     """,
     doc="A10 histogram shape: Druid approxHistogram emits BUCKET COUNTS, not "
@@ -430,10 +431,12 @@ def a10_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetic inside the groupBy key, so the histogram is ONE map-side-"
     "combined agg — at 100 TB the exchange carries <= types*buckets rows. "
     "Identical double arithmetic both engines => exact hash match (no "
-    "percentile interpolation involved)",
+    "percentile interpolation involved). NULL contract: NULL values are "
+    "EXCLUDED (not clamped into bucket 0) — both engines filter them before "
+    "bucketing, so the histogram counts only measured values",
 )
 def a10d_fixed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     bucket = F.least(
         F.greatest(
             F.floor((F.col("value") - F.lit(0.0)) / F.lit(20.0)).cast("long"),
@@ -914,10 +917,13 @@ from tranquility_spark import catalog_sketch  # noqa: E402,F401
 #     (CORRECTNESS_r03/r04.json).
 #   - r05 driver-green: the 16 rotated/new keys of CORRECTNESS_r05.json
 #     (42/42 oracle-checked passed; the 16 not already certified fold in).
-# All of those live in ``_CERTIFIED`` below. The r06 window leads with the
+#   - r06 driver-green: 42/42 oracled passed; the 17 newly-green keys fold
+#     in (14 here; f6/a10d/dd10 re-edited in r07 and rotated back).
+# All of those live in ``_CERTIFIED`` below. The r07 window leads with the
 # rows-only-by-policy sketch/LSH entries (no SQL oracle — kept in-window
 # permanently so EVERY round re-records their weaker rows-only check), then
-# auto-fills with any key not in ``_CERTIFIED`` (i.e. new round-6 entries).
+# the three ADVICE-r06 re-certifies, then auto-fills with any key not in
+# ``_CERTIFIED`` (i.e. new round-7 entries).
 # The rotation only permutes dict order; every key keeps the same fn/oracle,
 # so previously recorded certifications remain valid. Staleness contract:
 # changing a certified entry's fn or oracle REQUIRES removing it from
@@ -926,7 +932,7 @@ from tranquility_spark import catalog_sketch  # noqa: E402,F401
 # with scripts/record_certified_fingerprints.py only when folding new greens).
 # ---------------------------------------------------------------------------
 
-_R06_DRIVER_WINDOW = [
+_R07_DRIVER_WINDOW = [
     # rows-only by policy (approximate sketches / LSH — no SQL oracle);
     # re-recorded every round by design
     "hh1_heavy_hitters_merge",
@@ -934,20 +940,21 @@ _R06_DRIVER_WINDOW = [
     "a11d_sketch_merge_rollup",
     "dd8_incremental_neardup",
     "a10c_quantile_sketch_merge",
-    # re-certify: round 6 changed emb4's oracle (divide by nullif(full
-    # energy, 0) to mirror Spark's try_divide on zero-norm vectors — ADVICE
-    # r05); its r05 green row describes the old oracle, so it rotates back
-    # in rather than coasting on a stale certification
-    "emb4_matryoshka_truncate",
-    # re-certify: round 6 added the min_total_floor pre-pass to txt11's plan
-    # (result-preserving by the n_total >= n_docs argument, but the fn source
-    # changed — the staleness contract rotates it regardless)
-    "txt11_boilerplate_ngrams",
+    # re-certify: round 7 added the `value IS NOT NULL` NULL contract to
+    # f6 and a10d (ADVICE r06 — Spark's null-skipping greatest/least vs
+    # DuckDB NULL propagation); fn + oracle changed, so their r06 greens
+    # describe the old definitions and they rotate back in
+    "f6_winsorize_clip",
+    "a10d_fixed_histogram",
+    # re-certify: round 7 dropped dd10's forced registry broadcast (ADVICE
+    # r06 — the registry is the side that scales; AQE now picks the join
+    # strategy). Result-preserving, but the fn source changed
+    "dd10_bloom_gated_antijoin",
 ]
 
 
 def _rotate_driver_window() -> None:
-    lead = [k for k in _R06_DRIVER_WINDOW if k in CATALOG]
+    lead = [k for k in _R07_DRIVER_WINDOW if k in CATALOG]
     # anything registered after this snapshot auto-joins the window
     lead += [
         k
@@ -969,7 +976,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 # Every key with a green (hash-match) driver CORRECTNESS row:
 # r01/r02 certified the first 50; r03/r04 certified the next 46;
-# r05 certified the 16 listed last.
+# r05 certified 16; r06 certified 14 more (17 green minus the 3 rotated).
 _CERTIFIED = frozenset(
     {
         # --- r01/r02 window ---
@@ -1017,8 +1024,15 @@ _CERTIFIED = frozenset(
         "w5_time_range_window", "w6_sessionize_batch",
         "mm2_frame_sample", "mm3_resize", "txt12_bigram_logprob",
         "samp5_temperature_resample",
-        # emb4_matryoshka_truncate was r05-green but round 6 changed its
-        # oracle (nullif guard) — it lives in _R06_DRIVER_WINDOW
+        # --- r06 window (CORRECTNESS_r06.json: 42 greens, 17 newly green;
+        # 14 fold in here — f6/a10d/dd10 were edited in round 7 (ADVICE r06
+        # fixes) so they rotate back into _R07_DRIVER_WINDOW instead) ---
+        "emb4_matryoshka_truncate", "txt11_boilerplate_ngrams",
+        "dq8_retention_cohorts", "dq9_funnel",
+        "dd8b_incremental_equals_full", "dd9_bloom_membership",
+        "rank1_pair_rerank", "sim4_bq_rerank", "samp6_source_cap",
+        "txt13_lexical_diversity", "txt14_oov_rate", "txt15_token_entropy",
+        "pipe4_quality_prep", "emb5_binary_hamming_topk",
     }
 )
 

@@ -166,7 +166,7 @@ def _bloom_oracle_sql() -> str:
     _bloom_oracle_sql(),
     doc="Bloom-filter membership as a relational sketch (operators/bloom.py): "
     "build = explode 5 bit positions per corpus key -> ONE map-combined "
-    "bit_or agg over word_idx (exchange bounded by m/64 = 1024 rows); "
+    "bit_or agg over word_idx (exchange bounded by ceil(m/63) = 1041 rows); "
     "probe = the word table folds to a one-row broadcast map and each "
     "probe row evaluates 5 mask terms inline — NO shuffle, NO join, NO "
     "groupBy on the probe side, so probing costs one scan at any corpus "
@@ -273,11 +273,17 @@ def dd10_bloom_gated_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_known", F.lit(0).cast("long")
     )
     pos = probed.filter(F.col("in_bloom") == 1)
+    # No broadcast hint on the registry: it is the side that scales (the
+    # bounded probe side CANNOT be broadcast under left_semi/left_anti, so a
+    # hint here would force an OOM at real registry sizes — ADVICE r06). AQE
+    # broadcasts it when it measures small and falls back to a shuffled
+    # hash/sort-merge join when it doesn't; the bloom gate has already pruned
+    # the probe side to positives, which is what bounds the join input.
     known = pos.join(
-        F.broadcast(registry), pos.user_id == registry.key, "left_semi"
+        registry, pos.user_id == registry.key, "left_semi"
     ).withColumn("is_known", F.lit(1).cast("long"))
     fp_new = pos.join(
-        F.broadcast(registry), pos.user_id == registry.key, "left_anti"
+        registry, pos.user_id == registry.key, "left_anti"
     ).withColumn("is_known", F.lit(0).cast("long"))
     return neg.unionByName(known).unionByName(fp_new).select(
         "user_id", "in_bloom", "is_known"

@@ -606,11 +606,12 @@ def f5_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f6_winsorize_clip",
     """
-    WITH pct AS (
+    WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
+    pct AS (
         SELECT event_type,
                round(quantile_cont(value, 0.05), 6) AS p05,
                round(quantile_cont(value, 0.95), 6) AS p95
-        FROM events GROUP BY event_type
+        FROM ev GROUP BY event_type
     )
     SELECT e.event_type,
            any_value(p.p05) AS p05,
@@ -622,7 +623,7 @@ def f5_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(least(greatest(e.value, p.p05), p.p95)
                          AS DECIMAL(28,6))) AS DOUBLE) AS winsorized_sum,
            count(*) AS n
-    FROM events e JOIN pct p USING (event_type)
+    FROM ev e JOIN pct p USING (event_type)
     GROUP BY e.event_type
     """,
     doc="Winsorization (percentile clipping) of a metric column — the "
@@ -634,10 +635,13 @@ def f5_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "final agg is map-side combined). Cross-engine: thresholds rounded to "
     "6dp on BOTH sides before clipping (Spark percentile == DuckDB "
     "quantile_cont, linear interpolation at rank p*(n-1)); clipped sum "
-    "accumulates in DECIMAL per the float policy",
+    "accumulates in DECIMAL per the float policy. NULL contract: NULL "
+    "values are EXCLUDED up front in both engines (otherwise Spark's "
+    "null-skipping greatest/least would silently map NULL to p05 while "
+    "older DuckDB propagates NULL — ADVICE r06)",
 )
 def f6_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     pct = ev.groupBy("event_type").agg(
         F.round(F.percentile("value", 0.05), 6).alias("p05"),
         F.round(F.percentile("value", 0.95), 6).alias("p95"),

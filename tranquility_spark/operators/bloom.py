@@ -3,7 +3,7 @@
 The classic ingest-scale question — "have we already seen this key?" — needs
 an approximate membership structure whose build, merge, and probe all stay
 distributed. Instead of an opaque byte-blob UDF sketch, the filter here is a
-SPARSE BITMAP TABLE: one row per 64-bit word that has any bit set,
+SPARSE BITMAP TABLE: one row per 63-bit word that has any bit set,
 
     (word_idx BIGINT, word BIGINT)
 
@@ -12,12 +12,13 @@ can optimize:
 
 - build  — explode each key into its k bit positions, two-phase
   ``groupBy(word_idx).agg(bit_or(mask))``; the exchange carries at most
-  ``m_bits/64`` rows per partition (kilobytes), never the corpus.
+  ``ceil(m_bits/63)`` rows per partition (kilobytes), never the corpus.
 - merge  — union of word tables + the same ``bit_or`` groupBy. Bit-identical
   to building directly on the concatenated data (OR is associative and
   commutative), the same contract as the KMV / Misra-Gries / quantile
   partials in this package.
-- probe  — the word table is bounded by ``m_bits/64`` rows regardless of how
+- probe  — the word table is bounded by ``ceil(m_bits/63)`` rows (1041 words
+  for m=65536, not 1024 — 63 usable bits per word) regardless of how
   many keys were inserted, so it folds into a ONE-ROW broadcast map and the
   membership test is a narrow per-row projection over the probe frame:
   no explode, no join shuffle, no groupBy. Probing 100 TB costs one scan.
@@ -134,7 +135,7 @@ def bloom_probe(
     """Append ``out_col`` (0/1 long) — whether the filter contains each key.
 
     The word table collapses to a one-row ``map<word_idx, word>`` broadcast
-    (bounded by m_bits/64 entries however large the build side was), so the
+    (bounded by ceil(m_bits/63) entries however large the build side was), so the
     probe adds NO shuffle to the probe frame: each row evaluates k
     try_element_at + bitmask terms inline.
 

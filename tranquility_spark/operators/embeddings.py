@@ -192,6 +192,19 @@ def binary_quantize(emb: Column, dims: int = 64) -> tuple[Column, Column]:
     if dims != 64:
         raise ValueError("binary_quantize is fixed at 64 dims (two 32-bit words)")
 
+    # Row-level guard (ADVICE r06): a shorter array would silently yield
+    # zero bits for the missing dims — a truncated signature that Hamming-
+    # compares as if those dims were all non-positive. Fail loudly instead.
+    emb = F.when(F.size(emb) >= F.lit(dims), emb).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("binary_quantize: embedding has "),
+                F.size(emb).cast("string"),
+                F.lit(f" dims, need >= {dims}"),
+            )
+        )
+    )
+
     def word(sl: Column) -> Column:
         masks = F.transform(
             sl,
