@@ -123,6 +123,14 @@ def centroid_similarity(
         .alias("c"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+    # The agg output is |labels| x dims rows (kilobytes) at ANY corpus size,
+    # but it lands in spark.sql.shuffle.partitions reduce slots and feeds two
+    # downstream stages (both join sides) — ~6 stages of near-empty tasks
+    # whose scheduling dominated the query (ADJUDICATION r07: quiet median
+    # 0.52 s -> 0.30 s with the collapse; anchor 0.31 s). coalesce(1) only
+    # narrows the REDUCE side — the map-side partial agg over the corpus
+    # stays fully parallel, so this is scale-safe.
+    cent = cent.coalesce(1)
     a, b = cent.alias("a"), cent.alias("b")
     joined = a.join(
         F.broadcast(b),

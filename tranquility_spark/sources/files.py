@@ -9,10 +9,25 @@ let the optimizer do the rest.
 
 from __future__ import annotations
 
+import os
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tranquility_spark.session import prepare
+
+# Per-session cache of table *definitions* (logical plans, not data). Each
+# spark.read.parquet costs ~0.1 s of driver-side work (file listing + footer
+# schema read over py4j) — a fixed tax on EVERY catalog query that dominates
+# sub-second entries (ADJUDICATION r07: emb3's 0.44 s was 0.12 s load + 0.30 s
+# compute). The testdata tables are immutable for the life of a session, and
+# a DataFrame is an immutable plan, so reuse is safe; keying the outer map
+# weakly on the session means a stopped session's plans are dropped with it
+# rather than leaking (or worse, being served to a new session).
+_DEFS: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    WeakKeyDictionary()
+)
 
 TABLES = (
     "region",
@@ -44,7 +59,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       TimestampType — with session tz UTC this is value-identical to the
       oracle's naive interpretation.
     """
-    prepare(spark)
+    prepare(spark)  # unconditional — callers rely on the UTC-reset side effect
+    key = (os.path.abspath(sf_dir), name)
+    per_session = _DEFS.setdefault(spark, {})
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
@@ -57,6 +77,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # ISO-8601 strings parse under the UTC session zone (try_ —
             # ANSI mode would otherwise fail the whole scan on one bad row)
             df = df.withColumn("ts", F.expr("try_to_timestamp(ts)"))
+    per_session[key] = df
     return df
 
 
