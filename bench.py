@@ -88,6 +88,7 @@ HEADLINE = [
     "txt14_oov_rate",
     "dd9_bloom_membership",
     "dd10_bloom_gated_antijoin",
+    "dd11_bloom_gated_neardup",
     "emb5_binary_hamming_topk",
     "sim4_bq_rerank",
     "dq8_retention_cohorts",

@@ -51,9 +51,11 @@ def test_bucketed_join_has_no_exchange(warehouse, sf_dir):
 
 @pytest.fixture()
 def lsh_warehouse(spark):
-    spark.sql("DROP TABLE IF EXISTS b_lsh_index")
+    for t in ("b_lsh_index", "b_lsh_index_gated"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
     yield spark
-    spark.sql("DROP TABLE IF EXISTS b_lsh_index")
+    for t in ("b_lsh_index", "b_lsh_index_gated"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_bucketed_lsh_index_probe_corpus_side_no_exchange(lsh_warehouse, sf_dir):
@@ -87,6 +89,67 @@ def test_bucketed_lsh_index_probe_corpus_side_no_exchange(lsh_warehouse, sf_dir)
         # exactly one shuffle: the NEW side repartitions to meet the bucket
         # layout; the bucketed corpus scan must not be followed by one
         assert plan.count("Exchange") == 1, plan
+        assert probe.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_lsh_probe_with_bloom_gate_corpus_side_no_exchange(
+    lsh_warehouse, sf_dir
+):
+    """dd11's scale contract: composing the bloom gate in front of the
+    index probe must not disturb the bucketed corpus layout — the gate is
+    a broadcast crossJoin + filter on the NEW side only, so the plan still
+    has exactly one Exchange (the new side meeting the bucket layout) plus
+    the gate's broadcast."""
+    spark = lsh_warehouse
+    from tranquility_spark.operators.bloom import bloom_probe
+    from tranquility_spark.operators.dedup import (
+        GATE_M_BITS,
+        index_bucket_bloom,
+        lsh_band_index,
+    )
+    from tranquility_spark.sources.bucketed import write_bucketed
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    write_bucketed(
+        lsh_band_index(docs.filter(F.col("doc_id") % 5 != 0)),
+        "b_lsh_index_gated",
+        ["band", "bhash"],
+        4,
+    )
+    corpus = spark.table("b_lsh_index_gated")
+    # production persists the gate next to the index; materialize here so
+    # the probe plan reflects serving (the gate BUILD's own groupBy
+    # exchange is a one-time write cost, not part of the per-cycle plan)
+    gate = index_bucket_bloom(corpus).localCheckpoint(eager=True)
+    new_banded = lsh_band_index(docs.filter(F.col("doc_id") % 5 == 0))
+    gated = (
+        bloom_probe(
+            new_banded.withColumn("__bucket_key", F.xxhash64("band", "bhash")),
+            gate,
+            "__bucket_key",
+            m_bits=GATE_M_BITS,
+            k=5,
+            out_col="__in_gate",
+        )
+        .filter(F.col("__in_gate") == 1)
+        .drop("__bucket_key", "__in_gate")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = gated.alias("l").join(
+            corpus.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") != F.col("r.id")),
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # one hash Exchange (new side); the gate adds only broadcasts
+        assert plan.count("Exchange hashpartitioning") == 1, plan
         assert probe.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -532,3 +532,51 @@ def test_binary_quantize_rejects_short_embeddings(spark):
     )
     row = ok.select(w0.alias("w0"), w1.alias("w1")).collect()[0]
     assert row.w0 == (1 << 32) - 1 and row.w1 == (1 << 32) - 1
+
+
+def test_dd11_gated_equals_ungated_pairs(spark, sf_dir):
+    """The bloom gate must cost NO recall: gated and ungated incremental
+    runs produce the identical pair set (no false negatives by bloom
+    construction; this pins the composition, not just the sketch)."""
+    from tranquility_spark.catalog import CATALOG
+
+    gated = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in CATALOG["dd11_bloom_gated_neardup"].fn(spark, sf_dir).collect()
+    }
+    ungated = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in CATALOG["dd8_incremental_neardup"].fn(spark, sf_dir).collect()
+    }
+    assert gated == ungated and gated
+
+
+def test_dd11_gate_prunes_most_never_seen_buckets(spark, sf_dir):
+    """The gate must actually prune: on the 20% batch most banded rows carry
+    bucket keys absent from the 80% index (never-seen content), so the
+    bloom must reject a substantial fraction before the join."""
+    from tranquility_spark.operators import dedup as dd
+    from tranquility_spark.operators.bloom import bloom_probe
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = dd.lsh_band_index(docs.filter(F.col("doc_id") % 5 != 0))
+    gate = dd.index_bucket_bloom(index)
+    banded = dd.lsh_band_index(docs.filter(F.col("doc_id") % 5 == 0)).withColumn(
+        "__bucket_key", F.xxhash64("band", "bhash")
+    )
+    probed = bloom_probe(
+        banded, gate, "__bucket_key", m_bits=dd.GATE_M_BITS, k=5
+    )
+    counts = {r.in_bloom: r.n for r in probed.groupBy("in_bloom").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    pruned = counts.get(0, 0)
+    assert total > 0 and pruned / total > 0.5, counts
+
+
+def test_dd11b_probe_emits_zero_mismatch_and_active_gate(spark, sf_dir):
+    from tranquility_spark.catalog import CATALOG
+
+    [row] = CATALOG["dd11b_gate_equals_ungated"].fn(spark, sf_dir).collect()
+    assert (row.n_mismatched, row.gate_active) == (0, 1)

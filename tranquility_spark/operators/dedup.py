@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tranquility_spark.operators import bloom as bl
+
 # minhash modulus: large enough for low collision odds, small enough that
 # (a * h + b) stays under 2^63 with a, b, h < _MH_PRIME (Spark ANSI mode
 # raises on long overflow; DuckDB would too — bounded operands keep it exact)
@@ -242,6 +244,40 @@ def _estimate_and_filter(cand: DataFrame, num_hashes: int, threshold: float) -> 
     )
 
 
+# Bloom sizing for the bucket gate: ~16 bits per distinct (band, bhash)
+# bucket at k=5 gives ~1% false positives — a false positive only costs one
+# wasted (and immediately self-killing) join probe, never a wrong answer.
+GATE_M_BITS = 1 << 20
+
+
+def index_bucket_bloom(
+    index_df: DataFrame, m_bits: int = GATE_M_BITS, k: int = 5
+) -> DataFrame:
+    """Bloom word table over an LSH index's (band, bhash) bucket keys.
+
+    Persist it next to the index (it is `ceil(m_bits/63)` rows — kilobytes)
+    and hand it to ``incremental_neardup_pairs(gate_words=...)``: a new
+    batch's banded rows whose bucket key probes NEGATIVE cannot match ANY
+    index bucket (no false negatives), so they skip the index join entirely.
+    For the production common case — batches dominated by never-seen content
+    — this prunes most of the probe side before the join runs.
+
+    Build cost is one bounded bit_or agg over the index (no distinct
+    pre-pass: duplicate inserts are free under OR). Keep it fresh with
+    ``bloom_merge`` as batches fold into the index — OR-merge of the new
+    batch's own bucket blooms is bit-identical to a rebuild.
+
+    Scale bound (stated, not hand-waved): m_bits must scale with the number
+    of DISTINCT index buckets (~10-16 bits each for ~1% fp), and the probe
+    broadcasts the whole word table — so the gate pays off while
+    ``ceil(m_bits/63)`` words fit a broadcast (~1e9 buckets at ~2 GiB).
+    Beyond that, partition the gate by band and probe per-band, or skip the
+    gate — the bucketed index join alone is already corpus-shuffle-free.
+    """
+    keys = index_df.select(F.xxhash64("band", "bhash").alias("bucket_key"))
+    return bl.bloom_words(keys, "bucket_key", m_bits=m_bits, k=k)
+
+
 def incremental_neardup_pairs(
     new_df: DataFrame,
     index_df: DataFrame,
@@ -253,6 +289,9 @@ def incremental_neardup_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     impl: str = "pandas",
+    gate_words: DataFrame | None = None,
+    gate_m_bits: int = GATE_M_BITS,
+    gate_k: int = 5,
 ) -> DataFrame:
     """Near-dup pairs for an INCREMENTAL batch against an existing corpus
     index — the shape a production pipeline actually runs per ingest cycle
@@ -283,6 +322,28 @@ def incremental_neardup_pairs(
     # new batch's banded rows, not the corpus.
     new_banded = new_banded.localCheckpoint(eager=False)
 
+    # Optional bloom gate (dd11): rows whose (band, bhash) bucket key is not
+    # in the index's bucket bloom cannot match any index row — filter them
+    # out of the index-probe join only. new×new below still sees EVERY row
+    # (two new docs can share a bucket the corpus has never seen), which is
+    # what keeps the gate result-identical to the ungated run.
+    probe_side = new_banded
+    if gate_words is not None:
+        probe_side = (
+            bl.bloom_probe(
+                new_banded.withColumn(
+                    "__bucket_key", F.xxhash64("band", "bhash")
+                ),
+                gate_words,
+                "__bucket_key",
+                m_bits=gate_m_bits,
+                k=gate_k,
+                out_col="__in_gate",
+            )
+            .filter(F.col("__in_gate") == 1)
+            .drop("__bucket_key", "__in_gate")
+        )
+
     # Two SEPARATE joins, not a join against (index ∪ new): a union erases
     # the index's bucketed/partitioned output layout, forcing the corpus
     # side to reshuffle every cycle. Joined directly, an index written
@@ -290,7 +351,7 @@ def incremental_neardup_pairs(
     # side (plan-asserted in tests/test_bucketed.py) — only the new batch
     # shuffles. new×new is the tiny in-batch self-join.
     cand_old = (
-        new_banded.alias("l")
+        probe_side.alias("l")
         .join(
             index_df.select("id", "sig", "band", "bhash").alias("r"),
             (F.col("l.band") == F.col("r.band"))
