@@ -271,3 +271,36 @@ def test_load_table_forces_utc_under_hostile_session_zone(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert hostile == utc and utc
+
+
+def test_csv_tsv_dialects_decode_identical_content(spark):
+    """p9/p9b: the CSV fixture (RFC-4180 doubled-quote escaping) and the
+    TSV fixture (quoting disabled) carry the same 200 logical rows — both
+    readers must decode identical values, pinning the dialect configs."""
+    from tranquility_spark.catalog import CATALOG
+
+    csv_rows = sorted(
+        map(tuple, CATALOG["p9_csv_parse"].fn(spark, "unused").collect())
+    )
+    tsv_rows = sorted(
+        map(tuple, CATALOG["p9b_tsv_parse"].fn(spark, "unused").collect())
+    )
+    assert len(csv_rows) == 200
+    assert csv_rows == tsv_rows
+
+
+def test_csv_parse_edge_semantics(spark):
+    """Pin the parse contract: quoted commas survive, doubled quotes
+    unescape, empty fields are NULL (numeric AND string), trailing
+    whitespace is preserved, unicode round-trips."""
+    from tranquility_spark.catalog import CATALOG
+
+    rows = {r.event_id: r for r in CATALOG["p9_csv_parse"].fn(spark, "x").collect()}
+    assert rows[2].note == "comma, inside"
+    assert rows[3].note == 'quote "double" inside'
+    assert rows[4].note == 'both, "tricky", end'
+    assert rows[5].note is None  # empty field -> NULL
+    assert rows[6].note == "trailing space "
+    assert rows[7].note == "unicode café"
+    assert rows[1].value is None  # event_id 1 has empty numeric field
+    assert rows[1].ts is not None and rows[1].ts.year == 2024

@@ -16,6 +16,8 @@ Scale notes are per-query; common themes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -967,6 +969,67 @@ def p8_flatten_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat.filter(F.col("k").isNotNull())
         .groupBy("event_type")
         .agg(F.sum("k").alias("k_sum"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P9: delimited event-file parse (P1 sibling; VERDICT r06 #5). The fixture is
+# a COMMITTED file (tests/fixtures/) rather than driver testdata, so the
+# oracle can name the same literal path — both engines parse the same bytes.
+# ---------------------------------------------------------------------------
+
+_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "fixtures",
+)
+_CSV_COLS_SQL = (
+    "{'event_id':'BIGINT','ts':'TIMESTAMP','user_id':'BIGINT',"
+    "'event_type':'VARCHAR','value':'DOUBLE','note':'VARCHAR'}"
+)
+
+
+@register(
+    "p9_csv_parse",
+    f"""
+    SELECT event_id, ts, user_id, event_type, value, note
+    FROM read_csv('{_FIXTURE_DIR}/events_sample.csv', header=true,
+                  columns={_CSV_COLS_SQL}, quote='"', escape='"', delim=',')
+    """,
+    doc="CSV event-file parse with explicit schema and RFC-4180 doubled-"
+    "quote escaping (quote='\"' escape='\"' — Spark's backslash-escape "
+    "default disagrees with warehouse writers). The fixture exercises "
+    "quoted commas, doubled quotes, empty-field NULLs (numeric AND "
+    "string), preserved trailing whitespace, and unicode. No multiLine: "
+    "the scan stays SPLITTABLE (one task per 128 MB split, not per "
+    "file) — the property that makes CSV backfills parallelize at "
+    "100 TB. Extension, not parity: tranquility's server accepts only "
+    "JSON/Smile (SURVEY.md §1.3)",
+)
+def p9_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.sources.files import load_csv_events
+
+    return load_csv_events(spark, f"{_FIXTURE_DIR}/events_sample.csv", sep=",")
+
+
+@register(
+    "p9b_tsv_parse",
+    f"""
+    SELECT event_id, ts, user_id, event_type, value, note
+    FROM read_csv('{_FIXTURE_DIR}/events_sample.tsv', header=true,
+                  columns={_CSV_COLS_SQL}, quote='', delim='\\t')
+    """,
+    doc="TSV twin of p9 with quoting DISABLED on both engines (empty quote "
+    "char): tabs are forbidden in fields, quotes and commas pass through "
+    "as ordinary characters — the classic log-pipeline contract. Same "
+    "200 logical rows as the CSV fixture, so a green hash also certifies "
+    "the two dialect configs decode identical content",
+)
+def p9b_tsv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.sources.files import load_csv_events
+
+    return load_csv_events(
+        spark, f"{_FIXTURE_DIR}/events_sample.tsv", sep="\t"
     )
 
 

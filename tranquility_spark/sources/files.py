@@ -83,3 +83,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+# CSV/TSV event-file ingestion (P1 sibling — the reference's server accepts
+# only JSON/Smile, so delimited files are an extension, not parity; VERDICT
+# r06 #5). The schema mirrors the events table plus a free-text note column
+# that exercises the delimiter/quote edge cases.
+CSV_EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, note string"
+)
+
+
+def load_csv_events(spark: SparkSession, path: str, sep: str = ",") -> DataFrame:
+    """Parse a delimited event file with an EXPLICIT schema.
+
+    Scale notes: (a) schema is always explicit — inference costs a full
+    extra pass over 100 TB and can mistype sparse columns; (b) no
+    ``multiLine`` — embedded newlines would make the scan non-splittable
+    (one task per FILE instead of per 128 MB split), so the ingest contract
+    forbids them; (c) CSV mode uses RFC-4180 doubled-quote escaping
+    (``quote='"', escape='"'`` — Spark's backslash default disagrees with
+    every warehouse's writer, DuckDB included); (d) TSV mode disables
+    quoting entirely (empty quote char): tabs are forbidden IN fields,
+    quotes/commas are ordinary characters — the classic log-pipeline
+    contract. Empty unquoted fields parse as NULL in both engines.
+    """
+    prepare(spark)
+    reader = (
+        spark.read.schema(CSV_EVENTS_SCHEMA)
+        .option("header", True)
+        .option("sep", sep)
+    )
+    if sep == ",":
+        reader = reader.option("quote", '"').option("escape", '"')
+    else:
+        reader = reader.option("quote", "")  # empty string disables quoting
+    return reader.csv(path)
