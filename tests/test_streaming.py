@@ -1012,3 +1012,181 @@ def test_streaming_retention_partials_equal_batch_dq8(spark, sf_dir, tmp_path):
         for r in CATALOG["dq8_retention_cohorts"].fn(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def _rate_events(df):
+    """Deterministic value -> event mapping shared by the rate-source
+    streaming twins and their spark.range batch twins: rate-micro-batch
+    emits a contiguous value sequence, so identical values imply identical
+    event frames on both sides."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        (F.col("value") % 37).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("value") * 7919) % (86400 * 21)
+        ).alias("ts"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("value") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+    )
+
+
+def _run_rate_stream(spark, ckpt_dir, sink_fn, min_batches=3, timeout_s=120):
+    """Drive a rate-micro-batch stream through foreachBatch until at least
+    ``min_batches`` batches committed, then stop. Returns the number of
+    committed batches (from progress)."""
+    import time as _time
+
+    q = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 400)
+        .option("numPartitions", 2)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+        .writeStream.foreachBatch(sink_fn)
+        .option("checkpointLocation", ckpt_dir)
+        .start()
+    )
+    try:
+        deadline = _time.time() + timeout_s
+        while _time.time() < deadline:
+            done = [p for p in q.recentProgress if p is not None]
+            if len(done) >= min_batches:
+                break
+            _time.sleep(0.5)
+        else:
+            raise AssertionError("rate stream never reached min_batches")
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+
+def test_streaming_retention_rate_source_e2e(spark, tmp_path):
+    """VERDICT r06 #3 (dq8): full readStream lifecycle over an UNBOUNDED
+    source — rate-micro-batch events land per-batch first-seen (min) and
+    activity (distinct) partials; retention computed from the merged sinks
+    via the production operator must equal the batch operator over a
+    spark.range twin of exactly the values that arrived."""
+    from pyspark.sql import functions as F
+
+    from tranquility_spark.operators.batch_sink import write_batch_partition
+    from tranquility_spark.operators.event_analytics import retention_cohorts
+
+    raw_dir = str(tmp_path / "raw")
+    fs_dir = str(tmp_path / "first_seen")
+    act_dir = str(tmp_path / "activity")
+
+    def sink(batch_df, batch_id):
+        ev = _rate_events(batch_df)
+        days = ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        write_batch_partition(batch_df.select("value"), raw_dir, batch_id)
+        write_batch_partition(
+            days.groupBy("user_id").agg(F.min("day").alias("day")),
+            fs_dir,
+            batch_id,
+        )
+        write_batch_partition(days.distinct(), act_dir, batch_id)
+
+    _run_rate_stream(spark, str(tmp_path / "ckpt"), sink)
+
+    # exactly the contiguous prefix 0..N-1 arrived (rate-micro-batch
+    # contract) — the range twin is therefore the identical event set
+    vals = spark.read.parquet(raw_dir).select("value")
+    n, mx = vals.agg(
+        F.count(F.lit(1)), F.max("value")
+    ).collect()[0]
+    assert n == mx + 1 and n >= 3 * 400
+
+    twin = _rate_events(spark.range(n).withColumnRenamed("id", "value"))
+    expected = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in retention_cohorts(twin).collect()
+    }
+
+    # (a) merged activity through the SAME production operator
+    act = spark.read.parquet(act_dir).select(
+        "user_id", F.col("day").alias("ts")
+    ).distinct()
+    streamed = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in retention_cohorts(act).collect()
+    }
+    assert streamed == expected and expected
+
+    # (b) the min-mergeable first-seen partials reproduce the operator's
+    # internal cohort assignment (the partials are not just write-noise)
+    fs = (
+        spark.read.parquet(fs_dir)
+        .groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+    )
+    act2 = spark.read.parquet(act_dir).select("user_id", "day").distinct()
+    from_partials = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in act2.join(fs, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .collect()
+    }
+    assert from_partials == expected
+
+
+def test_streaming_funnel_rate_source_e2e(spark, tmp_path):
+    """VERDICT r06 #3 (dq9): the funnel's staged mins are NOT independently
+    mergeable (t_click depends on t_view), so the streaming design lands
+    per-batch DISTINCT (user, event_type, ts) triples — dedup is the
+    mergeable reduction — and runs the production funnel operator over the
+    merged log at read. Must equal the batch operator over the range twin,
+    and the triple log must be idempotent under batch replay."""
+    from pyspark.sql import functions as F
+
+    from tranquility_spark.operators.batch_sink import write_batch_partition
+    from tranquility_spark.operators.event_analytics import funnel_counts
+
+    raw_dir = str(tmp_path / "raw")
+    log_dir = str(tmp_path / "triples")
+
+    def sink(batch_df, batch_id):
+        ev = _rate_events(batch_df)
+        write_batch_partition(batch_df.select("value"), raw_dir, batch_id)
+        write_batch_partition(
+            ev.select("user_id", "event_type", "ts").distinct(), log_dir, batch_id
+        )
+
+    _run_rate_stream(spark, str(tmp_path / "ckpt"), sink)
+
+    vals = spark.read.parquet(raw_dir).select("value")
+    n, mx = vals.agg(F.count(F.lit(1)), F.max("value")).collect()[0]
+    assert n == mx + 1
+
+    twin = _rate_events(spark.range(n).withColumnRenamed("id", "value"))
+    [expected] = funnel_counts(twin).collect()
+
+    merged = (
+        spark.read.parquet(log_dir)
+        .select("user_id", "event_type", "ts")
+        .distinct()
+    )
+    [streamed] = funnel_counts(merged).collect()
+    assert tuple(streamed) == tuple(expected)
+    assert expected.n_viewed > 0 and expected.n_purchased_after_click >= 0
+
+    # replay idempotence: re-land batch 0's triples; the merged log (and
+    # therefore the funnel) must be unchanged
+    b0 = spark.read.parquet(log_dir).filter(F.col("batch_id") == 0).select(
+        "user_id", "event_type", "ts"
+    )
+    write_batch_partition(b0, log_dir, 0)
+    merged2 = (
+        spark.read.parquet(log_dir)
+        .select("user_id", "event_type", "ts")
+        .distinct()
+    )
+    [replayed] = funnel_counts(merged2).collect()
+    assert tuple(replayed) == tuple(expected)

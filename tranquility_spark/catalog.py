@@ -825,21 +825,9 @@ def dq7_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "first-seen on user_id and the join is exchange-free",
 )
 def dq8_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    act = ev.select(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
-    ).distinct()
-    fs = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    return (
-        act.join(fs, "user_id")
-        .groupBy(
-            "cohort_day",
-            F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias(
-                "day_offset"
-            ),
-        )
-        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
-    )
+    from tranquility_spark.operators.event_analytics import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
 
 
 @register(
@@ -868,35 +856,9 @@ def dq8_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stage's event scan pre-filtered to its type at the source",
 )
 def dq9_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") >= F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") >= F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .agg(
-            F.count("t_view").alias("n_viewed"),
-            F.count("t_click").alias("n_clicked_after_view"),
-            F.count("t_purchase").alias("n_purchased_after_click"),
-        )
-    )
+    from tranquility_spark.operators.event_analytics import funnel_counts
+
+    return funnel_counts(_t(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------
@@ -950,6 +912,12 @@ _R07_DRIVER_WINDOW = [
     # r06 — the registry is the side that scales; AQE now picks the join
     # strategy). Result-preserving, but the fn source changed
     "dd10_bloom_gated_antijoin",
+    # re-certify: round 7 factored dq8/dq9's bodies into
+    # operators/event_analytics.py so the rate-source streaming twins run
+    # the identical code path (VERDICT r06 #3). Result-preserving, but the
+    # fn sources changed
+    "dq8_retention_cohorts",
+    "dq9_funnel",
 ]
 
 
@@ -1028,7 +996,8 @@ _CERTIFIED = frozenset(
         # 14 fold in here — f6/a10d/dd10 were edited in round 7 (ADVICE r06
         # fixes) so they rotate back into _R07_DRIVER_WINDOW instead) ---
         "emb4_matryoshka_truncate", "txt11_boilerplate_ngrams",
-        "dq8_retention_cohorts", "dq9_funnel",
+        # dq8/dq9 were r06-green but round 7 factored their bodies into
+        # operators/event_analytics.py — rotated back into the window
         "dd8b_incremental_equals_full", "dd9_bloom_membership",
         "rank1_pair_rerank", "sim4_bq_rerank", "samp6_source_cap",
         "txt13_lexical_diversity", "txt14_oov_rate", "txt15_token_entropy",
