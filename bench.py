@@ -54,8 +54,11 @@ HEADLINE = [
     "a11c_theta_setops_approx",
     "dq2_segment_metadata",
     "dq5_timeseries",
+    "dq5b_zero_filled_timeseries",
     "dq6_topn",
     "dq7_groupby_having",
+    "dq10_lookup_dimension",
+    "dq11_topn_extraction",
     "dd1_exact_dedup",
     "dd2_minhash_lsh_pairs",
     "sim1_cosine_topk",

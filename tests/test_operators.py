@@ -381,3 +381,62 @@ def test_winsorize_single_row_group_degenerates_cleanly(spark):
     assert s.p05 == s.p95 == 42.5 and s.lo == s.hi == 0 and s.wsum == 42.5
     p = rows["pair"]
     assert p.p05 < p.p95 and p.lo == p.hi == 1
+
+
+def test_dq5b_zero_fill_semantics(spark, sf_dir):
+    """Zero-filled timeseries: the spine emits EVERY 15-minute grain of the
+    7-day interval (672 rows), the sparse filter leaves genuinely empty
+    buckets (else the entry tests nothing), empties carry the aggregator
+    identities, and avg is NULL exactly on empties."""
+    from tranquility_spark.catalog import CATALOG
+
+    rows = CATALOG["dq5b_zero_filled_timeseries"].fn(spark, sf_dir).collect()
+    assert len(rows) == 7 * 96
+    empties = [r for r in rows if r.n == 0]
+    assert empties, "fixture produced no empty buckets — tighten the filter"
+    for r in empties:
+        assert r.sum_value == 0.0 and r.avg_value is None
+    for r in rows:
+        if r.n > 0:
+            assert r.avg_value is not None
+    starts = sorted(r.bucket_start for r in rows)
+    assert (starts[1] - starts[0]).total_seconds() == 900
+
+
+def test_dq10_lookup_is_joinless_and_total(spark, sf_dir):
+    """The lookup is a literal map expression: the plan must contain NO
+    join of any kind, the buckets must partition all events (counts sum to
+    the table total), and unmapped values land in 'unknown'."""
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.sources.files import load_table
+
+    df = CATALOG["dq10_lookup_dimension"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    rows = {r.stage: r for r in df.collect()}
+    assert set(rows) == {"engagement", "conversion", "unknown"}
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n for r in rows.values()) == total
+    errors = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .count()
+    )
+    assert rows["unknown"].n == errors
+
+
+def test_dq11_extraction_plan_and_values(spark, sf_dir):
+    """extractionFn topN: part broadcasts (lineitem never reshuffles for
+    the join), the result is TakeOrdered, and the extracted key is the
+    numeric brand id."""
+    from tranquility_spark.catalog import CATALOG
+
+    df = CATALOG["dq11_topn_extraction"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = df.collect()
+    assert len(rows) == 10
+    assert all(isinstance(r.brand_id, int) and r.brand_id >= 0 for r in rows)
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)

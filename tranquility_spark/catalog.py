@@ -737,6 +737,184 @@ def dq5_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq5b_zero_filled_timeseries",
+    """
+    WITH spine AS (
+        SELECT CAST(g AS TIMESTAMP) AS bucket_start
+        FROM generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                             TIMESTAMP '2024-01-11 23:45:00',
+                             INTERVAL 15 MINUTE) t(g)
+    ),
+    agg AS (
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP)
+                   AS bucket_start,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+          AND event_type = 'signup' AND value >= 400.0
+        GROUP BY 1
+    )
+    SELECT s.bucket_start,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+           coalesce(a.sum_value, 0.0) AS sum_value,
+           CASE WHEN a.n IS NULL THEN NULL
+                ELSE round(a.sum_value / a.n, 6) END AS avg_value
+    FROM spine s LEFT JOIN agg a USING (bucket_start)
+    """,
+    doc="Druid timeseries ZERO-FILLING (skipEmptyBuckets=false, the Druid "
+    "default dq5 omits): every 15-minute grain in the queried interval "
+    "emits a row — empty buckets carry the aggregator identities (count 0, "
+    "doubleSum 0.0) and a NULL post-aggregation. The spine is generated "
+    "with sequence() — |buckets| rows bounded by the INTERVAL, not the "
+    "data — and left-joins the pre-aggregated (equally bucket-bounded) "
+    "frame, so the fact table never touches the join: zero-fill costs "
+    "nothing extra at 100 TB. The sparse filter (signup + value floor) "
+    "guarantees the fixture actually exercises empty buckets",
+)
+def dq5b_zero_filled_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    agg = (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+            & (F.col("event_type") == "signup")
+            & (F.col("value") >= 400.0)
+        )
+        .groupBy(
+            F.timestamp_seconds(
+                F.floor(F.unix_timestamp("ts") / 900) * 900
+            ).alias("bucket_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp'2024-01-05 00:00:00', "
+                "timestamp'2024-01-11 23:45:00', interval 15 minutes)"
+            )
+        ).alias("bucket_start")
+    )
+    return spine.join(agg, "bucket_start", "left").select(
+        "bucket_start",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        F.when(
+            F.col("n").isNotNull(),
+            F.round(F.col("sum_value") / F.col("n"), 6),
+        ).alias("avg_value"),
+    )
+
+
+# Druid registered-lookup analog: a small key->value map applied as a
+# dimension transform at query time. Kept as one literal shared by the
+# Spark map expression and the SQL CASE so the two dialects cannot drift.
+_DQ10_LOOKUP = {
+    "view": "engagement",
+    "click": "engagement",
+    "purchase": "conversion",
+    "signup": "conversion",
+    # 'error' deliberately unmapped -> exercises replaceMissingValueWith
+}
+
+
+@register(
+    "dq10_lookup_dimension",
+    f"""
+    SELECT CASE {' '.join(f"WHEN event_type = '{k}' THEN '{v}'" for k, v in _DQ10_LOOKUP.items())}
+                ELSE 'unknown' END AS stage,
+           count(*) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Druid registered lookup (query-time dimension map with "
+    "replaceMissingValueWith='unknown'): the lookup becomes a LITERAL map "
+    "expression evaluated inline in whole-stage codegen — no join, no "
+    "broadcast, no shuffle beyond the one post-lookup agg (keyed on the "
+    "REMAPPED value, so cardinality is the lookup's image, smaller than "
+    "the raw dimension's). At 100 TB a lookup of real size ships as one "
+    "broadcast map variable; the query shape is unchanged",
+)
+def dq10_lookup_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    lookup = F.create_map(
+        *[F.lit(x) for kv in _DQ10_LOOKUP.items() for x in kv]
+    )
+    stage = F.coalesce(
+        F.try_element_at(lookup, F.col("event_type")), F.lit("unknown")
+    )
+    return (
+        ev.groupBy(stage.alias("stage"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").cast("long").alias("uniq_users"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "dq11_topn_extraction",
+    """
+    SELECT CAST(regexp_extract(p.p_brand, 'Brand#([0-9]+)', 1) AS BIGINT)
+               AS brand_id,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    ORDER BY revenue DESC, brand_id
+    LIMIT 10
+    """,
+    doc="Druid topN with a dimension extractionFn (regex capture): the "
+    "grouping key is regexp_extract(p_brand, 'Brand#(\\\\d+)') cast to its "
+    "numeric id — extraction happens inline pre-aggregation, so the agg "
+    "keys on the EXTRACTED value (bounded by |brands|). Plan: part is the "
+    "broadcast dim side, lineitem never reshuffles for the join; the topN "
+    "is TakeOrdered over |brands| rows with the deterministic "
+    "(revenue DESC, brand_id) tie-break the LIMIT policy requires",
+)
+def dq11_topn_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # extraction evaluated on the DIM side before the broadcast: the regex
+    # runs |parts| times, not |lineitem| times — at 100 TB that is the
+    # difference between a per-fact-row regex and a negligible dim pass
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_brand"), r"Brand#([0-9]+)", 1)
+        .cast("long")
+        .alias("brand_id"),
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("brand_id")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), "brand_id")
+        .limit(10)
+    )
+
+
+@register(
     "dq6_topn",
     """
     SELECT user_id,
