@@ -93,6 +93,7 @@ HEADLINE = [
     "dd10_bloom_gated_antijoin",
     "dd11_bloom_gated_neardup",
     "emb5_binary_hamming_topk",
+    "emb6_random_projection",
     "sim4_bq_rerank",
     "dq8_retention_cohorts",
     "dq9_funnel",

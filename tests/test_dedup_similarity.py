@@ -580,3 +580,39 @@ def test_dd11b_probe_emits_zero_mismatch_and_active_gate(spark, sf_dir):
 
     [row] = CATALOG["dd11b_gate_equals_ungated"].fn(spark, sf_dir).collect()
     assert (row.n_mismatched, row.gate_active) == (0, 1)
+
+
+def test_emb6_projection_matches_numpy(spark, sf_dir):
+    """The JL projection must equal a numpy recomputation with the same
+    round-then-accumulate discipline, and the plan must be shuffle-free."""
+    import numpy as np
+
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.operators.embeddings import projection_matrix
+    from tranquility_spark.sources.files import load_table
+
+    df = CATALOG["emb6_random_projection"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    rows = {r.vec_id: r for r in df.collect()}
+    embs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").limit(2000).collect()
+    }
+    W = projection_matrix(16, 64)
+    for vid in list(embs)[:20]:
+        v = embs[vid]
+        for j in (0, 7, 15):
+            expected = float(sum(round(float(x * w), 6) for x, w in zip(v, W[j])))
+            got = getattr(rows[vid], f"p{j:02d}")
+            assert abs(got - expected) < 1e-9, (vid, j, got, expected)
+
+
+def test_projection_matrix_deterministic():
+    from tranquility_spark.operators.embeddings import projection_matrix
+
+    a = projection_matrix(16, 64)
+    b = projection_matrix(16, 64)
+    assert a == b
+    assert len(a) == 16 and all(len(r) == 64 for r in a)
+    assert all(-1.0 <= w <= 1.0 for r in a for w in r)

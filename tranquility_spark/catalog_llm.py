@@ -2140,3 +2140,45 @@ def emb5_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "vec_id")
         .limit(50)
     )
+
+
+def _emb6_oracle_sql() -> str:
+    from tranquility_spark.operators.embeddings import projection_matrix
+
+    W = projection_matrix(16, 64)
+    sel = ",\n           ".join(
+        "CAST(list_aggregate(list_transform(range(1, 65), "
+        "i -> CAST(round(CAST(embedding[i] AS DOUBLE) * "
+        f"([{','.join(repr(w) for w in W[j])}])[i], 6) AS DECIMAL(28,6))), "
+        f"'sum') AS DOUBLE) AS p{j:02d}"
+        for j in range(16)
+    )
+    return f"SELECT vec_id,\n           {sel}\n    FROM embeddings"
+
+
+@register(
+    "emb6_random_projection",
+    _emb6_oracle_sql(),
+    doc="Johnson-Lindenstrauss random projection 64 -> 16 dims: the "
+    "dimensionality-reduction pass before ANN indexing (4x smaller "
+    "index, distances preserved within JL distortion). The seeded 6-dp "
+    "projection matrix is a shared LITERAL — it lives inside the "
+    "codegen'd zip_with/aggregate expression on the Spark side and as "
+    "list literals in the oracle, so both engines compute the identical "
+    "round-then-decimal-accumulate dot products. No UDF, no join, no "
+    "shuffle: embarrassingly parallel at 100 TB, and a real model's "
+    "projection (PCA / learned) drops into the same matrix slot",
+)
+def emb6_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.embeddings import (
+        projection_matrix,
+        random_project,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cols = random_project(
+        F.col("embedding").cast("array<double>"), projection_matrix(16, 64)
+    )
+    return e.select(
+        "vec_id", *[c.alias(f"p{j:02d}") for j, c in enumerate(cols)]
+    )

@@ -231,3 +231,50 @@ def hamming(w0a: Column, w1a: Column, w0b: Column, w1b: Column) -> Column:
     return (
         F.bit_count(w0a.bitwiseXOR(w0b)) + F.bit_count(w1a.bitwiseXOR(w1b))
     ).cast("long")
+
+
+def projection_matrix(out_dims: int, in_dims: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic seeded random-projection matrix, 6-dp entries.
+
+    Johnson–Lindenstrauss-style dense projection: entries uniform in
+    [-1, 1] from a fixed seed, rounded to 6 decimals so the SAME literal
+    matrix can be embedded in a SQL oracle (cross-engine float policy:
+    the weights are exact 6-dp decimals on both sides).
+    """
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [round(rng.uniform(-1.0, 1.0), 6) for _ in range(in_dims)]
+        for _ in range(out_dims)
+    ]
+
+
+def random_project(emb: Column, weights: list[list[float]]) -> list[Column]:
+    """Project an embedding onto each weight row: one Column per out-dim.
+
+    Each output component is sum_i round(emb[i] * w[i], 6) accumulated in
+    DECIMAL (the round-then-decimal-accumulate discipline — double
+    accumulation order differs between engines; exact decimals do not).
+    Pure JVM zip_with/aggregate expressions: no UDF, no shuffle — the
+    dimensionality-reduction pass before ANN indexing is embarrassingly
+    parallel, and at 100 TB the matrix (out_dims x in_dims literals) lives
+    inside the codegen'd expression, never in a join.
+    """
+    outs = []
+    for row in weights:
+        lits = F.array(*[F.lit(w) for w in row])
+        products = F.zip_with(emb, lits, lambda x, w: F.round(x * w, 6))
+        outs.append(
+            F.aggregate(
+                products,
+                F.lit(0).cast("decimal(28,6)"),
+                # decimal addition widens (28,6)+(28,6) -> (29,6); cast back
+                # so the fold type matches the zero element (exact: the sum
+                # of 64 six-dp products is far inside 28 digits)
+                lambda acc, p: (acc + p.cast("decimal(28,6)")).cast(
+                    "decimal(28,6)"
+                ),
+            ).cast("double")
+        )
+    return outs
