@@ -69,6 +69,7 @@ HEADLINE = [
     "samp3_weighted_sample",
     "samp4_mixture_resample",
     "mm2_frame_sample",
+    "mm4_audio_frame_energy",
     "chunk1_doc_chunking",
     "pipe2_chunk_dedup",
     "emb1_normalize_quantize",

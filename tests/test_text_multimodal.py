@@ -460,3 +460,76 @@ def test_pipe4_gate_counts_reconcile(spark, sf_dir):
         .count()
     )
     assert total_ttr == indiv
+
+
+def test_mm4_audio_framing_semantics(spark, sf_dir):
+    """Frame math: a doc of n bytes emits (n-256)//128+1 full frames (0 if
+    n<256); energy/peak match a pure-python recomputation; the silence flag
+    obeys the integer threshold."""
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.sources.files import load_table
+
+    rows = CATALOG["mm4_audio_frame_energy"].fn(spark, sf_dir).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = {
+        r.doc_id: r.text.encode("utf-8")
+        for r in load_table(spark, sf_dir, "documents").limit(4000).collect()
+    }
+    checked = 0
+    for doc_id, payload in docs.items():
+        n = len(payload)
+        expected_frames = 0 if n < 256 else (n - 256) // 128 + 1
+        got = sorted(by_doc.get(doc_id, []), key=lambda r: r.frame_id)
+        assert len(got) == expected_frames, (doc_id, n)
+        if expected_frames and checked < 25:
+            checked += 1
+            for r in got:
+                w = [b - 128 for b in payload[r.frame_id * 128 : r.frame_id * 128 + 256]]
+                energy = sum(x * x for x in w)
+                assert r.energy == energy, (doc_id, r.frame_id)
+                assert r.peak == max(abs(x) for x in w)
+                assert r.is_silence == (1 if energy < 1500 * 256 else 0)
+    assert checked > 0
+
+
+def test_mm4_plan_is_shuffle_free(spark, sf_dir):
+    from tranquility_spark.catalog import CATALOG
+
+    df = CATALOG["mm4_audio_frame_energy"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
+
+
+def test_mm4_oracle_byte_exact_on_non_ascii_corpus(spark):
+    """mm4's oracle decodes bytes from the HEX encoding (two hex digits per
+    byte), never from char codepoints — prove exactness on a multi-byte
+    corpus where codepoint arithmetic would diverge."""
+    import duckdb
+
+    import __spark_entry__ as ent
+    from tranquility_spark.operators import multimodal as mmod
+
+    rows = [
+        (1, ("héllo wörld ünïcode " * 20)),   # multi-byte latin, >256 bytes
+        (2, ("日本語テキスト" * 30)),            # 3-byte cjk
+        (3, "short"),                          # under one frame -> no rows
+        (4, "a" * 512),                        # ascii control, 3 frames
+    ]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") AS t(doc_id, text)"
+    )
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    media = mmod.attach_binary_payload(sdf)
+    got = sorted(map(tuple, mmod.audio_frame_energy(media).collect()))
+    want = sorted(
+        map(tuple, con.sql(ent.oracle_sql()["mm4_audio_frame_energy"]).fetchall())
+    )
+    assert got == want and got
+    assert not any(t[0] == 3 for t in got)  # sub-frame doc emits nothing

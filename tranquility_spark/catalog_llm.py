@@ -2182,3 +2182,58 @@ def emb6_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", *[c.alias(f"p{j:02d}") for j, c in enumerate(cols)]
     )
+
+
+@register(
+    "mm4_audio_frame_energy",
+    """
+    WITH hx AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS nb
+        FROM documents
+    ),
+    chars AS (
+        -- byte-exact on ANY corpus (the mm2/mm3 hex lesson): byte i is
+        -- decoded from its two hex digits, never from a char codepoint
+        SELECT doc_id,
+               list_transform(range(1, nb + 1),
+                 i -> CAST(16 * (strpos('0123456789ABCDEF', h[i*2-1]) - 1)
+                           + (strpos('0123456789ABCDEF', h[i*2]) - 1)
+                           AS BIGINT)) AS cs
+        FROM hx
+    ),
+    f AS (
+        SELECT doc_id, cs,
+               unnest(range(0, (len(cs) - 256) // 128 + 1)) AS frame_id
+        FROM chars WHERE len(cs) >= 256
+    ),
+    w AS (
+        SELECT doc_id, frame_id,
+               list_transform(cs[frame_id * 128 + 1 : frame_id * 128 + 256],
+                              c -> (c - 128) * (c - 128)) AS sq,
+               list_transform(cs[frame_id * 128 + 1 : frame_id * 128 + 256],
+                              c -> abs(c - 128)) AS dev
+        FROM f
+    )
+    SELECT doc_id, frame_id,
+           CAST(256 AS INTEGER) AS n_samples,
+           CAST(list_aggregate(sq, 'sum') AS BIGINT) AS energy,
+           CAST(list_aggregate(dev, 'max') AS INTEGER) AS peak,
+           CAST(CASE WHEN list_aggregate(sq, 'sum') < 1500 * 256
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_silence
+    FROM w
+    """,
+    doc="Audio-modality plumbing (the brief's audio slot next to mm1-mm3's "
+    "image/video): sliding-window framing (256-sample frames, 128 hop) "
+    "with per-frame sum-of-squares energy, peak deviation, and an "
+    "INTEGER silence threshold (energy < ms*n — multiply, never divide). "
+    "PCM decode is STUBBED (payload bytes stand in for u8 samples; codec "
+    "libs absent) but the framing/energy/threshold DSP shape is real, "
+    "Arrow-batched mapInPandas with mm2's 1-to-N fan-out, no shuffle — "
+    "and, uniquely for a multimodal op, exactly oracle-checkable because "
+    "every step is integer arithmetic. Full windows only; payloads "
+    "shorter than one frame emit no rows",
+)
+def mm4_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return mm.audio_frame_energy(media)

@@ -141,3 +141,76 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return media_df.mapInPandas(frames, schema=FRAMES_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = (
+    "doc_id bigint, frame_id bigint, n_samples int, energy bigint, "
+    "peak int, is_silence bigint"
+)
+
+FRAME = 256
+HOP = 128
+# mean-square threshold for the silence flag (integer contract:
+# energy < SILENCE_MS * n_samples — no float division anywhere)
+SILENCE_MS = 1500
+
+
+def audio_frame_energy(
+    media_df: DataFrame,
+    id_col: str = "doc_id",
+    frame: int = FRAME,
+    hop: int = HOP,
+    silence_ms: int = SILENCE_MS,
+) -> DataFrame:
+    """Audio-modality plumbing: frame-level energy / peak / silence flags.
+
+    STUB decode (same contract as ``decode_image_features``): a real
+    implementation would PCM-decode the blob here; without codec libs each
+    payload byte stands in for an unsigned 8-bit sample centered at 128.
+    Everything downstream of the decode — sliding-window framing, per-frame
+    sum-of-squares energy, peak deviation, integer silence thresholding —
+    is the real DSP shape, Arrow-batched through mapInPandas with a 1→N
+    fan-out exactly like ``sample_frames``.
+
+    All arithmetic is INTEGER (sum of squared deviations; the silence test
+    multiplies instead of dividing), so the stub path is exactly
+    reproducible in a SQL oracle. Full windows only: a payload shorter
+    than one frame emits no rows. Scale: no shuffle — each blob frames
+    independently; cost is linear in corpus bytes.
+    """
+
+    def frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "frame_id": [],
+                "n_samples": [],
+                "energy": [],
+                "peak": [],
+                "is_silence": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = len(samples)
+                if n < frame:
+                    continue
+                dev = samples - 128
+                for fid in range((n - frame) // hop + 1):
+                    w = dev[fid * hop : fid * hop + frame]
+                    energy = int(np.dot(w, w))
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(fid)
+                    out["n_samples"].append(frame)
+                    out["energy"].append(energy)
+                    out["peak"].append(int(np.abs(w).max()))
+                    out["is_silence"].append(
+                        1 if energy < silence_ms * frame else 0
+                    )
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(frames, schema=AUDIO_FRAME_SCHEMA)
