@@ -103,9 +103,8 @@ def test_bucketed_lsh_probe_with_bloom_gate_corpus_side_no_exchange(
     has exactly one Exchange (the new side meeting the bucket layout) plus
     the gate's broadcast."""
     spark = lsh_warehouse
-    from tranquility_spark.operators.bloom import bloom_probe
     from tranquility_spark.operators.dedup import (
-        GATE_M_BITS,
+        gate_probe,
         index_bucket_bloom,
         lsh_band_index,
     )
@@ -126,16 +125,9 @@ def test_bucketed_lsh_probe_with_bloom_gate_corpus_side_no_exchange(
     gate = index_bucket_bloom(corpus).localCheckpoint(eager=True)
     new_banded = lsh_band_index(docs.filter(F.col("doc_id") % 5 == 0))
     gated = (
-        bloom_probe(
-            new_banded.withColumn("__bucket_key", F.xxhash64("band", "bhash")),
-            gate,
-            "__bucket_key",
-            m_bits=GATE_M_BITS,
-            k=5,
-            out_col="__in_gate",
-        )
+        gate_probe(new_banded, gate)
         .filter(F.col("__in_gate") == 1)
-        .drop("__bucket_key", "__in_gate")
+        .drop("__in_gate")
     )
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

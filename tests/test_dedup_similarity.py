@@ -533,6 +533,14 @@ def test_binary_quantize_rejects_short_embeddings(spark):
     row = ok.select(w0.alias("w0"), w1.alias("w1")).collect()[0]
     assert row.w0 == (1 << 32) - 1 and row.w1 == (1 << 32) - 1
 
+    # NULL embedding: passes through as NULL words, never aborts the job
+    # (pre-guard behavior preserved — code-review r07)
+    nul = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    row = nul.select(w0.alias("w0"), w1.alias("w1")).collect()[0]
+    assert row.w0 is None and row.w1 is None
+
 
 def test_dd11_gated_equals_ungated_pairs(spark, sf_dir):
     """The bloom gate must cost NO recall: gated and ungated incremental
@@ -556,19 +564,14 @@ def test_dd11_gate_prunes_most_never_seen_buckets(spark, sf_dir):
     bucket keys absent from the 80% index (never-seen content), so the
     bloom must reject a substantial fraction before the join."""
     from tranquility_spark.operators import dedup as dd
-    from tranquility_spark.operators.bloom import bloom_probe
     from tranquility_spark.sources.files import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     index = dd.lsh_band_index(docs.filter(F.col("doc_id") % 5 != 0))
     gate = dd.index_bucket_bloom(index)
-    banded = dd.lsh_band_index(docs.filter(F.col("doc_id") % 5 == 0)).withColumn(
-        "__bucket_key", F.xxhash64("band", "bhash")
-    )
-    probed = bloom_probe(
-        banded, gate, "__bucket_key", m_bits=dd.GATE_M_BITS, k=5
-    )
-    counts = {r.in_bloom: r.n for r in probed.groupBy("in_bloom").agg(
+    banded = dd.lsh_band_index(docs.filter(F.col("doc_id") % 5 == 0))
+    probed = dd.gate_probe(banded, gate)
+    counts = {r["__in_gate"]: r.n for r in probed.groupBy("__in_gate").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     total = sum(counts.values())
     pruned = counts.get(0, 0)

@@ -1033,6 +1033,23 @@ def _rate_events(df):
     )
 
 
+def _read_complete_batches(spark, *dirs):
+    """Read each batch_id-partitioned sink, restricted to batch ids present
+    in EVERY sink. q.stop() can interrupt the final in-flight batch between
+    two write_batch_partition calls (code-review r07) — comparing only the
+    fully-landed batches makes the streamed-vs-twin equality
+    crash-consistent regardless of write order."""
+    frames = [spark.read.parquet(d) for d in dirs]
+    common = set(
+        r.batch_id for r in frames[0].select("batch_id").distinct().collect()
+    )
+    for f in frames[1:]:
+        common &= {r.batch_id for r in f.select("batch_id").distinct().collect()}
+    assert common, "no batch committed to every sink"
+    ids = sorted(common)
+    return [f.filter(F.col("batch_id").isin(ids)) for f in frames]
+
+
 def _run_rate_stream(spark, ckpt_dir, sink_fn, min_batches=3, timeout_s=120):
     """Drive a rate-micro-batch stream through foreachBatch until at least
     ``min_batches`` batches committed, then stop. Returns the number of
@@ -1082,19 +1099,23 @@ def test_streaming_retention_rate_source_e2e(spark, tmp_path):
     def sink(batch_df, batch_id):
         ev = _rate_events(batch_df)
         days = ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
-        write_batch_partition(batch_df.select("value"), raw_dir, batch_id)
         write_batch_partition(
             days.groupBy("user_id").agg(F.min("day").alias("day")),
             fs_dir,
             batch_id,
         )
         write_batch_partition(days.distinct(), act_dir, batch_id)
+        write_batch_partition(batch_df.select("value"), raw_dir, batch_id)
 
     _run_rate_stream(spark, str(tmp_path / "ckpt"), sink)
 
+    raw_f, fs_f, act_f = _read_complete_batches(spark, raw_dir, fs_dir, act_dir)
+
     # exactly the contiguous prefix 0..N-1 arrived (rate-micro-batch
-    # contract) — the range twin is therefore the identical event set
-    vals = spark.read.parquet(raw_dir).select("value")
+    # contract; only the final in-flight batch can be missing, so the
+    # complete-batch restriction preserves contiguity) — the range twin is
+    # therefore the identical event set
+    vals = raw_f.select("value")
     n, mx = vals.agg(
         F.count(F.lit(1)), F.max("value")
     ).collect()[0]
@@ -1107,9 +1128,7 @@ def test_streaming_retention_rate_source_e2e(spark, tmp_path):
     }
 
     # (a) merged activity through the SAME production operator
-    act = spark.read.parquet(act_dir).select(
-        "user_id", F.col("day").alias("ts")
-    ).distinct()
+    act = act_f.select("user_id", F.col("day").alias("ts")).distinct()
     streamed = {
         (r.cohort_day, r.day_offset): r.n_users
         for r in retention_cohorts(act).collect()
@@ -1118,12 +1137,8 @@ def test_streaming_retention_rate_source_e2e(spark, tmp_path):
 
     # (b) the min-mergeable first-seen partials reproduce the operator's
     # internal cohort assignment (the partials are not just write-noise)
-    fs = (
-        spark.read.parquet(fs_dir)
-        .groupBy("user_id")
-        .agg(F.min("day").alias("cohort_day"))
-    )
-    act2 = spark.read.parquet(act_dir).select("user_id", "day").distinct()
+    fs = fs_f.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act2 = act_f.select("user_id", "day").distinct()
     from_partials = {
         (r.cohort_day, r.day_offset): r.n_users
         for r in act2.join(fs, "user_id")
@@ -1161,32 +1176,27 @@ def test_streaming_funnel_rate_source_e2e(spark, tmp_path):
 
     _run_rate_stream(spark, str(tmp_path / "ckpt"), sink)
 
-    vals = spark.read.parquet(raw_dir).select("value")
-    n, mx = vals.agg(F.count(F.lit(1)), F.max("value")).collect()[0]
+    raw_f, log_f = _read_complete_batches(spark, raw_dir, log_dir)
+    n, mx = raw_f.select("value").agg(
+        F.count(F.lit(1)), F.max("value")
+    ).collect()[0]
     assert n == mx + 1
 
     twin = _rate_events(spark.range(n).withColumnRenamed("id", "value"))
     [expected] = funnel_counts(twin).collect()
 
-    merged = (
-        spark.read.parquet(log_dir)
-        .select("user_id", "event_type", "ts")
-        .distinct()
-    )
+    merged = log_f.select("user_id", "event_type", "ts").distinct()
     [streamed] = funnel_counts(merged).collect()
     assert tuple(streamed) == tuple(expected)
     assert expected.n_viewed > 0 and expected.n_purchased_after_click >= 0
 
     # replay idempotence: re-land batch 0's triples; the merged log (and
     # therefore the funnel) must be unchanged
-    b0 = spark.read.parquet(log_dir).filter(F.col("batch_id") == 0).select(
+    b0 = log_f.filter(F.col("batch_id") == 0).select(
         "user_id", "event_type", "ts"
     )
     write_batch_partition(b0, log_dir, 0)
-    merged2 = (
-        spark.read.parquet(log_dir)
-        .select("user_id", "event_type", "ts")
-        .distinct()
-    )
+    log_f2, _ = _read_complete_batches(spark, log_dir, raw_dir)
+    merged2 = log_f2.select("user_id", "event_type", "ts").distinct()
     [replayed] = funnel_counts(merged2).collect()
     assert tuple(replayed) == tuple(expected)

@@ -746,14 +746,16 @@ def dq5_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
                              INTERVAL 15 MINUTE) t(g)
     ),
     agg AS (
-        SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP)
+        -- epoch_ms, not to_timestamp: CAST(to_timestamp(..) AS TIMESTAMP)
+        -- shifts by the DuckDB host's TimeZone setting (code-review r07)
+        SELECT epoch_ms(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900000)
                    AS bucket_start,
                count(*) AS n,
                CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
           AND ts <  TIMESTAMP '2024-01-12 00:00:00'
-          AND event_type = 'signup' AND value >= 400.0
+          AND event_type = 'signup' AND value >= 100.0
         GROUP BY 1
     )
     SELECT s.bucket_start,
@@ -770,8 +772,10 @@ def dq5_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with sequence() — |buckets| rows bounded by the INTERVAL, not the "
     "data — and left-joins the pre-aggregated (equally bucket-bounded) "
     "frame, so the fact table never touches the join: zero-fill costs "
-    "nothing extra at 100 TB. The sparse filter (signup + value floor) "
-    "guarantees the fixture actually exercises empty buckets",
+    "nothing extra at 100 TB. The filter (signup + value >= 100) "
+    "leaves BOTH empty and occupied buckets at every testdata SF "
+    "(4/55/574 matching events at sf0.001/0.01/0.1 over 672 grains), "
+    "so the zero-fill path and the occupied path are both exercised",
 )
 def dq5b_zero_filled_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -780,7 +784,7 @@ def dq5b_zero_filled_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
             & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
             & (F.col("event_type") == "signup")
-            & (F.col("value") >= 400.0)
+            & (F.col("value") >= 100.0)
         )
         .groupBy(
             F.timestamp_seconds(
@@ -1057,8 +1061,9 @@ from tranquility_spark import catalog_sketch  # noqa: E402,F401
 #     (CORRECTNESS_r03/r04.json).
 #   - r05 driver-green: the 16 rotated/new keys of CORRECTNESS_r05.json
 #     (42/42 oracle-checked passed; the 16 not already certified fold in).
-#   - r06 driver-green: 42/42 oracled passed; the 17 newly-green keys fold
-#     in (14 here; f6/a10d/dd10 re-edited in r07 and rotated back).
+#   - r06 driver-green: 42/42 oracled passed; 10 of the 17 newly-green
+#     keys fold in (f6/a10d/dd10/dq8/dq9/emb5/sim4 re-edited in r07 and
+#     rotated back).
 # All of those live in ``_CERTIFIED`` below. The r07 window leads with the
 # rows-only-by-policy sketch/LSH entries (no SQL oracle — kept in-window
 # permanently so EVERY round re-records their weaker rows-only check), then
@@ -1096,6 +1101,12 @@ _R07_DRIVER_WINDOW = [
     # fn sources changed
     "dq8_retention_cohorts",
     "dq9_funnel",
+    # re-certify: round 7 added the short-array/NULL guard to
+    # binary_quantize — a helper edit the fingerprint guard cannot see,
+    # but emb5/sim4's executed expression trees changed, so their r06
+    # greens describe the old plan (code-review r07)
+    "emb5_binary_hamming_topk",
+    "sim4_bq_rerank",
 ]
 
 
@@ -1122,7 +1133,9 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 # Every key with a green (hash-match) driver CORRECTNESS row:
 # r01/r02 certified the first 50; r03/r04 certified the next 46;
-# r05 certified 16; r06 certified 14 more (17 green minus the 3 rotated).
+# r05 certified 16; r06 folds in 10 of its 17 newly-green keys (the other
+# 7 — f6, a10d, dd10, dq8, dq9, emb5, sim4 — were edited in round 7 and
+# rotate back). Total: 118.
 _CERTIFIED = frozenset(
     {
         # --- r01/r02 window ---
@@ -1171,15 +1184,17 @@ _CERTIFIED = frozenset(
         "mm2_frame_sample", "mm3_resize", "txt12_bigram_logprob",
         "samp5_temperature_resample",
         # --- r06 window (CORRECTNESS_r06.json: 42 greens, 17 newly green;
-        # 14 fold in here — f6/a10d/dd10 were edited in round 7 (ADVICE r06
-        # fixes) so they rotate back into _R07_DRIVER_WINDOW instead) ---
+        # 10 fold in here — the other 7 were edited in round 7 and rotate
+        # back into _R07_DRIVER_WINDOW instead: f6/a10d/dd10 (ADVICE r06
+        # fixes), dq8/dq9 (event_analytics refactor), emb5/sim4 (their
+        # binary_quantize helper gained the short-array guard, so their
+        # executed expression trees changed — the helper-edit discipline
+        # the fingerprint guard cannot mechanize) ---
         "emb4_matryoshka_truncate", "txt11_boilerplate_ngrams",
-        # dq8/dq9 were r06-green but round 7 factored their bodies into
-        # operators/event_analytics.py — rotated back into the window
         "dd8b_incremental_equals_full", "dd9_bloom_membership",
-        "rank1_pair_rerank", "sim4_bq_rerank", "samp6_source_cap",
+        "rank1_pair_rerank", "samp6_source_cap",
         "txt13_lexical_diversity", "txt14_oov_rate", "txt15_token_entropy",
-        "pipe4_quality_prep", "emb5_binary_hamming_topk",
+        "pipe4_quality_prep",
     }
 )
 

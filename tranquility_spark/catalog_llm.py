@@ -197,14 +197,12 @@ def dd11b_gate_equals_ungated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ungated.exceptAll(gated))
         .agg(F.count(F.lit(1)).alias("n_mismatched"))
     )
-    from tranquility_spark.operators.bloom import bloom_probe
-
     banded = dd.lsh_band_index(
         docs.filter(new_pred), num_hashes=64, bands=16, shingle_k=3
-    ).withColumn("__bucket_key", F.xxhash64("band", "bhash"))
+    )
     pruned = (
-        bloom_probe(banded, gate, "__bucket_key", m_bits=dd.GATE_M_BITS, k=5)
-        .filter(F.col("in_bloom") == 0)
+        dd.gate_probe(banded, gate)
+        .filter(F.col("__in_gate") == 0)
         .agg(
             F.when(F.count(F.lit(1)) > 0, F.lit(1))
             .otherwise(F.lit(0))

@@ -274,8 +274,38 @@ def index_bucket_bloom(
     Beyond that, partition the gate by band and probe per-band, or skip the
     gate — the bucketed index join alone is already corpus-shuffle-free.
     """
-    keys = index_df.select(F.xxhash64("band", "bhash").alias("bucket_key"))
+    keys = index_df.select(_bucket_key().alias("bucket_key"))
     return bl.bloom_words(keys, "bucket_key", m_bits=m_bits, k=k)
+
+
+def _bucket_key() -> Column:
+    """The ONE definition of the gate's bucket key (code-review r07: the
+    key derivation must stay in lockstep between build, probe, and every
+    test, or the gate silently measures a different filter)."""
+    return F.xxhash64("band", "bhash")
+
+
+def gate_probe(
+    banded_df: DataFrame,
+    gate_words: DataFrame,
+    m_bits: int = GATE_M_BITS,
+    k: int = 5,
+    out_col: str = "__in_gate",
+) -> DataFrame:
+    """Probe a banded frame against an ``index_bucket_bloom`` word table.
+
+    Appends ``out_col`` (0/1) and drops the internal key column — the
+    single composition used by ``incremental_neardup_pairs``, the dd11b
+    certification probe, and the plan/prune tests.
+    """
+    return bl.bloom_probe(
+        banded_df.withColumn("__bucket_key", _bucket_key()),
+        gate_words,
+        "__bucket_key",
+        m_bits=m_bits,
+        k=k,
+        out_col=out_col,
+    ).drop("__bucket_key")
 
 
 def incremental_neardup_pairs(
@@ -330,18 +360,9 @@ def incremental_neardup_pairs(
     probe_side = new_banded
     if gate_words is not None:
         probe_side = (
-            bl.bloom_probe(
-                new_banded.withColumn(
-                    "__bucket_key", F.xxhash64("band", "bhash")
-                ),
-                gate_words,
-                "__bucket_key",
-                m_bits=gate_m_bits,
-                k=gate_k,
-                out_col="__in_gate",
-            )
+            gate_probe(new_banded, gate_words, m_bits=gate_m_bits, k=gate_k)
             .filter(F.col("__in_gate") == 1)
-            .drop("__bucket_key", "__in_gate")
+            .drop("__in_gate")
         )
 
     # Two SEPARATE joins, not a join against (index ∪ new): a union erases

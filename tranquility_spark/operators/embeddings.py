@@ -203,12 +203,17 @@ def binary_quantize(emb: Column, dims: int = 64) -> tuple[Column, Column]:
     # Row-level guard (ADVICE r06): a shorter array would silently yield
     # zero bits for the missing dims — a truncated signature that Hamming-
     # compares as if those dims were all non-positive. Fail loudly instead.
-    emb = F.when(F.size(emb) >= F.lit(dims), emb).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("binary_quantize: embedding has "),
-                F.size(emb).cast("string"),
-                F.lit(f" dims, need >= {dims}"),
+    # NULL embeddings pass through as NULL words (the pre-guard behavior —
+    # a single NULL row must not abort a corpus pass; code-review r07), and
+    # the error message coalesces size so it can never itself be NULL.
+    emb = F.when(emb.isNull(), emb).otherwise(
+        F.when(F.size(emb) >= F.lit(dims), emb).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("binary_quantize: embedding has "),
+                    F.coalesce(F.size(emb).cast("string"), F.lit("NULL")),
+                    F.lit(f" dims, need >= {dims}"),
+                )
             )
         )
     )
