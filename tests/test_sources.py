@@ -304,3 +304,53 @@ def test_csv_parse_edge_semantics(spark):
     assert rows[7].note == "unicode café"
     assert rows[1].value is None  # event_id 1 has empty numeric field
     assert rows[1].ts is not None and rows[1].ts.year == 2024
+
+
+def test_csv_dialect_fuzz_cross_engine(spark, tmp_path):
+    """Adversarial field-content fuzz for the p9 dialect configs: 60 seeded
+    nasty strings (quotes, commas, backslashes, tabs, unicode, spaces)
+    written RFC-4180 by Python's csv module must decode identically in
+    Spark (quote='\"' escape='\"') and DuckDB read_csv. Backslash is the
+    canary: Spark's DEFAULT escape would treat it specially; the doubled-
+    quote config must pass it through literally."""
+    import csv as csvmod
+    import random
+
+    import duckdb
+
+    from tranquility_spark.sources.files import load_csv_events
+
+    rng = random.Random(99)
+    alphabet = 'abc ,"\\\té日x'
+    fields = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 12)))
+        for _ in range(60)
+    ]
+    path = tmp_path / "fuzz.csv"
+    with open(path, "w", newline="", encoding="utf-8") as fh:
+        w = csvmod.writer(fh, quoting=csvmod.QUOTE_MINIMAL, doublequote=True)
+        w.writerow(["event_id", "ts", "user_id", "event_type", "value", "note"])
+        for i, s in enumerate(fields):
+            w.writerow([i, "2024-01-01 00:00:00", 1, "view", "1.5", s])
+
+    got = {
+        r.event_id: r.note for r in load_csv_events(spark, str(path)).collect()
+    }
+    cols = (
+        "{'event_id':'BIGINT','ts':'TIMESTAMP','user_id':'BIGINT',"
+        "'event_type':'VARCHAR','value':'DOUBLE','note':'VARCHAR'}"
+    )
+    want = {
+        eid: note
+        for eid, note in duckdb.sql(
+            f"SELECT event_id, note FROM read_csv('{path}', header=true, "
+            f"columns={cols}, quote='\"', escape='\"', delim=',')"
+        ).fetchall()
+    }
+    assert set(got) == set(want) == set(range(60))
+    for i in range(60):
+        assert got[i] == want[i], (i, repr(fields[i]), repr(got[i]), repr(want[i]))
+        # python's csv reader agrees too (empty -> NULL is the one contract
+        # difference both engines share against python)
+        expected = fields[i] if fields[i] != "" else None
+        assert got[i] == expected, (i, repr(fields[i]), repr(got[i]))
