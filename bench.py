@@ -100,6 +100,7 @@ HEADLINE = [
     "dq9_funnel",
     "txt15_token_entropy",
     "pipe4_quality_prep",
+    "txt16_script_profile",
 ]
 
 

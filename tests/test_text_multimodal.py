@@ -533,3 +533,49 @@ def test_mm4_oracle_byte_exact_on_non_ascii_corpus(spark):
     )
     assert got == want and got
     assert not any(t[0] == 3 for t in got)  # sub-frame doc emits nothing
+
+
+def test_txt16_script_profile_cross_engine_on_non_ascii(spark):
+    """The driver fixture is ASCII, so prove the non-ASCII script classes
+    (cjk/cyrillic/arabic) and the dominance tie-break cross-engine on a
+    synthetic corpus, mm4-style."""
+    import duckdb
+
+    import __spark_entry__ as ent
+    from tranquility_spark.operators.text import script_profile
+
+    rows = [
+        (1, "hello world 123"),
+        (2, "日本語のテキストです"),
+        (3, "привет мир"),
+        (4, "مرحبا بالعالم"),
+        (5, "mixed 日本 text"),        # latin 9 vs cjk 2 -> latin
+        (6, "日本 ab"),                # cjk 2 vs latin 2 -> tie -> latin (priority)
+        (7, "!!! ???"),               # no class -> other
+        (8, "12345"),                 # digits only
+    ]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") AS t(doc_id, text)"
+    )
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, script_profile(sdf).collect()))
+    want = sorted(
+        map(tuple, con.sql(ent.oracle_sql()["txt16_script_profile"]).fetchall())
+    )
+    assert got == want
+    dom = {t[0]: t[-1] for t in got}
+    assert dom == {
+        1: "latin", 2: "cjk", 3: "cyrillic", 4: "arabic",
+        5: "latin", 6: "latin", 7: "other", 8: "digit",
+    }
+
+
+def test_txt16_plan_shuffle_free(spark, sf_dir):
+    from tranquility_spark.catalog import CATALOG
+
+    df = CATALOG["txt16_script_profile"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -2235,3 +2235,53 @@ def emb6_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm4_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.attach_binary_payload(_t(spark, sf_dir, "documents"))
     return mm.audio_frame_energy(media)
+
+
+def _txt16_oracle_sql() -> str:
+    from tranquility_spark.operators.text import SCRIPT_CLASSES
+
+    names = [n for n, _ in SCRIPT_CLASSES]
+    count_cols = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in SCRIPT_CLASSES
+    )
+    branches = "\n                ".join(
+        "WHEN n_{0} > 0 AND {1} THEN '{0}'".format(
+            name,
+            " AND ".join(
+                f"n_{name} >= n_{other}" for other in names if other != name
+            ),
+        )
+        for name in names
+    )
+    return f"""
+    SELECT doc_id, n_chars,
+           {", ".join(f"n_{n}" for n in names)},
+           CASE {branches}
+                ELSE 'other' END AS dominant_script
+    FROM (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+           {count_cols}
+        FROM documents
+    )
+    """
+
+
+@register(
+    "txt16_script_profile",
+    _txt16_oracle_sql(),
+    doc="Unicode-script character profile + dominant script per document — "
+    "the multilingual triage signal that runs BEFORE n-gram lang-ID "
+    "(txt1): script counts are alphabet-level facts that catch "
+    "wrong-script contamination (mojibake, mixed-script spam) a "
+    "marker-word model only sees as 'unk'. Five regexp_count "
+    "projections with LITERAL unicode ranges (identical pattern "
+    "strings compile under Java regex and RE2), narrow and "
+    "shuffle-free; dominance is a first-match-wins CASE with "
+    "priority-order tie-break, identical in both engines. The ASCII "
+    "fixture exercises the latin/digit/other paths; the non-ASCII "
+    "classes are cross-engine-proven on a synthetic corpus in tests",
+)
+def txt16_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.script_profile(_t(spark, sf_dir, "documents"))

@@ -378,3 +378,55 @@ def boilerplate_ngrams(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+# Script classes for script_profile: (name, regex char class). Literal
+# unicode ranges (not \x{..} escapes) so the same pattern string compiles
+# identically under Java regex (Spark) and RE2 (DuckDB). Order is the
+# dominance tie-break priority.
+SCRIPT_CLASSES = (
+    ("latin", "[A-Za-zÀ-ɏ]"),
+    ("cjk", "[぀-ヿ一-鿿]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("arabic", "[؀-ۿ]"),
+    ("digit", "[0-9]"),
+)
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unicode-script character profile + dominant script.
+
+    The multilingual-corpus triage signal that runs BEFORE n-gram lang-ID
+    (predict_lang): script counts are alphabet-level facts, so they catch
+    wrong-script contamination (e.g. mojibake, mixed-script spam) that a
+    marker-word model scores as merely 'unk'. Counts are per-character
+    regexp_count projections — narrow JVM expressions, no shuffle, linear
+    scan at any corpus size. Dominance uses SCRIPT_CLASSES priority order
+    as the deterministic tie-break (first listed wins ties), identical
+    CASE logic in the SQL oracle.
+    """
+    text = F.col(text_col)
+    counts = {
+        name: F.regexp_count(text, F.lit(pat)).cast("long")
+        for name, pat in SCRIPT_CLASSES
+    }
+    out = df.select(
+        F.col(id_col),
+        F.length(text).cast("long").alias("n_chars"),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+    )
+    # first-match-wins CASE in priority order: a class dominates when its
+    # count is > 0 and >= every other class's count; ties go to the
+    # earlier class because its branch is evaluated first. The oracle
+    # builds the same CASE, so the tie-break is engine-identical.
+    names = [name for name, _ in SCRIPT_CLASSES]
+    dom = None
+    for name in names:
+        cond = F.col(f"n_{name}") > 0
+        for other in names:
+            if other != name:
+                cond = cond & (F.col(f"n_{name}") >= F.col(f"n_{other}"))
+        dom = F.when(cond, F.lit(name)) if dom is None else dom.when(cond, F.lit(name))
+    return out.withColumn("dominant_script", dom.otherwise(F.lit("other")))
