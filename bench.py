@@ -101,6 +101,7 @@ HEADLINE = [
     "txt15_token_entropy",
     "pipe4_quality_prep",
     "txt16_script_profile",
+    "hh2_cms_frequency",
 ]
 
 

@@ -401,3 +401,151 @@ def test_quantile_sample_merge_replayed_partial_is_identity(spark):
     # must dedupe partials by (group, batch_id) for totals, or accept sample-
     # only queries; the sample itself is replay-safe
     assert merged["n_total"] == 2 * n
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (operators/cms.py, mergeable family #5)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_estimate_ge_true_and_bounded(spark, sf_dir):
+    """CMS hard guarantee: est >= true for EVERY key (counters only
+    over-count); accuracy: mean over-count across keys stays within a small
+    multiple of N/width (the expected single-row collision mass — min over
+    depth rows only tightens it). Deterministic: xxhash64 is seedless."""
+    from tranquility_spark.operators.cms import cms_counters, cms_estimate
+    from tranquility_spark.sources.files import load_table
+
+    width, depth = 512, 4
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    counters = cms_counters(ev, "user_id", width=width, depth=depth)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    rows = cms_estimate(
+        exact, counters, "user_id", width=width, depth=depth
+    ).collect()
+    n_total = sum(r["true_n"] for r in rows)
+    assert rows and all(r["est_count"] >= r["true_n"] for r in rows)
+    mean_over = sum(r["est_count"] - r["true_n"] for r in rows) / len(rows)
+    assert mean_over <= 2.0 * n_total / width, (mean_over, n_total / width)
+    # a never-inserted key still answers (0 unless it collides everywhere)
+    ghost = spark.createDataFrame([(-987654321,)], "user_id long")
+    g = cms_estimate(ghost, counters, "user_id", width=width, depth=depth)
+    assert g.collect()[0]["est_count"] >= 0
+
+
+def test_cms_merge_identical_to_direct(spark, sf_dir):
+    """Sum-merge of per-event-type partials == one direct build on the full
+    stream, bit-for-bit (counter addition is associative/commutative) — the
+    same exact-merge contract as KMV/MG/quantile/bloom partials."""
+    from tranquility_spark.operators.cms import cms_counters, cms_merge
+    from tranquility_spark.sources.files import load_table
+
+    kw = dict(width=256, depth=4)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    assert len(types) >= 2
+    partials = [
+        cms_counters(
+            ev.filter(F.col("event_type") == t).select("user_id"), "user_id", **kw
+        )
+        for t in types
+    ]
+    merged = sorted(
+        tuple(r) for r in cms_merge(partials).collect()
+    )
+    direct = sorted(
+        tuple(r)
+        for r in cms_counters(ev.select("user_id"), "user_id", **kw).collect()
+    )
+    assert merged == direct
+
+
+def test_cms_weighted_build(spark):
+    """weight_col: inserting (key, w) adds w to each cell — the weighted
+    estimate dominates the true weighted sum exactly as the unweighted one
+    dominates counts."""
+    from tranquility_spark.operators.cms import cms_counters, cms_estimate
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 5), (2, 7), (3, 1)], "k long, w long"
+    )
+    counters = cms_counters(df, "k", width=64, depth=3, weight_col="w")
+    probes = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    got = {
+        r["k"]: r["est_count"]
+        for r in cms_estimate(probes, counters, "k", width=64, depth=3).collect()
+    }
+    assert got[1] >= 15 and got[2] >= 7 and got[3] >= 1
+
+
+def test_streaming_cms_partials_merge(spark, sf_dir, tmp_path):
+    """Stream micro-batches -> per-batch counter-table partials via
+    foreachBatch -> cms_merge_read reconstructs the lifetime sketch
+    BIT-identical to the one-shot batch build (sum-merge exactness), and the
+    point estimates from the merged sketch equal the direct build's."""
+    from tranquility_spark.operators.cms import (
+        cms_counters,
+        cms_estimate,
+        cms_merge_read,
+        cms_partials_sink,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    width, depth = 256, 4
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+
+    out = str(tmp_path / "cms_partials")
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            cms_partials_sink(out, "user_id", width=width, depth=depth)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    raw = spark.read.parquet(out)
+    assert raw.select("batch_id").distinct().count() >= 2  # really streamed
+    merged = cms_merge_read(spark, out)
+    direct = cms_counters(ev, "user_id", width=width, depth=depth)
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in direct.collect()
+    )
+    probes = ev.distinct()
+    est_m = {
+        r["user_id"]: r["est_count"]
+        for r in cms_estimate(probes, merged, "user_id", width=width, depth=depth).collect()
+    }
+    est_d = {
+        r["user_id"]: r["est_count"]
+        for r in cms_estimate(probes, direct, "user_id", width=width, depth=depth).collect()
+    }
+    assert est_m == est_d
+
+
+def test_cms_estimate_probe_side_never_shuffles(spark, sf_dir):
+    """The estimate plan must contain NO Exchange on the probe frame — the
+    counter table folds to a broadcast map (bloom_probe's plan contract)."""
+    from tranquility_spark.operators.cms import cms_counters, cms_estimate
+    from tranquility_spark.sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    counters = cms_counters(ev, "user_id", width=256, depth=4)
+    # materialize the (bounded) counter table so its build shuffle does not
+    # appear in the probe plan under inspection
+    frozen = spark.createDataFrame(
+        counters.collect(), "row_idx int, col_idx long, cnt long"
+    )
+    plan = cms_estimate(
+        ev, frozen, "user_id", width=256, depth=4
+    )._jdf.queryExecution().executedPlan().toString()
+    probe_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in probe_side, probe_side

@@ -2268,6 +2268,85 @@ def _txt16_oracle_sql() -> str:
     """
 
 
+def _hh2_oracle_sql() -> str:
+    from tranquility_spark.operators.cms import cms_pos_sql
+
+    width, depth = 1024, 4
+    build_union = "\n              UNION ALL ".join(
+        f"SELECT {i} AS row_idx, {cms_pos_sql('user_id', i, width)} AS col_idx"
+        " FROM events"
+        for i in range(depth)
+    )
+    probe_union = "\n              UNION ALL ".join(
+        f"SELECT user_id, {i} AS row_idx,"
+        f" {cms_pos_sql('user_id', i, width)} AS col_idx FROM keys"
+        for i in range(depth)
+    )
+    return f"""
+    WITH keys AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+                  FROM events GROUP BY user_id),
+         cells AS ({build_union}),
+         counters AS (SELECT row_idx, col_idx,
+                             CAST(count(*) AS BIGINT) AS cnt
+                      FROM cells GROUP BY row_idx, col_idx),
+         probe_cells AS ({probe_union}),
+         est AS (SELECT p.user_id,
+                        min(coalesce(c.cnt, 0)) AS est_count
+                 FROM probe_cells p
+                 LEFT JOIN counters c
+                   ON p.row_idx = c.row_idx AND p.col_idx = c.col_idx
+                 GROUP BY p.user_id)
+    SELECT k.user_id,
+           CAST(e.est_count AS BIGINT) AS est_count,
+           k.exact_count,
+           CAST(e.est_count - k.exact_count AS BIGINT) AS over_count
+    FROM keys k JOIN est e USING (user_id)
+    ORDER BY k.exact_count DESC, k.user_id
+    LIMIT 100
+    """
+
+
+@register(
+    "hh2_cms_frequency",
+    _hh2_oracle_sql(),
+    doc="Count-Min sketch point-query frequency (operators/cms.py, mergeable "
+    "family #5 — Cormode & Muthukrishnan 2005): per-user event counts "
+    "estimated from a depth=4 x width=1024 counter table. Build = explode "
+    "4 cells per event -> ONE map-combined sum agg (exchange bounded by "
+    "depth*width = 4096 rows at any corpus size); estimate = the counter "
+    "table folds to a one-row broadcast map and each probe row takes the "
+    "min of 4 inline lookups — NO shuffle, NO join, NO groupBy on the "
+    "probe side. hh1's Misra-Gries answers only the top-k; the CMS "
+    "answers ANY key. Guarantees hash-certified here: est >= true for "
+    "every key (counters only over-count) and the oracle rebuilds the "
+    "IDENTICAL portable-hash counter table in DuckDB, so the exact "
+    "over_count per user — where collisions landed — is certified, not "
+    "just bounded (production default is xxhash64, the bloom/shuf1 "
+    "split). Top-100 users by exact count, unique user_id tie-break. "
+    "Sum-merge == direct build bit-for-bit (tests); streaming partials "
+    "sink with batch_id= idempotent replay included",
+)
+def hh2_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.cms import cms_counters, cms_estimate
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    counters = cms_counters(ev, "user_id", width=1024, depth=4, hash_fn="portable")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = cms_estimate(
+        exact, counters, "user_id", width=1024, depth=4, hash_fn="portable"
+    )
+    return (
+        est.select(
+            "user_id",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("over_count"),
+        )
+        .orderBy(F.col("exact_count").desc(), "user_id")
+        .limit(100)
+    )
+
+
 @register(
     "txt16_script_profile",
     _txt16_oracle_sql(),
