@@ -102,6 +102,8 @@ HEADLINE = [
     "pipe4_quality_prep",
     "txt16_script_profile",
     "hh2_cms_frequency",
+    "dq12_nested_groupby",
+    "emb7_dim_covariance",
 ]
 
 

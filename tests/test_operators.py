@@ -443,3 +443,33 @@ def test_dq11_extraction_plan_and_values(spark, sf_dir):
     assert all(isinstance(r.brand_id, int) and r.brand_id >= 0 for r in rows)
     revs = [r.revenue for r in rows]
     assert revs == sorted(revs, reverse=True)
+
+
+def test_dq12_nested_groupby_reconciles(spark, sf_dir):
+    """The outer (band-level) aggregate must reconcile exactly with the raw
+    frame: user counts partition the distinct-user set, event totals sum to
+    |events|, and the per-band value-per-event ratios recombine to the
+    corpus value total."""
+    from pyspark.sql import functions as F
+
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.sources.files import load_table
+
+    rows = CATALOG["dq12_nested_groupby"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert rows and all(r.activity_band >= 0 for r in rows)
+    bands = [r.activity_band for r in rows]
+    assert bands == sorted(bands) and len(bands) == len(set(bands))
+    assert sum(r.n_users for r in rows) == ev.select("user_id").distinct().count()
+    assert sum(r.total_events for r in rows) == ev.count()
+    # every user's n_events falls inside its band's [5b, 5b+5) range
+    per_user = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    from collections import Counter
+
+    want = Counter(r["n"] // 5 for r in per_user)
+    assert {r.activity_band: r.n_users for r in rows} == dict(want)
+    total_value = sum(r.value_per_event * r.total_events for r in rows)
+    true_value = ev.agg(F.sum("value")).collect()[0][0]
+    assert abs(total_value - true_value) <= 1e-6 * abs(true_value)

@@ -579,3 +579,31 @@ def test_txt16_plan_shuffle_free(spark, sf_dir):
     df = CATALOG["txt16_script_profile"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_emb7_covariance_matches_numpy(spark, sf_dir):
+    """emb7's exact decimal path must agree with a numpy population
+    covariance of the same 6dp-rounded values, and diagonals are
+    non-negative (they are variances)."""
+    import numpy as np
+
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.sources.files import load_table
+
+    rows = CATALOG["emb7_dim_covariance"].fn(spark, sf_dir).collect()
+    assert len(rows) == 36  # upper triangle of 8x8 incl. diagonal
+    got = {(r.dim_i, r.dim_j): r.cov for r in rows}
+    assert all(i <= j for i, j in got)
+    assert all(got[(i, i)] >= 0 for i in range(8))
+
+    vecs = np.array(
+        [
+            np.round(np.asarray(r["embedding"], dtype=np.float64)[:8], 6)
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    ref = np.cov(vecs, rowvar=False, bias=True)  # population covariance
+    for (i, j), cov in got.items():
+        assert abs(cov - ref[i, j]) <= 2e-6, (i, j, cov, ref[i, j])

@@ -1043,6 +1043,55 @@ def dq9_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(_t(spark, sf_dir, "events"))
 
 
+@register(
+    "dq12_nested_groupby",
+    """
+    SELECT CAST(n_events // 5 AS BIGINT) AS activity_band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_events) AS BIGINT) AS total_events,
+           CAST(sum(sum_value) AS DOUBLE) / CAST(sum(n_events) AS BIGINT)
+               AS value_per_event
+    FROM (
+      SELECT user_id, count(*) AS n_events,
+             sum(CAST(value AS DECIMAL(28,6))) AS sum_value
+      FROM events GROUP BY user_id
+    )
+    GROUP BY n_events // 5
+    ORDER BY activity_band
+    """,
+    doc="Druid nested groupBy (query datasource): the OUTER groupBy runs "
+    "over the result of an inner groupBy, not over raw rows — here the "
+    "count-of-counts distribution of user activity (users bucketed into "
+    "5-event bands of their per-user event count, with per-band value-"
+    "per-event). Druid executes the inner query into a temp datasource "
+    "and rescans it; Spark pipelines both aggs in one plan — the corpus "
+    "shuffles ONCE on user_id, and the outer agg's input is already "
+    "bounded by |users| (its band-keyed exchange carries only the band "
+    "cardinality after map-side combine). Decimal value accumulation "
+    "survives to the outer sum exactly; the derived ratio divides the "
+    "double-cast exact totals (a_derived_avg policy)",
+)
+def dq12_nested_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"),
+    )
+    return (
+        per_user.groupBy(
+            F.floor(F.col("n_events") / 5).cast("long").alias("activity_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("total_events"),
+            (
+                F.sum("sum_value").cast("double") / F.sum("n_events")
+            ).alias("value_per_event"),
+        )
+        .orderBy("activity_band")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension surfaces register themselves on import (they use `register` above,
 # so these imports must stay at the bottom of this module).

@@ -2268,6 +2268,101 @@ def _txt16_oracle_sql() -> str:
     """
 
 
+_EMB7_D = 8
+
+
+def _emb7_oracle_sql() -> str:
+    d = _EMB7_D
+    v_cols = ",\n             ".join(
+        f"CAST(round(list_extract(CAST(embedding AS DOUBLE[]), {i + 1}), 6)"
+        f" AS DECIMAL(18,6)) AS v{i}"
+        for i in range(d)
+    )
+    s_cols = ",\n               ".join(f"sum(v{i}) AS s{i}" for i in range(d))
+    p_cols = ",\n               ".join(
+        f"sum(v{i} * v{j}) AS p{i}_{j}"
+        for i in range(d)
+        for j in range(i, d)
+    )
+    pair_rows = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS dim_i, CAST({j} AS BIGINT) AS dim_j,"
+        f" round(CAST(p{i}_{j} AS DOUBLE) / n"
+        f" - (CAST(s{i} AS DOUBLE) / n) * (CAST(s{j} AS DOUBLE) / n), 6)"
+        f" AS cov FROM agg"
+        for i in range(d)
+        for j in range(i, d)
+    )
+    return f"""
+    WITH v AS (SELECT {v_cols}
+               FROM embeddings),
+         agg AS (SELECT count(*) AS n,
+               {s_cols},
+               {p_cols}
+               FROM v)
+    {pair_rows}
+    """
+
+
+@register(
+    "emb7_dim_covariance",
+    _emb7_oracle_sql(),
+    doc="Embedding-dimension covariance audit (the PCA precursor): exact "
+    "population covariance of the leading 8 dims — the drift/collapse "
+    "check for an embedding pipeline (a dimension whose variance falls "
+    "to ~0 or a pair that becomes collinear signals a broken encoder or "
+    "a truncation bug; emb4's matryoshka energy check is the diagonal-"
+    "only version of this). Plan: ONE scan, one map-side-combined agg "
+    "folding all 8 sums + 36 pair products to a SINGLE row (the "
+    "exchange carries one row per partition), then a driver-trivial "
+    "36-way explode — no join, no per-pair pass. Arithmetic is exact "
+    "end-to-end: values round to 6dp then multiply as DECIMAL(18,6) "
+    "(product DECIMAL(37,12) — exact), decimal-accumulate, and the "
+    "cov = E[xy] - E[x]E[y] division happens once on double-cast exact "
+    "totals. For full d=64 (2080 pairs) switch to emb2's posexplode "
+    "(i,j)-keyed agg — same single-scan property, d^2-bounded shuffle; "
+    "the closed form here is the bounded-D fast path",
+)
+def emb7_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _EMB7_D
+    emb_t = _t(spark, sf_dir, "embeddings")
+    vs = emb_t.select(
+        *[
+            F.round(F.element_at("embedding", i + 1).cast("double"), 6)
+            .cast("decimal(18,6)")
+            .alias(f"v{i}")
+            for i in range(d)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(F.col(f"v{i}")).alias(f"s{i}") for i in range(d)]
+    aggs += [
+        F.sum(F.col(f"v{i}") * F.col(f"v{j}")).alias(f"p{i}_{j}")
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    row = vs.agg(*aggs)
+    n = F.col("n")
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("long").alias("dim_i"),
+                    F.lit(j).cast("long").alias("dim_j"),
+                    F.round(
+                        F.col(f"p{i}_{j}").cast("double") / n
+                        - (F.col(f"s{i}").cast("double") / n)
+                        * (F.col(f"s{j}").cast("double") / n),
+                        6,
+                    ).alias("cov"),
+                )
+                for i in range(d)
+                for j in range(i, d)
+            ]
+        )
+    ).alias("e")
+    return row.select(pairs).select("e.dim_i", "e.dim_j", "e.cov")
+
+
 def _hh2_oracle_sql() -> str:
     from tranquility_spark.operators.cms import cms_pos_sql
 
