@@ -204,6 +204,50 @@ def stream_exact_dedup(
     return hashed.dropDuplicates(["__content_hash"]).drop("__content_hash")
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_delay: str = "10 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join — the attribution shape (extension beyond
+    reference parity, SURVEY.md §2.6: the reference never joins two live
+    streams; this is the Spark-native form of click-after-view funnels done
+    online instead of in dq9's batch query).
+
+    Each left event (the anchor, e.g. a view) joins right events of the same
+    ``key`` whose timestamp falls in ``[left_ts, left_ts + max_delay]``.
+    Both sides get watermarks and the join carries the explicit time-range
+    predicate — the two things Spark needs to bound join state: a side's
+    buffered rows are evicted once the other side's watermark passes their
+    latest possible match time, so state is O(rate x (watermark + max_delay))
+    at any corpus size, never unbounded. The join itself shuffles both
+    streams on ``key`` — co-partitioned, the same movement the batch
+    equivalent pays.
+
+    Column contract: ``left_ts`` / ``right_ts`` must be DISTINCT names (the
+    joined frame keeps both); ``key`` must exist on both sides and is
+    emitted once. Works identically on static frames (same predicate, no
+    watermark) — the streaming-equals-batch property the tests assert.
+    """
+    lf, rf = left, right
+    if lf.isStreaming:
+        lf = lf.withWatermark(left_ts, watermark)
+    if rf.isStreaming:
+        rf = rf.withWatermark(right_ts, watermark)
+    la, ra = lf.alias("__l"), rf.alias("__r")
+    cond = F.expr(
+        f"__l.{key} = __r.{key}"
+        f" AND __r.{right_ts} >= __l.{left_ts}"
+        f" AND __r.{right_ts} <= __l.{left_ts} + INTERVAL {max_delay}"
+    )
+    return la.join(ra, cond, how).drop(F.col(f"__r.{key}"))
+
+
 def stream_sessionize(
     stream_df: DataFrame,
     gap: str = "30 minutes",
