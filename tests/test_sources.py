@@ -354,3 +354,49 @@ def test_csv_dialect_fuzz_cross_engine(spark, tmp_path):
         # difference both engines share against python)
         expected = fields[i] if fields[i] != "" else None
         assert got[i] == expected, (i, repr(fields[i]), repr(got[i]))
+
+
+def test_jsonl_parse_validity_accounting(spark):
+    """p10: the fixture's 8 tail edge lines split exactly into 2 valid
+    ({} and the exp-notation record) and 6 invalid (broken JSON,
+    truncated object, 42, array, bare string, null); invalid rows carry
+    NULL fields; every valid row with a doc_id has it typed long."""
+    from tranquility_spark.catalog import CATALOG
+
+    rows = CATALOG["p10_jsonl_parse"].fn(spark, "unused").collect()
+    assert len(rows) == 128
+    invalid = [r for r in rows if r.is_valid == 0]
+    assert len(invalid) == 6
+    assert all(
+        r.doc_id is None and r.lang is None and r.score is None and r.text is None
+        for r in invalid
+    )
+    exp = [r for r in rows if r.doc_id == 999]
+    assert len(exp) == 1 and exp[0].score == -300.0 and exp[0].is_valid == 1
+    empty_obj = [r for r in rows if r.is_valid == 1 and r.line.strip() == "{}"]
+    assert len(empty_obj) == 1 and empty_obj[0].doc_id is None
+
+
+def test_jsonl_type_mismatch_corrupts_record(spark, tmp_path):
+    """Pin the Spark PERMISSIVE contract the p10 oracle must NOT model
+    (DuckDB's try_cast nulls only the field): a field TYPE mismatch —
+    including lossy 7.9 -> long — invalidates the whole record, and the
+    other (parseable) fields are still nulled by parse_jsonl_file."""
+    from tranquility_spark.operators.parse import parse_jsonl_file
+
+    p = tmp_path / "t.jsonl"
+    p.write_text(
+        '{"doc_id":"abc","lang":"en"}\n'
+        '{"doc_id":7.9,"lang":"fr"}\n'
+        '{"doc_id":7,"lang":"ok"}\n'
+    )
+    rows = {
+        r.lang if r.is_valid else r.line[:12]: r
+        for r in parse_jsonl_file(
+            spark, str(p), "doc_id long, lang string"
+        ).collect()
+    }
+    assert rows["ok"].is_valid == 1 and rows["ok"].doc_id == 7
+    bad = [r for r in rows.values() if r.is_valid == 0]
+    assert len(bad) == 2
+    assert all(r.doc_id is None and r.lang is None for r in bad)

@@ -1034,6 +1034,50 @@ def p9b_tsv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p10_jsonl_parse",
+    f"""
+    SELECT line,
+           CAST(CASE WHEN json_valid(line) AND json_type(line) = 'OBJECT'
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_valid,
+           CASE WHEN json_valid(line) AND json_type(line) = 'OBJECT'
+                THEN try_cast(json_extract_string(line, '$.doc_id') AS BIGINT)
+           END AS doc_id,
+           CASE WHEN json_valid(line) AND json_type(line) = 'OBJECT'
+                THEN json_extract_string(line, '$.lang') END AS lang,
+           CASE WHEN json_valid(line) AND json_type(line) = 'OBJECT'
+                THEN try_cast(json_extract_string(line, '$.score') AS DOUBLE)
+           END AS score,
+           CASE WHEN json_valid(line) AND json_type(line) = 'OBJECT'
+                THEN json_extract_string(line, '$.text') END AS text
+    FROM read_csv('{_FIXTURE_DIR}/documents_sample.jsonl',
+                  columns={{'line':'VARCHAR'}}, delim='', quote='',
+                  header=false)
+    """,
+    doc="JSON-Lines file parse (P1's file sibling; the LLM corpus "
+    "interchange format): splittable text-source read + ONE from_json per "
+    "line with the corrupt-record column, emitting (raw line, is_valid, "
+    "typed fields nulled-when-invalid). The committed fixture exercises "
+    "unicode incl. \\u-escaped surrogate pairs, escaped "
+    "quotes/newlines/tabs, sparse + null fields, whitespace-padded "
+    "lines, exponent-notation doubles, structurally-broken lines, and "
+    "valid-but-non-object JSON (42, arrays, strings, null) — both "
+    "engines must agree on every byte AND on the validity verdict per "
+    "line. Spark's stricter record-level corruption on field TYPE "
+    "mismatches is excluded from the fixture and pinned as a Spark-side "
+    "contract test instead (DuckDB's try_cast nulls only the field — "
+    "the one place the engines genuinely disagree)",
+)
+def p10_jsonl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.parse import parse_jsonl_file
+
+    return parse_jsonl_file(
+        spark,
+        f"{_FIXTURE_DIR}/documents_sample.jsonl",
+        "doc_id long, lang string, score double, text string",
+    )
+
+
+@register(
     "j6_asof_join_two_table",
     """
     SELECT e.event_id,

@@ -45,6 +45,52 @@ def parse_json_events(
     return out
 
 
+def parse_jsonl_file(
+    spark,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt",
+) -> DataFrame:
+    """JSON-Lines FILE parse — the LLM corpus interchange format (P1's file
+    sibling, as p9 is for CSV): one JSON object per line, read with the
+    splittable text source (one task per 128 MB split, never per file — the
+    property that parallelizes a 100 TB JSONL backfill), parsed with ONE
+    ``from_json`` per line carrying Spark's corrupt-record column.
+
+    Returns one row per input line: ``line`` (the raw bytes — audit trail),
+    ``is_valid`` (0/1 long), and the typed fields of ``schema`` (a DDL
+    string), NULLED when the record is invalid so downstream never reads a
+    half-parsed record.
+
+    Validity contract (PERMISSIVE + columnNameOfCorruptRecord, pinned in
+    tests): a line is valid iff it parses as a JSON OBJECT and every
+    PRESENT field converts to its declared type. Structurally-broken lines,
+    valid-but-non-object JSON (``42``, arrays, ``"str"``, ``null``) and
+    type-mismatched records (``{"doc_id":"abc"}`` against ``doc_id long``
+    — including lossy ones like 7.9) are ALL record-level invalid; a
+    missing or ``null`` field is just a NULL column. This is stricter than
+    per-field try_cast semantics: Spark corrupts the RECORD on a field
+    type error — the contract a typed ingest wants.
+    """
+    lines = spark.read.text(path).withColumnRenamed("value", "line")
+    full = f"{schema}, {corrupt_col} string"
+    parsed = lines.select(
+        "line",
+        F.from_json(
+            "line", full, {"columnNameOfCorruptRecord": corrupt_col}
+        ).alias("__p"),
+    )
+    valid = F.col(f"__p.{corrupt_col}").isNull()
+    field_names = [
+        f for f in parsed.select("__p.*").columns if f != corrupt_col
+    ]
+    return parsed.select(
+        "line",
+        valid.cast("long").alias("is_valid"),
+        *[F.when(valid, F.col(f"__p.{f}")).alias(f) for f in field_names],
+    )
+
+
 def flatten_json(
     df: DataFrame,
     json_col: str,
