@@ -104,6 +104,7 @@ HEADLINE = [
     "hh2_cms_frequency",
     "dq12_nested_groupby",
     "emb7_dim_covariance",
+    "a6c_hyperunique_mergeable",
 ]
 
 

@@ -96,3 +96,31 @@ def a10c_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p50", 6).alias("p50_est"),
         F.round("p90", 6).alias("p90_est"),
     ).orderBy("event_type")
+
+
+@register(
+    "a6c_hyperunique_mergeable",
+    None,  # sketch state is engine-defined binary — rows-only by the same
+    # policy as a11c/a11d; estimate-equality + accuracy asserted in tests
+    doc="A6 mergeable lifecycle via Spark's NATIVE Datasketches HLL "
+    "(operators/hll.py, mergeable family #6): per-(event_type, day) "
+    "sketch partials built at 'ingest', merged to per-type distinct-user "
+    "estimates at 'query' without rescanning raw data — exactly Druid's "
+    "hyperUnique build-per-segment / merge-at-query split, here in two "
+    "bounded JVM aggs (the exchange carries 4 KiB sketches, never "
+    "user_ids). Merge contract is estimate-identical, NOT byte-identical "
+    "(Datasketches serialization depends on build history — documented, "
+    "tested); union is replay-idempotent by register-max. lgk=12 -> "
+    "RSE ~1.6%; <=5% vs exact asserted in tests/test_sketch.py",
+)
+def a6c_hyperunique_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.hll import (
+        hll_estimates,
+        hll_merge,
+        hll_partials,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    partials = hll_partials(ev, ["event_type", "day"], "user_id")
+    merged = hll_merge(partials.drop("day"), ["event_type"])
+    return hll_estimates(merged).select("event_type", "distinct_est")
