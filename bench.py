@@ -105,6 +105,7 @@ HEADLINE = [
     "dq12_nested_groupby",
     "emb7_dim_covariance",
     "a6c_hyperunique_mergeable",
+    "a11e_theta_native",
 ]
 
 

@@ -665,3 +665,125 @@ def test_streaming_hll_partials_merge(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert merged == direct
+
+
+# ---------------------------------------------------------------------------
+# Native Datasketches theta + KLL (Spark 4.1 built-ins)
+# ---------------------------------------------------------------------------
+
+
+def test_a11e_native_theta_matches_exact_twin(spark, sf_dir):
+    """Native theta set-op estimates track the exact twin a11b within 4x the
+    default-k RSE, and the entry is DETERMINISTIC across reruns (theta state
+    is the k smallest hashes — order-independent), unlike KLL below."""
+    from tranquility_spark.catalog import CATALOG
+
+    r1 = CATALOG["a11e_theta_native"].fn(spark, sf_dir).collect()[0]
+    r2 = CATALOG["a11e_theta_native"].fn(spark, sf_dir).collect()[0]
+    assert tuple(r1) == tuple(r2)  # rerun-stable
+    exact = CATALOG["a11b_distinct_set_ops"].fn(spark, sf_dir).collect()[0]
+    tol = 4 * 1.04 / (4096 - 2) ** 0.5  # 4x RSE at default k=4096
+    union_true = exact["either_type"]
+    assert abs(r1["either_type_est"] - union_true) <= tol * union_true
+    assert abs(r1["both_types_est"] - exact["both_types"]) <= tol * union_true
+    assert abs(r1["click_only_est"] - exact["click_only"]) <= tol * union_true
+
+
+def test_native_theta_union_agg_merge_estimate_stable(spark, sf_dir):
+    """theta_union_agg over per-day partials estimates what the direct
+    whole-corpus sketch estimates (k-smallest-hash state is
+    order/partition-independent)."""
+    from tranquility_spark.sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    direct = {
+        r["event_type"]: r["e"]
+        for r in ev.groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+        .select("event_type", F.theta_sketch_estimate("sk").alias("e"))
+        .collect()
+    }
+    merged = {
+        r["event_type"]: r["e"]
+        for r in ev.groupBy("event_type", "day")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.theta_union_agg("sk").alias("sk"))
+        .select("event_type", F.theta_sketch_estimate("sk").alias("e"))
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_native_kll_quantiles_bounded_but_nondeterministic(spark, sf_dir):
+    """Spark's native KLL quantile sketch: p50/p90 from both a direct build
+    AND a merged per-day build land within the ~1.5% rank-error envelope of
+    the exact quantiles, and n is preserved exactly. KLL compaction is
+    RANDOMIZED AND UNSEEDED (documented here by construction: this test
+    only asserts bounds, never value equality across runs) — which is why
+    KLL has no catalog entry: the catalog's rows-only policy requires
+    rerun-deterministic values (a6c/a11e satisfy it; KLL cannot)."""
+    from tranquility_spark.sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v"),
+        F.to_date("ts").alias("day"),
+    )
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.9)").alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    spread = {
+        t: (
+            ev.filter(F.col("event_type") == t)
+            .agg(F.max("v") - F.min("v"))
+            .collect()[0][0]
+        )
+        for t in exact
+    }
+
+    def check(rows):
+        got = {
+            r["event_type"]: (r["p50"], r["p90"], r["n"]) for r in rows
+        }
+        assert set(got) == set(exact)
+        for t, (p50, p90, n) in got.items():
+            assert n == exact[t][2]  # n is exact, never sampled away
+            # rank-error epsilon ~1.7% at default k=200; values are data
+            # points, so value error <= epsilon * local spread (generous:
+            # full spread)
+            assert abs(p50 - exact[t][0]) <= 0.05 * spread[t] + 1e-9
+            assert abs(p90 - exact[t][1]) <= 0.05 * spread[t] + 1e-9
+
+    direct = (
+        ev.groupBy("event_type")
+        .agg(F.kll_sketch_agg_double("v").alias("sk"))
+        .select(
+            "event_type",
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
+            F.kll_sketch_get_n_double("sk").alias("n"),
+        )
+        .collect()
+    )
+    check(direct)
+    merged = (
+        ev.groupBy("event_type", "day")
+        .agg(F.kll_sketch_agg_double("v").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.kll_merge_agg_double("sk").alias("sk"))
+        .select(
+            "event_type",
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
+            F.kll_sketch_get_n_double("sk").alias("n"),
+        )
+        .collect()
+    )
+    check(merged)

@@ -124,3 +124,45 @@ def a6c_hyperunique_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = hll_partials(ev, ["event_type", "day"], "user_id")
     merged = hll_merge(partials.drop("day"), ["event_type"])
     return hll_estimates(merged).select("event_type", "distinct_est")
+
+
+@register(
+    "a11e_theta_native",
+    None,  # rows-only by the a11c policy (hash-based sketch, no SQL oracle);
+    # determinism + accuracy vs the exact twin asserted in tests
+    doc="A11 via Spark's NATIVE Datasketches theta functions (the engine-"
+    "native twin of the hand-built KMV in a11c): click-vs-error user-set "
+    "intersection/union/difference from two theta_sketch_agg states and "
+    "theta_union/intersection/difference set algebra. Same physical "
+    "shape as a11c — raw data touched once by a map-side-partialed "
+    "sketch agg, set ops run on kilobyte states — but the sketch is the "
+    "default-k=4096 Datasketches implementation (RSE ~1.6%), and unlike "
+    "KLL its state is DETERMINISTIC (k smallest hashes — order-"
+    "independent), so the entry is rerun-stable like every other "
+    "rows-only entry (asserted). Accuracy vs exact a11b asserted in "
+    "tests/test_sketch.py",
+)
+def a11e_theta_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    sk = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    a = sk.filter(F.col("event_type") == "click").select(
+        F.col("sk").alias("sk_a")
+    )
+    b = sk.filter(F.col("event_type") == "error").select(
+        F.col("sk").alias("sk_b")
+    )
+    return a.crossJoin(b).select(
+        F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b")).alias(
+            "both_types_est"
+        ),
+        F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b")).alias(
+            "either_type_est"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("sk_a", "sk_b")).alias(
+            "click_only_est"
+        ),
+    )
