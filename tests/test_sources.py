@@ -400,3 +400,18 @@ def test_jsonl_type_mismatch_corrupts_record(spark, tmp_path):
     bad = [r for r in rows.values() if r.is_valid == 0]
     assert len(bad) == 2
     assert all(r.doc_id is None and r.lang is None for r in bad)
+
+
+def test_jsonl_blank_line_is_invalid_row(spark, tmp_path):
+    """Blank / whitespace-only lines parse as invalid rows, not as errors —
+    and the p10 oracle coalesces DuckDB's NULL-line reading of a blank line
+    to '' so the engines agree byte-for-byte if a fixture ever gains one."""
+    from tranquility_spark.operators.parse import parse_jsonl_file
+
+    p = tmp_path / "b.jsonl"
+    p.write_text('{"doc_id":1}\n\n   \n{"doc_id":2}\n')
+    rows = parse_jsonl_file(spark, str(p), "doc_id long").collect()
+    assert len(rows) == 4
+    by_line = {r.line: r for r in rows}
+    assert by_line[""].is_valid == 0 and by_line["   "].is_valid == 0
+    assert by_line['{"doc_id":1}'].doc_id == 1

@@ -607,3 +607,39 @@ def test_emb7_covariance_matches_numpy(spark, sf_dir):
     ref = np.cov(vecs, rowvar=False, bias=True)  # population covariance
     for (i, j), cov in got.items():
         assert abs(cov - ref[i, j]) <= 2e-6, (i, j, cov, ref[i, j])
+
+
+def test_emb7_guards_null_and_short_embeddings(spark, tmp_path):
+    """NULL embeddings are excluded (not silently half-counted); short
+    arrays raise loudly (the binary_quantize guard rationale applied to
+    covariance: element_at's NULL would skip a row in SOME dims' sums)."""
+    import pytest
+
+    from tranquility_spark.catalog import CATALOG
+
+    base = spark.createDataFrame(
+        [(i, [float(j) for j in range(64)], 0) for i in range(10)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    with_null = base.unionByName(
+        spark.createDataFrame(
+            [(99, None, 0)], "vec_id long, embedding array<double>, label long"
+        )
+    )
+    d = str(tmp_path / "sf")
+    with_null.write.parquet(f"{d}/embeddings.parquet")
+    rows = CATALOG["emb7_dim_covariance"].fn(spark, d).collect()
+    # identical vectors -> zero variance everywhere; the NULL row changed
+    # nothing (with it half-counted, diagonals would go NEGATIVE)
+    assert all(r.cov == 0.0 for r in rows)
+
+    short = base.unionByName(
+        spark.createDataFrame(
+            [(98, [1.0, 2.0], 0)],
+            "vec_id long, embedding array<double>, label long",
+        )
+    )
+    d2 = str(tmp_path / "sf2")
+    short.write.parquet(f"{d2}/embeddings.parquet")
+    with pytest.raises(Exception, match="need >= 8"):
+        CATALOG["emb7_dim_covariance"].fn(spark, d2).collect()

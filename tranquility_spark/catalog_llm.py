@@ -2278,6 +2278,9 @@ def _emb7_oracle_sql() -> str:
         f" AS DECIMAL(18,6)) AS v{i}"
         for i in range(d)
     )
+    # NULL embeddings are excluded in BOTH engines (the f6 NULL contract:
+    # count(*) would include them while the dim sums skip them, silently
+    # deflating every covariance); short arrays raise Spark-side instead
     s_cols = ",\n               ".join(f"sum(v{i}) AS s{i}" for i in range(d))
     p_cols = ",\n               ".join(
         f"sum(v{i} * v{j}) AS p{i}_{j}"
@@ -2294,7 +2297,7 @@ def _emb7_oracle_sql() -> str:
     )
     return f"""
     WITH v AS (SELECT {v_cols}
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL),
          agg AS (SELECT count(*) AS n,
                {s_cols},
                {p_cols}
@@ -2324,7 +2327,26 @@ def _emb7_oracle_sql() -> str:
 )
 def emb7_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _EMB7_D
-    emb_t = _t(spark, sf_dir, "embeddings")
+    # NULL embeddings excluded in both engines (see oracle comment); an
+    # array SHORTER than d raises loudly — element_at's NULL would
+    # otherwise skip that row in some dims' sums but not others, skewing
+    # covariances row-inconsistently (the binary_quantize guard rationale)
+    emb_t = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .withColumn(
+            "embedding",
+            F.when(F.size("embedding") >= d, F.col("embedding")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("emb7_dim_covariance: embedding has "),
+                        F.size("embedding").cast("string"),
+                        F.lit(f" dims, need >= {d}"),
+                    )
+                )
+            ),
+        )
+    )
     vs = emb_t.select(
         *[
             F.round(F.element_at("embedding", i + 1).cast("double"), 6)

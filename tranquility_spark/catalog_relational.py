@@ -1036,7 +1036,7 @@ def p9b_tsv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "p10_jsonl_parse",
     f"""
-    SELECT line,
+    SELECT coalesce(line, '') AS line,
            CAST(CASE WHEN json_valid(line) AND json_type(line) = 'OBJECT'
                      THEN 1 ELSE 0 END AS BIGINT) AS is_valid,
            CASE WHEN json_valid(line) AND json_type(line) = 'OBJECT'
@@ -1065,7 +1065,9 @@ def p9b_tsv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "line. Spark's stricter record-level corruption on field TYPE "
     "mismatches is excluded from the fixture and pinned as a Spark-side "
     "contract test instead (DuckDB's try_cast nulls only the field — "
-    "the one place the engines genuinely disagree)",
+    "the one place the engines genuinely disagree). Blank lines: Spark's "
+    "text source yields '' where DuckDB's line reader yields NULL, so "
+    "the oracle coalesces — both verdict them invalid either way",
 )
 def p10_jsonl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tranquility_spark.operators.parse import parse_jsonl_file

@@ -86,8 +86,10 @@ def cms_counters(
     """Build the sparse counter table ``(row_idx, col_idx, cnt)``.
 
     Each input row adds ``weight`` (default 1) to one cell per depth row.
-    The explode is a narrow ``depth``-way fan-out; the single exchange is the
-    counter agg, bounded by ``depth * width`` groups at any corpus size.
+    A NULL weight contributes nothing (sum skips NULLs) — pre-coalesce if
+    NULL should mean 1. The explode is a narrow ``depth``-way fan-out; the
+    single exchange is the counter agg, bounded by ``depth * width`` groups
+    at any corpus size.
     """
     key = F.col(key_col)
     w = (F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long"))

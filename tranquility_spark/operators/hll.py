@@ -57,7 +57,6 @@ def hll_partials(
 def hll_merge(
     partials: DataFrame,
     group_cols: Sequence[str],
-    lgk: int = DEFAULT_LGK,
 ) -> DataFrame:
     """Union per-group partials into one sketch per group (register-wise
     max — order-independent and replay-idempotent). ``allowDifferentLgK``
@@ -93,8 +92,6 @@ def hll_partials_sink(
     return write
 
 
-def hll_merge_read(
-    spark, out_dir: str, group_cols: Sequence[str], lgk: int = DEFAULT_LGK
-) -> DataFrame:
+def hll_merge_read(spark, out_dir: str, group_cols: Sequence[str]) -> DataFrame:
     """Merge every persisted partial into lifetime per-group sketches."""
-    return hll_merge(spark.read.parquet(out_dir), group_cols, lgk)
+    return hll_merge(spark.read.parquet(out_dir), group_cols)

@@ -80,7 +80,11 @@ def parse_jsonl_file(
             "line", full, {"columnNameOfCorruptRecord": corrupt_col}
         ).alias("__p"),
     )
-    valid = F.col(f"__p.{corrupt_col}").isNull()
+    # blank/whitespace-only lines: from_json treats them as a silent null
+    # record WITHOUT setting the corrupt column (found by test — Jackson
+    # yields no token, no error), which would verdict them "valid object"
+    # against any JSON definition. Explicitly invalid instead.
+    valid = F.col(f"__p.{corrupt_col}").isNull() & (F.trim("line") != "")
     field_names = [
         f for f in parsed.select("__p.*").columns if f != corrupt_col
     ]
