@@ -1268,3 +1268,67 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
     # sanity: the predicate really is an interval (no click before its view)
     sample = spark.read.parquet(out_dir).select("l_ts", "r_ts").collect()
     assert all(r["r_ts"] >= r["l_ts"] for r in sample)
+
+
+def test_streaming_nested_groupby_partials_equal_batch_dq12(spark, sf_dir, tmp_path):
+    """dq12's nested groupBy lifted to streaming: append mode cannot chain
+    two aggregations, so the inner per-user agg lands as per-batch partials
+    (counts and decimal sums are sum-mergeable — the CMS argument applied
+    to exact aggregates), merged per user at read time before the outer
+    band agg. Result must EQUAL the batch dq12 rows exactly (value_per_event
+    divides the same exact decimal totals on both paths)."""
+    from pyspark.sql import functions as FF
+
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.operators.batch_sink import write_batch_partition
+    from tranquility_spark.sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+
+    out = str(tmp_path / "user_partials")
+
+    def sink(batch_df, batch_id):
+        partial = batch_df.groupBy("user_id").agg(
+            FF.count(FF.lit(1)).alias("n_events"),
+            FF.sum(FF.col("value").cast("decimal(28,6)")).alias("sum_value"),
+        )
+        write_batch_partition(partial, out, batch_id)
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    partials = spark.read.parquet(out)
+    assert partials.select("batch_id").distinct().count() >= 2  # really streamed
+    per_user = partials.groupBy("user_id").agg(
+        FF.sum("n_events").alias("n_events"),
+        FF.sum("sum_value").cast("decimal(28,6)").alias("sum_value"),
+    )
+    streamed = (
+        per_user.groupBy(
+            FF.floor(FF.col("n_events") / 5).cast("long").alias("activity_band")
+        )
+        .agg(
+            FF.count(FF.lit(1)).alias("n_users"),
+            FF.sum("n_events").alias("total_events"),
+            (
+                FF.sum("sum_value").cast("double") / FF.sum("n_events")
+            ).alias("value_per_event"),
+        )
+        .collect()
+    )
+    batch = CATALOG["dq12_nested_groupby"].fn(spark, sf_dir).collect()
+    key = lambda r: (r["activity_band"], r["n_users"], r["total_events"],
+                     round(r["value_per_event"], 9))
+    assert sorted(map(key, streamed)) == sorted(map(key, batch))
