@@ -1332,3 +1332,66 @@ def test_streaming_nested_groupby_partials_equal_batch_dq12(spark, sf_dir, tmp_p
     key = lambda r: (r["activity_band"], r["n_users"], r["total_events"],
                      round(r["value_per_event"], 9))
     assert sorted(map(key, streamed)) == sorted(map(key, batch))
+
+
+def test_streaming_topn_partials_equal_batch_dq6(spark, sf_dir, tmp_path):
+    """dq6's exact topN lifted to streaming: per-batch per-user partial
+    sums land via foreachBatch (truncating partials to K would LOSE
+    exactness — a user's mass can be spread thin across batches, the
+    reason Druid's native topN is approximate); the read-time merge is
+    |users|-bounded and the final top-25 equals the batch query exactly."""
+    from pyspark.sql import functions as FF
+
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.operators.batch_sink import write_batch_partition
+    from tranquility_spark.sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+
+    out = str(tmp_path / "topn_partials")
+
+    def sink(batch_df, batch_id):
+        partial = (
+            batch_df.filter(
+                FF.col("event_type").isin("click", "purchase", "view")
+            )
+            .groupBy("user_id")
+            .agg(
+                FF.sum(FF.col("value").cast("decimal(28,6)")).alias("sum_value"),
+                FF.count(FF.lit(1)).alias("n"),
+            )
+        )
+        write_batch_partition(partial, out, batch_id)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    partials = spark.read.parquet(out)
+    assert partials.select("batch_id").distinct().count() >= 2  # really streamed
+    streamed = (
+        partials.groupBy("user_id")
+        .agg(
+            FF.sum("sum_value").cast("decimal(28,6)").alias("sv"),
+            FF.sum("n").alias("n"),
+        )
+        .select("user_id", FF.col("sv").cast("double").alias("sum_value"), "n")
+        .orderBy(FF.col("sum_value").desc(), "user_id")
+        .limit(25)
+        .collect()
+    )
+    batch = CATALOG["dq6_topn"].fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
