@@ -78,3 +78,26 @@ def test_calendar_granularity_truncate_sql_is_floor(epoch, gran):
 def test_duration_parser_rejects_malformed(bad):
     with pytest.raises(ValueError):
         window_period_seconds(bad)
+
+
+@given(
+    key=st.integers(min_value=-(2**62), max_value=2**62),
+    i=st.integers(min_value=0, max_value=7),
+)
+@settings(max_examples=50)
+def test_bloom_cms_pos_sql_matches_python(key, i):
+    """The shared bloom/CMS portable bit/column position: the DuckDB
+    fragment must equal the Python restatement of the Spark expression for
+    any key and hash index — negative keys exercise the pmod wrap, and the
+    bloom (m=65536) and CMS (width=1024) moduli both ride on it. A silent
+    mismatch here would corrupt the dd9/dd10/dd11/hh2 certifications at
+    the root."""
+    from tranquility_spark.operators.bloom import _STRIDE, bloom_pos_sql
+
+    for m in (65536, 1024):
+        mixed = key + i * _STRIDE
+        expected = (((mixed % _REDUCE) * _MULT) % _PRIME) % m
+        got = duckdb.sql(
+            f"SELECT {bloom_pos_sql(str(key), i, m)} AS p"
+        ).fetchone()[0]
+        assert got == expected, (key, i, m)
