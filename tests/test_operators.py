@@ -473,3 +473,25 @@ def test_dq12_nested_groupby_reconciles(spark, sf_dir):
     total_value = sum(r.value_per_event * r.total_events for r in rows)
     true_value = ev.agg(F.sum("value")).collect()[0][0]
     assert abs(total_value - true_value) <= 1e-6 * abs(true_value)
+
+
+def test_dq12_plan_single_corpus_shuffle(spark, sf_dir):
+    """dq12's doc claims ONE corpus-sized shuffle: the physical plan must
+    show exactly two hash exchanges — user_id (corpus-sized, with map-side
+    partial agg below it) and the band grouping (bounded by band
+    cardinality) — plus only the final range partitioning for the sort."""
+    from tranquility_spark.catalog import CATALOG
+
+    plan = (
+        CATALOG["dq12_nested_groupby"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    hash_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 2, hash_exchanges
+    assert sum("user_id" in ln for ln in hash_exchanges) == 1, hash_exchanges
+    assert "partial_count" in plan and "partial_sum" in plan  # map-side combine
