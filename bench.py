@@ -106,6 +106,7 @@ HEADLINE = [
     "emb7_dim_covariance",
     "a6c_hyperunique_mergeable",
     "a11e_theta_native",
+    "sim5_pq_rerank",
 ]
 
 

@@ -241,3 +241,50 @@ def test_approx_twin_rows_match_exact_twin_rows(spark, sf_dir, entry):
     assert {r[key] for r in a.select(key).collect()} == {
         r[key] for r in e.select(key).collect()
     }
+
+
+def test_sim5_pq_recall_determinism_and_serving_path(spark, sf_dir):
+    """PQ+rerank: (1) deterministic across runs (codebooks, encoding and
+    ADC lookups are seed-free arithmetic); (2) recall@10 >= 0.4 vs exact
+    sim1 (measured 0.6 at sf0.001 AND sf0.01 on uniform-random embeddings);
+    (3) returned cosines are EXACT (rerank recomputes them — equal to the
+    brute-force scores for the ids both return); (4) the serving path over
+    a pre-built pq_codes column returns identical rows to re-encoding, and
+    refuses to run without the column."""
+    import pytest
+    from pyspark.sql import functions as FF
+
+    from tranquility_spark.operators import similarity as sim
+    from tranquility_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(FF.col("vec_id") == 0)
+        .select("embedding")
+        .first()["embedding"]
+    ]
+    books = sim.pq_codebooks(emb, n_sub=4, k=16, refine_iters=1)
+    r1 = sim.pq_topk(emb, qvec, books, k=10, shortlist=100).collect()
+    r2 = sim.pq_topk(emb, qvec, books, k=10, shortlist=100).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+
+    exact = {r["vec_id"]: r["cosine"] for r in sim.cosine_topk(emb, qvec, k=10).collect()}
+    got = {r["vec_id"]: r["cosine"] for r in r1}
+    recall = len(set(got) & set(exact)) / 10
+    assert recall >= 0.4, recall
+    for vid in set(got) & set(exact):
+        assert got[vid] == exact[vid], vid  # rerank scores are exact
+
+    indexed = sim.pq_encode(emb, books)
+    served = sim.pq_topk(
+        indexed, qvec, books, k=10, shortlist=100, use_existing_codes=True
+    ).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in r1]
+    with pytest.raises(ValueError, match="pq_codes"):
+        sim.pq_topk(emb, qvec, books, k=10, use_existing_codes=True)
+    # codes live in [0, 16)
+    rng = indexed.select(
+        FF.array_min("pq_codes").alias("lo"), FF.array_max("pq_codes").alias("hi")
+    ).agg(FF.min("lo"), FF.max("hi")).collect()[0]
+    assert rng[0] >= 0 and rng[1] < 16

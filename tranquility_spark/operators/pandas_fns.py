@@ -95,3 +95,28 @@ def make_centroid_assign_udf(centroids):
         return pd.Series((Mn @ Cn.T).argmax(axis=1).astype("int32"))
 
     return assign
+
+
+def make_pq_encode_udf(codebooks):
+    """Product-quantization encoder: for each subvector, the argmin-L2 code
+    against that subvector's codebook — one (batch x d_sub) pairwise-distance
+    matmul per subvector per Arrow batch (||x-c||^2 = ||x||^2 - 2 x.c +
+    ||c||^2; argmin needs only the last two terms). Returns array<int> of
+    ``len(codebooks)`` codes per row. Lives here for the same no-future-
+    annotations reason as the centroid assigner."""
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    d_sub = books[0].shape[1]
+    c_sq = [np.sum(b * b, axis=1) for b in books]  # ||c||^2 per code
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if M.ndim != 2:  # empty batch
+            return pd.Series([], dtype="object")
+        codes = np.empty((M.shape[0], len(books)), dtype=np.int32)
+        for s, (B, csq) in enumerate(zip(books, c_sq)):
+            X = M[:, s * d_sub : (s + 1) * d_sub]
+            codes[:, s] = (csq[None, :] - 2.0 * (X @ B.T)).argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode

@@ -198,6 +198,139 @@ def with_centroid_id(
     return df.withColumn(out_col, assign(F.col(vec_col)))
 
 
+# ---------------------------------------------------------------------------
+# PQ: product quantization (Jegou et al., TPAMI 2011) — the billion-scale
+# compressed-index ANN path (IVF prunes WHICH rows to scan; PQ shrinks WHAT
+# each scanned row costs: dim floats -> n_sub one-byte codes)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    df: DataFrame,
+    n_sub: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    refine_iters: int = 1,
+) -> list[list[list[float]]]:
+    """Deterministic per-subvector codebooks: hash-ordered seed rows sliced
+    into subvectors + Lloyd refinement under L2 on each slice.
+
+    Same determinism recipe as ``ivf_centroids`` (seeds = k smallest
+    xxhash64(id) rows — one TakeOrdered, no full sort; every refinement is
+    one corpus pass whose agg output is n_sub*k*d_sub rows, kilobytes).
+    Returns ``books[s][c] = centroid vector of code c in subvector s``.
+    """
+    seeds = (
+        df.select(_as_double(F.col(vec_col)).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    dim = len(seeds[0].v) if seeds else 0
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    d_sub = dim // n_sub
+    books = [
+        [list(r.v[s * d_sub : (s + 1) * d_sub]) for r in seeds]
+        for s in range(n_sub)
+    ]
+    for _ in range(refine_iters):
+        enc = pq_encode(df, books, vec_col)
+        # one posexplode pass: position -> (subvector, offset), grouped with
+        # that subvector's code; agg output bounded by n_sub*k*d_sub cells
+        agg = (
+            enc.select("pq_codes", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"))
+            .select(
+                (F.col("pos") / d_sub).cast("int").alias("s"),
+                F.pmod(F.col("pos"), F.lit(d_sub)).cast("int").alias("p"),
+                F.element_at(F.col("pq_codes"), (F.col("pos") / d_sub).cast("int") + 1).alias("code"),
+                "x",
+            )
+            .groupBy("s", "code", "p")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        for r in agg:  # codes with no members keep their previous centroid
+            books[r.s][r.code][r.p] = r.m
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Append the n_sub argmin-L2 codes per row (Arrow-batched numpy — one
+    pairwise-distance matmul per subvector per batch; an interpreted k-way
+    argmin over array slices would hit the lambda-CSE trap). This is the
+    index-build step: write the codes once, serve every query from them."""
+    from tranquility_spark.operators.pandas_fns import make_pq_encode_udf
+
+    return df.withColumn(out_col, make_pq_encode_udf(books)(_as_double(F.col(vec_col))))
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    books: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    use_existing_codes: bool = False,
+) -> DataFrame:
+    """Approximate top-k via asymmetric distance computation (ADC) + exact
+    rerank — the sim4 quantize-then-rescore shape with PQ in the cheap seat.
+
+    The query is NOT quantized: per subvector the driver precomputes
+    ``||q_s - c||^2`` for every code (n_sub*k floats), and each stored row's
+    approximate distance is the SUM of n_sub literal-array lookups on its
+    codes — whole-stage codegen, no UDF, no join at query time. The
+    ``shortlist`` smallest take the exact-cosine rerank (TakeOrdered twice,
+    no exchange beyond it). Deterministic end-to-end: codebooks, encoding
+    and lookups are all seed-free arithmetic.
+
+    ``use_existing_codes=True`` trusts a pre-built ``pq_codes`` column (the
+    serving path — codes are written once at ingest); same stale-index
+    caveat as ivf_topk's ``use_existing_assignment``: codes built from
+    other codebooks silently return wrong neighbors. Default re-encodes.
+    """
+    n_sub = len(books)
+    d_sub = len(books[0][0])
+    if use_existing_codes:
+        if "pq_codes" not in df.columns:
+            raise ValueError(
+                "use_existing_codes=True requires a pq_codes column "
+                "(a PQ index written via pq_encode)"
+            )
+        encoded = df
+    else:
+        encoded = pq_encode(df.drop("pq_codes"), books, vec_col)
+    approx = None
+    for s in range(n_sub):
+        q_s = query_vec[s * d_sub : (s + 1) * d_sub]
+        dists = [
+            sum((a - b) ** 2 for a, b in zip(q_s, c)) for c in books[s]
+        ]
+        table = F.array(*[F.lit(float(x)) for x in dists])
+        term = F.element_at(table, F.element_at(F.col("pq_codes"), s + 1) + 1)
+        approx = term if approx is None else approx + term
+    short = (
+        encoded.withColumn("__adc", approx)
+        .orderBy(F.col("__adc").asc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    v = _as_double(F.col(vec_col))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        short.select(F.col(id_col), F.round(cosine(v, q), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: Sequence[float],
