@@ -288,3 +288,63 @@ def test_sim5_pq_recall_determinism_and_serving_path(spark, sf_dir):
         FF.array_min("pq_codes").alias("lo"), FF.array_max("pq_codes").alias("hi")
     ).agg(FF.min("lo"), FF.max("hi")).collect()[0]
     assert rng[0] >= 0 and rng[1] < 16
+
+
+def test_ivfpq_composition_recall(spark, sf_dir):
+    """The IVF-PQ composition SCALE.md describes: PQ codes written into an
+    IVF (centroid_id-partitioned) layout, query probes nprobe lists
+    (partition pruning) and ranks ONLY those rows' codes via ADC before the
+    exact rerank. Must be deterministic and keep recall within reach of
+    whole-corpus PQ (probing can only lose rows the IVF filter excludes)."""
+    from pyspark.sql import functions as FF
+
+    from tranquility_spark.operators import similarity as sim
+    from tranquility_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(FF.col("vec_id") == 0)
+        .select("embedding")
+        .first()["embedding"]
+    ]
+    cents = sim.ivf_centroids(emb, n_centroids=16)
+    books = sim.pq_codebooks(emb, n_sub=4, k=16, refine_iters=1)
+    # the index build: one layout carrying BOTH structures
+    indexed = sim.pq_encode(sim.with_centroid_id(emb, cents), books)
+
+    import math
+
+    qn = math.sqrt(sum(x * x for x in qvec)) or 1e-12
+    probe = sorted(
+        range(len(cents)),
+        key=lambda i: -(
+            sum(a * b for a, b in zip(qvec, cents[i]))
+            / (qn * (math.sqrt(sum(x * x for x in cents[i])) or 1e-12))
+        ),
+    )[:8]
+    pruned = indexed.filter(FF.col("centroid_id").isin(probe))
+    got1 = sim.pq_topk(
+        pruned, qvec, books, k=10, shortlist=100, use_existing_codes=True
+    ).collect()
+    got2 = sim.pq_topk(
+        pruned, qvec, books, k=10, shortlist=100, use_existing_codes=True
+    ).collect()
+    assert [tuple(r) for r in got1] == [tuple(r) for r in got2]
+
+    exact = {r["vec_id"] for r in sim.cosine_topk(emb, qvec, k=10).collect()}
+    ivfpq = {r["vec_id"] for r in got1}
+    full_pq = {
+        r["vec_id"]
+        for r in sim.pq_topk(emb, qvec, books, k=10, shortlist=100).collect()
+    }
+    assert len(ivfpq & exact) / 10 >= 0.3  # half the lists probed
+    # pruning only removes candidates outside the probed lists: anything
+    # IVF-PQ returns that full-PQ also returns must carry the same score
+    scores_full = {
+        r["vec_id"]: r["cosine"]
+        for r in sim.pq_topk(emb, qvec, books, k=10, shortlist=100).collect()
+    }
+    for r in got1:
+        if r["vec_id"] in scores_full:
+            assert r["cosine"] == scores_full[r["vec_id"]]
