@@ -348,3 +348,92 @@ def test_ivfpq_composition_recall(spark, sf_dir):
     for r in got1:
         if r["vec_id"] in scores_full:
             assert r["cosine"] == scores_full[r["vec_id"]]
+
+
+def test_pipe5_stage_counts_reconcile(spark, sf_dir):
+    """pipe5's summary row must reconcile exactly with the individual
+    certified operators run separately: the stages partition the new batch
+    (known + near-dup + low-quality + admitted == new), and each stage
+    count equals its standalone recomputation."""
+    from pyspark.sql import functions as FF
+
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.operators import dedup as dd
+    from tranquility_spark.operators.text import quality_filter
+    from tranquility_spark.sources.files import load_table
+
+    r = CATALOG["pipe5_incremental_ingest"].fn(spark, sf_dir).collect()[0]
+    assert (
+        r.n_exact_known + r.n_near_dup + r.n_low_quality + r.n_admitted
+        == r.n_new
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    new_pred = FF.col("doc_id") % 5 == 0
+    assert r.n_new == docs.filter(new_pred).count()
+    # stage 2 standalone: ungated incremental pairs vs the registry index
+    index = dd.lsh_band_index(
+        docs.filter(~new_pred), num_hashes=64, bands=16, shingle_k=3
+    )
+    pairs = dd.incremental_neardup_pairs(
+        docs.filter(new_pred), index,
+        num_hashes=64, bands=16, shingle_k=3, threshold=0.5,
+    )
+    near = (
+        pairs.select(FF.explode(FF.array("id_a", "id_b")).alias("doc_id"))
+        .distinct()
+        .join(docs.filter(new_pred).select("doc_id"), "doc_id", "left_semi")
+        .count()
+    )
+    assert r.n_near_dup == near  # fixture has no exact dups: nothing removed upstream
+    # stage 3 standalone on the survivors
+    survivors = (
+        docs.filter(new_pred)
+        .join(
+            pairs.select(FF.explode(FF.array("id_a", "id_b")).alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    assert r.n_admitted == quality_filter(survivors).filter(FF.col("keep")).count()
+
+
+def test_pipe5_exact_gate_catches_planted_duplicates(spark, sf_dir, tmp_path):
+    """The fixture has no exact cross-split duplicates (n_exact_known=0), so
+    plant some: overwrite 7 new-batch docs' text with registry docs' text
+    and assert stage 1 removes EXACTLY those 7 (bloom positives verified by
+    the semi-join — false positives cannot inflate the count) and that they
+    never reach the near-dup stage."""
+    from pyspark.sql import functions as FF
+
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    new_pred = FF.col("doc_id") % 5 == 0
+    reg_texts = [
+        r["text"]
+        for r in docs.filter(~new_pred).orderBy("doc_id").limit(7).collect()
+    ]
+    new_ids = [
+        r["doc_id"]
+        for r in docs.filter(new_pred).orderBy("doc_id").limit(7).collect()
+    ]
+    mapping = dict(zip(new_ids, reg_texts))
+    planted = docs.withColumn(
+        "text",
+        FF.coalesce(
+            *[
+                FF.when(FF.col("doc_id") == i, FF.lit(t))
+                for i, t in mapping.items()
+            ],
+            FF.col("text"),
+        ),
+    )
+    d = str(tmp_path / "sf")
+    planted.write.parquet(f"{d}/documents.parquet")
+    r = CATALOG["pipe5_incremental_ingest"].fn(spark, d).collect()[0]
+    assert r.n_exact_known == 7
+    assert (
+        r.n_exact_known + r.n_near_dup + r.n_low_quality + r.n_admitted
+        == r.n_new
+    )

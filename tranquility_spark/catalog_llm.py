@@ -1164,6 +1164,84 @@ def pipe4_quality_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe5_incremental_ingest",
+    None,  # the near-dup stage is LSH-index-defined — rows-only (pipe1
+    # policy); stage counts reconciled against the individual certified
+    # operators in tests/test_quality_bounds.py
+    doc="The production per-ingest-cycle pipeline, composing the certified "
+    "round-6/7 admission machinery end-to-end: a NEW batch (20% of docs) "
+    "is admitted against the REGISTRY (the other 80%) through three "
+    "gates — (1) exact-known: bloom over registry content hashes, "
+    "positives verified by the exact semi-join that kills false "
+    "positives (dd10's shape, on content instead of keys); (2) "
+    "near-dup: survivors probe the registry's persisted LSH band index "
+    "through its bucket bloom gate (dd11's shape); (3) quality: txt7's "
+    "composite filter. Emits ONE summary row with per-stage removal "
+    "counts + n_admitted — the numbers an ingest operator actually "
+    "watches. Every intermediate frame feeds two branches (its count "
+    "and the next stage) so each is localCheckpointed once (the dd10 "
+    "lesson). Per-cycle cost at 100 TB: the registry is touched only "
+    "through kilobyte sketches and the bucketed index probe — never "
+    "rescanned",
+)
+def pipe5_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.bloom import bloom_probe, bloom_words
+
+    docs = _t(spark, sf_dir, "documents")
+    new_pred = F.col("doc_id") % 5 == 0
+    new = docs.filter(new_pred).localCheckpoint(eager=False)
+    registry = docs.filter(~new_pred)
+
+    # stage 1 — exact-known: registry content-hash bloom + exact verify
+    reg_hashes = registry.select(dd.content_hash(F.col("text")).alias("h"))
+    gate1 = bloom_words(reg_hashes, "h")
+    probed = bloom_probe(
+        new.withColumn("h", dd.content_hash(F.col("text"))), gate1, "h"
+    )
+    known = probed.filter(F.col("in_bloom") == 1).join(
+        reg_hashes.distinct(), "h", "left_semi"
+    )
+    fresh = (
+        probed.join(known.select("doc_id"), "doc_id", "left_anti")
+        .drop("in_bloom", "h")
+        .localCheckpoint(eager=False)
+    )
+
+    # stage 2 — near-dup vs the persisted registry index through its gate
+    index = dd.lsh_band_index(registry, num_hashes=64, bands=16, shingle_k=3)
+    gate2 = dd.index_bucket_bloom(index)
+    pairs = dd.incremental_neardup_pairs(
+        fresh, index, num_hashes=64, bands=16, shingle_k=3,
+        threshold=0.5, gate_words=gate2,
+    )
+    near_ids = (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
+        .join(fresh.select("doc_id"), "doc_id", "left_semi")
+        .distinct()
+    )
+    unique = fresh.join(near_ids, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+
+    # stage 3 — composite quality gate on what survived both dedup stages
+    admitted = tx.quality_filter(unique).filter(F.col("keep"))
+
+    counts = [
+        new.agg(F.count(F.lit(1)).alias("n_new")),
+        known.agg(F.count(F.lit(1)).alias("n_exact_known")),
+        near_ids.agg(F.count(F.lit(1)).alias("n_near_dup")),
+        unique.agg(F.count(F.lit(1)).alias("n_unique")),
+        admitted.agg(F.count(F.lit(1)).alias("n_admitted")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out.withColumn(
+        "n_low_quality", F.col("n_unique") - F.col("n_admitted")
+    )
+
+
+@register(
     "pack1_sequence_packing",
     """
     SELECT doc_id, lang, n_tokens,
