@@ -107,6 +107,7 @@ HEADLINE = [
     "a6c_hyperunique_mergeable",
     "a11e_theta_native",
     "sim5_pq_rerank",
+    "t4_tz_day_rollup",
 ]
 
 

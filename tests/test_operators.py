@@ -495,3 +495,52 @@ def test_dq12_plan_single_corpus_shuffle(spark, sf_dir):
     assert len(hash_exchanges) == 2, hash_exchanges
     assert sum("user_id" in ln for ln in hash_exchanges) == 1, hash_exchanges
     assert "partial_count" in plan and "partial_sum" in plan  # map-side combine
+
+
+def test_t4_tz_bucket_dst_boundaries(spark, tmp_path):
+    """Timezone-aware day buckets across both DST transitions: the
+    spring-forward local day (2024-03-10, 23h) runs 08:00->07:00 UTC and
+    the fall-back day (2024-11-03, 25h) runs 07:00->08:00 UTC; events one
+    second either side of those instants land in different buckets. Also
+    proves the DuckDB oracle is session-TimeZone-proof (a hostile
+    Asia/Tokyo session yields identical rows)."""
+    import datetime as dt
+
+    import duckdb
+    from pyspark.sql import functions as FF
+
+    from tranquility_spark.catalog import CATALOG
+
+    events = [
+        (1, dt.datetime(2024, 3, 10, 7, 59, 59), 1.0),   # still local 03-09
+        (2, dt.datetime(2024, 3, 10, 8, 0, 0), 1.0),     # local 03-10 begins
+        (3, dt.datetime(2024, 3, 11, 6, 59, 59), 1.0),   # 23h later: still 03-10
+        (4, dt.datetime(2024, 3, 11, 7, 0, 0), 1.0),     # local 03-11 (PDT)
+        (5, dt.datetime(2024, 11, 3, 6, 59, 59), 1.0),   # still local 11-02
+        (6, dt.datetime(2024, 11, 3, 7, 0, 0), 1.0),     # local 11-03 begins
+        (7, dt.datetime(2024, 11, 4, 7, 59, 59), 1.0),   # 25h later: still 11-03
+        (8, dt.datetime(2024, 11, 4, 8, 0, 0), 1.0),     # local 11-04 (PST)
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, "view", v, "{}") for i, ts, v in events],
+        "event_id long, ts timestamp, event_type string, value double, props string",
+    ).withColumn("user_id", FF.col("event_id"))
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+
+    rows = CATALOG["t4_tz_day_rollup"].fn(spark, d).collect()
+    got = {r.local_date.isoformat(): (r.bucket_start_utc, r.n) for r in rows}
+    assert got["2024-03-10"] == (dt.datetime(2024, 3, 10, 8, 0), 2)
+    assert got["2024-03-11"] == (dt.datetime(2024, 3, 11, 7, 0), 1)
+    assert got["2024-11-03"] == (dt.datetime(2024, 11, 3, 7, 0), 2)
+    assert got["2024-11-04"] == (dt.datetime(2024, 11, 4, 8, 0), 1)
+    assert got["2024-03-09"][1] == 1 and got["2024-11-02"][1] == 1
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='Asia/Tokyo'")  # hostile session zone
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    oracle = con.execute(CATALOG["t4_tz_day_rollup"].oracle).fetchall()
+    got_o = {r[1].isoformat(): (r[0], r[2]) for r in oracle}
+    assert got_o == {k: v for k, v in got.items()}

@@ -254,6 +254,48 @@ def t2_query_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_rollup(_T2_SPEC)(_t(spark, sf_dir, "events"))
 
 
+_T4_ZONE = "America/Los_Angeles"
+
+
+@register(
+    "t4_tz_day_rollup",
+    f"""
+    SELECT timezone('UTC', timezone('{_T4_ZONE}',
+               date_trunc('day', timezone('{_T4_ZONE}', timezone('UTC', ts)))))
+               AS bucket_start_utc,
+           CAST(date_trunc('day', timezone('{_T4_ZONE}', timezone('UTC', ts)))
+                AS DATE) AS local_date,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Timezone-aware period granularity (Druid's "
+    '{"type":"period","period":"P1D","timeZone":...} — the granularity '
+    "feature SURVEY's T1/T2 UTC buckets omit): events bucketed by "
+    "LOCAL calendar day in America/Los_Angeles, each bucket labeled by "
+    "its UTC start instant, so DST-transition days are genuine 23/25-"
+    "hour buckets (boundary semantics pinned across spring-forward and "
+    "fall-back in tests). Spark side is from_utc_timestamp -> "
+    "date_trunc -> to_utc_timestamp (pure codegen, one hash agg); the "
+    "oracle uses DuckDB's two-argument timezone() exclusively — NEVER "
+    "a bare CAST to/from TIMESTAMPTZ, which would silently depend on "
+    "the driver session's TimeZone setting (verified hostile-session-"
+    "proof in tests). Both engines resolve the zone from IANA tzdata",
+)
+def t4_tz_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    local = F.from_utc_timestamp("ts", _T4_ZONE)
+    local_day = F.date_trunc("day", local)
+    return ev.groupBy(
+        F.to_utc_timestamp(local_day, _T4_ZONE).alias("bucket_start_utc"),
+        local_day.cast("date").alias("local_date"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+    )
+
+
 _A15_SPEC = IngestSpec(
     datasource="events",
     timestamp_spec=TimestampSpec(column="ts", output="ts"),
