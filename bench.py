@@ -108,6 +108,7 @@ HEADLINE = [
     "a11e_theta_native",
     "sim5_pq_rerank",
     "t4_tz_day_rollup",
+    "dd12_blocked_bloom",
 ]
 
 

@@ -94,6 +94,48 @@ def test_bucketed_lsh_index_probe_corpus_side_no_exchange(lsh_warehouse, sf_dir)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+@pytest.fixture()
+def sbbf_warehouse(spark):
+    spark.sql("DROP TABLE IF EXISTS b_sbbf_blocks")
+    yield spark
+    spark.sql("DROP TABLE IF EXISTS b_sbbf_blocks")
+
+
+def test_bucketed_sbbf_probe_filter_side_no_exchange(sbbf_warehouse, sf_dir):
+    """The split-block bloom's beyond-broadcast serving claim,
+    plan-asserted: a block table persisted bucketed on block_idx is probed
+    with NO Exchange on the filter side — only the probe frame shuffles
+    once to meet the bucket layout, so probing cost is O(probe batch)
+    however large the filter is."""
+    spark = sbbf_warehouse
+    from tranquility_spark.operators.bloom import sbbf_blocks, sbbf_probe
+    from tranquility_spark.sources.bucketed import write_bucketed
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    write_bucketed(
+        sbbf_blocks(corpus, "doc_id", n_blocks=128), "b_sbbf_blocks", "block_idx", 4
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probed = sbbf_probe(
+            docs, spark.table("b_sbbf_blocks"), "doc_id", n_blocks=128
+        )
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        # and the one-join probe still has no false negatives
+        n_corpus = corpus.count()
+        assert (
+            probed.filter((F.col("doc_id") % 7 != 0) & (F.col("in_sbbf") == 1)).count()
+            == n_corpus
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_bucketed_lsh_probe_with_bloom_gate_corpus_side_no_exchange(
     lsh_warehouse, sf_dir
 ):

@@ -417,6 +417,80 @@ def test_bloom_partials_sink_lifetime_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, bloom_merge_read(spark, out).collect())) == d
 
 
+def test_sbbf_no_false_negatives_and_fp_sanity(spark):
+    """Split-block layout keeps the classic guarantees: every inserted key
+    probes present; the false-positive rate at ~16 bits/key stays small
+    (blocked filters trade a little FPR for the one-join probe)."""
+    from tranquility_spark.operators.bloom import sbbf_blocks, sbbf_probe
+
+    n, n_blocks = 2000, 128  # 128 blocks x 256 bits ~= 16 bits/key
+    members = spark.range(n).withColumnRenamed("id", "key")
+    non_members = spark.range(100_000, 104_000).withColumnRenamed("id", "key")
+    blocks = sbbf_blocks(members, "key", n_blocks=n_blocks)
+    hits_in = sbbf_probe(members, blocks, "key", n_blocks=n_blocks)
+    assert hits_in.filter(F.col("in_sbbf") == 0).count() == 0
+    fp = (
+        sbbf_probe(non_members, blocks, "key", n_blocks=n_blocks)
+        .filter(F.col("in_sbbf") == 1)
+        .count()
+    )
+    assert fp / 4000 <= 0.05, fp
+
+
+def test_sbbf_merge_bit_identical_to_direct(spark):
+    """Lane-wise bit_or merge of per-half block tables equals the direct
+    build on the union, row for row — and replaying one partial changes
+    nothing (OR is idempotent)."""
+    from tranquility_spark.operators.bloom import sbbf_blocks, sbbf_merge
+
+    all_keys = spark.range(500).withColumnRenamed("id", "key")
+    h1 = all_keys.filter(F.col("key") % 2 == 0)
+    h2 = all_keys.filter(F.col("key") % 2 == 1)
+    direct = sbbf_blocks(all_keys, "key")
+    merged = sbbf_merge([sbbf_blocks(h1, "key"), sbbf_blocks(h2, "key")])
+    replayed = sbbf_merge(
+        [sbbf_blocks(h1, "key"), sbbf_blocks(h2, "key"), sbbf_blocks(h2, "key")]
+    )
+    d = sorted(map(tuple, direct.collect()))
+    assert sorted(map(tuple, merged.collect())) == d
+    assert sorted(map(tuple, replayed.collect())) == d
+
+
+def test_sbbf_partials_sink_lifetime_equals_batch(spark, tmp_path):
+    """Streaming lifecycle: per-batch block-table partials merged at read
+    time equal the one-shot batch build bit-for-bit; forced replay of a
+    batch leaves the merged filter unchanged."""
+    from tranquility_spark.operators.bloom import (
+        sbbf_blocks,
+        sbbf_merge_read,
+        sbbf_partials_sink,
+    )
+
+    out = str(tmp_path / "sbbf")
+    write = sbbf_partials_sink(out, "key")
+    b1 = spark.range(0, 200).withColumnRenamed("id", "key")
+    b2 = spark.range(200, 350).withColumnRenamed("id", "key")
+    write(b1, 0)
+    write(b2, 1)
+    direct = sbbf_blocks(b1.unionByName(b2), "key")
+    merged = sbbf_merge_read(spark, out)
+    d = sorted(map(tuple, direct.collect()))
+    assert sorted(map(tuple, merged.collect())) == d
+    write(b2, 1)  # forced redelivery
+    assert sorted(map(tuple, sbbf_merge_read(spark, out).collect())) == d
+
+
+def test_sbbf_agrees_with_exact_membership_on_catalog_fixture(spark, sf_dir):
+    """dd12's decision columns are self-consistent: no corpus member is
+    missed, and every in_sbbf=0 row is genuinely out of corpus."""
+    from tranquility_spark.catalog import CATALOG
+
+    rows = CATALOG["dd12_blocked_bloom"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.in_sbbf == 1 for r in rows if r.in_corpus == 1)
+    assert all(r.in_corpus == 0 for r in rows if r.in_sbbf == 0)
+
+
 def test_bloom_gated_antijoin_decision_equals_plain_join(spark, sf_dir):
     """The sketch-gated decision must equal the plain exact join for every
     probe key (the gate changes the PLAN, never the answer), and the

@@ -376,6 +376,81 @@ def dd10_bloom_gated_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sbbf_oracle_sql() -> str:
+    from tranquility_spark.operators.bloom import (
+        sbbf_block_sql,
+        sbbf_lane_key_sql,
+        sbbf_mask_sql,
+    )
+
+    b = sbbf_block_sql("doc_id", 128)
+    lk = sbbf_lane_key_sql("doc_id")
+    lane_aggs = ",\n                   ".join(
+        f"bit_or({sbbf_mask_sql('lane_key', i)}) AS w{i}" for i in range(8)
+    )
+    hit_terms = "\n                           AND ".join(
+        f"(b.w{i} & {sbbf_mask_sql('p.lane_key', i)}) <> 0" for i in range(8)
+    )
+    return f"""
+    WITH corpus AS (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0),
+         keyed AS (SELECT {b} AS block_idx, {lk} AS lane_key FROM corpus),
+         blocks AS (SELECT block_idx,
+                   {lane_aggs}
+                    FROM keyed GROUP BY block_idx),
+         probes AS (SELECT doc_id, {b} AS block_idx, {lk} AS lane_key
+                    FROM documents),
+         probe AS (SELECT p.doc_id,
+                          CASE WHEN b.block_idx IS NOT NULL
+                                AND {hit_terms}
+                               THEN 1 ELSE 0 END AS in_sbbf
+                   FROM probes p LEFT JOIN blocks b USING (block_idx))
+    SELECT doc_id,
+           CAST(in_sbbf AS BIGINT) AS in_sbbf,
+           CAST(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS in_corpus
+    FROM probe
+    """
+
+
+@register(
+    "dd12_blocked_bloom",
+    _sbbf_oracle_sql(),
+    doc="Split-block bloom membership (operators/bloom.py#sbbf_blocks) — the "
+    "BEYOND-BROADCAST-FIT path dd9 cannot take: dd9's probe folds the filter "
+    "into a one-row broadcast map, optimal until a 100 TB registry wants "
+    "gigabytes of filter. This is the Parquet split-block layout "
+    "(parquet-format BloomFilter.md: 32-byte blocks of 8x32-bit lanes, one "
+    "bit per lane via the 8 public salt constants): ALL of a key's bits land "
+    "in ONE block, so build = one groupBy(block_idx) with 8 lane-wise "
+    "bit_or aggs, and probe = ONE equi-join on block_idx per key — no x8 "
+    "explode, no broadcast requirement; persist the block table bucketed on "
+    "block_idx and the filter side joins with NO Exchange at any size "
+    "(plan-asserted in tests/test_bucketed.py). 6/7 of doc_ids form the "
+    "filter; all docs probe it; in_corpus ships alongside so the driver row "
+    "certifies no-false-negatives AND where false positives land. The "
+    "oracle rebuilds the identical portable-hash block table in DuckDB "
+    "(production default xxhash64); lane arithmetic is capped at 31-bit "
+    "keys so salt*key stays inside signed-64 on both engines. Mergeable "
+    "family #4b: lane-wise bit_or merge == direct build, replay-idempotent, "
+    "streaming partials sink included",
+)
+def dd12_blocked_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.bloom import sbbf_blocks, sbbf_probe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    blocks = sbbf_blocks(corpus, "doc_id", n_blocks=128, hash_fn="portable")
+    probed = sbbf_probe(docs, blocks, "doc_id", n_blocks=128, hash_fn="portable")
+    return probed.select(
+        "doc_id",
+        "in_sbbf",
+        F.when(F.col("doc_id") % 7 != 0, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("in_corpus"),
+    )
+
+
 @register(
     "dd3_simhash_signatures",
     None,  # blake2b-based bit votes — no SQL twin

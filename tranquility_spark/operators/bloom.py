@@ -170,6 +170,186 @@ def bloom_probe(
     )
 
 
+# ---------------------------------------------------------------------------
+# Split-block bloom filter — the BEYOND-BROADCAST-FIT membership path.
+#
+# ``bloom_probe`` folds the word table into a one-row broadcast map; that is
+# optimal while the filter fits in a broadcast (tens of MiB). A 100 TB key
+# registry sized for a low false-positive rate wants gigabytes of filter, and
+# at that point the probe must become a JOIN. The classic layout is hostile to
+# joins: every key touches k arbitrary words, so a join-based probe explodes
+# the probe side x k and joins k times per key.
+#
+# The split-block layout (the same shape as Parquet's split-block bloom
+# filter, parquet-format BloomFilter.md) fixes exactly this: ALL of a key's
+# bits land in ONE block — 8 lanes of 32 bits, one bit per lane, lane bits
+# chosen by 8 public salt constants — so
+#
+#   build — one ``groupBy(block_idx)`` with 8 lane-wise ``bit_or`` aggs;
+#           the exchange is bounded by the number of touched blocks.
+#   merge — union + the same 8 bit_or aggs: bit-identical to a direct build
+#           (OR associativity), replay-idempotent, same contract as the
+#           classic layout.
+#   probe — ONE equi-join on ``block_idx`` per probe key (no x8 explode, no
+#           8-way join). Persist the block table BUCKETED on block_idx and
+#           the filter side joins with NO Exchange at any filter size
+#           (plan-asserted in tests/test_bucketed.py); only the probe frame
+#           shuffles once — the irreducible price of a filter too big to
+#           broadcast.
+#
+# Arithmetic is kept exactly reproducible across engines: the lane key is
+# capped at 31 bits so ``salt * lane_key`` stays inside signed-64 on both
+# engines (Spark ANSI would throw on overflow; DuckDB would widen to
+# HUGEINT — either way the bits would diverge), products reduce mod 2^32,
+# and lane masks shift at most 31 — inside the 63-bit-shift policy above.
+# This deviates from Parquet's spec (which multiplies the full 32-bit lane
+# key with 32-bit wraparound) only in the key width; the block/lane/salt
+# layout is the same.
+# ---------------------------------------------------------------------------
+
+# parquet-format BloomFilter.md salt constants (public spec)
+_SBBF_SALT = (
+    0x47B6137B,
+    0x44974D91,
+    0x8824AD5B,
+    0xA2B7289D,
+    0x705495C7,
+    0x2DF1424B,
+    0x9EFC4947,
+    0x5C6BFB31,
+)
+_SBBF_LANES = 8
+_MOD32 = 1 << 32
+_LANE_DIV = 1 << 27  # top 5 of the 32 product bits pick the lane bit
+_LANE_KEY_MOD = 1 << 31  # 31-bit lane key: salt * key < 2^63 exactly
+
+DEFAULT_N_BLOCKS = 4096  # 4096 blocks x 32 B = 128 KiB; size to corpus
+
+
+def _sbbf_lane_cols(key: Column, n_blocks: int, hash_fn: str) -> tuple[Column, list[Column]]:
+    """(block_idx, [mask_0..mask_7]) for one key."""
+    block = bloom_pos(key, 0, n_blocks, hash_fn).alias("block_idx")
+    lane_key = bloom_pos(key, 1, _LANE_KEY_MOD, hash_fn)
+    masks = []
+    for i, salt in enumerate(_SBBF_SALT):
+        bit = F.floor(F.pmod(F.lit(salt) * lane_key, F.lit(_MOD32)) / _LANE_DIV)
+        masks.append(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), bit.cast("int")
+            ).alias(f"__sbbf_m{i}")
+        )
+    return block, masks
+
+
+def sbbf_blocks(
+    df: DataFrame,
+    key_col: str,
+    n_blocks: int = DEFAULT_N_BLOCKS,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Build the block table ``(block_idx, w0..w7)`` from a key column."""
+    block, masks = _sbbf_lane_cols(F.col(key_col), n_blocks, hash_fn)
+    return (
+        df.select(block, *masks)
+        .groupBy("block_idx")
+        .agg(
+            *[
+                F.bit_or(f"__sbbf_m{i}").alias(f"w{i}")
+                for i in range(_SBBF_LANES)
+            ]
+        )
+    )
+
+
+def sbbf_merge(partials: Sequence[DataFrame]) -> DataFrame:
+    """OR-merge block tables — bit-identical to a direct build on the union
+    and replay-idempotent (OR), the classic-layout contract."""
+    it = iter(partials)
+    out = next(it)
+    for p in it:
+        out = out.unionByName(p)
+    return out.groupBy("block_idx").agg(
+        *[F.bit_or(f"w{i}").alias(f"w{i}") for i in range(_SBBF_LANES)]
+    )
+
+
+def sbbf_probe(
+    probes: DataFrame,
+    blocks: DataFrame,
+    key_col: str,
+    n_blocks: int = DEFAULT_N_BLOCKS,
+    hash_fn: str = "xxhash64",
+    out_col: str = "in_sbbf",
+) -> DataFrame:
+    """Append ``out_col`` (0/1 long) via ONE left equi-join on block_idx.
+
+    No broadcast requirement: AQE broadcasts a small block table on its own,
+    and a huge one joins shuffle-side — exchange-free on the filter side when
+    the block table is persisted bucketed on block_idx. Each probe row reads
+    exactly one block and evaluates 8 inline mask terms.
+    """
+    key = F.col(key_col)
+    block, masks = _sbbf_lane_cols(key, n_blocks, hash_fn)
+    lane_cols = [f"w{i}" for i in range(_SBBF_LANES)]
+    p = probes.withColumn("__sbbf_block", block)
+    joined = p.join(
+        blocks.withColumnRenamed("block_idx", "__sbbf_block"),
+        on="__sbbf_block",
+        how="left",
+    )
+    hit = F.lit(True)
+    for i, mask in enumerate(masks):
+        hit = hit & F.coalesce(
+            F.col(f"w{i}").bitwiseAND(mask) != 0, F.lit(False)
+        )
+    return joined.withColumn(out_col, hit.cast("long")).drop(
+        "__sbbf_block", *lane_cols
+    )
+
+
+def sbbf_block_sql(key_expr: str, n_blocks: int) -> str:
+    """DuckDB fragment: the identical PORTABLE block index."""
+    return bloom_pos_sql(key_expr, 0, n_blocks)
+
+
+def sbbf_lane_key_sql(key_expr: str) -> str:
+    """DuckDB fragment: the identical PORTABLE 31-bit lane key."""
+    return bloom_pos_sql(key_expr, 1, _LANE_KEY_MOD)
+
+
+def sbbf_mask_sql(lane_key_expr: str, i: int) -> str:
+    """DuckDB fragment: lane-``i`` mask for a lane-key expression."""
+    salt = _SBBF_SALT[i]
+    bit = f"((({salt} * {lane_key_expr}) % {_MOD32}) // {_LANE_DIV})"
+    return f"(1::BIGINT << CAST({bit} AS INTEGER))"
+
+
+def sbbf_partials_sink(
+    out_dir: str,
+    key_col: str,
+    n_blocks: int = DEFAULT_N_BLOCKS,
+    hash_fn: str = "xxhash64",
+):
+    """foreachBatch sink: one block-table partial per micro-batch in its own
+    ``batch_id=`` partition; OR-idempotence makes even partition-blind replay
+    harmless (the bloom_partials_sink contract)."""
+    from tranquility_spark.operators.batch_sink import write_batch_partition
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        partials = sbbf_blocks(batch_df, key_col, n_blocks, hash_fn)
+        write_batch_partition(partials, out_dir, batch_id)
+
+    return write
+
+
+def sbbf_merge_read(spark, out_dir: str) -> DataFrame:
+    """Merge every persisted partial into the lifetime block table."""
+    all_parts = spark.read.parquet(out_dir)
+    return all_parts.groupBy("block_idx").agg(
+        *[F.bit_or(f"w{i}").alias(f"w{i}") for i in range(_SBBF_LANES)]
+    )
+
+
 def bloom_partials_sink(out_dir: str, key_col: str, m_bits: int = DEFAULT_M_BITS,
                         k: int = DEFAULT_K, hash_fn: str = "xxhash64"):
     """foreachBatch sink: one sparse word-table partial per micro-batch,
