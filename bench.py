@@ -109,6 +109,7 @@ HEADLINE = [
     "sim5_pq_rerank",
     "t4_tz_day_rollup",
     "dd12_blocked_bloom",
+    "dq13_moving_average",
 ]
 
 

@@ -497,6 +497,42 @@ def test_dq12_plan_single_corpus_shuffle(spark, sf_dir):
     assert "partial_count" in plan and "partial_sum" in plan  # map-side combine
 
 
+def test_dq13_moving_average_warmup_filter_and_decay(spark, tmp_path):
+    """The trailing 7-day averager with the fixed-period divisor: a day-1
+    event contributes value/7 immediately (warm-up frames divide by 7, not
+    by frame size), stays in the average through day 7, and falls out on
+    day 8; non-purchase events are filtered; the spine emits all 35 rows
+    regardless of data."""
+    import datetime as dt
+
+    from tranquility_spark.catalog import CATALOG
+
+    events = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), "purchase", 7.0),
+        (2, dt.datetime(2024, 1, 1, 11, 0), "view", 700.0),  # filtered out
+        (3, dt.datetime(2024, 1, 2, 9, 0), "purchase", 14.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, et, v, "{}") for i, ts, et, v in events],
+        "event_id long, ts timestamp, event_type string, value double, props string",
+    ).withColumn("user_id", F.col("event_id"))
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+
+    rows = {
+        r.bucket_start.date().isoformat(): r
+        for r in CATALOG["dq13_moving_average"].fn(spark, d).collect()
+    }
+    assert len(rows) == 35
+    assert rows["2024-01-01"].day_sum == 7.0 and rows["2024-01-01"].n == 1
+    assert rows["2024-01-01"].ma7_sum == 1.0  # 7/7: divisor is the period
+    assert rows["2024-01-02"].ma7_sum == 3.0  # (7+14)/7
+    assert rows["2024-01-07"].ma7_sum == 3.0  # day-1 still in frame
+    assert rows["2024-01-08"].ma7_sum == 2.0  # day-1 fell out, day-2 remains
+    assert rows["2024-01-09"].ma7_sum == 0.0  # both decayed
+    assert rows["2024-02-04"].n == 0 and rows["2024-02-04"].ma7_sum == 0.0
+
+
 def test_t4_tz_bucket_dst_boundaries(spark, tmp_path):
     """Timezone-aware day buckets across both DST transitions: the
     spring-forward local day (2024-03-10, 23h) runs 08:00->07:00 UTC and

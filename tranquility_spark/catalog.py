@@ -1134,6 +1134,94 @@ def dq12_nested_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq13_moving_average",
+    """
+    WITH spine AS (
+        SELECT CAST(g AS TIMESTAMP) AS bucket_start
+        FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                             TIMESTAMP '2024-02-04 00:00:00',
+                             INTERVAL 1 DAY) t(g)
+    ),
+    agg AS (
+        SELECT epoch_ms(CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400000)
+                   AS bucket_start,
+               count(*) AS n,
+               sum(CAST(value AS DECIMAL(28,6))) AS sval
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    filled AS (
+        SELECT s.bucket_start,
+               CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+               coalesce(a.sval, CAST(0 AS DECIMAL(28,6))) AS sval
+        FROM spine s LEFT JOIN agg a USING (bucket_start)
+    )
+    SELECT bucket_start,
+           n,
+           CAST(sval AS DOUBLE) AS day_sum,
+           round(CAST(sum(sval) OVER w AS DOUBLE) / 7, 6) AS ma7_sum,
+           round(CAST(CAST(sum(n) OVER w AS BIGINT) AS DOUBLE) / 7, 6)
+               AS ma7_n
+    FROM filled
+    WINDOW w AS (ORDER BY bucket_start ROWS BETWEEN 6 PRECEDING
+                 AND CURRENT ROW)
+    """,
+    doc="Druid movingAverage query (the druid-moving-average-query "
+    "extension): trailing 7-bucket doubleMeanAverager over a ZERO-FILLED "
+    "daily timeseries — missing buckets contribute the aggregator "
+    "identity and the divisor stays the period (7), so leading buckets "
+    "are genuine warm-up frames and trailing empty days decay the "
+    "average, exactly the extension's semantics. The window's input is "
+    "the bucket SPINE (|interval|/grain rows — 35 here — bounded by the "
+    "query, not the corpus), so the single-partition window sort is "
+    "constant-cost at any data scale; the corpus contributes one "
+    "map-combined day agg. Decimal accumulation runs through BOTH the "
+    "day agg and the window frame (HANDOFF float policy) and converts "
+    "to double only at the output; the spine extends past the data "
+    "(Jan 31-Feb 4 empty) so zero-fill, warm-up, and decay frames are "
+    "all exercised and certified",
+)
+def dq13_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    agg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.timestamp_seconds(
+                F.floor(F.unix_timestamp("ts") / 86400) * 86400
+            ).alias("bucket_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("sval"),
+        )
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp'2024-01-01 00:00:00', "
+                "timestamp'2024-02-04 00:00:00', interval 1 day)"
+            )
+        ).alias("bucket_start")
+    )
+    filled = spine.join(agg, "bucket_start", "left").select(
+        "bucket_start",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.coalesce("sval", F.lit(0).cast("decimal(28,6)")).alias("sval"),
+    )
+    w = Window.orderBy("bucket_start").rowsBetween(-6, 0)
+    return filled.select(
+        "bucket_start",
+        "n",
+        F.col("sval").cast("double").alias("day_sum"),
+        F.round(F.sum("sval").over(w).cast("double") / 7, 6).alias("ma7_sum"),
+        F.round(F.sum("n").over(w).cast("double") / 7, 6).alias("ma7_n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension surfaces register themselves on import (they use `register` above,
 # so these imports must stay at the bottom of this module).
