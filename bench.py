@@ -110,6 +110,7 @@ HEADLINE = [
     "t4_tz_day_rollup",
     "dd12_blocked_bloom",
     "dq13_moving_average",
+    "dd13_semantic_dedup",
 ]
 
 
