@@ -111,6 +111,7 @@ HEADLINE = [
     "dd12_blocked_bloom",
     "dq13_moving_average",
     "dd13_semantic_dedup",
+    "samp7_curriculum_schedule",
 ]
 
 

@@ -118,6 +118,39 @@ def test_txt12_bigram_logprob_hand_computed(spark, sf_dir, tmp_path):
     assert out[2] == (lp_ab, 1)
 
 
+def test_samp7_curriculum_bands_quality_monotone_and_balanced(spark, sf_dir):
+    """Within each language: epoch bands are nondecreasing as quality
+    falls (a higher-scored doc never enters LATER than a lower-scored
+    one), the best doc enters at epoch 0, every epoch in 0..3 is
+    populated for non-tiny languages, and band sizes are quartile-shaped
+    (within one of n/4). Determinism: ord_key is a pure function of
+    doc_id, so two runs agree row-for-row."""
+    import collections
+
+    from tranquility_spark.catalog import CATALOG
+
+    rows = CATALOG["samp7_curriculum_schedule"].fn(spark, sf_dir).collect()
+    bylang = collections.defaultdict(list)
+    for r in rows:
+        bylang[r.lang].append(r)
+    assert len(bylang) > 1
+    for lang, rs in bylang.items():
+        rs.sort(key=lambda r: (-r.quality_score, r.doc_id))
+        epochs = [r.first_epoch for r in rs]
+        assert epochs == sorted(epochs), lang
+        assert epochs[0] == 0, lang
+        if len(rs) >= 8:
+            counts = collections.Counter(epochs)
+            assert set(counts) == {0, 1, 2, 3}, lang
+            lo = len(rs) // 4
+            assert all(lo - 1 <= counts[e] <= lo + 2 for e in range(4)), (
+                lang,
+                counts,
+            )
+    again = CATALOG["samp7_curriculum_schedule"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_samp5_temperature_flattens_mixture(spark, sf_dir):
     """alpha=0.5 rebalance: the smallest stratum keeps ~100% (it binds the
     cap), kept counts track T*w_l, and the kept mixture is flatter than the

@@ -1179,6 +1179,74 @@ def samp6_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "rn")
 
 
+_SAMP7_SEED = 29
+_SAMP7_EPOCHS = 4
+
+
+def _samp7_oracle_sql() -> str:
+    ord_key = portable_shard_sql(f"doc_id + {_SAMP7_SEED}", 1000003)
+    return f"""
+    WITH scored AS ({_TXT2_ORACLE}),
+    ranked AS (
+      SELECT d.doc_id, d.lang, s.quality_score,
+             percent_rank() OVER (PARTITION BY d.lang
+                                  ORDER BY s.quality_score DESC, d.doc_id)
+                 AS pr
+      FROM documents d JOIN scored s USING (doc_id))
+    SELECT doc_id, lang, quality_score,
+           round(pr, 6) AS pr,
+           CAST(least(floor(pr * {_SAMP7_EPOCHS}), {_SAMP7_EPOCHS - 1})
+                AS BIGINT) AS first_epoch,
+           {ord_key} AS ord_key
+    FROM ranked
+    """
+
+
+@register(
+    "samp7_curriculum_schedule",
+    _samp7_oracle_sql(),
+    doc="Curriculum data schedule (easy-first curriculum learning over "
+    "training data): each document's admission epoch comes from its "
+    "quality percentile WITHIN its language — the top quartile enters at "
+    "epoch 0, each lower band one epoch later, and admitted docs remain "
+    "in every later epoch (first_epoch is the gate a training loader "
+    "filters on: WHERE first_epoch <= current_epoch). Composes two "
+    "already-certified primitives end-to-end: txt2's composite quality "
+    "score and shuf1's seeded portable-hash order key (each epoch's "
+    "intra-band read order is a deterministic permutation, reproducible "
+    "across runs/retries — rand() is not). percent_rank ties break on "
+    "doc_id per the LIMIT/tie-break policy; the per-lang window shuffles "
+    "once on lang — at open-web scale swap the partition key for "
+    "(lang, salt) and re-rank survivors, the samp6 two-phase pattern. "
+    "The whole schedule — score, percentile, band, order key — is "
+    "hash-certified against the DuckDB rebuild",
+)
+def samp7_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from tranquility_spark.operators.partitioning import portable_shard
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = tx.quality_features(docs).select("doc_id", "quality_score")
+    j = docs.select("doc_id", "lang").join(scored, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    pr = F.percent_rank().over(w)
+    return j.select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        F.round(pr, 6).alias("pr"),
+        F.least(F.floor(pr * _SAMP7_EPOCHS), F.lit(_SAMP7_EPOCHS - 1))
+        .cast("long")
+        .alias("first_epoch"),
+        portable_shard(F.col("doc_id") + _SAMP7_SEED, 1000003).alias(
+            "ord_key"
+        ),
+    )
+
+
 @register(
     "txt13_lexical_diversity",
     """
