@@ -112,6 +112,7 @@ HEADLINE = [
     "dq13_moving_average",
     "dd13_semantic_dedup",
     "samp7_curriculum_schedule",
+    "mm5_interleaved_packing",
 ]
 
 

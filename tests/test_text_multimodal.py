@@ -118,6 +118,38 @@ def test_txt12_bigram_logprob_hand_computed(spark, sf_dir, tmp_path):
     assert out[2] == (lp_ab, 1)
 
 
+def test_mm5_vision_cost_and_bin_start_invariant(spark, sf_dir):
+    """Every 4th doc carries exactly one image whose vision tokens follow
+    the patch-grid formula (>= 1, additive into seq_tokens); other docs
+    cost pure text. Replaying the greedy packing per language confirms
+    each doc's bin is the 8192-block its running-sum START offset lands
+    in (the pack1 floor-start rule with the multimodal cost model)."""
+    import collections
+
+    from tranquility_spark.catalog import CATALOG
+
+    rows = CATALOG["mm5_interleaved_packing"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.doc_id % 4 == 0:
+            assert r.n_images == 1 and r.vision_tokens >= 1, r
+        else:
+            assert r.n_images == 0 and r.vision_tokens == 0, r
+        assert r.seq_tokens == r.text_tokens + r.vision_tokens, r
+    bylang = collections.defaultdict(list)
+    for r in rows:
+        bylang[r.lang].append(r)
+    saw_multi_bin = False
+    for rs in bylang.values():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.bin_id == cum // 8192, r
+            cum += r.seq_tokens
+        saw_multi_bin = saw_multi_bin or rs[-1].bin_id > 0
+    assert saw_multi_bin  # the fixture actually exercises bin rollover
+
+
 def test_samp7_curriculum_bands_quality_monotone_and_balanced(spark, sf_dir):
     """Within each language: epoch bands are nondecreasing as quality
     falls (a higher-scored doc never enters LATER than a lower-scored

@@ -1179,6 +1179,72 @@ def samp6_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "rn")
 
 
+@register(
+    "mm5_interleaved_packing",
+    """
+    WITH costed AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(trim(text)) - length(replace(trim(text), ' ', ''))
+                       + 1 END AS text_tokens,
+             CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS n_images,
+             CASE WHEN doc_id % 4 = 0
+                  THEN ((octet_length(encode(text)) % 640) // 14 + 1)
+                       * (((octet_length(encode(text)) * 7) % 480) // 14 + 1)
+                  ELSE 0 END AS vision_tokens
+      FROM documents)
+    SELECT doc_id, lang,
+           CAST(text_tokens AS BIGINT) AS text_tokens,
+           CAST(n_images AS BIGINT) AS n_images,
+           CAST(vision_tokens AS BIGINT) AS vision_tokens,
+           CAST(text_tokens + vision_tokens AS BIGINT) AS seq_tokens,
+           CAST(floor((cum - (text_tokens + vision_tokens)) / 8192.0)
+                AS BIGINT) AS bin_id
+    FROM (SELECT *,
+                 sum(text_tokens + vision_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM costed)
+    """,
+    doc="Modality-aware (interleaved) sequence packing — pack1's greedy "
+    "running-sum packing with the cost model a multimodal training "
+    "pipeline actually needs: an attached image consumes VISION tokens "
+    "proportional to its patch grid (ceil(w/14)*ceil(h/14), the ViT "
+    "patch-14 convention), not bytes, so a doc's context cost is "
+    "text_tokens + vision_tokens and a high-resolution image can "
+    "dominate its sequence. Attachment (every 4th doc) and resolution "
+    "come from mm1's deterministic stub metadata — production swaps in "
+    "the real asset table joined on doc_id with the same shape. Narrow "
+    "projection + one per-group window (the pack1 plan — shuffle by "
+    "group, in-partition running sum; group by corpus shard at open-web "
+    "scale); the whole cost model and bin assignment are hash-certified",
+)
+def mm5_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.text import pack_sequences, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    nb = F.octet_length("text")
+    has_img = F.col("doc_id") % 4 == 0
+    vis = F.when(
+        has_img,
+        (F.floor((nb % 640) / 14) + 1) * (F.floor((nb * 7) % 480 / 14) + 1),
+    ).otherwise(0)
+    costed = docs.select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).cast("long").alias("text_tokens"),
+        F.when(has_img, 1).otherwise(0).cast("long").alias("n_images"),
+        vis.cast("long").alias("vision_tokens"),
+    ).withColumn("seq_tokens", F.col("text_tokens") + F.col("vision_tokens"))
+    return pack_sequences(
+        costed, token_col="seq_tokens", order_col="doc_id",
+        group_col="lang", context_len=8192,
+    ).select(
+        "doc_id", "lang", "text_tokens", "n_images",
+        "vision_tokens", "seq_tokens", "bin_id",
+    )
+
+
 _SAMP7_SEED = 29
 _SAMP7_EPOCHS = 4
 
