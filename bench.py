@@ -113,6 +113,7 @@ HEADLINE = [
     "dd13_semantic_dedup",
     "samp7_curriculum_schedule",
     "mm5_interleaved_packing",
+    "dq14_scan_keyset",
 ]
 
 

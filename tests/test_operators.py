@@ -497,6 +497,47 @@ def test_dq12_plan_single_corpus_shuffle(spark, sf_dir):
     assert "partial_count" in plan and "partial_sum" in plan  # map-side combine
 
 
+def test_dq14_keyset_page_semantics_and_pushdown(spark, sf_dir):
+    """Keyset continuation: every returned row is strictly after the
+    cursor in (ts_sec, event_id) order, rows arrive in that order with no
+    gap at the front (the first row is the global minimum above the
+    cursor), and the redundant raw-ts bound reaches the parquet scan as a
+    pushed filter — the predicate that makes pre-cursor segments
+    skippable on a time-partitioned layout."""
+    import datetime as dt
+
+    from tranquility_spark.catalog import CATALOG
+
+    df = CATALOG["dq14_scan_keyset"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(ts," in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+    rows = df.collect()
+    cursor = (dt.datetime(2024, 1, 10, 12, 0, 0), 12345)
+    keys = [(r.ts_sec, r.event_id) for r in rows]
+    assert all(k > cursor for k in keys)
+    assert keys == sorted(keys)
+    if rows:
+        from tranquility_spark.sources.files import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        first = (
+            ev.filter(F.col("event_type").isin("click", "purchase"))
+            .select(
+                F.date_trunc("second", F.col("ts"))
+                .cast("timestamp")
+                .alias("ts_sec"),
+                "event_id",
+            )
+            .collect()
+        )
+        above = sorted(
+            (r.ts_sec, r.event_id) for r in first if (r.ts_sec, r.event_id) > cursor
+        )
+        assert keys[0] == above[0]
+
+
 def test_dq13_moving_average_warmup_filter_and_decay(spark, tmp_path):
     """The trailing 7-day averager with the fixed-period divisor: a day-1
     event contributes value/7 immediately (warm-up frames divide by 7, not

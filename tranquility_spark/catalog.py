@@ -734,6 +734,67 @@ def dq4_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DQ14_CURSOR_TS = "2024-01-10 12:00:00"
+_DQ14_CURSOR_ID = 12345
+
+
+@register(
+    "dq14_scan_keyset",
+    f"""
+    SELECT event_id,
+           epoch_ms(CAST(floor(epoch(ts)) AS BIGINT) * 1000) AS ts_sec,
+           event_type, user_id
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+      AND ts >= TIMESTAMP '{_DQ14_CURSOR_TS}'
+      AND (epoch_ms(CAST(floor(epoch(ts)) AS BIGINT) * 1000)
+               > TIMESTAMP '{_DQ14_CURSOR_TS}'
+           OR (epoch_ms(CAST(floor(epoch(ts)) AS BIGINT) * 1000)
+                   = TIMESTAMP '{_DQ14_CURSOR_TS}'
+               AND event_id > {_DQ14_CURSOR_ID}))
+    ORDER BY ts_sec, event_id
+    LIMIT 200
+    """,
+    doc="Druid scan-query CONTINUATION (the resultFormat/offset paging "
+    "surface) done the way 100 TB demands: KEYSET pagination, not "
+    "OFFSET. The cursor is the (ts_sec, event_id) of the previous "
+    "page's last row; the next page is WHERE (ts_sec, event_id) > "
+    "cursor ORDER BY ts_sec, event_id LIMIT 200 — an OFFSET would "
+    "re-scan and re-sort every earlier page's rows on every request, "
+    "while the keyset bound prunes them at the SOURCE: the redundant "
+    "conjunct ts >= cursor (implied by the keyset condition, since "
+    "ts_sec = floor(ts) <= ts) is a RAW-column predicate that reaches "
+    "the parquet scan as a pushed filter (plan-asserted), so on a "
+    "time-partitioned layout every pre-cursor segment is skipped "
+    "entirely. Cursor compares on the second-floored timestamp in both "
+    "engines (the dq4 rule — raw-ts literal comparison would diverge "
+    "on sub-microsecond payloads); event_id breaks ties per the LIMIT "
+    "policy. Page 1 of this order is dq4",
+)
+def dq14_scan_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c_ts = F.lit(_DQ14_CURSOR_TS).cast("timestamp")
+    ts_sec = F.date_trunc("second", F.col("ts")).cast("timestamp")
+    return (
+        ev.filter(
+            F.col("event_type").isin("click", "purchase")
+            & (F.col("ts") >= c_ts)
+            & (
+                (ts_sec > c_ts)
+                | ((ts_sec == c_ts) & (F.col("event_id") > _DQ14_CURSOR_ID))
+            )
+        )
+        .select(
+            "event_id",
+            ts_sec.alias("ts_sec"),
+            "event_type",
+            "user_id",
+        )
+        .orderBy("ts_sec", "event_id")
+        .limit(200)
+    )
+
+
 @register(
     "dq5_timeseries",
     """
