@@ -136,6 +136,64 @@ def test_bucketed_sbbf_probe_filter_side_no_exchange(sbbf_warehouse, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+@pytest.fixture()
+def sbbf_gate_warehouse(spark):
+    for t in ("b_lsh_index_sg", "b_sbbf_gate"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    yield spark
+    for t in ("b_lsh_index_sg", "b_sbbf_gate"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_sbbf_gate_then_index_probe_no_filter_side_exchange(
+    sbbf_gate_warehouse, sf_dir
+):
+    """The beyond-broadcast-fit gate composition: SBBF gate blocks AND the
+    LSH index both persisted bucketed (block_idx / (band, bhash)). The
+    per-cycle plan shuffles ONLY the new batch — once onto the gate's
+    block layout, once onto the index's bucket layout — while both
+    persisted structures scan exchange-free at any size. This is the
+    'partition the gate' path index_bucket_bloom's docstring reserves for
+    past-broadcast scale."""
+    spark = sbbf_gate_warehouse
+    from tranquility_spark.operators.dedup import (
+        gate_probe_sbbf,
+        index_bucket_sbbf,
+        lsh_band_index,
+    )
+    from tranquility_spark.sources.bucketed import write_bucketed
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = lsh_band_index(docs.filter(F.col("doc_id") % 5 != 0))
+    write_bucketed(corpus, "b_lsh_index_sg", ["band", "bhash"], 4)
+    write_bucketed(index_bucket_sbbf(corpus), "b_sbbf_gate", "block_idx", 4)
+
+    new_banded = lsh_band_index(docs.filter(F.col("doc_id") % 5 == 0))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = (
+            gate_probe_sbbf(new_banded, spark.table("b_sbbf_gate"))
+            .filter(F.col("__in_gate") == 1)
+            .drop("__in_gate")
+        )
+        probe = gated.alias("l").join(
+            spark.table("b_lsh_index_sg").alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") != F.col("r.id")),
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        # two hash exchanges, both on the NEW side (gate layout + index
+        # layout); neither bucketed scan is followed by one
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        assert "BroadcastExchange" not in plan, plan
+        assert probe.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_bucketed_lsh_probe_with_bloom_gate_corpus_side_no_exchange(
     lsh_warehouse, sf_dir
 ):

@@ -491,6 +491,62 @@ def test_sbbf_agrees_with_exact_membership_on_catalog_fixture(spark, sf_dir):
     assert all(r.in_corpus == 0 for r in rows if r.in_sbbf == 0)
 
 
+def test_sbbf_gate_equals_classic_gate_and_ungated(spark, sf_dir):
+    """The beyond-broadcast gate variant: filtering a new batch's banded
+    rows through the SBBF bucket gate must keep every row whose bucket
+    truly exists in the index (no false negatives), so the index-probe
+    pairs after SBBF gating equal the ungated pairs — the same dd11b
+    property the classic broadcast gate certifies."""
+    from tranquility_spark.operators.dedup import (
+        gate_probe,
+        gate_probe_sbbf,
+        index_bucket_bloom,
+        index_bucket_sbbf,
+        lsh_band_index,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = lsh_band_index(docs.filter(F.col("doc_id") % 5 != 0))
+    new_banded = lsh_band_index(docs.filter(F.col("doc_id") % 5 == 0))
+    index = index.localCheckpoint(eager=False)
+    new_banded = new_banded.localCheckpoint(eager=False)
+
+    def pairs_from(banded):
+        return {
+            (r[0], r[1])
+            for r in banded.alias("l")
+            .join(
+                index.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bhash") == F.col("r.bhash"))
+                & (F.col("l.id") != F.col("r.id")),
+            )
+            .select(F.col("l.id"), F.col("r.id"))
+            .distinct()
+            .collect()
+        }
+
+    ungated = pairs_from(new_banded)
+    assert ungated
+
+    sbbf_gate = index_bucket_sbbf(index)
+    sbbf_kept = (
+        gate_probe_sbbf(new_banded, sbbf_gate)
+        .filter(F.col("__in_gate") == 1)
+        .drop("__in_gate")
+    )
+    assert pairs_from(sbbf_kept) == ungated
+
+    # and the two gate flavors agree wherever the classic one says yes
+    classic_kept = (
+        gate_probe(new_banded, index_bucket_bloom(index))
+        .filter(F.col("__in_gate") == 1)
+        .drop("__in_gate")
+    )
+    assert pairs_from(classic_kept) == ungated
+
+
 def test_bloom_gated_antijoin_decision_equals_plain_join(spark, sf_dir):
     """The sketch-gated decision must equal the plain exact join for every
     probe key (the gate changes the PLAN, never the answer), and the

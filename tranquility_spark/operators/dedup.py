@@ -271,8 +271,10 @@ def index_bucket_bloom(
     of DISTINCT index buckets (~10-16 bits each for ~1% fp), and the probe
     broadcasts the whole word table — so the gate pays off while
     ``ceil(m_bits/63)`` words fit a broadcast (~1e9 buckets at ~2 GiB).
-    Beyond that, partition the gate by band and probe per-band, or skip the
-    gate — the bucketed index join alone is already corpus-shuffle-free.
+    Beyond that, switch to ``index_bucket_sbbf`` / ``gate_probe_sbbf`` —
+    the split-block layout whose probe is a bucketed join instead of a
+    broadcast — or skip the gate: the bucketed index join alone is already
+    corpus-shuffle-free.
     """
     keys = index_df.select(_bucket_key().alias("bucket_key"))
     return bl.bloom_words(keys, "bucket_key", m_bits=m_bits, k=k)
@@ -304,6 +306,44 @@ def gate_probe(
         "__bucket_key",
         m_bits=m_bits,
         k=k,
+        out_col=out_col,
+    ).drop("__bucket_key")
+
+
+def index_bucket_sbbf(
+    index_df: DataFrame, n_blocks: int = 4096
+) -> DataFrame:
+    """Split-block variant of ``index_bucket_bloom`` — the gate PAST the
+    broadcast-fit bound its docstring states (~1e9 buckets): the same
+    (band, bhash) bucket keys build an SBBF block table whose probe is
+    ONE equi-join on block_idx instead of a broadcast map, so the gate
+    keeps working when the index has too many distinct buckets for its
+    classic word table to broadcast. Persist bucketed on block_idx next
+    to the index and the gate join adds NO exchange on the filter side
+    (plan-asserted in tests/test_bucketed.py). Same freshness contract:
+    OR-merge of new-batch partials == rebuild, bit for bit."""
+    keys = index_df.select(_bucket_key().alias("bucket_key"))
+    return bl.sbbf_blocks(keys, "bucket_key", n_blocks=n_blocks)
+
+
+def gate_probe_sbbf(
+    banded_df: DataFrame,
+    gate_blocks: DataFrame,
+    n_blocks: int = 4096,
+    out_col: str = "__in_gate",
+) -> DataFrame:
+    """Probe a banded frame against an ``index_bucket_sbbf`` block table.
+
+    Drop-in replacement for ``gate_probe`` with identical no-false-
+    negative semantics (gated == ungated results, the dd11b property) —
+    the probe side pays one join on block_idx instead of evaluating a
+    broadcast map, which is the right trade exactly when the gate no
+    longer fits a broadcast."""
+    return bl.sbbf_probe(
+        banded_df.withColumn("__bucket_key", _bucket_key()),
+        gate_blocks,
+        "__bucket_key",
+        n_blocks=n_blocks,
         out_col=out_col,
     ).drop("__bucket_key")
 
