@@ -947,6 +947,50 @@ def test_streaming_bloom_partials_equal_batch_filter(spark, sf_dir, tmp_path):
     assert probed.filter(F.col("in_bloom") == 0).count() == 0
 
 
+def test_streaming_sbbf_partials_equal_batch_filter(spark, sf_dir, tmp_path):
+    """Streaming lifecycle for the split-block bloom (mergeable family
+    #4b): per-micro-batch block-table partials merged at read must be
+    BIT-identical to the one-shot batch build, and the merged filter's
+    ONE-JOIN probe must answer membership with no false negatives."""
+    from pyspark.sql import functions as F
+
+    from tranquility_spark.operators.bloom import (
+        sbbf_blocks,
+        sbbf_merge_read,
+        sbbf_partials_sink,
+        sbbf_probe,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    keys = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("key"))
+        .distinct()
+    )
+    src = str(tmp_path / "src")
+    keys.repartition(3).write.parquet(src)
+
+    sink_dir = str(tmp_path / "sbbf")
+    q = (
+        spark.readStream.schema("key long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sbbf_partials_sink(sink_dir, "key"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    lifetime = sbbf_merge_read(spark, sink_dir)
+    direct = sbbf_blocks(keys, "key")
+    assert sorted(map(tuple, lifetime.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    probed = sbbf_probe(keys, lifetime, "key")
+    assert probed.filter(F.col("in_sbbf") == 0).count() == 0
+
+
 def test_streaming_retention_partials_equal_batch_dq8(spark, sf_dir, tmp_path):
     """Streaming analytics lifecycle for dq8: stream events in 3
     micro-batches, landing (a) per-batch first-seen partials (per-user min
