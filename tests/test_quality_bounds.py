@@ -63,7 +63,7 @@ def test_dd13_cluster_scoped_precision_exact_recall_bounded(spark, sf_dir):
     """dd13 SemDeDup: every vec it drops has a genuine lower-id cosine>tau
     partner SOMEWHERE in the corpus (within-cluster pairs are a subset of
     all pairs — precision 1.0 by construction), and cluster-scoping keeps
-    recall >= 0.25 of the unclustered drop set (measured: 0.27/0.33/0.50 at
+    recall >= 0.25 of the unclustered drop set (measured: 0.36/0.33/0.51 at
     sf0.001/0.01/0.1 — uniform-random embeddings are the adversarial case:
     'near-dups' at tau=0.35 are not near-identical, so same-cluster
     probability is only mildly above the 1/8 independence baseline; on real

@@ -584,18 +584,15 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dd13_centroids(n: int = 8, dim: int = 64) -> list[list[float]]:
-    """Deterministic 6-dp centroid literals in [-1, 1) — the portable-hash
-    formula, shared verbatim by the Spark expression and the SQL oracle
-    (the emb6 literal-matrix pattern)."""
-    return [
-        [
-            round((((j * dim + d + 1) * 2654435761) % 1000000007)
-                  / 1000000007 * 2 - 1, 6)
-            for d in range(dim)
-        ]
-        for j in range(n)
-    ]
+def _dd13_centroids() -> list[list[float]]:
+    """Deterministic 6-dp centroid literals in [-1, 1], shared verbatim by
+    the Spark expression and the SQL oracle — REUSES the certified emb6
+    literal-matrix generator rather than a second bespoke formula
+    (code-review r07: one generator to keep in lockstep with oracles).
+    seed=13 decorrelates from emb6's projection (seed=7)."""
+    from tranquility_spark.operators.embeddings import projection_matrix
+
+    return projection_matrix(8, 64, seed=13)
 
 
 _DD13_CENTROIDS = _dd13_centroids()
@@ -698,8 +695,11 @@ def dd13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The repartition spreads the pair join's per-pair dot (the dominant
     # cost, interpreted higher-order fold) across all cores — a small
     # parquet input otherwise leaves the streamed join side on ONE
-    # partition (measured 4.7s -> 1.3s at sf0.1)
-    assigned = assigned.repartition(32).localCheckpoint(eager=False)
+    # partition (measured 4.7s -> 1.3s at sf0.1 on local[32]); sized to
+    # the cluster, not a literal (code-review r07)
+    assigned = assigned.repartition(
+        spark.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=False)
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (
         a.join(
@@ -1223,7 +1223,10 @@ def mm5_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tranquility_spark.operators.text import pack_sequences, token_count
 
     docs = _t(spark, sf_dir, "documents")
-    nb = F.octet_length("text")
+    # cast BEFORE the *7: Spark's octet_length is 32-bit and a >300 MB
+    # document would wrap the product (DuckDB's is BIGINT — silent
+    # cross-engine divergence exactly at scale; code-review r07)
+    nb = F.octet_length("text").cast("long")
     has_img = F.col("doc_id") % 4 == 0
     vis = F.when(
         has_img,
@@ -1293,8 +1296,11 @@ def samp7_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tranquility_spark.operators.partitioning import portable_shard
 
     docs = _t(spark, sf_dir, "documents")
-    scored = tx.quality_features(docs).select("doc_id", "quality_score")
-    j = docs.select("doc_id", "lang").join(scored, "doc_id")
+    # lang passes through the score projection: one corpus scan, no
+    # join-back on doc_id (code-review r07)
+    j = tx.quality_features(docs, passthrough=("lang",)).select(
+        "doc_id", "lang", "quality_score"
+    )
     w = Window.partitionBy("lang").orderBy(
         F.col("quality_score").desc(), F.col("doc_id")
     )

@@ -287,6 +287,15 @@ def sbbf_probe(
     and a huge one joins shuffle-side — exchange-free on the filter side when
     the block table is persisted bucketed on block_idx. Each probe row reads
     exactly one block and evaluates 8 inline mask terms.
+
+    Contract (same as ``bloom_probe``): ``blocks`` must have UNIQUE
+    block_idx — the output of ``sbbf_blocks`` / ``sbbf_merge`` /
+    ``sbbf_merge_read``. Probing a raw multi-partial append (un-merged)
+    joins each probe row once per duplicate block row: duplicated output
+    rows AND spurious in_sbbf=0 copies for genuinely inserted keys (a
+    batch-1 key matched against batch 2's partial). Unlike bloom_probe's
+    map build this misuse does NOT fail loudly — merge first; the merge
+    agg is bounded and cheap.
     """
     key = F.col(key_col)
     block, masks = _sbbf_lane_cols(key, n_blocks, hash_fn)

@@ -249,6 +249,13 @@ def _estimate_and_filter(cand: DataFrame, num_hashes: int, threshold: float) -> 
 # wasted (and immediately self-killing) join probe, never a wrong answer.
 GATE_M_BITS = 1 << 20
 
+# SBBF gate sizing: ONE constant shared by index_bucket_sbbf and
+# gate_probe_sbbf so build and probe cannot drift apart (the _bucket_key
+# lockstep rule applies to the block count too — a probe against a
+# differently-sized build hashes into the wrong block and silently drops
+# genuine near-dup pairs)
+GATE_N_BLOCKS = 4096
+
 
 def index_bucket_bloom(
     index_df: DataFrame, m_bits: int = GATE_M_BITS, k: int = 5
@@ -311,7 +318,7 @@ def gate_probe(
 
 
 def index_bucket_sbbf(
-    index_df: DataFrame, n_blocks: int = 4096
+    index_df: DataFrame, n_blocks: int = GATE_N_BLOCKS
 ) -> DataFrame:
     """Split-block variant of ``index_bucket_bloom`` — the gate PAST the
     broadcast-fit bound its docstring states (~1e9 buckets): the same
@@ -329,7 +336,7 @@ def index_bucket_sbbf(
 def gate_probe_sbbf(
     banded_df: DataFrame,
     gate_blocks: DataFrame,
-    n_blocks: int = 4096,
+    n_blocks: int = GATE_N_BLOCKS,
     out_col: str = "__in_gate",
 ) -> DataFrame:
     """Probe a banded frame against an ``index_bucket_sbbf`` block table.

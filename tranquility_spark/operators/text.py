@@ -73,8 +73,19 @@ def word_token_count(text: Column) -> Column:
     return F.regexp_count(F.lower(text), F.lit("[a-z]+|[0-9]+"))
 
 
-def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Quality-scoring features + a composite score in [0, 1]."""
+def quality_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: tuple = (),
+) -> DataFrame:
+    """Quality-scoring features + a composite score in [0, 1].
+
+    ``passthrough`` names extra input columns to carry into the output
+    unchanged (a consumer needing e.g. ``lang`` alongside the score should
+    pass it here rather than re-scanning the corpus and joining back on
+    the id — code-review r07).
+    """
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = token_count(t)
@@ -85,6 +96,7 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     score = F.round(F.lit(0.5) * length_score + F.lit(0.5) * F.least(stop_ratio * 5, F.lit(1.0)), 6)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         n_chars.alias("n_chars_measured"),
         n_tokens.cast("bigint").alias("n_tokens"),
         F.round(avg_token_len, 6).alias("avg_token_len"),
