@@ -114,6 +114,7 @@ HEADLINE = [
     "samp7_curriculum_schedule",
     "mm5_interleaved_packing",
     "dq14_scan_keyset",
+    "dq15_rolling_active_users",
 ]
 
 
