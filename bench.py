@@ -115,6 +115,7 @@ HEADLINE = [
     "mm5_interleaved_packing",
     "dq14_scan_keyset",
     "dq15_rolling_active_users",
+    "dd14_duplicate_passages",
 ]
 
 

@@ -491,6 +491,31 @@ def test_sbbf_agrees_with_exact_membership_on_catalog_fixture(spark, sf_dir):
     assert all(r.in_corpus == 0 for r in rows if r.in_sbbf == 0)
 
 
+def test_dd14_detects_misaligned_shared_passage(spark, tmp_path):
+    """The content-defined-anchor claim: a 30-token passage shared by two
+    documents at DIFFERENT offsets (delta not a multiple of any stride) is
+    still detected, because window selection depends on window content,
+    not position. Documents without a 12-token shared run produce no
+    pair."""
+    from tranquility_spark.catalog import CATALOG
+
+    passage = " ".join(f"shared{i:02d}" for i in range(30))
+    docs = [
+        (1, "alpha beta gamma " + passage + " tail1 tail2", "en", "s", 0),
+        (2, " ".join(f"pre{i}" for i in range(8)) + " " + passage, "en", "s", 0),
+        (3, " ".join(f"other{i}" for i in range(40)), "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/documents.parquet")
+
+    rows = CATALOG["dd14_duplicate_passages"].fn(spark, d).collect()
+    assert rows, "misaligned shared passage was not detected"
+    assert all(r.n_docs == 2 and r.first_doc == 1 for r in rows), rows
+
+
 def test_sbbf_gate_equals_classic_gate_and_ungated(spark, sf_dir):
     """The beyond-broadcast gate variant: filtering a new batch's banded
     rows through the SBBF bucket gate must keep every row whose bucket

@@ -376,6 +376,86 @@ def dd10_bloom_gated_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DD14_K = 12  # window length (tokens)
+
+
+@register(
+    "dd14_duplicate_passages",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents),
+    wins AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(ws) - {_DD14_K - 1}, 0) + 1),
+               i -> md5(array_to_string(ws[i:i+{_DD14_K - 1}], ' ')))) AS whash
+      FROM toks WHERE len(ws) >= {_DD14_K}),
+    anchored AS (
+      SELECT * FROM wins WHERE substr(whash, 1, 1) IN ('0', '4', '8', 'c'))
+    SELECT whash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           min(doc_id) AS first_doc
+    FROM anchored
+    GROUP BY whash
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+    doc="Cross-document duplicated-PASSAGE detection (the exact-substring "
+    "dedup of Lee et al. 2022, 'Deduplicating Training Data Makes "
+    "Language Models Better' — repeated licenses/boilerplate/memorized "
+    "spans that whole-document similarity (dd2/dd4) cannot see because "
+    "the surrounding documents differ): every 12-token window of every "
+    "document is hashed (stride 1 — all alignments), then CONTENT-"
+    "DEFINED anchor sampling keeps the 1/4 of windows whose md5 leads "
+    "with 0/4/8/c — selection depends on window CONTENT, not offset, so "
+    "two copies of a passage keep IDENTICAL windows regardless of where "
+    "the passage starts in each document (the winnowing/CDC idea; "
+    "fixed-stride sampling would miss copies whose offsets differ mod "
+    "stride). A shared passage of L tokens is detected unless none of "
+    "its L-11 windows anchor: miss probability (3/4)^(L-11), <0.5% at "
+    "L=30. Map side computes |tokens| hashes in one narrow projection; "
+    "ONLY the anchored quarter enters the shuffle, and the groupBy "
+    "map-side-combines — at open-web scale raise the anchor modulus "
+    "and/or add txt11's frequency-floor pre-pass for the boilerplate "
+    "head. Output: one row per cross-document passage (n_docs > 1) "
+    "with occurrence counts and the earliest carrier — hash-certified",
+)
+def dd14_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _DD14_K
+    docs = _t(spark, sf_dir, "documents")
+
+    def windows(text):
+        def build(toks):
+            n = F.size(toks)
+            return F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+            )
+
+        # let-bind the token array (the _word_shingles lesson: referencing
+        # split() inside the window lambda re-evaluates it per window)
+        return F.element_at(
+            F.transform(F.array(F.split(F.trim(text), r"\s+")), build), 1
+        )
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    wins = (
+        docs.filter(F.size(toks) >= k)
+        .select("doc_id", F.explode(windows(F.col("text"))).alias("whash"))
+        .filter(F.substring("whash", 1, 1).isin("0", "4", "8", "c"))
+    )
+    return (
+        wins.groupBy("whash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def _sbbf_oracle_sql() -> str:
     from tranquility_spark.operators.bloom import (
         sbbf_block_sql,
