@@ -116,6 +116,7 @@ HEADLINE = [
     "dq14_scan_keyset",
     "dq15_rolling_active_users",
     "dd14_duplicate_passages",
+    "dd15_duplication_density",
 ]
 
 

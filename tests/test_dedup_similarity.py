@@ -516,6 +516,23 @@ def test_dd14_detects_misaligned_shared_passage(spark, tmp_path):
     assert all(r.n_docs == 2 and r.first_doc == 1 for r in rows), rows
 
 
+def test_dd15_density_reconciles_with_dd14_passages(spark, sf_dir):
+    """Σ n_dup across documents must equal Σ n_occurrences across dd14's
+    cross-document passages (both count anchored occurrences of the same
+    duplicated-hash set), densities live in [0, 1], and the planted exact
+    duplicates surface as density-1.0 documents."""
+    from tranquility_spark.catalog import CATALOG
+
+    density = CATALOG["dd15_duplication_density"].fn(spark, sf_dir).collect()
+    passages = CATALOG["dd14_duplicate_passages"].fn(spark, sf_dir).collect()
+    assert density and passages
+    assert sum(r.n_dup for r in density) == sum(
+        r.n_occurrences for r in passages
+    )
+    assert all(0.0 <= r.dup_density <= 1.0 for r in density)
+    assert any(r.dup_density == 1.0 for r in density)
+
+
 def test_sbbf_gate_equals_classic_gate_and_ungated(spark, sf_dir):
     """The beyond-broadcast gate variant: filtering a new batch's banded
     rows through the SBBF bucket gate must keep every row whose bucket

@@ -456,6 +456,91 @@ def dd14_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dd15_duplication_density",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents),
+    wins AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(ws) - {_DD14_K - 1}, 0) + 1),
+               i -> md5(array_to_string(ws[i:i+{_DD14_K - 1}], ' ')))) AS whash
+      FROM toks WHERE len(ws) >= {_DD14_K}),
+    anchored AS (
+      SELECT * FROM wins WHERE substr(whash, 1, 1) IN ('0', '4', '8', 'c')),
+    dup_hashes AS (
+      SELECT whash FROM anchored GROUP BY whash
+      HAVING count(DISTINCT doc_id) > 1)
+    SELECT a.doc_id,
+           CAST(count(*) AS BIGINT) AS n_anchored,
+           CAST(sum(CASE WHEN d.whash IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup,
+           round(sum(CASE WHEN d.whash IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS dup_density
+    FROM anchored a LEFT JOIN dup_hashes d USING (whash)
+    GROUP BY a.doc_id
+    """,
+    doc="Per-DOCUMENT duplication density — the doc-level filter signal "
+    "built on dd14's passage detection (the RefinedWeb/C4 'how much of "
+    "this page is boilerplate someone else also has' gate): for each "
+    "document, the fraction of its content-defined anchored windows "
+    "whose hash also appears in ANOTHER document. Near-1.0 means the "
+    "doc is substantially a copy (license pages, mirrored articles); "
+    "mid-range flags template-heavy pages worth a closer look; quality "
+    "stacks threshold on it like txt2/txt13. Same scan shape as dd14 "
+    "(|tokens| hashes map-side, anchored quarter shuffles) plus one "
+    "map-combined groupBy per doc and a join against the cross-doc "
+    "hash set, which is bounded by the DUPLICATED subset, not the "
+    "corpus. Docs with no anchored window (< ~16 tokens) emit no row — "
+    "no density is defined for them. Hash-certified end-to-end",
+)
+def dd15_duplication_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _DD14_K
+    docs = _t(spark, sf_dir, "documents")
+
+    def windows(text):
+        def build(toks):
+            n = F.size(toks)
+            return F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+            )
+
+        return F.element_at(
+            F.transform(F.array(F.split(F.trim(text), r"\s+")), build), 1
+        )
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    wins = (
+        docs.filter(F.size(toks) >= k)
+        .select("doc_id", F.explode(windows(F.col("text"))).alias("whash"))
+        .filter(F.substring("whash", 1, 1).isin("0", "4", "8", "c"))
+    )
+    # two consumers (dup-hash build + the density join): materialize the
+    # anchored windows once instead of re-hashing the corpus per branch
+    wins = wins.localCheckpoint(eager=False)
+    dup_hashes = (
+        wins.groupBy("whash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("whash", F.lit(1).alias("__dup"))
+    )
+    return (
+        wins.join(dup_hashes, "whash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_anchored"),
+            F.sum(F.coalesce("__dup", F.lit(0))).cast("long").alias("n_dup"),
+        )
+        .withColumn(
+            "dup_density",
+            F.round(F.col("n_dup") / F.col("n_anchored"), 6),
+        )
+    )
+
+
 def _sbbf_oracle_sql() -> str:
     from tranquility_spark.operators.bloom import (
         sbbf_block_sql,
