@@ -117,6 +117,7 @@ HEADLINE = [
     "dq15_rolling_active_users",
     "dd14_duplicate_passages",
     "dd15_duplication_density",
+    "samp8_token_budget_select",
 ]
 
 

@@ -150,6 +150,44 @@ def test_mm5_vision_cost_and_bin_start_invariant(spark, sf_dir):
     assert saw_multi_bin  # the fixture actually exercises bin rollover
 
 
+def test_samp8_budget_select_is_the_greedy_prefix(spark, sf_dir):
+    """Replaying the greedy rule in Python from the scored corpus must
+    reproduce samp8's admitted set exactly: per language, docs in
+    (quality desc, doc_id) order are admitted while the budget is not yet
+    exhausted, the straddling doc is kept, and everything after is
+    rejected. Every language must exercise BOTH outcomes."""
+    import collections
+
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.operators.text import quality_features
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_features(docs, passthrough=("lang",)).select(
+        "doc_id", "lang", "n_tokens", "quality_score"
+    ).collect()
+    bylang = collections.defaultdict(list)
+    for r in scored:
+        bylang[r.lang].append(r)
+    expect = set()
+    for lang, rs in bylang.items():
+        rs.sort(key=lambda r: (-r.quality_score, r.doc_id))
+        cum = 0
+        admitted_all = True
+        for r in rs:
+            if cum < 3000:
+                expect.add(r.doc_id)
+            else:
+                admitted_all = False
+            cum += r.n_tokens
+        assert not admitted_all, f"{lang}: budget never bound"
+    got = {
+        r.doc_id
+        for r in CATALOG["samp8_token_budget_select"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
 def test_samp7_curriculum_bands_quality_monotone_and_balanced(spark, sf_dir):
     """Within each language: epoch bands are nondecreasing as quality
     falls (a higher-scored doc never enters LATER than a lower-scored

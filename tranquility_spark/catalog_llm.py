@@ -1484,6 +1484,74 @@ def samp7_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SAMP8_BUDGET = 3000  # tokens per language
+
+
+def _samp8_oracle_sql() -> str:
+    return f"""
+    WITH scored AS ({_TXT2_ORACLE}),
+    ranked AS (
+      SELECT d.doc_id, d.lang, s.n_tokens, s.quality_score,
+             sum(s.n_tokens) OVER (
+               PARTITION BY d.lang
+               ORDER BY s.quality_score DESC, d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_tokens
+      FROM documents d JOIN scored s USING (doc_id))
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           quality_score,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked
+    WHERE cum_tokens - n_tokens < {_SAMP8_BUDGET}
+    """
+
+
+@register(
+    "samp8_token_budget_select",
+    _samp8_oracle_sql(),
+    doc="Token-budget data selection: given a per-language token budget, "
+    "admit documents best-quality-first until the budget is spent — the "
+    "assembly step that turns scored corpora into a FIXED-SIZE training "
+    "mix (the knapsack relaxation every data team actually ships: "
+    "greedy by quality density is optimal here because admission is "
+    "all-or-nothing per doc and the ordering ignores size). Composes "
+    "certified pieces end-to-end in ONE corpus scan: txt2's quality "
+    "score (lang passes through the projection), a per-lang running "
+    "token sum over (score desc, doc_id) order, and the pack1 "
+    "start-within-budget rule (a doc is admitted iff the budget was "
+    "not exhausted BEFORE it — deterministic, and the one doc that "
+    "straddles the boundary is kept, matching pack1's bin semantics). "
+    "The window shuffles once on lang; the samp6 two-phase salted "
+    "rank is the open-web swap. The fixture budget (3000 tokens) "
+    "truncates EVERY language at both SFs, so admitted and rejected "
+    "paths are both exercised and the whole selection is "
+    "hash-certified",
+)
+def samp8_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = tx.quality_features(docs, passthrough=("lang",)).select(
+        "doc_id", "lang", "n_tokens", "quality_score"
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return ranked.filter(
+        F.col("cum_tokens") - F.col("n_tokens") < _SAMP8_BUDGET
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality_score",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
 @register(
     "txt13_lexical_diversity",
     """
