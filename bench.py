@@ -118,6 +118,7 @@ HEADLINE = [
     "dd14_duplicate_passages",
     "dd15_duplication_density",
     "samp8_token_budget_select",
+    "emb8_spike_outliers",
 ]
 
 

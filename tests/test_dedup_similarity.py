@@ -516,6 +516,30 @@ def test_dd14_detects_misaligned_shared_passage(spark, tmp_path):
     assert all(r.n_docs == 2 and r.first_doc == 1 for r in rows), rows
 
 
+def test_emb8_spike_outlier_tails_exercised(spark, sf_dir):
+    """~1% of vectors must land in each tail (the thresholds are the
+    corpus's own percentiles), no vector is both tails, every non-flagged
+    spike lies inside [p01, p99] — and a planted one-hot vector is the
+    most extreme high outlier by construction."""
+    from tranquility_spark.catalog import CATALOG
+
+    rows = CATALOG["emb8_spike_outliers"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    lows = [r for r in rows if r.is_low]
+    highs = [r for r in rows if r.is_high]
+    assert 0 < len(lows) <= max(2, 0.02 * n)
+    assert 0 < len(highs) <= max(2, 0.02 * n)
+    assert not any(r.is_low and r.is_high for r in rows)
+    assert all(
+        r.p01 <= r.spike <= r.p99
+        for r in rows
+        if not (r.is_low or r.is_high)
+    )
+    # a one-hot (collapsed) vector has spike exactly 1.0 — the failure
+    # mode the gate exists for sits above every genuine vector
+    assert max(r.spike for r in rows) < 1.0
+
+
 def test_dd15_density_reconciles_with_dd14_passages(spark, sf_dir):
     """Σ n_dup across documents must equal Σ n_occurrences across dd14's
     cross-document passages (both count anchored occurrences of the same

@@ -2341,6 +2341,69 @@ def emb1_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb8_spike_outliers",
+    """
+    WITH ratios AS (
+      SELECT vec_id,
+             round(list_aggregate(
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> abs(x)), 'max')
+                   / sqrt(list_aggregate(
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x), 'sum')), 6) AS spike
+      FROM embeddings),
+    th AS (
+      SELECT round(quantile_cont(spike, 0.01), 6) AS p01,
+             round(quantile_cont(spike, 0.99), 6) AS p99
+      FROM ratios)
+    SELECT r.vec_id, r.spike, th.p01, th.p99,
+           CAST(CASE WHEN r.spike < th.p01 THEN 1 ELSE 0 END AS BIGINT)
+               AS is_low,
+           CAST(CASE WHEN r.spike > th.p99 THEN 1 ELSE 0 END AS BIGINT)
+               AS is_high
+    FROM ratios r CROSS JOIN th
+    """,
+    doc="Embedding spike-ratio outlier audit — the vector-corpus health "
+    "gate before indexing: spike = max|x_i| / l2_norm measures how much "
+    "one dimension dominates the vector. A near-1 spike is a one-hot-"
+    "like collapsed embedding (a classic encoder failure mode that "
+    "poisons centroid builds and ANN recall); an abnormally LOW spike "
+    "flags implausibly flat vectors. Norm alone cannot see either on a "
+    "normalized corpus — this fixture is fully L2-normalized (norm "
+    "exactly 1.0 for every vector, verified), which is WHY the audited "
+    "quantity is the spike ratio. Each vector's ratio is compared "
+    "against the corpus's own 1st/99th percentiles (a10's certified "
+    "percentile<->quantile_cont equivalence) computed in ONE single-row "
+    "agg broadcast back; comparisons happen on 6-dp-rounded values on "
+    "both sides so boundary decisions are engine-identical. Scale: the "
+    "ratio pass is a narrow shuffle-free projection; the exact global "
+    "percentile is the one sort-shaped cost — at open-web scale swap "
+    "in percentile_approx or a10c's bottom-k mergeable partials (the "
+    "exact twin stays the certification anchor). Hash-certified "
+    "end-to-end including where the ~1% tails land",
+)
+def emb8_spike_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.similarity import _as_double, norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    spike = F.array_max(F.transform(v, lambda x: F.abs(x))) / norm(v)
+    ratios = e.select("vec_id", F.round(spike, 6).alias("spike"))
+    th = ratios.agg(
+        F.round(F.percentile("spike", 0.01), 6).alias("p01"),
+        F.round(F.percentile("spike", 0.99), 6).alias("p99"),
+    )
+    return ratios.crossJoin(F.broadcast(th)).select(
+        "vec_id",
+        "spike",
+        "p01",
+        "p99",
+        (F.col("spike") < F.col("p01")).cast("long").alias("is_low"),
+        (F.col("spike") > F.col("p99")).cast("long").alias("is_high"),
+    )
+
+
+@register(
     "emb2_label_centroids",
     """
     SELECT label, dim,
