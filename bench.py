@@ -119,6 +119,7 @@ HEADLINE = [
     "dd15_duplication_density",
     "samp8_token_budget_select",
     "emb8_spike_outliers",
+    "txt17_domain_reputation",
 ]
 
 

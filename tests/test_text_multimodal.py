@@ -150,6 +150,36 @@ def test_mm5_vision_cost_and_bin_start_invariant(spark, sf_dir):
     assert saw_multi_bin  # the fixture actually exercises bin rollover
 
 
+def test_txt17_domain_reputation_reconciles_and_splits(spark, sf_dir):
+    """Domain rows reconcile with the per-doc signals (Σ n_docs = corpus
+    size, per-domain mean equals the recomputed mean of its docs'
+    scores), and the keep threshold genuinely splits the fixture's
+    domains — both decisions must occur."""
+    import collections
+
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.operators.text import quality_features
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = quality_features(docs, passthrough=("source",)).select(
+        "source", "quality_score"
+    ).collect()
+    rows = {
+        r.source: r
+        for r in CATALOG["txt17_domain_reputation"].fn(spark, sf_dir).collect()
+    }
+    assert sum(r.n_docs for r in rows.values()) == len(per_doc)
+    bysrc = collections.defaultdict(list)
+    for r in per_doc:
+        bysrc[r.source].append(r.quality_score)
+    for src, scores in bysrc.items():
+        assert rows[src].n_docs == len(scores)
+        assert abs(rows[src].avg_quality - sum(scores) / len(scores)) < 1e-6
+    decisions = {r.keep_domain for r in rows.values()}
+    assert decisions == {0, 1}
+
+
 def test_samp8_budget_select_is_the_greedy_prefix(spark, sf_dir):
     """Replaying the greedy rule in Python from the scored corpus must
     reproduce samp8's admitted set exactly: per language, docs in

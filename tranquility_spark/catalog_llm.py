@@ -1484,6 +1484,68 @@ def samp7_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TXT17_THRESHOLD = 0.34
+
+
+def _txt17_oracle_sql() -> str:
+    return f"""
+    WITH scored AS ({_TXT2_ORACLE})
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(s.n_tokens AS BIGINT)) AS BIGINT) AS n_tokens,
+           round(CAST(sum(CAST(s.quality_score AS DECIMAL(28,6)))
+                      AS DOUBLE) / count(*), 6) AS avg_quality,
+           CAST(sum(CASE WHEN s.quality_score < 0.3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low,
+           CAST(CASE WHEN round(CAST(sum(CAST(s.quality_score
+                                             AS DECIMAL(28,6)))
+                                AS DOUBLE) / count(*), 6)
+                          >= {_TXT17_THRESHOLD}
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep_domain
+    FROM documents d JOIN scored s USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@register(
+    "txt17_domain_reputation",
+    _txt17_oracle_sql(),
+    doc="Domain-level reputation table — the artifact behind every "
+    "domain allow/deny list (RefinedWeb, C4, Gopher all gate on "
+    "source-level signals before touching per-doc ones, because a "
+    "domain's reputation amortizes over every future crawl of it): "
+    "per-source doc/token counts, decimal-exact mean quality, "
+    "low-quality share, and the keep/deny decision at a fixed "
+    "threshold that genuinely splits the fixture's sources at both "
+    "SFs. ONE corpus scan (txt2's certified score projection) into one "
+    "map-combined groupBy(source); output is |domains| rows — the "
+    "table a 100 TB pipeline broadcasts back as its first, cheapest "
+    "filter. The mean accumulates 6-dp scores as DECIMAL(28,6) on both "
+    "engines (float sum order would diverge) and the keep flag "
+    "compares the ROUNDED mean so the decision is engine-identical. "
+    "Hash-certified end-to-end",
+)
+def txt17_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = tx.quality_features(docs, passthrough=("source",)).select(
+        "source", "n_tokens", "quality_score"
+    )
+    avg_q = F.round(
+        F.sum(F.col("quality_score").cast("decimal(28,6)")).cast("double")
+        / F.count(F.lit(1)),
+        6,
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        avg_q.alias("avg_quality"),
+        F.sum(F.when(F.col("quality_score") < 0.3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_low"),
+        (avg_q >= _TXT17_THRESHOLD).cast("long").alias("keep_domain"),
+    )
+
+
 _SAMP8_BUDGET = 3000  # tokens per language
 
 
