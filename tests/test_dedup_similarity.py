@@ -519,8 +519,10 @@ def test_dd14_detects_misaligned_shared_passage(spark, tmp_path):
 def test_emb8_spike_outlier_tails_exercised(spark, sf_dir):
     """~1% of vectors must land in each tail (the thresholds are the
     corpus's own percentiles), no vector is both tails, every non-flagged
-    spike lies inside [p01, p99] — and a planted one-hot vector is the
-    most extreme high outlier by construction."""
+    spike lies inside [p01, p99] — and no GENUINE vector reaches spike
+    1.0, the value a one-hot collapsed embedding would have (the fixture
+    contains none; the final assert pins that headroom, it is NOT a
+    missing fixture row)."""
     from tranquility_spark.catalog import CATALOG
 
     rows = CATALOG["emb8_spike_outliers"].fn(spark, sf_dir).collect()

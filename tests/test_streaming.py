@@ -990,7 +990,7 @@ def test_socket_source_network_ingest_e2e(spark, tmp_path):
         with conn:
             data = "".join(json.dumps(e) + "\n" for e in payload)
             conn.sendall(data.encode())
-            stop.wait(60)  # keep the connection open until the test ends
+            stop.wait(180)  # outlive the 120 s poll deadline below
 
     t = threading.Thread(target=serve, daemon=True)
     t.start()

@@ -189,6 +189,7 @@ def test_samp8_budget_select_is_the_greedy_prefix(spark, sf_dir):
     import collections
 
     from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.catalog_llm import _SAMP8_BUDGET
     from tranquility_spark.operators.text import quality_features
     from tranquility_spark.sources.files import load_table
 
@@ -205,7 +206,7 @@ def test_samp8_budget_select_is_the_greedy_prefix(spark, sf_dir):
         cum = 0
         admitted_all = True
         for r in rs:
-            if cum < 3000:
+            if cum < _SAMP8_BUDGET:
                 expect.add(r.doc_id)
             else:
                 admitted_all = False

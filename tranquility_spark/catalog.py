@@ -805,14 +805,21 @@ def dq14_scan_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     activity AS (
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS aday FROM events
+    ),
+    agg AS (
+        SELECT s.day,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau,
+               CAST(count(*) AS BIGINT) AS active_user_days
+        FROM spine s
+        JOIN activity a
+          ON a.aday BETWEEN s.day - INTERVAL 6 DAY AND s.day
+        GROUP BY s.day
     )
     SELECT s.day,
-           CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau,
-           CAST(count(*) AS BIGINT) AS active_user_days
-    FROM spine s
-    JOIN activity a
-      ON a.aday BETWEEN s.day - INTERVAL 6 DAY AND s.day
-    GROUP BY s.day
+           CAST(coalesce(a.wau, 0) AS BIGINT) AS wau,
+           CAST(coalesce(a.active_user_days, 0) AS BIGINT)
+               AS active_user_days
+    FROM spine s LEFT JOIN agg a USING (day)
     """,
     doc="Rolling 7-day distinct active users (the WAU timeseries — the "
     "windowed COUNT DISTINCT shape plain window functions cannot "
@@ -823,7 +830,11 @@ def dq14_scan_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
     "it via a range join against the |interval| spine (30 rows, "
     "broadcast), and the final agg counts distinct users per spine day. "
     "Cost: one corpus shuffle for the distinct, then x7 duplication of "
-    "the BOUNDED pair set, never of raw events. This is the exact twin "
+    "the BOUNDED pair set, never of raw events; a dq5b-style zero-fill "
+    "left-join against the spine guarantees the COMPLETE timeseries — "
+    "a day whose window saw no activity emits wau=0, never vanishes "
+    "(the fill join touches only the <=|spine|-row agg result). "
+    "This is the exact twin "
     "of the approximate path at 100 TB: a6c's per-day HLL partials "
     "union-merged over any trailing window (register max = mergeable "
     "where DISTINCT is not); both ship, the exact one is certified. "
@@ -840,7 +851,7 @@ def dq15_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sequence(date'2024-01-01', date'2024-01-30', interval 1 day)")
         ).alias("day")
     )
-    return (
+    agg = (
         F.broadcast(spine)
         .join(
             activity,
@@ -852,6 +863,17 @@ def dq15_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("wau"),
             F.count(F.lit(1)).alias("active_user_days"),
         )
+    )
+    # zero-fill (dq5b shape): a spine day whose trailing window saw no
+    # activity must emit wau=0, not vanish — the output is the COMPLETE
+    # timeseries; this equality left-join touches only the <=|spine|-row
+    # agg result, never the corpus
+    return spine.join(agg, "day", "left").select(
+        "day",
+        F.coalesce("wau", F.lit(0)).cast("long").alias("wau"),
+        F.coalesce("active_user_days", F.lit(0))
+        .cast("long")
+        .alias("active_user_days"),
     )
 
 

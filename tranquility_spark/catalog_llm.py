@@ -378,11 +378,11 @@ def dd10_bloom_gated_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DD14_K = 12  # window length (tokens)
 
-
-@register(
-    "dd14_duplicate_passages",
-    f"""
-    WITH toks AS (
+# ONE definition of the anchored-window construction, shared by dd14 and
+# dd15 in BOTH dialects (code-review r07: the reconciliation between the
+# two entries only holds while the window/anchor definitions stay
+# identical — keep them in one place).
+_DD14_ANCHORED_CTE = f"""toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
       FROM documents),
     wins AS (
@@ -392,7 +392,49 @@ _DD14_K = 12  # window length (tokens)
                i -> md5(array_to_string(ws[i:i+{_DD14_K - 1}], ' ')))) AS whash
       FROM toks WHERE len(ws) >= {_DD14_K}),
     anchored AS (
-      SELECT * FROM wins WHERE substr(whash, 1, 1) IN ('0', '4', '8', 'c'))
+      SELECT * FROM wins WHERE substr(whash, 1, 1) IN ('0', '4', '8', 'c'))"""
+
+
+def _anchored_window_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, whash) for every content-defined-anchored 12-token window.
+
+    Stride-1 windows via element_at concat (not slice() — the
+    _word_shingles lesson: slice allocates a per-window array in the map
+    hot loop); the token array is let-bound so split() evaluates once per
+    row, not once per window.
+    """
+    k = _DD14_K
+
+    def build(toks):
+        n = F.size(toks)
+        return F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                )
+            ),
+        )
+
+    windows = F.element_at(
+        F.transform(
+            F.array(F.split(F.trim(F.col("text")), r"\s+")), build
+        ),
+        1,
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        docs.filter(F.size(toks) >= k)
+        .select("doc_id", F.explode(windows).alias("whash"))
+        .filter(F.substring("whash", 1, 1).isin("0", "4", "8", "c"))
+    )
+
+
+
+@register(
+    "dd14_duplicate_passages",
+    f"""
+    WITH {_DD14_ANCHORED_CTE}
     SELECT whash,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(count(*) AS BIGINT) AS n_occurrences,
@@ -422,29 +464,7 @@ _DD14_K = 12  # window length (tokens)
     "with occurrence counts and the earliest carrier — hash-certified",
 )
 def dd14_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    k = _DD14_K
-    docs = _t(spark, sf_dir, "documents")
-
-    def windows(text):
-        def build(toks):
-            n = F.size(toks)
-            return F.transform(
-                F.sequence(F.lit(1), n - F.lit(k - 1)),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
-            )
-
-        # let-bind the token array (the _word_shingles lesson: referencing
-        # split() inside the window lambda re-evaluates it per window)
-        return F.element_at(
-            F.transform(F.array(F.split(F.trim(text), r"\s+")), build), 1
-        )
-
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    wins = (
-        docs.filter(F.size(toks) >= k)
-        .select("doc_id", F.explode(windows(F.col("text"))).alias("whash"))
-        .filter(F.substring("whash", 1, 1).isin("0", "4", "8", "c"))
-    )
+    wins = _anchored_window_hashes(_t(spark, sf_dir, "documents"))
     return (
         wins.groupBy("whash")
         .agg(
@@ -459,17 +479,7 @@ def dd14_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dd15_duplication_density",
     f"""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
-      FROM documents),
-    wins AS (
-      SELECT doc_id,
-             unnest(list_transform(
-               range(1, greatest(len(ws) - {_DD14_K - 1}, 0) + 1),
-               i -> md5(array_to_string(ws[i:i+{_DD14_K - 1}], ' ')))) AS whash
-      FROM toks WHERE len(ws) >= {_DD14_K}),
-    anchored AS (
-      SELECT * FROM wins WHERE substr(whash, 1, 1) IN ('0', '4', '8', 'c')),
+    WITH {_DD14_ANCHORED_CTE},
     dup_hashes AS (
       SELECT whash FROM anchored GROUP BY whash
       HAVING count(DISTINCT doc_id) > 1)
@@ -497,27 +507,7 @@ def dd14_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no density is defined for them. Hash-certified end-to-end",
 )
 def dd15_duplication_density(spark: SparkSession, sf_dir: str) -> DataFrame:
-    k = _DD14_K
-    docs = _t(spark, sf_dir, "documents")
-
-    def windows(text):
-        def build(toks):
-            n = F.size(toks)
-            return F.transform(
-                F.sequence(F.lit(1), n - F.lit(k - 1)),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
-            )
-
-        return F.element_at(
-            F.transform(F.array(F.split(F.trim(text), r"\s+")), build), 1
-        )
-
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    wins = (
-        docs.filter(F.size(toks) >= k)
-        .select("doc_id", F.explode(windows(F.col("text"))).alias("whash"))
-        .filter(F.substring("whash", 1, 1).isin("0", "4", "8", "c"))
-    )
+    wins = _anchored_window_hashes(_t(spark, sf_dir, "documents"))
     # two consumers (dup-hash build + the density join): materialize the
     # anchored windows once instead of re-hashing the corpus per branch
     wins = wins.localCheckpoint(eager=False)
