@@ -120,6 +120,7 @@ HEADLINE = [
     "samp8_token_budget_select",
     "emb8_spike_outliers",
     "txt17_domain_reputation",
+    "f7_ewma_fold",
 ]
 
 

@@ -421,6 +421,72 @@ def test_stream_ewma_state_across_batches(spark, tmp_path):
     assert sum(1 for r in rows if r.user_id == 1) >= 2
 
 
+def test_stream_ewma_equals_batch_catalog_entry(spark, tmp_path):
+    """The f7 catalog entry and the stateful streaming operator implement
+    the SAME recurrence: streaming the events in two micro-batches and
+    taking each key's final state must equal the batch fold entry run
+    over an events table holding the identical rows (timestamps unique
+    per user — the streaming pandas fold has no tie-break)."""
+    import datetime as dt
+
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.streaming.stateful import stream_ewma
+
+    events = [
+        (1, dt.datetime(2024, 6, 1, 10, 0, 0), 1, 10.0),
+        (2, dt.datetime(2024, 6, 1, 10, 1, 0), 1, 20.0),
+        (3, dt.datetime(2024, 6, 1, 10, 0, 30), 2, 5.0),
+        (4, dt.datetime(2024, 6, 1, 10, 2, 0), 1, 40.0),
+        (5, dt.datetime(2024, 6, 1, 10, 3, 0), 2, 7.5),
+    ]
+    df = spark.createDataFrame(
+        [(eid, ts, "view", uid, v, "{}") for eid, ts, uid, v in events],
+        "event_id long, ts timestamp, event_type string, user_id long, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+    batch = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in CATALOG["f7_ewma_fold"].fn(spark, d).collect()
+    }
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for fname, sl in (("a.json", events[:3]), ("b.json", events[3:])):
+        with open(src / fname, "w") as f:
+            for _, ts, uid, v in sl:
+                f.write(
+                    json.dumps(
+                        {"ts": ts.isoformat(), "user_id": uid, "value": v}
+                    )
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.schema("ts string, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        stream_ewma(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_vs_batch")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    last = {}
+    for r in spark.sql("SELECT * FROM ewma_vs_batch").collect():
+        last[r.user_id] = (r.n_events, r.ewma)
+    assert set(last) == set(batch)
+    for uid in batch:
+        assert last[uid][0] == batch[uid][0]
+        assert abs(last[uid][1] - batch[uid][1]) < 1e-6  # entry rounds to 6dp
+
+
 def test_streaming_checkpoint_restart_no_duplicates(spark, tmp_path):
     """Restart from the same checkpoint: new data processed, old not re-emitted.
 

@@ -667,6 +667,62 @@ def f6_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "f7_ewma_fold",
+    """
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           round(list_reduce(vals, (acc, x) -> 0.5 * x + 0.5 * acc), 6)
+               AS ewma
+    FROM (SELECT user_id,
+                 list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+          FROM events GROUP BY user_id)
+    """,
+    doc="Per-user exponentially-weighted moving average as a BATCH "
+    "aggregation — the batch twin of streaming/stateful.py#stream_ewma "
+    "(applyInPandasWithState), the one aggregation family the rest of "
+    "the catalog cannot express because the update is order-dependent "
+    "and non-decomposable (not frame-mergeable, not a window agg). Per "
+    "user: events sort by (ts, event_id) — the deterministic tie-break "
+    "the streaming pandas fold lacks on equal timestamps — and fold "
+    "y_1 = x_1, y_t = 0.5*x_t + 0.5*y_{t-1}, the streaming operator's "
+    "exact recurrence (alpha pinned to its 0.5). The double fold runs "
+    "the IDENTICAL operation sequence in both engines (Spark aggregate "
+    "lambda == DuckDB list_reduce, init = first element), so the "
+    "result is bit-reproducible cross-engine before the 6-dp round. "
+    "Scale: one shuffle on user_id; each user's history must fit a row "
+    "(the same bound any per-key sessionization has — histories beyond "
+    "that belong to the streaming operator, whose state is O(1) per "
+    "key). Streaming==batch equality asserted in test_streaming.py. "
+    "Hash-certified end-to-end",
+)
+def f7_ewma_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    lst = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.col("value").cast("double").alias("value"),
+            )
+        )
+    )
+    grouped = ev.groupBy("user_id").agg(lst.alias("evs"))
+    vals = F.transform(F.col("evs"), lambda s: s.getField("value"))
+    ewma = F.aggregate(
+        vals,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            F.lit(0.5) * x + F.lit(0.5) * acc
+        ),
+    )
+    return grouped.select(
+        "user_id",
+        F.size("evs").cast("long").alias("n_events"),
+        F.round(ewma, 6).alias("ewma"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Wider TPC-H-shaped coverage (q4/q7/q10/q12/q14/q18/q19 shapes, adapted to
 # the trimmed testdata schemas — no l_shipmode/l_commitdate/o_shippriority)
