@@ -121,6 +121,7 @@ HEADLINE = [
     "emb8_spike_outliers",
     "txt17_domain_reputation",
     "f7_ewma_fold",
+    "pipe6_dataset_manifest",
 ]
 
 

@@ -150,6 +150,34 @@ def test_mm5_vision_cost_and_bin_start_invariant(spark, sf_dir):
     assert saw_multi_bin  # the fixture actually exercises bin rollover
 
 
+def test_pipe6_manifest_reconciles_with_samp8_and_packs_correctly(spark, sf_dir):
+    """The manifest's admitted set must equal samp8's exactly (same
+    budget rule), every shard's positions must be contiguous 1..n in
+    ord_key order, and replaying each shard's running token sum must
+    reproduce bin_id (pack1's start-within-budget rule)."""
+    import collections
+
+    from tranquility_spark.catalog import CATALOG
+
+    manifest = CATALOG["pipe6_dataset_manifest"].fn(spark, sf_dir).collect()
+    samp8 = {
+        r.doc_id
+        for r in CATALOG["samp8_token_budget_select"].fn(spark, sf_dir).collect()
+    }
+    assert {r.doc_id for r in manifest} == samp8
+    byshard = collections.defaultdict(list)
+    for r in manifest:
+        byshard[r.shard].append(r)
+    assert len(byshard) > 1
+    for rs in byshard.values():
+        rs.sort(key=lambda r: r.pos)
+        assert [r.pos for r in rs] == list(range(1, len(rs) + 1))
+        cum = 0
+        for r in rs:
+            assert r.bin_id == cum // 4096, r
+            cum += r.n_tokens
+
+
 def test_txt17_domain_reputation_reconciles_and_splits(spark, sf_dir):
     """Domain rows reconcile with the per-doc signals (Σ n_docs = corpus
     size, per-domain mean equals the recomputed mean of its docs'

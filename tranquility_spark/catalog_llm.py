@@ -1604,6 +1604,108 @@ def samp8_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIPE6_SHARDS = 8
+_PIPE6_CTX = 4096
+_PIPE6_SEED = 31
+
+
+def _pipe6_oracle_sql() -> str:
+    ord_key = portable_shard_sql(f"doc_id + {_PIPE6_SEED}", 1000003)
+    return f"""
+    WITH scored AS ({_TXT2_ORACLE}),
+    ranked AS (
+      SELECT d.doc_id, d.lang, s.n_tokens, s.quality_score,
+             sum(s.n_tokens) OVER (
+               PARTITION BY d.lang
+               ORDER BY s.quality_score DESC, d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_tokens
+      FROM documents d JOIN scored s USING (doc_id)),
+    admitted AS (
+      SELECT doc_id, lang, n_tokens,
+             {ord_key} AS ord_key
+      FROM ranked WHERE cum_tokens - n_tokens < {_SAMP8_BUDGET}),
+    sharded AS (
+      SELECT doc_id, lang, n_tokens, ord_key,
+             CAST(ord_key % {_PIPE6_SHARDS} AS BIGINT) AS shard
+      FROM admitted)
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           shard,
+           CAST(row_number() OVER w AS BIGINT) AS pos,
+           CAST(floor((sum(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) - n_tokens)
+                      / {_PIPE6_CTX}.0) AS BIGINT) AS bin_id
+    FROM sharded
+    WINDOW w AS (PARTITION BY shard ORDER BY ord_key, doc_id)
+    """
+
+
+@register(
+    "pipe6_dataset_manifest",
+    _pipe6_oracle_sql(),
+    doc="END-TO-END dataset-assembly manifest — the artifact a training "
+    "job actually reads: compose the certified selection, ordering, and "
+    "packing stages into one plan. Stage 1 admits documents best-"
+    "quality-first under samp8's per-language token budget; stage 2 "
+    "assigns each admitted doc a seeded portable-hash order key and "
+    "shard (shuf1's reproducible permutation — retry-stable where "
+    "rand() is not); stage 3 packs each shard's deterministic order "
+    "into 4096-token training bins with pack1's start-within-budget "
+    "rule. Output: (doc_id, lang, n_tokens, shard, pos, bin_id) — the "
+    "complete read plan for one epoch. ONE corpus scan feeds the "
+    "selection window (lang-partitioned), then the bounded admitted "
+    "set alone pays the shard window — the corpus is never re-scanned "
+    "or re-shuffled after admission, and at open-web scale only the "
+    "admitted fraction moves. Every stage is individually certified "
+    "(samp8/shuf1/pack1); this entry hash-certifies their COMPOSITION, "
+    "and a test reconciles the admitted set with samp8 exactly",
+)
+def pipe6_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from tranquility_spark.operators.partitioning import portable_shard
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = tx.quality_features(docs, passthrough=("lang",)).select(
+        "doc_id", "lang", "n_tokens", "quality_score"
+    )
+    sel_w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    admitted = (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(sel_w))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < _SAMP8_BUDGET)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            portable_shard(F.col("doc_id") + _PIPE6_SEED, 1000003).alias(
+                "ord_key"
+            ),
+        )
+        .withColumn(
+            "shard", (F.col("ord_key") % _PIPE6_SHARDS).cast("long")
+        )
+    )
+    shard_w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    cum = F.sum("n_tokens").over(
+        shard_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return admitted.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "shard",
+        F.row_number().over(shard_w).cast("long").alias("pos"),
+        F.floor((cum - F.col("n_tokens")) / _PIPE6_CTX)
+        .cast("long")
+        .alias("bin_id"),
+    )
+
+
 @register(
     "txt13_lexical_diversity",
     """
