@@ -122,6 +122,7 @@ HEADLINE = [
     "txt17_domain_reputation",
     "f7_ewma_fold",
     "pipe6_dataset_manifest",
+    "w7_rolling_zscore",
 ]
 
 

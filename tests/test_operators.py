@@ -497,6 +497,61 @@ def test_dq12_plan_single_corpus_shuffle(spark, sf_dir):
     assert "partial_count" in plan and "partial_sum" in plan  # map-side combine
 
 
+def test_w7_zscore_baseline_excludes_current_and_min_history(spark, tmp_path):
+    """Hand-built sequence: a user emits 10 identical values then one
+    spike. The spike's baseline is the 10 PRIOR values only (variance 0 →
+    unscoreable, z null — the current value must NOT contaminate its own
+    baseline, which would make variance positive); a second user with
+    varied history scores the spike correctly against numpy-computed
+    population moments; rows 1-5 are unscored (min history)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from tranquility_spark.catalog import CATALOG
+
+    rows = []
+    eid = 0
+    # user 1: constant history then a spike
+    for i in range(10):
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 1, 10, i), "view", 1, 50.0, "{}"))
+    eid += 1
+    rows.append((eid, dt.datetime(2024, 1, 1, 11, 0), "view", 1, 500.0, "{}"))
+    # user 2: varied history then a spike
+    vals = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
+    for i, v in enumerate(vals):
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 1, 10, i), "view", 2, v, "{}"))
+    eid += 1
+    spike_id = eid
+    rows.append((eid, dt.datetime(2024, 1, 1, 11, 0), "view", 2, 200.0, "{}"))
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, event_type string, user_id long, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+    out = {
+        r.event_id: r
+        for r in CATALOG["w7_rolling_zscore"].fn(spark, d).collect()
+    }
+    # user 1's spike: 10-value constant baseline → var 0 → unscoreable
+    spike1 = out[11]
+    assert spike1.n_hist == 10 and spike1.z is None and spike1.is_anomaly == 0
+    # first 5 events of each user unscored (min history)
+    assert all(out[i].z is None for i in range(1, 6))
+    # user 2's spike: z against numpy population moments of the 6 priors
+    hist = np.array(vals)
+    expect_z = round((200.0 - hist.mean()) / hist.std(), 6)
+    got = out[spike_id]
+    assert got.n_hist == 6
+    assert abs(got.z - expect_z) < 1e-9
+    assert got.is_anomaly == (1 if abs(expect_z) > 2 else 0)
+
+
 def test_dq15_rolling_wau_hll_window_merge_tracks_exact(spark, sf_dir):
     """The 100 TB claim in dq15's doc, executed: per-DAY HLL partials
     union-merged over each trailing 7-day window must estimate within 5%

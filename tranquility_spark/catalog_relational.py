@@ -1647,6 +1647,97 @@ def w6_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w7_rolling_zscore",
+    """
+    WITH hist AS (
+      SELECT event_id, user_id, value,
+             CAST(count(value) OVER w AS BIGINT) AS n_hist,
+             sum(CAST(value AS DECIMAL(28,6))) OVER w AS hsum,
+             sum(CAST(round(value * value, 6) AS DECIMAL(28,6))) OVER w
+                 AS hss
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, value, n_hist,
+           CASE WHEN n_hist >= 5
+                 AND (CAST(hss AS DOUBLE) / n_hist)
+                     - (CAST(hsum AS DOUBLE) / n_hist)
+                       * (CAST(hsum AS DOUBLE) / n_hist) > 0
+                THEN round((value - CAST(hsum AS DOUBLE) / n_hist)
+                           / sqrt((CAST(hss AS DOUBLE) / n_hist)
+                                  - (CAST(hsum AS DOUBLE) / n_hist)
+                                    * (CAST(hsum AS DOUBLE) / n_hist)), 6)
+                END AS z,
+           CAST(CASE WHEN n_hist >= 5
+                      AND (CAST(hss AS DOUBLE) / n_hist)
+                          - (CAST(hsum AS DOUBLE) / n_hist)
+                            * (CAST(hsum AS DOUBLE) / n_hist) > 0
+                      AND abs(round((value - CAST(hsum AS DOUBLE) / n_hist)
+                            / sqrt((CAST(hss AS DOUBLE) / n_hist)
+                                   - (CAST(hsum AS DOUBLE) / n_hist)
+                                     * (CAST(hsum AS DOUBLE) / n_hist)), 6))
+                          > 2.0
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM hist
+    """,
+    doc="Per-entity rolling z-score anomaly flag — the metric-monitoring "
+    "shape (is THIS event's value abnormal vs THIS user's own recent "
+    "behavior?): each event scores against the trailing 10-event window "
+    "of STRICTLY PRIOR values (ROWS 10 PRECEDING..1 PRECEDING — the "
+    "current value must not contaminate its own baseline), with a "
+    "minimum history of 5 and a population-moment z = (x - mean)/std. "
+    "Cross-engine determinism is the point of the construction: the "
+    "frame's count/sum/sum-of-squares accumulate as DECIMAL(28,6) "
+    "(double accumulation order differs between engines; builtin "
+    "stddev's Welford vs naive algorithms differ in final ulps — both "
+    "are avoided), and mean/variance/sqrt then evaluate as the "
+    "IDENTICAL double expression in both engines, so the flag decision "
+    "on the 6-dp-rounded z is engine-identical even at the threshold. "
+    "Scale: one user_id shuffle serves the window (w6's plan); state "
+    "per row is three numbers however long the history — the streaming "
+    "twin is the applyInPandasWithState EWMA family. The |z| > 2 "
+    "threshold flags ~10% of scored events on this corpus (both "
+    "outcomes exercised and certified at both SFs)",
+)
+def w7_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    n_hist = F.count("value").over(w).cast("long")
+    hsum = F.sum(F.col("value").cast("decimal(28,6)")).over(w)
+    hss = F.sum(
+        F.round(F.col("value") * F.col("value"), 6).cast("decimal(28,6)")
+    ).over(w)
+    hist = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        n_hist.alias("n_hist"),
+        hsum.alias("hsum"),
+        hss.alias("hss"),
+    )
+    mean = F.col("hsum").cast("double") / F.col("n_hist")
+    var = F.col("hss").cast("double") / F.col("n_hist") - mean * mean
+    z = F.round((F.col("value") - mean) / F.sqrt(var), 6)
+    scored = (F.col("n_hist") >= 5) & (var > 0)
+    return hist.select(
+        "event_id",
+        "user_id",
+        "value",
+        "n_hist",
+        F.when(scored, z).alias("z"),
+        F.when(scored & (F.abs(z) > 2.0), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_anomaly"),
+    )
+
+
+@register(
     "mv2_pivot",
     """
     SELECT date_trunc('day',
