@@ -123,6 +123,7 @@ HEADLINE = [
     "f7_ewma_fold",
     "pipe6_dataset_manifest",
     "w7_rolling_zscore",
+    "a14_first_last",
 ]
 
 

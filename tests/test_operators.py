@@ -497,6 +497,44 @@ def test_dq12_plan_single_corpus_shuffle(spark, sf_dir):
     assert "partial_count" in plan and "partial_sum" in plan  # map-side combine
 
 
+def test_a14_first_last_order_and_tiebreak(spark, tmp_path):
+    """Hand-built day: first/last pick the extreme-timestamp values, an
+    equal-timestamp pair resolves by event_id (the deterministic
+    divergence from Druid's undefined tie), and the plan is a single
+    hash aggregate with a partial (map-side) phase — no window, no
+    sort, no join."""
+    import datetime as dt
+
+    from tranquility_spark.catalog import CATALOG
+
+    rows = [
+        (3, dt.datetime(2024, 1, 1, 12, 0), "view", 1, 30.0, "{}"),
+        (1, dt.datetime(2024, 1, 1, 8, 0), "view", 1, 10.0, "{}"),
+        # equal-timestamp pair: event_id 4 < 5 -> 4 is "later tie loser"
+        (5, dt.datetime(2024, 1, 1, 23, 0), "view", 1, 55.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 23, 0), "view", 1, 44.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 9, 0), "click", 1, 20.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, event_type string, user_id long, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+    out_df = CATALOG["a14_first_last"].fn(spark, d)
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "min_by" in plan or "HashAggregate" in plan, plan
+    assert "SortAggregate" not in plan and "Window" not in plan, plan
+    out = {(r.day.date().isoformat(), r.event_type): r for r in out_df.collect()}
+    v = out[("2024-01-01", "view")]
+    assert (v.first_value, v.first_event_id) == (10.0, 1)
+    assert (v.last_value, v.last_event_id) == (55.0, 5)  # tie -> higher id
+    assert v.n == 4
+    c = out[("2024-01-01", "click")]
+    assert (c.first_value, c.last_value) == (20.0, 20.0)
+
+
 def test_w7_zscore_baseline_excludes_current_and_min_history(spark, tmp_path):
     """Hand-built sequence: a user emits 10 identical values then one
     spike. The spike's baseline is the 10 PRIOR values only (variance 0 →

@@ -878,6 +878,68 @@ def dq15_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a14_first_last",
+    """
+    WITH keyed AS (
+      SELECT *,
+             epoch_ms(ts) * 1000000 + event_id AS tkey
+      FROM events)
+    SELECT epoch_ms(CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400000)
+               AS day,
+           event_type,
+           arg_min(value, tkey) AS first_value,
+           arg_max(value, tkey) AS last_value,
+           CAST(arg_min(event_id, tkey) AS BIGINT) AS first_event_id,
+           CAST(arg_max(event_id, tkey) AS BIGINT) AS last_event_id,
+           count(*) AS n
+    FROM keyed
+    GROUP BY 1, 2
+    """,
+    doc="Druid first/last aggregators (doubleFirst/doubleLast — the "
+    "time-ordered value aggregation family the A1-A12 reference "
+    "inventory predates; Druid stores these as (timestamp, value) "
+    "pairs whose merge keeps the extreme timestamp): earliest and "
+    "latest metric value per (day, event_type), plus the carrying "
+    "event ids. Spark's min_by/max_by IS Druid's pair representation — "
+    "the combiner keeps the extreme-key tuple, so the agg stays one "
+    "map-side-combined hash aggregate with no window and no self-join "
+    "(the naive row_number()=1 formulation would sort every group); "
+    "event_id tie-break makes equal-timestamp groups deterministic "
+    "(Druid itself is undefined there — documented divergence in its "
+    "favor). The composite (ts_millis, event_id) order travels as ONE "
+    "BIGINT (millisecond resolution — Druid-faithful, its timestamps "
+    "ARE millis): DuckDB 1.0's arg_min accepts only scalar keys, and a "
+    "LONG key keeps Spark on HashAggregate where a string key silently "
+    "falls back to SortAggregate (plan-asserted in tests). Values pass "
+    "through raw — no accumulation, so no float policy needed. "
+    "Hash-certified end-to-end",
+)
+def a14_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # composite (ts_millis, event_id) order as ONE BIGINT — a scalar key
+    # is all DuckDB's arg_min accepts (no struct/list keys in 1.0), and a
+    # LONG key keeps Spark on HashAggregate (a string key has an
+    # immutable buffer and silently falls back to SortAggregate —
+    # per-partition sort on every group, measured in the plan test).
+    # Millisecond resolution is Druid-faithful (its timestamps ARE
+    # millis); event_id < 1e6 fits the low digits (fixture-true;
+    # at a wider id space split the key or accept the sort-agg string)
+    key = F.unix_millis("ts") * F.lit(1_000_000) + F.col("event_id")
+    return ev.groupBy(
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp("ts") / 86400) * 86400
+        ).alias("day"),
+        F.col("event_type"),
+    ).agg(
+        F.min_by("value", key).alias("first_value"),
+        F.max_by("value", key).alias("last_value"),
+        F.min_by("event_id", key).cast("long").alias("first_event_id"),
+        F.max_by("event_id", key).cast("long").alias("last_event_id"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "dq5_timeseries",
     """
     SELECT date_trunc('hour',
