@@ -524,7 +524,8 @@ def test_a14_first_last_order_and_tiebreak(spark, tmp_path):
     df.write.parquet(f"{d}/events.parquet")
     out_df = CATALOG["a14_first_last"].fn(spark, d)
     plan = out_df._jdf.queryExecution().executedPlan().toString()
-    assert "min_by" in plan or "HashAggregate" in plan, plan
+    assert "min_by" in plan, plan
+    assert "HashAggregate" in plan, plan
     assert "SortAggregate" not in plan and "Window" not in plan, plan
     out = {(r.day.date().isoformat(), r.event_type): r for r in out_df.collect()}
     v = out[("2024-01-01", "view")]

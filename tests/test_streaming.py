@@ -409,10 +409,13 @@ def test_stream_ewma_state_across_batches(spark, tmp_path):
     q.awaitTermination(120)
 
     rows = spark.sql("SELECT * FROM ewma_out").collect()
-    # memory sink in update mode appends each emission; take the last per key
+    # memory sink in update mode appends one row per key per batch and
+    # collect() order is unspecified — the FINAL state is the one with
+    # the max n_events (the counter is monotone), not the last row seen
     last = {}
     for r in rows:
-        last[r.user_id] = (r.n_events, r.ewma)
+        if r.user_id not in last or r.n_events > last[r.user_id][0]:
+            last[r.user_id] = (r.n_events, r.ewma)
     # user 1 saw 10, 20 (batch 1) then 40 (batch 2) — state carried across
     assert last[1][0] == 3
     assert abs(last[1][1] - ewma_batch([10.0, 20.0, 40.0])) < 1e-9
@@ -478,9 +481,12 @@ def test_stream_ewma_equals_batch_catalog_entry(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
+    # max-n_events per key, not last-row-wins: collect() order from the
+    # memory sink is unspecified across the per-batch emissions
     last = {}
     for r in spark.sql("SELECT * FROM ewma_vs_batch").collect():
-        last[r.user_id] = (r.n_events, r.ewma)
+        if r.user_id not in last or r.n_events > last[r.user_id][0]:
+            last[r.user_id] = (r.n_events, r.ewma)
     assert set(last) == set(batch)
     for uid in batch:
         assert last[uid][0] == batch[uid][0]

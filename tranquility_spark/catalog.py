@@ -882,7 +882,10 @@ def dq15_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH keyed AS (
       SELECT *,
-             epoch_ms(ts) * 1000000 + event_id AS tkey
+             epoch_ms(ts) * 1000000
+               + CASE WHEN event_id >= 1000000 OR event_id < 0
+                      THEN error('a14: event_id outside packed-key range')
+                      ELSE event_id END AS tkey
       FROM events)
     SELECT epoch_ms(CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400000)
                AS day,
@@ -922,9 +925,17 @@ def a14_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     # immutable buffer and silently falls back to SortAggregate —
     # per-partition sort on every group, measured in the plan test).
     # Millisecond resolution is Druid-faithful (its timestamps ARE
-    # millis); event_id < 1e6 fits the low digits (fixture-true;
-    # at a wider id space split the key or accept the sort-agg string)
-    key = F.unix_millis("ts") * F.lit(1_000_000) + F.col("event_id")
+    # millis); event_id must fit the low 6 digits, ENFORCED — an id at
+    # 1e6 would silently bleed into the millisecond digits and corrupt
+    # the ordering (code-review r07); at a wider id space split the key
+    # or accept the sort-agg string form
+    guarded_id = F.when(
+        (F.col("event_id") >= 1_000_000) | (F.col("event_id") < 0),
+        F.raise_error(
+            F.lit("a14: event_id outside packed-key range")
+        ).cast("long"),
+    ).otherwise(F.col("event_id"))
+    key = F.unix_millis("ts") * F.lit(1_000_000) + guarded_id
     return ev.groupBy(
         F.timestamp_seconds(
             F.floor(F.unix_timestamp("ts") / 86400) * 86400

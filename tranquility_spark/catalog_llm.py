@@ -1610,24 +1610,15 @@ _PIPE6_SEED = 31
 
 
 def _pipe6_oracle_sql() -> str:
+    # COMPOSES samp8's oracle verbatim as the admission CTE (code-review
+    # r07: the budget rule must live in one place) and shuf1's portable
+    # hash for the order key
     ord_key = portable_shard_sql(f"doc_id + {_PIPE6_SEED}", 1000003)
     return f"""
-    WITH scored AS ({_TXT2_ORACLE}),
-    ranked AS (
-      SELECT d.doc_id, d.lang, s.n_tokens, s.quality_score,
-             sum(s.n_tokens) OVER (
-               PARTITION BY d.lang
-               ORDER BY s.quality_score DESC, d.doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS cum_tokens
-      FROM documents d JOIN scored s USING (doc_id)),
-    admitted AS (
-      SELECT doc_id, lang, n_tokens,
-             {ord_key} AS ord_key
-      FROM ranked WHERE cum_tokens - n_tokens < {_SAMP8_BUDGET}),
+    WITH admitted AS ({_samp8_oracle_sql()}),
     sharded AS (
-      SELECT doc_id, lang, n_tokens, ord_key,
-             CAST(ord_key % {_PIPE6_SHARDS} AS BIGINT) AS shard
+      SELECT doc_id, lang, n_tokens, {ord_key} AS ord_key,
+             CAST({ord_key} % {_PIPE6_SHARDS} AS BIGINT) AS shard
       FROM admitted)
     SELECT doc_id, lang,
            CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -1664,42 +1655,29 @@ def _pipe6_oracle_sql() -> str:
 def pipe6_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from tranquility_spark.operators.partitioning import portable_shard
+    from tranquility_spark.operators.partitioning import epoch_shuffle
 
-    docs = _t(spark, sf_dir, "documents")
-    scored = tx.quality_features(docs, passthrough=("lang",)).select(
-        "doc_id", "lang", "n_tokens", "quality_score"
+    # stage 1 IS samp8 (one definition of the budget rule); stage 2 IS
+    # epoch_shuffle's portable path (one definition of the seeded
+    # permutation) — DataFrames compose lazily, so this is still the
+    # single plan the doc requires (code-review r07)
+    admitted = samp8_token_budget_select(spark, sf_dir).select(
+        "doc_id", "lang", "n_tokens"
     )
-    sel_w = (
-        Window.partitionBy("lang")
-        .orderBy(F.col("quality_score").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    admitted = (
-        scored.withColumn("cum_tokens", F.sum("n_tokens").over(sel_w))
-        .filter(F.col("cum_tokens") - F.col("n_tokens") < _SAMP8_BUDGET)
-        .select(
-            "doc_id",
-            "lang",
-            "n_tokens",
-            portable_shard(F.col("doc_id") + _PIPE6_SEED, 1000003).alias(
-                "ord_key"
-            ),
-        )
-        .withColumn(
-            "shard", (F.col("ord_key") % _PIPE6_SHARDS).cast("long")
-        )
+    sharded = epoch_shuffle(
+        admitted, "doc_id", seed=_PIPE6_SEED, n_shards=_PIPE6_SHARDS,
+        portable=True,
     )
     shard_w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
     cum = F.sum("n_tokens").over(
         shard_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return admitted.select(
+    return sharded.select(
         "doc_id",
         "lang",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        "shard",
-        F.row_number().over(shard_w).cast("long").alias("pos"),
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pos").cast("long").alias("pos"),
         F.floor((cum - F.col("n_tokens")) / _PIPE6_CTX)
         .cast("long")
         .alias("bin_id"),

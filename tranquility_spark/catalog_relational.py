@@ -676,7 +676,9 @@ def f6_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS ewma
     FROM (SELECT user_id,
                  list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
-          FROM events GROUP BY user_id)
+          FROM events
+          WHERE value IS NOT NULL AND ts IS NOT NULL
+          GROUP BY user_id)
     """,
     doc="Per-user exponentially-weighted moving average as a BATCH "
     "aggregation — the batch twin of streaming/stateful.py#stream_ewma "
@@ -697,7 +699,15 @@ def f6_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Hash-certified end-to-end",
 )
 def f7_ewma_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    # NULL contract (the f6 precedent, code-review r07): a NULL value
+    # would RESTART Spark's when(acc.isNull) fold but POISON DuckDB's
+    # list_reduce to NULL, and a NULL ts sorts first in Spark's
+    # array_sort but last in DuckDB's ORDER BY — both excluded up front
+    # in both engines so the documented bit-reproducibility holds on
+    # any data, not just the NULL-free fixture
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     lst = F.array_sort(
         F.collect_list(
             F.struct(
@@ -1656,30 +1666,28 @@ def w6_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CAST(round(value * value, 6) AS DECIMAL(28,6))) OVER w
                  AS hss
       FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    ),
+    moments AS (
+      SELECT event_id, user_id, value, n_hist,
+             CAST(hsum AS DOUBLE) / n_hist AS mu,
+             CAST(hss AS DOUBLE) / n_hist
+               - (CAST(hsum AS DOUBLE) / n_hist)
+                 * (CAST(hsum AS DOUBLE) / n_hist) AS var
+      FROM hist
+    ),
+    scored AS (
+      SELECT event_id, user_id, value, n_hist,
+             CASE WHEN n_hist >= 5 AND var > 0
+                  THEN round((value - mu) / sqrt(var), 6) END AS z
+      FROM moments
     )
-    SELECT event_id, user_id, value, n_hist,
-           CASE WHEN n_hist >= 5
-                 AND (CAST(hss AS DOUBLE) / n_hist)
-                     - (CAST(hsum AS DOUBLE) / n_hist)
-                       * (CAST(hsum AS DOUBLE) / n_hist) > 0
-                THEN round((value - CAST(hsum AS DOUBLE) / n_hist)
-                           / sqrt((CAST(hss AS DOUBLE) / n_hist)
-                                  - (CAST(hsum AS DOUBLE) / n_hist)
-                                    * (CAST(hsum AS DOUBLE) / n_hist)), 6)
-                END AS z,
-           CAST(CASE WHEN n_hist >= 5
-                      AND (CAST(hss AS DOUBLE) / n_hist)
-                          - (CAST(hsum AS DOUBLE) / n_hist)
-                            * (CAST(hsum AS DOUBLE) / n_hist) > 0
-                      AND abs(round((value - CAST(hsum AS DOUBLE) / n_hist)
-                            / sqrt((CAST(hss AS DOUBLE) / n_hist)
-                                   - (CAST(hsum AS DOUBLE) / n_hist)
-                                     * (CAST(hsum AS DOUBLE) / n_hist)), 6))
-                          > 2.0
+    SELECT event_id, user_id, value, n_hist, z,
+           CAST(CASE WHEN z IS NOT NULL AND abs(z) > 2.0
                      THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
-    FROM hist
+    FROM scored
     """,
     doc="Per-entity rolling z-score anomaly flag — the metric-monitoring "
     "shape (is THIS event's value abnormal vs THIS user's own recent "
@@ -1701,7 +1709,12 @@ def w6_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "outcomes exercised and certified at both SFs)",
 )
 def w7_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    # NULL contract (code-review r07): a NULL ts orders FIRST in Spark
+    # windows but LAST in DuckDB — exclude NULL ts/value rows up front
+    # in both engines so the frame contents are engine-identical
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
