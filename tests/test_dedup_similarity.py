@@ -437,6 +437,27 @@ def test_sbbf_no_false_negatives_and_fp_sanity(spark):
     assert fp / 4000 <= 0.05, fp
 
 
+def test_sbbf_probe_tolerates_w_named_probe_columns(spark):
+    """ADVICE r07: a probe frame may itself carry columns named w0..w7 or
+    block_idx — the block table's lanes are renamed to __sbbf_* before the
+    join, so no ambiguous-reference error and the probe columns survive."""
+    from tranquility_spark.operators.bloom import sbbf_blocks, sbbf_probe
+
+    members = spark.range(100).withColumnRenamed("id", "key")
+    blocks = sbbf_blocks(members, "key", n_blocks=16)
+    probes = (
+        spark.range(50)
+        .withColumnRenamed("id", "key")
+        .withColumn("w0", F.lit(7))
+        .withColumn("w7", F.lit(9))
+        .withColumn("block_idx", F.lit(3))
+    )
+    out = sbbf_probe(probes, blocks, "key", n_blocks=16)
+    rows = out.collect()
+    assert all(r.in_sbbf == 1 for r in rows)
+    assert all(r.w0 == 7 and r.w7 == 9 and r.block_idx == 3 for r in rows)
+
+
 def test_sbbf_merge_bit_identical_to_direct(spark):
     """Lane-wise bit_or merge of per-half block tables equals the direct
     build on the union, row for row — and replaying one partial changes

@@ -315,6 +315,31 @@ def test_sim5_pq_recall_determinism_and_serving_path(spark, sf_dir):
     assert rng[0] >= 0 and rng[1] < 16
 
 
+def test_pq_codebooks_short_corpus_raises(spark):
+    """ADVICE r07: fewer corpus vectors than k (incl. an empty corpus) must
+    fail loudly at codebook build, not crash opaquely in the encode UDF."""
+    import pytest as pt
+
+    from pyspark.sql import functions as FF
+
+    from tranquility_spark.operators import similarity as sim
+
+    empty = (
+        spark.range(0)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn("embedding", FF.array(FF.lit(1.0), FF.lit(2.0)))
+    )
+    with pt.raises(ValueError, match="at least k=16"):
+        sim.pq_codebooks(empty, n_sub=2, k=16)
+    short = (
+        spark.range(5)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn("embedding", FF.array(FF.lit(1.0), FF.lit(2.0)))
+    )
+    with pt.raises(ValueError, match="got 5"):
+        sim.pq_codebooks(short, n_sub=2, k=16)
+
+
 def test_ivfpq_composition_recall(spark, sf_dir):
     """The IVF-PQ composition SCALE.md describes: PQ codes written into an
     IVF (centroid_id-partitioned) layout, query probes nprobe lists

@@ -1478,6 +1478,41 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
     assert all(r["r_ts"] >= r["l_ts"] for r in sample)
 
 
+def test_stream_interval_join_backtick_identifiers(spark):
+    """ADVICE r07: the join condition is built with the Column API and
+    backtick-quoted identifiers, so key/timestamp columns whose names need
+    quoting (dots, spaces, hyphens) work; a malformed interval fails in the
+    interval parser, not as a whole-condition SQL parse error."""
+    import pytest as pt
+
+    from pyspark.sql import functions as FF
+
+    from tranquility_spark.streaming.pipeline import stream_interval_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00")],
+        "`user id` long, lts string",
+    ).select(FF.col("`user id`"), FF.col("lts").cast("timestamp").alias("l.ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00"), (1, "2024-01-01 12:00:00"),
+         (2, "2024-01-01 10:59:00")],
+        "`user id` long, rts string",
+    ).select(FF.col("`user id`"), FF.col("rts").cast("timestamp").alias("r-ts"))
+    out = stream_interval_join(
+        left, right, key="user id", left_ts="l.ts", right_ts="r-ts",
+        max_delay="10 minutes",
+    )
+    got = {(r["user id"], str(r["r-ts"])) for r in out.collect()}
+    # user 1: only the 10:05 click is within [10:00, 10:10]; user 2's click
+    # at 10:59 precedes the 11:00 view -> excluded by the lower bound
+    assert got == {(1, "2024-01-01 10:05:00")}
+    with pt.raises(Exception, match="(?i)interval|syntax"):
+        stream_interval_join(
+            left, right, key="user id", left_ts="l.ts", right_ts="r-ts",
+            max_delay="not an interval",
+        )
+
+
 def test_streaming_nested_groupby_partials_equal_batch_dq12(spark, sf_dir, tmp_path):
     """dq12's nested groupBy lifted to streaming: append mode cannot chain
     two aggregations, so the inner per-user agg lands as per-batch partials

@@ -1459,11 +1459,14 @@ from tranquility_spark import catalog_sketch  # noqa: E402,F401
 #   - r06 driver-green: 42/42 oracled passed; 10 of the 17 newly-green
 #     keys fold in (f6/a10d/dd10/dq8/dq9/emb5/sim4 re-edited in r07 and
 #     rotated back).
-# All of those live in ``_CERTIFIED`` below. The r07 window leads with the
+#   - r07 driver-green: 40/40 oracled passed (CORRECTNESS_r07.json); the
+#     36 newly-green keys fold in (dd12 was edited in r08 — sbbf_probe
+#     helper — and rotates back instead).
+# All of those live in ``_CERTIFIED`` below. The r08 window leads with the
 # rows-only-by-policy sketch/LSH entries (no SQL oracle — kept in-window
 # permanently so EVERY round re-records their weaker rows-only check), then
-# the three ADVICE-r06 re-certifies, then auto-fills with any key not in
-# ``_CERTIFIED`` (i.e. new round-7 entries).
+# the w6/sim3/dd12 re-certifies, then auto-fills with any key not in
+# ``_CERTIFIED`` (i.e. new round-8 entries).
 # The rotation only permutes dict order; every key keeps the same fn/oracle,
 # so previously recorded certifications remain valid. Staleness contract:
 # changing a certified entry's fn or oracle REQUIRES removing it from
@@ -1472,41 +1475,38 @@ from tranquility_spark import catalog_sketch  # noqa: E402,F401
 # with scripts/record_certified_fingerprints.py only when folding new greens).
 # ---------------------------------------------------------------------------
 
-_R07_DRIVER_WINDOW = [
-    # rows-only by policy (approximate sketches / LSH — no SQL oracle);
-    # re-recorded every round by design
+_R08_DRIVER_WINDOW = [
+    # rows-only by policy (approximate sketches / LSH / index-defined probe
+    # sets — no SQL oracle); re-recorded every round by design. Round 8
+    # extends the permanent lead with the five round-7 rows-only entries
+    # (dd11/sim5/pipe5/a6c/a11e) so they keep their front-of-window slots.
     "hh1_heavy_hitters_merge",
     "a11c_theta_setops_approx",
     "a11d_sketch_merge_rollup",
     "dd8_incremental_neardup",
     "a10c_quantile_sketch_merge",
-    # re-certify: round 7 added the `value IS NOT NULL` NULL contract to
-    # f6 and a10d (ADVICE r06 — Spark's null-skipping greatest/least vs
-    # DuckDB NULL propagation); fn + oracle changed, so their r06 greens
-    # describe the old definitions and they rotate back in
-    "f6_winsorize_clip",
-    "a10d_fixed_histogram",
-    # re-certify: round 7 dropped dd10's forced registry broadcast (ADVICE
-    # r06 — the registry is the side that scales; AQE now picks the join
-    # strategy). Result-preserving, but the fn source changed
-    "dd10_bloom_gated_antijoin",
-    # re-certify: round 7 factored dq8/dq9's bodies into
-    # operators/event_analytics.py so the rate-source streaming twins run
-    # the identical code path (VERDICT r06 #3). Result-preserving, but the
-    # fn sources changed
-    "dq8_retention_cohorts",
-    "dq9_funnel",
-    # re-certify: round 7 added the short-array/NULL guard to
-    # binary_quantize — a helper edit the fingerprint guard cannot see,
-    # but emb5/sim4's executed expression trees changed, so their r06
-    # greens describe the old plan (code-review r07)
-    "emb5_binary_hamming_topk",
-    "sim4_bq_rerank",
+    "dd11_bloom_gated_neardup",
+    "sim5_pq_rerank",
+    "pipe5_incremental_ingest",
+    "a6c_hyperunique_mergeable",
+    "a11e_theta_native",
+    # re-certify: round 8 closed VERDICT r07's one known defect — w6 now
+    # filters NULL-ts rows before ordering (Spark sorts NULL keys first,
+    # DuckDB last; the f7/w7 contract). fn + oracle changed
+    "w6_sessionize_batch",
+    # re-certify: round 8 keyed the ANN index caches on a data fingerprint
+    # (ADVICE r07 stale-index fix) — sim3's fn source changed
+    "sim3_ivf_topk",
+    # re-certify: round 8 renamed sbbf_probe's join-side lane columns to
+    # __sbbf_* (ADVICE r07 reserved-name fix) — a helper edit the
+    # fingerprint guard cannot see, but dd12's executed expression tree
+    # changed (the emb5/sim4 precedent)
+    "dd12_blocked_bloom",
 ]
 
 
 def _rotate_driver_window() -> None:
-    lead = [k for k in _R07_DRIVER_WINDOW if k in CATALOG]
+    lead = [k for k in _R08_DRIVER_WINDOW if k in CATALOG]
     # anything registered after this snapshot auto-joins the window
     lead += [
         k
@@ -1528,9 +1528,10 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 
 # Every key with a green (hash-match) driver CORRECTNESS row:
 # r01/r02 certified the first 50; r03/r04 certified the next 46;
-# r05 certified 16; r06 folds in 10 of its 17 newly-green keys (the other
-# 7 — f6, a10d, dd10, dq8, dq9, emb5, sim4 — were edited in round 7 and
-# rotate back). Total: 118.
+# r05 certified 16; r06 folded in 10 of its 17 newly-green keys; r07
+# folds in 36 (its 40 greens minus p1/p3/p4 already certified and minus
+# dd12, edited in round 8 and rotated back). w6 and sim3 were removed in
+# round 8 (edited — see _R08_DRIVER_WINDOW). Total: 152.
 _CERTIFIED = frozenset(
     {
         # --- r01/r02 window ---
@@ -1543,7 +1544,7 @@ _CERTIFIED = frozenset(
         "d1_hash_partition", "flagship_hourly_rollup", "dd1_exact_dedup",
         "dd2_minhash_lsh_pairs", "dd3_simhash_signatures", "dd4_ngram_jaccard",
         "dd5_embedding_neardup", "sim1_cosine_topk", "sim2_lsh_topk",
-        "sim3_ivf_topk", "txt1_lang_id", "txt2_quality_score",
+        "txt1_lang_id", "txt2_quality_score",
         "txt3_token_count", "txt4_fingerprint", "mm1_decode_features",
         "samp1_hash_sample", "samp2_stratified_topn", "pack1_sequence_packing",
         "dd6_contamination_overlap", "txt5_pii_redact", "txt6_repetition",
@@ -1575,7 +1576,7 @@ _CERTIFIED = frozenset(
         "emb2_label_centroids", "emb3_centroid_similarity",
         "samp4_mixture_resample", "pipe2_chunk_dedup", "pipe3_training_prep",
         "shuf1_epoch_shuffle",
-        "w5_time_range_window", "w6_sessionize_batch",
+        "w5_time_range_window",
         "mm2_frame_sample", "mm3_resize", "txt12_bigram_logprob",
         "samp5_temperature_resample",
         # --- r06 window (CORRECTNESS_r06.json: 42 greens, 17 newly green;
@@ -1590,6 +1591,24 @@ _CERTIFIED = frozenset(
         "rank1_pair_rerank", "samp6_source_cap",
         "txt13_lexical_diversity", "txt14_oov_rate", "txt15_token_entropy",
         "pipe4_quality_prep",
+        # --- r07 window (CORRECTNESS_r07.json: 40 greens, 36 fold in —
+        # p1/p3/p4 were certified backfill slots, and dd12's sbbf_probe
+        # helper was edited in round 8, so it rotates back instead) ---
+        "f6_winsorize_clip", "a10d_fixed_histogram",
+        "dd10_bloom_gated_antijoin", "dq8_retention_cohorts", "dq9_funnel",
+        "emb5_binary_hamming_topk", "sim4_bq_rerank", "t4_tz_day_rollup",
+        "dq5b_zero_filled_timeseries", "dq10_lookup_dimension",
+        "dq11_topn_extraction", "dq12_nested_groupby", "dq13_moving_average",
+        "dq14_scan_keyset", "dq15_rolling_active_users", "a14_first_last",
+        "dd11b_gate_equals_ungated", "dd14_duplicate_passages",
+        "dd15_duplication_density", "dd13_semantic_dedup",
+        "mm5_interleaved_packing", "samp7_curriculum_schedule",
+        "txt17_domain_reputation", "samp8_token_budget_select",
+        "pipe6_dataset_manifest", "emb8_spike_outliers",
+        "emb6_random_projection", "mm4_audio_frame_energy",
+        "emb7_dim_covariance", "hh2_cms_frequency", "txt16_script_profile",
+        "f7_ewma_fold", "p9_csv_parse", "p9b_tsv_parse", "p10_jsonl_parse",
+        "w7_rolling_zscore",
     }
 )
 

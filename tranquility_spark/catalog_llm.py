@@ -1011,6 +1011,34 @@ def sim2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_INDEX_CACHE: dict = {}
 
 
+def _index_cache_key(sf_dir: str, table: str = "embeddings") -> tuple:
+    """Cache key for per-corpus ANN indexes: (sf_dir, data fingerprint).
+
+    The fingerprint is the (mtime_ns, size) of the backing parquet (file or
+    directory of part files), so regenerating the fixture at the SAME path
+    within a long-lived session invalidates the cached index instead of
+    silently serving centroids/codebooks built from the old data — the
+    exact stale-index hazard the pq_topk docstring warns about (ADVICE r07).
+    """
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        if os.path.isdir(path):
+            fp = tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in os.scandir(path)
+                )
+            )
+        else:
+            st = os.stat(path)
+            fp = (st.st_mtime_ns, st.st_size)
+    except OSError:  # non-local path (e.g. hdfs://) — fall back to path-only
+        fp = ()
+    return (sf_dir, fp)
+
+
 @register(
     "sim3_ivf_topk",
     None,  # probe set is index-defined — rows-only; recall vs sim1 asserted in tests
@@ -1028,9 +1056,13 @@ def sim3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # centroids are deterministic per corpus — build once, reuse per query
     # (index reuse is the IVF serving shape; rebuilding per query would be
     # like re-training an index per lookup)
-    cents = _IVF_INDEX_CACHE.get(sf_dir)
+    ck = _index_cache_key(sf_dir)
+    cents = _IVF_INDEX_CACHE.get(ck)
     if cents is None:
-        cents = _IVF_INDEX_CACHE[sf_dir] = sim.ivf_centroids(emb, n_centroids=16)
+        # evict stale fingerprints for this path (regenerated fixture)
+        for k in [k for k in _IVF_INDEX_CACHE if k[0] == sf_dir]:
+            del _IVF_INDEX_CACHE[k]
+        cents = _IVF_INDEX_CACHE[ck] = sim.ivf_centroids(emb, n_centroids=16)
     return sim.ivf_topk(emb, qvec, k=10, nprobe=4, centroids=cents)
 
 
@@ -1064,9 +1096,13 @@ def sim5_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     ]
-    books = _PQ_INDEX_CACHE.get(sf_dir)
+    ck = _index_cache_key(sf_dir)
+    books = _PQ_INDEX_CACHE.get(ck)
     if books is None:
-        books = _PQ_INDEX_CACHE[sf_dir] = sim.pq_codebooks(
+        # evict stale fingerprints for this path (regenerated fixture)
+        for k in [k for k in _PQ_INDEX_CACHE if k[0] == sf_dir]:
+            del _PQ_INDEX_CACHE[k]
+        books = _PQ_INDEX_CACHE[ck] = sim.pq_codebooks(
             emb, n_sub=4, k=16, refine_iters=1
         )
     return sim.pq_topk(emb, qvec, books, k=10, shortlist=100)

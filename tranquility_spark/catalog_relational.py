@@ -1614,6 +1614,7 @@ def w5_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                        - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessioned AS (
@@ -1635,10 +1636,14 @@ def w5_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the batch twin of streaming stream_sessionize. ONE shuffle on user_id "
     "serves both windows AND the final groupBy (same key prefix — Catalyst "
     "reuses the partitioning); (ts, event_id) ordering keeps ids "
-    "deterministic under timestamp ties",
+    "deterministic under timestamp ties. NULL-ts rows are filtered up "
+    "front (the f7/w7 contract): an un-timestamped event cannot belong to "
+    "a session, and ordering by a nullable ts is the engines' one "
+    "disagreement (Spark sorts NULLs first, DuckDB last — VERDICT r07's "
+    "latent divergence, now closed)",
 )
 def w6_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     marked = ev.withColumn(

@@ -296,20 +296,24 @@ def sbbf_probe(
     batch-1 key matched against batch 2's partial). Unlike bloom_probe's
     map build this misuse does NOT fail loudly — merge first; the merge
     agg is bounded and cheap.
+
+    The block table's ``block_idx``/``w0..w7`` columns are renamed to
+    ``__sbbf_*`` before the join, so a probe frame may itself carry columns
+    named ``w0..w7`` or ``block_idx`` without an ambiguous-reference error;
+    only the ``__sbbf_`` prefix is reserved on the probe side (ADVICE r07).
     """
     key = F.col(key_col)
     block, masks = _sbbf_lane_cols(key, n_blocks, hash_fn)
-    lane_cols = [f"w{i}" for i in range(_SBBF_LANES)]
+    lane_cols = [f"__sbbf_w{i}" for i in range(_SBBF_LANES)]
     p = probes.withColumn("__sbbf_block", block)
-    joined = p.join(
-        blocks.withColumnRenamed("block_idx", "__sbbf_block"),
-        on="__sbbf_block",
-        how="left",
-    )
+    blk = blocks.withColumnRenamed("block_idx", "__sbbf_block")
+    for i in range(_SBBF_LANES):
+        blk = blk.withColumnRenamed(f"w{i}", f"__sbbf_w{i}")
+    joined = p.join(blk, on="__sbbf_block", how="left")
     hit = F.lit(True)
     for i, mask in enumerate(masks):
         hit = hit & F.coalesce(
-            F.col(f"w{i}").bitwiseAND(mask) != 0, F.lit(False)
+            F.col(f"__sbbf_w{i}").bitwiseAND(mask) != 0, F.lit(False)
         )
     return joined.withColumn(out_col, hit.cast("long")).drop(
         "__sbbf_block", *lane_cols

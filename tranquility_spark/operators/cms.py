@@ -147,6 +147,18 @@ def cms_estimate(
     multi-partial append would hand ``map_from_entries`` duplicate keys
     (throws under Spark's default mapKeyDedupPolicy). Merge first — the
     merge agg is bounded and cheap.
+
+    Operational ceiling (ADVICE r07): the broadcast map holds up to
+    depth*width entries on the driver and in every executor. The error
+    bound (e/width)*N means keeping useful absolute error at 100 TB-scale
+    N needs width >> 1e6, and at ~width 1e7 x depth 5 the single-row map
+    (~0.5-1 GiB of long pairs) will exhaust the driver — this estimate
+    path is for sketch-sized (<= a few million cells) configurations
+    ONLY. Past that, estimate via a JOIN instead, mirroring
+    ``sbbf_probe``'s design: explode each probe key into its ``depth``
+    (row_idx, col_idx) slots, left-join the counter table on those, and
+    take ``min(coalesce(cnt, 0))`` per key — ``depth`` shuffled lookups
+    per probe row, no driver materialization at any width.
     """
     cms_map = counters.agg(
         F.map_from_entries(

@@ -227,7 +227,15 @@ def pq_codebooks(
         .limit(k)
         .collect()
     )
-    dim = len(seeds[0].v) if seeds else 0
+    if len(seeds) < k:
+        # fewer corpus vectors than codes: an empty corpus would otherwise
+        # crash opaquely downstream (dim=0 passes the divisibility check,
+        # then the encode UDF indexes books[0]), and a short one would
+        # silently duplicate codebook rows (ADVICE r07)
+        raise ValueError(
+            f"pq_codebooks needs at least k={k} vectors, got {len(seeds)}"
+        )
+    dim = len(seeds[0].v)
     if dim % n_sub != 0:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     d_sub = dim // n_sub

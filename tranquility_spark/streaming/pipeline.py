@@ -233,6 +233,12 @@ def stream_interval_join(
     joined frame keeps both); ``key`` must exist on both sides and is
     emitted once. Works identically on static frames (same predicate, no
     watermark) — the streaming-equals-batch property the tests assert.
+
+    Identifiers are backtick-quoted, so column names containing dots,
+    spaces or hyphens work; only the interval literal goes through
+    ``F.expr`` — a malformed ``max_delay`` fails there with the interval
+    parser's own message, not a confusing full-condition SQL error
+    (ADVICE r07).
     """
     lf, rf = left, right
     if lf.isStreaming:
@@ -240,12 +246,17 @@ def stream_interval_join(
     if rf.isStreaming:
         rf = rf.withWatermark(right_ts, watermark)
     la, ra = lf.alias("__l"), rf.alias("__r")
-    cond = F.expr(
-        f"__l.{key} = __r.{key}"
-        f" AND __r.{right_ts} >= __l.{left_ts}"
-        f" AND __r.{right_ts} <= __l.{left_ts} + INTERVAL {max_delay}"
+
+    def q(side: str, name: str):  # backtick-quoted qualified reference
+        return F.col(f"{side}.`" + name.replace("`", "``") + "`")
+
+    delay = F.expr(f"INTERVAL {max_delay}")
+    cond = (
+        (q("__l", key) == q("__r", key))
+        & (q("__r", right_ts) >= q("__l", left_ts))
+        & (q("__r", right_ts) <= q("__l", left_ts) + delay)
     )
-    return la.join(ra, cond, how).drop(F.col(f"__r.{key}"))
+    return la.join(ra, cond, how).drop(q("__r", key))
 
 
 def stream_sessionize(
