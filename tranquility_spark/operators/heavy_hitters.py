@@ -45,8 +45,6 @@ from pyspark.sql import functions as F
 
 DEFAULT_K = 64
 
-_EMPTY_COUNTERS = F.expr("cast(map() as map<string, bigint>)")
-
 
 def mg_partial(
     df: DataFrame,
@@ -73,26 +71,29 @@ def mg_partial(
         "__deduct",
         F.max(F.when(F.col("__rn") == k + 1, F.col("__cnt")).otherwise(F.lit(0))).over(wg),
     )
-    kept = (
-        ranked.withColumn("__lb", F.col("__cnt") - F.col("__deduct"))
-        .filter((F.col("__rn") <= k) & (F.col("__lb") > 0))
-    )
-    # n_total and deduct are aggregated from the PRE-truncation ranking, so
-    # a group whose every counter truncates to zero still carries its deduct
-    # (the bound would silently collapse to 0 otherwise)
-    totals = ranked.groupBy(*g).agg(
-        F.sum("__cnt").alias("n_total"), F.max("__deduct").alias("deduct")
-    )
-    summaries = kept.groupBy(*g).agg(
+    # ONE aggregation produces counters, deduct and n_total together: a
+    # conditional collect_list keeps only surviving counters (collect_list
+    # skips the NULLs the `when` leaves for truncated rows) while the
+    # deduct/n_total aggregates see the PRE-truncation ranking, so a group
+    # whose every counter truncates to zero still carries its deduct (the
+    # bound would silently collapse to 0 otherwise). The previous shape —
+    # separate kept/totals branches re-joined on the group key — consumed
+    # the raw-count subtree twice and paid a join for a frame this single
+    # agg produces in one pass (hh1 adjudication, r08).
+    lb = F.col("__cnt") - F.col("__deduct")
+    return ranked.groupBy(*g).agg(
         F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("__item", "__lb")))
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        (F.col("__rn") <= k) & (lb > 0),
+                        F.struct(F.col("__item"), lb.alias("__lb")),
+                    )
+                )
+            )
         ).alias("counters"),
-    )
-    return totals.join(summaries, g, "left").select(
-        *g,
-        F.coalesce("counters", _EMPTY_COUNTERS).alias("counters"),
-        "deduct",
-        "n_total",
+        F.max("__deduct").alias("deduct"),
+        F.sum("__cnt").alias("n_total"),
     )
 
 
@@ -109,14 +110,26 @@ def mg_merge(
     shuffle — the raw data is never revisited.
     """
     g = list(group_cols)
-    exploded = partials.select(*g, F.explode_outer("counters").alias("__item", "__lb"))
-    summed = (
-        exploded.filter(F.col("__item").isNotNull())
-        .groupBy(*g, "__item")
-        .agg(F.sum("__lb").alias("__cnt"))
+    # posexplode_outer keeps every partial row visible exactly once at
+    # __pos 0 (or a single NULL-pos row for an empty counters map), so the
+    # per-partial deduct/n_total can ride along the exploded frame instead
+    # of a second scan of `partials` — the previous base/summed double
+    # consumption re-computed the whole upstream partial-build subtree
+    # (hh1 adjudication, r08). NULL-item rows (empty maps) survive the
+    # first agg to carry their partial's deduct/n_total; they sort last in
+    # the DESC ranking (NULL __cnt), can never displace a real item from
+    # the top k+1, and the conditional collect_list drops them.
+    first_of_partial = F.col("__pos").isNull() | (F.col("__pos") == 0)
+    exploded = partials.select(
+        *g,
+        "deduct",
+        "n_total",
+        F.posexplode_outer("counters").alias("__pos", "__item", "__lb"),
     )
-    base = partials.groupBy(*g).agg(
-        F.sum("deduct").alias("__deduct0"), F.sum("n_total").alias("n_total")
+    summed = exploded.groupBy(*g, "__item").agg(
+        F.sum("__lb").alias("__cnt"),
+        F.sum(F.when(first_of_partial, F.col("deduct")).otherwise(0)).alias("__d"),
+        F.sum(F.when(first_of_partial, F.col("n_total")).otherwise(0)).alias("__n"),
     )
     w = Window.partitionBy(*g).orderBy(F.desc("__cnt"), F.col("__item"))
     wg = Window.partitionBy(*g)
@@ -124,25 +137,20 @@ def mg_merge(
         "__dk",
         F.max(F.when(F.col("__rn") == k + 1, F.col("__cnt")).otherwise(F.lit(0))).over(wg),
     )
-    kept = (
-        ranked.withColumn("__lb", F.col("__cnt") - F.col("__dk"))
-        .filter((F.col("__rn") <= k) & (F.col("__lb") > 0))
-    )
-    dks = ranked.groupBy(*g).agg(F.max("__dk").alias("__dk"))
-    summaries = kept.groupBy(*g).agg(
+    lb = F.col("__cnt") - F.col("__dk")
+    return ranked.groupBy(*g).agg(
         F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("__item", "__lb")))
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        (F.col("__rn") <= k) & (lb > 0),
+                        F.struct(F.col("__item"), lb.alias("__lb")),
+                    )
+                )
+            )
         ).alias("counters"),
-    )
-    return (
-        base.join(dks, g, "left")
-        .join(summaries, g, "left")
-        .select(
-            *g,
-            F.coalesce("counters", _EMPTY_COUNTERS).alias("counters"),
-            (F.col("__deduct0") + F.coalesce("__dk", F.lit(0))).alias("deduct"),
-            "n_total",
-        )
+        (F.sum("__d") + F.max("__dk")).alias("deduct"),
+        F.sum("__n").alias("n_total"),
     )
 
 
