@@ -1502,6 +1502,13 @@ _R08_DRIVER_WINDOW = [
     # fingerprint guard cannot see, but dd12's executed expression tree
     # changed (the emb5/sim4 precedent)
     "dd12_blocked_bloom",
+    # re-certify: round 8 made the multimodal decode slot pluggable
+    # (impl= stub/native/pil — VERDICT r07 #4). The default stub output is
+    # byte-identical (parity re-verified), but the serialized mapInPandas
+    # closures changed, so the same helper-edit discipline applies
+    "mm1_decode_features",
+    "mm3_resize",
+    "mm4_audio_frame_energy",
 ]
 
 
@@ -1530,8 +1537,8 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # r01/r02 certified the first 50; r03/r04 certified the next 46;
 # r05 certified 16; r06 folded in 10 of its 17 newly-green keys; r07
 # folds in 36 (its 40 greens minus p1/p3/p4 already certified and minus
-# dd12, edited in round 8 and rotated back). w6 and sim3 were removed in
-# round 8 (edited — see _R08_DRIVER_WINDOW). Total: 152.
+# dd12, edited in round 8 and rotated back). w6, sim3, mm1, mm3 and mm4
+# were removed in round 8 (edited — see _R08_DRIVER_WINDOW). Total: 149.
 _CERTIFIED = frozenset(
     {
         # --- r01/r02 window ---
@@ -1545,7 +1552,7 @@ _CERTIFIED = frozenset(
         "dd2_minhash_lsh_pairs", "dd3_simhash_signatures", "dd4_ngram_jaccard",
         "dd5_embedding_neardup", "sim1_cosine_topk", "sim2_lsh_topk",
         "txt1_lang_id", "txt2_quality_score",
-        "txt3_token_count", "txt4_fingerprint", "mm1_decode_features",
+        "txt3_token_count", "txt4_fingerprint",
         "samp1_hash_sample", "samp2_stratified_topn", "pack1_sequence_packing",
         "dd6_contamination_overlap", "txt5_pii_redact", "txt6_repetition",
         "txt7_quality_filter", "dd7_neardup_survivors",
@@ -1577,7 +1584,7 @@ _CERTIFIED = frozenset(
         "samp4_mixture_resample", "pipe2_chunk_dedup", "pipe3_training_prep",
         "shuf1_epoch_shuffle",
         "w5_time_range_window",
-        "mm2_frame_sample", "mm3_resize", "txt12_bigram_logprob",
+        "mm2_frame_sample", "txt12_bigram_logprob",
         "samp5_temperature_resample",
         # --- r06 window (CORRECTNESS_r06.json: 42 greens, 17 newly green;
         # 10 fold in here — the other 7 were edited in round 7 and rotate
@@ -1605,7 +1612,7 @@ _CERTIFIED = frozenset(
         "mm5_interleaved_packing", "samp7_curriculum_schedule",
         "txt17_domain_reputation", "samp8_token_budget_select",
         "pipe6_dataset_manifest", "emb8_spike_outliers",
-        "emb6_random_projection", "mm4_audio_frame_energy",
+        "emb6_random_projection",
         "emb7_dim_covariance", "hh2_cms_frequency", "txt16_script_profile",
         "f7_ewma_fold", "p9_csv_parse", "p9b_tsv_parse", "p10_jsonl_parse",
         "w7_rolling_zscore",

@@ -5,10 +5,19 @@ metadata struct alongside (``media_type``, byte size, per-type fields). The
 decode / feature-extract step runs as an Arrow-batched ``mapInPandas`` so one
 Python worker call processes a whole batch of blobs.
 
-The image/audio codec libraries are not in this container, so ``decode_image``
-STUBS the actual pixel decode behind a deterministic fake (documented below);
-the Spark-side plumbing — binary schema, UDF signature, batch iteration,
-output struct — is real and is what the tests exercise.
+The decode slot is pluggable (``impl=``), with three bindings per operator
+(VERDICT r07 #4 — same mapInPandas interface, same output schema for all):
+
+- ``"stub"`` (default): deterministic fake decode — oracle-checkable, used
+  by the catalog entries, exercises the exact plumbing (binary schema, UDF
+  signature, Arrow batch iteration, fan-out shape) a real decoder uses.
+- ``"native"``: REAL pure-stdlib codecs (``operators/codecs.py``): PNG via
+  zlib + full unfiltering, 24-bit BMP, 8/16-bit PCM WAV via ``wave`` —
+  real bytes decode to real pixels/samples with zero optional deps.
+- ``"pil"`` / ``"soundfile"``: the full-format production binding. Gated
+  behind an import-try AT OPERATOR BUILD TIME: when the lib is absent the
+  operator raises a clear RuntimeError on the driver (naming the package
+  and the native/stub fallbacks) instead of failing inside executors.
 """
 
 from __future__ import annotations
@@ -17,6 +26,28 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_CHECKSUM_MOD = 1000000007
+
+
+def _require_lib(module: str, package: str, impl: str) -> None:
+    """Driver-side gate for optional codec libs: fail fast and clearly."""
+    import importlib
+
+    try:
+        importlib.import_module(module)
+    except ImportError as exc:
+        raise RuntimeError(
+            f"impl={impl!r} needs the {package!r} package, which is not "
+            f"installed in this environment — install it, or use "
+            f"impl='native' (pure-stdlib PNG/BMP/WAV codecs) or the default "
+            f"impl='stub' (deterministic fake decode)"
+        ) from exc
+
+
+def _check_impl(impl: str, allowed: tuple) -> None:
+    if impl not in allowed:
+        raise ValueError(f"impl must be one of {allowed}, got {impl!r}")
 
 DECODED_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes int, width int, height int, checksum bigint"
@@ -36,30 +67,63 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "
     )
 
 
-def decode_image_features(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """'Decode' each payload to (width, height, checksum) via mapInPandas.
+def decode_image_features(
+    media_df: DataFrame, id_col: str = "doc_id", impl: str = "stub"
+) -> DataFrame:
+    """Decode each payload to (width, height, checksum) via mapInPandas.
 
-    STUB: a real implementation would do ``PIL.Image.open(io.BytesIO(b))``
-    here; without codec libs we derive deterministic fake dimensions from the
-    byte length and a bytewise checksum, keeping the exact plumbing (Arrow
-    batches in, struct rows out) a real decoder would use.
+    ``impl="stub"`` (default, oracle-checked): deterministic fake dimensions
+    from the byte length and a bytewise checksum over the PAYLOAD — keeps
+    the exact plumbing (Arrow batches in, struct rows out) a real decoder
+    uses. ``impl="native"``: real PNG/BMP decode (``codecs.py``) — width and
+    height are the true image dimensions and the checksum is over the
+    decoded PIXELS. ``impl="pil"``: pillow decode (any format pillow
+    reads), same pixel-checksum convention; clear driver-side error when
+    pillow is absent.
     """
+    _check_impl(impl, ("stub", "native", "pil"))
+    if impl == "pil":
+        _require_lib("PIL", "pillow", impl)
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
+        if impl == "native":
+            from tranquility_spark.operators.codecs import decode_image
+
+            def one(b):
+                w, h, _ch, pixels = decode_image(bytes(b))
+                return w, h, sum(pixels) % _CHECKSUM_MOD
+
+        elif impl == "pil":
+            import io
+
+            from PIL import Image
+
+            def one(b):
+                img = Image.open(io.BytesIO(bytes(b)))
+                pixels = img.tobytes()
+                return img.width, img.height, sum(pixels) % _CHECKSUM_MOD
+
         for pdf in batches:
             payloads = pdf["payload"]
             n_bytes = payloads.map(len)
+            if impl == "stub":
+                width, height = n_bytes % 640, (n_bytes * 7) % 480
+                checksum = payloads.map(lambda b: sum(b) % _CHECKSUM_MOD)
+            else:
+                decoded = payloads.map(one)
+                width = decoded.map(lambda t: t[0])
+                height = decoded.map(lambda t: t[1])
+                checksum = decoded.map(lambda t: t[2])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "media_type": pdf["media_meta"].map(lambda m: m["media_type"]),
                     "n_bytes": n_bytes,
-                    # deterministic fake decode (see docstring)
-                    "width": n_bytes % 640,
-                    "height": (n_bytes * 7) % 480,
-                    "checksum": payloads.map(lambda b: sum(b) % 1000000007),
+                    "width": width,
+                    "height": height,
+                    "checksum": checksum,
                 }
             )
 
@@ -74,24 +138,63 @@ def resize_images(
     target_width: int = 224,
     target_height: int = 224,
     id_col: str = "doc_id",
+    impl: str = "stub",
 ) -> DataFrame:
     """Resize every image payload to (target_width, target_height).
 
-    STUB: a real implementation would decode → ``img.resize(...)`` → re-encode
-    per batch. The deterministic fake truncates/tiles the payload to
-    ``target_width * target_height`` bytes so output size, schema, and the
-    batch shape match a real resizer. The Spark plan is identical either way:
-    one narrow mapInPandas, no shuffle, scales linearly with executors.
+    ``impl="stub"`` (default, oracle-checked): truncates/tiles the payload
+    to ``target_width * target_height`` bytes so output size, schema, and
+    batch shape match a real resizer. ``impl="native"``: real decode
+    (PNG/BMP) → nearest-neighbor resample → PNG re-encode, pure stdlib.
+    ``impl="pil"``: pillow decode → ``img.resize`` → PNG re-encode; clear
+    driver-side error when pillow is absent. The Spark plan is identical
+    for every impl: one narrow mapInPandas, no shuffle, scales linearly
+    with executors.
     """
+    _check_impl(impl, ("stub", "native", "pil"))
+    if impl == "pil":
+        _require_lib("PIL", "pillow", impl)
     n_out = target_width * target_height
 
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
-        for pdf in batches:
-            out_payload = pdf["payload"].map(
-                lambda b: (b * (n_out // max(len(b), 1) + 1))[:n_out]
+        if impl == "native":
+            from tranquility_spark.operators.codecs import (
+                decode_image,
+                nearest_resize,
+                png_encode,
             )
+
+            def one(b):
+                w, h, ch, pixels = decode_image(bytes(b))
+                return png_encode(
+                    nearest_resize(pixels, w, h, ch, target_width, target_height),
+                    target_width,
+                    target_height,
+                    ch,
+                )
+
+        elif impl == "pil":
+            import io
+
+            from PIL import Image
+
+            def one(b):
+                img = Image.open(io.BytesIO(bytes(b))).resize(
+                    (target_width, target_height), resample=Image.NEAREST
+                )
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                return buf.getvalue()
+
+        for pdf in batches:
+            if impl == "stub":
+                out_payload = pdf["payload"].map(
+                    lambda b: (b * (n_out // max(len(b), 1) + 1))[:n_out]
+                )
+            else:
+                out_payload = pdf["payload"].map(one)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -161,27 +264,62 @@ def audio_frame_energy(
     frame: int = FRAME,
     hop: int = HOP,
     silence_ms: int = SILENCE_MS,
+    impl: str = "stub",
 ) -> DataFrame:
     """Audio-modality plumbing: frame-level energy / peak / silence flags.
 
-    STUB decode (same contract as ``decode_image_features``): a real
-    implementation would PCM-decode the blob here; without codec libs each
-    payload byte stands in for an unsigned 8-bit sample centered at 128.
-    Everything downstream of the decode — sliding-window framing, per-frame
-    sum-of-squares energy, peak deviation, integer silence thresholding —
-    is the real DSP shape, Arrow-batched through mapInPandas with a 1→N
-    fan-out exactly like ``sample_frames``.
+    The decode step is pluggable; everything downstream of it —
+    sliding-window framing, per-frame sum-of-squares energy, peak
+    deviation, integer silence thresholding — is the SAME DSP code for
+    every impl, Arrow-batched through mapInPandas with a 1→N fan-out
+    exactly like ``sample_frames``.
+
+    ``impl="stub"`` (default, oracle-checked): each payload byte stands in
+    for an unsigned 8-bit sample centered at 128. ``impl="native"``: real
+    8/16-bit PCM WAV demux via stdlib ``wave`` (``codecs.wav_decode``) to
+    centered integer samples. ``impl="soundfile"``: libsndfile formats via
+    the soundfile package (float samples scaled to 16-bit integer); clear
+    driver-side error when the lib is absent.
 
     All arithmetic is INTEGER (sum of squared deviations; the silence test
-    multiplies instead of dividing), so the stub path is exactly
-    reproducible in a SQL oracle. Full windows only: a payload shorter
-    than one frame emits no rows. Scale: no shuffle — each blob frames
-    independently; cost is linear in corpus bytes.
+    multiplies instead of dividing), so every path is exactly reproducible.
+    Full windows only: a payload shorter than one frame emits no rows.
+    Scale: no shuffle — each blob frames independently; cost is linear in
+    corpus bytes. NOTE: the default ``silence_ms`` threshold is scaled to
+    8-bit sample deviations; 16-bit audio callers should pass a threshold
+    matched to their amplitude scale.
     """
+    _check_impl(impl, ("stub", "native", "soundfile"))
+    if impl == "soundfile":
+        _require_lib("soundfile", "soundfile", impl)
 
     def frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import numpy as np
         import pandas as pd
+
+        if impl == "native":
+            from tranquility_spark.operators.codecs import wav_decode
+
+            def decode(payload):
+                _rate, samples = wav_decode(bytes(payload))
+                return samples
+
+        elif impl == "soundfile":
+            import io
+
+            import soundfile as sf
+
+            def decode(payload):
+                data, _rate = sf.read(io.BytesIO(bytes(payload)), always_2d=True)
+                return (data[:, 0] * 32767).astype(np.int64)
+
+        else:
+
+            def decode(payload):
+                return (
+                    np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                    - 128
+                )
 
         for pdf in batches:
             out = {
@@ -193,13 +331,10 @@ def audio_frame_energy(
                 "is_silence": [],
             }
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
-                    np.int64
-                )
-                n = len(samples)
+                dev = decode(payload)
+                n = len(dev)
                 if n < frame:
                     continue
-                dev = samples - 128
                 for fid in range((n - frame) // hop + 1):
                     w = dev[fid * hop : fid * hop + frame]
                     energy = int(np.dot(w, w))
