@@ -124,6 +124,10 @@ HEADLINE = [
     "pipe6_dataset_manifest",
     "w7_rolling_zscore",
     "a14_first_last",
+    "hh2b_cms_join_estimate",
+    "dq16_timeseries_grand_total",
+    "chunk2_token_chunks",
+    "txt18_zipf_audit",
 ]
 
 

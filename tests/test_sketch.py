@@ -433,6 +433,41 @@ def test_cms_estimate_ge_true_and_bounded(spark, sf_dir):
     assert g.collect()[0]["est_count"] >= 0
 
 
+def test_cms_estimate_join_equals_broadcast_estimate(spark, sf_dir):
+    """The beyond-broadcast-fit join estimate returns EXACTLY the broadcast
+    map estimate for every probe row — including never-inserted keys
+    (absent cell = 0) and duplicate probe rows (each output row keeps its
+    own estimate). Probe columns survive untouched."""
+    from tranquility_spark.operators.cms import (
+        cms_counters,
+        cms_estimate,
+        cms_estimate_join,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    width, depth = 512, 4
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    counters = cms_counters(ev, "user_id", width=width, depth=depth)
+    probes = (
+        ev.distinct()
+        .withColumn("tag", F.col("user_id") * 2)
+        .unionByName(
+            spark.createDataFrame(
+                [(-987654321, 0), (-987654321, 0)], "user_id long, tag long"
+            )
+        )
+    )
+    kw = dict(width=width, depth=depth)
+    via_map = sorted(
+        map(tuple, cms_estimate(probes, counters, "user_id", **kw).collect())
+    )
+    via_join = sorted(
+        map(tuple, cms_estimate_join(probes, counters, "user_id", **kw).collect())
+    )
+    assert via_map == via_join
+    assert len(via_join) == probes.count()  # duplicates preserved
+
+
 def test_cms_merge_identical_to_direct(spark, sf_dir):
     """Sum-merge of per-event-type partials == one direct build on the full
     stream, bit-for-bit (counter addition is associative/commutative) — the

@@ -90,6 +90,81 @@ def test_sample_frames_fanout_bounded(spark, sf_dir):
     assert first == 50  # every doc yields frame 0
 
 
+def test_chunk_tokens_overlap_and_coverage(spark):
+    """Token-aligned chunking: chunk k starts at k*stride; consecutive
+    chunks share exactly chunk_size - stride tokens; every token appears in
+    at least one chunk; no chunk splits a token (each chunk_text is a
+    space-join of whole input tokens); empty docs emit one empty chunk."""
+    words = [f"w{i}" for i in range(50)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b c"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = tx.chunk_tokens(df, chunk_size=32, stride=24)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: 50 tokens -> chunks at 0, 24, 48
+    d1 = [rows[(1, i)] for i in range(3)]
+    assert (1, 3) not in rows
+    assert [r["start_tok"] for r in d1] == [0, 24, 48]
+    assert [r["n_toks"] for r in d1] == [32, 26, 2]
+    assert d1[0]["chunk_text"].split(" ") == words[0:32]
+    assert d1[1]["chunk_text"].split(" ") == words[24:50]
+    assert d1[2]["chunk_text"].split(" ") == words[48:50]
+    # the 8-token overlap: chunk 0's tail == chunk 1's head
+    assert d1[0]["chunk_text"].split(" ")[24:] == d1[1]["chunk_text"].split(" ")[:8]
+    # doc 2: shorter than one chunk -> single chunk, whole doc
+    assert rows[(2, 0)]["chunk_text"] == "a b c" and rows[(2, 0)]["n_toks"] == 3
+    # doc 3: whitespace-only -> one empty chunk (the txt3 [''] convention)
+    assert rows[(3, 0)]["chunk_text"] == "" and rows[(3, 0)]["n_toks"] == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        tx.chunk_tokens(df, chunk_size=0)
+
+
+def test_txt18_zipf_slope_on_synthetic_zipf_corpus(spark, tmp_path):
+    """On a corpus built to be exactly Zipfian (freq(r) = floor(600/r)),
+    the fitted slope lands near -1, and the whole output row equals an
+    independent Python replay of the regression (same 6-dp ln rounding,
+    exact fraction sums standing in for the decimal accumulation)."""
+    import math
+    from fractions import Fraction
+
+    from tranquility_spark.catalog import CATALOG
+
+    freqs = {f"t{r:03d}": 600 // r for r in range(1, 251)}
+    tokens = [t for t, n in freqs.items() for _ in range(n)]
+    # deterministic spread over 25 docs (no RNG — order is irrelevant to
+    # frequency counts)
+    docs = [
+        (i, " ".join(tokens[i::25]), "en", "src")
+        for i in range(25)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    row = CATALOG["txt18_zipf_audit"].fn(spark, str(tmp_path)).collect()[0]
+
+    n_total = sum(freqs.values())
+    assert row["n_tokens_total"] == n_total
+    assert row["vocab_size"] == len(freqs)
+    assert row["top_n"] == 200
+    # independent replay: rank by (freq desc, token asc), top 200
+    ranked = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    xs = [Fraction(round(math.log(r + 1), 6)).limit_denominator(10**6)
+          for r in range(len(ranked))]
+    ys = [Fraction(round(math.log(n), 6)).limit_denominator(10**6)
+          for _t, n in ranked]
+    k = len(xs)
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxy = float(sum(x * y for x, y in zip(xs, ys)))
+    sxx = float(sum(x * x for x in xs))
+    slope = round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+    assert row["zipf_slope"] == slope
+    assert -1.15 <= row["zipf_slope"] <= -0.85, row["zipf_slope"]
+    assert row["top1_share"] == round(600 / n_total, 6)
+
+
 def test_txt12_bigram_logprob_hand_computed(spark, sf_dir, tmp_path):
     """Hand-checkable bigram LM: corpus 'a b a' + 'a b'.
     Bigrams: (a,b)x2, (b,a)x1. V=2. c1: a->2, b->1.

@@ -1075,6 +1075,55 @@ def dq5b_zero_filled_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq16_timeseries_grand_total",
+    """
+    WITH base AS (
+        SELECT epoch_ms(CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400000)
+                   AS day,
+               value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+          AND event_type <> 'error'
+    )
+    SELECT day,
+           CAST(GROUPING(day) AS BIGINT) AS is_total,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM base
+    GROUP BY ROLLUP(day)
+    """,
+    doc="Druid timeseries with grandTotal=true (TimeseriesQuery.html "
+    "[recall]): the per-bucket rows PLUS one total row aggregating the "
+    "whole interval, emitted by the same query. Spark-first this is NOT "
+    "a second scan or a union: GROUP BY ROLLUP gives Catalyst one "
+    "Expand + one hash agg — each input row feeds both grouping sets in "
+    "a single pass, map-side combined, and the total row costs one "
+    "extra group however large the corpus. is_total = GROUPING(day) "
+    "distinguishes the all-rows row (day NULL) from a real bucket. Same "
+    "decimal-accumulation float policy as dq5; the interval + dimension "
+    "filter reach the parquet scan",
+)
+def dq16_timeseries_grand_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+        & (F.col("event_type") != "error")
+    ).select(
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp("ts") / 86400) * 86400
+        ).alias("day"),
+        "value",
+    )
+    return base.rollup("day").agg(
+        F.grouping("day").cast("long").alias("is_total"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+    ).select("day", "is_total", "n", "sum_value")
+
+
 # Druid registered-lookup analog: a small key->value map applied as a
 # dimension transform at query time. Kept as one literal shared by the
 # Spark map expression and the SQL CASE so the two dialects cannot drift.

@@ -1572,6 +1572,111 @@ def txt17_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TXT18_TOP_N = 200
+
+
+def _txt18_oracle_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_tokens_total,
+             CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size
+      FROM toks
+    ),
+    vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    top AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS r
+      FROM vocab ORDER BY n DESC, tok LIMIT {_TXT18_TOP_N}
+    ),
+    terms AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(round(ln(r), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(round(ln(n), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(round(ln(r), 6) AS DECIMAL(18,6))
+                      * CAST(round(ln(n), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(round(ln(r), 6) AS DECIMAL(18,6))
+                      * CAST(round(ln(r), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             CAST(max(CASE WHEN r = 1 THEN n END) AS BIGINT) AS n1
+      FROM top
+    )
+    SELECT s.vocab_size, s.n_tokens_total, t.k AS top_n,
+           round((t.k * t.sxy - t.sx * t.sy)
+                 / (t.k * t.sxx - t.sx * t.sx), 6) AS zipf_slope,
+           round(CAST(t.n1 AS DOUBLE) / s.n_tokens_total, 6) AS top1_share
+    FROM stats s, terms t
+    """
+
+
+@register(
+    "txt18_zipf_audit",
+    _txt18_oracle_sql(),
+    doc="Corpus-level Zipf audit — the distributional health gate run on "
+    "every new crawl/source before it enters the mix: natural text has a "
+    "token rank-frequency slope near -1 on a log-log plot (Zipf's law); "
+    "machine-generated spam, template farms and boilerplate floods bend "
+    "it (too flat = unnaturally uniform vocabulary, too steep / high "
+    "top1_share = a few tokens dominate). Emits one row: vocab size, "
+    "total tokens, and the least-squares slope of ln(freq) vs ln(rank) "
+    "over the top-200 tokens plus the head token's corpus share. Scale "
+    "shape: one narrow token explode feeding (a) a single "
+    "count/countDistinct agg and (b) the vocab hash-agg -> TakeOrdered "
+    "top-200 -> 200-row window + fold — the regression input is "
+    "CONSTANT-size at any corpus size, and both corpus passes are "
+    "map-side-combined narrow scans. Cross-engine exactness: ln values "
+    "round to 6dp and accumulate as DECIMAL(18,6) (products as exact "
+    "DECIMAL(37,12) — the emb7 policy), so the sums are bit-identical "
+    "and the final slope divides identical doubles",
+)
+def txt18_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_tokens_total"),
+        F.countDistinct("tok").alias("vocab_size"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    # TakeOrdered keeps the top-N without a global sort; the subsequent
+    # rank window's input is the constant-size top-N (dq13 spine rule)
+    top = (
+        vocab.orderBy(F.desc("n"), "tok")
+        .limit(_TXT18_TOP_N)
+        .withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("n"), F.col("tok")))
+        )
+    )
+    lx = F.round(F.log("r"), 6).cast("decimal(18,6)")
+    ly = F.round(F.log("n"), 6).cast("decimal(18,6)")
+    terms = top.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(lx).cast("double").alias("sx"),
+        F.sum(ly).cast("double").alias("sy"),
+        F.sum(lx * ly).cast("double").alias("sxy"),
+        F.sum(lx * lx).cast("double").alias("sxx"),
+        F.max(F.when(F.col("r") == 1, F.col("n"))).alias("n1"),
+    )
+    k = F.col("k").cast("double")
+    return stats.crossJoin(terms).select(
+        "vocab_size",
+        "n_tokens_total",
+        F.col("k").alias("top_n"),
+        F.round(
+            (k * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (k * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+        F.round(
+            F.col("n1").cast("double") / F.col("n_tokens_total"), 6
+        ).alias("top1_share"),
+    )
+
+
 _SAMP8_BUDGET = 3000  # tokens per language
 
 
@@ -2474,6 +2579,41 @@ from tranquility_spark.operators import embeddings as emb  # noqa: E402
 def chunk1_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.chunk_documents(
         _t(spark, sf_dir, "documents"), chunk_size=200, stride=150
+    )
+
+
+@register(
+    "chunk2_token_chunks",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    )
+    SELECT doc_id, chunk_id,
+           chunk_id * 24 AS start_tok,
+           CAST(len(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32))
+                AS BIGINT) AS n_toks,
+           array_to_string(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32),
+                           ' ') AS chunk_text
+    FROM (
+      SELECT doc_id, t,
+             unnest(range(0, greatest(CAST(floor((len(t) - 1) / 24) AS BIGINT),
+                                      0) + 1)) AS chunk_id
+      FROM toks
+    )
+    """,
+    doc="TOKEN-aligned overlapping chunking (32-token windows, stride 24, "
+    "8-token overlap) — chunk1's retrieval-grade sibling: context budgets "
+    "are counted in tokens and a boundary must never split a word (a "
+    "char-aligned cut poisons the embeddings of both neighbors). One "
+    "whitespace tokenize (the txt3 convention), posexplode over per-row "
+    "chunk starts, array slice + join — narrow 1-to-N fan-out, no "
+    "shuffle, linear in executors at 100 TB. Feeds the same downstream "
+    "as chunk1 (pipe2's chunk-level dedup, embedding indexing)",
+)
+def chunk2_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.chunk_tokens(
+        _t(spark, sf_dir, "documents"), chunk_size=32, stride=24
     )
 
 
@@ -3399,6 +3539,43 @@ def hh2_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters = cms_counters(ev, "user_id", width=1024, depth=4, hash_fn="portable")
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
     est = cms_estimate(
+        exact, counters, "user_id", width=1024, depth=4, hash_fn="portable"
+    )
+    return (
+        est.select(
+            "user_id",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("over_count"),
+        )
+        .orderBy(F.col("exact_count").desc(), "user_id")
+        .limit(100)
+    )
+
+
+@register(
+    "hh2b_cms_join_estimate",
+    _hh2_oracle_sql(),  # same estimates as hh2 — the join path changes the
+    # physical plan, not the answers, and the oracle certifies exactly that
+    doc="hh2's point query served by the BEYOND-BROADCAST-FIT estimate path "
+    "(cms_estimate_join): each probe row explodes into its 4 (row, col) "
+    "slots, one equi-join against the counter table, one per-row min "
+    "agg (the probe row rides the join as a struct — no join-back, no "
+    "driver materialization at ANY sketch width). This is the escape "
+    "hatch for widths past cms_estimate's documented broadcast-map "
+    "ceiling (ADVICE r07): at width >> 1e6 the map build would exhaust "
+    "the driver, while this plan's counter side just becomes a "
+    "shuffle-join build side. Hash-certified against the SAME DuckDB "
+    "counter-table rebuild as hh2 — the two estimate paths are also "
+    "pinned equal row-for-row in tests/test_sketch.py",
+)
+def hh2b_cms_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.cms import cms_counters, cms_estimate_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    counters = cms_counters(ev, "user_id", width=1024, depth=4, hash_fn="portable")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = cms_estimate_join(
         exact, counters, "user_id", width=1024, depth=4, hash_fn="portable"
     )
     return (

@@ -154,11 +154,9 @@ def cms_estimate(
     N needs width >> 1e6, and at ~width 1e7 x depth 5 the single-row map
     (~0.5-1 GiB of long pairs) will exhaust the driver — this estimate
     path is for sketch-sized (<= a few million cells) configurations
-    ONLY. Past that, estimate via a JOIN instead, mirroring
-    ``sbbf_probe``'s design: explode each probe key into its ``depth``
-    (row_idx, col_idx) slots, left-join the counter table on those, and
-    take ``min(coalesce(cnt, 0))`` per key — ``depth`` shuffled lookups
-    per probe row, no driver materialization at any width.
+    ONLY. Past that, use ``cms_estimate_join`` (same estimates,
+    test-pinned equal): ``depth`` shuffled lookups per probe row, no
+    driver materialization at any width.
     """
     cms_map = counters.agg(
         F.map_from_entries(
@@ -187,6 +185,73 @@ def cms_estimate(
         probes.crossJoin(F.broadcast(cms_map))
         .withColumn(out_col, est)
         .drop("__cms_map")
+    )
+
+
+def cms_estimate_join(
+    probes: DataFrame,
+    counters: DataFrame,
+    key_col: str,
+    width: int = DEFAULT_WIDTH,
+    depth: int = DEFAULT_DEPTH,
+    hash_fn: str = "xxhash64",
+    out_col: str = "est_count",
+) -> DataFrame:
+    """``cms_estimate``'s beyond-broadcast-fit twin: the JOIN-based point
+    query for sketch widths too large to fold into a one-row driver map
+    (the escape hatch the ``cms_estimate`` docstring documents; mirrors
+    ``sbbf_probe``'s design).
+
+    Each probe row explodes into its ``depth`` (row_idx, col_idx) slots,
+    left-joins the counter table on the cell key, and takes
+    ``min(coalesce(cnt, 0))`` per original row — an absent cell means the
+    key's hash never landed there, i.e. count 0. Cost: a ``depth``-way
+    narrow fan-out, one equi-join against the counter table, one
+    per-probe-row min agg (the probe row rides the join as a struct, so
+    there is no join-back). The counter table is the join's small side —
+    AQE broadcasts it while it fits and shuffles it beyond that; nothing
+    ever materializes on the driver at any width. Returns estimates
+    identical to ``cms_estimate`` (equality is test-pinned).
+
+    Contract: same unique-(row_idx, col_idx) requirement as
+    ``cms_estimate`` — probing an un-merged multi-partial append joins a
+    slot once per duplicate cell row and inflates the min. Merge first.
+    ``probes`` must not already contain ``__cms_``-prefixed columns;
+    ``counters``' own columns are consumed by the join and do not leak
+    into the output.
+    """
+    key = F.col(key_col)
+    slot = F.explode(
+        F.array(
+            *[
+                (
+                    F.lit(i).cast("long") * width
+                    + cms_pos(key, i, width, hash_fn)
+                ).cast("long")
+                for i in range(depth)
+            ]
+        )
+    ).alias("__cms_slot")
+    # a unique id disambiguates duplicate probe rows in the regroup; it
+    # rides INSIDE the carried struct so one groupBy restores the frame
+    probed = probes.withColumn("__cms_rid", F.monotonically_increasing_id())
+    exploded = probed.select(F.struct("*").alias("__cms_row"), slot)
+    cells = counters.select(
+        (
+            F.col("row_idx").cast("long") * F.lit(width) + F.col("col_idx")
+        ).alias("__cms_slot"),
+        F.col("cnt").alias("__cms_cnt"),
+    )
+    return (
+        exploded.join(cells, on="__cms_slot", how="left")
+        .groupBy("__cms_row")
+        .agg(
+            F.min(F.coalesce(F.col("__cms_cnt"), F.lit(0).cast("long"))).alias(
+                out_col
+            )
+        )
+        .select("__cms_row.*", out_col)
+        .drop("__cms_rid")
     )
 
 

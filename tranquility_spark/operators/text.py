@@ -308,6 +308,53 @@ def chunk_documents(
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping TOKEN chunks.
+
+    ``chunk_documents``' token-aligned sibling — the chunking a retrieval /
+    context-window pipeline actually wants: budgets are counted in tokens,
+    and a chunk boundary must never cut a token in half (a char-aligned
+    chunk can split a word across two chunks, which poisons both their
+    embeddings). Chunk k covers tokens [k*stride, k*stride + chunk_size);
+    consecutive chunks overlap by ``chunk_size - stride`` tokens.
+
+    Same plan shape as ``chunk_documents``: tokenize once (whitespace
+    split, the txt3 convention), posexplode a per-row sequence of chunk
+    starts, slice the token array — a narrow 1→N fan-out, no shuffle,
+    linear in executors at 100 TB. Every document emits at least one chunk
+    (empty text tokenizes to one empty token, the txt3/token_count
+    convention), so chunk-table anti-joins can never silently drop
+    documents.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    last = F.greatest(F.floor((n - F.lit(1)) / F.lit(stride)), F.lit(0)).cast("int")
+    start = F.col("chunk_id") * stride
+    piece = F.slice(F.col("__toks"), start + 1, F.lit(chunk_size))
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.posexplode(F.sequence(F.lit(0), last)).alias("chunk_id", "_i"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            start.alias("start_tok"),
+            F.size(piece).cast("long").alias("n_toks"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )
+
+
 def boilerplate_ngrams(
     df: DataFrame,
     text_col: str = "text",
