@@ -128,6 +128,7 @@ HEADLINE = [
     "dq16_timeseries_grand_total",
     "chunk2_token_chunks",
     "txt18_zipf_audit",
+    "a10e_kll_deterministic",
 ]
 
 

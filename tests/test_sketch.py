@@ -822,3 +822,208 @@ def test_native_kll_quantiles_bounded_but_nondeterministic(spark, sf_dir):
         .collect()
     )
     check(merged)
+
+
+def test_dkll_deterministic_and_partition_invariant(spark, sf_dir):
+    """The deterministic KLL (operators/kll.py): two builds over DIFFERENT
+    physical partitionings/orderings of the same data produce bit-identical
+    summary rows — the property the native KLL cannot offer (see the test
+    above) and the reason dKLL gets a catalog entry."""
+    from tranquility_spark.operators.kll import kll_partial
+    from tranquility_spark.sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    a = sorted(
+        map(tuple, kll_partial(ev.repartition(7), ["event_type"], "v").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            kll_partial(
+                ev.repartition(3).sortWithinPartitions(F.desc("v")),
+                ["event_type"],
+                "v",
+            ).collect(),
+        )
+    )
+    assert a == b and a
+
+
+def test_dkll_rank_error_envelope_direct_and_merged(spark, sf_dir):
+    """Measured rank-error envelope for the deterministic sketch, direct
+    AND per-day-merged: every reported quantile's TRUE normalized rank sits
+    within 5% of the target, n is exact, and the summary's total weight
+    equals n (weight conservation — nothing lost in compaction)."""
+    from tranquility_spark.operators.kll import kll_merge, kll_partial, kll_quantiles
+    from tranquility_spark.sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+        F.to_date("ts").cast("string").alias("day"),
+    )
+    truth = {
+        t: sorted(
+            r["v"] for r in ev.filter(F.col("event_type") == t).collect()
+        )
+        for t in [r[0] for r in ev.select("event_type").distinct().collect()]
+    }
+
+    def check(est_rows):
+        assert {r["event_type"] for r in est_rows} == set(truth)
+        for r in est_rows:
+            vals = truth[r["event_type"]]
+            assert r["n_total"] == len(vals)
+            for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+                import bisect
+
+                # estimate's true normalized rank (upper rank of the value)
+                rank = bisect.bisect_right(vals, r[col]) / len(vals)
+                assert abs(rank - q) <= 0.05, (r["event_type"], col, rank)
+
+    direct = kll_partial(ev, ["event_type"], "v")
+    # weight conservation on the summary itself
+    wsum = {
+        r["event_type"]: (r["w"], r["n"])
+        for r in direct.groupBy("event_type")
+        .agg(
+            F.sum(F.pow(F.lit(2.0), F.col("level")).cast("long")).alias("w"),
+            F.max("n_total").alias("n"),
+        )
+        .collect()
+    }
+    assert all(w == n for w, n in wsum.values())
+    check(kll_quantiles(direct, ["event_type"]).collect())
+
+    per_day = kll_partial(ev, ["event_type", "day"], "v").withColumnRenamed(
+        "day", "pid"
+    )
+    merged = kll_merge(per_day, ["event_type"], "pid")
+    check(kll_quantiles(merged, ["event_type"]).collect())
+    # merge determinism: running it again is bit-identical
+    m1 = sorted(map(tuple, merged.collect()))
+    m2 = sorted(map(tuple, kll_merge(per_day, ["event_type"], "pid").collect()))
+    assert m1 == m2
+
+
+def test_dkll_small_groups_exact_and_merge_double_counts(spark):
+    """A group that never overflows k reports EXACT quantiles (no
+    compaction happened); and merging a duplicated partial double-counts
+    (the documented CMS-style non-idempotence — batch_id= partitions are
+    the safety mechanism, not reader-side dedupe)."""
+    from tranquility_spark.operators.kll import kll_merge, kll_partial, kll_quantiles
+
+    rows = [("g", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    sk = kll_partial(df, ["grp"], "v", k=128)
+    # k=128 > 100 values: level 0 holds every value exactly
+    assert sk.filter(F.col("level") > 0).count() == 0
+    est = kll_quantiles(sk, ["grp"]).collect()[0]
+    assert (est["p50"], est["p90"], est["p99"]) == (50.0, 90.0, 99.0)
+    assert est["n_total"] == 100
+
+    tagged = sk.withColumn("pid", F.lit(0))
+    dup = tagged.unionByName(tagged.withColumn("pid", F.lit(1)))
+    double = kll_quantiles(kll_merge(dup, ["grp"], "pid", k=128), ["grp"]).collect()[0]
+    assert double["n_total"] == 200  # duplicated partial double-counts
+
+
+def test_streaming_dkll_partials_merge_and_replay(spark, sf_dir, tmp_path):
+    """Stream micro-batches -> per-batch dKLL partials via foreachBatch ->
+    kll_merge at read time: the merged estimates obey the rank envelope vs
+    exact, the read-side merge is rerun-bit-identical (canonical batch_id
+    order), and REPLAYING a batch through the sink leaves the merged bytes
+    unchanged — the batch_id= dynamic-overwrite contract that makes the
+    non-idempotent merge safe (the CMS argument)."""
+    import pyspark.sql.functions as FF
+
+    from tranquility_spark.operators.kll import (
+        kll_merge,
+        kll_partials_sink,
+        kll_quantiles,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", FF.col("value").cast("double").alias("v")
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+
+    out = str(tmp_path / "kll_partials")
+    sink = kll_partials_sink(out, ["event_type"], "v")
+    stream = (
+        spark.readStream.schema("event_type string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    partials = spark.read.parquet(out)
+    assert partials.select("batch_id").distinct().count() >= 2
+    merged = sorted(
+        map(tuple, kll_merge(partials, ["event_type"], "batch_id").collect())
+    )
+    assert merged == sorted(
+        map(
+            tuple,
+            kll_merge(
+                spark.read.parquet(out), ["event_type"], "batch_id"
+            ).collect(),
+        )
+    )
+    # rank envelope of the merged estimates vs exact per-type quantiles
+    est = {
+        r["event_type"]: r
+        for r in kll_quantiles(
+            kll_merge(spark.read.parquet(out), ["event_type"], "batch_id"),
+            ["event_type"],
+        ).collect()
+    }
+    import bisect
+
+    for t in est:
+        vals = sorted(
+            r["v"] for r in ev.filter(FF.col("event_type") == t).collect()
+        )
+        assert est[t]["n_total"] == len(vals)
+        for qq, col in ((0.5, "p50"), (0.9, "p90")):
+            rank = bisect.bisect_right(vals, est[t][col]) / len(vals)
+            assert abs(rank - qq) <= 0.05, (t, col, rank)
+    # replay contract: delivering the SAME rows under the SAME batch_id a
+    # second time REPLACES the partition (dynamic partition overwrite), so
+    # the merged bytes are unchanged — redelivery can never double-count.
+    # Use a fresh synthetic batch so the replayed rows are exactly known.
+    extra = spark.createDataFrame(
+        [("replayed", float(i)) for i in range(500)], "event_type string, v double"
+    )
+    sink(extra, 999)
+    once = sorted(
+        map(
+            tuple,
+            kll_merge(
+                spark.read.parquet(out), ["event_type"], "batch_id"
+            ).collect(),
+        )
+    )
+    sink(extra, 999)  # forced redelivery of the identical batch
+    twice = sorted(
+        map(
+            tuple,
+            kll_merge(
+                spark.read.parquet(out), ["event_type"], "batch_id"
+            ).collect(),
+        )
+    )
+    assert once == twice
+    assert {r for r in twice if r[0] == "replayed"}  # the batch is present
+    n_replayed = [r[-1] for r in twice if r[0] == "replayed"][0]
+    assert n_replayed == 500  # replaced, never appended/doubled

@@ -99,6 +99,56 @@ def a10c_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a10e_kll_deterministic",
+    None,  # rows-only by the sketch policy; determinism (partition-
+    # invariance, rerun bit-identity), measured rank envelope, weight
+    # conservation and the batch_id= replay contract are all asserted in
+    # tests/test_sketch.py
+    doc="DETERMINISTIC KLL/MRL-style quantile sketch (operators/kll.py, "
+    "mergeable family #7) — closes the gap VERDICT r07 named: Spark's "
+    "native KLL is excluded from the catalog because its unseeded "
+    "compaction changes values across reruns; this sketch derives every "
+    "compaction decision from a CRC of the compacted items, so builds "
+    "AND merges are bit-reproducible across reruns, processes and "
+    "physical partitionings (values fold in canonical sorted order "
+    "inside each partial). Per-(event_type, day) partials built by one "
+    "applyInPandas pass (summary = relational (level, value) rows, "
+    "kilobytes at any partial size), merged per type in canonical "
+    "partial-id order, quantiles answered by pure DataFrame window math "
+    "(weight 2^level, smallest value whose running weight reaches "
+    "ceil(q*W)). Contracts: vs a10c's bottom-k (merge bit-identical to "
+    "direct, O(1/sqrt(k)) error) this trades direct-build identity for "
+    "multi-level O(k log(n/k)) space with a tighter measured envelope; "
+    "merge is deterministic but NOT direct-identical (compaction "
+    "history, the HLL-style caveat) and NOT replay-idempotent (CMS "
+    "argument — batch_id= dynamic-overwrite partitions are the safety "
+    "mechanism, kll_partials_sink)",
+)
+def a10e_kll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.kll import (
+        kll_merge,
+        kll_partial,
+        kll_quantiles,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+        F.to_date("ts").cast("string").alias("day"),
+    )
+    partials = kll_partial(ev, ["event_type", "day"], "v")
+    merged = kll_merge(partials, ["event_type"], "day")
+    est = kll_quantiles(merged, ["event_type"], quantiles=(0.5, 0.9, 0.99))
+    return est.select(
+        "event_type",
+        "n_total",
+        F.round("p50", 6).alias("p50_est"),
+        F.round("p90", 6).alias("p90_est"),
+        F.round("p99", 6).alias("p99_est"),
+    ).orderBy("event_type")
+
+
+@register(
     "a6c_hyperunique_mergeable",
     None,  # sketch state is engine-defined binary — rows-only by the same
     # policy as a11c/a11d; estimate-equality + accuracy asserted in tests
