@@ -129,6 +129,7 @@ HEADLINE = [
     "chunk2_token_chunks",
     "txt18_zipf_audit",
     "a10e_kll_deterministic",
+    "emb9_principal_component",
 ]
 
 

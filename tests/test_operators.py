@@ -754,3 +754,59 @@ def test_t4_tz_bucket_dst_boundaries(spark, tmp_path):
     oracle = con.execute(CATALOG["t4_tz_day_rollup"].oracle).fetchall()
     got_o = {r[1].isoformat(): (r[0], r[2]) for r in oracle}
     assert got_o == {k: v for k, v in got.items()}
+
+
+def test_principal_component_matches_numpy_and_is_deterministic(spark, sf_dir):
+    """emb9's principal component: (a) rerun bit-identical (no RNG
+    anywhere), (b) matches an independent full-numpy eigensolve of the RAW
+    corpus to float tolerance (Spark's distributed covariance sums differ
+    from numpy's only in accumulation order), (c) unit-norm loadings,
+    (d) the eigenvalue dominates every coordinate-axis variance (Rayleigh
+    optimality over the axes), (e) explained share in (0, 1]."""
+    import numpy as np
+
+    from pyspark.sql import functions as FF
+
+    from tranquility_spark.operators.embeddings import principal_component
+    from tranquility_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v1, l1, s1 = principal_component(e)
+    v2, l2, s2 = principal_component(e)
+    assert (v1, l1, s1) == (v2, l2, s2)  # bit-identical rerun
+
+    X = np.array([r["embedding"] for r in e.select("embedding").collect()],
+                 dtype=np.float64)
+    cov = np.cov(X, rowvar=False, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    pivot = int(np.argmax(np.abs(top)))
+    if top[pivot] < 0:
+        top = -top
+    assert abs(l1 - w[-1]) <= 1e-6 * max(1.0, abs(w[-1]))
+    # eigenvector comparison is meaningful because the fixture's top two
+    # eigenvalues are separated (power iteration converged)
+    assert w[-1] - w[-2] > 1e-9
+    assert np.allclose(np.array(v1), top, atol=1e-4)
+    assert abs(np.linalg.norm(v1) - 1.0) <= 1e-9
+    assert l1 >= float(np.max(np.diag(cov))) - 1e-9
+    assert 0.0 < s1 <= 1.0
+
+
+def test_principal_component_degenerate_corpora(spark):
+    """Empty corpus raises; a constant corpus (zero covariance) returns a
+    zero eigenvalue and share 0 instead of dividing by zero."""
+    import pytest as pt
+
+    from pyspark.sql import functions as FF
+
+    from tranquility_spark.operators.embeddings import principal_component
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pt.raises(ValueError, match="non-empty"):
+        principal_component(empty)
+    const = spark.range(10).select(
+        FF.array(FF.lit(0.5), FF.lit(0.5)).alias("embedding")
+    )
+    v, l, s = principal_component(const)
+    assert l == 0.0 and s == 0.0 and len(v) == 2

@@ -1540,6 +1540,7 @@ _R08_DRIVER_WINDOW = [
     "a6c_hyperunique_mergeable",
     "a11e_theta_native",
     "a10e_kll_deterministic",
+    "emb9_principal_component",
     # re-certify: round 8 closed VERDICT r07's one known defect — w6 now
     # filters NULL-ts rows before ordering (Spark sorts NULL keys first,
     # DuckDB last; the f7/w7 contract). fn + oracle changed

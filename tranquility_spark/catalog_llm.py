@@ -2649,6 +2649,41 @@ def emb1_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb9_principal_component",
+    None,  # the eigensolve runs driver-side in numpy — no SQL twin; full
+    # numpy replay equality, determinism and Rayleigh-dominance are
+    # asserted in tests/test_operators.py
+    doc="Top principal component of the embedding corpus "
+    "(operators/embeddings.py#principal_component) — the "
+    "big-data/small-model split done the Spark-first way: the ONLY "
+    "distributed work is one covariance pass (double-posexplode "
+    "upper-triangle pair agg, map-side combined — the exchange carries "
+    "d(d+1)/2 + d sums, ~2k rows at d=64, at ANY corpus size), and the "
+    "64x64 eigensolve runs on the driver in numpy (4 KiB of state — the "
+    "ivf_centroids bounded-collect pattern; a full eigh, not power "
+    "iteration, because near-flat embedding spectra make fixed-budget "
+    "power iteration silently under-converge — documented in the "
+    "operator). Deterministic end-to-end: no RNG, canonical sign, "
+    "reruns bit-identical (rows-only policy satisfied). Output: one "
+    "row per dimension with its loading, plus the eigenvalue and the "
+    "explained-variance share — the drift/collapse audit for an "
+    "embedding corpus (a dominant component with a large share means "
+    "the encoder is wasting dimensions; compose with emb7's certified "
+    "covariance audit on the d<=8 slice)",
+)
+def emb9_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    loadings, eigval, share = emb.principal_component(e)
+    rows = [
+        (i, round(loading, 6), round(eigval, 6), round(share, 6))
+        for i, loading in enumerate(loadings)
+    ]
+    return spark.createDataFrame(
+        rows, "dim_i int, loading double, eigenvalue double, explained_share double"
+    )
+
+
+@register(
     "emb8_spike_outliers",
     """
     WITH ratios AS (
