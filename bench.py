@@ -130,6 +130,7 @@ HEADLINE = [
     "txt18_zipf_audit",
     "a10e_kll_deterministic",
     "emb9_principal_component",
+    "dq17_time_extraction",
 ]
 
 

@@ -248,6 +248,25 @@ def test_druid_query_analog_plans(spark, sf_dir):
         assert "TakeOrderedAndProject" in plan, name
 
 
+def test_dq16_grand_total_single_pass_and_semantics(spark, sf_dir):
+    """dq16's ROLLUP compiles to ONE scan + Expand + hash agg — the corpus
+    is never read twice for the total row — and the total row equals the
+    sum over the per-bucket rows exactly (decimal accumulation)."""
+    from tranquility_spark.catalog import CATALOG
+
+    df = CATALOG["dq16_timeseries_grand_total"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan
+    rows = df.collect()
+    total = [r for r in rows if r["is_total"] == 1]
+    buckets = [r for r in rows if r["is_total"] == 0]
+    assert len(total) == 1 and total[0]["day"] is None
+    assert total[0]["n"] == sum(r["n"] for r in buckets)
+    assert abs(total[0]["sum_value"] - sum(r["sum_value"] for r in buckets)) < 1e-6
+    assert all(r["day"] is not None for r in buckets)
+
+
 def test_chunking_boundaries(spark):
     """Empty text -> one empty chunk (no silent doc drop); exact-stride
     lengths don't emit a phantom empty trailing chunk; overlap is

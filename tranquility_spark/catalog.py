@@ -1124,6 +1124,40 @@ def dq16_timeseries_grand_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("day", "is_total", "n", "sum_value")
 
 
+@register(
+    "dq17_time_extraction",
+    """
+    SELECT strftime(ts, '%Y-%m') AS month_label,
+           CAST(isodow(ts) AS BIGINT) AS iso_dow,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="Druid timeFormat extractionFn as a groupBy dimension "
+    "(TimeFormatExtractionFn [recall]): the __time column projected "
+    "through a format string ('yyyy-MM' month label) plus an ISO "
+    "day-of-week — the weekday-seasonality query every event dashboard "
+    "runs. Spark-first both extractions are codegen'd scalar exprs "
+    "feeding ONE map-side-combined hash agg (group cardinality = months "
+    "x 7, tiny at any corpus size); no calendar table join. "
+    "Cross-engine care: the format tokens are locale-free (numeric "
+    "year-month; ISO dow via Spark weekday()+1 == DuckDB isodow — "
+    "locale-dependent day NAMES would diverge between JVM and ICU), "
+    "and the NULL-ts guard applies the f7/w7 contract",
+)
+def dq17_time_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month_label"),
+        (F.weekday("ts") + F.lit(1)).cast("long").alias("iso_dow"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+    )
+
+
 # Druid registered-lookup analog: a small key->value map applied as a
 # dimension transform at query time. Kept as one literal shared by the
 # Spark map expression and the SQL CASE so the two dialects cannot drift.
