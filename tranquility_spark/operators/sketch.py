@@ -104,20 +104,29 @@ def kmv_merge(
     Shuffles only sketch rows (≤ k doubles each), never raw data.
     """
     g = list(group_cols)
-    tmin = partials.groupBy(*g).agg(F.min("theta").alias("__tmin"))
+    # ONE consumption of `partials`: theta rides every exploded row and a
+    # group-window min replaces the old separate tmin agg + join — which
+    # scanned the partials subtree twice, and when `partials` is an
+    # unpersisted kmv_sketch plan that meant re-running the raw-data scan
+    # (the hh1 adjudication lesson, applied here in r8; duplication of
+    # theta across a partial's exploded rows cannot change the min).
     # <= not <: a saturated partial's theta IS its k-th retained hash
     # (element_at(kmv, k)), so the boundary value is part of the sketch —
     # strict < would drop it and break bit-identity with the direct build.
+    wg = Window.partitionBy(*g)
     vals = (
-        partials.select(*g, F.explode("kmv").alias("__h"))
-        .join(tmin, g)
+        partials.select(*g, "theta", F.explode("kmv").alias("__h"))
+        .withColumn("__tmin", F.min("theta").over(wg))
         .filter(F.col("__h") <= F.col("__tmin"))
+        .drop("theta")
         .dropDuplicates(g + ["__h"])
     )
     w = Window.partitionBy(*g).orderBy("__h")
-    kept = vals.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
-    sk = kept.groupBy(*g).agg(
-        F.sort_array(F.collect_list("__h")).alias("kmv"),
+    ranked = vals.withColumn("__rn", F.row_number().over(w))
+    sk = ranked.groupBy(*g).agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("__rn") <= k, F.col("__h")))
+        ).alias("kmv"),
         F.min("__tmin").alias("__tmin"),
     )
     return sk.select(
@@ -220,15 +229,24 @@ def quantile_sample_sketch(
         hash01(F.col(id_col)).alias("__h"),
         F.col(value_col).cast("double").alias("__v"),
     )
+    # ONE consumption of the raw scan: the ranking window sees every row,
+    # so n_total is a plain count in the SAME aggregation that collects
+    # the bottom-k sample (conditional collect_list skips the `when`'s
+    # NULLs). The old kept/totals branches re-joined on the group key and
+    # scanned the raw data twice (hh1 adjudication lesson, applied r8).
     w = Window.partitionBy(*g).orderBy("__h")
-    kept = hashed.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
-    totals = hashed.groupBy(*g).agg(F.count(F.lit(1)).alias("n_total"))
-    sk = kept.groupBy(*g).agg(
-        F.sort_array(F.collect_list(F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")))).alias(
-            "sample"
-        )
+    ranked = hashed.withColumn("__rn", F.row_number().over(w))
+    return ranked.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("__rn") <= k,
+                    F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")),
+                )
+            )
+        ).alias("sample"),
     )
-    return totals.join(sk, g)
 
 
 def quantile_sample_merge(
@@ -240,19 +258,43 @@ def quantile_sample_merge(
     sketch directly on the concatenated raw data (the KMV merge argument).
     Only kilobyte sample rows shuffle, never raw data."""
     g = list(group_cols)
+    # ONE consumption of `partials` (hh1 adjudication lesson, applied r8):
+    # posexplode marks each partial row's first element, so the group's
+    # total rides the exploded frame as a window sum of pos-0 n_totals —
+    # no second scan of the partial-build subtree, no join back. The sum
+    # is taken BEFORE the dedup (each appended partial row contributes its
+    # n_total exactly once, replayed appends double-count exactly as the
+    # old partials-level agg did — replay safety stays with the sink's
+    # batch_id= overwrite contract).
     # dropDuplicates mirrors kmv_merge: a replayed micro-batch appends an
     # IDENTICAL partial (same (h, v) rows), and without dedup those copies
     # would occupy bottom-k slots and displace genuine rows — breaking the
     # bit-identity contract. Distinct rows are unaffected: different source
     # rows have different ids, hence different h (collisions ~2^-53).
-    vals = partials.select(*g, F.explode("sample").alias("s")).dropDuplicates(
-        g + ["s"]
+    # __ntot is constant per group by then, so the arbitrary-row-survival
+    # of unlisted columns in dropDuplicates cannot change it.
+    wg = Window.partitionBy(*g)
+    vals = (
+        partials.select(
+            *g, "n_total", F.posexplode("sample").alias("__pos", "s")
+        )
+        .withColumn(
+            "__ntot",
+            F.sum(
+                F.when(F.col("__pos") == 0, F.col("n_total")).otherwise(0)
+            ).over(wg),
+        )
+        .drop("n_total", "__pos")
+        .dropDuplicates(g + ["s"])
     )
     w = Window.partitionBy(*g).orderBy(F.col("s.h"))
-    kept = vals.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
-    totals = partials.groupBy(*g).agg(F.sum("n_total").alias("n_total"))
-    sk = kept.groupBy(*g).agg(F.sort_array(F.collect_list("s")).alias("sample"))
-    return totals.join(sk, g)
+    ranked = vals.withColumn("__rn", F.row_number().over(w))
+    return ranked.groupBy(*g).agg(
+        F.max("__ntot").alias("n_total"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("__rn") <= k, F.col("s")))
+        ).alias("sample"),
+    )
 
 
 def quantile_estimates(
