@@ -1594,6 +1594,11 @@ _R08_DRIVER_WINDOW = [
     "mm1_decode_features",
     "mm3_resize",
     "mm4_audio_frame_energy",
+    # re-certify: round 8 rewrote retention_cohorts' first-seen as a
+    # window min (single consumption of the (user,day) distinct — the hh1
+    # lesson); result-preserving (parity re-verified at both SFs), but
+    # dq8's executed plan changed (helper-edit discipline)
+    "dq8_retention_cohorts",
 ]
 
 
@@ -1622,8 +1627,9 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # r01/r02 certified the first 50; r03/r04 certified the next 46;
 # r05 certified 16; r06 folded in 10 of its 17 newly-green keys; r07
 # folds in 36 (its 40 greens minus p1/p3/p4 already certified and minus
-# dd12, edited in round 8 and rotated back). w6, sim3, mm1, mm3 and mm4
-# were removed in round 8 (edited — see _R08_DRIVER_WINDOW). Total: 149.
+# dd12, edited in round 8 and rotated back). w6, sim3, mm1, mm3, mm4 and
+# dq8 were removed in round 8 (edited — see _R08_DRIVER_WINDOW).
+# Total: 148.
 _CERTIFIED = frozenset(
     {
         # --- r01/r02 window ---
@@ -1687,7 +1693,7 @@ _CERTIFIED = frozenset(
         # p1/p3/p4 were certified backfill slots, and dd12's sbbf_probe
         # helper was edited in round 8, so it rotates back instead) ---
         "f6_winsorize_clip", "a10d_fixed_histogram",
-        "dd10_bloom_gated_antijoin", "dq8_retention_cohorts", "dq9_funnel",
+        "dd10_bloom_gated_antijoin", "dq9_funnel",
         "emb5_binary_hamming_topk", "sim4_bq_rerank", "t4_tz_day_rollup",
         "dq5b_zero_filled_timeseries", "dq10_lookup_dimension",
         "dq11_topn_extraction", "dq12_nested_groupby", "dq13_moving_average",

@@ -20,19 +20,23 @@ from pyspark.sql import functions as F
 def retention_cohorts(ev: DataFrame) -> DataFrame:
     """(cohort_day, day_offset, n_users) retention cells.
 
-    Plan: one (user, day) distinct (the only corpus-sized shuffle); the
-    first-seen agg REUSES that frame; one user_id join; final agg bounded
-    by days^2 cells. At 100 TB co-partition activity and first-seen on
-    user_id and the join is exchange-free. The per-user min day is
-    MIN-MERGEABLE, so a streaming pipeline can land per-batch first-seen
-    partials and merge at read (the partials test asserts equality).
+    Plan: one (user, day) distinct (the only corpus-sized shuffle), then
+    the per-user first-seen day as a WINDOW MIN over that same frame — one
+    consumption, one user_id-partitioned window, no join back (the
+    previous agg+join shape re-executed the whole distinct subtree for
+    the first-seen side; the hh1 adjudication lesson, applied r8). Final
+    agg is bounded by days^2 cells. The per-user min day is MIN-MERGEABLE,
+    so a streaming pipeline can land per-batch first-seen partials and
+    merge at read (the partials test asserts equality).
     """
+    from pyspark.sql import Window
+
     act = ev.select(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     ).distinct()
-    fs = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    w = Window.partitionBy("user_id")
     return (
-        act.join(fs, "user_id")
+        act.withColumn("cohort_day", F.min("day").over(w))
         .groupBy(
             "cohort_day",
             F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias(
