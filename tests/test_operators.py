@@ -810,3 +810,19 @@ def test_principal_component_degenerate_corpora(spark):
     )
     v, l, s = principal_component(const)
     assert l == 0.0 and s == 0.0 and len(v) == 2
+
+
+def test_principal_component_ragged_corpus_raises(spark):
+    """Mixed-dimension vectors make per-pair counts diverge; the operator
+    must fail loudly instead of silently using an arbitrary pair's count
+    (code-review r8)."""
+    import pytest as pt
+
+    from tranquility_spark.operators.embeddings import principal_component
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pt.raises(ValueError, match="rectangular"):
+        principal_component(ragged)

@@ -1027,3 +1027,69 @@ def test_streaming_dkll_partials_merge_and_replay(spark, sf_dir, tmp_path):
     assert {r for r in twice if r[0] == "replayed"}  # the batch is present
     n_replayed = [r[-1] for r in twice if r[0] == "replayed"][0]
     assert n_replayed == 500  # replaced, never appended/doubled
+
+
+def test_dkll_merge_tolerates_null_partial_id(spark):
+    """A NULL partial id (e.g. partials keyed by to_date(ts) over events
+    with NULL ts) merges deterministically instead of crashing the
+    canonical sort (code-review r8): the null-keyed partial sorts first,
+    totals include it, and reruns are bit-identical."""
+    from tranquility_spark.operators.kll import kll_merge, kll_partial, kll_quantiles
+
+    df = spark.createDataFrame(
+        [("g", "d1", float(i)) for i in range(50)]
+        + [("g", None, float(i)) for i in range(100, 140)],
+        "grp string, day string, v double",
+    )
+    partials = kll_partial(df, ["grp", "day"], "v", k=64)
+    merged = kll_merge(partials, ["grp"], "day", k=64)
+    r1 = sorted(map(tuple, merged.collect()))
+    r2 = sorted(map(tuple, kll_merge(partials, ["grp"], "day", k=64).collect()))
+    assert r1 == r2 and r1
+    est = kll_quantiles(merged, ["grp"]).collect()[0]
+    assert est["n_total"] == 90  # both partials, incl. the NULL-keyed one
+
+
+def test_mg_partial_null_values_contribute_nothing(spark):
+    """NULL values are dropped before counting (the f6 policy) — without
+    the filter a NULL item inside the top-k crashed map_from_entries with
+    NULL_MAP_KEY (code-review r8). A group of only NULLs emits no row."""
+    from tranquility_spark.operators.heavy_hitters import mg_partial
+
+    df = spark.createDataFrame(
+        [("g", "a")] * 3 + [("g", None)] * 5 + [("h", None)],
+        "grp string, v string",
+    )
+    rows = mg_partial(df, ["grp"], "v", k=4).collect()
+    assert len(rows) == 1 and rows[0]["grp"] == "g"
+    assert dict(rows[0]["counters"]) == {"a": 3}
+    assert rows[0]["n_total"] == 3  # NULLs contributed nothing
+
+
+def test_cms_estimate_join_map_typed_probe_columns(spark):
+    """A probe frame carrying a map-typed column takes the id-join
+    fallback (Spark cannot group by MapType) and still returns estimates
+    identical to cms_estimate (code-review r8)."""
+    from pyspark.sql import functions as FF
+
+    from tranquility_spark.operators.cms import (
+        cms_counters,
+        cms_estimate,
+        cms_estimate_join,
+    )
+
+    base = spark.range(300).select((FF.col("id") % 40).alias("k"))
+    counters = cms_counters(base, "k", width=64, depth=4)
+    probes = base.distinct().withColumn(
+        "attrs", FF.create_map(FF.lit("a"), FF.col("k").cast("string"))
+    )
+    kw = dict(width=64, depth=4)
+    via_map = sorted(
+        (r["k"], r["est_count"], dict(r["attrs"]))
+        for r in cms_estimate(probes, counters, "k", **kw).collect()
+    )
+    via_join = sorted(
+        (r["k"], r["est_count"], dict(r["attrs"]))
+        for r in cms_estimate_join(probes, counters, "k", **kw).collect()
+    )
+    assert via_map == via_join and via_join

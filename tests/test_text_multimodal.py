@@ -102,16 +102,30 @@ def test_chunk_tokens_overlap_and_coverage(spark):
     )
     out = tx.chunk_tokens(df, chunk_size=32, stride=24)
     rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
-    # doc 1: 50 tokens -> chunks at 0, 24, 48
-    d1 = [rows[(1, i)] for i in range(3)]
-    assert (1, 3) not in rows
-    assert [r["start_tok"] for r in d1] == [0, 24, 48]
-    assert [r["n_toks"] for r in d1] == [32, 26, 2]
+    # doc 1: 50 tokens -> chunks at 0 and 24; chunk 1 already reaches the
+    # end, so NO redundant chunk at 48 (its [48,50) coverage is a strict
+    # subset of chunk 1's [24,50) — code-review r8)
+    d1 = [rows[(1, i)] for i in range(2)]
+    assert (1, 2) not in rows
+    assert [r["start_tok"] for r in d1] == [0, 24]
+    assert [r["n_toks"] for r in d1] == [32, 26]
     assert d1[0]["chunk_text"].split(" ") == words[0:32]
     assert d1[1]["chunk_text"].split(" ") == words[24:50]
-    assert d1[2]["chunk_text"].split(" ") == words[48:50]
     # the 8-token overlap: chunk 0's tail == chunk 1's head
     assert d1[0]["chunk_text"].split(" ")[24:] == d1[1]["chunk_text"].split(" ")[:8]
+    # every token is covered
+    covered = set()
+    for r in d1:
+        covered |= set(range(r["start_tok"], r["start_tok"] + r["n_toks"]))
+    assert covered == set(range(50))
+    # a doc one token past a window DOES open a new chunk with new coverage
+    long = spark.createDataFrame(
+        [(9, " ".join(f"t{i}" for i in range(57)))], "doc_id long, text string"
+    )
+    lrows = tx.chunk_tokens(long, chunk_size=32, stride=24).collect()
+    assert [(r["chunk_id"], r["n_toks"]) for r in sorted(lrows, key=lambda r: r["chunk_id"])] == [
+        (0, 32), (1, 32), (2, 9)
+    ]
     # doc 2: shorter than one chunk -> single chunk, whole doc
     assert rows[(2, 0)]["chunk_text"] == "a b c" and rows[(2, 0)]["n_toks"] == 3
     # doc 3: whitespace-only -> one empty chunk (the txt3 [''] convention)

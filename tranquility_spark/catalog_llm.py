@@ -2597,7 +2597,7 @@ def chunk1_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ' ') AS chunk_text
     FROM (
       SELECT doc_id, t,
-             unnest(range(0, greatest(CAST(floor((len(t) - 1) / 24) AS BIGINT),
+             unnest(range(0, greatest(CAST(ceil((len(t) - 32) / 24.0) AS BIGINT),
                                       0) + 1)) AS chunk_id
       FROM toks
     )
@@ -2608,8 +2608,11 @@ def chunk1_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "char-aligned cut poisons the embeddings of both neighbors). One "
     "whitespace tokenize (the txt3 convention), posexplode over per-row "
     "chunk starts, array slice + join — narrow 1-to-N fan-out, no "
-    "shuffle, linear in executors at 100 TB. Feeds the same downstream "
-    "as chunk1 (pipe2's chunk-level dedup, embedding indexing)",
+    "shuffle, linear in executors at 100 TB. The last chunk is the FIRST "
+    "whose window reaches the document end (ceil((n-size)/stride)) — a "
+    "trailing chunk that re-covers only its predecessor's overlap zone "
+    "is never emitted. Feeds the same downstream as chunk1 (pipe2's "
+    "chunk-level dedup, embedding indexing)",
 )
 def chunk2_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.chunk_tokens(

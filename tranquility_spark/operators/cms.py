@@ -235,24 +235,48 @@ def cms_estimate_join(
     # a unique id disambiguates duplicate probe rows in the regroup; it
     # rides INSIDE the carried struct so one groupBy restores the frame
     probed = probes.withColumn("__cms_rid", F.monotonically_increasing_id())
-    exploded = probed.select(F.struct("*").alias("__cms_row"), slot)
     cells = counters.select(
         (
             F.col("row_idx").cast("long") * F.lit(width) + F.col("col_idx")
         ).alias("__cms_slot"),
         F.col("cnt").alias("__cms_cnt"),
     )
-    return (
-        exploded.join(cells, on="__cms_slot", how="left")
-        .groupBy("__cms_row")
-        .agg(
-            F.min(F.coalesce(F.col("__cms_cnt"), F.lit(0).cast("long"))).alias(
-                out_col
-            )
-        )
-        .select("__cms_row.*", out_col)
-        .drop("__cms_rid")
+    est = F.min(F.coalesce(F.col("__cms_cnt"), F.lit(0).cast("long"))).alias(
+        out_col
     )
+    if not _contains_map_type(probes.schema):
+        exploded = probed.select(F.struct("*").alias("__cms_row"), slot)
+        return (
+            exploded.join(cells, on="__cms_slot", how="left")
+            .groupBy("__cms_row")
+            .agg(est)
+            .select("__cms_row.*", out_col)
+            .drop("__cms_rid")
+        )
+    # map-typed probe columns cannot ride a grouping struct (Spark forbids
+    # grouping by MapType) — fall back to grouping on the id alone and
+    # joining the estimates back (one extra co-partitioned exchange;
+    # code-review r8, keeps the drop-in twin contract with cms_estimate)
+    mins = (
+        probed.select("__cms_rid", slot)
+        .join(cells, on="__cms_slot", how="left")
+        .groupBy("__cms_rid")
+        .agg(est)
+    )
+    return probed.join(mins, on="__cms_rid", how="inner").drop("__cms_rid")
+
+
+def _contains_map_type(dt) -> bool:
+    """True if a (possibly nested) Spark type contains a MapType."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map_type(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map_type(f.dataType) for f in dt.fields)
+    return False
 
 
 def cms_partials_sink(

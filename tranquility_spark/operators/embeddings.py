@@ -300,11 +300,23 @@ def covariance_pairs(
     ``(i, j, s_ij, s_i, s_j, n)`` with s_ij = sum(x_i * x_j) — callers
     derive covariance as s_ij/n - (s_i/n)(s_j/n).
     """
+    # slice the suffix BEFORE the second posexplode so only the upper
+    # triangle is ever materialized — the explode-then-filter shape
+    # generated ~2x the rows it kept (code-review r8); slice clamps at
+    # the array end, so j = i + suffix position
     pairs = (
-        df.select(F.posexplode(F.col(emb_col).cast("array<double>")).alias("i", "xi"),
-                  F.col(emb_col).cast("array<double>").alias("__e"))
-        .select("i", "xi", F.posexplode("__e").alias("j", "xj"))
-        .filter(F.col("j") >= F.col("i"))
+        df.select(
+            F.posexplode(F.col(emb_col).cast("array<double>")).alias("i", "xi"),
+            F.col(emb_col).cast("array<double>").alias("__e"),
+        )
+        .select(
+            "i",
+            "xi",
+            F.posexplode(
+                F.slice(F.col("__e"), F.col("i") + 1, F.size("__e"))
+            ).alias("__p", "xj"),
+        )
+        .select("i", (F.col("i") + F.col("__p")).alias("j"), "xi", "xj")
     )
     sums = pairs.groupBy("i", "j").agg(
         F.sum(F.col("xi") * F.col("xj")).alias("s_ij"),
@@ -342,7 +354,19 @@ def principal_component(
     if not rows:
         raise ValueError("principal_component needs a non-empty corpus")
     d = max(r["j"] for r in rows) + 1
-    n = rows[0]["n"]
+    # every (i, j) pair must have seen every vector: ragged dimensions or
+    # NULL array elements make the per-pair counts diverge, and silently
+    # picking one of them (collect order is partition-dependent) would
+    # produce wrong AND nondeterministic covariance — fail loudly instead
+    # (code-review r8; the pq_codebooks input-shape-guard precedent)
+    ns = {r["n"] for r in rows}
+    if len(ns) != 1:
+        raise ValueError(
+            f"principal_component needs a rectangular corpus (every vector "
+            f"the same dimension, no NULL elements); per-pair counts differ: "
+            f"{sorted(ns)[:5]}…"
+        )
+    n = ns.pop()
     cov = np.zeros((d, d))
     for r in rows:
         c = r["s_ij"] / n - (r["s_i"] / n) * (r["s_j"] / n)

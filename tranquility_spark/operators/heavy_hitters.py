@@ -60,8 +60,13 @@ def mg_partial(
     any item with true count > deduct is guaranteed reported.
     """
     g = list(group_cols)
+    # NULL values contribute nothing (the f6 policy) — without this
+    # filter a NULL item that ranks inside the top k would reach
+    # map_from_entries and fail at runtime with NULL_MAP_KEY
+    # (code-review r8)
     counts = (
         df.select(*g, F.col(value_col).cast("string").alias("__item"))
+        .filter(F.col("__item").isNotNull())
         .groupBy(*g, "__item")
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )

@@ -188,8 +188,26 @@ def kll_merge(
         import pandas as pd
 
         sk = _DKLL(k)
-        for pid in sorted(pdf[partial_col].unique()):
-            sub = pdf[pdf[partial_col] == pid]
+        # canonical order must tolerate a NULL partial id (e.g. partials
+        # keyed by to_date(ts) over events with NULL ts): None/NaN cannot
+        # be compared to str/int, so the null id normalizes to None and
+        # sorts first — deterministic, and the NULL-keyed partial merges
+        # like any other (code-review r8)
+        pids = sorted(
+            {
+                None
+                if p is None or (isinstance(p, float) and p != p)
+                else p
+                for p in pdf[partial_col].unique()
+            },
+            key=lambda p: (p is not None, p),
+        )
+        for pid in pids:
+            sub = (
+                pdf[pdf[partial_col].isna()]
+                if pid is None
+                else pdf[pdf[partial_col] == pid]
+            )
             sk.merge(
                 _DKLL.from_rows(
                     k,

@@ -336,7 +336,17 @@ def chunk_tokens(
         raise ValueError("chunk_size and stride must be positive")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
-    last = F.greatest(F.floor((n - F.lit(1)) / F.lit(stride)), F.lit(0)).cast("int")
+    # last chunk = the first whose window reaches the end: ceil((n - size)
+    # / stride). chunk1's floor((n-1)/stride) formula would emit a final
+    # chunk whenever ANY token starts past the last stride boundary — but
+    # with overlap that trailing chunk can be a strict SUBSET of its
+    # predecessor's coverage (n=50, 32/24: chunk 2 = tokens [48,50), both
+    # already in chunk 1's [24,50)), and ~overlap/stride of all documents
+    # would emit one fully redundant chunk to be embedded/indexed/deduped
+    # downstream (code-review r8)
+    last = F.greatest(
+        F.ceil((n - F.lit(chunk_size)) / F.lit(stride)), F.lit(0)
+    ).cast("int")
     start = F.col("chunk_id") * stride
     piece = F.slice(F.col("__toks"), start + 1, F.lit(chunk_size))
     return (
