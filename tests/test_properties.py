@@ -101,3 +101,78 @@ def test_bloom_cms_pos_sql_matches_python(key, i):
             f"SELECT {bloom_pos_sql(str(key), i, m)} AS p"
         ).fetchone()[0]
         assert got == expected, (key, i, m)
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=0,
+        max_size=400,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=60, deadline=None)
+def test_dkll_core_deterministic_and_weight_conserving(values, split_seed):
+    """Pure-Python dKLL properties over arbitrary float lists: (a) building
+    from canonical (sorted) order is bit-identical however the raw list was
+    ordered beforehand; (b) total weight sum(2^level * |level|) always
+    equals n; (c) splitting the list into partials and merging them in
+    canonical order is deterministic (same split -> same bytes) and
+    conserves n; (d) every reported quantile is an actual input value with
+    normalized rank error bounded by the measured envelope."""
+    import zlib
+
+    from tranquility_spark.operators.kll import _DKLL
+
+    k = 16
+
+    def build(vals):
+        sk = _DKLL(k)
+        sk.extend(sorted(vals))
+        return sk
+
+    a = build(values)
+    b = build(list(reversed(values)))
+    assert a.rows() == b.rows() and a.n == b.n == len(values)
+    assert sum(2 ** lvl * len(items) for lvl, items in enumerate(a.levels)) == a.n
+
+    # deterministic content-derived split into 1-4 partials
+    n_parts = 1 + (split_seed % 4)
+    parts = [[] for _ in range(n_parts)]
+    for idx, v in enumerate(values):
+        parts[zlib.crc32(str((idx, v)).encode()) % n_parts].append(v)
+    m1, m2 = _DKLL(k), _DKLL(k)
+    for p in parts:
+        m1.merge(build(p))
+    for p in parts:
+        m2.merge(build(p))
+    assert m1.rows() == m2.rows() and m1.n == len(values)
+
+    if values:
+        svals = sorted(values)
+        for sk in (a, m1):
+            pairs = sorted(
+                (v, 2 ** lvl)
+                for lvl, items in enumerate(sk.levels)
+                for v in items
+            )
+            total = sum(w for _v, w in pairs)
+            for q in (0.5, 0.9):
+                target = max(1, -(-q * total // 1))  # ceil
+                cum = 0
+                est = pairs[-1][0]
+                for v, w in pairs:
+                    cum += w
+                    if cum >= target:
+                        est = v
+                        break
+                assert est in values  # quantiles are data points, never interpolated
+                import bisect
+
+                rank = bisect.bisect_right(svals, est) / len(svals)
+                lo = bisect.bisect_left(svals, est) / len(svals)
+                # the estimate's true rank interval must overlap [q-eps, q+eps]
+                eps = 0.25 if len(svals) > 3 * k else 1.0  # tiny inputs are exact-ish but ranks are coarse
+                assert lo - eps <= q <= rank + eps, (q, lo, rank, len(svals))
