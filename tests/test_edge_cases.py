@@ -267,6 +267,29 @@ def test_dq16_grand_total_single_pass_and_semantics(spark, sf_dir):
     assert all(r["day"] is not None for r in buckets)
 
 
+def test_single_consumption_rewrites_scan_once(spark, sf_dir):
+    """The r8 single-consumption rewrites are structural, so pin them in
+    the physical plan: hh1 (Misra-Gries build+merge+topk) and dq8
+    (retention cohorts) each read their source exactly ONCE — the old
+    agg+join branch shapes re-executed the scan subtree per branch."""
+    from tranquility_spark.catalog import CATALOG
+
+    for name, max_exchanges in (
+        ("hh1_heavy_hitters_merge", 5),
+        ("dq8_retention_cohorts", 3),
+        ("a10c_quantile_sketch_merge", 6),
+    ):
+        plan = (
+            CATALOG[name].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Scan parquet") == 1, (name, plan)
+        assert plan.count("Exchange") <= max_exchanges, (
+            name,
+            plan.count("Exchange"),
+        )
+
+
 def test_chunking_boundaries(spark):
     """Empty text -> one empty chunk (no silent doc drop); exact-stride
     lengths don't emit a phantom empty trailing chunk; overlap is
