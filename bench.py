@@ -131,6 +131,7 @@ HEADLINE = [
     "a10e_kll_deterministic",
     "emb9_principal_component",
     "dq17_time_extraction",
+    "samp9_cluster_downweight",
 ]
 
 

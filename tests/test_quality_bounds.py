@@ -487,3 +487,35 @@ def test_pipe5_exact_gate_catches_planted_duplicates(spark, sf_dir, tmp_path):
         r.n_exact_known + r.n_near_dup + r.n_low_quality + r.n_admitted
         == r.n_new
     )
+
+
+def test_samp9_downweight_rate_and_dd13_consistency(spark, sf_dir):
+    """samp9's admission rate per cluster tracks n^-0.5 (expected sqrt(n)
+    admitted; assert a generous CLT envelope), every cluster keeps at
+    least one admitted doc at fixture scale, and its cluster assignment is
+    IDENTICAL to dd13's (same literals, same argmax)."""
+    import math
+
+    from pyspark.sql import functions as FF
+
+    from tranquility_spark.catalog import CATALOG
+
+    rows = CATALOG["samp9_cluster_downweight"].fn(spark, sf_dir).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert len(by_cluster) > 1
+    for cid, members in by_cluster.items():
+        n = members[0]["n_in_cluster"]
+        assert n == len(members)
+        admitted = sum(r["admitted"] for r in members)
+        expect = math.sqrt(n)
+        # shard admission is Bernoulli(n^-0.5) per doc: 4-sigma envelope
+        sigma = math.sqrt(n * (1 / expect) * (1 - 1 / expect)) if n > 1 else 0
+        assert abs(admitted - expect) <= 4 * sigma + 2, (cid, n, admitted)
+        assert admitted >= 1, cid  # big clusters never collapse to zero here
+    dd13 = {
+        r["vec_id"]: r["cluster_id"]
+        for r in CATALOG["dd13_semantic_dedup"].fn(spark, sf_dir).collect()
+    }
+    assert {r["vec_id"]: r["cluster_id"] for r in rows} == dd13

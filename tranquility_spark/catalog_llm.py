@@ -793,6 +793,102 @@ def _dd13_oracle_sql() -> str:
     """
 
 
+_SAMP9_M = 1_000_000
+
+
+def _samp9_oracle_sql() -> str:
+    # assignment fragments rebuilt from the SAME _DD13_CENTROIDS literals
+    # (one generator — the dialects cannot drift on the centroid values)
+    from tranquility_spark.operators.partitioning import portable_shard_sql
+
+    cos_cols = ",\n           ".join(
+        "round(list_cosine_similarity(v, ["
+        + ", ".join(repr(x) for x in c)
+        + f"]), 6) AS c{j}"
+        for j, c in enumerate(_DD13_CENTROIDS)
+    )
+    n = len(_DD13_CENTROIDS)
+    assign = " ".join(f"WHEN c{j} = g THEN {j}" for j in range(n))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    scored AS (
+    SELECT vec_id, v,
+           {cos_cols}
+    FROM e),
+    assigned AS (
+      SELECT vec_id, CASE {assign} END AS cluster_id
+      FROM (SELECT *, greatest({", ".join(f"c{j}" for j in range(n))}) AS g
+            FROM scored)),
+    sized AS (
+      SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+             CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                 AS n_in_cluster
+      FROM assigned)
+    SELECT vec_id, cluster_id, n_in_cluster,
+           CAST(CASE WHEN {portable_shard_sql("vec_id", _SAMP9_M)}
+                     < CAST(floor({_SAMP9_M} / sqrt(n_in_cluster)) AS BIGINT)
+                THEN 1 ELSE 0 END AS BIGINT) AS admitted
+    FROM sized
+    """
+
+
+@register(
+    "samp9_cluster_downweight",
+    _samp9_oracle_sql(),
+    doc="Cluster-size down-weighting — SOFT semantic dedup (the softened "
+    "form of dd13, the D4/DataComp-style recipe): instead of dropping "
+    "near-duplicates outright, each document is admitted with "
+    "probability n^-0.5 of its semantic cluster's size, so a cluster of "
+    "n near-alike documents contributes ~sqrt(n) training examples — "
+    "big templated families are collapsed hard while modest repetition "
+    "keeps its (diminishing) signal. Assignment is dd13's certified "
+    "argmax against the SAME 8 literal centroids; the cluster size is a "
+    "window count over the assignment (ONE consumption — no agg+join "
+    "branch, the r8 single-pass rule); admission is the deterministic "
+    "portable shard of vec_id against floor(M/sqrt(n)) — an integer "
+    "compare, engine-identical (sqrt+floor evaluate on the same BIGINT "
+    "in both dialects). NO pair join at all: this is the cheap gate a "
+    "pipeline can afford on every cycle, with dd13's exact pair pass "
+    "reserved for the survivors. Scale: narrow argmax projection + one "
+    "cluster_id window + per-row arithmetic",
+)
+def samp9_cluster_downweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from tranquility_spark.operators.partitioning import portable_shard
+    from tranquility_spark.operators.similarity import _as_double, cosine
+
+    n = len(_DD13_CENTROIDS)
+    e = _t(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    cos_cols = [
+        F.round(cosine(v, F.array(*[F.lit(x) for x in c])), 6).alias(f"c{j}")
+        for j, c in enumerate(_DD13_CENTROIDS)
+    ]
+    scored = e.select("vec_id", *cos_cols)
+    best = F.greatest(*[F.col(f"c{j}") for j in range(n)])
+    assign = F.when(F.col("c0") == best, 0)
+    for j in range(1, n):
+        assign = assign.when(F.col(f"c{j}") == best, j)
+    assigned = scored.select("vec_id", assign.cast("long").alias("cluster_id"))
+    w = Window.partitionBy("cluster_id")
+    sized = assigned.withColumn(
+        "n_in_cluster", F.count(F.lit(1)).over(w)
+    )
+    threshold = F.floor(
+        F.lit(_SAMP9_M) / F.sqrt(F.col("n_in_cluster"))
+    ).cast("long")
+    return sized.select(
+        "vec_id",
+        "cluster_id",
+        "n_in_cluster",
+        (portable_shard(F.col("vec_id"), _SAMP9_M) < threshold)
+        .cast("long")
+        .alias("admitted"),
+    )
+
+
 @register(
     "dd13_semantic_dedup",
     _dd13_oracle_sql(),
