@@ -784,10 +784,20 @@ def test_principal_component_matches_numpy_and_is_deterministic(spark, sf_dir):
     if top[pivot] < 0:
         top = -top
     assert abs(l1 - w[-1]) <= 1e-6 * max(1.0, abs(w[-1]))
-    # eigenvector comparison is meaningful because the fixture's top two
-    # eigenvalues are separated (power iteration converged)
-    assert w[-1] - w[-2] > 1e-9
-    assert np.allclose(np.array(v1), top, atol=1e-4)
+    # eigenvector comparison, gap-proof by construction (VERDICT r8 #4):
+    # direct loadings comparison is only well-posed when the top eigenvalue
+    # is isolated; near a degenerate top pair, ANY unit vector in the top
+    # eigenspace is a correct answer, so compare against the SUBSPACE
+    # spanned by the near-top numpy eigenvectors (|projection| ~ 1, i.e.
+    # cos of the principal angle between v1 and the eigenspace ~ 1).
+    # Regenerating the fixture near-degenerate can no longer flake this.
+    gap = w[-1] - w[-2]
+    if gap > 1e-4 * max(1.0, abs(w[-1])):
+        assert np.allclose(np.array(v1), top, atol=1e-4)
+    else:
+        near_top = vecs[:, w >= w[-1] - 1e-4 * max(1.0, abs(w[-1]))]
+        proj = near_top.T @ np.array(v1)
+        assert np.linalg.norm(proj) >= 1.0 - 1e-4
     assert abs(np.linalg.norm(v1) - 1.0) <= 1e-9
     assert l1 >= float(np.max(np.diag(cov))) - 1e-9
     assert 0.0 < s1 <= 1.0
@@ -826,3 +836,48 @@ def test_principal_component_ragged_corpus_raises(spark):
     )
     with pt.raises(ValueError, match="rectangular"):
         principal_component(ragged)
+
+
+def test_principal_component_null_element_raises(spark):
+    """A NULL array ELEMENT (not a short array) must also trip the
+    rectangularity guard: covariance_pairs counts non-null contributions
+    (count(xi*xj)), so the pairs touching the NULL dimension report a
+    smaller n than the rest and the guard fires instead of silently
+    averaging a biased sum (ADVICE r8)."""
+    import pytest as pt
+
+    from tranquility_spark.operators.embeddings import principal_component
+
+    with_null = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [1.0, None, 2.0]), (3, [0.5, 1.5, 2.5])],
+        "vec_id long, embedding array<double>",
+    )
+    with pt.raises(ValueError, match="rectangular"):
+        principal_component(with_null)
+
+
+def test_covariance_pairs_dims_prefix(spark):
+    """covariance_pairs(dims=k) is the matryoshka-prefix covariance: it
+    must equal running the full pass on pre-truncated embeddings, and the
+    slice happens before the fan-out (ADVICE r8 — the parameter was
+    previously declared but unused)."""
+    from pyspark.sql import functions as FF
+
+    from tranquility_spark.operators.embeddings import covariance_pairs
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [0.5, 1.5, 2.5, 3.5]),
+         (3, [2.0, 0.0, 1.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["i"], r["j"]): (r["s_ij"], r["s_i"], r["s_j"], r["n"])
+        for r in covariance_pairs(df, dims=2).collect()
+    }
+    truncated = df.select(FF.slice("embedding", 1, 2).alias("embedding"))
+    want = {
+        (r["i"], r["j"]): (r["s_ij"], r["s_i"], r["s_j"], r["n"])
+        for r in covariance_pairs(truncated).collect()
+    }
+    assert got == want
+    assert set(got) == {(0, 0), (0, 1), (1, 1)}  # prefix fan-out only

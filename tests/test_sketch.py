@@ -285,6 +285,47 @@ def test_quantile_sample_merge_identical_to_direct(spark):
     assert merged["n_total"] == direct["n_total"] == n
 
 
+def test_quantile_sample_merge_empty_sample_partial(spark):
+    """ADVICE r8: a partial row with an EMPTY sample array must still
+    contribute its n_total to the merged total (posexplode_outer, the
+    mg_merge shape) without its NULL placeholder displacing genuine rows
+    from bottom-k slots; a group whose partials are ALL empty survives
+    with sample=[] and the summed total."""
+    from tranquility_spark.operators.sketch import (
+        quantile_sample_merge,
+        quantile_sample_sketch,
+    )
+
+    df = spark.range(0, 500).select(
+        F.lit("a").alias("grp"),
+        F.col("id").alias("rid"),
+        F.col("id").cast("double").alias("v"),
+    )
+    k = 64
+    real = quantile_sample_sketch(df, ["grp"], "v", "rid", k=k)
+    empties = spark.createDataFrame(
+        [("a", 70), ("b", 11), ("b", 22)],
+        "grp string, n_total long",
+    ).select(
+        "grp",
+        "n_total",
+        F.array().cast("array<struct<h:double,v:double>>").alias("sample"),
+    )
+    merged = {
+        r["grp"]: r
+        for r in quantile_sample_merge(
+            real.unionByName(empties), ["grp"], k=k
+        ).collect()
+    }
+    direct = real.collect()[0]
+    # group a: empty partial adds 70 to the total, sample unchanged
+    assert merged["a"]["n_total"] == direct["n_total"] + 70 == 570
+    assert merged["a"]["sample"] == direct["sample"]
+    # group b: all-empty partials survive with an empty sample
+    assert merged["b"]["n_total"] == 33
+    assert merged["b"]["sample"] == []
+
+
 def test_quantile_sketch_rank_bounds_vs_exact(spark, sf_dir):
     """CLT rank bound: the estimated p50/p90 of events.value per event_type
     sits within 4*sqrt(q(1-q)/k) of the true quantile IN RANK SPACE."""

@@ -1558,11 +1558,13 @@ from tranquility_spark import catalog_sketch  # noqa: E402,F401
 # with scripts/record_certified_fingerprints.py only when folding new greens).
 # ---------------------------------------------------------------------------
 
-_R08_DRIVER_WINDOW = [
+_R09_DRIVER_WINDOW = [
     # rows-only by policy (approximate sketches / LSH / index-defined probe
-    # sets — no SQL oracle); re-recorded every round by design. Round 8
-    # extends the permanent lead with the five round-7 rows-only entries
-    # (dd11/sim5/pipe5/a6c/a11e) so they keep their front-of-window slots.
+    # sets — no SQL oracle); re-recorded every round by design. sim3 joins
+    # the permanent lead (it is oracle-less like the rest of the ANN
+    # ladder — CORRECTNESS_r08 records it no_oracle). Round 8's seven
+    # re-certifies (w6/sim3-fn/dd12/mm1/mm3/mm4/dq8) all came back green
+    # and fold into _CERTIFIED below.
     "hh1_heavy_hitters_merge",
     "a11c_theta_setops_approx",
     "a11d_sketch_merge_rollup",
@@ -1575,35 +1577,17 @@ _R08_DRIVER_WINDOW = [
     "a11e_theta_native",
     "a10e_kll_deterministic",
     "emb9_principal_component",
-    # re-certify: round 8 closed VERDICT r07's one known defect — w6 now
-    # filters NULL-ts rows before ordering (Spark sorts NULL keys first,
-    # DuckDB last; the f7/w7 contract). fn + oracle changed
-    "w6_sessionize_batch",
-    # re-certify: round 8 keyed the ANN index caches on a data fingerprint
-    # (ADVICE r07 stale-index fix) — sim3's fn source changed
     "sim3_ivf_topk",
-    # re-certify: round 8 renamed sbbf_probe's join-side lane columns to
-    # __sbbf_* (ADVICE r07 reserved-name fix) — a helper edit the
-    # fingerprint guard cannot see, but dd12's executed expression tree
-    # changed (the emb5/sim4 precedent)
-    "dd12_blocked_bloom",
-    # re-certify: round 8 made the multimodal decode slot pluggable
-    # (impl= stub/native/pil — VERDICT r07 #4). The default stub output is
+    # re-certify: round 9 switched the soundfile decode branch to
+    # dtype="int16" (ADVICE r8 truncation fix). The default stub output is
     # byte-identical (parity re-verified), but the serialized mapInPandas
-    # closures changed, so the same helper-edit discipline applies
-    "mm1_decode_features",
-    "mm3_resize",
+    # closure changed — the same helper-edit discipline as r8's mm rotation
     "mm4_audio_frame_energy",
-    # re-certify: round 8 rewrote retention_cohorts' first-seen as a
-    # window min (single consumption of the (user,day) distinct — the hh1
-    # lesson); result-preserving (parity re-verified at both SFs), but
-    # dq8's executed plan changed (helper-edit discipline)
-    "dq8_retention_cohorts",
 ]
 
 
 def _rotate_driver_window() -> None:
-    lead = [k for k in _R08_DRIVER_WINDOW if k in CATALOG]
+    lead = [k for k in _R09_DRIVER_WINDOW if k in CATALOG]
     # anything registered after this snapshot auto-joins the window
     lead += [
         k
@@ -1627,9 +1611,12 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # r01/r02 certified the first 50; r03/r04 certified the next 46;
 # r05 certified 16; r06 folded in 10 of its 17 newly-green keys; r07
 # folds in 36 (its 40 greens minus p1/p3/p4 already certified and minus
-# dd12, edited in round 8 and rotated back). w6, sim3, mm1, mm3, mm4 and
-# dq8 were removed in round 8 (edited — see _R08_DRIVER_WINDOW).
-# Total: 148.
+# dd12, edited in round 8 and rotated back). r08 folds in 12
+# (CORRECTNESS_r08.json: 34 greens, 22 of them already-certified
+# backfill; the 12 newly green = the 5 new r08 oracled entries + the 7
+# re-certifies w6/dd12/mm1/mm3/mm4/dq8 plus samp9; mm4 then rotated
+# back out in round 9 for the soundfile dtype fix).
+# Total: 159.
 _CERTIFIED = frozenset(
     {
         # --- r01/r02 window ---
@@ -1707,6 +1694,19 @@ _CERTIFIED = frozenset(
         "emb7_dim_covariance", "hh2_cms_frequency", "txt16_script_profile",
         "f7_ewma_fold", "p9_csv_parse", "p9b_tsv_parse", "p10_jsonl_parse",
         "w7_rolling_zscore",
+        # --- r08 window (CORRECTNESS_r08.json: 34 greens, 0 fails; the 12
+        # newly green fold in — 5 new r08 oracled entries, samp9, and the
+        # 6 re-certifies that round 8 rotated back for their fn/helper
+        # edits) ---
+        # (mm4_audio_frame_energy was also r08-green but rotated back in
+        # round 9 — its mapInPandas closure changed with the soundfile
+        # dtype="int16" fix)
+        "chunk2_token_chunks", "dd12_blocked_bloom",
+        "dq16_timeseries_grand_total", "dq17_time_extraction",
+        "dq8_retention_cohorts", "hh2b_cms_join_estimate",
+        "mm1_decode_features", "mm3_resize",
+        "samp9_cluster_downweight", "txt18_zipf_audit",
+        "w6_sessionize_batch",
     }
 )
 

@@ -253,17 +253,21 @@ def cms_estimate_join(
             .select("__cms_row.*", out_col)
             .drop("__cms_rid")
         )
-    # map-typed probe columns cannot ride a grouping struct (Spark forbids
-    # grouping by MapType) — fall back to grouping on the id alone and
-    # joining the estimates back (one extra co-partitioned exchange;
-    # code-review r8, keeps the drop-in twin contract with cms_estimate)
-    mins = (
-        probed.select("__cms_rid", slot)
+    # map-typed probe columns cannot ride a grouping STRUCT (Spark forbids
+    # grouping by MapType) — but they may ride an AGGREGATE: group on the
+    # id alone and carry the row as first(struct). Single consumption of
+    # `probed` (ADVICE r8: the earlier self-join re-evaluated the
+    # nondeterministic monotonically_increasing_id per branch, so a
+    # nondeterministic upstream could mispair estimates with probe rows),
+    # and one exchange fewer than the join-back shape.
+    return (
+        probed.select(F.struct("*").alias("__cms_row"), "__cms_rid", slot)
         .join(cells, on="__cms_slot", how="left")
         .groupBy("__cms_rid")
-        .agg(est)
+        .agg(F.first("__cms_row").alias("__cms_row"), est)
+        .select("__cms_row.*", out_col)
+        .drop("__cms_rid")
     )
-    return probed.join(mins, on="__cms_rid", how="inner").drop("__cms_rid")
 
 
 def _contains_map_type(dt) -> bool:

@@ -299,15 +299,31 @@ def covariance_pairs(
     sums however large the corpus. Returns the upper triangle:
     ``(i, j, s_ij, s_i, s_j, n)`` with s_ij = sum(x_i * x_j) — callers
     derive covariance as s_ij/n - (s_i/n)(s_j/n).
+
+    ``n`` counts NON-NULL contributions (``count(xi * xj)``, NULL if
+    either element is NULL), not rows: a vector with a NULL element
+    depresses the counts of exactly the pairs it touches, so
+    ``principal_component``'s rectangularity guard sees diverging counts
+    and fails loudly instead of silently averaging over a biased sum
+    (ADVICE r8 — ``count(lit(1))`` counted the NULL-element rows while
+    ``F.sum`` skipped their products).
+
+    ``dims`` (optional) restricts the pass to the first ``dims``
+    elements of each embedding — the matryoshka-prefix covariance — by
+    slicing BEFORE the first posexplode, so the fan-out itself shrinks
+    to dims^2 rows per vector rather than filtering after the fact.
     """
+    emb = F.col(emb_col).cast("array<double>")
+    if dims is not None:
+        emb = F.slice(emb, 1, dims)
     # slice the suffix BEFORE the second posexplode so only the upper
     # triangle is ever materialized — the explode-then-filter shape
     # generated ~2x the rows it kept (code-review r8); slice clamps at
     # the array end, so j = i + suffix position
     pairs = (
         df.select(
-            F.posexplode(F.col(emb_col).cast("array<double>")).alias("i", "xi"),
-            F.col(emb_col).cast("array<double>").alias("__e"),
+            F.posexplode(emb).alias("i", "xi"),
+            emb.alias("__e"),
         )
         .select(
             "i",
@@ -322,7 +338,9 @@ def covariance_pairs(
         F.sum(F.col("xi") * F.col("xj")).alias("s_ij"),
         F.sum("xi").alias("s_i"),
         F.sum("xj").alias("s_j"),
-        F.count(F.lit(1)).alias("n"),
+        # count(xi*xj), not count(*): NULL elements must depress n so the
+        # rectangularity guard detects them (see docstring)
+        F.count(F.col("xi") * F.col("xj")).alias("n"),
     )
     return sums
 

@@ -278,8 +278,10 @@ def audio_frame_energy(
     for an unsigned 8-bit sample centered at 128. ``impl="native"``: real
     8/16-bit PCM WAV demux via stdlib ``wave`` (``codecs.wav_decode``) to
     centered integer samples. ``impl="soundfile"``: libsndfile formats via
-    the soundfile package (float samples scaled to 16-bit integer); clear
-    driver-side error when the lib is absent.
+    the soundfile package, decoded as 16-bit integer samples by libsndfile
+    itself (``dtype="int16"`` — 16-bit PCM inputs are bit-exact vs
+    ``impl="native"``; other subtypes use libsndfile's own conversion);
+    clear driver-side error when the lib is absent.
 
     All arithmetic is INTEGER (sum of squared deviations; the silence test
     multiplies instead of dividing), so every path is exactly reproducible.
@@ -310,8 +312,17 @@ def audio_frame_energy(
             import soundfile as sf
 
             def decode(payload):
-                data, _rate = sf.read(io.BytesIO(bytes(payload)), always_2d=True)
-                return (data[:, 0] * 32767).astype(np.int64)
+                # dtype="int16" makes libsndfile itself emit integer
+                # samples: 16-bit PCM decodes bit-exactly to
+                # impl="native"'s values with no float round-trip. The
+                # earlier float read scaled by 32767 and TRUNCATED via
+                # astype — up to 1 LSB off a PCM decode of the same
+                # audio, enough to flip energy/silence flags near
+                # thresholds (ADVICE r8).
+                data = sf.read(
+                    io.BytesIO(bytes(payload)), always_2d=True, dtype="int16"
+                )[0]
+                return data[:, 0].astype(np.int64)
 
         else:
 

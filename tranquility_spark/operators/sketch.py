@@ -273,26 +273,39 @@ def quantile_sample_merge(
     # rows have different ids, hence different h (collisions ~2^-53).
     # __ntot is constant per group by then, so the arbitrary-row-survival
     # of unlisted columns in dropDuplicates cannot change it.
+    # posexplode_OUTER (mirroring mg_merge, ADVICE r8): a partial row with
+    # an EMPTY sample array still yields one (pos NULL, s NULL) row, so
+    # its n_total keeps riding the frame instead of silently dropping out
+    # of the merged total. Unreachable from quantile_sample_sketch's own
+    # output (its samples are never empty) but the merge contract accepts
+    # arbitrary partials frames. The NULL-struct rows rank LAST
+    # (asc_nulls_last) so they can never displace a genuine row from a
+    # bottom-k slot, and the collect condition skips them.
     wg = Window.partitionBy(*g)
     vals = (
         partials.select(
-            *g, "n_total", F.posexplode("sample").alias("__pos", "s")
+            *g, "n_total", F.posexplode_outer("sample").alias("__pos", "s")
         )
         .withColumn(
             "__ntot",
             F.sum(
-                F.when(F.col("__pos") == 0, F.col("n_total")).otherwise(0)
+                F.when(
+                    (F.col("__pos") == 0) | F.col("__pos").isNull(),
+                    F.col("n_total"),
+                ).otherwise(0)
             ).over(wg),
         )
         .drop("n_total", "__pos")
         .dropDuplicates(g + ["s"])
     )
-    w = Window.partitionBy(*g).orderBy(F.col("s.h"))
+    w = Window.partitionBy(*g).orderBy(F.col("s.h").asc_nulls_last())
     ranked = vals.withColumn("__rn", F.row_number().over(w))
     return ranked.groupBy(*g).agg(
         F.max("__ntot").alias("n_total"),
         F.sort_array(
-            F.collect_list(F.when(F.col("__rn") <= k, F.col("s")))
+            F.collect_list(
+                F.when((F.col("__rn") <= k) & F.col("s").isNotNull(), F.col("s"))
+            )
         ).alias("sample"),
     )
 
