@@ -415,3 +415,169 @@ def test_jsonl_blank_line_is_invalid_row(spark, tmp_path):
     by_line = {r.line: r for r in rows}
     assert by_line[""].is_valid == 0 and by_line["   "].is_valid == 0
     assert by_line['{"doc_id":1}'].doc_id == 1
+
+
+# ---------------------------------------------------------------------------
+# Avro wire format (p11; SURVEY §2 P2's Smile-analog). The codec is anchored
+# to HAND-COMPUTED byte vectors from the public Avro spec — round-trip tests
+# alone cannot catch an encoder/decoder pair sharing one spec misreading.
+# ---------------------------------------------------------------------------
+
+
+def test_avro_spec_byte_vectors():
+    """The spec's own zigzag-varint table, string framing, IEEE-754 LE
+    doubles, union branch indices, array block framing — byte-exact in
+    BOTH directions."""
+    from tranquility_spark.operators.avro_codec import (
+        decode_value,
+        encode_long,
+        encode_value,
+    )
+
+    # Avro spec 'Binary encoding' long examples (+ 64-boundary cases)
+    for n, b in [
+        (0, b"\x00"), (-1, b"\x01"), (1, b"\x02"), (-2, b"\x03"),
+        (2, b"\x04"), (-64, b"\x7f"), (64, b"\x80\x01"), (-65, b"\x81\x01"),
+    ]:
+        assert encode_long(n) == b, n
+        assert decode_value(b, 0, "long") == (n, len(b)), n
+    assert encode_value("foo", "string") == b"\x06foo"
+    assert decode_value(b"\x06foo", 0, "string") == ("foo", 4)
+    assert encode_value(1.0, "double") == b"\x00\x00\x00\x00\x00\x00\xf0\x3f"
+    assert encode_value(True, "boolean") == b"\x01"
+    u = ["null", "long"]
+    assert encode_value(None, u) == b"\x00"
+    assert encode_value(1, u) == b"\x02\x02"
+    arr = {"type": "array", "items": "long"}
+    assert encode_value([3, 27], arr) == b"\x04\x06\x36\x00"
+    assert decode_value(b"\x04\x06\x36\x00", 0, arr) == ([3, 27], 4)
+    # negative block count (size-prefixed block) — writers may emit it
+    assert decode_value(b"\x03\x04\x06\x36\x00", 0, arr) == ([3, 27], 5)
+
+
+def test_avro_roundtrip_and_64bit_bounds():
+    from tranquility_spark.operators.avro_codec import decode_record, encode_value
+    from tranquility_spark.sources.avro_source import EVENTS_AVRO_SCHEMA
+
+    rec = {
+        "event_id": (1 << 63) - 1,
+        "ts": -(1 << 63),
+        "user_id": None,
+        "event_type": "café ✓",
+        "value": -0.0,
+        "note": "trailing ",
+    }
+    payload = encode_value(rec, EVENTS_AVRO_SCHEMA)
+    assert decode_record(payload, EVENTS_AVRO_SCHEMA) == rec
+
+
+def test_avro_ocf_roundtrip_and_framing_errors():
+    """Multi-block OCF round-trip; bad magic / non-null codec / corrupted
+    sync each raise AvroDecodeError with intent (never mis-decode)."""
+    import io
+
+    import pytest as pt
+
+    from tranquility_spark.operators.avro_codec import (
+        AvroDecodeError,
+        read_ocf,
+        write_ocf,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    rows = [{"x": i} for i in range(10)]
+    buf = io.BytesIO()
+    write_ocf(buf, rows, schema, block_records=3)  # 4 blocks
+    data = buf.getvalue()
+    got_schema, recs = read_ocf(data)
+    assert list(recs) == rows and got_schema == schema
+    with pt.raises(AvroDecodeError, match="magic"):
+        read_ocf(b"NOPE" + data[4:])
+    deflated = data.replace(b"\x08null", b"\x0edeflate", 1)
+    with pt.raises(AvroDecodeError, match="codec"):
+        list(read_ocf(deflated)[1])
+    corrupt = data[:-1] + bytes([data[-1] ^ 0xFF])  # flip last sync byte
+    with pt.raises(AvroDecodeError, match="sync"):
+        list(read_ocf(corrupt)[1])
+
+
+def test_load_avro_events_equals_csv_decode(spark):
+    """p11's contract outside the parity gate: the Avro fixture decodes to
+    EXACTLY the rows and schema of the CSV fixture (same 200 logical rows,
+    generated together) — NULL union branches, timestamp-micros, unicode,
+    preserved trailing whitespace."""
+    from tranquility_spark.sources.avro_source import load_avro_events
+    from tranquility_spark.sources.files import load_csv_events
+
+    a = load_avro_events(spark, "tests/fixtures/events_sample.avro")
+    c = load_csv_events(spark, "tests/fixtures/events_sample.csv")
+    assert a.schema == c.schema
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, c.collect()))
+
+
+def test_parse_avro_column_corrupt_accounting(spark):
+    """p10's corrupt-record contract on the wire-payload path: valid
+    payloads decode typed; NULL/empty/truncated/overlong/bad-branch
+    payloads yield is_valid=0 with every field NULL — decode never throws
+    per-row."""
+    from tranquility_spark.operators.avro_codec import encode_value
+    from tranquility_spark.sources.avro_source import parse_avro_column
+
+    schema = {
+        "type": "record",
+        "name": "E",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": ["null", "string"], "default": None},
+        ],
+    }
+    ok1 = encode_value({"k": 7, "s": "hi"}, schema)
+    ok2 = encode_value({"k": -3, "s": None}, schema)
+    rows = [
+        (1, ok1),
+        (2, ok2),
+        (3, ok1[:-1]),          # truncated
+        (4, ok1 + b"\x00"),     # trailing bytes
+        (5, b"\x0e\x04bad"),    # union branch 2 of 2 (k=7 then branch idx 4/2=2)
+        (6, b""),               # empty payload
+        (7, None),              # NULL payload
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {
+        r["id"]: (r["is_valid"], r["k"], r["s"])
+        for r in parse_avro_column(
+            df, "payload", schema, "k long, s string", keep=["id"]
+        ).collect()
+    }
+    assert got[1] == (1, 7, "hi")
+    assert got[2] == (1, -3, None)
+    for bad in (3, 4, 5, 6, 7):
+        assert got[bad] == (0, None, None), bad
+
+
+def test_avro_impl_spark_is_gated(spark):
+    """impl='spark' must fail fast driver-side with the --packages hint
+    when the spark-avro data source is absent (it is, in this
+    environment) — not with an opaque analysis error mid-job."""
+    import pytest as pt
+
+    from tranquility_spark.sources.avro_source import (
+        load_avro_events,
+        parse_avro_column,
+    )
+
+    with pt.raises(RuntimeError, match="spark-avro"):
+        load_avro_events(
+            spark, "tests/fixtures/events_sample.avro", impl="spark"
+        )
+    df = spark.createDataFrame([(b"\x00",)], "payload binary")
+    with pt.raises(RuntimeError, match="spark-avro"):
+        parse_avro_column(
+            df, "payload", {"type": "record", "name": "R",
+                            "fields": [{"name": "x", "type": "long"}]},
+            "x long", impl="spark",
+        )

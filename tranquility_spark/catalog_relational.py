@@ -1146,6 +1146,37 @@ def p10_jsonl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p11_avro_parse",
+    f"""
+    SELECT event_id, ts, user_id, event_type, value, note
+    FROM read_csv('{_FIXTURE_DIR}/events_sample.csv', header=true,
+                  columns={_CSV_COLS_SQL}, quote='"', escape='"', delim=',')
+    """,
+    doc="BINARY wire-format event parse — the Smile-analog ingest format "
+    "(SURVEY §2 P2: tranquility's server accepts JSON or Smile; the "
+    "modern Kafka-ecosystem binary format a real user ships is Avro). "
+    "Spark decodes the committed Avro Object Container File fixture "
+    "(sources/avro_source.py: spec-subset stdlib codec in Arrow-batched "
+    "mapInPandas; impl='spark' binds the spark-avro data source when its "
+    "jar is loaded). DuckDB cannot read Avro, so the oracle reads the "
+    "CSV fixture that encodes the SAME 200 logical rows (generated "
+    "together by scripts/make_avro_fixture.py): a green hash certifies "
+    "the binary decode agrees with the engine-independent text decode "
+    "on every byte — nullable-union NULLs, timestamp-micros, unicode, "
+    "preserved whitespace. The codec itself is pinned to hand-computed "
+    "spec byte vectors in tests (not just round-trips). Corrupt-payload "
+    "accounting (truncated/overlong/bad-branch wire records → is_valid "
+    "0, fields NULL — p10's contract) lives on parse_avro_column and is "
+    "Spark-contract-tested: no oracle is possible for bytes DuckDB "
+    "cannot parse at all",
+)
+def p11_avro_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.sources.avro_source import load_avro_events
+
+    return load_avro_events(spark, f"{_FIXTURE_DIR}/events_sample.avro")
+
+
+@register(
     "j6_asof_join_two_table",
     """
     SELECT e.event_id,

@@ -1,0 +1,260 @@
+"""Avro event sources — the binary wire-format ingest path.
+
+Reference parity: tranquility's server accepts JSON or SMILE-encoded
+events (``core/.../typeclass/ObjectWriter.scala#SmileObjectWriter``
+[recall]; SURVEY §2 P2 declares the Smile wire detail absent by design).
+The modern Kafka-ecosystem equivalent a real user ships is AVRO, so this
+module is the binary sibling of ``files.load_csv_events`` /
+``parse.parse_jsonl_file``: same explicit-schema, corrupt-record-accounted
+contract, binary encoding instead of text.
+
+Two impls behind one slot (the ``codecs.py`` discipline):
+
+- ``impl="spark"`` — the PRODUCTION path: the ``spark-avro`` data source
+  (``format("avro")`` for container files, ``from_avro`` for wire
+  payloads), JVM-side, codec-complete (deflate/snappy), splittable at
+  OCF block boundaries. It is an EXTERNAL Spark module; when the jar is
+  not loaded we fail fast driver-side with the exact ``--packages``
+  coordinate instead of an opaque analysis error mid-job.
+- ``impl="native"`` (default here) — a pure-stdlib decoder
+  (``operators/avro_codec.py``, public-spec subset, ``null`` codec) run
+  inside Arrow-batched mapInPandas. Parallelism is per FILE for container
+  reads (binaryFile source; a 100 TB backfill should be many files — the
+  same contract as every whole-file format) and per PAYLOAD for wire
+  decode — no shuffle on either path.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from tranquility_spark.session import prepare
+
+SPARK_AVRO_HINT = (
+    "the spark-avro data source is not loaded in this session; start Spark "
+    "with --packages org.apache.spark:spark-avro_2.13:<spark-version> "
+    "(or ship the jar), or use impl='native'"
+)
+
+#: Avro schema of the committed events fixture — the binary twin of
+#: files.CSV_EVENTS_SCHEMA. Nullable fields are ``["null", T]`` unions;
+#: ts is epoch-micros (timestamp-micros logical type).
+EVENTS_AVRO_SCHEMA: dict = {
+    "type": "record",
+    "name": "Event",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "user_id", "type": ["null", "long"], "default": None},
+        {"name": "event_type", "type": ["null", "string"], "default": None},
+        {"name": "value", "type": ["null", "double"], "default": None},
+        {"name": "note", "type": ["null", "string"], "default": None},
+    ],
+}
+
+
+def _field_series(values: list, spark_type, logical: str | None):
+    """One decoded column as a pandas Series with the NULL-faithful dtype:
+    nullable extension dtypes for numerics (a plain float64 would turn
+    None into NaN, which Spark keeps as NaN — NOT null), datetime64 for
+    timestamps (epoch micros/millis per the Avro logical type)."""
+    import pandas as pd
+
+    if isinstance(spark_type, TimestampType):
+        unit = "ms" if logical == "timestamp-millis" else "us"
+        return pd.to_datetime(pd.Series(values, dtype="object"), unit=unit)
+    if isinstance(spark_type, LongType):
+        return pd.array(values, dtype="Int64")
+    if isinstance(spark_type, IntegerType):
+        return pd.array(values, dtype="Int32")
+    if isinstance(spark_type, DoubleType):
+        return pd.array(values, dtype="Float64")
+    if isinstance(spark_type, FloatType):
+        return pd.array(values, dtype="Float32")
+    if isinstance(spark_type, BooleanType):
+        return pd.array(values, dtype="boolean")
+    return pd.Series(values, dtype="object")
+
+
+def _avro_logical(avro_schema: dict, name: str) -> str | None:
+    for f in avro_schema["fields"]:
+        if f["name"] == name:
+            t = f["type"]
+            branches = t if isinstance(t, list) else [t]
+            for b in branches:
+                if isinstance(b, dict) and "logicalType" in b:
+                    return b["logicalType"]
+    return None
+
+
+def load_avro_file(
+    spark: SparkSession,
+    path: str,
+    spark_schema: str,
+    avro_schema: dict,
+    impl: str = "native",
+) -> DataFrame:
+    """Read Avro Object Container File(s) into typed rows.
+
+    ``spark_schema`` is the explicit DDL output schema (field order =
+    output order; the explicit-schema contract of ``load_csv_events``);
+    ``avro_schema`` is the writer schema the native decoder expects —
+    mismatched container metadata raises rather than mis-decoding.
+    """
+    prepare(spark)
+    if impl == "spark":
+        try:
+            raw = spark.read.format("avro").load(path)
+        except Exception as ex:  # AnalysisException: AVRO_NOT_LOADED
+            raise RuntimeError(f"impl='spark': {SPARK_AVRO_HINT}") from ex
+        out = StructType.fromDDL(spark_schema)
+        return raw.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in out]
+        )
+    if impl != "native":
+        raise ValueError(f"unknown impl {impl!r}: use 'native' or 'spark'")
+
+    out_schema = StructType.fromDDL(spark_schema)
+    expected = json.dumps(avro_schema, sort_keys=True)
+    logicals = {f.name: _avro_logical(avro_schema, f.name) for f in out_schema}
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from tranquility_spark.operators.avro_codec import read_ocf
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                schema, records = read_ocf(bytes(content))
+                if json.dumps(schema, sort_keys=True) != expected:
+                    raise ValueError(
+                        "OCF writer schema differs from the expected Avro "
+                        f"schema: {json.dumps(schema, sort_keys=True)[:200]}"
+                    )
+                rows = list(records)
+                yield pd.DataFrame(
+                    {
+                        f.name: _field_series(
+                            [r.get(f.name) for r in rows],
+                            f.dataType,
+                            logicals[f.name],
+                        )
+                        for f in out_schema
+                    }
+                )
+
+    blobs = spark.read.format("binaryFile").load(path).select("content")
+    return blobs.mapInPandas(decode, schema=out_schema)
+
+
+def load_avro_events(
+    spark: SparkSession, path: str, impl: str = "native"
+) -> DataFrame:
+    """The events-fixture reader: binary twin of ``load_csv_events`` —
+    same six typed output columns, Avro OCF input."""
+    from tranquility_spark.sources.files import CSV_EVENTS_SCHEMA
+
+    return load_avro_file(
+        spark, path, CSV_EVENTS_SCHEMA, EVENTS_AVRO_SCHEMA, impl=impl
+    )
+
+
+def parse_avro_column(
+    df: DataFrame,
+    value_col: str,
+    avro_schema: dict,
+    spark_schema: str,
+    keep: Sequence[str] = (),
+    impl: str = "native",
+) -> DataFrame:
+    """Decode a BINARY column of single-record Avro wire payloads — the
+    Kafka value-bytes shape, i.e. the ``from_avro`` analog — with p10's
+    corrupt-record accounting: output is ``keep`` columns + ``is_valid``
+    (1/0) + one typed column per record field, all fields NULL when the
+    payload is malformed (NULL/empty payload, buffer under/overrun, bad
+    union branch, invalid UTF-8 — decode never throws per-row).
+
+    ``impl="spark"`` binds ``from_avro(..., mode=PERMISSIVE)`` (corrupt
+    payloads null the whole struct — the same verdict shape), availability-
+    gated with a clear driver-side error.
+    """
+    fields = StructType.fromDDL(spark_schema)
+    if impl == "spark":
+        try:
+            from pyspark.sql.avro.functions import from_avro
+
+            parsed = df.select(
+                *keep,
+                from_avro(
+                    F.col(value_col),
+                    json.dumps(avro_schema),
+                    {"mode": "PERMISSIVE"},
+                ).alias("__r"),
+            )
+            parsed.schema  # force analysis so a missing jar fails HERE
+        except Exception as ex:
+            raise RuntimeError(f"impl='spark': {SPARK_AVRO_HINT}") from ex
+        return parsed.select(
+            *keep,
+            F.when(F.col("__r").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_valid"),
+            *[F.col(f"__r.{f.name}").alias(f.name) for f in fields],
+        )
+    if impl != "native":
+        raise ValueError(f"unknown impl {impl!r}: use 'native' or 'spark'")
+
+    keep = list(keep)
+    out_schema = StructType(
+        [df.schema[c] for c in keep]
+        + [StructField("is_valid", LongType(), False)]
+        + list(fields)
+    )
+    logicals = {f.name: _avro_logical(avro_schema, f.name) for f in fields}
+    schema_dict = avro_schema
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from tranquility_spark.operators.avro_codec import (
+            AvroDecodeError,
+            decode_record,
+        )
+
+        for pdf in batches:
+            valid: list[int] = []
+            cols: dict[str, list] = {f.name: [] for f in fields}
+            for payload in pdf[value_col]:
+                rec = None
+                if payload is not None and len(payload) > 0:
+                    try:
+                        rec = decode_record(bytes(payload), schema_dict)
+                    except AvroDecodeError:
+                        rec = None
+                valid.append(1 if rec is not None else 0)
+                for f in fields:
+                    cols[f.name].append(None if rec is None else rec.get(f.name))
+            out = {c: pdf[c].reset_index(drop=True) for c in keep}
+            out["is_valid"] = pd.array(valid, dtype="Int64")
+            for f in fields:
+                out[f.name] = _field_series(
+                    cols[f.name], f.dataType, logicals[f.name]
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(*keep, value_col).mapInPandas(decode, schema=out_schema)
