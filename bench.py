@@ -132,6 +132,7 @@ HEADLINE = [
     "emb9_principal_component",
     "dq17_time_extraction",
     "samp9_cluster_downweight",
+    "dd13b_kmeans_semantic_dedup",
 ]
 
 

@@ -989,6 +989,41 @@ def dd13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dd13b_kmeans_semantic_dedup",
+    None,  # k-means centroids come from a collect-based iterative build —
+    # rows-only; the pair-fold bound + determinism + drop-semantics are
+    # asserted in tests/test_dedup_similarity.py
+    doc="The EXECUTABLE production story dd13 and samp9 describe in prose: "
+    "sim3's deterministic k-means build (operators/similarity.py#"
+    "ivf_centroids — hash-sample seeds + one Lloyd pass, same per-corpus "
+    "cache as sim3) feeds operators/dedup.py#semantic_dedup, the "
+    "SemDeDup pipeline over arbitrary centroids with the numpy-matmul "
+    "assignment UDF in place of dd13's literal-centroid CASE argmax. "
+    "Certification hands off exactly as dd13's docstring says it must: "
+    "dd13 hash-certifies the pipeline SHAPE against DuckDB on literal "
+    "centroids; this entry proves the learned-centroid composition runs "
+    "end-to-end, and its tests pin what an oracle cannot — rerun "
+    "determinism, the sum(cluster^2) pair-fold bound that makes semantic "
+    "dedup sub-quadratic, and the within-cluster drop semantics. Scale: "
+    "the centroid build is the only iterative piece (one TakeOrdered + "
+    "one bounded corpus pass, C x dim floats on the driver); everything "
+    "downstream is dd13's shuffle-on-cluster_id shape",
+)
+def dd13b_kmeans_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators import similarity as sim
+    from tranquility_spark.operators.dedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    ck = _index_cache_key(sf_dir)
+    cents = _IVF_INDEX_CACHE.get(ck)
+    if cents is None:
+        for k in [k for k in _IVF_INDEX_CACHE if k[0] == sf_dir]:
+            del _IVF_INDEX_CACHE[k]
+        cents = _IVF_INDEX_CACHE[ck] = sim.ivf_centroids(e, n_centroids=16)
+    return semantic_dedup(e, cents, tau=_DD13_TAU)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

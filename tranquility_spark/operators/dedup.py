@@ -869,3 +869,77 @@ def neardup_survivors(
         F.col("id").alias(id_col)
     )
     return df.join(victims, id_col, "left_anti")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    tau: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public paper) over ARBITRARY centroids —
+    the production form of the dd13 entry, with the literal-centroid CASE
+    argmax swapped for the numpy-matmul assignment UDF
+    (``similarity.with_centroid_id`` — one BLAS call per Arrow batch,
+    the sim3/IVF assign path). Compose with ``similarity.ivf_centroids``
+    for the k-means-built pipeline the dd13/samp9 docstrings describe.
+
+    Returns ``(id, cluster_id, n_in_cluster, keep)``: within each cluster,
+    every pair with cosine > ``tau`` drops the higher id (keep=0).
+
+    Scale shape (dd13's, verbatim): norms computed once per VECTOR before
+    the pair join (the join evaluates |pairs| >> |vecs| rows); the
+    assignment is localCheckpointed once for its three consumers; the
+    self-join shuffles on cluster_id only, so pair cost is
+    sum(cluster^2) — bounded by the largest cluster, NEVER all-pairs
+    (the bound is measured and asserted in
+    tests/test_dedup_similarity.py's composition test).
+    """
+    from tranquility_spark.operators.similarity import (
+        _as_double,
+        dot,
+        norm,
+        with_centroid_id,
+    )
+
+    assigned = with_centroid_id(df, centroids, vec_col, out_col="cluster_id").select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("v"),
+        norm(_as_double(F.col(vec_col))).alias("nrm"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+    sc = df.sparkSession.sparkContext
+    assigned = assigned.repartition(sc.defaultParallelism).localCheckpoint(
+        eager=False
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias(id_col),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") > tau)
+    )
+    dropped = pairs.select(id_col).distinct().withColumn("__dup", F.lit(1))
+    counts = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_in_cluster")
+    )
+    return (
+        assigned.join(F.broadcast(counts), "cluster_id")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            "n_in_cluster",
+            F.when(F.col("__dup").isNull(), 1).otherwise(0).cast("long").alias("keep"),
+        )
+    )
