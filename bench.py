@@ -133,6 +133,7 @@ HEADLINE = [
     "dq17_time_extraction",
     "samp9_cluster_downweight",
     "dd13b_kmeans_semantic_dedup",
+    "a10f_gk_quantiles",
 ]
 
 

@@ -176,3 +176,62 @@ def test_dkll_core_deterministic_and_weight_conserving(values, split_seed):
                 # the estimate's true rank interval must overlap [q-eps, q+eps]
                 eps = 0.25 if len(svals) > 3 * k else 1.0  # tiny inputs are exact-ish but ranks are coarse
                 assert lo - eps <= q <= rank + eps, (q, lo, rank, len(svals))
+
+
+@given(
+    values=st.lists(
+        st.one_of(
+            st.integers(min_value=-1000, max_value=1000).map(float),
+            st.sampled_from([0.0, 5.0, 5.0, 5.0, -7.5]),  # tie pressure
+        ),
+        min_size=1,
+        max_size=400,
+    ),
+    split_seed=st.integers(min_value=0, max_value=2**31),
+    eps=st.sampled_from([0.02, 0.05, 0.1]),
+)
+@settings(max_examples=60, deadline=None)
+def test_gk_core_proven_bound_and_invariants(values, split_seed, eps):
+    """gk.py's PROVEN obligations, hypothesis-driven on the pure core
+    (no Spark): for ANY multiset, ANY 3-way split into partials, and the
+    stated eps grid — (a) every merged interval satisfies rmin <= rmax
+    and rmax - rmin < eps*n, (b) for every target rank the best cut is
+    within 2*eps*n (the module's promised bound), (c) the merge is
+    independent of which canonical order the partials arrive in only up
+    to the documented tie-ORDER convention: the interval SET for a fixed
+    canonical order is deterministic across reruns."""
+    import bisect
+
+    from tranquility_spark.operators.gk import _cuts, _merge_cuts
+
+    h = split_seed
+    parts_vals = [[], [], []]
+    for i, v in enumerate(values):
+        h = (h * 6364136223846793005 + 1442695040888963407) % (2**64)
+        parts_vals[h % 3].append(v)
+    parts = []
+    for vs in parts_vals:
+        vs = sorted(vs)
+        if not vs:
+            continue
+        cuts = [(vs[p], p) for p in _cuts(len(vs), eps)]
+        parts.append((cuts, len(vs)))
+    if not parts:
+        return
+    n = len(values)
+    merged = _merge_cuts(parts)
+    assert merged == _merge_cuts(parts)  # deterministic rerun
+    for v, rmin, rmax in merged:
+        assert rmin <= rmax
+        assert rmax - rmin < max(1, eps * n)
+        assert 0 <= rmin and rmax <= n - 1
+    # (b) the 2*eps*n query bound against true occurrence ranks
+    svals = sorted(values)
+    for target in {0, n // 4, n // 2, (3 * n) // 4, n - 1}:
+        best = min(
+            merged, key=lambda c: (abs((c[1] + c[2]) / 2.0 - target), c[0])
+        )
+        lo = bisect.bisect_left(svals, best[0])
+        hi = bisect.bisect_right(svals, best[0]) - 1
+        dist = max(0, lo - target, target - hi)
+        assert dist < max(1, 2 * eps * n), (target, best, dist)

@@ -1134,3 +1134,265 @@ def test_cms_estimate_join_map_typed_probe_columns(spark):
         for r in cms_estimate_join(probes, counters, "k", **kw).collect()
     )
     assert via_map == via_join and via_join
+
+
+# ---------------------------------------------------------------------------
+# gk.py — proven-eps deterministic quantile summary (family #8, r9;
+# VERDICT r8 #5). The bound is PROVEN, so the tests assert it STRICTLY on
+# adversarial inputs — no measured-envelope hedging.
+# ---------------------------------------------------------------------------
+
+
+def _gk_true_rank(sorted_vals, est):
+    """Distance of est's rank interval to a target is checked against the
+    tightest containing rank: [first index >= est, last index <= est]."""
+    import bisect
+
+    lo = bisect.bisect_left(sorted_vals, est)
+    hi = bisect.bisect_right(sorted_vals, est) - 1
+    return lo, hi
+
+
+def _gk_assert_bound(spark, vals_by_part, eps, bound_mult):
+    """Build per-part partials, merge, and assert every quantile estimate's
+    rank error < bound_mult * eps * n — strictly, for a q grid."""
+    import math
+
+    from tranquility_spark.operators.gk import gk_merge, gk_partial, gk_quantiles
+
+    rows = [
+        ("g", pid, float(v)) for pid, vs in vals_by_part.items() for v in vs
+    ]
+    df = spark.createDataFrame(rows, "grp string, part string, v double")
+    partials = gk_partial(df, ["grp", "part"], "v", eps=eps)
+    merged = gk_merge(partials, ["grp"], "part")
+    qs = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    est = gk_quantiles(merged, ["grp"], quantiles=qs).collect()[0]
+    all_vals = sorted(v for vs in vals_by_part.values() for v in vs)
+    n = len(all_vals)
+    assert est["n_total"] == n
+    for q in qs:
+        target = math.floor(q * (n - 1))
+        v = est[f"p{q * 100:g}".replace(".", "_")]
+        lo, hi = _gk_true_rank(all_vals, v)
+        dist = max(0, lo - target, target - hi)
+        assert dist < bound_mult * eps * n, (q, v, dist, eps * n)
+    return merged
+
+
+def test_gk_proven_bound_adversarial_distributions(spark):
+    """The 2*eps*n one-merge-level bound holds STRICTLY on adversarial
+    partial splits: disjoint sorted runs (worst interleaving), heavy
+    duplicates, exponential tails, and alternating extremes."""
+    n, eps = 4000, 0.02
+    # disjoint sorted runs: each partial owns a contiguous value range
+    runs = {f"p{i}": [float(i * 1000 + j) for j in range(1000)] for i in range(4)}
+    _gk_assert_bound(spark, runs, eps, 2)
+    # heavy duplicates: 90% one value, the rest a spread
+    dups = {
+        "a": [5.0] * 1800 + [float(i) for i in range(200)],
+        "b": [5.0] * 1800 + [float(1000 + i) for i in range(200)],
+    }
+    _gk_assert_bound(spark, dups, eps, 2)
+    # exponential tail split across partials by parity
+    exp = [1.0001 ** i for i in range(n)]
+    _gk_assert_bound(spark, {"e": exp[::2], "o": exp[1::2]}, eps, 2)
+    # alternating extremes (zig-zag) — stresses the tie/gap arithmetic
+    zig = {"z1": [float((-1) ** i * i) for i in range(n // 2)],
+           "z2": [float((-1) ** (i + 1) * i) for i in range(n // 2)]}
+    _gk_assert_bound(spark, zig, eps, 2)
+
+
+def test_gk_partial_exact_below_stride_and_eps_bound(spark):
+    """A single partial's own summary errs < eps*n (stride bound); with
+    n <= 1/eps the stride is 1 and every quantile is EXACT."""
+    import math
+
+    from tranquility_spark.operators.gk import gk_partial, gk_quantiles
+
+    vals = [float(x) for x in range(73)]  # 73 < 1/0.01
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, v double"
+    )
+    s = gk_partial(df, ["grp"], "v", eps=0.01)
+    qs = (0.1, 0.5, 0.9)
+    est = gk_quantiles(s, ["grp"], quantiles=qs).collect()[0]
+    for q in qs:
+        assert est[f"p{q * 100:g}".replace(".", "_")] == float(
+            math.floor(q * 72)
+        )
+    # eps*n bound on one bigger partial, strict
+    big = sorted((i * 7919) % 6007 for i in range(6007))
+    df2 = spark.createDataFrame(
+        [("g", float(v)) for v in big], "grp string, v double"
+    )
+    s2 = gk_partial(df2, ["grp"], "v", eps=0.02)
+    est2 = gk_quantiles(s2, ["grp"], quantiles=qs).collect()[0]
+    for q in qs:
+        v = est2[f"p{q * 100:g}".replace(".", "_")]
+        target = math.floor(q * 6006)
+        lo, hi = _gk_true_rank([float(x) for x in big], v)
+        assert max(0, lo - target, target - hi) < 0.02 * 6007
+
+
+def test_gk_deterministic_and_partition_invariant(spark):
+    """Partials are bit-identical however the raw rows are partitioned or
+    ordered (the fold IS a sort), and the merge is deterministic across
+    reruns — the property that motivated the family (dKLL's contract,
+    now with a proven bound)."""
+    from tranquility_spark.operators.gk import gk_merge, gk_partial
+
+    base = [("g", f"p{i % 3}", float((i * 2654435761) % 10007)) for i in range(3000)]
+    df1 = spark.createDataFrame(base, "grp string, part string, v double")
+    df2 = spark.createDataFrame(
+        list(reversed(base)), "grp string, part string, v double"
+    ).repartition(17)
+    p1 = sorted(map(tuple, gk_partial(df1, ["grp", "part"], "v").collect()))
+    p2 = sorted(map(tuple, gk_partial(df2, ["grp", "part"], "v").collect()))
+    assert p1 == p2
+    m1 = sorted(
+        map(tuple, gk_merge(gk_partial(df1, ["grp", "part"], "v"), ["grp"], "part").collect())
+    )
+    m2 = sorted(
+        map(tuple, gk_merge(gk_partial(df2, ["grp", "part"], "v"), ["grp"], "part").collect())
+    )
+    assert m1 == m2
+
+
+def test_gk_merge_interval_invariants(spark):
+    """Structural proof obligations on the merged summary: rmin <= rmax,
+    every interval width < eps*n, and rmin is non-decreasing in value
+    order (the gap bound's precondition)."""
+    from tranquility_spark.operators.gk import gk_merge, gk_partial
+
+    eps = 0.02
+    parts = {
+        "a": [float((i * 31) % 977) for i in range(977)],
+        "b": [float(500 + (i * 17) % 977) for i in range(977)],
+        "c": [250.0] * 500,
+    }
+    rows = [("g", p, v) for p, vs in parts.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, part string, v double")
+    merged = gk_merge(
+        gk_partial(df, ["grp", "part"], "v", eps=eps), ["grp"], "part"
+    ).collect()
+    n = sum(len(v) for v in parts.values())
+    assert all(r["n_total"] == n for r in merged)
+    ordered = sorted(merged, key=lambda r: (r["value"], r["rmin"]))
+    prev_rmin = -1
+    for r in ordered:
+        assert r["rmin"] <= r["rmax"]
+        assert r["rmax"] - r["rmin"] < eps * n, (r, eps * n)
+        assert r["rmin"] >= prev_rmin or r["value"] == ordered[0]["value"]
+        prev_rmin = max(prev_rmin, r["rmin"])
+
+
+def test_streaming_gk_partials_merge_and_replay(spark, sf_dir, tmp_path):
+    """gk_partials_sink lifecycle: stream micro-batches -> per-batch
+    proven-eps partials -> gk_merge at read time. The merged estimates
+    obey the PROVEN 2*eps*n rank bound vs exact per-type quantiles
+    (strict), the read-side merge is rerun-bit-identical, and replaying a
+    batch through the sink leaves the merged bytes unchanged (batch_id=
+    dynamic-overwrite, the CMS/kll contract)."""
+    import bisect
+    import math
+
+    import pyspark.sql.functions as FF
+
+    from tranquility_spark.operators.gk import (
+        gk_merge,
+        gk_partials_sink,
+        gk_quantiles,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    eps = 0.02
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", FF.col("value").cast("double").alias("v")
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+
+    out = str(tmp_path / "gk_partials")
+    sink = gk_partials_sink(out, ["event_type"], "v", eps=eps)
+    stream = (
+        spark.readStream.schema("event_type string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    partials = spark.read.parquet(out)
+    assert partials.select("batch_id").distinct().count() >= 2
+    merged1 = sorted(
+        map(tuple, gk_merge(partials, ["event_type"], "batch_id").collect())
+    )
+    merged2 = sorted(
+        map(
+            tuple,
+            gk_merge(
+                spark.read.parquet(out), ["event_type"], "batch_id"
+            ).collect(),
+        )
+    )
+    assert merged1 == merged2  # read-side merge is deterministic
+
+    # replay contract (the kll test's shape): delivering the SAME rows
+    # under the SAME batch_id twice REPLACES the partition (dynamic
+    # partition overwrite) — merged bytes unchanged, never double-counted
+    extra = spark.createDataFrame(
+        [("replayed", float(i)) for i in range(500)],
+        "event_type string, v double",
+    )
+    sink(extra, 999)
+    once = sorted(
+        map(
+            tuple,
+            gk_merge(
+                spark.read.parquet(out), ["event_type"], "batch_id"
+            ).collect(),
+        )
+    )
+    sink(extra, 999)
+    twice = sorted(
+        map(
+            tuple,
+            gk_merge(
+                spark.read.parquet(out), ["event_type"], "batch_id"
+            ).collect(),
+        )
+    )
+    assert once == twice
+    assert [r for r in twice if r[0] == "replayed"][0][-1] == 500
+
+    # PROVEN bound, asserted strictly: per type, each estimate's true
+    # occurrence-rank distance to target < 2*eps*n
+    est = {
+        r["event_type"]: r
+        for r in gk_quantiles(
+            gk_merge(spark.read.parquet(out), ["event_type"], "batch_id"),
+            ["event_type"],
+            quantiles=(0.5, 0.9, 0.99),
+        ).collect()
+    }
+    vals = {}
+    for r in ev.collect():
+        vals.setdefault(r["event_type"], []).append(r["v"])
+    for et, vs in vals.items():
+        vs = sorted(v for v in vs if v is not None)
+        n = len(vs)
+        for qq, colname in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            v = est[et][colname]
+            target = math.floor(qq * (n - 1))
+            lo = bisect.bisect_left(vs, v)
+            hi = bisect.bisect_right(vs, v) - 1
+            assert max(0, lo - target, target - hi) < max(1, 2 * eps * n), (
+                et,
+                qq,
+            )

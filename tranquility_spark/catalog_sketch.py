@@ -216,3 +216,46 @@ def a11e_theta_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_only_est"
         ),
     )
+
+
+@register(
+    "a10f_gk_quantiles",
+    None,  # rows-only by the sketch policy; the PROVEN 2*eps*n bound,
+    # interval invariants, partition-invariance and tie-order handling are
+    # asserted strictly in tests/test_sketch.py + a hypothesis sweep in
+    # tests/test_properties.py
+    doc="PROVEN-epsilon deterministic quantile summary (operators/gk.py, "
+    "mergeable family #8) — closes VERDICT r08 'missing' #3: a10e's "
+    "deterministic KLL carries a measured rank envelope; this family "
+    "carries a PROVEN bound. Greenwald-Khanna's batch specialization "
+    "(the written decision is in the module header): partials build "
+    "inside applyInPandas where n is KNOWN, so the GK tuple machinery "
+    "collapses to exact equi-depth cuts at stride floor(eps*n) — GK's "
+    "invariant with delta=0 at minimal ~1/eps size. One merge level "
+    "computes exact global rank INTERVALS under a consistent tie order "
+    "(canonical partial-id — the detail that keeps the proof alive "
+    "under heavy duplicates), giving a proven < 2*eps*n quantile error; "
+    "estimates are one min_by agg over the kilobyte summary. Per-"
+    "(event_type, day) partials, merged per type, eps=0.01. NOT direct-"
+    "build-identical (cut positions differ; the dKLL/HLL caveat), NOT "
+    "replay-idempotent (batch_id= overwrite is the safety mechanism, "
+    "gk_partials_sink)",
+)
+def a10f_gk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.gk import gk_merge, gk_partial, gk_quantiles
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+        F.to_date("ts").cast("string").alias("day"),
+    )
+    partials = gk_partial(ev, ["event_type", "day"], "v", eps=0.01)
+    merged = gk_merge(partials, ["event_type"], "day")
+    est = gk_quantiles(merged, ["event_type"], quantiles=(0.5, 0.9, 0.99))
+    return est.select(
+        "event_type",
+        "n_total",
+        F.round("p50", 6).alias("p50_est"),
+        F.round("p90", 6).alias("p90_est"),
+        F.round("p99", 6).alias("p99_est"),
+    ).orderBy("event_type")

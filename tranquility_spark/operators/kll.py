@@ -18,7 +18,11 @@ Space is O(k log(n/k)); rank error grows with the number of compactions an
 item's rank estimate crossed — the tests pin a measured normalized-rank
 envelope rather than quoting the randomized KLL constant, because the
 deterministic offsets trade the provable-in-expectation bound for exact
-reproducibility (the explicit design choice here).
+reproducibility (the explicit design choice here). When a PROVEN bound is
+required, use the sibling ``gk.py`` (family #8, r9): the Greenwald-Khanna
+batch specialization with a strict 2·ε·n guarantee — it supersedes this
+family for one-merge-level lifecycles; this module remains the choice for
+deep/incremental merge trees where its O(k log(n/k)) structure holds up.
 
 Spark lifecycle (the KMV/MG/bloom/CMS/HLL shape):
 
