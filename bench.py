@@ -134,6 +134,7 @@ HEADLINE = [
     "samp9_cluster_downweight",
     "dd13b_kmeans_semantic_dedup",
     "a10f_gk_quantiles",
+    "txt19_bm25_topk",
 ]
 
 

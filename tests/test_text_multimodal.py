@@ -894,3 +894,35 @@ def test_emb7_guards_null_and_short_embeddings(spark, tmp_path):
     short.write.parquet(f"{d2}/embeddings.parquet")
     with pytest.raises(Exception, match="need >= 8"):
         CATALOG["emb7_dim_covariance"].fn(spark, d2).collect()
+
+
+def test_txt19_bm25_semantics_and_plan(spark, sf_dir):
+    """BM25 sanity beyond the hash oracle: (a) every returned doc matches
+    at least one query term; (b) the rare term ('dup', df~5% of corpus)
+    dominates — every doc containing it outranks every doc that only
+    matches the two common terms (idf gap); (c) the plan is
+    TakeOrderedAndProject (top-k, no global Sort+Exchange of scores)."""
+    from pyspark.sql import functions as FF
+
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.sources.files import load_table
+
+    df = CATALOG["txt19_bm25_topk"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(FF.col("doc_id").isin([r["doc_id"] for r in rows]))
+        .collect()
+    }
+    saw_dup_score, saw_nodup_score = [], []
+    for r in rows:
+        toks = set(docs[r["doc_id"]].split())
+        assert toks & {"dup", "spark", "vector"}, r["doc_id"]
+        (saw_dup_score if "dup" in toks else saw_nodup_score).append(r["bm25"])
+    if saw_dup_score and saw_nodup_score:
+        assert min(saw_dup_score) > max(saw_nodup_score)
+    assert saw_dup_score  # the rare term's docs reach the top-10

@@ -1808,6 +1808,135 @@ def txt18_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERY = ("dup", "spark", "vector")  # rare + two mid-frequency terms
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+
+def _bm25_oracle_sql() -> str:
+    terms = ", ".join(f"('{t}')" for t in _BM25_QUERY)
+    return f"""
+    WITH q(tok) AS (VALUES {terms}),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    dls AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS dl
+      FROM documents
+    ),
+    corpus AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dls
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM toks JOIN q USING (tok)
+      GROUP BY doc_id, tok
+    ),
+    idf AS (
+      SELECT tok,
+             round(ln((n - df + 0.5) / (df + 0.5) + 1), 6) AS idf
+      FROM (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+            FROM toks JOIN q USING (tok) GROUP BY tok)
+      CROSS JOIN corpus
+    )
+    SELECT doc_id,
+           round(CAST(sum(CAST(round(
+             idf * (tf * ({_BM25_K1} + 1.0))
+                 / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * (CAST(dl AS DOUBLE) / avgdl))), 6)
+             AS DECIMAL(28,6))) AS DOUBLE), 6) AS bm25,
+           CAST(count(*) AS BIGINT) AS n_terms_matched
+    FROM tf
+    JOIN idf USING (tok)
+    JOIN dls USING (doc_id)
+    CROSS JOIN corpus
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """
+
+
+@register(
+    "txt19_bm25_topk",
+    _bm25_oracle_sql(),
+    doc="BM25 top-k retrieval (Robertson/Lucene formula, k1=1.2 b=0.75) — "
+    "the lexical half of a RAG retrieval stack, hash-certified end-to-"
+    "end: per-term idf = ln((N-df+0.5)/(df+0.5)+1) is 6-dp-rounded (the "
+    "txt9/txt18 ln policy — the ONLY transcendental), every other step "
+    "is IEEE double arithmetic with a pinned expression tree so both "
+    "engines produce identical bits; per-term scores round to 6 dp and "
+    "DECIMAL-accumulate across query terms (order-independent), top-k "
+    "ties break on doc_id. Plan: tokens explode once; tf is a hash agg "
+    "on (doc_id, term) AFTER a broadcast semi-join on the |q|-term "
+    "query list (the scan never carries non-query tokens to the "
+    "shuffle); df/avgdl/N are kilobyte broadcast frames; final top-k is "
+    "TakeOrderedAndProject — no global sort, no all-doc score "
+    "materialization beyond the matched set. At 100 TB: every side but "
+    "the token scan is bounded by |query| or one row",
+)
+def txt19_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok").isin(*_BM25_QUERY))
+    dls = docs.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("dl")
+    )
+    corpus = dls.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    idf = (
+        toks.groupBy("tok")
+        .agg(F.countDistinct("doc_id").cast("double").alias("df"))
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "tok",
+            F.round(
+                F.log(
+                    (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1
+                ),
+                6,
+            ).alias("idf"),
+        )
+    )
+    k1, b = float(_BM25_K1), float(_BM25_B)
+    term_score = F.round(
+        F.col("idf")
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+            )
+        ),
+        6,
+    ).cast("decimal(28,6)")
+    return (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(term_score).cast("double"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
 _SAMP8_BUDGET = 3000  # tokens per language
 
 
