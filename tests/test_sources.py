@@ -581,3 +581,54 @@ def test_avro_impl_spark_is_gated(spark):
                             "fields": [{"name": "x", "type": "long"}]},
             "x long", impl="spark",
         )
+
+
+def test_kafka_avro_wire_demux_and_dead_letter(spark):
+    """The S1 x P2-analog composition: Kafka-shaped (topic, value BINARY)
+    rows where value is a single-record Avro wire payload. Routing,
+    drop-malformed, and dead-letter (NULL fields, rows retained) semantics
+    must match the JSON path's contract exactly."""
+    from tranquility_spark.operators.avro_codec import encode_value
+    from tranquility_spark.sources.kafka import parse_kafka_batch
+
+    schema = {
+        "type": "record",
+        "name": "E",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "note", "type": ["null", "string"], "default": None},
+        ],
+    }
+    ok = encode_value({"event_id": 7, "note": "hi"}, schema)
+    bad = ok[:-1]
+    df = spark.createDataFrame(
+        [
+            ("wiki-en", bytearray(ok)),
+            ("wiki-de", bytearray(bad)),
+            ("junk-topic", bytearray(ok)),
+        ],
+        "topic string, value binary",
+    )
+    mappings = [("wiki-.*", "wiki")]
+    kw = dict(
+        schema="event_id long, note string",
+        mappings=mappings,
+        wire_format="avro",
+        avro_schema=schema,
+    )
+    strict = parse_kafka_batch(df, **kw).collect()
+    assert [(r["datasource"], r["topic"], r["event_id"], r["note"]) for r in strict] == [
+        ("wiki", "wiki-en", 7, "hi")
+    ]
+    dead = sorted(
+        (r["topic"], r["event_id"]) for r in
+        parse_kafka_batch(df, drop_malformed=False, **kw).collect()
+    )
+    assert dead == [("wiki-de", None), ("wiki-en", 7)]
+    # config errors fail fast
+    import pytest as pt
+
+    with pt.raises(ValueError, match="avro_schema"):
+        parse_kafka_batch(df, "x long", mappings, wire_format="avro")
+    with pt.raises(ValueError, match="wire_format"):
+        parse_kafka_batch(df, "x long", mappings, wire_format="smile")

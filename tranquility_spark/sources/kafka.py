@@ -77,6 +77,9 @@ def parse_kafka_batch(
     use_topic_as_datasource: bool = False,
     drop_unmatched: bool = True,
     drop_malformed: bool = True,
+    wire_format: str = "json",
+    avro_schema: Optional[dict] = None,
+    avro_impl: str = "native",
 ) -> DataFrame:
     """Kafka wire rows → parsed events tagged with ``datasource``.
 
@@ -85,7 +88,43 @@ def parse_kafka_batch(
     PERMISSIVE mode; malformed payloads are dropped (ref:
     ``reportDropsAsExceptions=false`` default) unless ``drop_malformed=False``,
     in which case they surface with NULL fields for dead-lettering (W3).
+
+    ``wire_format="avro"`` decodes the value bytes as single-record Avro
+    wire payloads instead — the binary ingest path the reference served
+    with Smile (SURVEY §2 P2; ``ObjectWriter.scala#SmileObjectWriter``
+    [recall]) restated as the format today's Kafka users actually ship.
+    Requires ``avro_schema`` (the writer's Avro record schema);
+    ``avro_impl`` follows ``sources/avro_source.py`` ("native" stdlib
+    decoder, "spark" = ``from_avro`` when the spark-avro jar is loaded).
+    Identical drop/dead-letter semantics: corrupt payloads either drop or
+    surface with NULL fields.
     """
+    if wire_format not in ("json", "avro"):
+        raise ValueError(f"unknown wire_format {wire_format!r}")
+    if wire_format == "avro":
+        from tranquility_spark.sources.avro_source import parse_avro_column
+
+        if avro_schema is None:
+            raise ValueError("wire_format='avro' requires avro_schema")
+        ds = topic_to_datasource(
+            F.col("topic"), mappings, use_topic_as_datasource
+        )
+        tagged = df.select(
+            ds.alias("datasource"), "topic", F.col("value").cast("binary")
+        )
+        if drop_unmatched:
+            tagged = tagged.filter(F.col("datasource").isNotNull())
+        parsed = parse_avro_column(
+            tagged,
+            "value",
+            avro_schema,
+            schema,
+            keep=["datasource", "topic"],
+            impl=avro_impl,
+        )
+        if drop_malformed:
+            parsed = parsed.filter(F.col("is_valid") == 1)
+        return parsed.drop("is_valid")
     ds = topic_to_datasource(F.col("topic"), mappings, use_topic_as_datasource)
     # PERMISSIVE from_json yields all-NULL fields for malformed payloads; the
     # corrupt-record column is the reliable malformed marker
