@@ -135,6 +135,7 @@ HEADLINE = [
     "dd13b_kmeans_semantic_dedup",
     "a10f_gk_quantiles",
     "txt19_bm25_topk",
+    "rank2_rrf_fusion",
 ]
 
 

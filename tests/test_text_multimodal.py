@@ -926,3 +926,27 @@ def test_txt19_bm25_semantics_and_plan(spark, sf_dir):
     if saw_dup_score and saw_nodup_score:
         assert min(saw_dup_score) > max(saw_nodup_score)
     assert saw_dup_score  # the rare term's docs reach the top-10
+
+
+def test_rank2_rrf_fusion_math_and_membership(spark, sf_dir):
+    """RRF fusion sanity beyond the hash oracle: every fused id comes from
+    at least one constant-size retrieval list, the fused score is exactly
+    1/(60+lex_rank) + 1/(60+sem_rank) with absent-list terms zero, and a
+    doc in BOTH lists outscores the same ranks taken singly."""
+    from tranquility_spark.catalog import CATALOG
+
+    rows = CATALOG["rank2_rrf_fusion"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert r["lex_rank"] is not None or r["sem_rank"] is not None
+        want = 0.0
+        if r["lex_rank"] is not None:
+            assert 1 <= r["lex_rank"] <= 20
+            want += 1.0 / (60 + r["lex_rank"])
+        if r["sem_rank"] is not None:
+            assert 1 <= r["sem_rank"] <= 20
+            want += 1.0 / (60 + r["sem_rank"])
+        assert r["rrf"] == round(want, 6), r
+    # descending by fused score with id tie-break
+    keys = [(-r["rrf"], r["id"]) for r in rows]
+    assert keys == sorted(keys)

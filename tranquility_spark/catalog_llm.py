@@ -1814,10 +1814,12 @@ _BM25_B = 0.75
 _BM25_TOPK = 10
 
 
-def _bm25_oracle_sql() -> str:
+def _bm25_scored_cte() -> str:
+    """The shared per-doc BM25 CTE body (txt19 + rank2's oracle): every
+    matched doc with its decimal-accumulated score."""
     terms = ", ".join(f"('{t}')" for t in _BM25_QUERY)
     return f"""
-    WITH q(tok) AS (VALUES {terms}),
+    q(tok) AS (VALUES {terms}),
     toks AS (
       SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
       FROM documents
@@ -1842,19 +1844,28 @@ def _bm25_oracle_sql() -> str:
       FROM (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
             FROM toks JOIN q USING (tok) GROUP BY tok)
       CROSS JOIN corpus
-    )
-    SELECT doc_id,
-           round(CAST(sum(CAST(round(
-             idf * (tf * ({_BM25_K1} + 1.0))
-                 / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
-                    + {_BM25_B} * (CAST(dl AS DOUBLE) / avgdl))), 6)
-             AS DECIMAL(28,6))) AS DOUBLE), 6) AS bm25,
-           CAST(count(*) AS BIGINT) AS n_terms_matched
-    FROM tf
-    JOIN idf USING (tok)
-    JOIN dls USING (doc_id)
-    CROSS JOIN corpus
-    GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(CAST(sum(CAST(round(
+               idf * (tf * ({_BM25_K1} + 1.0))
+                   / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * (CAST(dl AS DOUBLE) / avgdl))), 6)
+               AS DECIMAL(28,6))) AS DOUBLE), 6) AS bm25,
+             CAST(count(*) AS BIGINT) AS n_terms_matched
+      FROM tf
+      JOIN idf USING (tok)
+      JOIN dls USING (doc_id)
+      CROSS JOIN corpus
+      GROUP BY doc_id
+    )"""
+
+
+def _bm25_oracle_sql() -> str:
+    return f"""
+    WITH {_bm25_scored_cte()}
+    SELECT doc_id, bm25, n_terms_matched
+    FROM scored
     ORDER BY bm25 DESC, doc_id
     LIMIT {_BM25_TOPK}
     """
@@ -1879,6 +1890,15 @@ def _bm25_oracle_sql() -> str:
     "the token scan is bounded by |query| or one row",
 )
 def txt19_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _bm25_matched(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+def _bm25_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 frame over every query-matching doc (txt19 + rank2)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -1932,8 +1952,123 @@ def txt19_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term_score).cast("double"), 6).alias("bm25"),
             F.count(F.lit(1)).alias("n_terms_matched"),
         )
+    )
+
+
+_RRF_K = 60
+_RRF_LIST_N = 20
+_RRF_TOPK = 10
+
+
+def _rrf_oracle_sql() -> str:
+    return f"""
+    WITH {_bm25_scored_cte()},
+    lex AS (
+      SELECT doc_id AS id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                 AS lex_rank
+      FROM scored
+      ORDER BY bm25 DESC, doc_id
+      LIMIT {_RRF_LIST_N}
+    ),
+    sem AS (
+      SELECT vec_id AS id,
+             row_number() OVER (ORDER BY cos DESC, vec_id) AS sem_rank
+      FROM (
+        SELECT e.vec_id,
+               round(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                  WHERE vec_id = 0)), 6) AS cos
+        FROM embeddings e
+        WHERE e.vec_id <> 0)
+      ORDER BY cos DESC, vec_id
+      LIMIT {_RRF_LIST_N}
+    )
+    SELECT id,
+           round(coalesce(1.0 / ({_RRF_K} + lex_rank), 0.0)
+                 + coalesce(1.0 / ({_RRF_K} + sem_rank), 0.0), 6) AS rrf,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank
+    FROM lex FULL JOIN sem USING (id)
+    ORDER BY rrf DESC, id
+    LIMIT {_RRF_TOPK}
+    """
+
+
+@register(
+    "rank2_rrf_fusion",
+    _rrf_oracle_sql(),
+    doc="Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009, "
+    "k=60) — the standard way a RAG stack combines its lexical and "
+    "semantic retrievers, hash-certified end-to-end: txt19's BM25 "
+    "top-20 list fused with the exact-cosine top-20 list for the same "
+    "corpus (query = vec_id 0's embedding, self excluded — sim1's "
+    "convention), fused score = sum over lists of 1/(k + rank). Ranks "
+    "are INTEGERS from already-certified orderings (rounded scores, id "
+    "tie-breaks), so the fusion arithmetic is exactly reproducible "
+    "cross-engine — rank fusion's practical advantage over score "
+    "fusion (no score normalization to diverge). Plan: both lists are "
+    "TakeOrdered top-20 (constant-size), the fusion is a 20x20 full "
+    "outer join on id + one more TakeOrdered — everything after the "
+    "two retrievals is constant-cost at any corpus size",
+)
+def rank2_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from tranquility_spark.operators.similarity import _as_double, cosine
+
+    lex = (
+        _bm25_matched(spark, sf_dir)
         .orderBy(F.desc("bm25"), "doc_id")
-        .limit(_BM25_TOPK)
+        .limit(_RRF_LIST_N)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+            .alias("lex_rank"),
+        )
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        _as_double(F.col("embedding")).alias("__q")
+    )
+    sem = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            F.round(
+                cosine(_as_double(F.col("embedding")), F.col("__q")), 6
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(_RRF_LIST_N)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), "vec_id"))
+            .alias("sem_rank"),
+        )
+    )
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0)
+        ),
+        6,
+    )
+    return (
+        lex.join(sem, "id", "full")
+        .select(
+            "id",
+            rrf.alias("rrf"),
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("sem_rank").cast("long").alias("sem_rank"),
+        )
+        .orderBy(F.desc("rrf"), "id")
+        .limit(_RRF_TOPK)
     )
 
 
