@@ -136,6 +136,7 @@ HEADLINE = [
     "a10f_gk_quantiles",
     "txt19_bm25_topk",
     "rank2_rrf_fusion",
+    "dq18_subtotals_spec",
 ]
 
 

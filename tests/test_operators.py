@@ -881,3 +881,27 @@ def test_covariance_pairs_dims_prefix(spark):
     }
     assert got == want
     assert set(got) == {(0, 0), (0, 1), (1, 1)}  # prefix fan-out only
+
+
+def test_dq18_subtotals_single_expand_pass_and_reconciliation(spark, sf_dir):
+    """dq18's plan must be ONE scan + one Expand + hash agg (no union of
+    re-aggregations — the dq16 single-pass rule generalized), and the four
+    grouping sets must reconcile: per-type and per-day subtotals and the
+    grand total each sum the detail rows exactly."""
+    from tranquility_spark.catalog import CATALOG
+
+    df = CATALOG["dq18_subtotals_spec"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1
+    rows = df.collect()
+    detail = [r for r in rows if r["g_type"] == 0 and r["g_day"] == 0]
+    per_type = {r["event_type"]: r for r in rows if r["g_type"] == 0 and r["g_day"] == 1}
+    per_day = {r["day"]: r for r in rows if r["g_type"] == 1 and r["g_day"] == 0}
+    grand = [r for r in rows if r["g_type"] == 1 and r["g_day"] == 1]
+    assert len(grand) == 1
+    assert sum(r["n"] for r in detail) == grand[0]["n"]
+    for et, tr in per_type.items():
+        assert tr["n"] == sum(r["n"] for r in detail if r["event_type"] == et)
+    for d, dr in per_day.items():
+        assert dr["n"] == sum(r["n"] for r in detail if r["day"] == d)

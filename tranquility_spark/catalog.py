@@ -1125,6 +1125,56 @@ def dq16_timeseries_grand_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq18_subtotals_spec",
+    """
+    WITH base AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    )
+    SELECT event_type, day,
+           CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+           CAST(GROUPING(day) AS BIGINT) AS g_day,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM base
+    GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+    """,
+    doc="Druid groupBy subtotalsSpec (GroupByQuery.html#subtotalsspec "
+    "[recall] — one query emitting several grouping-set result lists): "
+    "the (type, day) detail plus per-type, per-day, and grand-total "
+    "subtotals. Spark-first this is dq16's mechanism generalized — ONE "
+    "GROUPING SETS pass: Catalyst's Expand feeds all four set shapes "
+    "into a single map-side-combined hash agg, so each input row is "
+    "scanned once however many subtotal lists the spec names (Druid "
+    "itself re-aggregates its base result per list; here the Expand "
+    "fan-out IS that re-use, pipelined). GROUPING() flags distinguish "
+    "a real NULL dimension value from a rolled-up one — the same "
+    "disambiguation Druid's subtotal rows need. Decimal accumulation, "
+    "interval filter pushed to the scan",
+)
+def dq18_subtotals_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+    ).select("event_type", F.col("ts").cast("date").alias("day"), "value")
+    return base.groupingSets(
+        [["event_type", "day"], ["event_type"], ["day"], []],
+        "event_type",
+        "day",
+    ).agg(
+        F.grouping("event_type").cast("long").alias("g_type"),
+        F.grouping("day").cast("long").alias("g_day"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias(
+            "sum_value"
+        ),
+    ).select("event_type", "day", "g_type", "g_day", "n", "sum_value")
+
+
+@register(
     "dq17_time_extraction",
     """
     SELECT strftime(ts, '%Y-%m') AS month_label,
