@@ -137,6 +137,7 @@ HEADLINE = [
     "txt19_bm25_topk",
     "rank2_rrf_fusion",
     "dq18_subtotals_spec",
+    "emb10_pca_project",
 ]
 
 

@@ -895,3 +895,44 @@ def test_kmeans_semantic_dedup_composition(spark, sf_dir):
             o < vid and cos(emb[o], emb[vid]) > tau for o in by_cluster[cid]
         )
         assert keep == (0 if has_lower else 1), (vid, cid, keep)
+
+
+def test_emb10_pca_projection_matches_numpy_and_orders_variance(spark, sf_dir):
+    """emb10's contracts, since no SQL oracle can cover a driver eigh:
+    (a) rerun bit-identical; (b) the Spark projection equals an
+    independent numpy replay of the SAME arithmetic (round each product
+    to 6dp, exact sum, project with principal_components' loadings —
+    which themselves match numpy's eigh on the raw corpus); (c) sample
+    variance along pc0 >= pc1 >= ... (the variance ordering PCA exists
+    for); (d) the loadings are orthonormal."""
+    import numpy as np
+
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.operators.embeddings import principal_components
+    from tranquility_spark.sources.files import load_table
+
+    fn = CATALOG["emb10_pca_project"].fn
+    rows1 = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    rows2 = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert rows1 == rows2
+
+    e = load_table(spark, sf_dir, "embeddings")
+    loadings, vals, shares = principal_components(e, 4)
+    L = np.array(loadings)
+    assert np.allclose(L @ L.T, np.eye(4), atol=1e-9)  # orthonormal
+    assert vals == sorted(vals, reverse=True)
+    assert all(0.0 < s <= 1.0 for s in shares)
+
+    emb = {
+        r["vec_id"]: np.array([float(x) for x in r["embedding"]])
+        for r in e.collect()
+    }
+    for row in rows1:
+        vid, pcs = row[0], row[1:]
+        for j, got in enumerate(pcs):
+            want = round(float(np.round(emb[vid] * L[j], 6).sum()), 6)
+            assert got == want, (vid, j, got, want)
+    # variance ordering on the projected sample
+    P = np.array([row[1:] for row in rows1])
+    v = P.var(axis=0)
+    assert all(v[i] >= v[i + 1] - 1e-9 for i in range(3))

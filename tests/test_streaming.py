@@ -1638,3 +1638,70 @@ def test_streaming_topn_partials_equal_batch_dq6(spark, sf_dir, tmp_path):
     )
     batch = CATALOG["dq6_topn"].fn(spark, sf_dir).collect()
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+def test_streaming_avro_wire_ingest(spark, tmp_path):
+    """The binary wire path under Structured Streaming: a stream of
+    Kafka-shaped (topic, value BINARY) rows where value is an Avro wire
+    payload decodes through parse_kafka_batch(wire_format='avro') —
+    mapInPandas composes with the streaming plan — and the streamed
+    result equals the batch decode of the same rows (corrupt payloads
+    dropped in both)."""
+    from pyspark.sql import functions as FF
+
+    from tranquility_spark.operators.avro_codec import encode_value
+    from tranquility_spark.sources.kafka import parse_kafka_batch
+
+    schema = {
+        "type": "record",
+        "name": "E",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "value", "type": ["null", "double"], "default": None},
+        ],
+    }
+    rows = [
+        ("wiki-en", bytearray(encode_value({"event_id": i, "value": float(i)}, schema)))
+        for i in range(50)
+    ] + [("wiki-de", bytearray(b"\xff\xff\xff"))]  # corrupt payload
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "topic string, value binary").repartition(
+        3
+    ).write.parquet(src)
+
+    mappings = [("wiki-.*", "wiki")]
+    kw = dict(
+        schema="event_id long, value double",
+        mappings=mappings,
+        wire_format="avro",
+        avro_schema=schema,
+    )
+    stream = (
+        spark.readStream.schema("topic string, value binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "decoded")
+    q = (
+        parse_kafka_batch(stream, **kw)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = sorted(
+        map(tuple, spark.read.parquet(out).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            parse_kafka_batch(
+                spark.read.parquet(src), **kw
+            ).collect(),
+        )
+    )
+    assert streamed == batch
+    assert len(streamed) == 50  # the corrupt payload dropped in both

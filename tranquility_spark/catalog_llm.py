@@ -3704,6 +3704,45 @@ def emb6_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB10_R = 4
+
+
+@register(
+    "emb10_pca_project",
+    None,  # rows-only: the loadings come from a driver-side eigensolve
+    # (emb9's architecture); determinism, numpy full-replay equality,
+    # descending component variance and loading orthonormality are
+    # asserted in tests/test_dedup_similarity.py
+    doc="PCA projection of the corpus onto its own top-4 principal "
+    "components — emb6's JL projection with the matrix LEARNED instead "
+    "of seeded, and emb9 made consumable: operators/embeddings.py#"
+    "principal_components runs ONE distributed covariance pass "
+    "(d²-bounded exchange) + a driver eigh (d x d, bounded collect), "
+    "then the projection reuses random_project's literal-matrix "
+    "codegen expression — shuffle-free, no UDF, embarrassingly "
+    "parallel however large the corpus; the learned matrix is r x d "
+    "floats riding inside the expression exactly like emb6's seeded "
+    "one. Deterministic end-to-end (no RNG, canonical eigenvector "
+    "signs, decimal-accumulated projection sums). The dimensionality-"
+    "reduction pass a 100 TB embedding pipeline runs before "
+    "indexing/clustering, with variance-ordered axes instead of "
+    "random ones",
+)
+def emb10_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.embeddings import (
+        principal_components,
+        random_project,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    loadings, _vals, _shares = principal_components(e, _EMB10_R)
+    cols = random_project(F.col("embedding").cast("array<double>"), loadings)
+    return e.select(
+        "vec_id",
+        *[F.round(c, 6).alias(f"pc{j}") for j, c in enumerate(cols)],
+    )
+
+
 @register(
     "mm4_audio_frame_energy",
     """

@@ -400,3 +400,58 @@ def principal_component(
     trace = float(np.trace(cov))
     share = eigval / trace if trace > 0 else 0.0
     return [float(x) for x in v], eigval, share
+
+
+def principal_components(
+    df: DataFrame,
+    r: int,
+    emb_col: str = "embedding",
+) -> tuple[list[list[float]], list[float], list[float]]:
+    """Top-``r`` principal components — ``principal_component``'s
+    multi-component sibling, same architecture and contracts: ONE
+    distributed covariance pass (d²-bounded exchange), one driver-side
+    ``eigh`` of the d x d matrix, canonical sign per component, no RNG.
+    Returns ``(loadings, eigenvalues, explained_shares)`` with components
+    ordered by descending eigenvalue. Same rectangularity guard (ragged
+    or NULL-element corpora fail loudly).
+
+    Feed the loadings to ``random_project`` to PROJECT the corpus — the
+    PCA-projection pass is then the same shuffle-free literal-matrix
+    codegen expression as the JL projection (emb6), with the matrix
+    learned instead of seeded.
+    """
+    import numpy as np
+
+    if r < 1:
+        raise ValueError(f"r must be >= 1, got {r}")
+    rows = covariance_pairs(df, emb_col).collect()
+    if not rows:
+        raise ValueError("principal_components needs a non-empty corpus")
+    d = max(row["j"] for row in rows) + 1
+    if r > d:
+        raise ValueError(f"r={r} exceeds corpus dimensionality d={d}")
+    ns = {row["n"] for row in rows}
+    if len(ns) != 1:
+        raise ValueError(
+            f"principal_components needs a rectangular corpus (every vector "
+            f"the same dimension, no NULL elements); per-pair counts differ: "
+            f"{sorted(ns)[:5]}…"
+        )
+    n = ns.pop()
+    cov = np.zeros((d, d))
+    for row in rows:
+        c = row["s_ij"] / n - (row["s_i"] / n) * (row["s_j"] / n)
+        cov[row["i"], row["j"]] = c
+        cov[row["j"], row["i"]] = c
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    trace = float(np.trace(cov))
+    loadings, vals, shares = [], [], []
+    for idx in range(d - 1, d - 1 - r, -1):
+        v = eigvecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        loadings.append([float(x) for x in v])
+        vals.append(float(eigvals[idx]))
+        shares.append(float(eigvals[idx]) / trace if trace > 0 else 0.0)
+    return loadings, vals, shares
