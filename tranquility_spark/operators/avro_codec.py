@@ -280,15 +280,123 @@ def _decode_blocked(buf: bytes, pos: int, item_fn) -> tuple[list, int]:
             items.append(item)
 
 
-def decode_record(payload: bytes, schema: dict) -> dict:
+def decode_record(
+    payload: bytes, schema: dict, reader_schema: dict | None = None
+) -> dict:
     """Decode ONE record from a standalone wire payload (the Kafka
     value-bytes shape ``from_avro`` consumes). Trailing bytes are a
-    decode error — a truncated/overlong payload must not pass silently."""
+    decode error — a truncated/overlong payload must not pass silently.
+
+    ``reader_schema`` engages Avro SCHEMA RESOLUTION (spec §'Schema
+    Resolution' — the contract that makes rolling schema evolution work):
+    the payload decodes against the WRITER schema, then maps to the
+    reader's shape via :func:`resolve_record`."""
     value, pos = decode_value(bytes(payload), 0, schema)
     if pos != len(payload):
         raise AvroDecodeError(
             f"{len(payload) - pos} trailing bytes after record"
         )
+    if reader_schema is not None:
+        return resolve_record(value, schema, reader_schema)
+    return value
+
+
+# ---------------------------------------------------------------------------
+# schema resolution (reader vs writer — the evolution contract)
+# ---------------------------------------------------------------------------
+
+#: writer type -> reader types it may promote to (Avro spec resolution table)
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+}
+
+
+def resolve_record(value: dict, writer: dict, reader: dict) -> dict:
+    """Map a decoded writer-schema record onto the reader schema:
+
+    - fields matched by NAME (order may differ between schemas)
+    - writer-only fields are dropped
+    - reader-only fields take the reader's ``default`` (its absence is a
+      resolution error, exactly as the spec demands)
+    - primitive promotions per the spec table (int→long→float→double,
+      string↔bytes); anything else incompatible raises
+
+    Pure value-level mapping — the wire bytes were already decoded with
+    the writer schema, which is the only schema that can parse them."""
+    writer_fields = {f["name"]: f for f in writer["fields"]}
+    out = {}
+    for rf in reader["fields"]:
+        name = rf["name"]
+        if name in writer_fields:
+            out[name] = _resolve_value(
+                value.get(name), writer_fields[name]["type"], rf["type"]
+            )
+        elif "default" in rf:
+            out[name] = rf["default"]
+        else:
+            raise AvroDecodeError(
+                f"reader field {name!r} absent from writer schema and has "
+                "no default — schemas are incompatible"
+            )
+    return out
+
+
+def _resolve_value(value, wtype, rtype):
+    wt, rt = _type_name(wtype), _type_name(rtype)
+    if wt == "union":
+        # the branch was already chosen at decode time; resolve the VALUE
+        # against the reader type (match by value shape — the decoded
+        # python value carries enough type to re-dispatch)
+        wbranches = wtype if isinstance(wtype, list) else wtype["type"]
+        for b in wbranches:
+            if _matches(value, b):
+                return _resolve_value(value, b, rtype)
+        if value is None:
+            return _resolve_value(None, "null", rtype)
+        raise AvroDecodeError(f"union value {value!r} matches no writer branch")
+    if rt == "union":
+        rbranches = rtype if isinstance(rtype, list) else rtype["type"]
+        for b in rbranches:
+            try:
+                return _resolve_value(value, wtype, b)
+            except AvroDecodeError:
+                continue
+        raise AvroDecodeError(
+            f"writer type {wt!r} resolves to no branch of reader union"
+        )
+    if wt == "null":
+        if rt != "null":
+            raise AvroDecodeError("writer null cannot resolve to non-null")
+        return None
+    if wt == "record" and rt == "record":
+        return resolve_record(value, wtype, rtype)
+    if wt == "array" and rt == "array":
+        return [
+            _resolve_value(v, wtype["items"], rtype["items"]) for v in value
+        ]
+    if wt == "map" and rt == "map":
+        return {
+            k: _resolve_value(v, wtype["values"], rtype["values"])
+            for k, v in value.items()
+        }
+    if wt == "boolean" and rt == "boolean":
+        return value
+    allowed = _PROMOTIONS.get(wt)
+    if allowed is None or rt not in allowed:
+        raise AvroDecodeError(
+            f"writer type {wt!r} does not resolve to reader type {rt!r}"
+        )
+    if rt in ("float", "double"):
+        return float(value)
+    if rt == "string" and wt == "bytes":
+        return bytes(value).decode("utf-8")
+    if rt == "bytes" and wt == "string":
+        return str(value).encode("utf-8")
     return value
 
 

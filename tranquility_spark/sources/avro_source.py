@@ -107,18 +107,29 @@ def load_avro_file(
     spark_schema: str,
     avro_schema: dict,
     impl: str = "native",
+    resolve: bool = False,
 ) -> DataFrame:
     """Read Avro Object Container File(s) into typed rows.
 
     ``spark_schema`` is the explicit DDL output schema (field order =
     output order; the explicit-schema contract of ``load_csv_events``);
-    ``avro_schema`` is the writer schema the native decoder expects —
-    mismatched container metadata raises rather than mis-decoding.
+    ``avro_schema`` is the expected schema — by default mismatched
+    container metadata raises rather than mis-decoding. With
+    ``resolve=True``, ``avro_schema`` acts as the READER schema instead
+    and a container written with a DIFFERENT (compatible) schema engages
+    Avro schema resolution — records decode with the file's embedded
+    writer schema, then map by field name with defaults/promotions
+    (``avro_codec.resolve_record``) — the rolling-schema-evolution read
+    path. The spark impl gets the same semantics from the data source's
+    ``avroSchema`` option.
     """
     prepare(spark)
     if impl == "spark":
         try:
-            raw = spark.read.format("avro").load(path)
+            reader = spark.read.format("avro")
+            if resolve:
+                reader = reader.option("avroSchema", json.dumps(avro_schema))
+            raw = reader.load(path)
         except Exception as ex:  # AnalysisException: AVRO_NOT_LOADED
             raise RuntimeError(f"impl='spark': {SPARK_AVRO_HINT}") from ex
         out = StructType.fromDDL(spark_schema)
@@ -135,17 +146,26 @@ def load_avro_file(
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
-        from tranquility_spark.operators.avro_codec import read_ocf
+        from tranquility_spark.operators.avro_codec import (
+            read_ocf,
+            resolve_record,
+        )
 
         for pdf in batches:
             for content in pdf["content"]:
                 schema, records = read_ocf(bytes(content))
-                if json.dumps(schema, sort_keys=True) != expected:
+                if resolve:
+                    rows = [
+                        resolve_record(rec, schema, avro_schema)
+                        for rec in records
+                    ]
+                elif json.dumps(schema, sort_keys=True) != expected:
                     raise ValueError(
                         "OCF writer schema differs from the expected Avro "
                         f"schema: {json.dumps(schema, sort_keys=True)[:200]}"
                     )
-                rows = list(records)
+                else:
+                    rows = list(records)
                 yield pd.DataFrame(
                     {
                         f.name: _field_series(
@@ -180,6 +200,7 @@ def parse_avro_column(
     spark_schema: str,
     keep: Sequence[str] = (),
     impl: str = "native",
+    reader_schema: dict | None = None,
 ) -> DataFrame:
     """Decode a BINARY column of single-record Avro wire payloads — the
     Kafka value-bytes shape, i.e. the ``from_avro`` analog — with p10's
@@ -191,8 +212,22 @@ def parse_avro_column(
     ``impl="spark"`` binds ``from_avro(..., mode=PERMISSIVE)`` (corrupt
     payloads null the whole struct — the same verdict shape), availability-
     gated with a clear driver-side error.
+
+    ``reader_schema`` (native impl only): decode each payload with the
+    WRITER ``avro_schema``, then apply Avro schema resolution to the
+    reader's shape — field matching by name, reader defaults, spec
+    promotions (``avro_codec.resolve_record``); ``spark_schema`` then
+    describes the READER fields. Wire payloads carry no writer schema, so
+    ``from_avro`` cannot resolve two schemas — passing ``reader_schema``
+    with ``impl="spark"`` raises instead of silently mis-decoding.
     """
     fields = StructType.fromDDL(spark_schema)
+    if impl == "spark" and reader_schema is not None:
+        raise ValueError(
+            "reader_schema requires impl='native': from_avro deserializes "
+            "wire bytes with a single schema and cannot resolve writer vs "
+            "reader"
+        )
     if impl == "spark":
         try:
             from pyspark.sql.avro.functions import from_avro
@@ -225,8 +260,12 @@ def parse_avro_column(
         + [StructField("is_valid", LongType(), False)]
         + list(fields)
     )
-    logicals = {f.name: _avro_logical(avro_schema, f.name) for f in fields}
+    logicals = {
+        f.name: _avro_logical(reader_schema or avro_schema, f.name)
+        for f in fields
+    }
     schema_dict = avro_schema
+    reader_dict = reader_schema
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -243,7 +282,9 @@ def parse_avro_column(
                 rec = None
                 if payload is not None and len(payload) > 0:
                     try:
-                        rec = decode_record(bytes(payload), schema_dict)
+                        rec = decode_record(
+                            bytes(payload), schema_dict, reader_dict
+                        )
                     except AvroDecodeError:
                         rec = None
                 valid.append(1 if rec is not None else 0)
