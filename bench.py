@@ -138,6 +138,7 @@ HEADLINE = [
     "rank2_rrf_fusion",
     "dq18_subtotals_spec",
     "emb10_pca_project",
+    "pipe7_chunk_retrieval",
 ]
 
 

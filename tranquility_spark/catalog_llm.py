@@ -1898,60 +1898,116 @@ def txt19_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc BM25 frame over every query-matching doc (txt19 + rank2)."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
-    ).filter(F.col("tok").isin(*_BM25_QUERY))
-    dls = docs.select(
-        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("dl")
+    """Per-doc BM25 frame over every query-matching doc (txt19 + rank2) —
+    operators/text.py#bm25_scores with the documents table as the unit."""
+    return tx.bm25_scores(
+        _t(spark, sf_dir, "documents"),
+        _BM25_QUERY,
+        text_col="text",
+        id_cols=("doc_id",),
+        k1=_BM25_K1,
+        b=_BM25_B,
     )
-    corpus = dls.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+
+
+def _pipe7_oracle_sql() -> str:
+    terms = ", ".join(f"('{t}')" for t in _BM25_QUERY)
+    return f"""
+    WITH q(tok) AS (VALUES {terms}),
+    dtoks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             array_to_string(list_slice(t, chunk_id * 24 + 1,
+                                        chunk_id * 24 + 32), ' ')
+                 AS chunk_text
+      FROM (
+        SELECT doc_id, t,
+               unnest(range(0,
+                 greatest(CAST(ceil((len(t) - 32) / 24.0) AS BIGINT), 0) + 1))
+                   AS chunk_id
+        FROM dtoks
+      )
+    ),
+    ctoks AS (
+      SELECT doc_id, chunk_id,
+             unnest(string_split_regex(trim(chunk_text), '\\s+')) AS tok
+      FROM chunks
+    ),
+    cdls AS (
+      SELECT doc_id, chunk_id,
+             len(string_split_regex(trim(chunk_text), '\\s+')) AS dl
+      FROM chunks
+    ),
+    corpus AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM cdls
+    ),
+    tf AS (
+      SELECT doc_id, chunk_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM ctoks JOIN q USING (tok)
+      GROUP BY doc_id, chunk_id, tok
+    ),
+    idf AS (
+      SELECT tok,
+             round(ln((n - df + 0.5) / (df + 0.5) + 1), 6) AS idf
+      FROM (SELECT tok, CAST(count(*) AS DOUBLE) AS df
+            FROM (SELECT DISTINCT doc_id, chunk_id, tok
+                  FROM ctoks JOIN q USING (tok))
+            GROUP BY tok)
+      CROSS JOIN corpus
     )
-    tf = toks.groupBy("doc_id", "tok").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+    SELECT doc_id, chunk_id,
+           round(CAST(sum(CAST(round(
+             idf * (tf * ({_BM25_K1} + 1.0))
+                 / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * (CAST(dl AS DOUBLE) / avgdl))), 6)
+             AS DECIMAL(28,6))) AS DOUBLE), 6) AS bm25,
+           CAST(count(*) AS BIGINT) AS n_terms_matched
+    FROM tf
+    JOIN idf USING (tok)
+    JOIN cdls USING (doc_id, chunk_id)
+    CROSS JOIN corpus
+    GROUP BY doc_id, chunk_id
+    ORDER BY bm25 DESC, doc_id, chunk_id
+    LIMIT {_BM25_TOPK}
+    """
+
+
+@register(
+    "pipe7_chunk_retrieval",
+    _pipe7_oracle_sql(),
+    doc="Chunk-level retrieval — the RAG serving unit, composed from two "
+    "certified stages and hash-certified end-to-end: chunk2's token-"
+    "aligned overlapping chunker (32/24) feeds operators/text.py#"
+    "bm25_scores with (doc_id, chunk_id) as the retrieval unit, so "
+    "scores rank PASSAGES, not whole documents (what actually goes in "
+    "a context window). df/avgdl/N recompute over the CHUNK corpus — "
+    "retrieval statistics must describe the unit being retrieved. Same "
+    "determinism policy as txt19 (rounded idf, pinned-tree doubles, "
+    "decimal term accumulation, (doc_id, chunk_id) tie-break). Scale: "
+    "the chunk fan-out is a narrow no-shuffle 1-to-N; the only "
+    "corpus-proportional shuffle input is query-matching chunk tokens; "
+    "everything else is kilobyte broadcasts + TakeOrdered",
+)
+def pipe7_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = tx.chunk_tokens(
+        _t(spark, sf_dir, "documents"), chunk_size=32, stride=24
     )
-    idf = (
-        toks.groupBy("tok")
-        .agg(F.countDistinct("doc_id").cast("double").alias("df"))
-        .crossJoin(F.broadcast(corpus))
-        .select(
-            "tok",
-            F.round(
-                F.log(
-                    (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                    + 1
-                ),
-                6,
-            ).alias("idf"),
-        )
-    )
-    k1, b = float(_BM25_K1), float(_BM25_B)
-    term_score = F.round(
-        F.col("idf")
-        * (F.col("tf") * F.lit(k1 + 1.0))
-        / (
-            F.col("tf")
-            + F.lit(k1)
-            * (
-                F.lit(1.0 - b)
-                + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
-            )
-        ),
-        6,
-    ).cast("decimal(28,6)")
     return (
-        tf.join(F.broadcast(idf), "tok")
-        .join(dls, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum(term_score).cast("double"), 6).alias("bm25"),
-            F.count(F.lit(1)).alias("n_terms_matched"),
+        tx.bm25_scores(
+            chunks,
+            _BM25_QUERY,
+            text_col="chunk_text",
+            id_cols=("doc_id", "chunk_id"),
+            k1=_BM25_K1,
+            b=_BM25_B,
         )
+        .orderBy(F.desc("bm25"), "doc_id", "chunk_id")
+        .limit(_BM25_TOPK)
     )
 
 

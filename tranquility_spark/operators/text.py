@@ -499,3 +499,84 @@ def script_profile(
                 cond = cond & (F.col(f"n_{name}") >= F.col(f"n_{other}"))
         dom = F.when(cond, F.lit(name)) if dom is None else dom.when(cond, F.lit(name))
     return out.withColumn("dominant_script", dom.otherwise(F.lit("other")))
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms,
+    text_col: str = "text",
+    id_cols=("doc_id",),
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-unit BM25 scores for a literal query over ANY corpus frame —
+    the retrieval unit is whatever ``id_cols`` identifies (documents for
+    txt19, (doc_id, chunk_id) chunks for pipe7).
+
+    Cross-engine determinism (the txt19 policy): idf =
+    ln((N-df+0.5)/(df+0.5)+1) is the only transcendental and is 6-dp
+    rounded; every other step is IEEE double arithmetic with a pinned
+    expression tree; per-term scores round to 6 dp and DECIMAL-accumulate
+    across query terms. df counts DISTINCT retrieval units per term via
+    dropDuplicates (not a composite countDistinct — the same shape both
+    dialects express identically).
+
+    Plan: the token explode filters to the query list IN THE SAME SELECT,
+    so the shuffle input is |matching tokens|, never |tokens|; N/avgdl
+    and the |q|-row idf frame are kilobyte broadcasts. Returns every
+    matching unit — callers take their own top-k (TakeOrdered).
+    """
+    ids = list(id_cols)
+    terms = [str(t) for t in query_terms]
+    toks = df.select(
+        *ids, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.col("tok").isin(*terms))
+    dls = df.select(
+        *ids, F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("dl")
+    )
+    corpus = dls.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = toks.groupBy(*ids, "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    idf = (
+        toks.dropDuplicates(ids + ["tok"])
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "tok",
+            F.round(
+                F.log(
+                    (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1
+                ),
+                6,
+            ).alias("idf"),
+        )
+    )
+    term_score = F.round(
+        F.col("idf")
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+            )
+        ),
+        6,
+    ).cast("decimal(28,6)")
+    return (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dls, ids)
+        .crossJoin(F.broadcast(corpus))
+        .groupBy(*ids)
+        .agg(
+            F.round(F.sum(term_score).cast("double"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+    )
