@@ -139,6 +139,7 @@ HEADLINE = [
     "dq18_subtotals_spec",
     "emb10_pca_project",
     "pipe7_chunk_retrieval",
+    "mm6_image_dhash",
 ]
 
 

@@ -224,3 +224,58 @@ def test_native_decode_rejects_unknown_format_clearly(spark):
     )
     with pytest.raises(Exception, match="impl='native' decodes PNG/BMP"):
         mm.decode_image_features(df, impl="native").collect()
+
+
+def test_native_image_dhash_through_operator(spark):
+    """mm6 with impl='native': REAL PNG/BMP bytes -> 9x8 nearest resample ->
+    integer channel-mean grayscale -> gradient bits, checked against an
+    independent numpy replay; and the perceptual property — a resized
+    variant of the same image hashes CLOSE (small hamming), a different
+    image hashes FAR."""
+    import io
+
+    rows = [
+        (1, bytearray(_read("gradient_rgb.png")), ("image/png",)),
+        (2, bytearray(_read("gray.png")), ("image/png",)),
+        (3, bytearray(_read("gradient.bmp")), ("image/bmp",)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, payload binary, media_meta struct<media_type:string>",
+    )
+    got = {r["doc_id"]: r["dhash"] for r in mm.image_dhash(df, impl="native").collect()}
+
+    def replay(raw):
+        w, h, ch, px = cx.decode_image(raw)
+        a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+        small = a[(np.arange(8) * h) // 8][:, (np.arange(9) * w) // 9]
+        gray = small.astype(np.int64).sum(axis=2) // ch
+        out = []
+        for r in range(8):
+            byte = 0
+            for c in range(8):
+                if gray[r, c + 1] > gray[r, c]:
+                    byte |= 1 << c
+            out.append(byte)
+        return "".join(f"{v:02x}" for v in out)
+
+    for did, raw in ((1, _read("gradient_rgb.png")), (2, _read("gray.png")),
+                     (3, _read("gradient.bmp"))):
+        assert got[did] == replay(raw), did
+
+    # perceptual property: the 16x12 gradient resized to 32x24 (same
+    # visual content) hashes within a few bits; gray.png hashes far
+    src = np.frombuffer(_gradient_rgb(), dtype=np.uint8).reshape(12, 16, 3)
+    big = src[(np.arange(24) * 12) // 24][:, (np.arange(32) * 16) // 32]
+    big_png = cx.png_encode(big.tobytes(), 32, 24, 3)
+    df2 = spark.createDataFrame(
+        [(10, bytearray(big_png), ("image/png",))],
+        "doc_id bigint, payload binary, media_meta struct<media_type:string>",
+    )
+    got_big = mm.image_dhash(df2, impl="native").collect()[0]["dhash"]
+
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    assert ham(got_big, got[1]) <= 8          # same content, other size
+    assert ham(got[2], got[1]) > 8            # different content

@@ -2963,6 +2963,77 @@ def mm3_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm6_image_dhash",
+    """
+    WITH hx AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS nb
+        FROM documents
+    ),
+    tiled AS (
+        SELECT doc_id,
+               substring(repeat(h, CAST(72 // greatest(nb, 1) + 1 AS BIGINT)),
+                         1, 144) AS th
+        FROM hx
+    ),
+    px AS (
+        -- byte-exact on ANY corpus (the mm2/mm3/mm4 hex lesson): byte i
+        -- decodes from its two hex digits, never from a char codepoint
+        SELECT doc_id,
+               list_transform(range(1, 73),
+                 i -> CAST(16 * (strpos('0123456789ABCDEF', th[i*2-1]) - 1)
+                           + (strpos('0123456789ABCDEF', th[i*2]) - 1)
+                           AS BIGINT)) AS cs
+        FROM tiled
+    ),
+    rb AS (
+        SELECT doc_id, r,
+               CAST(list_aggregate(
+                 list_transform(range(0, 8),
+                   c -> CASE WHEN cs[r*9 + c + 2] > cs[r*9 + c + 1]
+                             THEN 1 << c ELSE 0 END),
+                 'sum') AS BIGINT) AS rowbyte
+        FROM (SELECT doc_id, cs, unnest(range(0, 8)) AS r FROM px)
+    ),
+    hashes AS (
+        SELECT doc_id,
+               string_agg(printf('%02x', rowbyte), '' ORDER BY r) AS dhash
+        FROM rb GROUP BY doc_id
+    )
+    SELECT doc_id, dhash,
+           CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same_hash
+    FROM hashes
+    """,
+    doc="Perceptual image dHash (the public difference-hash recipe: 9x8 "
+    "grayscale, horizontal-gradient bits, 64-bit digest) — the image-"
+    "modality near-dup signal, MinHash's counterpart for pixels: "
+    "re-encodes/minor edits of one source land within a few hamming "
+    "bits. n_same_hash groups exact-hash duplicates (the image twin of "
+    "dd1). The decode slot is the mm1/mm3 pluggable design — stub "
+    "(payload tiled to the 9x8 'grayscale', byte-exact oracle via the "
+    "hex-digit technique), native (real PNG/BMP decode + nearest "
+    "resize + integer channel-mean), pil — same mapInPandas plan for "
+    "all three: narrow, no shuffle except the one hash-group window, "
+    "whose key is the 16-char digest (bounded cardinality). Digest is "
+    "a hex STRING: the cross-engine bit policy forbids packing 64 bits "
+    "into a signed BIGINT",
+)
+def mm6_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    media = mm.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    hashes = mm.image_dhash(media)
+    return hashes.select(
+        "doc_id",
+        "dhash",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("dhash"))
+        .cast("long")
+        .alias("n_same_hash"),
+    )
+
+
+@register(
     "txt10_top_tokens",
     """
     SELECT tok, n_docs, n_total

@@ -360,3 +360,93 @@ def audio_frame_energy(
             yield pd.DataFrame(out)
 
     return media_df.mapInPandas(frames, schema=AUDIO_FRAME_SCHEMA)
+
+
+DHASH_SCHEMA = "doc_id bigint, dhash string"
+
+
+def image_dhash(
+    media_df: DataFrame,
+    id_col: str = "doc_id",
+    impl: str = "stub",
+) -> DataFrame:
+    """Perceptual difference hash (dHash, 64-bit) per image payload — the
+    image-modality near-dup signal: two images within a few hamming bits
+    of each other are visual duplicates (crops/re-encodes of one source),
+    the exact counterpart of MinHash for text.
+
+    The 9x8 grayscale reduction + horizontal-gradient bits are the public
+    dHash recipe: bit (r, c) = 1 iff px[r][c+1] > px[r][c], one byte per
+    row, emitted as 16 lowercase hex chars (a STRING, not a BIGINT — the
+    cross-engine bit policy forbids packing into bit 63, and hex digests
+    survive the driver's value-hash while 64-bit ints with the sign bit
+    set would not).
+
+    ``impl="stub"`` (default, oracle-checked): the 9x8 'grayscale' is the
+    payload tiled/truncated to 72 bytes — mm3's stub formula at 9x8 — so
+    every gradient bit is byte-exact SQL-replicable (the mm4 hex-digit
+    technique). ``impl="native"``: real PNG/BMP decode → nearest resize
+    to 9x8 → integer channel-mean grayscale (sum // ch). ``impl="pil"``:
+    pillow's convert('L') + NEAREST resize; import-gated. Same Spark plan
+    for every impl: one narrow mapInPandas, no shuffle.
+    """
+    _check_impl(impl, ("stub", "native", "pil"))
+    if impl == "pil":
+        _require_lib("PIL", "pillow", impl)
+
+    def hashes(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        if impl == "native":
+            from tranquility_spark.operators.codecs import (
+                decode_image,
+                nearest_resize,
+            )
+
+            def gray72(b):
+                w, h, ch, pixels = decode_image(bytes(b))
+                small = nearest_resize(pixels, w, h, ch, 9, 8)
+                return [
+                    sum(small[i * ch + k] for k in range(ch)) // ch
+                    for i in range(72)
+                ]
+
+        elif impl == "pil":
+            import io
+
+            from PIL import Image
+
+            def gray72(b):
+                img = (
+                    Image.open(io.BytesIO(bytes(b)))
+                    .convert("L")
+                    .resize((9, 8), resample=Image.NEAREST)
+                )
+                return list(img.getdata())
+
+        else:
+
+            def gray72(b):
+                b = bytes(b)
+                return list((b * (72 // max(len(b), 1) + 1))[:72])
+
+        def dhash(b):
+            px = gray72(b)
+            out = []
+            for r in range(8):
+                byte = 0
+                for c in range(8):
+                    if px[r * 9 + c + 1] > px[r * 9 + c]:
+                        byte |= 1 << c
+                out.append(byte)
+            return "".join(f"{v:02x}" for v in out)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "dhash": pdf["payload"].map(dhash),
+                }
+            )
+
+    return media_df.mapInPandas(hashes, schema=DHASH_SCHEMA)
