@@ -140,6 +140,7 @@ HEADLINE = [
     "emb10_pca_project",
     "pipe7_chunk_retrieval",
     "mm6_image_dhash",
+    "dd16_dhash_neardup",
 ]
 
 

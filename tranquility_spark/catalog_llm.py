@@ -3034,6 +3034,92 @@ def mm6_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd16_dhash_neardup",
+    """
+    WITH hx AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS nb
+        FROM documents
+    ),
+    tiled AS (
+        SELECT doc_id,
+               substring(repeat(h, CAST(72 // greatest(nb, 1) + 1 AS BIGINT)),
+                         1, 144) AS th
+        FROM hx
+    ),
+    px AS (
+        SELECT doc_id,
+               list_transform(range(1, 73),
+                 i -> CAST(16 * (strpos('0123456789ABCDEF', th[i*2-1]) - 1)
+                           + (strpos('0123456789ABCDEF', th[i*2]) - 1)
+                           AS BIGINT)) AS cs
+        FROM tiled
+    ),
+    rb AS (
+        SELECT doc_id, r,
+               CAST(list_aggregate(
+                 list_transform(range(0, 8),
+                   c -> CASE WHEN cs[r*9 + c + 2] > cs[r*9 + c + 1]
+                             THEN 1 << c ELSE 0 END),
+                 'sum') AS BIGINT) AS rowbyte
+        FROM (SELECT doc_id, cs, unnest(range(0, 8)) AS r FROM px)
+    ),
+    hashes AS (
+        SELECT doc_id,
+               string_agg(printf('%02x', rowbyte), '' ORDER BY r) AS dhash
+        FROM rb GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, dhash, b, substring(dhash, b*4 + 1, 4) AS bv
+        FROM hashes, unnest(range(0, 4)) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.dhash AS ha, b.dhash AS hb
+        FROM banded a JOIN banded b
+          ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT doc_a, doc_b,
+               CAST(list_aggregate(list_transform(range(0, 4), i ->
+                 bit_count(xor(
+                   CAST(4096 * (strpos('0123456789abcdef', ha[i*4+1]) - 1)
+                        + 256 * (strpos('0123456789abcdef', ha[i*4+2]) - 1)
+                        + 16 * (strpos('0123456789abcdef', ha[i*4+3]) - 1)
+                        + (strpos('0123456789abcdef', ha[i*4+4]) - 1)
+                        AS BIGINT),
+                   CAST(4096 * (strpos('0123456789abcdef', hb[i*4+1]) - 1)
+                        + 256 * (strpos('0123456789abcdef', hb[i*4+2]) - 1)
+                        + 16 * (strpos('0123456789abcdef', hb[i*4+3]) - 1)
+                        + (strpos('0123456789abcdef', hb[i*4+4]) - 1)
+                        AS BIGINT)))), 'sum') AS BIGINT) AS hamming
+        FROM cand
+    )
+    SELECT doc_a, doc_b, hamming
+    FROM scored
+    WHERE hamming <= 3
+    """,
+    doc="Image near-duplicate PAIRS from mm6's perceptual dHash via "
+    "HAMMING BANDING — the step dd3 (signatures only) never takes, and "
+    "the image twin of dd2's LSH pair join: the 64-bit digest splits "
+    "into 4 x 16-bit bands, a pair within hamming <= 3 differs in at "
+    "most 3 bands so at least one band matches exactly (pigeonhole — "
+    "candidate recall COMPLETE, not probabilistic), candidates verify "
+    "with the exact per-band bit_count(xor) hamming before emission "
+    "(precision exact). Hash-certified end-to-end including the "
+    "verify arithmetic. Scale: the join key is (band, 16-bit value) — "
+    "sum-of-bucket² cost, never all-pairs; band ints stay <= 0xffff, "
+    "far inside the 63-bit cross-engine policy",
+)
+def dd16_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.dedup import dhash_neardup_pairs
+
+    media = mm.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    hashes = mm.image_dhash(media)
+    return dhash_neardup_pairs(hashes, threshold=3)
+
+
+@register(
     "txt10_top_tokens",
     """
     SELECT tok, n_docs, n_total

@@ -943,3 +943,67 @@ def semantic_dedup(
             F.when(F.col("__dup").isNull(), 1).otherwise(0).cast("long").alias("keep"),
         )
     )
+
+
+def dhash_neardup_pairs(
+    hashes: DataFrame,
+    threshold: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Near-duplicate pairs from 64-bit perceptual hashes (16 hex chars,
+    ``multimodal.image_dhash``'s output) via HAMMING BANDING — the
+    pigeonhole trick that makes hamming search a bucket join: split the
+    digest into 4 x 16-bit bands; any pair within hamming ``threshold``
+    <= 3 differs in at most 3 bands, so at least one band matches
+    EXACTLY and the pair surfaces in that band's bucket — candidate
+    recall is COMPLETE (not probabilistic like MinHash) for
+    threshold <= bands - 1, which is why the default threshold is 3.
+    Candidates are verified with the exact hamming distance (sum of
+    per-band bit_count(xor)) before emission, so precision is exact.
+
+    Scale shape (the dd2/LSH argument): the join key is (band, 16-bit
+    value) — never all-pairs; cost is sum over buckets of bucket².
+    Bands convert via conv(hex,16,10) into ints <= 0xffff — far inside
+    the cross-engine 63-bit policy; the full 64-bit digest is never
+    packed into a signed word.
+    """
+    bands = 4
+    b = hashes.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(F.col(hash_col), i * 4 + 1, 4)
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__band", "__bv"),
+    )
+    x, y = b.alias("a"), b.alias("b")
+    cand = (
+        x.join(
+            y,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bv") == F.col("b.__bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col(f"a.{hash_col}").alias("__ha"),
+            F.col(f"b.{hash_col}").alias("__hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = None
+    for i in range(bands):
+        wa = F.conv(F.substring("__ha", i * 4 + 1, 4), 16, 10).cast("long")
+        wb = F.conv(F.substring("__hb", i * 4 + 1, 4), 16, 10).cast("long")
+        term = F.bit_count(wa.bitwiseXOR(wb))
+        ham = term if ham is None else ham + term
+    return (
+        cand.select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= threshold)
+    )
