@@ -769,3 +769,69 @@ def test_avro_ocf_schema_evolution_read(spark, tmp_path):
             payloads, "payload", old, "event_id bigint",
             impl="spark", reader_schema=new,
         )
+
+
+def test_avro_encode_column_roundtrip_and_wire_compat(spark):
+    """to_avro's analog: encode_avro_column -> parse_avro_column is the
+    identity (timestamps through the logical type, NULL union branches,
+    unicode), the payload bytes equal a direct codec encode (wire
+    compatibility, not just self-consistency), and a NULL in a
+    non-nullable field fails the job instead of shipping garbage."""
+    import datetime as dt
+
+    from tranquility_spark.operators.avro_codec import encode_value
+    from tranquility_spark.sources.avro_source import (
+        EVENTS_AVRO_SCHEMA,
+        encode_avro_column,
+        parse_avro_column,
+    )
+    from tranquility_spark.sources.files import CSV_EVENTS_SCHEMA, load_csv_events
+
+    events = load_csv_events(spark, "tests/fixtures/events_sample.csv")
+    encoded = encode_avro_column(
+        events, EVENTS_AVRO_SCHEMA, out_col="value", keep=()
+    )
+    decoded = parse_avro_column(
+        spark.createDataFrame(
+            [(bytearray(r["value"]),) for r in encoded.collect()],
+            "value binary",
+        ),
+        "value",
+        EVENTS_AVRO_SCHEMA,
+        CSV_EVENTS_SCHEMA,
+    )
+    assert decoded.filter("is_valid = 0").count() == 0
+    got = sorted(map(tuple, decoded.drop("is_valid").collect()))
+    want = sorted(map(tuple, events.collect()))
+    assert got == want
+
+    # wire compatibility: row 1's payload == a direct codec encode
+    r1 = events.filter("event_id = 1").collect()[0]
+    direct = encode_value(
+        {
+            "event_id": 1,
+            "ts": int(
+                r1["ts"].replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+            ),
+            "user_id": r1["user_id"],
+            "event_type": r1["event_type"],
+            "value": r1["value"],
+            "note": r1["note"],
+        },
+        EVENTS_AVRO_SCHEMA,
+    )
+    via_spark = bytes(
+        encode_avro_column(events.filter("event_id = 1"), EVENTS_AVRO_SCHEMA)
+        .collect()[0]["value"]
+    )
+    assert via_spark == direct
+
+    # non-nullable field holding NULL -> loud failure, not silent bytes
+    import pytest as pt
+
+    bad = spark.createDataFrame(
+        [(None, dt.datetime(2024, 1, 1), 1, "view", 1.0, "x")],
+        CSV_EVENTS_SCHEMA,
+    )
+    with pt.raises(Exception, match="union|null"):
+        encode_avro_column(bad, EVENTS_AVRO_SCHEMA).collect()

@@ -140,6 +140,14 @@ def encode_value(value: Any, schema: Any) -> bytes:
         if value is not None:
             raise ValueError(f"non-null {value!r} for null schema")
         return b""
+    if value is None:
+        # reaching here means a non-union, non-null schema node got None —
+        # a NULL in a non-nullable field. Name it, don't let int(None)
+        # produce an opaque TypeError inside a 100 TB encode pass.
+        raise ValueError(
+            f"NULL value for non-nullable Avro type {t!r} (no null union "
+            "branch in the schema)"
+        )
     if t == "boolean":
         return b"\x01" if value else b"\x00"
     if t in ("int", "long"):

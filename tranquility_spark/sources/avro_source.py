@@ -32,6 +32,7 @@ from typing import Iterator, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
     DoubleType,
     FloatType,
@@ -299,3 +300,93 @@ def parse_avro_column(
             yield pd.DataFrame(out)
 
     return df.select(*keep, value_col).mapInPandas(decode, schema=out_schema)
+
+
+def encode_avro_column(
+    df: DataFrame,
+    avro_schema: dict,
+    out_col: str = "value",
+    keep: Sequence[str] = (),
+    impl: str = "native",
+) -> DataFrame:
+    """ENCODE rows into single-record Avro wire payloads — ``to_avro``'s
+    analog and ``parse_avro_column``'s inverse, i.e. the serializer half
+    of the reference's ObjectWriter role (events → wire bytes for a
+    producer/HTTP body; ``ObjectWriter.scala`` [recall] did this with
+    JSON/Smile).
+
+    Each record field named in ``avro_schema`` is read from the matching
+    DataFrame column: timestamps convert to epoch micros/millis per the
+    field's logical type, NULLs take the union's null branch, and
+    encoding errors (a non-nullable field holding NULL, a value matching
+    no union branch) FAIL the task rather than emitting silent garbage —
+    a producer must never ship undecodable bytes. Output: ``keep``
+    columns + ``out_col BINARY``.
+
+    ``impl="spark"`` binds ``to_avro`` (JVM-side) when the spark-avro jar
+    is loaded, with the same availability gate as the decode path. Scale:
+    narrow mapInPandas (or pure JVM for impl="spark"), no shuffle.
+    """
+    field_names = [f["name"] for f in avro_schema["fields"]]
+    logicals = {
+        f["name"]: _avro_logical(avro_schema, f["name"])
+        for f in avro_schema["fields"]
+    }
+    if impl == "spark":
+        try:
+            from pyspark.sql.avro.functions import to_avro
+
+            enc = df.select(
+                *keep,
+                to_avro(
+                    F.struct(*[F.col(n) for n in field_names]),
+                    json.dumps(avro_schema),
+                ).alias(out_col),
+            )
+            enc.schema  # force analysis so a missing jar fails HERE
+        except Exception as ex:
+            raise RuntimeError(f"impl='spark': {SPARK_AVRO_HINT}") from ex
+        return enc
+    if impl != "native":
+        raise ValueError(f"unknown impl {impl!r}: use 'native' or 'spark'")
+
+    keep = list(keep)
+    out_schema = StructType(
+        [df.schema[c] for c in keep]
+        + [StructField(out_col, BinaryType(), False)]
+    )
+    schema_dict = avro_schema
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from tranquility_spark.operators.avro_codec import encode_value
+
+        def to_py(v, logical):
+            # NULL can arrive as None, NaN, NaT, or pd.NA depending on the
+            # column's dtype — normalize all to the union's null branch
+            if v is None or (
+                not isinstance(v, (bytes, bytearray, list, dict, str))
+                and pd.isna(v)
+            ):
+                return None
+            if logical in ("timestamp-micros", "timestamp-millis"):
+                unit = 1_000_000 if logical == "timestamp-micros" else 1_000
+                ts = pd.Timestamp(v)
+                return int(ts.value // (1_000_000_000 // unit))
+            if hasattr(v, "item"):  # numpy scalar -> python
+                return v.item()
+            return v
+
+        for pdf in batches:
+            payloads = []
+            for i in range(len(pdf)):
+                rec = {
+                    n: to_py(pdf[n].iloc[i], logicals[n]) for n in field_names
+                }
+                payloads.append(encode_value(rec, schema_dict))
+            out = {c: pdf[c].reset_index(drop=True) for c in keep}
+            out[out_col] = pd.Series(payloads, dtype="object")
+            yield pd.DataFrame(out)
+
+    return df.select(*keep, *field_names).mapInPandas(encode, schema=out_schema)
