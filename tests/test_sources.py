@@ -835,3 +835,127 @@ def test_avro_encode_column_roundtrip_and_wire_compat(spark):
     )
     with pt.raises(Exception, match="union|null"):
         encode_avro_column(bad, EVENTS_AVRO_SCHEMA).collect()
+
+
+# ---------------------------------------------------------------------------
+# Smile wire format (p12; SURVEY §2 P2 implemented from the public spec).
+# Same anti-circularity anchor as Avro: hand-computed spec token vectors.
+# ---------------------------------------------------------------------------
+
+
+def test_smile_spec_token_vectors():
+    """The spec's token tables, byte-exact in both directions: literals,
+    small ints (zigzag in the token byte), tiny-ASCII framing, vint
+    layout (7-bit prefix bytes + high-bit-set 6-bit final byte),
+    7-bit-packed float64, structure markers, shared-name back refs."""
+    from tranquility_spark.operators.smile_codec import (
+        SmileEncoder,
+        decode_record,
+        decode_stream,
+        encode_vint,
+        zigzag32,
+    )
+
+    def body(value, **kw):
+        enc = SmileEncoder(**kw)
+        enc.write(value)
+        return enc.getvalue()[4:]  # strip ":)\n" + flags
+
+    assert body(None) == b"\x21"
+    assert body(False) == b"\x22"
+    assert body(True) == b"\x23"
+    assert body("") == b"\x20"
+    # small ints: token 0xC0 + zigzag  (0→C0, -1→C1, 1→C2, 15→DE, -16→DF)
+    for n, tok in [(0, 0xC0), (-1, 0xC1), (1, 0xC2), (15, 0xDE), (-16, 0xDF)]:
+        assert body(n) == bytes([tok]), n
+    assert body("foo") == b"\x42foo"  # tiny ASCII: 0x40 + len-1
+    # int32 vint: 16 → zigzag 32 → one prefix byte 0, final 0x80|32... no:
+    # 32 = 0b100000 fits 6 bits → single final byte 0xA0
+    assert body(16) == b"\x24\xa0"
+    # 1000 → zigzag 2000 = 0b11111010000 → prefix 0b11111 (0x1F),
+    # final 0x80 | 0b010000 (0x90)
+    assert encode_vint(zigzag32(1000)) == b"\x1f\x90"
+    assert body(1000) == b"\x24\x1f\x90"
+    # float64 1.0: IEEE bits 3FF0000000000000 packed 7-bits-per-byte
+    # big-endian into 10 bytes (first byte carries the single top bit 0)
+    bits = 0x3FF0000000000000
+    packed = bytes((bits >> (7 * i)) & 0x7F for i in range(9, -1, -1))
+    assert body(1.0) == b"\x29" + packed
+    # object framing + short-ASCII name (0x80 + len-1)
+    assert body({"a": 1}) == b"\xfa\x80a\xc2\xfb"
+    # array framing
+    assert body([0, 1]) == b"\xf8\xc0\xc2\xf9"
+    # shared names: second record's name token is a 1-byte back ref 0x40
+    enc = SmileEncoder(shared_names=True)
+    enc.write({"k": 0})
+    enc.write({"k": 1})
+    assert enc.getvalue()[4:] == b"\xfa\x80k\xc0\xfb" + b"\xfa\x40\xc2\xfb"
+    assert list(decode_stream(enc.getvalue())) == [{"k": 0}, {"k": 1}]
+    # round-trip the vectors through decode too
+    assert decode_record(b":)\n\x00\x24\x1f\x90") == 1000
+    assert decode_record(b":)\n\x00\x42foo") == "foo"
+
+
+def test_smile_parse_column_corrupt_accounting(spark):
+    """p10's corrupt-record contract on the Smile wire path: valid object
+    payloads decode typed (missing fields NULL, extra fields ignored);
+    NULL/empty/truncated/bad-header/non-object payloads yield is_valid=0
+    with every field NULL — decode never throws per-row."""
+    from tranquility_spark.operators.smile_codec import SmileEncoder
+    from tranquility_spark.sources.smile_source import parse_smile_column
+
+    def pay(v):
+        enc = SmileEncoder()
+        enc.write(v)
+        return bytearray(enc.getvalue())
+
+    rows = [
+        (1, pay({"k": 7, "s": "hi", "extra": True})),
+        (2, pay({"k": -3})),                    # s missing -> NULL
+        (3, pay({"k": 1})[:-2]),                # truncated
+        (4, bytearray(b"NOPE\x21")),            # bad header
+        (5, pay(42)),                           # root not an object
+        (6, bytearray(b"")),                    # empty
+        (7, None),                              # NULL payload
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {
+        r["id"]: (r["is_valid"], r["k"], r["s"])
+        for r in parse_smile_column(
+            df, "payload", "k long, s string", keep=["id"]
+        ).collect()
+    }
+    assert got[1] == (1, 7, "hi")
+    assert got[2] == (1, -3, None)
+    for bad in (3, 4, 5, 6, 7):
+        assert got[bad] == (0, None, None), bad
+
+
+def test_kafka_smile_wire_demux(spark):
+    """wire_format='smile' on the Kafka parse path: the reference's own
+    wire format routes/drops/dead-letters exactly like JSON and Avro."""
+    from tranquility_spark.operators.smile_codec import SmileEncoder
+    from tranquility_spark.sources.kafka import parse_kafka_batch
+
+    def pay(v):
+        enc = SmileEncoder()
+        enc.write(v)
+        return bytearray(enc.getvalue())
+
+    df = spark.createDataFrame(
+        [
+            ("wiki-en", pay({"event_id": 7, "note": "hi"})),
+            ("wiki-de", bytearray(b"\xff\xfe")),
+            ("junk", pay({"event_id": 1})),
+        ],
+        "topic string, value binary",
+    )
+    out = parse_kafka_batch(
+        df,
+        "event_id long, note string",
+        [("wiki-.*", "wiki")],
+        wire_format="smile",
+    ).collect()
+    assert [(r["datasource"], r["event_id"], r["note"]) for r in out] == [
+        ("wiki", 7, "hi")
+    ]

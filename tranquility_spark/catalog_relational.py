@@ -1146,6 +1146,36 @@ def p10_jsonl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p12_smile_parse",
+    f"""
+    SELECT event_id, ts, user_id, event_type, value, note
+    FROM read_csv('{_FIXTURE_DIR}/events_sample.csv', header=true,
+                  columns={_CSV_COLS_SQL}, quote='"', escape='"', delim=',')
+    """,
+    doc="SMILE event parse — the reference's OWN wire format (SURVEY §2 "
+    "P2, ObjectWriter.scala#SmileObjectWriter [recall]), implemented "
+    "from the public FasterXML spec in pure stdlib "
+    "(operators/smile_codec.py: header+flags, shared property-name and "
+    "string-value back-reference tables with the reset-at-1024 rule, "
+    "zigzag vints, 7-bit-packed IEEE floats, tiny/short/long "
+    "ASCII+unicode strings) — P2 flips from absent-by-design to "
+    "IMPLEMENTED in round 9. The fixture is one Jackson-shaped stream "
+    "(single header, 200 back-to-back records, shared names exercising "
+    "the back-reference path on every record after the first); DuckDB "
+    "cannot read Smile, so the oracle reads the CSV sidecar encoding "
+    "the same 200 logical rows (the p11 pairing discipline) and the "
+    "codec is pinned to hand-computed spec token vectors in tests. "
+    "Corrupt-payload accounting lives on parse_smile_column "
+    "(Spark-contract-tested, the p10 contract). Scale: binaryFile + "
+    "mapInPandas, parallel per file; wire decode parallel per payload",
+)
+def p12_smile_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.sources.smile_source import load_smile_events
+
+    return load_smile_events(spark, f"{_FIXTURE_DIR}/events_sample.smile")
+
+
+@register(
     "p11_avro_parse",
     f"""
     SELECT event_id, ts, user_id, event_type, value, note

@@ -1,0 +1,457 @@
+"""Pure-stdlib Smile binary JSON codec (P2 — the reference's wire format).
+
+Implements the subset of the PUBLIC Smile format specification
+(https://github.com/FasterXML/smile-format-specification) that typed event
+records need — closing SURVEY §2's one remaining ❌ LITERALLY rather than
+by Avro analog: tranquility's server accepted Smile-encoded event bodies
+(``core/.../typeclass/ObjectWriter.scala#SmileObjectWriter`` [recall],
+Jackson's binary JSON), and this module decodes/encodes that wire format
+with zero dependencies.
+
+Supported (the event-record subset):
+
+- header ``:)\\n`` + flags byte (version 0; shared-property-names and
+  shared-string-values flags both honored on decode)
+- objects / arrays / field names (short ASCII, short unicode, long
+  unicode, shared-name back references incl. the 2-byte long form, with
+  the spec's reset-at-1024 table behavior)
+- values: null / true / false / empty string, small ints (single byte,
+  zigzag -16..15), 32/64-bit zigzag vints, 32/64-bit IEEE floats in the
+  spec's 7-bits-per-byte big-endian packing, tiny/short ASCII and unicode
+  strings, long (``0xFC``-terminated) strings, shared-value back
+  references (short and 2-byte long forms)
+- back-to-back root-level values in one stream (how Jackson writes event
+  sequences) via :func:`decode_stream`
+
+Not implemented (raise ``SmileDecodeError`` with the token byte): raw
+binary, BigInteger/BigDecimal — none appear in event payloads.
+
+The same anti-circularity discipline as ``avro_codec``: the encoder
+exists for fixtures/round-trips; tests pin HAND-COMPUTED byte vectors
+from the spec's token tables (e.g. small int 0 → ``0xC0``, ``true`` →
+``0x23``, tiny-ASCII "foo" → ``0x42 66 6f 6f``, START/END_OBJECT ``0xFA``
+/ ``0xFB``) so a shared spec misreading cannot survive.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, Iterator
+
+HEADER = b"\x3a\x29\x0a"  # ":)\n"
+
+FLAG_SHARED_NAMES = 0x01
+FLAG_SHARED_VALUES = 0x02
+FLAG_RAW_BINARY = 0x04
+
+_MAX_SHARED = 1024  # spec: table RESETS when the 1025th entry would enter
+
+
+class SmileDecodeError(ValueError):
+    """Malformed or unsupported Smile data."""
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def zigzag32(n: int) -> int:
+    return ((n << 1) ^ (n >> 31)) & 0xFFFFFFFF
+
+
+def zigzag64(n: int) -> int:
+    return ((n << 1) ^ (n >> 63)) & 0xFFFFFFFFFFFFFFFF
+
+
+def unzigzag(zz: int) -> int:
+    return (zz >> 1) ^ -(zz & 1)
+
+
+def encode_vint(zz: int) -> bytes:
+    """Smile vint: 7 bits per byte MSB-first, except the LAST byte which
+    has bit 7 set and carries only the low 6 bits."""
+    out = [0x80 | (zz & 0x3F)]
+    zz >>= 6
+    while zz:
+        out.append(zz & 0x7F)
+        zz >>= 7
+    return bytes(reversed(out))
+
+
+def decode_vint(buf: bytes, pos: int) -> tuple[int, int]:
+    zz = 0
+    while True:
+        if pos >= len(buf):
+            raise SmileDecodeError("vint ran past end of buffer")
+        b = buf[pos]
+        pos += 1
+        if b & 0x80:
+            return (zz << 6) | (b & 0x3F), pos
+        zz = (zz << 7) | b
+        if zz > 1 << 70:
+            raise SmileDecodeError("vint longer than 64 bits")
+
+
+def _encode_7bit(raw: bytes) -> bytes:
+    """The spec's 7-bits-per-byte big-endian packing for fixed-width
+    floats: N raw bytes -> ceil(8N/7) bytes, most significant bits first
+    (the first byte carries the 8N mod 7 leading bits)."""
+    n = int.from_bytes(raw, "big")
+    nbits = len(raw) * 8
+    nbytes = (nbits + 6) // 7
+    out = bytearray()
+    for i in range(nbytes - 1, -1, -1):
+        out.append((n >> (7 * i)) & 0x7F)
+    return bytes(out)
+
+
+def _decode_7bit(buf: bytes, pos: int, raw_len: int) -> tuple[bytes, int]:
+    nbytes = (raw_len * 8 + 6) // 7
+    if pos + nbytes > len(buf):
+        raise SmileDecodeError("7-bit float ran past end of buffer")
+    n = 0
+    for i in range(nbytes):
+        b = buf[pos + i]
+        if b & 0x80:
+            raise SmileDecodeError("7-bit packing byte with high bit set")
+        n = (n << 7) | b
+    return n.to_bytes(raw_len, "big"), pos + nbytes
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+class SmileEncoder:
+    """Streaming writer: ``write(value)`` per root-level value, Jackson's
+    back-to-back event-sequence shape (one header, shared tables persist
+    across records — exactly why the tables exist)."""
+
+    def __init__(self, shared_names: bool = True, shared_values: bool = False):
+        self.shared_names = shared_names
+        self.shared_values = shared_values
+        self._names: dict[str, int] = {}
+        self._values: dict[str, int] = {}
+        flags = (FLAG_SHARED_NAMES if shared_names else 0) | (
+            FLAG_SHARED_VALUES if shared_values else 0
+        )
+        self.buf = bytearray(HEADER + bytes([flags]))
+
+    def write(self, value: Any) -> None:
+        self._value(value)
+
+    def getvalue(self) -> bytes:
+        return bytes(self.buf)
+
+    def _value(self, v: Any) -> None:
+        b = self.buf
+        if v is None:
+            b.append(0x21)
+        elif v is True:
+            b.append(0x23)
+        elif v is False:
+            b.append(0x22)
+        elif isinstance(v, int):
+            if -16 <= v <= 15:
+                b.append(0xC0 + zigzag32(v))
+            elif -(1 << 31) <= v < 1 << 31:
+                b.append(0x24)
+                b += encode_vint(zigzag32(v))
+            elif -(1 << 63) <= v < 1 << 63:
+                b.append(0x25)
+                b += encode_vint(zigzag64(v))
+            else:
+                raise ValueError(f"int out of 64-bit range: {v}")
+        elif isinstance(v, float):
+            b.append(0x29)
+            b += _encode_7bit(struct.pack(">d", v))
+        elif isinstance(v, str):
+            self._string_value(v)
+        elif isinstance(v, (list, tuple)):
+            b.append(0xF8)
+            for item in v:
+                self._value(item)
+            b.append(0xF9)
+        elif isinstance(v, dict):
+            b.append(0xFA)
+            for k, item in v.items():
+                self._name(str(k))
+                self._value(item)
+            b.append(0xFB)
+        else:
+            raise ValueError(f"unsupported Smile value type: {type(v)}")
+
+    def _string_value(self, s: str) -> None:
+        b = self.buf
+        if s == "":
+            b.append(0x20)
+            return
+        raw = s.encode("utf-8")
+        is_ascii = len(raw) == len(s)
+        if self.shared_values and len(raw) <= 64:
+            idx = self._values.get(s)
+            if idx is not None:
+                if idx < 31:
+                    b.append(0x01 + idx)
+                else:
+                    b.append(0xEC + (idx >> 8))
+                    b.append(idx & 0xFF)
+                return
+            if len(self._values) >= _MAX_SHARED:
+                self._values.clear()
+            self._values[s] = len(self._values)
+        if is_ascii and len(raw) <= 32:
+            b.append(0x40 + len(raw) - 1)
+        elif is_ascii and len(raw) <= 64:
+            b.append(0x60 + len(raw) - 33)
+        elif not is_ascii and 2 <= len(raw) <= 33:
+            b.append(0x80 + len(raw) - 2)
+        elif not is_ascii and len(raw) <= 64:
+            b.append(0xA0 + len(raw) - 34)
+        else:
+            b.append(0xE0 if is_ascii else 0xE4)
+            b += raw
+            b.append(0xFC)
+            return
+        b += raw
+
+    def _name(self, name: str) -> None:
+        b = self.buf
+        if name == "":
+            b.append(0x20)
+            return
+        raw = name.encode("utf-8")
+        if self.shared_names and len(raw) <= 64:
+            idx = self._names.get(name)
+            if idx is not None:
+                if idx < 64:
+                    b.append(0x40 + idx)
+                else:
+                    b.append(0x30 + (idx >> 8))
+                    b.append(idx & 0xFF)
+                return
+            if len(self._names) >= _MAX_SHARED:
+                self._names.clear()
+            self._names[name] = len(self._names)
+        is_ascii = len(raw) == len(name)
+        if is_ascii and len(raw) <= 64:
+            b.append(0x80 + len(raw) - 1)
+            b += raw
+        elif not is_ascii and 2 <= len(raw) <= 57:
+            b.append(0xC0 + len(raw) - 2)
+            b += raw
+        else:
+            b.append(0x34)
+            b += raw
+            b.append(0xFC)
+
+
+def encode_stream(values: list, **kw) -> bytes:
+    enc = SmileEncoder(**kw)
+    for v in values:
+        enc.write(v)
+    return enc.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class SmileDecoder:
+    def __init__(self, data: bytes):
+        self.data = bytes(data)
+        if self.data[:3] != HEADER:
+            raise SmileDecodeError("not Smile data (bad :)\\n header)")
+        if len(self.data) < 4:
+            raise SmileDecodeError("truncated Smile header")
+        flags = self.data[3]
+        if flags >> 4:
+            raise SmileDecodeError(f"unsupported Smile version {flags >> 4}")
+        self.shared_names = bool(flags & FLAG_SHARED_NAMES)
+        self.shared_values = bool(flags & FLAG_SHARED_VALUES)
+        self.raw_binary = bool(flags & FLAG_RAW_BINARY)
+        self.pos = 4
+        self._names: list[str] = []
+        self._values: list[str] = []
+
+    def at_end(self) -> bool:
+        # 0xFF is the optional end-of-content marker
+        return self.pos >= len(self.data) or self.data[self.pos] == 0xFF
+
+    def decode_value(self) -> Any:
+        b = self._byte()
+        if b == 0x21:
+            return None
+        if b == 0x22:
+            return False
+        if b == 0x23:
+            return True
+        if b == 0x20:
+            return ""
+        if 0x01 <= b <= 0x1F:  # short shared value ref
+            return self._shared_value(b - 1)
+        if 0xEC <= b <= 0xEF:  # long shared value ref (10-bit index)
+            return self._shared_value(((b & 0x03) << 8) | self._byte())
+        if 0xC0 <= b <= 0xDF:  # small int, zigzag in the token byte
+            return unzigzag(b - 0xC0)
+        if b == 0x24:
+            zz, self.pos = decode_vint(self.data, self.pos)
+            return unzigzag(zz)
+        if b == 0x25:
+            zz, self.pos = decode_vint(self.data, self.pos)
+            return unzigzag(zz)
+        if b == 0x28:
+            raw, self.pos = _decode_7bit(self.data, self.pos, 4)
+            return struct.unpack(">f", raw)[0]
+        if b == 0x29:
+            raw, self.pos = _decode_7bit(self.data, self.pos, 8)
+            return struct.unpack(">d", raw)[0]
+        if 0x40 <= b <= 0x5F:  # tiny ASCII 1..32
+            return self._string(b - 0x40 + 1)
+        if 0x60 <= b <= 0x7F:  # small ASCII 33..64
+            return self._string(b - 0x60 + 33)
+        if 0x80 <= b <= 0x9F:  # tiny unicode 2..33
+            return self._string(b - 0x80 + 2)
+        if 0xA0 <= b <= 0xBF:  # short unicode 34..65
+            return self._string(b - 0xA0 + 34)
+        if b in (0xE0, 0xE4):  # long string, 0xFC-terminated
+            return self._long_string()
+        if b == 0xF8:
+            out = []
+            while True:
+                if self._peek() == 0xF9:
+                    self.pos += 1
+                    return out
+                out.append(self.decode_value())
+        if b == 0xFA:
+            return self._object()
+        raise SmileDecodeError(f"unsupported Smile value token 0x{b:02x}")
+
+    # -- internals ----------------------------------------------------------
+
+    def _byte(self) -> int:
+        if self.pos >= len(self.data):
+            raise SmileDecodeError("ran past end of buffer")
+        b = self.data[self.pos]
+        self.pos += 1
+        return b
+
+    def _peek(self) -> int:
+        if self.pos >= len(self.data):
+            raise SmileDecodeError("ran past end of buffer")
+        return self.data[self.pos]
+
+    def _take(self, n: int) -> bytes:
+        if self.pos + n > len(self.data):
+            raise SmileDecodeError("string ran past end of buffer")
+        out = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def _shared_value(self, idx: int) -> str:
+        if not self.shared_values:
+            raise SmileDecodeError(
+                "shared-value reference in a stream whose header disables them"
+            )
+        if idx >= len(self._values):
+            raise SmileDecodeError(f"shared value index {idx} out of range")
+        return self._values[idx]
+
+    def _remember_value(self, s: str, nbytes: int) -> str:
+        if self.shared_values and nbytes <= 64:
+            if len(self._values) >= _MAX_SHARED:
+                self._values.clear()
+            self._values.append(s)
+        return s
+
+    def _string(self, nbytes: int) -> str:
+        try:
+            s = self._take(nbytes).decode("utf-8")
+        except UnicodeDecodeError as ex:
+            raise SmileDecodeError(f"invalid UTF-8 in string: {ex}") from ex
+        return self._remember_value(s, nbytes)
+
+    def _long_string(self) -> str:
+        end = self.data.find(0xFC, self.pos)
+        if end < 0:
+            raise SmileDecodeError("unterminated long string (no 0xFC)")
+        raw = self.data[self.pos : end]
+        self.pos = end + 1
+        try:
+            return raw.decode("utf-8")  # long strings are never shared
+        except UnicodeDecodeError as ex:
+            raise SmileDecodeError(f"invalid UTF-8 in string: {ex}") from ex
+
+    def _object(self) -> dict:
+        out: dict[str, Any] = {}
+        while True:
+            b = self._byte()
+            if b == 0xFB:
+                return out
+            name = self._name(b)
+            out[name] = self.decode_value()
+
+    def _name(self, b: int) -> str:
+        if b == 0x20:
+            return ""
+        if 0x40 <= b <= 0x7F:  # short shared name ref
+            return self._shared_name(b - 0x40)
+        if 0x30 <= b <= 0x33:  # long shared name ref (10-bit index)
+            return self._shared_name(((b & 0x03) << 8) | self._byte())
+        if 0x80 <= b <= 0xBF:  # short ASCII name 1..64
+            return self._new_name(b - 0x80 + 1)
+        if 0xC0 <= b <= 0xF7:  # short unicode name 2..57
+            return self._new_name(b - 0xC0 + 2)
+        if b == 0x34:  # long unicode name, 0xFC-terminated
+            end = self.data.find(0xFC, self.pos)
+            if end < 0:
+                raise SmileDecodeError("unterminated long field name")
+            raw = self.data[self.pos : end]
+            self.pos = end + 1
+            return raw.decode("utf-8")
+        raise SmileDecodeError(f"unsupported Smile name token 0x{b:02x}")
+
+    def _shared_name(self, idx: int) -> str:
+        if not self.shared_names:
+            raise SmileDecodeError(
+                "shared-name reference in a stream whose header disables them"
+            )
+        if idx >= len(self._names):
+            raise SmileDecodeError(f"shared name index {idx} out of range")
+        return self._names[idx]
+
+    def _new_name(self, nbytes: int) -> str:
+        try:
+            name = self._take(nbytes).decode("utf-8")
+        except UnicodeDecodeError as ex:
+            raise SmileDecodeError(f"invalid UTF-8 in name: {ex}") from ex
+        if self.shared_names and nbytes <= 64:
+            if len(self._names) >= _MAX_SHARED:
+                self._names.clear()
+            self._names.append(name)
+        return name
+
+
+def decode_stream(data: bytes) -> Iterator[Any]:
+    """Iterate root-level values of one Smile stream (the Jackson
+    event-sequence shape: single header, values back-to-back, shared
+    tables carried across records)."""
+    dec = SmileDecoder(data)
+    while not dec.at_end():
+        yield dec.decode_value()
+
+
+def decode_record(payload: bytes) -> Any:
+    """Decode ONE value from a standalone wire payload (own header —
+    tranquility's HTTP/Kafka body shape). Trailing bytes (other than the
+    optional 0xFF end marker) are an error."""
+    dec = SmileDecoder(payload)
+    value = dec.decode_value()
+    if not dec.at_end():
+        raise SmileDecodeError(
+            f"{len(dec.data) - dec.pos} trailing bytes after value"
+        )
+    return value

@@ -99,8 +99,28 @@ def parse_kafka_batch(
     Identical drop/dead-letter semantics: corrupt payloads either drop or
     surface with NULL fields.
     """
-    if wire_format not in ("json", "avro"):
+    if wire_format not in ("json", "avro", "smile"):
         raise ValueError(f"unknown wire_format {wire_format!r}")
+    if wire_format == "smile":
+        # the reference's own Kafka wire format (SmileObjectWriter) —
+        # schemaless like the JSON path: fields picked by name, same
+        # drop/dead-letter semantics
+        from tranquility_spark.sources.smile_source import parse_smile_column
+
+        ds = topic_to_datasource(
+            F.col("topic"), mappings, use_topic_as_datasource
+        )
+        tagged = df.select(
+            ds.alias("datasource"), "topic", F.col("value").cast("binary")
+        )
+        if drop_unmatched:
+            tagged = tagged.filter(F.col("datasource").isNotNull())
+        parsed = parse_smile_column(
+            tagged, "value", schema, keep=["datasource", "topic"]
+        )
+        if drop_malformed:
+            parsed = parsed.filter(F.col("is_valid") == 1)
+        return parsed.drop("is_valid")
     if wire_format == "avro":
         from tranquility_spark.sources.avro_source import parse_avro_column
 
