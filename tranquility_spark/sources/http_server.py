@@ -5,9 +5,11 @@ TranquilityServlet.scala`` (~250 LoC, Scalatra) — accepts a JSON array (or
 newline-delimited objects) body, routes to the dataSource's Tranquilizer,
 responds ``{"result": {"received": N, "sent": M}}`` where ``sent`` excludes
 window-period drops; unknown dataSource → 404; ``async=true`` responds before
-delivery resolves. Smile (binary JSON) content-type is a serialization detail
-of the reference's Druid wire protocol, intentionally not reproduced
-(SURVEY.md §2.2 P2 — ❌ row).
+delivery resolves. Round 9: ``Content-Type: application/x-jackson-smile``
+bodies are accepted too — the reference's OTHER wire format — decoded with
+the pure-stdlib Smile codec (SURVEY §2 P2, now implemented): a Smile array
+or back-to-back record values map to the same event list as the JSON
+shapes.
 
 This daemon is driver-side plumbing (events arrive over HTTP, not from a
 distributed source), so a stdlib ThreadingHTTPServer is the right weight; all
@@ -24,8 +26,24 @@ from typing import Mapping
 from tranquility_spark.streaming.tranquilizer import Tranquilizer
 
 
-def _parse_body(raw: bytes) -> list[dict]:
-    """JSON array, single object, or newline-delimited objects → list of events."""
+def _parse_body(raw: bytes, content_type: str = "application/json") -> list[dict]:
+    """JSON array, single object, or newline-delimited objects → list of
+    events; a Smile body (``application/x-jackson-smile``) may carry one
+    array value or back-to-back record values (the Jackson stream shape),
+    mirroring the JSON array/NDJSON duality."""
+    if "smile" in (content_type or "").lower():
+        from tranquility_spark.operators.smile_codec import decode_stream
+
+        events: list[dict] = []
+        for v in decode_stream(raw):
+            if isinstance(v, list):
+                events.extend(v)
+            else:
+                events.append(v)
+        for e in events:
+            if not isinstance(e, dict):
+                raise ValueError("Smile body must contain objects")
+        return events
     text = raw.decode("utf-8").strip()
     if not text:
         return []
@@ -74,7 +92,10 @@ class IngestServer:
                     self._respond(404, {"error": f"unknown dataSource {datasource!r}"})
                     return
                 try:
-                    events = _parse_body(self.rfile.read(int(self.headers.get("Content-Length", 0))))
+                    events = _parse_body(
+                        self.rfile.read(int(self.headers.get("Content-Length", 0))),
+                        self.headers.get("Content-Type", "application/json"),
+                    )
                 except (ValueError, json.JSONDecodeError) as e:
                     self._respond(400, {"error": str(e)})
                     return
