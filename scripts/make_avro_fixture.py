@@ -67,5 +67,43 @@ def main() -> None:
     print(f"wrote {len(rows)} records to {out} ({os.path.getsize(out)} bytes)")
 
 
+# --- v0 fixture (p11b: the schema-evolution read) -------------------------
+
+V0_SCHEMA: dict = {
+    "type": "record",
+    "name": "Event",
+    "fields": [
+        # the "last year's producer" shape: 32-bit ids, millis timestamps,
+        # a legacy field the current reader dropped, and NO note field yet
+        {"name": "event_id", "type": "int"},
+        {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+        {"name": "user_id", "type": ["null", "int"], "default": None},
+        {"name": "event_type", "type": ["null", "string"], "default": None},
+        {"name": "value", "type": ["null", "double"], "default": None},
+        {"name": "legacy_tag", "type": "string"},
+    ],
+}
+
+
+def make_v0() -> None:
+    rows = []
+    for r in _rows():
+        rows.append(
+            {
+                "event_id": r["event_id"],
+                "ts": r["ts"] // 1000,  # micros -> millis
+                "user_id": r["user_id"],
+                "event_type": r["event_type"],
+                "value": r["value"],
+                "legacy_tag": f"v0-{r['event_id']}",
+            }
+        )
+    out = os.path.join(FIXTURES, "events_sample_v0.avro")
+    with open(out, "wb") as fh:
+        write_ocf(fh, rows, V0_SCHEMA, block_records=128)
+    print(f"wrote {len(rows)} v0 records to {out} ({os.path.getsize(out)} bytes)")
+
+
 if __name__ == "__main__":
     main()
+    make_v0()

@@ -631,7 +631,7 @@ def test_kafka_avro_wire_demux_and_dead_letter(spark):
     with pt.raises(ValueError, match="avro_schema"):
         parse_kafka_batch(df, "x long", mappings, wire_format="avro")
     with pt.raises(ValueError, match="wire_format"):
-        parse_kafka_batch(df, "x long", mappings, wire_format="smile")
+        parse_kafka_batch(df, "x long", mappings, wire_format="msgpack")
 
 
 def test_avro_schema_resolution_rules():

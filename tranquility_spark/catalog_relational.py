@@ -1146,6 +1146,44 @@ def p10_jsonl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p11b_avro_evolution",
+    f"""
+    SELECT event_id, ts, user_id, event_type, value,
+           CAST(NULL AS VARCHAR) AS note
+    FROM read_csv('{_FIXTURE_DIR}/events_sample.csv', header=true,
+                  columns={_CSV_COLS_SQL}, quote='"', escape='"', delim=',')
+    """,
+    doc="Avro SCHEMA EVOLUTION read, hash-certified: a committed container "
+    "written with 'last year's producer' schema (32-bit ids, "
+    "timestamp-MILLIS, a legacy_tag field, no note yet — "
+    "scripts/make_avro_fixture.py#V0_SCHEMA) reads under TODAY's reader "
+    "schema via load_avro_file(resolve=True): int->long promotion, the "
+    "legacy field dropped, the reader-only note field defaulted NULL, "
+    "and — the pitfall this entry exists to pin — the millis values "
+    "convert by the WRITER's logical type (Avro resolution passes longs "
+    "through unchanged; naively applying the reader's micros annotation "
+    "lands every timestamp 1000x off). Oracle = the CSV sidecar with "
+    "note nulled, so a green hash certifies the whole resolution chain "
+    "value-for-value. The rolling-upgrade path every long-lived Kafka "
+    "topic eventually needs",
+)
+def p11b_avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.sources.avro_source import (
+        EVENTS_AVRO_SCHEMA,
+        load_avro_file,
+    )
+    from tranquility_spark.sources.files import CSV_EVENTS_SCHEMA
+
+    return load_avro_file(
+        spark,
+        f"{_FIXTURE_DIR}/events_sample_v0.avro",
+        CSV_EVENTS_SCHEMA,
+        EVENTS_AVRO_SCHEMA,
+        resolve=True,
+    )
+
+
+@register(
     "p12_smile_parse",
     f"""
     SELECT event_id, ts, user_id, event_type, value, note

@@ -160,6 +160,17 @@ def load_avro_file(
                         resolve_record(rec, schema, avro_schema)
                         for rec in records
                     ]
+                    # logical-type semantics belong to the WRITER: Avro
+                    # resolution passes the long VALUE through unchanged,
+                    # so a millis-writer/micros-reader pair must convert
+                    # by the writer's unit or every timestamp lands 1000x
+                    # off. Reader-only (defaulted) fields keep the
+                    # reader's logical annotation.
+                    file_logicals = {
+                        f.name: _avro_logical(schema, f.name)
+                        or logicals[f.name]
+                        for f in out_schema
+                    }
                 elif json.dumps(schema, sort_keys=True) != expected:
                     raise ValueError(
                         "OCF writer schema differs from the expected Avro "
@@ -167,12 +178,13 @@ def load_avro_file(
                     )
                 else:
                     rows = list(records)
+                    file_logicals = logicals
                 yield pd.DataFrame(
                     {
                         f.name: _field_series(
                             [r.get(f.name) for r in rows],
                             f.dataType,
-                            logicals[f.name],
+                            file_logicals[f.name],
                         )
                         for f in out_schema
                     }
