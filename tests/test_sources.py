@@ -931,6 +931,39 @@ def test_smile_parse_column_corrupt_accounting(spark):
         assert got[bad] == (0, None, None), bad
 
 
+def test_smile_parse_column_type_mismatch_invalidates_record(spark):
+    """Smile is schemaless: a payload whose field carries the WRONG type
+    (string where the schema says long) must invalidate that record —
+    the from_json record-corruption contract — not crash the Arrow batch
+    conversion or poison its neighbors."""
+    from tranquility_spark.operators.smile_codec import SmileEncoder
+    from tranquility_spark.sources.smile_source import parse_smile_column
+
+    def pay(v):
+        enc = SmileEncoder()
+        enc.write(v)
+        return bytearray(enc.getvalue())
+
+    df = spark.createDataFrame(
+        [
+            (1, pay({"k": 7, "s": "ok"})),
+            (2, pay({"k": "seven", "s": "bad type"})),   # k must be long
+            (3, pay({"k": True, "s": "bool is not long"})),
+            (4, pay({"k": 3, "s": 9.5})),                # s must be string
+        ],
+        "id long, payload binary",
+    )
+    got = {
+        r["id"]: (r["is_valid"], r["k"], r["s"])
+        for r in parse_smile_column(
+            df, "payload", "k long, s string", keep=["id"]
+        ).collect()
+    }
+    assert got[1] == (1, 7, "ok")
+    for bad in (2, 3, 4):
+        assert got[bad] == (0, None, None), bad
+
+
 def test_kafka_smile_wire_demux(spark):
     """wire_format='smile' on the Kafka parse path: the reference's own
     wire format routes/drops/dead-letters exactly like JSON and Avro."""

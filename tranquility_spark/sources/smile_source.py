@@ -107,10 +107,43 @@ def parse_smile_column(
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
+        from pyspark.sql.types import (
+            BooleanType as _B,
+            DoubleType as _D,
+            FloatType as _F,
+            IntegerType as _I,
+            LongType as _L,
+            StringType as _S,
+            TimestampType as _T,
+        )
+
         from tranquility_spark.operators.smile_codec import (
             SmileDecodeError,
             decode_record,
         )
+
+        def _typed(rec: dict) -> bool:
+            """Smile is schemaless, so a payload can carry ANY type in any
+            field — a mis-typed value must invalidate THAT record (the
+            from_json record-corruption contract), not poison the whole
+            Arrow batch when the column converts."""
+            for f in fields:
+                v = rec.get(f.name)
+                if v is None:
+                    continue
+                if isinstance(f.dataType, (_L, _I, _T)):
+                    if not isinstance(v, int) or isinstance(v, bool):
+                        return False
+                elif isinstance(f.dataType, (_D, _F)):
+                    if not isinstance(v, (int, float)) or isinstance(v, bool):
+                        return False
+                elif isinstance(f.dataType, _S):
+                    if not isinstance(v, str):
+                        return False
+                elif isinstance(f.dataType, _B):
+                    if not isinstance(v, bool):
+                        return False
+            return True
 
         for pdf in batches:
             rows, valid = [], []
@@ -122,6 +155,8 @@ def parse_smile_column(
                         rec = decoded if isinstance(decoded, dict) else None
                     except SmileDecodeError:
                         rec = None
+                if rec is not None and not _typed(rec):
+                    rec = None
                 rows.append(rec if rec is not None else {})
                 valid.append(1 if rec is not None else 0)
             out = _rows_to_pdf(rows, StructType(list(fields)), pdf, keep)
