@@ -1608,13 +1608,12 @@ from tranquility_spark import catalog_sketch  # noqa: E402,F401
 # with scripts/record_certified_fingerprints.py only when folding new greens).
 # ---------------------------------------------------------------------------
 
-_R09_DRIVER_WINDOW = [
+_R10_DRIVER_WINDOW = [
     # rows-only by policy (approximate sketches / LSH / index-defined probe
-    # sets — no SQL oracle); re-recorded every round by design. sim3 joins
-    # the permanent lead (it is oracle-less like the rest of the ANN
-    # ladder — CORRECTNESS_r08 records it no_oracle). Round 8's seven
-    # re-certifies (w6/sim3-fn/dd12/mm1/mm3/mm4/dq8) all came back green
-    # and fold into _CERTIFIED below.
+    # sets — no SQL oracle); re-recorded every round by design. Round 9's
+    # rows-only additions (dd13b/a10f/emb10) join the permanent lead; its
+    # ten newly-green keys (p11/p11b/p12/txt19/rank2/dq18/pipe7/mm6/dd16
+    # + the mm4 re-certify) fold into _CERTIFIED below.
     "hh1_heavy_hitters_merge",
     "a11c_theta_setops_approx",
     "a11d_sketch_merge_rollup",
@@ -1628,16 +1627,14 @@ _R09_DRIVER_WINDOW = [
     "a10e_kll_deterministic",
     "emb9_principal_component",
     "sim3_ivf_topk",
-    # re-certify: round 9 switched the soundfile decode branch to
-    # dtype="int16" (ADVICE r8 truncation fix). The default stub output is
-    # byte-identical (parity re-verified), but the serialized mapInPandas
-    # closure changed — the same helper-edit discipline as r8's mm rotation
-    "mm4_audio_frame_energy",
+    "dd13b_kmeans_semantic_dedup",
+    "a10f_gk_quantiles",
+    "emb10_pca_project",
 ]
 
 
 def _rotate_driver_window() -> None:
-    lead = [k for k in _R09_DRIVER_WINDOW if k in CATALOG]
+    lead = [k for k in _R10_DRIVER_WINDOW if k in CATALOG]
     # anything registered after this snapshot auto-joins the window
     lead += [
         k
@@ -1665,8 +1662,11 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # (CORRECTNESS_r08.json: 34 greens, 22 of them already-certified
 # backfill; the 12 newly green = the 5 new r08 oracled entries + the 7
 # re-certifies w6/dd12/mm1/mm3/mm4/dq8 plus samp9; mm4 then rotated
-# back out in round 9 for the soundfile dtype fix).
-# Total: 159.
+# back out in round 9 for the soundfile dtype fix). r09 folds in 10
+# (CORRECTNESS_r09.json: 31 greens, 0 fails: the 9 new r09 oracled
+# entries p11/p11b/p12/txt19/rank2/dq18/pipe7/mm6/dd16 + the mm4
+# re-certify).
+# Total: 169.
 _CERTIFIED = frozenset(
     {
         # --- r01/r02 window ---
@@ -1757,6 +1757,13 @@ _CERTIFIED = frozenset(
         "mm1_decode_features", "mm3_resize",
         "samp9_cluster_downweight", "txt18_zipf_audit",
         "w6_sessionize_batch",
+        # --- r09 window (CORRECTNESS_r09.json: 31 greens, 0 fails; the 10
+        # newly green fold in — the 9 new r09 oracled entries plus the mm4
+        # re-certify after the soundfile dtype="int16" fix) ---
+        "p11_avro_parse", "p11b_avro_evolution", "p12_smile_parse",
+        "txt19_bm25_topk", "rank2_rrf_fusion", "dq18_subtotals_spec",
+        "pipe7_chunk_retrieval", "mm6_image_dhash", "dd16_dhash_neardup",
+        "mm4_audio_frame_energy",
     }
 )
 
