@@ -1396,3 +1396,28 @@ def test_streaming_gk_partials_merge_and_replay(spark, sf_dir, tmp_path):
                 et,
                 qq,
             )
+
+
+def test_gk_merge_rejects_already_merged_summaries(spark):
+    """ADVICE r9 low: the one-merge-level contract ENFORCED — feeding a
+    merged summary (rmin != rmax) back through gk_merge must raise, not
+    silently produce invalid rank intervals."""
+    import pytest as pt
+
+    from tranquility_spark.operators.gk import gk_merge, gk_partial
+
+    df = spark.createDataFrame(
+        [("g", i % 4, float(i)) for i in range(4000)],
+        "grp string, part int, v double",
+    )
+    # eps=0.05 over 1000 values/partial -> real compression, so the merge
+    # produces genuinely widened (rmin < rmax) intervals
+    merged = gk_merge(
+        gk_partial(df, ["grp", "part"], "v", eps=0.05), ["grp"], "part"
+    )
+    assert merged.filter("rmin != rmax").count() > 0  # genuinely merged
+    remerge = gk_merge(
+        merged.withColumn("part", F.lit(0)), ["grp"], "part"
+    )
+    with pt.raises(Exception, match="already-merged"):
+        remerge.collect()

@@ -1044,3 +1044,153 @@ def test_http_ingest_smile_body(spark):
 
     with pt.raises(ValueError, match="objects"):
         _parse_body(e3.getvalue(), ct)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r9 regressions: malformed wire payloads must dead-letter, never
+# kill the Arrow batch
+# ---------------------------------------------------------------------------
+
+
+def test_avro_decode_rejects_out_of_range_ints():
+    """A 10-byte varint carrying bits past 2^64 (the ADVICE r9 repro) and a
+    32-bit-overflowing 'int' field must raise AvroDecodeError — not return
+    a Python int that OverflowErrors pd.array(dtype='Int64') later."""
+    import pytest as pt
+
+    from tranquility_spark.operators.avro_codec import (
+        AvroDecodeError,
+        decode_long,
+        decode_value,
+        encode_long,
+    )
+
+    with pt.raises(AvroDecodeError, match="64-bit"):
+        decode_long(b"\xff" * 9 + b"\x7f", 0)
+    # spec-legal extremes still decode
+    assert decode_long(encode_long((1 << 63) - 1), 0)[0] == (1 << 63) - 1
+    assert decode_long(encode_long(-(1 << 63)), 0)[0] == -(1 << 63)
+    with pt.raises(AvroDecodeError, match="32-bit"):
+        decode_value(encode_long(1 << 31), 0, "int")
+    assert decode_value(encode_long((1 << 31) - 1), 0, "int")[0] == (1 << 31) - 1
+    assert decode_value(encode_long(-(1 << 31)), 0, "int")[0] == -(1 << 31)
+
+
+def test_avro_wire_overflow_payloads_dead_letter(spark):
+    """The end-to-end ADVICE r9 failure: a payload whose varint exceeds
+    int64, and one whose int64-valid timestamp overflows datetime64[ns],
+    must land in is_valid=0 — the batch containing them must survive."""
+    from tranquility_spark.operators.avro_codec import encode_value
+    from tranquility_spark.sources.avro_source import parse_avro_column
+
+    schema = {
+        "type": "record",
+        "name": "E",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            },
+        ],
+    }
+    ok = encode_value({"k": 5, "ts": 1_700_000_000_000_000}, schema)
+    huge_varint = b"\xff" * 9 + b"\x7f"  # k beyond int64 -> decode error
+    # k=1, ts = 2^62 micros: decodes fine, unrepresentable in datetime64[ns]
+    huge_ts = encode_value({"k": 1, "ts": 1 << 62}, schema)
+    df = spark.createDataFrame(
+        [(1, ok), (2, huge_varint), (3, huge_ts)], "id long, payload binary"
+    )
+    got = {
+        r["id"]: (r["is_valid"], r["k"])
+        for r in parse_avro_column(
+            df, "payload", schema, "k long, ts timestamp", keep=["id"]
+        ).collect()
+    }
+    assert got[1] == (1, 5)
+    assert got[2] == (0, None)
+    assert got[3] == (0, None)
+
+
+def test_avro_zero_width_blocks_legal_and_capped():
+    """ADVICE r9 low: N null items occupy 0 bytes, so a count above the
+    remaining buffer is spec-LEGAL for zero-width item types — but a
+    forged astronomically large count is still rejected (memory cap)."""
+    import pytest as pt
+
+    from tranquility_spark.operators.avro_codec import (
+        AvroDecodeError,
+        decode_value,
+        encode_long,
+    )
+
+    arr_schema = {"type": "array", "items": "null"}
+    # 5 nulls encode to just the count + terminator: 2 bytes total
+    payload = encode_long(5) + encode_long(0)
+    assert decode_value(payload, 0, arr_schema)[0] == [None] * 5
+    forged = encode_long(1 << 40) + encode_long(0)
+    with pt.raises(AvroDecodeError, match="sanity cap"):
+        decode_value(forged, 0, arr_schema)
+    # nonzero-width items keep the fail-fast underrun guard
+    long_arr = {"type": "array", "items": "long"}
+    with pt.raises(AvroDecodeError, match="exceeds buffer"):
+        decode_value(encode_long(100) + b"\x02", 0, long_arr)
+
+
+def test_smile_long_shared_name_table_stays_synced():
+    """ADVICE r9 medium: a 58..64-byte non-ASCII name goes out as a long
+    0x34 token but IS registered in the encoder's shared-name table; the
+    decoder must register it too or every later back-reference resolves
+    to the wrong index (the exact repro: one 60-byte name over 2
+    records)."""
+    from tranquility_spark.operators.smile_codec import (
+        SmileEncoder,
+        decode_stream,
+    )
+
+    name = "é" * 30  # 60 UTF-8 bytes, non-ASCII -> long 0x34 name token
+    assert len(name.encode()) == 60
+    recs = [{name: 1, "other": "x"}, {name: 2}, {"other": "y", name: 3}]
+    enc = SmileEncoder()
+    for r in recs:
+        enc.write(r)
+    assert list(decode_stream(enc.getvalue())) == recs
+
+
+def test_smile_overflow_payloads_dead_letter(spark):
+    """Smile twin of the Avro overflow test: >64-bit vints and
+    datetime64[ns]-unrepresentable epoch micros must invalidate the one
+    record, not the batch."""
+    from tranquility_spark.operators.smile_codec import (
+        HEADER,
+        SmileDecodeError,
+        SmileEncoder,
+        decode_record,
+        encode_vint,
+    )
+    from tranquility_spark.sources.smile_source import parse_smile_column
+    import pytest as pt
+
+    # raw token 0x25 (64-bit int) followed by a vint past 2^64
+    bad_vint = bytes(HEADER) + b"\x25" + encode_vint((1 << 69))
+    with pt.raises(SmileDecodeError):
+        decode_record(bad_vint)
+
+    def payload(rec):
+        e = SmileEncoder()
+        e.write(rec)
+        return e.getvalue()
+
+    rows = [
+        (1, payload({"k": 5, "ts": 1_700_000_000_000_000})),
+        (2, payload({"k": 1, "ts": 1 << 62})),  # ts past datetime64[ns]
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {
+        r["id"]: (r["is_valid"], r["k"])
+        for r in parse_smile_column(
+            df, "payload", "k long, ts timestamp", keep=["id"]
+        ).collect()
+    }
+    assert got[1] == (1, 5)
+    assert got[2] == (0, None)

@@ -1630,6 +1630,18 @@ _R10_DRIVER_WINDOW = [
     "dd13b_kmeans_semantic_dedup",
     "a10f_gk_quantiles",
     "emb10_pca_project",
+    # re-certify: round 10's ADVICE fixes edited these entries' helper
+    # operators (fingerprint guard can't catch helper edits — manual
+    # rotation, the mm4 precedent): avro_codec/avro_source range guards
+    # (p11/p11b), smile_codec shared-name + vint guards (p12), image_dhash
+    # dead-letter guard (mm6), and the dd16 distinct-digest hot-bucket
+    # rewrite. Normal-corpus outputs verified unchanged vs the DuckDB
+    # oracles at both SFs before rotation.
+    "p11_avro_parse",
+    "p11b_avro_evolution",
+    "p12_smile_parse",
+    "mm6_image_dhash",
+    "dd16_dhash_neardup",
 ]
 
 
@@ -1759,10 +1771,11 @@ _CERTIFIED = frozenset(
         "w6_sessionize_batch",
         # --- r09 window (CORRECTNESS_r09.json: 31 greens, 0 fails; the 10
         # newly green fold in — the 9 new r09 oracled entries plus the mm4
-        # re-certify after the soundfile dtype="int16" fix) ---
-        "p11_avro_parse", "p11b_avro_evolution", "p12_smile_parse",
+        # re-certify after the soundfile dtype="int16" fix). Of those,
+        # p11/p11b/p12/mm6/dd16 rotated straight back out in round 10 for
+        # the ADVICE r9 helper fixes (see _R10_DRIVER_WINDOW) ---
         "txt19_bm25_topk", "rank2_rrf_fusion", "dq18_subtotals_spec",
-        "pipe7_chunk_retrieval", "mm6_image_dhash", "dd16_dhash_neardup",
+        "pipe7_chunk_retrieval",
         "mm4_audio_frame_energy",
     }
 )

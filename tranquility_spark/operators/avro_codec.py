@@ -98,6 +98,13 @@ def decode_long(buf: bytes, pos: int) -> tuple[int, int]:
         if not b & 0x80:
             break
         shift += 7
+    if zz >= 1 << 64:
+        # a 10-byte varint whose final byte sets bits past 2^64 decodes to
+        # a Python int OUTSIDE int64 — downstream pd.array(dtype='Int64')
+        # would then OverflowError and kill the whole Arrow batch instead
+        # of dead-lettering the one corrupt payload (ADVICE r9). Spec-legal
+        # longs always zigzag into 64 bits.
+        raise AvroDecodeError(f"varint exceeds 64-bit range: {zz}")
     return zigzag_decode(zz), pos
 
 
@@ -232,7 +239,12 @@ def decode_value(buf: bytes, pos: int, schema: Any) -> tuple[Any, int]:
             raise AvroDecodeError(f"boolean byte {b[0]} not 0/1")
         return bool(b[0]), pos
     if t in ("int", "long"):
-        return decode_long(buf, pos)
+        v, pos = decode_long(buf, pos)
+        if t == "int" and not -(1 << 31) <= v < (1 << 31):
+            # same dead-letter rationale as the 64-bit varint guard:
+            # an 'int' field must fit 32 bits or the payload is corrupt
+            raise AvroDecodeError(f"int out of 32-bit range: {v}")
+        return v, pos
     if t == "float":
         b, pos = _take(buf, pos, 4)
         return struct.unpack("<f", b)[0], pos
@@ -255,19 +267,59 @@ def decode_value(buf: bytes, pos: int, schema: Any) -> tuple[Any, int]:
             rec[field["name"]], pos = decode_value(buf, pos, field["type"])
         return rec, pos
     if t == "array":
-        return _decode_blocked(buf, pos, lambda b, p: decode_value(b, p, schema["items"]))
+        return _decode_blocked(
+            buf,
+            pos,
+            lambda b, p: decode_value(b, p, schema["items"]),
+            _min_encoded_width(schema["items"]),
+        )
     if t == "map":
         def entry(b: bytes, p: int) -> tuple[tuple[str, Any], int]:
             k, p = decode_value(b, p, "string")
             v, p = decode_value(b, p, schema["values"])
             return (k, v), p
 
-        pairs, pos = _decode_blocked(buf, pos, entry)
+        pairs, pos = _decode_blocked(
+            buf, pos, entry, 1 + _min_encoded_width(schema["values"])
+        )
         return dict(pairs), pos
     raise AvroDecodeError(f"unsupported Avro type: {t!r}")
 
 
-def _decode_blocked(buf: bytes, pos: int, item_fn) -> tuple[list, int]:
+def _min_encoded_width(schema: Any) -> int:
+    """Minimum bytes ONE value of this schema can encode to — the sound
+    per-item bound for block-count sanity checks (a flat 'count > bytes
+    left' test falsely rejected spec-legal blocks of zero-width items,
+    e.g. arrays of null — ADVICE r9)."""
+    t = _type_name(schema)
+    if t == "null":
+        return 0
+    if t in ("boolean", "int", "long", "bytes", "string"):
+        return 1  # one byte / one varint byte / one count byte
+    if t == "float":
+        return 4
+    if t == "double":
+        return 8
+    if t == "union":
+        branches = schema if isinstance(schema, list) else schema["type"]
+        return 1 + min(_min_encoded_width(b) for b in branches)
+    if t == "record":
+        return sum(_min_encoded_width(f["type"]) for f in schema["fields"])
+    if t in ("array", "map"):
+        return 1  # at least the terminating 0 count
+    return 0
+
+
+#: memory-safety cap for blocks of ZERO-width items (arrays of null): the
+#: remaining buffer gives no bound there, and a forged count would otherwise
+#: materialize a list of up to 2^63 Nones. Real writers chunk blocks orders
+#: of magnitude smaller; past this we call the payload corrupt.
+_MAX_ZERO_WIDTH_BLOCK = 1 << 20
+
+
+def _decode_blocked(
+    buf: bytes, pos: int, item_fn, min_item_width: int = 1
+) -> tuple[list, int]:
     """Avro array/map block framing: count-prefixed blocks until a 0 count;
     a NEGATIVE count means abs(count) items preceded by the block's byte
     size (the fast-skip affordance — we read through it)."""
@@ -279,10 +331,15 @@ def _decode_blocked(buf: bytes, pos: int, item_fn) -> tuple[list, int]:
         if count < 0:
             count = -count
             _size, pos = decode_long(buf, pos)
-        if count > len(buf) - pos + 1:
-            # every item is >= 0 bytes, but a count beyond the remaining
-            # buffer can only loop to an underrun — fail fast with intent
-            raise AvroDecodeError(f"block count {count} exceeds buffer")
+        if min_item_width > 0:
+            if count * min_item_width > len(buf) - pos:
+                # items need >= count * min_width bytes — a count beyond
+                # that can only loop to an underrun; fail fast with intent
+                raise AvroDecodeError(f"block count {count} exceeds buffer")
+        elif count > _MAX_ZERO_WIDTH_BLOCK:
+            raise AvroDecodeError(
+                f"zero-width block count {count} exceeds sanity cap"
+            )
         for _ in range(count):
             item, pos = item_fn(buf, pos)
             items.append(item)

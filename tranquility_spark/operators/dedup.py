@@ -945,6 +945,64 @@ def semantic_dedup(
     )
 
 
+def _dhash_hash_pairs(
+    hashes: DataFrame,
+    threshold: int = 3,
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Hash-LEVEL candidate stage of :func:`dhash_neardup_pairs`: banded
+    self-join over the DISTINCT digests only, verified with the exact
+    hamming distance. Output ``(__ha, __hb, hamming)`` with
+    ``__ha <= __hb``; the self-pair ``__ha == __hb`` (hamming 0) stands
+    for every within-digest doc pair.
+
+    This is the hot-bucket skew guard (VERDICT r9 #2): a pathological
+    corpus (constant-color images -> ONE digest) previously put every doc
+    row in the same (band, value) bucket and the doc-level join went
+    quadratic in CORPUS size. Joining distinct digests bounds the
+    quadratic stage by the number of DISTINCT values per bucket — the
+    all-identical corpus does a 1x1 join here — and the unavoidable
+    fan-out to doc pairs happens only on the verified output, as plain
+    join expansion with no oversized shuffle bucket. Pigeonhole recall is
+    untouched: banding sees every distinct digest exactly as before.
+    """
+    bands = 4
+    dh = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(hash_col).alias("__h")
+    ).distinct()
+    b = dh.select(
+        "__h",
+        F.posexplode(
+            F.array(
+                *[F.substring(F.col("__h"), i * 4 + 1, 4) for i in range(bands)]
+            )
+        ).alias("__band", "__bv"),
+    )
+    x, y = b.alias("a"), b.alias("b")
+    cand = (
+        x.join(
+            y,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bv") == F.col("b.__bv"))
+            & (F.col("a.__h") <= F.col("b.__h")),
+        )
+        .select(
+            F.col("a.__h").alias("__ha"),
+            F.col("b.__h").alias("__hb"),
+        )
+        .dropDuplicates(["__ha", "__hb"])
+    )
+    ham = None
+    for i in range(bands):
+        wa = F.conv(F.substring("__ha", i * 4 + 1, 4), 16, 10).cast("long")
+        wb = F.conv(F.substring("__hb", i * 4 + 1, 4), 16, 10).cast("long")
+        term = F.bit_count(wa.bitwiseXOR(wb))
+        ham = term if ham is None else ham + term
+    return cand.select(
+        "__ha", "__hb", ham.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= threshold)
+
+
 def dhash_neardup_pairs(
     hashes: DataFrame,
     threshold: int = 3,
@@ -961,49 +1019,41 @@ def dhash_neardup_pairs(
     threshold <= bands - 1, which is why the default threshold is 3.
     Candidates are verified with the exact hamming distance (sum of
     per-band bit_count(xor)) before emission, so precision is exact.
+    NULL digests (``image_dhash``'s dead-letter verdict for empty or
+    undecodable payloads) are excluded up front.
 
-    Scale shape (the dd2/LSH argument): the join key is (band, 16-bit
-    value) — never all-pairs; cost is sum over buckets of bucket².
-    Bands convert via conv(hex,16,10) into ints <= 0xffff — far inside
-    the cross-engine 63-bit policy; the full 64-bit digest is never
-    packed into a signed word.
+    Scale shape (the dd2/LSH argument): the banded join runs over
+    DISTINCT digests (:func:`_dhash_hash_pairs` — the hot-bucket guard),
+    so bucket cost is sum over buckets of (distinct values in bucket)²,
+    never corpus-quadratic; doc ids fan back out via two equi-joins on
+    the verified hash pairs only. Bands convert via conv(hex,16,10) into
+    ints <= 0xffff — far inside the cross-engine 63-bit policy; the full
+    64-bit digest is never packed into a signed word.
     """
-    bands = 4
-    b = hashes.select(
-        F.col(id_col),
-        F.col(hash_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.substring(F.col(hash_col), i * 4 + 1, 4)
-                    for i in range(bands)
-                ]
-            )
-        ).alias("__band", "__bv"),
+    hp = _dhash_hash_pairs(hashes, threshold=threshold, hash_col=hash_col)
+    hv = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col), F.col(hash_col)
     )
-    x, y = b.alias("a"), b.alias("b")
-    cand = (
-        x.join(
-            y,
-            (F.col("a.__band") == F.col("b.__band"))
-            & (F.col("a.__bv") == F.col("b.__bv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    da, db = hv.alias("da"), hv.alias("db")
+    # each doc carries ONE digest, so for __ha < __hb every unordered doc
+    # pair surfaces exactly once; for the __ha == __hb self-pair the
+    # id-order predicate picks each within-digest pair once — no
+    # doc-level dropDuplicates needed
+    return (
+        hp.join(da, F.col(f"da.{hash_col}") == F.col("__ha"))
+        .join(
+            db,
+            (F.col(f"db.{hash_col}") == F.col("__hb"))
+            & (
+                (F.col("__ha") != F.col("__hb"))
+                | (F.col(f"da.{id_col}") < F.col(f"db.{id_col}"))
+            ),
         )
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col(f"a.{hash_col}").alias("__ha"),
-            F.col(f"b.{hash_col}").alias("__hb"),
+            F.least(F.col(f"da.{id_col}"), F.col(f"db.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"da.{id_col}"), F.col(f"db.{id_col}")).alias(
+                "doc_b"
+            ),
+            "hamming",
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    ham = None
-    for i in range(bands):
-        wa = F.conv(F.substring("__ha", i * 4 + 1, 4), 16, 10).cast("long")
-        wb = F.conv(F.substring("__hb", i * 4 + 1, 4), 16, 10).cast("long")
-        term = F.bit_count(wa.bitwiseXOR(wb))
-        ham = term if ham is None else ham + term
-    return (
-        cand.select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
-        .filter(F.col("hamming") <= threshold)
     )

@@ -186,6 +186,17 @@ def gk_merge(
                 if pid is None
                 else pdf[pdf[partial_col] == pid]
             )
+            if not (sub["rmin"] == sub["rmax"]).all():
+                # the ONE-merge-level contract (module header), enforced:
+                # merging treats rmin as the exact local rank, which only
+                # holds for un-merged partials (rmin == rmax). A merged
+                # summary fed back through would silently produce invalid
+                # rank intervals and a broken error bound (ADVICE r9).
+                raise ValueError(
+                    "gk_merge input contains already-merged summaries "
+                    f"(rmin != rmax in partial {pid!r}); GK partials merge "
+                    "exactly once — re-derive from raw values instead"
+                )
             cuts = sorted(zip(sub["value"].astype(float), sub["rmin"].astype(int)))
             parts.append((cuts, int(sub["n_total"].iloc[0])))
         n = sum(npart for _, npart in parts)

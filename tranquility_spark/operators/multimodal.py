@@ -431,7 +431,18 @@ def image_dhash(
                 return list((b * (72 // max(len(b), 1) + 1))[:72])
 
         def dhash(b):
-            px = gray72(b)
+            # corrupt-payload accounting (ADVICE r9): an empty or
+            # undecodable blob must yield a NULL dhash, not an
+            # IndexError/decode exception that kills the whole
+            # mapInPandas batch — the p10 wire-parser contract
+            if b is None or len(bytes(b)) == 0:
+                return None
+            try:
+                px = gray72(b)
+            except Exception:
+                return None  # undecodable image (impl="native"/"pil")
+            if len(px) < 72:
+                return None
             out = []
             for r in range(8):
                 byte = 0

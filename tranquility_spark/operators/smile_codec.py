@@ -87,7 +87,13 @@ def decode_vint(buf: bytes, pos: int) -> tuple[int, int]:
         b = buf[pos]
         pos += 1
         if b & 0x80:
-            return (zz << 6) | (b & 0x3F), pos
+            v = (zz << 6) | (b & 0x3F)
+            if v >= 1 << 64:
+                # spec-legal longs zigzag into 64 bits; anything past that
+                # would escape int64 and OverflowError in the Arrow batch
+                # instead of dead-lettering the payload (ADVICE r9)
+                raise SmileDecodeError(f"vint exceeds 64-bit range: {v}")
+            return v, pos
         zz = (zz << 7) | b
         if zz > 1 << 70:
             raise SmileDecodeError("vint longer than 64 bits")
@@ -411,7 +417,21 @@ class SmileDecoder:
                 raise SmileDecodeError("unterminated long field name")
             raw = self.data[self.pos : end]
             self.pos = end + 1
-            return raw.decode("utf-8")
+            try:
+                name = raw.decode("utf-8")
+            except UnicodeDecodeError as ex:
+                raise SmileDecodeError(f"invalid UTF-8 in name: {ex}") from ex
+            # the spec shares every name <= 64 UTF-8 bytes REGARDLESS of
+            # token: a 58..64-byte non-ASCII name rides the long token
+            # (short unicode caps at 57) but the encoder — ours and
+            # Jackson's — still registers it. Skipping registration here
+            # desynced the tables, so later back-references resolved to the
+            # WRONG name (ADVICE r9). Same reset-at-1024 logic as _new_name.
+            if self.shared_names and len(raw) <= 64:
+                if len(self._names) >= _MAX_SHARED:
+                    self._names.clear()
+                self._names.append(name)
+            return name
         raise SmileDecodeError(f"unsupported Smile name token 0x{b:02x}")
 
     def _shared_name(self, idx: int) -> str:

@@ -68,6 +68,12 @@ EVENTS_AVRO_SCHEMA: dict = {
 }
 
 
+#: largest |epoch value| in the logical's own unit that still fits pandas
+#: datetime64[ns] (the dtype to_datetime builds): +/-(2^63 - 1) ns.
+TS_MICROS_ABS_BOUND = ((1 << 63) - 1) // 1_000
+TS_MILLIS_ABS_BOUND = ((1 << 63) - 1) // 1_000_000
+
+
 def _field_series(values: list, spark_type, logical: str | None):
     """One decoded column as a pandas Series with the NULL-faithful dtype:
     nullable extension dtypes for numerics (a plain float64 would turn
@@ -277,6 +283,19 @@ def parse_avro_column(
         f.name: _avro_logical(reader_schema or avro_schema, f.name)
         for f in fields
     }
+    # spec-valid int64 epoch values can still overflow pandas datetime64[ns]
+    # (~years 1677-2262); to_datetime would then kill the whole Arrow batch
+    # instead of dead-lettering the one payload (ADVICE r9) — bound per row
+    ts_bounds = [
+        (
+            f.name,
+            TS_MILLIS_ABS_BOUND
+            if logicals[f.name] == "timestamp-millis"
+            else TS_MICROS_ABS_BOUND,  # _field_series defaults to micros
+        )
+        for f in fields
+        if isinstance(f.dataType, TimestampType)
+    ]
     schema_dict = avro_schema
     reader_dict = reader_schema
 
@@ -300,6 +319,12 @@ def parse_avro_column(
                         )
                     except AvroDecodeError:
                         rec = None
+                if rec is not None:
+                    for ts_name, bound in ts_bounds:
+                        v = rec.get(ts_name)
+                        if isinstance(v, int) and not -bound <= v <= bound:
+                            rec = None  # datetime64[ns]-unrepresentable
+                            break
                 valid.append(1 if rec is not None else 0)
                 for f in fields:
                     cols[f.name].append(None if rec is None else rec.get(f.name))

@@ -121,6 +121,7 @@ def parse_smile_column(
             SmileDecodeError,
             decode_record,
         )
+        from tranquility_spark.sources.avro_source import TS_MICROS_ABS_BOUND
 
         def _typed(rec: dict) -> bool:
             """Smile is schemaless, so a payload can carry ANY type in any
@@ -133,6 +134,13 @@ def parse_smile_column(
                     continue
                 if isinstance(f.dataType, (_L, _I, _T)):
                     if not isinstance(v, int) or isinstance(v, bool):
+                        return False
+                    if isinstance(f.dataType, _T) and not (
+                        -TS_MICROS_ABS_BOUND <= v <= TS_MICROS_ABS_BOUND
+                    ):
+                        # int64-valid but datetime64[ns]-unrepresentable
+                        # epoch micros would OutOfBoundsDatetime the whole
+                        # Arrow batch in to_datetime (ADVICE r9)
                         return False
                 elif isinstance(f.dataType, (_D, _F)):
                     if not isinstance(v, (int, float)) or isinstance(v, bool):
