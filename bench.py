@@ -141,6 +141,7 @@ HEADLINE = [
     "pipe7_chunk_retrieval",
     "mm6_image_dhash",
     "dd16_dhash_neardup",
+    "txt20_bm25_served_stats",
 ]
 
 

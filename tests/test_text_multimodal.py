@@ -983,3 +983,89 @@ def test_pipe7_chunk_retrieval_ranks_passages(spark, sf_dir):
     # keys descend by (bm25, doc_id, chunk_id)
     keys = [(-r["bm25"], r["doc_id"], r["chunk_id"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_bm25_stats_merge_equals_direct_and_serving_scores(spark, sf_dir):
+    """Mergeable family #9 (VERDICT r9 #3): stats partials over a 3-way
+    disjoint split sum-merge BIT-identically to the direct build, and
+    bm25_scores(stats=...) reproduces the rescan-form scores exactly —
+    the dd8b equality pattern for the serving path."""
+    from pyspark.sql import functions as F
+
+    from tranquility_spark.operators.text import (
+        bm25_corpus_stats,
+        bm25_scores,
+        bm25_stats_merge,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    parts = [
+        bm25_corpus_stats(docs.filter(F.col("doc_id") % 3 == i))
+        for i in range(3)
+    ]
+    merged = {
+        r["tok"]: (r["df"], r["n_units"], r["sum_dl"])
+        for r in bm25_stats_merge(parts).collect()
+    }
+    direct = {
+        r["tok"]: (r["df"], r["n_units"], r["sum_dl"])
+        for r in bm25_corpus_stats(docs).collect()
+    }
+    assert merged == direct and len(direct) > 1
+    assert direct[None][0] is None  # corpus row: no df
+    n_units, sum_dl = direct[None][1], direct[None][2]
+    assert n_units == docs.count() and sum_dl > 0
+    tok_row = next(v for k, v in direct.items() if k is not None)
+    assert tok_row[1] is None and tok_row[2] is None  # token rows: no totals
+
+    terms = ("dup", "spark", "vector")
+    stats = bm25_corpus_stats(docs)
+    served = {
+        r["doc_id"]: (r["bm25"], r["n_terms_matched"])
+        for r in bm25_scores(docs, terms, stats=stats).collect()
+    }
+    rescan = {
+        r["doc_id"]: (r["bm25"], r["n_terms_matched"])
+        for r in bm25_scores(docs, terms).collect()
+    }
+    assert served == rescan and rescan
+
+
+def test_bm25_partials_sink_replay_and_merge_read(spark, tmp_path):
+    """The batch_id= lifecycle for family #9: two batches land two
+    partitions; a forced replay of batch 1 leaves the sink byte-identical;
+    merge-at-read equals the direct one-shot build."""
+    from tranquility_spark.operators.text import (
+        bm25_corpus_stats,
+        bm25_partials_sink,
+        bm25_stats_merge_read,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "red fish blue fish"), (2, "one fish")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(3, "blue whale"), (4, "red red herring")], "doc_id long, text string"
+    )
+    out = str(tmp_path / "bm25_stats")
+    write = bm25_partials_sink(out)
+    write(b1, 0)
+    write(b2, 1)
+    before = sorted(map(str, spark.read.parquet(out).collect()))
+    write(b2, 1)  # forced replay
+    after = sorted(map(str, spark.read.parquet(out).collect()))
+    assert after == before
+
+    merged = {
+        r["tok"]: (r["df"], r["n_units"], r["sum_dl"])
+        for r in bm25_stats_merge_read(spark, out).collect()
+    }
+    direct = {
+        r["tok"]: (r["df"], r["n_units"], r["sum_dl"])
+        for r in bm25_corpus_stats(b1.unionByName(b2)).collect()
+    }
+    assert merged == direct
+    assert merged[None] == (None, 4, 11)
+    assert merged["fish"] == (2, None, None)
+    assert merged["red"] == (2, None, None)  # df is per-DOC, tf ignored

@@ -1642,6 +1642,12 @@ _R10_DRIVER_WINDOW = [
     "p12_smile_parse",
     "mm6_image_dhash",
     "dd16_dhash_neardup",
+    # re-certify: bm25_scores grew the stats= serving parameter (family
+    # #9); the rescan path's expression tree is unchanged but these three
+    # consume the edited helper — same manual-rotation discipline
+    "txt19_bm25_topk",
+    "rank2_rrf_fusion",
+    "pipe7_chunk_retrieval",
 ]
 
 
@@ -1773,9 +1779,9 @@ _CERTIFIED = frozenset(
         # newly green fold in — the 9 new r09 oracled entries plus the mm4
         # re-certify after the soundfile dtype="int16" fix). Of those,
         # p11/p11b/p12/mm6/dd16 rotated straight back out in round 10 for
-        # the ADVICE r9 helper fixes (see _R10_DRIVER_WINDOW) ---
-        "txt19_bm25_topk", "rank2_rrf_fusion", "dq18_subtotals_spec",
-        "pipe7_chunk_retrieval",
+        # the ADVICE r9 helper fixes, and txt19/rank2/pipe7 for the
+        # bm25_scores stats= extension (see _R10_DRIVER_WINDOW) ---
+        "dq18_subtotals_spec",
         "mm4_audio_frame_energy",
     }
 )
