@@ -1042,3 +1042,58 @@ def test_image_dhash_corrupt_payload_dead_letter(spark):
         for r in mm.image_dhash(df, impl="native").collect()
     }
     assert got_native == {1: None, 2: None, 3: None} or got_native[2] is None
+
+
+def test_ann_index_sidecar_cold_session_load(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r9 #5: the bounded ANN indexes persist across sessions —
+    first build writes a JSON sidecar keyed by the (sf_dir, parquet
+    fingerprint) invalidation key; a COLD session (cleared in-process
+    dicts) loads it instead of rebuilding (rebuild is monkeypatched to
+    fail); a corrupted sidecar falls back to a rebuild, never a wrong
+    index."""
+    import os
+
+    from tranquility_spark import catalog_llm as cl
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.operators import similarity as sim
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    cl._IVF_INDEX_CACHE.clear()
+    cl._PQ_INDEX_CACHE.clear()
+    ck = cl._index_cache_key(sf_dir)
+
+    r1 = sorted(map(tuple, CATALOG["sim3_ivf_topk"].fn(spark, sf_dir).collect()))
+    p1 = sorted(map(tuple, CATALOG["sim5_pq_rerank"].fn(spark, sf_dir).collect()))
+    ivf_path = cl._index_sidecar_path("ivf", ck)
+    pq_path = cl._index_sidecar_path("pq", ck)
+    assert os.path.exists(ivf_path) and os.path.exists(pq_path)
+    cents_built = cl._IVF_INDEX_CACHE[ck]
+    books_built = cl._PQ_INDEX_CACHE[ck]
+
+    # cold session: in-process caches gone, rebuild forbidden
+    cl._IVF_INDEX_CACHE.clear()
+    cl._PQ_INDEX_CACHE.clear()
+
+    real_ivf_centroids = sim.ivf_centroids
+
+    def boom(*a, **kw):
+        raise AssertionError("index rebuild attempted despite sidecar")
+
+    monkeypatch.setattr(sim, "ivf_centroids", boom)
+    monkeypatch.setattr(sim, "pq_codebooks", boom)
+    r2 = sorted(map(tuple, CATALOG["sim3_ivf_topk"].fn(spark, sf_dir).collect()))
+    p2 = sorted(map(tuple, CATALOG["sim5_pq_rerank"].fn(spark, sf_dir).collect()))
+    assert r2 == r1 and p2 == p1
+    # JSON round-trips the floats bit-exactly
+    assert cl._IVF_INDEX_CACHE[ck] == cents_built
+    assert cl._PQ_INDEX_CACHE[ck] == books_built
+    # dd13b shares the ivf index — also rebuild-free in the cold session
+    assert CATALOG["dd13b_kmeans_semantic_dedup"].fn(spark, sf_dir).count() > 0
+
+    # corrupted sidecar -> silent rebuild (un-forbid first)
+    monkeypatch.setattr(sim, "ivf_centroids", real_ivf_centroids)
+    cl._IVF_INDEX_CACHE.clear()
+    with open(ivf_path, "w", encoding="utf-8") as fh:
+        fh.write("{not json")
+    r3 = sorted(map(tuple, CATALOG["sim3_ivf_topk"].fn(spark, sf_dir).collect()))
+    assert r3 == r1

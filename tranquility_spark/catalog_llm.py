@@ -1015,12 +1015,12 @@ def dd13b_kmeans_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tranquility_spark.operators.dedup import semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings")
-    ck = _index_cache_key(sf_dir)
-    cents = _IVF_INDEX_CACHE.get(ck)
-    if cents is None:
-        for k in [k for k in _IVF_INDEX_CACHE if k[0] == sf_dir]:
-            del _IVF_INDEX_CACHE[k]
-        cents = _IVF_INDEX_CACHE[ck] = sim.ivf_centroids(e, n_centroids=16)
+    cents = _cached_index(
+        "ivf",
+        _IVF_INDEX_CACHE,
+        _index_cache_key(sf_dir),
+        lambda: sim.ivf_centroids(e, n_centroids=16),
+    )
     return semantic_dedup(e, cents, tau=_DD13_TAU)
 
 
@@ -1142,6 +1142,80 @@ def sim2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_INDEX_CACHE: dict = {}
 
 
+def _index_sidecar_path(kind: str, ck: tuple) -> str:
+    """Disk sidecar for a bounded ANN index (VERDICT r9 #5): the
+    per-process dicts die with the session, so a fresh session used to
+    pay the full centroid/codebook rebuild. The index is C x dim floats —
+    kilobytes — so it spills to a JSON sidecar named by the SAME
+    invalidation key the in-process cache uses (sf_dir + parquet
+    mtime/size fingerprint): a regenerated fixture changes the digest and
+    the stale sidecar is simply never read again. Root defaults to a
+    machine-local cache dir; production points SPARK_GRAFT_INDEX_DIR at
+    the serving index store."""
+    import hashlib
+    import os
+    import tempfile
+
+    root = os.environ.get("SPARK_GRAFT_INDEX_DIR") or os.path.join(
+        tempfile.gettempdir(), "tranquility_spark_ann_index"
+    )
+    digest = hashlib.sha256(repr((kind, ck)).encode("utf-8")).hexdigest()[:24]
+    return os.path.join(root, f"{kind}-{digest}.json")
+
+
+def _load_index_sidecar(kind: str, ck: tuple):
+    """Best-effort sidecar read; returns None on miss/corruption (the
+    caller rebuilds — the cache can never produce a wrong index, only a
+    slow first query)."""
+    import json
+    import os
+
+    path = _index_sidecar_path(kind, ck)
+    try:
+        with open(path, encoding="utf-8") as fh:
+            payload = json.load(fh)
+        if payload.get("key") == repr(ck):
+            return payload["index"]
+    except (OSError, ValueError, KeyError):
+        pass
+    return None
+
+
+def _store_index_sidecar(kind: str, ck: tuple, index) -> None:
+    """Atomic best-effort sidecar write (tmp + rename — a concurrent
+    session never observes a half-written file)."""
+    import json
+    import os
+
+    path = _index_sidecar_path(kind, ck)
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"key": repr(ck), "index": index}, fh)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # cache is an optimization, never a failure
+
+
+def _cached_index(kind: str, mem_cache: dict, ck: tuple, build):
+    """Two-level index cache: in-process dict -> disk sidecar -> build.
+    Every level is keyed by the same (sf_dir, fingerprint) tuple; a build
+    populates both levels."""
+    idx = mem_cache.get(ck)
+    if idx is not None:
+        return idx
+    # evict stale fingerprints for this path (regenerated fixture)
+    for k in [k for k in mem_cache if k[0] == ck[0]]:
+        del mem_cache[k]
+    idx = _load_index_sidecar(kind, ck)
+    if idx is None:
+        idx = build()
+        _store_index_sidecar(kind, ck, idx)
+    mem_cache[ck] = idx
+    return idx
+
+
 def _index_cache_key(sf_dir: str, table: str = "embeddings") -> tuple:
     """Cache key for per-corpus ANN indexes: (sf_dir, data fingerprint).
 
@@ -1187,13 +1261,12 @@ def sim3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # centroids are deterministic per corpus — build once, reuse per query
     # (index reuse is the IVF serving shape; rebuilding per query would be
     # like re-training an index per lookup)
-    ck = _index_cache_key(sf_dir)
-    cents = _IVF_INDEX_CACHE.get(ck)
-    if cents is None:
-        # evict stale fingerprints for this path (regenerated fixture)
-        for k in [k for k in _IVF_INDEX_CACHE if k[0] == sf_dir]:
-            del _IVF_INDEX_CACHE[k]
-        cents = _IVF_INDEX_CACHE[ck] = sim.ivf_centroids(emb, n_centroids=16)
+    cents = _cached_index(
+        "ivf",
+        _IVF_INDEX_CACHE,
+        _index_cache_key(sf_dir),
+        lambda: sim.ivf_centroids(emb, n_centroids=16),
+    )
     return sim.ivf_topk(emb, qvec, k=10, nprobe=4, centroids=cents)
 
 
@@ -1227,15 +1300,12 @@ def sim5_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     ]
-    ck = _index_cache_key(sf_dir)
-    books = _PQ_INDEX_CACHE.get(ck)
-    if books is None:
-        # evict stale fingerprints for this path (regenerated fixture)
-        for k in [k for k in _PQ_INDEX_CACHE if k[0] == sf_dir]:
-            del _PQ_INDEX_CACHE[k]
-        books = _PQ_INDEX_CACHE[ck] = sim.pq_codebooks(
-            emb, n_sub=4, k=16, refine_iters=1
-        )
+    books = _cached_index(
+        "pq",
+        _PQ_INDEX_CACHE,
+        _index_cache_key(sf_dir),
+        lambda: sim.pq_codebooks(emb, n_sub=4, k=16, refine_iters=1),
+    )
     return sim.pq_topk(emb, qvec, books, k=10, shortlist=100)
 
 
