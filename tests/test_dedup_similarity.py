@@ -1097,3 +1097,43 @@ def test_ann_index_sidecar_cold_session_load(spark, sf_dir, tmp_path, monkeypatc
         fh.write("{not json")
     r3 = sorted(map(tuple, CATALOG["sim3_ivf_topk"].fn(spark, sf_dir).collect()))
     assert r3 == r1
+
+
+def test_minhash_distinct_sig_guard_pathological_and_equal(spark, sf_dir):
+    """The MinHash hot-bucket guard (dd16's shape on dd2): output
+    row-identical to the default path on the real fixture, and on a
+    pathological all-identical corpus the banded join collapses to ONE
+    distinct signature (guard engaged) while the full quadratic pair set
+    still fans out complete at est 1.0."""
+    from pyspark.sql import functions as F
+
+    from tranquility_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_distinct,
+        with_minhash_signature,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    kw = dict(num_hashes=64, bands=16, shingle_k=3, threshold=0.5)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = sorted(map(tuple, minhash_lsh_pairs(docs, **kw).collect()))
+    b = sorted(map(tuple, minhash_lsh_pairs_distinct(docs, **kw).collect()))
+    assert a == b and a
+
+    n = 250
+    patho = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(n)],
+        "doc_id long, text string",
+    )
+    # guard engagement: one distinct signature for the whole corpus
+    assert (
+        with_minhash_signature(patho, "text", "sig", 64, 3, 42, "pandas")
+        .select("sig")
+        .distinct()
+        .count()
+        == 1
+    )
+    got = minhash_lsh_pairs_distinct(patho, **kw).collect()
+    assert len(got) == n * (n - 1) // 2
+    assert all(r["est_jaccard"] == 1.0 and r["id_a"] < r["id_b"] for r in got)
+    assert len({(r["id_a"], r["id_b"]) for r in got}) == len(got)

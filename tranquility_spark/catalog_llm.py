@@ -64,6 +64,40 @@ def dd2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd2b_distinct_sig_guard",
+    """
+    SELECT CAST(0 AS BIGINT) AS n_mismatched, CAST(1 AS BIGINT) AS both_nonempty
+    """,
+    doc="Driver-certified contract probe for the MinHash hot-bucket guard "
+    "(the dd11b pattern): the symmetric difference between dd2's default "
+    "pair set and minhash_lsh_pairs_distinct's — the dd16 "
+    "distinct-signature candidate stage applied to MinHash — compared on "
+    "(id_a, id_b, est_jaccard), emitted as a count row against the "
+    "constant-0 oracle, so a green hash certifies "
+    "guard-changes-no-output at every window rotation. both_nonempty "
+    "certifies the probe is not vacuous (both runs emit pairs on the "
+    "fixture). Quadratic-bucket ENGAGEMENT is asserted separately on a "
+    "pathological all-identical corpus in tests (an oracle cannot see "
+    "plan cost). Not in the bench headline — dd2 carries the measured "
+    "row; the guarded twin is for corpora that skipped dd1 exact dedup",
+)
+def dd2b_distinct_sig_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    kw = dict(num_hashes=64, bands=16, shingle_k=3, threshold=0.5)
+    base = dd.minhash_lsh_pairs(docs, **kw)
+    guarded = dd.minhash_lsh_pairs_distinct(docs, **kw)
+    diff = (
+        base.exceptAll(guarded)
+        .unionByName(guarded.exceptAll(base))
+        .agg(F.count(F.lit(1)).alias("n_mismatched"))
+    )
+    nonempty = base.agg(
+        (F.count(F.lit(1)) > 0).cast("long").alias("both_nonempty")
+    )
+    return diff.crossJoin(F.broadcast(nonempty))
+
+
+@register(
     "dd8_incremental_neardup",
     None,  # LSH is hash-defined — no SQL twin; exact-twin equality vs the
     # full-corpus run asserted in tests/test_dedup_similarity.py

@@ -229,6 +229,105 @@ def minhash_lsh_pairs(
     return _estimate_and_filter(cand, num_hashes, threshold)
 
 
+def minhash_lsh_pairs_distinct(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    impl: str = "pandas",
+) -> DataFrame:
+    """Hot-bucket-guarded twin of :func:`minhash_lsh_pairs` — the dd16
+    distinct-digest shape applied to MinHash (VERDICT r9 #2's 'dd2/dd8
+    share the shape'): every stage after the signature map is
+    SIGNATURE-determined (banding, bucket join, agreement estimate), so
+    the banded self-join runs over DISTINCT signatures and doc ids fan
+    back out only on the surviving signature pairs. A corpus with a huge
+    exact-duplicate class (boilerplate pages -> identical shingle sets ->
+    identical signatures) previously put every copy in the same bucket in
+    EVERY band and the candidate join went quadratic in copy count; here
+    that class is ONE signature row, and the unavoidable pair fan-out is
+    plain join expansion of the final result.
+
+    Output is row-identical to ``minhash_lsh_pairs`` (same parameters):
+    same-signature docs agree at every position (est 1.0 >= any
+    threshold), cross-signature pairs share a bucket iff their signatures
+    do. Certified by the dd2b equality-probe entry; pathological-corpus
+    engagement asserted in tests.
+
+    Use this variant when the corpus is NOT already exact-deduped (dd1
+    upstream is the standard pipeline order and keeps the default path
+    optimal — one fewer shuffle); the banding expression is intentionally
+    a local copy of ``lsh_band_index``'s so the certified default path's
+    plan is untouched.
+    """
+    rows_per_band = num_hashes // bands
+    sig = (
+        with_minhash_signature(df, text_col, "sig", num_hashes, shingle_k, seed, impl)
+        .select(F.col(id_col).alias("id"), "sig")
+        .filter(F.col("sig").isNotNull())
+    )
+    dsig = sig.select("sig").distinct()
+    banded = dsig.select(
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ))).alias("bhash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    if impl == "sql":
+        banded = banded.localCheckpoint(eager=False)
+    left, right = banded.alias("l"), banded.alias("r")
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(num_hashes)
+    sig_pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.sig") <= F.col("r.sig")),  # arrays order lexicographically
+        )
+        .select(F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
+        .dropDuplicates(["sig_a", "sig_b"])
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    da, db = sig.alias("da"), sig.alias("db")
+    # one signature per doc => each unordered doc pair expands exactly once
+    # (cross-signature via least/greatest, within-signature via the id
+    # order on the sig_a == sig_b self-pair) — the dd16 fan-out argument
+    return (
+        sig_pairs.join(da, F.col("da.sig") == F.col("sig_a"))
+        .join(
+            db,
+            (F.col("db.sig") == F.col("sig_b"))
+            & (
+                (F.col("sig_a") != F.col("sig_b"))
+                | (F.col("da.id") < F.col("db.id"))
+            ),
+        )
+        .select(
+            F.least(F.col("da.id"), F.col("db.id")).alias("id_a"),
+            F.greatest(F.col("da.id"), F.col("db.id")).alias("id_b"),
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+        )
+    )
+
+
 def _estimate_and_filter(cand: DataFrame, num_hashes: int, threshold: float) -> DataFrame:
     """Signature re-compare: estimated Jaccard = fraction of agreeing
     positions; keep pairs at/above threshold."""
