@@ -1194,3 +1194,71 @@ def test_smile_overflow_payloads_dead_letter(spark):
     }
     assert got[1] == (1, 5)
     assert got[2] == (0, None)
+
+
+def test_kafka_drop_malformed_mark_mode(spark):
+    """drop_malformed='mark': dead-letter rows are retained WITH an
+    explicit is_valid column, disambiguating a corrupt payload from a
+    VALID payload whose optional fields are all absent (Smile {} / JSON
+    {}) — the ambiguity the NULL-fields convention cannot resolve. All
+    three wire formats."""
+    from tranquility_spark.operators.avro_codec import encode_value
+    from tranquility_spark.operators.smile_codec import SmileEncoder
+    from tranquility_spark.sources.kafka import parse_kafka_batch
+
+    def smile(rec):
+        e = SmileEncoder()
+        e.write(rec)
+        return bytearray(e.getvalue())
+
+    mappings = [("wiki-.*", "wiki")]
+    # Smile: valid {}, valid payload, corrupt bytes
+    sdf = spark.createDataFrame(
+        [("wiki-en", smile({})), ("wiki-en", smile({"k": 1})),
+         ("wiki-en", bytearray(b"\xff\xff"))],
+        "topic string, value binary",
+    )
+    got = parse_kafka_batch(
+        sdf, "k long", mappings, wire_format="smile", drop_malformed="mark"
+    ).collect()
+    verdicts = sorted(((r["is_valid"], r["k"]) for r in got), key=str)
+    assert verdicts == [(0, None), (1, 1), (1, None)]
+
+    # JSON: valid {}, valid payload, corrupt
+    jdf = spark.createDataFrame(
+        [("wiki-en", b"{}"), ("wiki-en", b'{"k": 2}'), ("wiki-en", b"{nope")],
+        "topic string, value binary",
+    )
+    got = parse_kafka_batch(
+        jdf, "k long", mappings, wire_format="json", drop_malformed="mark"
+    ).collect()
+    assert sorted(((r["is_valid"], r["k"]) for r in got), key=str) == [
+        (0, None), (1, 2), (1, None)
+    ]
+
+    # Avro: all-null-fields record vs corrupt
+    schema = {
+        "type": "record", "name": "E",
+        "fields": [{"name": "k", "type": ["null", "long"], "default": None}],
+    }
+    adf = spark.createDataFrame(
+        [("wiki-en", bytearray(encode_value({"k": None}, schema))),
+         ("wiki-en", bytearray(b"\x99"))],
+        "topic string, value binary",
+    )
+    got = parse_kafka_batch(
+        adf, "k long", mappings, wire_format="avro", avro_schema=schema,
+        drop_malformed="mark",
+    ).collect()
+    assert sorted(((r["is_valid"], r["k"]) for r in got), key=str) == [
+        (0, None), (1, None)
+    ]
+
+    # True still drops; False still retains without the marker
+    assert parse_kafka_batch(
+        sdf, "k long", mappings, wire_format="smile"
+    ).count() == 2
+    cols = parse_kafka_batch(
+        sdf, "k long", mappings, wire_format="smile", drop_malformed=False
+    ).columns
+    assert "is_valid" not in cols

@@ -76,7 +76,7 @@ def parse_kafka_batch(
     mappings: Sequence[tuple[str, str]],
     use_topic_as_datasource: bool = False,
     drop_unmatched: bool = True,
-    drop_malformed: bool = True,
+    drop_malformed: "bool | str" = True,
     wire_format: str = "json",
     avro_schema: Optional[dict] = None,
     avro_impl: str = "native",
@@ -87,7 +87,12 @@ def parse_kafka_batch(
     shape both the real Kafka source and test fixtures share. JSON parse uses
     PERMISSIVE mode; malformed payloads are dropped (ref:
     ``reportDropsAsExceptions=false`` default) unless ``drop_malformed=False``,
-    in which case they surface with NULL fields for dead-lettering (W3).
+    in which case they surface with NULL fields for dead-lettering (W3), or
+    ``drop_malformed="mark"``, which also keeps an explicit ``is_valid``
+    (1/0) column — the unambiguous dead-letter verdict: a VALID payload
+    whose optional fields are all absent (Smile ``{}``, an Avro record of
+    nulls, JSON ``{}``) is otherwise indistinguishable from a corrupt one
+    in the NULL-fields convention.
 
     ``wire_format="avro"`` decodes the value bytes as single-record Avro
     wire payloads instead — the binary ingest path the reference served
@@ -118,9 +123,9 @@ def parse_kafka_batch(
         parsed = parse_smile_column(
             tagged, "value", schema, keep=["datasource", "topic"]
         )
-        if drop_malformed:
+        if drop_malformed is True:
             parsed = parsed.filter(F.col("is_valid") == 1)
-        return parsed.drop("is_valid")
+        return parsed if drop_malformed == "mark" else parsed.drop("is_valid")
     if wire_format == "avro":
         from tranquility_spark.sources.avro_source import parse_avro_column
 
@@ -142,9 +147,9 @@ def parse_kafka_batch(
             keep=["datasource", "topic"],
             impl=avro_impl,
         )
-        if drop_malformed:
+        if drop_malformed is True:
             parsed = parsed.filter(F.col("is_valid") == 1)
-        return parsed.drop("is_valid")
+        return parsed if drop_malformed == "mark" else parsed.drop("is_valid")
     ds = topic_to_datasource(F.col("topic"), mappings, use_topic_as_datasource)
     # PERMISSIVE from_json yields all-NULL fields for malformed payloads; the
     # corrupt-record column is the reliable malformed marker
@@ -160,6 +165,14 @@ def parse_kafka_batch(
     )
     if drop_unmatched:
         parsed = parsed.filter(F.col("datasource").isNotNull())
-    if drop_malformed:
+    if drop_malformed is True:
         parsed = parsed.filter(F.col("event._corrupt_record").isNull())
-    return parsed.select("datasource", "topic", "event.*").drop("_corrupt_record")
+    out = parsed.select("datasource", "topic", "event.*")
+    if drop_malformed == "mark":
+        return out.withColumn(
+            "is_valid",
+            F.when(F.col("_corrupt_record").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        ).drop("_corrupt_record")
+    return out.drop("_corrupt_record")
