@@ -1262,3 +1262,47 @@ def test_kafka_drop_malformed_mark_mode(spark):
         sdf, "k long", mappings, wire_format="smile", drop_malformed=False
     ).columns
     assert "is_valid" not in cols
+
+
+def test_kafka_main_smile_wire_config(spark, tmp_path):
+    """The daemon CLI reaches the binary wire decoders through config:
+    wireFormat='smile' routes Smile-encoded Kafka values through
+    parse_kafka_batch's Smile path and into the per-datasource sinks —
+    the reference's own SmileObjectWriter Kafka shape, config-complete."""
+    from tranquility_spark.kafka_main import build_parsed_stream, build_sinks
+    from tranquility_spark.operators.smile_codec import SmileEncoder
+
+    def smile(rec):
+        e = SmileEncoder()
+        e.write(rec)
+        return bytearray(e.getvalue())
+
+    config = {
+        "schema": "timestamp string, page string",
+        "mappings": [["wiki-.*", "wiki"]],
+        "wireFormat": "smile",
+        "dataSources": [
+            {"spec": {"dataSchema": {
+                "dataSource": "wiki",
+                "parser": {"parseSpec": {
+                    "timestampSpec": {"column": "timestamp", "format": "iso"},
+                    "dimensionsSpec": {"dimensions": ["page"]}}},
+                "granularitySpec": {"segmentGranularity": "HOUR"},
+            }}}
+        ],
+        "sink": {"root": str(tmp_path / "segments")},
+    }
+    raw = spark.createDataFrame(
+        [
+            ("wiki-en", smile({"timestamp": "2024-06-01T11:05:00", "page": "a"})),
+            ("wiki-en", bytearray(b"\xff\xff")),  # corrupt -> dropped
+            ("other", smile({"timestamp": "2024-06-01T11:06:00", "page": "z"})),
+        ],
+        "topic string, value binary",
+    )
+    parsed = build_parsed_stream(config, raw)
+    multi = build_sinks(config)
+    assert multi.write_batch(parsed, 1) == 1
+    wiki = multi.sinks["wiki"].read(spark)
+    assert wiki.count() == 1
+    assert [r["page"] for r in wiki.collect()] == ["a"]

@@ -1789,3 +1789,48 @@ def test_streaming_smile_wire_ingest_to_segments(spark, tmp_path):
     ))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.count() > 0
+
+
+def test_streaming_bm25_partials_equal_batch_stats(spark, sf_dir, tmp_path):
+    """Family #9 under a real readStream + foreachBatch run: documents
+    streamed in 3 micro-batches through bm25_partials_sink; the
+    merged-at-read lifetime stats must be BIT-identical to the one-shot
+    batch build, and bm25_scores served from them must equal the rescan
+    form exactly."""
+    from pyspark.sql import functions as F
+
+    from tranquility_spark.operators.text import (
+        bm25_corpus_stats,
+        bm25_partials_sink,
+        bm25_scores,
+        bm25_stats_merge_read,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+
+    sink_dir = str(tmp_path / "bm25_stats")
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(bm25_partials_sink(sink_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    lifetime = bm25_stats_merge_read(spark, sink_dir)
+    direct = bm25_corpus_stats(docs)
+    assert sorted(map(str, lifetime.collect())) == sorted(
+        map(str, direct.collect())
+    )
+    terms = ("dup", "spark", "vector")
+    served = sorted(
+        map(tuple, bm25_scores(docs, terms, stats=lifetime).collect())
+    )
+    rescan = sorted(map(tuple, bm25_scores(docs, terms).collect()))
+    assert served == rescan and served

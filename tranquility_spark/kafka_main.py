@@ -19,6 +19,7 @@ Config (JSON):
       "schema": "timestamp string, page string, added double",
       "mappings": [["wiki-.*", "wiki"]],
       "useTopicAsDataSource": false,
+      "wireFormat": "json",            // or "smile" / "avro" (+ "avroSchema")
       "dataSources": [ {"spec": {"dataSchema": {...}}, "tuning": {...}} ],
       "sink": {"root": "/data/segments"},
       "checkpoint": "/data/checkpoints/kafka-ingest"
@@ -73,12 +74,19 @@ def build_parsed_stream(config: dict, raw: DataFrame) -> DataFrame:
     ``raw`` needs (topic STRING, value BINARY|STRING) — the real Kafka source
     or a test fixture. Rollup is applied per-datasource at the sink (specs can
     differ per dataSource); the shared part here is parse + routing.
+
+    ``wireFormat`` in the config selects the value-bytes decoder:
+    ``"json"`` (default), ``"smile"`` (the reference's own Kafka wire
+    format — SmileObjectWriter), or ``"avro"`` (requires ``avroSchema``,
+    the writer's Avro record schema as a JSON object).
     """
     return parse_kafka_batch(
         raw,
         config["schema"],
         [tuple(m) for m in config.get("mappings", [])],
         use_topic_as_datasource=config.get("useTopicAsDataSource", False),
+        wire_format=config.get("wireFormat", "json"),
+        avro_schema=config.get("avroSchema"),
     )
 
 
