@@ -235,3 +235,108 @@ def test_gk_core_proven_bound_and_invariants(values, split_seed, eps):
         hi = bisect.bisect_right(svals, best[0]) - 1
         dist = max(0, lo - target, target - hi)
         assert dist < max(1, 2 * eps * n), (target, best, dist)
+
+
+# ---------------------------------------------------------------------------
+# Wire-codec round-trip fuzz (P2 Smile / Avro extension) — regression armor
+# for the ADVICE r9 bug class: shared-table desync and out-of-range values
+# ---------------------------------------------------------------------------
+
+# names deliberately include the 58..64-byte non-ASCII band (long 0x34 token
+# but SHARED — the r10 desync fix) and >64-byte unshareable names
+_smile_names = st.one_of(
+    st.text(min_size=0, max_size=10),
+    st.text(alphabet="é", min_size=29, max_size=33),  # 58..66 UTF-8 bytes
+    st.text(min_size=60, max_size=70),
+)
+_smile_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=80),
+)
+_smile_values = st.recursive(
+    _smile_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(_smile_names, children, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(_smile_values, min_size=1, max_size=4), st.booleans())
+def test_smile_stream_roundtrip_fuzz(values, shared_values):
+    """decode(encode(stream)) == stream for arbitrary JSON-shaped values in
+    ONE stream (shared name/value tables persist across records — the
+    exact surface where an encoder/decoder registration asymmetry shows
+    up as wrong field names, not an error)."""
+    from tranquility_spark.operators.smile_codec import (
+        SmileEncoder,
+        decode_stream,
+    )
+
+    enc = SmileEncoder(shared_values=shared_values)
+    for v in values:
+        enc.write(v)
+    assert list(decode_stream(enc.getvalue())) == values
+
+
+_AVRO_FUZZ_SCHEMA = {
+    "type": "record",
+    "name": "Fuzz",
+    "fields": [
+        {"name": "i", "type": "int"},
+        {"name": "l", "type": "long"},
+        {"name": "f", "type": "float"},
+        {"name": "d", "type": "double"},
+        {"name": "b", "type": "boolean"},
+        {"name": "s", "type": "string"},
+        {"name": "by", "type": "bytes"},
+        {"name": "u", "type": ["null", "long", "string"]},
+        {"name": "arr", "type": {"type": "array", "items": ["null", "long"]}},
+        {"name": "m", "type": {"type": "map", "values": "double"}},
+    ],
+}
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.fixed_dictionaries(
+        {
+            "i": st.integers(min_value=-(1 << 31), max_value=(1 << 31) - 1),
+            "l": st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+            "f": st.floats(allow_nan=False, allow_infinity=False, width=32),
+            "d": st.floats(allow_nan=False, allow_infinity=False),
+            "b": st.booleans(),
+            "s": st.text(max_size=60),
+            "by": st.binary(max_size=40),
+            "u": st.one_of(
+                st.none(),
+                st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+                st.text(max_size=20),
+            ),
+            "arr": st.lists(
+                st.one_of(st.none(), st.integers(-(1 << 63), (1 << 63) - 1)),
+                max_size=6,
+            ),
+            "m": st.dictionaries(
+                st.text(max_size=10),
+                st.floats(allow_nan=False, allow_infinity=False),
+                max_size=4,
+            ),
+        }
+    )
+)
+def test_avro_record_roundtrip_fuzz(rec):
+    """decode(encode(record)) == record across every Avro type the codec
+    supports, including zero-width-item unions inside arrays (the
+    _decode_blocked guard class) and full int32/int64 extremes."""
+    from tranquility_spark.operators.avro_codec import (
+        decode_record,
+        encode_value,
+    )
+
+    assert decode_record(encode_value(rec, _AVRO_FUZZ_SCHEMA), _AVRO_FUZZ_SCHEMA) == rec
