@@ -1137,3 +1137,50 @@ def test_minhash_distinct_sig_guard_pathological_and_equal(spark, sf_dir):
     assert len(got) == n * (n - 1) // 2
     assert all(r["est_jaccard"] == 1.0 and r["id_a"] < r["id_b"] for r in got)
     assert len({(r["id_a"], r["id_b"]) for r in got}) == len(got)
+
+
+def test_ivf_persisted_index_prunes_partitions_and_matches(spark, sf_dir, tmp_path):
+    """The persisted IVF serving path (the '100 TB shape' made literal):
+    ivf_index_write lands the corpus partitionBy(centroid_id) with a
+    validated meta sidecar; ivf_topk_indexed answers the query with
+    PARTITION PRUNING (plan-asserted: the scan's partition filters carry
+    centroid_id and the scan reads only the probed lists) and returns
+    exactly what ivf_topk computes inline with the same centroids."""
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    from tranquility_spark.operators import similarity as sim
+    from tranquility_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    cents = sim.ivf_centroids(emb, n_centroids=8)
+    path = str(tmp_path / "ivf_index")
+    sim.ivf_index_write(emb, cents, path)
+
+    served = sim.ivf_topk_indexed(spark, path, qvec, k=10, nprobe=3)
+    inline = sim.ivf_topk(emb, qvec, k=10, nprobe=3, centroids=cents)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    # the probe is PURE partition pruning: the IN-list sits in the scan's
+    # PartitionFilters (3 of 8 inverted lists) and the row-level
+    # DataFilters stay empty — no per-row filtering work at any scale
+    assert "centroid_id" in pf and " IN " in pf, f"no partition pruning:\n{plan}"
+    assert pf.count(",") == 2, f"expected a 3-list probe, got: {pf}"
+    assert "DataFilters: []" in plan, f"probe leaked into row filters:\n{plan}"
+    frame, meta = sim.ivf_index_load(spark, path)
+    assert len(meta["centroids"]) == 8
+
+    # sidecar is load-bearing: a layout without meta refuses to serve
+    import os
+
+    os.remove(os.path.join(path, "_ivf_meta.json"))
+    with pt.raises(ValueError, match="_ivf_meta"):
+        sim.ivf_topk_indexed(spark, path, qvec)

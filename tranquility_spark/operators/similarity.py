@@ -339,6 +339,90 @@ def pq_topk(
     )
 
 
+def ivf_index_write(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the IVF inverted-list layout: vectors assigned and written
+    ``partitionBy("centroid_id")`` — the 100 TB serving shape where a
+    probe is PARTITION PRUNING, not a scan+filter — plus a
+    ``_ivf_meta.json`` sidecar pinning the exact centroids and column
+    names the layout was built with (the lsh_band_index lesson: an index
+    probed with different parameters silently returns wrong neighbors,
+    so the parameters travel WITH the index and the reader validates
+    nothing was hand-mixed). The underscore prefix keeps the sidecar
+    invisible to parquet directory reads."""
+    import json
+    import os
+
+    with_centroid_id(df, centroids, vec_col).write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(path)
+    meta = {
+        "version": 1,
+        "centroids": [[float(x) for x in c] for c in centroids],
+        "vec_col": vec_col,
+        "id_col": id_col,
+    }
+    with open(os.path.join(path, "_ivf_meta.json"), "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+
+
+def ivf_index_load(spark, path: str):
+    """Open a persisted IVF layout: returns ``(frame, meta)`` with the
+    frame partition-discovered on ``centroid_id`` and the meta dict
+    carrying the centroids/columns the index was built with. Raises on a
+    missing/garbled sidecar — probing an index whose parameters are
+    unknown is exactly the silent-wrong-neighbors failure the sidecar
+    exists to prevent."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "_ivf_meta.json")
+    try:
+        with open(meta_path, encoding="utf-8") as fh:
+            meta = json.load(fh)
+        if meta.get("version") != 1 or "centroids" not in meta:
+            raise ValueError(f"unrecognized IVF meta at {meta_path}")
+    except OSError as ex:
+        raise ValueError(
+            f"IVF index at {path} has no readable _ivf_meta.json — cannot "
+            "validate which centroids built this layout"
+        ) from ex
+    return spark.read.parquet(path), meta
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Serve an ANN query from a PERSISTED IVF index: centroid ranking is
+    driver-side arithmetic over the sidecar's centroids; the data access
+    is a literal ``centroid_id IN (...)`` over the partitioned layout,
+    which the planner turns into partition pruning (plan-asserted in
+    tests — only ~nprobe/C of the files are touched at any corpus size);
+    then exact cosine + TakeOrderedAndProject inside the probed lists.
+    Results equal ``ivf_topk`` with the same centroids by construction
+    (same ranking, same scoring expression)."""
+    frame, meta = ivf_index_load(spark, path)
+    return ivf_topk(
+        frame,
+        query_vec,
+        k=k,
+        nprobe=nprobe,
+        vec_col=meta["vec_col"],
+        id_col=meta["id_col"],
+        centroids=meta["centroids"],
+        use_existing_assignment=True,
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: Sequence[float],
