@@ -1184,3 +1184,63 @@ def test_ivf_persisted_index_prunes_partitions_and_matches(spark, sf_dir, tmp_pa
     os.remove(os.path.join(path, "_ivf_meta.json"))
     with pt.raises(ValueError, match="_ivf_meta"):
         sim.ivf_topk_indexed(spark, path, qvec)
+
+
+def test_ivfpq_persisted_index_serving(spark, sf_dir, tmp_path):
+    """The full IVF-PQ composition, persisted: partition-pruned probe over
+    stored 4-byte codes, exact rerank on the shortlist. Serving equals
+    the manual composition (probe filter + pq_topk over existing codes),
+    stays deterministic across calls, keeps recall@10 vs exact sim1
+    above the sim5 floor, and the scan is plan-asserted pure partition
+    pruning."""
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    from tranquility_spark.operators import similarity as sim
+    from tranquility_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    cents = sim.ivf_centroids(emb, n_centroids=8)
+    books = sim.pq_codebooks(emb, n_sub=4, k=16, refine_iters=1)
+    path = str(tmp_path / "ivfpq")
+    sim.ivfpq_index_write(emb, cents, books, path)
+
+    served = sim.ivfpq_topk_indexed(spark, path, qvec, k=10, nprobe=6)
+    got = sorted(map(tuple, served.collect()))
+    assert got == sorted(map(tuple, served.collect()))  # deterministic
+
+    frame, meta = sim.ivf_index_load(spark, path)
+    import math
+    qn = math.sqrt(sum(x * x for x in qvec))
+    probe = sorted(
+        range(8),
+        key=lambda i: -(
+            sum(a * b for a, b in zip(qvec, cents[i]))
+            / (qn * math.sqrt(sum(x * x for x in cents[i])))
+        ),
+    )[:6]
+    manual = sim.pq_topk(
+        frame.filter(F.col("centroid_id").isin(probe)),
+        qvec, books, k=10, use_existing_codes=True,
+    )
+    assert got == sorted(map(tuple, manual.collect()))
+
+    # recall vs exact brute force: the sim5 floor, here with 6/8 lists probed
+    exact = {r["vec_id"] for r in sim.cosine_topk(emb, qvec, k=10).collect()}
+    recall = len({t[0] for t in got} & exact) / 10
+    assert recall >= 0.4, f"IVF-PQ recall@10 too low: {recall}"
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "centroid_id" in pf and " IN " in pf
+    assert "DataFilters: []" in plan
+
+    # an IVF-only layout refuses PQ serving with a clear error
+    path2 = str(tmp_path / "ivf_only")
+    sim.ivf_index_write(emb, cents, path2)
+    with pt.raises(ValueError, match="IVF-only"):
+        sim.ivfpq_topk_indexed(spark, path2, qvec)

@@ -395,6 +395,82 @@ def ivf_index_load(spark, path: str):
     return spark.read.parquet(path), meta
 
 
+def ivfpq_index_write(
+    df: DataFrame,
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the full IVF-PQ layout (Jegou et al.'s billion-scale
+    shape, composed from the two halves this module already certifies):
+    rows carry their PQ codes AND land partitioned by centroid_id, so a
+    query is partition pruning (IVF: WHICH rows) over 4-byte codes (PQ:
+    WHAT each row costs) with the raw vector retained for the exact
+    rerank of the shortlist only. Meta sidecar pins centroids AND
+    codebooks — the layout is unreadable-by-design without the exact
+    parameters that built it."""
+    import json
+    import os
+
+    encoded = pq_encode(with_centroid_id(df, centroids, vec_col), books, vec_col)
+    encoded.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    meta = {
+        "version": 1,
+        "centroids": [[float(x) for x in c] for c in centroids],
+        "books": [[[float(x) for x in c] for c in b] for b in books],
+        "vec_col": vec_col,
+        "id_col": id_col,
+    }
+    with open(os.path.join(path, "_ivf_meta.json"), "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 100,
+) -> DataFrame:
+    """Serve from a persisted IVF-PQ layout: driver-side centroid ranking
+    (sidecar centroids) → partition-pruned scan of the probed lists →
+    ADC over the stored codes (literal-array lookups in codegen, no
+    UDF/join) → exact-cosine rerank of the shortlist. Equal by
+    construction to filtering the probed lists and running ``pq_topk``
+    with ``use_existing_codes=True`` — the composition the sim5
+    docstring promises, made literal."""
+    import math
+
+    frame, meta = ivf_index_load(spark, path)
+    if "books" not in meta:
+        raise ValueError(
+            f"index at {path} is IVF-only (no PQ codebooks in meta); "
+            "serve it with ivf_topk_indexed or rebuild via ivfpq_index_write"
+        )
+    cents = meta["centroids"]
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1e-12
+    probe = sorted(
+        range(len(cents)),
+        key=lambda i: -(
+            sum(a * b for a, b in zip(query_vec, cents[i]))
+            / (qn * (math.sqrt(sum(x * x for x in cents[i])) or 1e-12))
+        ),
+    )[:nprobe]
+    return pq_topk(
+        frame.filter(F.col("centroid_id").isin(probe)),
+        query_vec,
+        meta["books"],
+        k=k,
+        shortlist=shortlist,
+        vec_col=meta["vec_col"],
+        id_col=meta["id_col"],
+        use_existing_codes=True,
+    )
+
+
 def ivf_topk_indexed(
     spark,
     path: str,
