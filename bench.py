@@ -142,6 +142,7 @@ HEADLINE = [
     "mm6_image_dhash",
     "dd16_dhash_neardup",
     "txt20_bm25_served_stats",
+    "sim3b_ivf_persisted_serving",
 ]
 
 

@@ -1244,3 +1244,31 @@ def test_ivfpq_persisted_index_serving(spark, sf_dir, tmp_path):
     sim.ivf_index_write(emb, cents, path2)
     with pt.raises(ValueError, match="IVF-only"):
         sim.ivfpq_topk_indexed(spark, path2, qvec)
+
+
+def test_sim3b_persisted_serving_equals_sim3(spark, sf_dir, tmp_path, monkeypatch):
+    """The sim3b catalog entry: persisted-layout serving returns exactly
+    sim3's inline results (same cached centroids), and the second call
+    serves from the existing layout without rewriting it."""
+    import os
+
+    from tranquility_spark import catalog_llm as cl
+    from tranquility_spark.catalog import CATALOG
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    cl._IVF_INDEX_CACHE.clear()
+    inline = sorted(map(tuple, CATALOG["sim3_ivf_topk"].fn(spark, sf_dir).collect()))
+    served = sorted(
+        map(tuple, CATALOG["sim3b_ivf_persisted_serving"].fn(spark, sf_dir).collect())
+    )
+    assert served == inline and served
+
+    layout = cl._ivf_layout_path(cl._index_cache_key(sf_dir))
+    meta = os.path.join(layout, "_ivf_meta.json")
+    assert os.path.exists(meta)
+    wrote_at = os.stat(meta).st_mtime_ns
+    again = sorted(
+        map(tuple, CATALOG["sim3b_ivf_persisted_serving"].fn(spark, sf_dir).collect())
+    )
+    assert again == served
+    assert os.stat(meta).st_mtime_ns == wrote_at  # layout not rewritten

@@ -1304,6 +1304,57 @@ def sim3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, qvec, k=10, nprobe=4, centroids=cents)
 
 
+def _ivf_layout_path(ck: tuple) -> str:
+    """Directory for the persisted partitionBy(centroid_id) layout, named
+    by the same invalidation digest as the centroid sidecars — a
+    regenerated fixture changes the digest and the stale layout is never
+    opened again."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(_index_sidecar_path("ivflayout", ck)),
+        f"ivflayout-{os.path.basename(_index_sidecar_path('ivflayout', ck))[10:-5]}",
+    )
+
+
+@register(
+    "sim3b_ivf_persisted_serving",
+    None,  # probe set is index-defined — rows-only (sim3 policy); equality
+    # to sim3's inline path is asserted in tests
+    doc="ANN serving from the PERSISTED IVF layout (r10 — sim3's '100 TB "
+    "shape' prose made an executable entry): first touch per corpus "
+    "writes the embeddings partitionBy(centroid_id) with a validated "
+    "_ivf_meta.json sidecar (similarity.py#ivf_index_write, same "
+    "(sf_dir, parquet fingerprint) invalidation key as the centroid "
+    "cache); every query after that is ivf_topk_indexed — driver-side "
+    "centroid ranking + a literal centroid_id IN filter the planner "
+    "turns into PURE partition pruning (plan-asserted: IN-list in "
+    "PartitionFilters, DataFilters empty), exact cosine + TakeOrdered "
+    "inside the probed lists. Results equal sim3's inline path with the "
+    "same cached centroids (test-asserted). At 100 TB: query cost is "
+    "~nprobe/C of the FILES, not a full scan with a residual filter",
+)
+def sim3b_ivf_persisted_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    ck = _index_cache_key(sf_dir)
+    cents = _cached_index(
+        "ivf",
+        _IVF_INDEX_CACHE,
+        ck,
+        lambda: sim.ivf_centroids(emb, n_centroids=16),
+    )
+    layout = _ivf_layout_path(ck)
+    if not os.path.exists(os.path.join(layout, "_ivf_meta.json")):
+        sim.ivf_index_write(emb, cents, layout)
+    return sim.ivf_topk_indexed(spark, layout, qvec, k=10, nprobe=4)
+
+
 _PQ_INDEX_CACHE: dict = {}
 
 
