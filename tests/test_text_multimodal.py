@@ -1069,3 +1069,73 @@ def test_bm25_partials_sink_replay_and_merge_read(spark, tmp_path):
     assert merged[None] == (None, 4, 11)
     assert merged["fish"] == (2, None, None)
     assert merged["red"] == (2, None, None)  # df is per-DOC, tf ignored
+
+
+def test_bm25_stats_prune_tail_cms_one_sided(spark, sf_dir):
+    """The pruned-vocabulary serving path (families #9 + #5 composed):
+    frequent-term scores stay bit-exact; tail-term df estimates are
+    one-sided (CMS >= true), so tail-term scores are only ever
+    UNDERestimated, never inflated; a never-seen term's spurious df is
+    harmless (no tf rows to join)."""
+    from pyspark.sql import functions as F
+
+    from tranquility_spark.operators.text import (
+        bm25_corpus_stats,
+        bm25_scores,
+        bm25_stats_prune,
+        bm25_stats_serve,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stats = bm25_corpus_stats(docs)
+    true_df = {
+        r["tok"]: r["df"]
+        for r in stats.filter(F.col("tok").isNotNull()).collect()
+    }
+    # the fixture vocabulary is tiny and DENSE (every token frequent), so
+    # set the floor at the median df to exercise both sides of the prune;
+    # the mechanics (one-sidedness, exactness of kept rows) are df-scale
+    # free
+    floor = sorted(true_df.values())[len(true_df) // 2]
+    exact, tail = bm25_stats_prune(stats, df_floor=floor)
+    n_exact = exact.filter(F.col("tok").isNotNull()).count()
+    n_tail = sum(1 for d in true_df.values() if d <= floor)
+    assert n_exact == len(true_df) - n_tail and n_tail > 0
+
+    # a frequent-terms-only query: scores bit-exact vs the full stats
+    frequent = [t for t, d in true_df.items() if d > floor][:3]
+    sf_served = sorted(map(tuple, bm25_scores(
+        docs, frequent, stats=bm25_stats_serve(exact, tail, frequent)
+    ).collect()))
+    sf_full = sorted(map(tuple, bm25_scores(docs, frequent, stats=stats).collect()))
+    assert sf_served == sf_full and sf_served
+
+    # a query including tail terms: df one-sided, scores never inflated
+    rare = [t for t, d in true_df.items() if d <= floor][:2]
+    q = frequent[:1] + rare
+    served_stats = bm25_stats_serve(exact, tail, q)
+    got_df = {
+        r["tok"]: r["df"]
+        for r in served_stats.filter(F.col("tok").isNotNull()).collect()
+    }
+    for t in rare:
+        assert got_df[t] >= true_df[t], (t, got_df[t], true_df[t])
+    pruned = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(docs, q, stats=served_stats).collect()
+    }
+    full = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(docs, q, stats=stats).collect()
+    }
+    assert set(pruned) == set(full)  # same matched docs (tf side unpruned)
+    for doc, score in pruned.items():
+        assert score <= full[doc] + 1e-6 * len(q), (doc, score, full[doc])
+
+    # never-seen term: harmless even if CMS collides to a nonzero df
+    ghost = bm25_scores(
+        docs, ["zzz_never_a_token"],
+        stats=bm25_stats_serve(exact, tail, ["zzz_never_a_token"]),
+    )
+    assert ghost.count() == 0

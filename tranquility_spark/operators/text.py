@@ -705,3 +705,77 @@ def bm25_stats_merge_read(spark, out_dir: str) -> DataFrame:
     """Sum-merge every persisted partial into the lifetime stats frame —
     the serving input for ``bm25_scores(..., stats=...)``."""
     return _bm25_stats_fold(spark.read.parquet(out_dir))
+
+
+def bm25_stats_prune(
+    stats: DataFrame,
+    df_floor: int = 1,
+    width: int = 1024,
+    depth: int = 4,
+):
+    """Vocabulary-bound the stats frame for open-web scale (families #9 +
+    #5 composed): at 100 TB the per-token df table is VOCABULARY-sized —
+    typos, hashes and boilerplate fragments make the df<=floor tail the
+    overwhelming majority of rows while contributing the least retrieval
+    signal. Keep exact rows only where ``df > df_floor``; fold the tail
+    into a Count-Min sketch keyed by token with weight=df (bounded
+    ``depth*width`` cells however large the vocabulary). Returns
+    ``(exact_stats, tail_cms)``.
+
+    Error analysis (the reason this prune is SAFE): CMS point queries
+    only ever OVERestimate (sum of non-negative collisions), idf is
+    strictly decreasing in df, and the per-term score is increasing in
+    idf — so a tail term's served score is only ever UNDERestimated,
+    never inflated; frequent-term scores stay bit-exact. The worst
+    underestimate is bounded by the CMS guarantee (excess <= e/width *
+    sum(tail df) with prob 1 - (1/2)^depth), test-asserted. The tail
+    sketch rides the existing CMS partials lifecycle (sum-mergeable,
+    ``batch_id=`` replay-safe)."""
+    from tranquility_spark.operators.cms import cms_counters
+
+    exact = stats.filter(F.col("tok").isNull() | (F.col("df") > df_floor))
+    tail = stats.filter(F.col("tok").isNotNull() & (F.col("df") <= df_floor))
+    return exact, cms_counters(tail, "tok", width, depth, weight_col="df")
+
+
+def bm25_stats_serve(
+    exact_stats: DataFrame,
+    tail_cms: DataFrame,
+    query_terms,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Query-scoped stats frame from a pruned index: exact rows for query
+    terms the exact table still carries (plus the corpus-totals row);
+    every other term gets its df from the tail sketch (a |q|-row probe
+    against the broadcast counter map — no corpus access). Feed the
+    result straight into ``bm25_scores(stats=...)``. A term that never
+    occurred may draw a small spurious df from CMS collisions — harmless
+    by construction: with no tf rows in the scored frame, its idf row
+    joins nothing."""
+    from tranquility_spark.operators.cms import cms_estimate
+
+    spark = exact_stats.sparkSession
+    terms = [str(t) for t in query_terms]
+    kept = exact_stats.filter(
+        F.col("tok").isNull() | F.col("tok").isin(*terms)
+    )
+    probe = spark.createDataFrame([(t,) for t in terms], "tok string")
+    est = cms_estimate(
+        probe, tail_cms, "tok", width=width, depth=depth, out_col="__df_est"
+    )
+    tail_rows = (
+        est.join(
+            kept.filter(F.col("tok").isNotNull()).select("tok"),
+            "tok",
+            "left_anti",
+        )
+        .filter(F.col("__df_est") > 0)
+        .select(
+            "tok",
+            F.col("__df_est").cast("long").alias("df"),
+            F.lit(None).cast("long").alias("n_units"),
+            F.lit(None).cast("long").alias("sum_dl"),
+        )
+    )
+    return kept.unionByName(tail_rows)
