@@ -1176,6 +1176,21 @@ def sim2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_INDEX_CACHE: dict = {}
 
 
+def _index_cache_root() -> str:
+    import os
+    import tempfile
+
+    return os.environ.get("SPARK_GRAFT_INDEX_DIR") or os.path.join(
+        tempfile.gettempdir(), "tranquility_spark_ann_index"
+    )
+
+
+def _index_cache_digest(kind: str, ck: tuple) -> str:
+    import hashlib
+
+    return hashlib.sha256(repr((kind, ck)).encode("utf-8")).hexdigest()[:24]
+
+
 def _index_sidecar_path(kind: str, ck: tuple) -> str:
     """Disk sidecar for a bounded ANN index (VERDICT r9 #5): the
     per-process dicts die with the session, so a fresh session used to
@@ -1186,15 +1201,11 @@ def _index_sidecar_path(kind: str, ck: tuple) -> str:
     the stale sidecar is simply never read again. Root defaults to a
     machine-local cache dir; production points SPARK_GRAFT_INDEX_DIR at
     the serving index store."""
-    import hashlib
     import os
-    import tempfile
 
-    root = os.environ.get("SPARK_GRAFT_INDEX_DIR") or os.path.join(
-        tempfile.gettempdir(), "tranquility_spark_ann_index"
+    return os.path.join(
+        _index_cache_root(), f"{kind}-{_index_cache_digest(kind, ck)}.json"
     )
-    digest = hashlib.sha256(repr((kind, ck)).encode("utf-8")).hexdigest()[:24]
-    return os.path.join(root, f"{kind}-{digest}.json")
 
 
 def _load_index_sidecar(kind: str, ck: tuple):
@@ -1312,8 +1323,7 @@ def _ivf_layout_path(ck: tuple) -> str:
     import os
 
     return os.path.join(
-        os.path.dirname(_index_sidecar_path("ivflayout", ck)),
-        f"ivflayout-{os.path.basename(_index_sidecar_path('ivflayout', ck))[10:-5]}",
+        _index_cache_root(), f"ivflayout-{_index_cache_digest('ivflayout', ck)}"
     )
 
 
