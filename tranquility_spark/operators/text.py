@@ -729,8 +729,10 @@ def bm25_stats_prune(
     never inflated; frequent-term scores stay bit-exact. The worst
     underestimate is bounded by the CMS guarantee (excess <= e/width *
     sum(tail df) with prob 1 - (1/2)^depth), test-asserted. The tail
-    sketch rides the existing CMS partials lifecycle (sum-mergeable,
-    ``batch_id=`` replay-safe)."""
+    sketch is sum-mergeable (CMS lifecycle), BUT prune AFTER the global
+    ``bm25_stats_merge``, never per batch: a token with df=1 in each of
+    three batches is globally frequent (df=3) yet would be tail in every
+    per-batch prune — the floor is a property of the merged corpus."""
     from tranquility_spark.operators.cms import cms_counters
 
     exact = stats.filter(F.col("tok").isNull() | (F.col("df") > df_floor))
