@@ -143,6 +143,7 @@ HEADLINE = [
     "dd16_dhash_neardup",
     "txt20_bm25_served_stats",
     "sim3b_ivf_persisted_serving",
+    "sim5b_ivfpq_persisted_serving",
 ]
 
 

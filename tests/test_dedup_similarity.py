@@ -1272,3 +1272,44 @@ def test_sim3b_persisted_serving_equals_sim3(spark, sf_dir, tmp_path, monkeypatc
     )
     assert again == served
     assert os.stat(meta).st_mtime_ns == wrote_at  # layout not rewritten
+
+
+def test_sim5b_persisted_ivfpq_entry(spark, sf_dir, tmp_path, monkeypatch):
+    """The sim5b catalog entry: persisted IVF-PQ serving is deterministic
+    across calls, does not rewrite the layout on the second call, and
+    keeps recall@10 vs exact sim1 above the sim5 floor."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tranquility_spark import catalog_llm as cl
+    from tranquility_spark.catalog import CATALOG
+    from tranquility_spark.operators import similarity as sim
+    from tranquility_spark.sources.files import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    cl._IVF_INDEX_CACHE.clear()
+    cl._PQ_INDEX_CACHE.clear()
+    got = sorted(
+        map(tuple, CATALOG["sim5b_ivfpq_persisted_serving"].fn(spark, sf_dir).collect())
+    )
+    assert len(got) == 10
+
+    layout = os.path.join(
+        cl._index_cache_root(),
+        f"ivfpqlayout-{cl._index_cache_digest('ivfpqlayout', cl._index_cache_key(sf_dir))}",
+    )
+    meta = os.path.join(layout, "_ivf_meta.json")
+    assert os.path.exists(meta)
+    wrote_at = os.stat(meta).st_mtime_ns
+    again = sorted(
+        map(tuple, CATALOG["sim5b_ivfpq_persisted_serving"].fn(spark, sf_dir).collect())
+    )
+    assert again == got
+    assert os.stat(meta).st_mtime_ns == wrote_at  # layout not rewritten
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in sim.cosine_topk(emb, qvec, k=10).collect()}
+    recall = len({t[0] for t in got} & exact) / 10
+    assert recall >= 0.4, f"IVF-PQ entry recall@10 too low: {recall}"

@@ -1369,6 +1369,53 @@ _PQ_INDEX_CACHE: dict = {}
 
 
 @register(
+    "sim5b_ivfpq_persisted_serving",
+    None,  # probe set is index-defined — rows-only (sim3/sim5 policy);
+    # equality to the manual probe+ADC composition asserted in tests
+    doc="ANN serving from the persisted IVF-PQ layout (r10) — the full "
+    "billion-scale ladder as one entry: first touch per corpus writes "
+    "PQ codes partitionBy(centroid_id) with centroids AND codebooks "
+    "pinned in the meta sidecar (similarity.py#ivfpq_index_write, the "
+    "sim3b invalidation key); queries are partition-pruned scans of the "
+    "probed lists, ADC over the stored 4-byte codes (literal-array "
+    "lookups in codegen — no UDF, no join), then exact-cosine rerank of "
+    "the shortlist. At 100 TB: IVF bounds WHICH files are read "
+    "(~nprobe/C), PQ bounds WHAT each scanned row costs (16x smaller "
+    "than the vectors), and only the shortlist ever touches the raw "
+    "embedding column",
+)
+def sim5b_ivfpq_persisted_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    ck = _index_cache_key(sf_dir)
+    cents = _cached_index(
+        "ivf",
+        _IVF_INDEX_CACHE,
+        ck,
+        lambda: sim.ivf_centroids(emb, n_centroids=16),
+    )
+    books = _cached_index(
+        "pq",
+        _PQ_INDEX_CACHE,
+        ck,
+        lambda: sim.pq_codebooks(emb, n_sub=4, k=16, refine_iters=1),
+    )
+    layout = os.path.join(
+        _index_cache_root(), f"ivfpqlayout-{_index_cache_digest('ivfpqlayout', ck)}"
+    )
+    if not os.path.exists(os.path.join(layout, "_ivf_meta.json")):
+        sim.ivfpq_index_write(emb, cents, books, layout)
+    return sim.ivfpq_topk_indexed(
+        spark, layout, qvec, k=10, nprobe=4, shortlist=100
+    )
+
+
+@register(
     "sim5_pq_rerank",
     None,  # codebooks are k-means-defined — rows-only (sim2/sim3 policy);
     # determinism + recall vs sim1 asserted in tests
