@@ -1834,3 +1834,61 @@ def test_streaming_bm25_partials_equal_batch_stats(spark, sf_dir, tmp_path):
     )
     rescan = sorted(map(tuple, bm25_scores(docs, terms).collect()))
     assert served == rescan and served
+
+
+def test_streaming_ivf_index_append_sink(spark, sf_dir, tmp_path):
+    """The ANN serving index maintained at INGEST: embeddings streamed in
+    3 micro-batches through ivf_index_append_sink land in
+    (centroid_id, batch_id) partitions; serving over the accumulated
+    layout equals the inline ivf_topk over the full corpus; a forced
+    replay leaves the layout byte-identical (no duplicated vectors);
+    appending with different centroids raises."""
+    import os
+
+    import pytest as pt
+
+    from tranquility_spark.operators import similarity as sim
+    from tranquility_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    cents = sim.ivf_centroids(emb, n_centroids=8)
+    path = str(tmp_path / "ivf_stream")
+    write = sim.ivf_index_append_sink(path, cents)
+    for i in range(3):
+        write(emb.filter(F.col("vec_id") % 3 == i), i)
+
+    served = sorted(
+        map(tuple, sim.ivf_topk_indexed(spark, path, qvec, k=10, nprobe=4).collect())
+    )
+    inline = sorted(
+        map(tuple, sim.ivf_topk(emb, qvec, k=10, nprobe=4, centroids=cents).collect())
+    )
+    assert served == inline and served
+
+    # replay batch 1: layout unchanged row-for-row, serving unchanged
+    before = sorted(map(str, spark.read.parquet(path).collect()))
+    write(emb.filter(F.col("vec_id") % 3 == 1), 1)
+    after = sorted(map(str, spark.read.parquet(path).collect()))
+    assert after == before
+    assert sorted(
+        map(tuple, sim.ivf_topk_indexed(spark, path, qvec, k=10, nprobe=4).collect())
+    ) == served
+
+    # pruning still engages through the two-level partitioning
+    probe_plan = (
+        sim.ivf_topk_indexed(spark, path, qvec, k=10, nprobe=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = probe_plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "centroid_id" in pf and " IN " in pf
+
+    # different centroids refuse to append
+    other = [[v + 1.0 for v in c] for c in cents]
+    with pt.raises(ValueError, match="DIFFERENT"):
+        sim.ivf_index_append_sink(path, other)(emb.limit(5), 99)
+    assert os.path.exists(os.path.join(path, "_ivf_meta.json"))

@@ -395,6 +395,66 @@ def ivf_index_load(spark, path: str):
     return spark.read.parquet(path), meta
 
 
+def ivf_index_append_sink(
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """foreachBatch sink maintaining a persisted IVF layout INCREMENTALLY —
+    the ingestion half of the serving story: each micro-batch's vectors
+    are assigned with the FIXED centroids and land in
+    ``(centroid_id, batch_id)`` partitions under dynamic partition
+    overwrite, so a replayed batch REPLACES its own partitions
+    byte-identically (assignment is deterministic) instead of
+    duplicating vectors — the ``batch_id=`` lifecycle every mergeable
+    family here uses, applied to an index layout. ``centroid_id``
+    remains the leading partition column, so ``ivf_topk_indexed``'s
+    probe prunes exactly as on a one-shot layout; the extra batch_id
+    partition rides along untouched.
+
+    The meta sidecar is written on first use and VALIDATED on every
+    later batch: appending with different centroids would silently
+    corrupt the inverted lists (vectors filed under one geometry, probed
+    under another), so a mismatch raises instead. Re-clustering requires
+    a rebuild — the standard IVF operational contract."""
+    import json
+    import os
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        meta_path = os.path.join(path, "_ivf_meta.json")
+        meta = {
+            "version": 1,
+            "centroids": [[float(x) for x in c] for c in centroids],
+            "vec_col": vec_col,
+            "id_col": id_col,
+        }
+        if os.path.exists(meta_path):
+            with open(meta_path, encoding="utf-8") as fh:
+                existing = json.load(fh)
+            if existing.get("centroids") != meta["centroids"]:
+                raise ValueError(
+                    f"IVF layout at {path} was built with DIFFERENT "
+                    "centroids — appending would corrupt the inverted "
+                    "lists; rebuild the index instead"
+                )
+        (
+            with_centroid_id(batch_df, centroids, vec_col)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("centroid_id", "batch_id")
+            .parquet(path)
+        )
+        if not os.path.exists(meta_path):
+            tmp = f"{meta_path}.tmp.{os.getpid()}"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(meta, fh)
+            os.replace(tmp, meta_path)
+
+    return write
+
+
 def ivfpq_index_write(
     df: DataFrame,
     centroids: list[list[float]],
