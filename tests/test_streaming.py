@@ -1892,3 +1892,44 @@ def test_streaming_ivf_index_append_sink(spark, sf_dir, tmp_path):
     with pt.raises(ValueError, match="DIFFERENT"):
         sim.ivf_index_append_sink(path, other)(emb.limit(5), 99)
     assert os.path.exists(os.path.join(path, "_ivf_meta.json"))
+
+
+def test_streaming_ivfpq_index_append_sink(spark, sf_dir, tmp_path):
+    """IVF-PQ maintained at ingest: 3 streamed batches == the one-shot
+    ivfpq_index_write layout when served (same query, same results);
+    replay replaces; mismatched codebooks refuse."""
+    import pytest as pt
+
+    from tranquility_spark.operators import similarity as sim
+    from tranquility_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    cents = sim.ivf_centroids(emb, n_centroids=8)
+    books = sim.pq_codebooks(emb, n_sub=4, k=16, refine_iters=1)
+
+    streamed = str(tmp_path / "pq_stream")
+    write = sim.ivfpq_index_append_sink(streamed, cents, books)
+    for i in range(3):
+        write(emb.filter(F.col("vec_id") % 3 == i), i)
+    oneshot = str(tmp_path / "pq_oneshot")
+    sim.ivfpq_index_write(emb, cents, books, oneshot)
+
+    got = sorted(
+        map(tuple, sim.ivfpq_topk_indexed(spark, streamed, qvec, k=10, nprobe=6).collect())
+    )
+    want = sorted(
+        map(tuple, sim.ivfpq_topk_indexed(spark, oneshot, qvec, k=10, nprobe=6).collect())
+    )
+    assert got == want and got
+
+    before = sorted(map(str, spark.read.parquet(streamed).collect()))
+    write(emb.filter(F.col("vec_id") % 3 == 2), 2)  # replay
+    after = sorted(map(str, spark.read.parquet(streamed).collect()))
+    assert after == before
+
+    bad_books = [[[v + 0.5 for v in c] for c in b] for b in books]
+    with pt.raises(ValueError, match="DIFFERENT"):
+        sim.ivfpq_index_append_sink(streamed, cents, bad_books)(emb.limit(5), 9)

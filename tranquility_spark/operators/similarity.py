@@ -455,6 +455,62 @@ def ivf_index_append_sink(
     return write
 
 
+def ivfpq_index_append_sink(
+    path: str,
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """``ivf_index_append_sink``'s IVF-PQ twin: each micro-batch is
+    assigned AND PQ-encoded with the fixed parameters, landing in the
+    same replay-safe ``(centroid_id, batch_id)`` partitions; the meta
+    sidecar pins centroids and codebooks and every later batch validates
+    BOTH (codes filed under different codebooks would ADC-score as
+    garbage, the same silent corruption as a geometry mismatch)."""
+    import json
+    import os
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        meta_path = os.path.join(path, "_ivf_meta.json")
+        meta = {
+            "version": 1,
+            "centroids": [[float(x) for x in c] for c in centroids],
+            "books": [[[float(x) for x in c] for c in b] for b in books],
+            "vec_col": vec_col,
+            "id_col": id_col,
+        }
+        if os.path.exists(meta_path):
+            with open(meta_path, encoding="utf-8") as fh:
+                existing = json.load(fh)
+            if (
+                existing.get("centroids") != meta["centroids"]
+                or existing.get("books") != meta["books"]
+            ):
+                raise ValueError(
+                    f"IVF-PQ layout at {path} was built with DIFFERENT "
+                    "centroids/codebooks — appending would corrupt the "
+                    "index; rebuild instead"
+                )
+        (
+            pq_encode(
+                with_centroid_id(batch_df, centroids, vec_col), books, vec_col
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("centroid_id", "batch_id")
+            .parquet(path)
+        )
+        if not os.path.exists(meta_path):
+            tmp = f"{meta_path}.tmp.{os.getpid()}"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(meta, fh)
+            os.replace(tmp, meta_path)
+
+    return write
+
+
 def ivfpq_index_write(
     df: DataFrame,
     centroids: list[list[float]],
