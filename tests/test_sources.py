@@ -1306,3 +1306,15 @@ def test_kafka_main_smile_wire_config(spark, tmp_path):
     wiki = multi.sinks["wiki"].read(spark)
     assert wiki.count() == 1
     assert [r["page"] for r in wiki.collect()] == ["a"]
+
+
+def test_kafka_drop_malformed_rejects_unknown_mode(spark):
+    """A typo'd drop_malformed mode must raise, not silently behave like
+    False."""
+    import pytest as pt
+
+    from tranquility_spark.sources.kafka import parse_kafka_batch
+
+    df = spark.createDataFrame([("t", b"{}")], "topic string, value binary")
+    with pt.raises(ValueError, match="drop_malformed"):
+        parse_kafka_batch(df, "k long", [("t", "x")], drop_malformed="markk")

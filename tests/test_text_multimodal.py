@@ -1139,3 +1139,23 @@ def test_bm25_stats_prune_tail_cms_one_sided(spark, sf_dir):
         stats=bm25_stats_serve(exact, tail, ["zzz_never_a_token"]),
     )
     assert ghost.count() == 0
+
+
+def test_bm25_empty_query_fails_fast(spark):
+    """An empty query list must raise up front, not as a py4j isin() error
+    deep inside plan analysis."""
+    import pytest as pt
+
+    from tranquility_spark.operators.text import (
+        bm25_corpus_stats,
+        bm25_scores,
+        bm25_stats_prune,
+        bm25_stats_serve,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pt.raises(ValueError, match="non-empty"):
+        bm25_scores(df, [])
+    exact, tail = bm25_stats_prune(bm25_corpus_stats(df), df_floor=0)
+    with pt.raises(ValueError, match="non-empty"):
+        bm25_stats_serve(exact, tail, [])

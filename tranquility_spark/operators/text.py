@@ -538,6 +538,10 @@ def bm25_scores(
     """
     ids = list(id_cols)
     terms = [str(t) for t in query_terms]
+    if not terms:
+        # isin() with zero args is a py4j error deep in the plan — fail
+        # here with intent instead
+        raise ValueError("query_terms must be non-empty")
     toks = df.select(
         *ids, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
     ).filter(F.col("tok").isin(*terms))
@@ -759,6 +763,8 @@ def bm25_stats_serve(
 
     spark = exact_stats.sparkSession
     terms = [str(t) for t in query_terms]
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
     kept = exact_stats.filter(
         F.col("tok").isNull() | F.col("tok").isin(*terms)
     )

@@ -106,6 +106,12 @@ def parse_kafka_batch(
     """
     if wire_format not in ("json", "avro", "smile"):
         raise ValueError(f"unknown wire_format {wire_format!r}")
+    if drop_malformed not in (True, False, "mark"):
+        # a typo'd mode would otherwise silently behave like False
+        raise ValueError(
+            f"drop_malformed must be True, False or 'mark', got "
+            f"{drop_malformed!r}"
+        )
     if wire_format == "smile":
         # the reference's own Kafka wire format (SmileObjectWriter) —
         # schemaless like the JSON path: fields picked by name, same
