@@ -1608,12 +1608,12 @@ from tranquility_spark import catalog_sketch  # noqa: E402,F401
 # with scripts/record_certified_fingerprints.py only when folding new greens).
 # ---------------------------------------------------------------------------
 
-_R10_DRIVER_WINDOW = [
+_R11_DRIVER_WINDOW = [
     # rows-only by policy (approximate sketches / LSH / index-defined probe
-    # sets — no SQL oracle); re-recorded every round by design. Round 9's
-    # rows-only additions (dd13b/a10f/emb10) join the permanent lead; its
-    # ten newly-green keys (p11/p11b/p12/txt19/rank2/dq18/pipe7/mm6/dd16
-    # + the mm4 re-certify) fold into _CERTIFIED below.
+    # sets — no SQL oracle); re-recorded every round by design. Round 10's
+    # rows-only additions (sim3b/sim5b persisted-ANN serving) join the
+    # permanent lead; its ten newly-green keys (p11/p11b/p12/mm6/dd16/
+    # txt19/rank2/pipe7/dd2b/txt20) fold into _CERTIFIED below.
     "hh1_heavy_hitters_merge",
     "a11c_theta_setops_approx",
     "a11d_sketch_merge_rollup",
@@ -1630,29 +1630,13 @@ _R10_DRIVER_WINDOW = [
     "dd13b_kmeans_semantic_dedup",
     "a10f_gk_quantiles",
     "emb10_pca_project",
-    # re-certify: round 10's ADVICE fixes edited these entries' helper
-    # operators (fingerprint guard can't catch helper edits — manual
-    # rotation, the mm4 precedent): avro_codec/avro_source range guards
-    # (p11/p11b), smile_codec shared-name + vint guards (p12), image_dhash
-    # dead-letter guard (mm6), and the dd16 distinct-digest hot-bucket
-    # rewrite. Normal-corpus outputs verified unchanged vs the DuckDB
-    # oracles at both SFs before rotation.
-    "p11_avro_parse",
-    "p11b_avro_evolution",
-    "p12_smile_parse",
-    "mm6_image_dhash",
-    "dd16_dhash_neardup",
-    # re-certify: bm25_scores grew the stats= serving parameter (family
-    # #9); the rescan path's expression tree is unchanged but these three
-    # consume the edited helper — same manual-rotation discipline
-    "txt19_bm25_topk",
-    "rank2_rrf_fusion",
-    "pipe7_chunk_retrieval",
+    "sim3b_ivf_persisted_serving",
+    "sim5b_ivfpq_persisted_serving",
 ]
 
 
 def _rotate_driver_window() -> None:
-    lead = [k for k in _R10_DRIVER_WINDOW if k in CATALOG]
+    lead = [k for k in _R11_DRIVER_WINDOW if k in CATALOG]
     # anything registered after this snapshot auto-joins the window
     lead += [
         k
@@ -1683,8 +1667,16 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # back out in round 9 for the soundfile dtype fix). r09 folds in 10
 # (CORRECTNESS_r09.json: 31 greens, 0 fails: the 9 new r09 oracled
 # entries p11/p11b/p12/txt19/rank2/dq18/pipe7/mm6/dd16 + the mm4
-# re-certify).
-# Total: 169.
+# re-certify) — of which 8 (p11/p11b/p12/mm6/dd16/txt19/rank2/pipe7)
+# rotated back OUT in round 10 for ADVICE-r9 helper fixes and the
+# bm25_scores stats= extension, leaving a 161-key ledger at the end of
+# round 10 (ADVICE r10 #1: the old "Total: 169" over-counted by
+# including those 8). r10 folds in 10 (CORRECTNESS_r10.json: 29 greens,
+# 0 fails; 19 were already-certified backfill; the 10 newly green = the
+# 8 r10 re-certifies + txt20_bm25_served_stats + dd2b_distinct_sig_guard).
+# Total: 171 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# latest fn/oracle revision has a driver hash-match. Keys rotated back
+# into the window are subtracted until re-certified.
 _CERTIFIED = frozenset(
     {
         # --- r01/r02 window ---
@@ -1783,6 +1775,15 @@ _CERTIFIED = frozenset(
         # bm25_scores stats= extension (see _R10_DRIVER_WINDOW) ---
         "dq18_subtotals_spec",
         "mm4_audio_frame_energy",
+        # --- r10 window (CORRECTNESS_r10.json: 29 greens, 0 fails; the 10
+        # newly green fold in — the 8 r10 re-certifies (p11/p11b/p12 wire-
+        # codec range/shared-name fixes, mm6 dead-letter guard, dd16
+        # distinct-digest rewrite, txt19/rank2/pipe7 bm25_scores stats=
+        # extension) plus the two new r10 oracled entries) ---
+        "p11_avro_parse", "p11b_avro_evolution", "p12_smile_parse",
+        "mm6_image_dhash", "dd16_dhash_neardup",
+        "txt19_bm25_topk", "rank2_rrf_fusion", "pipe7_chunk_retrieval",
+        "txt20_bm25_served_stats", "dd2b_distinct_sig_guard",
     }
 )
 
