@@ -1893,6 +1893,28 @@ def test_streaming_ivf_index_append_sink(spark, sf_dir, tmp_path):
         sim.ivf_index_append_sink(path, other)(emb.limit(5), 99)
     assert os.path.exists(os.path.join(path, "_ivf_meta.json"))
 
+    # ADVICE r10 #2: appending into a ONE-SHOT layout (centroid_id-only
+    # partitions) refuses even with matching centroids — (centroid_id,
+    # batch_id) partitions under the same root would mix two partition
+    # structures and break spark.read.parquet
+    oneshot = str(tmp_path / "ivf_oneshot")
+    sim.ivf_index_write(emb, cents, oneshot)
+    with pt.raises(ValueError, match="partitioned by"):
+        sim.ivf_index_append_sink(oneshot, cents)(emb.limit(5), 0)
+
+    # a legacy sidecar with no "partitioning" key could only have come
+    # from the one-shot writers — same refusal
+    import json
+
+    meta_path = os.path.join(oneshot, "_ivf_meta.json")
+    with open(meta_path, encoding="utf-8") as fh:
+        legacy = json.load(fh)
+    legacy.pop("partitioning")
+    with open(meta_path, "w", encoding="utf-8") as fh:
+        json.dump(legacy, fh)
+    with pt.raises(ValueError, match="partitioned by"):
+        sim.ivf_index_append_sink(oneshot, cents)(emb.limit(5), 0)
+
 
 def test_streaming_ivfpq_index_append_sink(spark, sf_dir, tmp_path):
     """IVF-PQ maintained at ingest: 3 streamed batches == the one-shot
@@ -1933,3 +1955,8 @@ def test_streaming_ivfpq_index_append_sink(spark, sf_dir, tmp_path):
     bad_books = [[[v + 0.5 for v in c] for c in b] for b in books]
     with pt.raises(ValueError, match="DIFFERENT"):
         sim.ivfpq_index_append_sink(streamed, cents, bad_books)(emb.limit(5), 9)
+
+    # ADVICE r10 #2: the one-shot layout refuses appends (mixed partition
+    # structures would break reads), even with matching parameters
+    with pt.raises(ValueError, match="partitioned by"):
+        sim.ivfpq_index_append_sink(oneshot, cents, books)(emb.limit(5), 0)

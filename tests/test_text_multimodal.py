@@ -1031,6 +1031,21 @@ def test_bm25_stats_merge_equals_direct_and_serving_scores(spark, sf_dir):
     }
     assert served == rescan and rescan
 
+    # ADVICE r10 #4: UNMERGED partials (several NULL-token totals rows)
+    # must fail fast, not silently fan the totals crossJoin out and
+    # duplicate scores
+    import pytest as pt
+    from pyspark.errors import SparkRuntimeException
+
+    unmerged = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    with pt.raises(SparkRuntimeException, match="exactly one"):
+        bm25_scores(docs, terms, stats=unmerged).collect()
+    # a stats frame with NO totals row is equally malformed
+    with pt.raises(SparkRuntimeException, match="exactly one"):
+        bm25_scores(
+            docs, terms, stats=stats.filter(F.col("tok").isNotNull())
+        ).collect()
+
 
 def test_bm25_partials_sink_replay_and_merge_read(spark, tmp_path):
     """The batch_id= lifecycle for family #9: two batches land two

@@ -1632,6 +1632,18 @@ _R11_DRIVER_WINDOW = [
     "emb10_pca_project",
     "sim3b_ivf_persisted_serving",
     "sim5b_ivfpq_persisted_serving",
+    # re-certify: ADVICE r10 #3 edited dd2b's fn (both_nonempty now counts
+    # BOTH runs); ADVICE r10 #4 edited the bm25_scores stats= totals path
+    # (aggregate-to-one-row + raise_error guard) — these four consume the
+    # edited helper (txt19/rank2/pipe7 on the UNCHANGED rescan branch, but
+    # the manual helper-rotation discipline applies; txt20 on the guarded
+    # stats branch, values unchanged for valid merged stats — verified vs
+    # the DuckDB oracles at both SFs before rotation).
+    "dd2b_distinct_sig_guard",
+    "txt19_bm25_topk",
+    "rank2_rrf_fusion",
+    "pipe7_chunk_retrieval",
+    "txt20_bm25_served_stats",
 ]
 
 
@@ -1673,8 +1685,10 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # round 10 (ADVICE r10 #1: the old "Total: 169" over-counted by
 # including those 8). r10 folds in 10 (CORRECTNESS_r10.json: 29 greens,
 # 0 fails; 19 were already-certified backfill; the 10 newly green = the
-# 8 r10 re-certifies + txt20_bm25_served_stats + dd2b_distinct_sig_guard).
-# Total: 171 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# 8 r10 re-certifies + txt20_bm25_served_stats + dd2b_distinct_sig_guard,
+# of which 5 (dd2b/txt19/rank2/pipe7/txt20) rotated back OUT in round 11
+# for the ADVICE r10 #3/#4 fixes).
+# Total: 166 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
 # latest fn/oracle revision has a driver hash-match. Keys rotated back
 # into the window are subtracted until re-certified.
 _CERTIFIED = frozenset(
@@ -1780,10 +1794,12 @@ _CERTIFIED = frozenset(
         # codec range/shared-name fixes, mm6 dead-letter guard, dd16
         # distinct-digest rewrite, txt19/rank2/pipe7 bm25_scores stats=
         # extension) plus the two new r10 oracled entries) ---
+        # (txt19/rank2/pipe7/txt20/dd2b were also r10-green but rotated
+        # straight back out in round 11 for the ADVICE r10 #3/#4 fixes —
+        # dd2b's both_nonempty now counts both runs, and the bm25_scores
+        # stats= totals path gained the unmerged-partials guard)
         "p11_avro_parse", "p11b_avro_evolution", "p12_smile_parse",
         "mm6_image_dhash", "dd16_dhash_neardup",
-        "txt19_bm25_topk", "rank2_rrf_fusion", "pipe7_chunk_retrieval",
-        "txt20_bm25_served_stats", "dd2b_distinct_sig_guard",
     }
 )
 

@@ -75,8 +75,9 @@ def dd2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(id_a, id_b, est_jaccard), emitted as a count row against the "
     "constant-0 oracle, so a green hash certifies "
     "guard-changes-no-output at every window rotation. both_nonempty "
-    "certifies the probe is not vacuous (both runs emit pairs on the "
-    "fixture). Quadratic-bucket ENGAGEMENT is asserted separately on a "
+    "certifies the probe is not vacuous — counted from BOTH runs "
+    "(ADVICE r10 #3: the base count alone was only sound combined with "
+    "n_mismatched == 0). Quadratic-bucket ENGAGEMENT is asserted separately on a "
     "pathological all-identical corpus in tests (an oracle cannot see "
     "plan cost). Not in the bench headline — dd2 carries the measured "
     "row; the guarded twin is for corpora that skipped dd1 exact dedup",
@@ -91,8 +92,18 @@ def dd2b_distinct_sig_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(guarded.exceptAll(base))
         .agg(F.count(F.lit(1)).alias("n_mismatched"))
     )
-    nonempty = base.agg(
-        (F.count(F.lit(1)) > 0).cast("long").alias("both_nonempty")
+    nonempty = (
+        base.agg((F.count(F.lit(1)) > 0).alias("_base_nonempty"))
+        .crossJoin(
+            F.broadcast(
+                guarded.agg((F.count(F.lit(1)) > 0).alias("_guarded_nonempty"))
+            )
+        )
+        .select(
+            (F.col("_base_nonempty") & F.col("_guarded_nonempty"))
+            .cast("long")
+            .alias("both_nonempty")
+        )
     )
     return diff.crossJoin(F.broadcast(nonempty))
 

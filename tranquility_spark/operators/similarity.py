@@ -366,6 +366,7 @@ def ivf_index_write(
         "centroids": [[float(x) for x in c] for c in centroids],
         "vec_col": vec_col,
         "id_col": id_col,
+        "partitioning": ["centroid_id"],
     }
     with open(os.path.join(path, "_ivf_meta.json"), "w", encoding="utf-8") as fh:
         json.dump(meta, fh)
@@ -416,8 +417,13 @@ def ivf_index_append_sink(
     The meta sidecar is written on first use and VALIDATED on every
     later batch: appending with different centroids would silently
     corrupt the inverted lists (vectors filed under one geometry, probed
-    under another), so a mismatch raises instead. Re-clustering requires
-    a rebuild — the standard IVF operational contract."""
+    under another), and appending ``(centroid_id, batch_id)`` partitions
+    into a one-shot ``centroid_id``-only layout (``ivf_index_write``)
+    would mix two partition structures under one root and break every
+    later ``spark.read.parquet`` — so both a centroid mismatch AND a
+    recorded-partitioning mismatch raise instead (ADVICE r10 #2).
+    Re-clustering or re-layout requires a rebuild — the standard IVF
+    operational contract."""
     import json
     import os
 
@@ -428,6 +434,7 @@ def ivf_index_append_sink(
             "centroids": [[float(x) for x in c] for c in centroids],
             "vec_col": vec_col,
             "id_col": id_col,
+            "partitioning": ["centroid_id", "batch_id"],
         }
         if os.path.exists(meta_path):
             with open(meta_path, encoding="utf-8") as fh:
@@ -437,6 +444,18 @@ def ivf_index_append_sink(
                     f"IVF layout at {path} was built with DIFFERENT "
                     "centroids — appending would corrupt the inverted "
                     "lists; rebuild the index instead"
+                )
+            # metas predating the "partitioning" key were only ever
+            # written by the one-shot writers → centroid_id-only layout
+            if existing.get("partitioning", ["centroid_id"]) != meta[
+                "partitioning"
+            ]:
+                raise ValueError(
+                    f"IVF layout at {path} is partitioned by "
+                    f"{existing.get('partitioning', ['centroid_id'])}, not "
+                    "(centroid_id, batch_id) — appending would mix two "
+                    "partition structures under one root and break reads; "
+                    "rebuild the index with the append layout instead"
                 )
         (
             with_centroid_id(batch_df, centroids, vec_col)
@@ -467,7 +486,10 @@ def ivfpq_index_append_sink(
     same replay-safe ``(centroid_id, batch_id)`` partitions; the meta
     sidecar pins centroids and codebooks and every later batch validates
     BOTH (codes filed under different codebooks would ADC-score as
-    garbage, the same silent corruption as a geometry mismatch)."""
+    garbage, the same silent corruption as a geometry mismatch) plus the
+    recorded partitioning (appending batch partitions into a one-shot
+    ``ivfpq_index_write`` layout would mix partition structures and
+    break reads — ADVICE r10 #2)."""
     import json
     import os
 
@@ -479,6 +501,7 @@ def ivfpq_index_append_sink(
             "books": [[[float(x) for x in c] for c in b] for b in books],
             "vec_col": vec_col,
             "id_col": id_col,
+            "partitioning": ["centroid_id", "batch_id"],
         }
         if os.path.exists(meta_path):
             with open(meta_path, encoding="utf-8") as fh:
@@ -491,6 +514,16 @@ def ivfpq_index_append_sink(
                     f"IVF-PQ layout at {path} was built with DIFFERENT "
                     "centroids/codebooks — appending would corrupt the "
                     "index; rebuild instead"
+                )
+            if existing.get("partitioning", ["centroid_id"]) != meta[
+                "partitioning"
+            ]:
+                raise ValueError(
+                    f"IVF-PQ layout at {path} is partitioned by "
+                    f"{existing.get('partitioning', ['centroid_id'])}, not "
+                    "(centroid_id, batch_id) — appending would mix two "
+                    "partition structures under one root and break reads; "
+                    "rebuild the index with the append layout instead"
                 )
         (
             pq_encode(
@@ -538,6 +571,7 @@ def ivfpq_index_write(
         "books": [[[float(x) for x in c] for c in b] for b in books],
         "vec_col": vec_col,
         "id_col": id_col,
+        "partitioning": ["centroid_id"],
     }
     with open(os.path.join(path, "_ivf_meta.json"), "w", encoding="utf-8") as fh:
         json.dump(meta, fh)

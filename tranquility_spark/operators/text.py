@@ -559,9 +559,41 @@ def bm25_scores(
             .agg(F.count(F.lit(1)).cast("double").alias("df"))
         )
     else:
-        corpus = stats.filter(F.col("tok").isNull()).select(
-            F.col("n_units").cast("double").alias("n"),
-            (F.col("sum_dl").cast("double") / F.col("n_units")).alias("avgdl"),
+        # Exactly ONE NULL-token totals row is the bm25_corpus_stats
+        # contract; unmerged partials (several totals rows) would fan the
+        # broadcast crossJoin out per totals row and silently duplicate
+        # scores (ADVICE r10 #4). Aggregate to one row unconditionally so
+        # the crossJoin can never fan out, and guard the load-bearing `n`
+        # column with raise_error so a malformed stats frame fails fast at
+        # execution time (plan-only — no extra driver-side job; `n` feeds
+        # idf, so the guard cannot be pruned).
+        totals = stats.filter(F.col("tok").isNull()).agg(
+            F.count(F.lit(1)).alias("_totals_rows"),
+            F.sum("n_units").alias("_n_units"),
+            F.sum("sum_dl").alias("_sum_dl"),
+        )
+        corpus = totals.select(
+            F.when(
+                F.col("_totals_rows") == 1, F.col("_n_units").cast("double")
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "bm25_scores(stats=...) requires exactly one "
+                            "NULL-token totals row, got "
+                        ),
+                        F.col("_totals_rows").cast("string"),
+                        F.lit(
+                            " — merge partials with bm25_stats_merge first"
+                        ),
+                    )
+                )
+            )
+            .alias("n"),
+            (F.col("_sum_dl").cast("double") / F.col("_n_units")).alias(
+                "avgdl"
+            ),
         )
         dfreq = stats.filter(F.col("tok").isin(*terms)).select(
             "tok", F.col("df").cast("double").alias("df")
