@@ -1426,6 +1426,145 @@ def sim5b_ivfpq_persisted_serving(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _equality_probe(lhs: DataFrame, rhs: DataFrame) -> DataFrame:
+    """The dd11b/dd2b constant-oracle shape, shared by the persisted-ANN
+    guards: symmetric difference emitted as a count row (the oracle is the
+    constant-0 row) plus a both_nonempty flag counted from BOTH frames
+    (the ADVICE r10 #3 form), so a green hash certifies equality AND
+    non-vacuousness at every window rotation."""
+    diff = (
+        lhs.exceptAll(rhs)
+        .unionByName(rhs.exceptAll(lhs))
+        .agg(F.count(F.lit(1)).alias("n_mismatched"))
+    )
+    nonempty = (
+        lhs.agg((F.count(F.lit(1)) > 0).alias("_lhs_nonempty"))
+        .crossJoin(
+            F.broadcast(rhs.agg((F.count(F.lit(1)) > 0).alias("_rhs_nonempty")))
+        )
+        .select(
+            (F.col("_lhs_nonempty") & F.col("_rhs_nonempty"))
+            .cast("long")
+            .alias("both_nonempty")
+        )
+    )
+    return diff.crossJoin(F.broadcast(nonempty))
+
+
+@register(
+    "sim3c_served_equals_inline",
+    """
+    SELECT CAST(0 AS BIGINT) AS n_mismatched, CAST(1 AS BIGINT) AS both_nonempty
+    """,
+    doc="Driver-certified contract probe for sim3b (VERDICT r10 #2, the "
+    "dd11b/dd2b pattern): the symmetric difference between the PERSISTED "
+    "IVF serving path (ivf_topk_indexed over the partitionBy(centroid_id) "
+    "layout) and sim3's INLINE composition (ivf_topk with the same cached "
+    "centroids) on the same query, compared on the full (vec_id, cosine) "
+    "rows, emitted as a count row against the constant-0 oracle — a green "
+    "hash certifies layout-round-trip-changes-nothing at every window "
+    "rotation, upgrading sim3b's pytest-only equality to a driver-checked "
+    "one. both_nonempty certifies both paths returned rows. Not in the "
+    "bench headline: sim3b carries the measured serving row",
+)
+def sim3c_served_equals_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    ck = _index_cache_key(sf_dir)
+    cents = _cached_index(
+        "ivf",
+        _IVF_INDEX_CACHE,
+        ck,
+        lambda: sim.ivf_centroids(emb, n_centroids=16),
+    )
+    layout = _ivf_layout_path(ck)
+    if not os.path.exists(os.path.join(layout, "_ivf_meta.json")):
+        sim.ivf_index_write(emb, cents, layout)
+    served = sim.ivf_topk_indexed(spark, layout, qvec, k=10, nprobe=4)
+    inline = sim.ivf_topk(emb, qvec, k=10, nprobe=4, centroids=cents)
+    return _equality_probe(served, inline)
+
+
+@register(
+    "sim5c_served_equals_composition",
+    """
+    SELECT CAST(0 AS BIGINT) AS n_mismatched, CAST(1 AS BIGINT) AS both_nonempty
+    """,
+    doc="Driver-certified contract probe for sim5b (VERDICT r10 #2): the "
+    "persisted IVF-PQ serving path (ivfpq_topk_indexed — sidecar centroid "
+    "ranking, partition-pruned scan, ADC over stored codes, exact rerank) "
+    "against the MANUAL composition its docstring promises: filter the "
+    "same persisted frame to the probed lists and run pq_topk with "
+    "use_existing_codes=True and the sidecar codebooks. Symmetric "
+    "difference on the full (vec_id, cosine) rows as a count row vs the "
+    "constant-0 oracle; both_nonempty certifies non-vacuousness. Not in "
+    "the bench headline: sim5b carries the measured serving row",
+)
+def sim5c_served_equals_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    ck = _index_cache_key(sf_dir)
+    cents = _cached_index(
+        "ivf",
+        _IVF_INDEX_CACHE,
+        ck,
+        lambda: sim.ivf_centroids(emb, n_centroids=16),
+    )
+    books = _cached_index(
+        "pq",
+        _PQ_INDEX_CACHE,
+        ck,
+        lambda: sim.pq_codebooks(emb, n_sub=4, k=16, refine_iters=1),
+    )
+    layout = os.path.join(
+        _index_cache_root(), f"ivfpqlayout-{_index_cache_digest('ivfpqlayout', ck)}"
+    )
+    if not os.path.exists(os.path.join(layout, "_ivf_meta.json")):
+        sim.ivfpq_index_write(emb, cents, books, layout)
+    served = sim.ivfpq_topk_indexed(
+        spark, layout, qvec, k=10, nprobe=4, shortlist=100
+    )
+    # the manual composition, over the SAME persisted frame and sidecar
+    # parameters (the ivfpq_topk_indexed docstring contract, made a
+    # driver-checked equality): driver-side centroid ranking → probe
+    # filter → pq_topk over the stored codes
+    frame, meta = sim.ivf_index_load(spark, layout)
+    qn = math.sqrt(sum(x * x for x in qvec)) or 1e-12
+    probe = sorted(
+        range(len(meta["centroids"])),
+        key=lambda i: -(
+            sum(a * b for a, b in zip(qvec, meta["centroids"][i]))
+            / (
+                qn
+                * (
+                    math.sqrt(sum(x * x for x in meta["centroids"][i]))
+                    or 1e-12
+                )
+            )
+        ),
+    )[:4]
+    manual = sim.pq_topk(
+        frame.filter(F.col("centroid_id").isin(probe)),
+        qvec,
+        meta["books"],
+        k=10,
+        shortlist=100,
+        use_existing_codes=True,
+    )
+    return _equality_probe(served, manual)
+
+
 @register(
     "sim5_pq_rerank",
     None,  # codebooks are k-means-defined — rows-only (sim2/sim3 policy);
