@@ -1644,6 +1644,15 @@ _R11_DRIVER_WINDOW = [
     "rank2_rrf_fusion",
     "pipe7_chunk_retrieval",
     "txt20_bm25_served_stats",
+    # re-certify: VERDICT r10 #3 dropped the explicit F.broadcast hints on
+    # the SF-scaling tables (customer/supplier/part) in q3/q5/q7/q8 —
+    # nation/region keep their hints, AQE size-checks the rest. Results
+    # unchanged (oracle parity re-verified at both SFs before rotation);
+    # only the plans changed, to ones that survive a 100x scale-up.
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
 ]
 
 
@@ -1687,8 +1696,9 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # 0 fails; 19 were already-certified backfill; the 10 newly green = the
 # 8 r10 re-certifies + txt20_bm25_served_stats + dd2b_distinct_sig_guard,
 # of which 5 (dd2b/txt19/rank2/pipe7/txt20) rotated back OUT in round 11
-# for the ADVICE r10 #3/#4 fixes).
-# Total: 166 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# for the ADVICE r10 #3/#4 fixes). Round 11 also rotated q3/q5/q7/q8 out
+# for the VERDICT r10 #3 broadcast de-hinting.
+# Total: 162 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
 # latest fn/oracle revision has a driver hash-match. Keys rotated back
 # into the window are subtracted until re-certified.
 _CERTIFIED = frozenset(
@@ -1709,8 +1719,8 @@ _CERTIFIED = frozenset(
         "dd6_contamination_overlap", "txt5_pii_redact", "txt6_repetition",
         "txt7_quality_filter", "dd7_neardup_survivors",
         "txt8_per_lang_quality_percentile", "pipe1_corpus_pipeline",
-        "q1_pricing_summary", "q3_shipping_priority",
-        "q5_local_supplier_volume", "q6_forecast_revenue",
+        "q1_pricing_summary",
+        "q6_forecast_revenue",
         "j1_broadcast_dim_join", "j2_semi_join",
         # --- r03/r04 window (46 green keys, CORRECTNESS_r03/r04.json) ---
         "a11b_distinct_set_ops", "agg1_grouping_rollup", "dq1_time_boundary",
@@ -1725,7 +1735,7 @@ _CERTIFIED = frozenset(
         "q17_small_quantity_revenue", "q18_large_orders",
         "q19_discounted_revenue", "q21_waiting_suppliers",
         "q22_global_sales_opportunity", "q4_order_priority",
-        "q7_volume_shipping", "q8_market_share", "s1_topk",
+        "s1_topk",
         "samp3_weighted_sample", "set1_set_ops", "txt10_top_tokens",
         "txt9_unigram_logprob", "w1_rank_in_partition", "w2_lag_lead_gap",
         "w3_running_total", "w4_ntile_cume_dist",

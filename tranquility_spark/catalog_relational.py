@@ -91,7 +91,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, o_orderdate, l_orderkey
     LIMIT 10
     """,
-    doc="TPC-H Q3 shape: broadcast dim filter + fact join + top-k "
+    doc="TPC-H Q3 shape: filtered customer join (AQE-sized — customer scales "
+    "with SF, so no explicit hint) + fact join + top-k "
     "(TakeOrderedAndProject — no full sort); unique-key tie-break for determinism",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,7 +105,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with SF — no broadcast hint (it would override
+        # AQE's size check and OOM the build side at 100x); AQE still
+        # picks a broadcast join at small SFs where it fits (VERDICT r10)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
@@ -129,7 +133,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY n_name
     """,
-    doc="TPC-H Q5 shape: 6-way join — all dims broadcast, only orders⋈lineitem shuffles",
+    doc="TPC-H Q5 shape: 6-way join — fixed-size dims (nation/region) hinted "
+    "broadcast, SF-scaling tables (customer/supplier) left to AQE's size "
+    "check; only orders⋈lineitem must shuffle at scale",
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
@@ -143,9 +149,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer/supplier scale with SF — hint only the fixed-size dims
+        # (nation/region) and let AQE size-check the rest (VERDICT r10:
+        # an explicit hint overrides AQE and would OOM the build side at
+        # 100x; at bench SFs AQE still chooses broadcast where it fits)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -785,8 +795,9 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2, 3
     """,
     doc="TPC-H Q7 shape: two independent nation lineages (supplier-side and "
-    "customer-side) with a disjunctive cross-nation predicate; all dims "
-    "broadcast, facts shuffle once on orderkey",
+    "customer-side) with a disjunctive cross-nation predicate; nation "
+    "lineages hinted broadcast, the SF-scaling supplier/customer joins "
+    "left to AQE, facts shuffle once on orderkey",
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -807,9 +818,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
     )
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # supp/cust are supplier⋈nation and customer⋈nation — they scale
+        # with SF, so only the inner nation joins carry broadcast hints;
+        # AQE size-checks these two (VERDICT r10)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -1477,8 +1491,9 @@ def w4_ntile_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q8 shape (literals adapted to the synthetic domains): supplier "
     "nation's market share of ECONOMY-part revenue inside customer region "
-    "AMERICA per year. Two independent nation lineages like q7; part/"
-    "supplier/customer+nation+region all broadcast — the only shuffles are "
+    "AMERICA per year. Two independent nation lineages like q7; nation/"
+    "region hinted broadcast, the SF-scaling part/supplier/customer joins "
+    "left to AQE — the only unavoidable shuffles at scale are "
     "lineitem⋈orders and the final tiny agg. Share = conditional-sum / sum "
     "in one pass (decimal-accumulated on both engines, round 6)",
 )
@@ -1508,10 +1523,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # part/supp/cust all scale with SF (cust is already region-filtered
+        # but remains a constant fraction of customers) — hints stay on the
+        # fixed-size nation/region joins above only; AQE decides here
+        # (VERDICT r10)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             F.year("o_orderdate").alias("o_year"),
             vol.cast(_DEC).alias("vol"),
