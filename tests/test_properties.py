@@ -202,7 +202,11 @@ def test_gk_core_proven_bound_and_invariants(values, split_seed, eps):
     canonical order is deterministic across reruns."""
     import bisect
 
-    from tranquility_spark.operators.gk import _cuts, _merge_cuts
+    from tranquility_spark.operators.gk import (
+        _cuts,
+        _merge_cuts,
+        _merge_cuts_naive,
+    )
 
     h = split_seed
     parts_vals = [[], [], []]
@@ -221,6 +225,9 @@ def test_gk_core_proven_bound_and_invariants(values, split_seed, eps):
     n = len(values)
     merged = _merge_cuts(parts)
     assert merged == _merge_cuts(parts)  # deterministic rerun
+    # the O(T log T) sweep is bit-identical to the all-pairs spec form
+    # (the r11 scale-probe rewrite — same intervals, just not O(P^2))
+    assert merged == _merge_cuts_naive(parts)
     for v, rmin, rmax in merged:
         assert rmin <= rmax
         assert rmax - rmin < max(1, eps * n)

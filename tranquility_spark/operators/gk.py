@@ -78,11 +78,11 @@ def _cuts(n: int, eps: float) -> list[int]:
     return pos
 
 
-def _merge_cuts(parts: list) -> list:
-    """Pure merge arithmetic (hypothesis-tested directly): ``parts`` is a
-    list, in CANONICAL partial order, of ``(cuts, n)`` with cuts =
-    sorted [(value, exact_rank)]; returns sorted [(value, rmin, rmax)]
-    global intervals under the consistent tie order (see gk_merge)."""
+def _merge_cuts_naive(parts: list) -> list:
+    """The executable SPEC for :func:`_merge_cuts` (all-pairs bisect form,
+    O(P²·C·log C) in partial count P — the shape the sf1 scale probe
+    caught super-linear). Kept verbatim as the hypothesis-test reference
+    the O(T log T) sweep below must match bit-for-bit."""
     import bisect
 
     all_values = [[c[0] for c in cuts] for cuts, _n in parts]
@@ -104,6 +104,57 @@ def _merge_cuts(parts: list) -> list:
                 rmin += ocuts[lo - 1][1] + 1 if lo > 0 else 0
                 rmax += ocuts[lo][1] if lo < len(ocuts) else on
             out.append((v, rmin, rmax))
+    out.sort()
+    return out
+
+
+def _merge_cuts(parts: list) -> list:
+    """Pure merge arithmetic (hypothesis-tested directly): ``parts`` is a
+    list, in CANONICAL partial order, of ``(cuts, n)`` with cuts =
+    sorted [(value, exact_rank)]; returns sorted [(value, rmin, rmax)]
+    global intervals under the consistent tie order (see gk_merge).
+
+    Single sweep over the globally-ordered cut occurrences, O(T log T)
+    for T total cuts: every partial's bisect position against a cut
+    occurrence equals the count of that partial's cuts PRECEDING the
+    occurrence in the (value, partial_id, position) tie order — exactly
+    the per-partial pointers a merge sweep maintains — so the Σ over
+    other partials becomes two running sums updated in O(1) per step.
+    Replaces the all-pairs form (kept as :func:`_merge_cuts_naive`),
+    which was O(P²) in partial count and made day-partitioned merges
+    super-linear in the 10x scale probe; output is bit-identical
+    (hypothesis-asserted sweep == naive)."""
+    npart = len(parts)
+    if npart == 1:
+        cuts, _n = parts[0]
+        return sorted((v, r, r) for v, r in cuts)
+    events = []  # (value, partial_id, position, exact_rank)
+    for ip, (cuts, _n) in enumerate(parts):
+        for pos, (v, r) in enumerate(cuts):
+            events.append((v, ip, pos, r))
+    events.sort()
+    # per-partial contribution terms under the current pointer state
+    # (pointer = occurrences of that partial already swept):
+    #   min_term = rank(last swept cut) + 1, or 0 before any
+    #   max_term = rank(next unswept cut), or n once exhausted
+    min_terms = [0] * npart
+    max_terms = [
+        cuts[0][1] if cuts else n for cuts, n in parts
+    ]
+    s_min = 0
+    s_max = sum(max_terms)
+    out = []
+    for v, ip, pos, r in events:
+        # sums currently include ip's own terms — subtract them: the spec
+        # sums over io != ip only
+        out.append((v, r + s_min - min_terms[ip], r + s_max - max_terms[ip]))
+        cuts, n = parts[ip]
+        new_min = r + 1
+        new_max = cuts[pos + 1][1] if pos + 1 < len(cuts) else n
+        s_min += new_min - min_terms[ip]
+        s_max += new_max - max_terms[ip]
+        min_terms[ip] = new_min
+        max_terms[ip] = new_max
     out.sort()
     return out
 
