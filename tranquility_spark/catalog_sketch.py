@@ -259,3 +259,121 @@ def a10f_gk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p90", 6).alias("p90_est"),
         F.round("p99", 6).alias("p99_est"),
     ).orderBy("event_type")
+
+
+@register(
+    "a10e2_kll_partition_invariance",
+    """
+    SELECT CAST(0 AS BIGINT) AS n_mismatched, CAST(1 AS BIGINT) AS both_nonempty
+    """,
+    doc="Driver-certified contract probe for a10e (VERDICT r10 #5, the "
+    "dd11b/dd2b constant-oracle pattern): the dKLL pipeline's DETERMINISM "
+    "claim — 'bit-reproducible across reruns, processes and partitionings' "
+    "(operators/kll.py module header) — made a hash-checked equality: the "
+    "full partial→merge→quantiles pipeline run on the events frame AND on "
+    "an adversarially repartitioned copy (repartition(7, v) — different "
+    "physical layout AND row order within every group) must emit identical "
+    "estimate rows. Emits the symmetric difference as a count row against "
+    "the constant-0 oracle plus a both-sides non-emptiness flag. Not in "
+    "the bench headline: a10e carries the measured row",
+)
+def a10e2_kll_partition_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.catalog_llm import _equality_probe
+    from tranquility_spark.operators.kll import (
+        kll_merge,
+        kll_partial,
+        kll_quantiles,
+    )
+
+    def pipeline(ev: DataFrame) -> DataFrame:
+        partials = kll_partial(ev, ["event_type", "day"], "v")
+        merged = kll_merge(partials, ["event_type"], "day")
+        est = kll_quantiles(merged, ["event_type"], quantiles=(0.5, 0.9, 0.99))
+        return est.select(
+            "event_type",
+            "n_total",
+            F.round("p50", 6).alias("p50_est"),
+            F.round("p90", 6).alias("p90_est"),
+            F.round("p99", 6).alias("p99_est"),
+        )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+        F.to_date("ts").cast("string").alias("day"),
+    )
+    return _equality_probe(pipeline(ev), pipeline(ev.repartition(7, "v")))
+
+
+@register(
+    "a10f2_gk_bounds_certified",
+    """
+    SELECT CAST(1 AS BIGINT) AS all_intervals_valid,
+           CAST(1 AS BIGINT) AS all_queries_in_bound
+    """,
+    doc="Driver-certified contract probe for a10f (VERDICT r10 #5): the GK "
+    "summary's PROVEN obligations evaluated as a boolean frame against the "
+    "raw data, hash-checked against the constant (1, 1) oracle. (a) every "
+    "merged interval satisfies rmin <= rmax and rmax - rmin < max(1, "
+    "eps*n) — the one-merge-level interval bound; (b) each served "
+    "quantile's EXACT occurrence-rank distance to its target floor(q*(n-1)) "
+    "is < max(1, 2*eps*n) — the 2-eps query bound, checked by counting "
+    "v < est and v <= est over the events frame itself. The hypothesis "
+    "suite asserts the same obligations on arbitrary multisets; this entry "
+    "re-asserts them on the driver's fixture at every window rotation. "
+    "Not in the bench headline: a10f carries the measured row",
+)
+def a10f2_gk_bounds_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.gk import gk_merge, gk_partial, gk_quantiles
+
+    eps = 0.01
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+        F.to_date("ts").cast("string").alias("day"),
+    )
+    partials = gk_partial(ev, ["event_type", "day"], "v", eps=eps)
+    merged = gk_merge(partials, ["event_type"], "day")
+    n_d = F.col("n_total").cast("double")
+    intervals_ok = merged.agg(
+        F.min(
+            (F.col("rmin") <= F.col("rmax"))
+            & (
+                (F.col("rmax") - F.col("rmin")).cast("double")
+                < F.greatest(F.lit(1.0), F.lit(eps) * n_d)
+            )
+        )
+        .cast("long")
+        .alias("all_intervals_valid")
+    )
+    est = gk_quantiles(merged, ["event_type"], quantiles=(0.5, 0.9, 0.99))
+    served = est.select(
+        "event_type",
+        "n_total",
+        F.expr(
+            "stack(3, CAST(0.5 AS DOUBLE), p50,"
+            " CAST(0.9 AS DOUBLE), p90,"
+            " CAST(0.99 AS DOUBLE), p99) AS (q, est_v)"
+        ),
+    )
+    counts = (
+        ev.filter(F.col("v").isNotNull())
+        .join(F.broadcast(served), "event_type")
+        .groupBy("event_type", "q", "est_v", "n_total")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("est_v"), 1).otherwise(0)).alias("lo"),
+            F.sum(F.when(F.col("v") <= F.col("est_v"), 1).otherwise(0)).alias("le"),
+        )
+    )
+    target = F.floor(F.col("q") * (F.col("n_total") - F.lit(1)).cast("double"))
+    dist = F.greatest(
+        F.lit(0.0),
+        (F.col("lo") - target).cast("double"),
+        (target - (F.col("le") - F.lit(1))).cast("double"),
+    )
+    queries_ok = counts.agg(
+        F.min(dist < F.greatest(F.lit(1.0), F.lit(2 * eps) * n_d))
+        .cast("long")
+        .alias("all_queries_in_bound")
+    )
+    return intervals_ok.crossJoin(F.broadcast(queries_ok))
