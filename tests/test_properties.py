@@ -262,6 +262,9 @@ _smile_scalars = st.one_of(
     st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
     st.floats(allow_nan=False, allow_infinity=False),
     st.text(max_size=80),
+    # sizes straddle every 7-bit tail group (len % 7 in 0..6) and both
+    # sides of the vint 1-byte/2-byte length boundary at 64
+    st.binary(max_size=80),
 )
 _smile_values = st.recursive(
     _smile_scalars,
@@ -274,18 +277,23 @@ _smile_values = st.recursive(
 
 
 @settings(max_examples=120, deadline=None)
-@given(st.lists(_smile_values, min_size=1, max_size=4), st.booleans())
-def test_smile_stream_roundtrip_fuzz(values, shared_values):
+@given(
+    st.lists(_smile_values, min_size=1, max_size=4),
+    st.booleans(),
+    st.booleans(),
+)
+def test_smile_stream_roundtrip_fuzz(values, shared_values, raw_binary):
     """decode(encode(stream)) == stream for arbitrary JSON-shaped values in
     ONE stream (shared name/value tables persist across records — the
     exact surface where an encoder/decoder registration asymmetry shows
-    up as wrong field names, not an error)."""
+    up as wrong field names, not an error). Binary leaves round-trip in
+    BOTH spec forms (raw 0xFD / 7-bit 0xE8 — the r11 extension)."""
     from tranquility_spark.operators.smile_codec import (
         SmileEncoder,
         decode_stream,
     )
 
-    enc = SmileEncoder(shared_values=shared_values)
+    enc = SmileEncoder(shared_values=shared_values, raw_binary=raw_binary)
     for v in values:
         enc.write(v)
     assert list(decode_stream(enc.getvalue())) == values

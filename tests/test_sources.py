@@ -896,6 +896,67 @@ def test_smile_spec_token_vectors():
     assert decode_record(b":)\n\x00\x42foo") == "foo"
 
 
+def test_smile_binary_token_vectors():
+    """Both spec binary forms, byte-exact (r11, VERDICT r10 #6): 0xE8
+    7-bit-safe (unsigned-vint RAW length; trailing group of N<7 bytes
+    packs into N+1 bytes, last byte = final N bits right-aligned —
+    Jackson's tail arithmetic) and 0xFD raw (flag-gated on encode,
+    lenient on decode). Hand-computed vectors, then the malformed edges:
+    forged lengths and dirty trailing bits fail cleanly."""
+    import pytest as pt
+
+    from tranquility_spark.operators.smile_codec import (
+        SmileDecodeError,
+        SmileEncoder,
+        decode_record,
+        decode_stream,
+    )
+
+    def body(value, **kw):
+        enc = SmileEncoder(**kw)
+        enc.write(value)
+        return enc.getvalue()[4:]
+
+    # 7-bit form. b"\x01": vint(1)=0x81; top 7 bits of 0x01 = 0b0000000,
+    # last 1 bit = 1 → payload 0x00 0x01
+    assert body(b"\x01") == b"\xe8\x81\x00\x01"
+    # b"\xff\xff": 16 bits → 7+7+2: 0x7f 0x7f 0x03
+    assert body(b"\xff\xff") == b"\xe8\x82\x7f\x7f\x03"
+    # 7 full bytes of zero → 8 zero payload bytes, no tail group
+    assert body(b"\x00" * 7) == b"\xe8\x87" + b"\x00" * 8
+    # empty binary → just the length
+    assert body(b"") == b"\xe8\x80"
+    # raw form: flag bit 0x04 in the header, verbatim payload
+    enc = SmileEncoder(raw_binary=True)
+    enc.write(b"\xde\xad\xbe")
+    assert enc.getvalue()[3] & 0x04
+    assert enc.getvalue()[4:] == b"\xfd\x83\xde\xad\xbe"
+    # lenient decode: 0xFD accepted even when the header flag is off
+    assert decode_record(b":)\n\x00\xfd\x83\xde\xad\xbe") == b"\xde\xad\xbe"
+
+    # round-trip both forms across the length grid that exercises every
+    # tail size, inside a record (the multimodal payload shape)
+    for raw_flag in (False, True):
+        for n in list(range(23)) + [63, 64, 1000]:
+            payload = bytes((i * 37 + n) % 256 for i in range(n))
+            rec = {"img": payload, "k": 1}
+            enc = SmileEncoder(raw_binary=raw_flag)
+            enc.write(rec)
+            assert list(decode_stream(enc.getvalue())) == [rec]
+
+    # forged length far past the buffer fails BEFORE allocation
+    with pt.raises(SmileDecodeError, match="exceeds buffer"):
+        decode_record(b":)\n\x00\xe8\x0f\xff\xbf\x00\x00")
+    with pt.raises(SmileDecodeError, match="ran past end"):
+        decode_record(b":)\n\x00\xfd\x8a\x00")
+    # trailing byte with bits above the N-bit payload is malformed
+    with pt.raises(SmileDecodeError, match="trailing byte"):
+        decode_record(b":)\n\x00\xe8\x81\x00\x02")
+    # payload byte with the high bit set is malformed
+    with pt.raises(SmileDecodeError, match="high bit"):
+        decode_record(b":)\n\x00\xe8\x81\x80\x01")
+
+
 def test_smile_parse_column_corrupt_accounting(spark):
     """p10's corrupt-record contract on the Smile wire path: valid object
     payloads decode typed (missing fields NULL, extra fields ignored);
@@ -962,6 +1023,43 @@ def test_smile_parse_column_type_mismatch_invalidates_record(spark):
     assert got[1] == (1, 7, "ok")
     for bad in (2, 3, 4):
         assert got[bad] == (0, None, None), bad
+
+
+def test_smile_parse_column_binary_field(spark):
+    """Binary values over the wire (r11): a declared BINARY field carries
+    byte payloads end-to-end through parse_smile_column in BOTH spec
+    forms (7-bit 0xE8 and raw 0xFD — the multimodal blob-over-the-wire
+    shape), and a non-bytes value in a binary field dead-letters that
+    record instead of killing the Arrow batch."""
+    from tranquility_spark.operators.smile_codec import SmileEncoder
+    from tranquility_spark.sources.smile_source import parse_smile_column
+
+    blob = bytes(range(20)) * 3
+
+    def pay(v, **kw):
+        enc = SmileEncoder(**kw)
+        enc.write(v)
+        return bytearray(enc.getvalue())
+
+    df = spark.createDataFrame(
+        [
+            (1, pay({"img": blob, "k": 5})),                    # 7-bit form
+            (2, pay({"img": blob, "k": 6}, raw_binary=True)),   # raw form
+            (3, pay({"img": None, "k": 7})),                    # NULL blob ok
+            (4, pay({"img": "not bytes", "k": 8})),             # wrong type
+        ],
+        "id long, payload binary",
+    )
+    got = {
+        r["id"]: (r["is_valid"], bytes(r["img"]) if r["img"] is not None else None, r["k"])
+        for r in parse_smile_column(
+            df, "payload", "img binary, k long", keep=["id"]
+        ).collect()
+    }
+    assert got[1] == (1, blob, 5)
+    assert got[2] == (1, blob, 6)
+    assert got[3] == (1, None, 7)
+    assert got[4] == (0, None, None)
 
 
 def test_kafka_smile_wire_demux(spark):

@@ -1653,6 +1653,11 @@ _R11_DRIVER_WINDOW = [
     "q5_local_supplier_volume",
     "q7_volume_shipping",
     "q8_market_share",
+    # re-certify: VERDICT r10 #6 extended the smile codec with both spec
+    # binary forms (0xE8 7-bit / 0xFD raw) and parse_smile_column's _typed
+    # gained the BinaryType dead-letter branch — p12 consumes both edited
+    # helpers (fixture outputs verified unchanged at both SFs).
+    "p12_smile_parse",
 ]
 
 
@@ -1697,8 +1702,9 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # 8 r10 re-certifies + txt20_bm25_served_stats + dd2b_distinct_sig_guard,
 # of which 5 (dd2b/txt19/rank2/pipe7/txt20) rotated back OUT in round 11
 # for the ADVICE r10 #3/#4 fixes). Round 11 also rotated q3/q5/q7/q8 out
-# for the VERDICT r10 #3 broadcast de-hinting.
-# Total: 162 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# for the VERDICT r10 #3 broadcast de-hinting, and p12 out for the
+# VERDICT r10 #6 smile binary-token extension.
+# Total: 161 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
 # latest fn/oracle revision has a driver hash-match. Keys rotated back
 # into the window are subtracted until re-certified.
 _CERTIFIED = frozenset(
@@ -1808,7 +1814,7 @@ _CERTIFIED = frozenset(
         # straight back out in round 11 for the ADVICE r10 #3/#4 fixes —
         # dd2b's both_nonempty now counts both runs, and the bm25_scores
         # stats= totals path gained the unmerged-partials guard)
-        "p11_avro_parse", "p11b_avro_evolution", "p12_smile_parse",
+        "p11_avro_parse", "p11b_avro_evolution",
         "mm6_image_dhash", "dd16_dhash_neardup",
     }
 )

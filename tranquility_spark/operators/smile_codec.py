@@ -20,11 +20,18 @@ Supported (the event-record subset):
   spec's 7-bits-per-byte big-endian packing, tiny/short ASCII and unicode
   strings, long (``0xFC``-terminated) strings, shared-value back
   references (short and 2-byte long forms)
+- binary values, BOTH spec forms (r11, VERDICT r10 #6 — byte[] fields in
+  multimodal payloads over the wire): ``0xE8`` 7-bit-safe (unsigned-vint
+  RAW length, then 7-bits-per-byte groups where a trailing group of N<7
+  payload bytes packs into N+1 bytes with the final byte carrying the
+  last N bits right-aligned — Jackson's exact tail layout) and ``0xFD``
+  raw (unsigned-vint length + verbatim bytes; written only when the
+  header's raw-binary flag is on, decoded leniently either way)
 - back-to-back root-level values in one stream (how Jackson writes event
   sequences) via :func:`decode_stream`
 
-Not implemented (raise ``SmileDecodeError`` with the token byte): raw
-binary, BigInteger/BigDecimal — none appear in event payloads.
+Not implemented (raise ``SmileDecodeError`` with the token byte):
+BigInteger/BigDecimal — neither appears in event payloads.
 
 The same anti-circularity discipline as ``avro_codec``: the encoder
 exists for fixtures/round-trips; tests pin HAND-COMPUTED byte vectors
@@ -125,6 +132,63 @@ def _decode_7bit(buf: bytes, pos: int, raw_len: int) -> tuple[bytes, int]:
     return n.to_bytes(raw_len, "big"), pos + nbytes
 
 
+def _encode_7bit_binary(raw: bytes) -> bytes:
+    """The spec's 7-bit-safe BINARY packing (0xE8) — distinct from the
+    fixed-width float packing above: full groups of 7 payload bytes become
+    8 output bytes of 7 bits each, MSB-first; a trailing group of N < 7
+    payload bytes becomes N+1 output bytes whose FIRST N carry 7 bits each
+    and whose LAST carries the remaining N bits right-aligned (Jackson's
+    tail layout, verified against its generator arithmetic)."""
+    out = bytearray()
+    full, tail = divmod(len(raw), 7)
+    for g in range(full):
+        v = int.from_bytes(raw[g * 7 : g * 7 + 7], "big")
+        for shift in range(49, -1, -7):
+            out.append((v >> shift) & 0x7F)
+    if tail:
+        v = int.from_bytes(raw[full * 7 :], "big")
+        bits = tail * 8
+        for i in range(tail):
+            out.append((v >> (bits - 7 * (i + 1))) & 0x7F)
+        out.append(v & ((1 << tail) - 1))
+    return bytes(out)
+
+
+def _decode_7bit_binary(buf: bytes, pos: int, raw_len: int) -> tuple[bytes, int]:
+    full, tail = divmod(raw_len, 7)
+    nbytes = full * 8 + (tail + 1 if tail else 0)
+    if pos + nbytes > len(buf):
+        raise SmileDecodeError("7-bit binary ran past end of buffer")
+    out = bytearray()
+    p = pos
+    for _ in range(full):
+        v = 0
+        for _ in range(8):
+            b = buf[p]
+            p += 1
+            if b & 0x80:
+                raise SmileDecodeError("7-bit binary byte with high bit set")
+            v = (v << 7) | b
+        out += v.to_bytes(7, "big")
+    if tail:
+        v = 0
+        for _ in range(tail):
+            b = buf[p]
+            p += 1
+            if b & 0x80:
+                raise SmileDecodeError("7-bit binary byte with high bit set")
+            v = (v << 7) | b
+        last = buf[p]
+        p += 1
+        if last & ~((1 << tail) - 1):
+            raise SmileDecodeError(
+                "7-bit binary trailing byte has bits above the payload"
+            )
+        v = (v << tail) | last
+        out += v.to_bytes(tail, "big")
+    return bytes(out), p
+
+
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
@@ -135,13 +199,21 @@ class SmileEncoder:
     back-to-back event-sequence shape (one header, shared tables persist
     across records — exactly why the tables exist)."""
 
-    def __init__(self, shared_names: bool = True, shared_values: bool = False):
+    def __init__(
+        self,
+        shared_names: bool = True,
+        shared_values: bool = False,
+        raw_binary: bool = False,
+    ):
         self.shared_names = shared_names
         self.shared_values = shared_values
+        self.raw_binary = raw_binary
         self._names: dict[str, int] = {}
         self._values: dict[str, int] = {}
-        flags = (FLAG_SHARED_NAMES if shared_names else 0) | (
-            FLAG_SHARED_VALUES if shared_values else 0
+        flags = (
+            (FLAG_SHARED_NAMES if shared_names else 0)
+            | (FLAG_SHARED_VALUES if shared_values else 0)
+            | (FLAG_RAW_BINARY if raw_binary else 0)
         )
         self.buf = bytearray(HEADER + bytes([flags]))
 
@@ -173,6 +245,17 @@ class SmileEncoder:
         elif isinstance(v, float):
             b.append(0x29)
             b += _encode_7bit(struct.pack(">d", v))
+        elif isinstance(v, (bytes, bytearray)):
+            # both spec binary forms carry the RAW length as an unsigned
+            # (non-zigzag) vint; only the payload layout differs
+            if self.raw_binary:
+                b.append(0xFD)
+                b += encode_vint(len(v))
+                b += bytes(v)
+            else:
+                b.append(0xE8)
+                b += encode_vint(len(v))
+                b += _encode_7bit_binary(bytes(v))
         elif isinstance(v, str):
             self._string_value(v)
         elif isinstance(v, (list, tuple)):
@@ -325,6 +408,23 @@ class SmileDecoder:
             return self._string(b - 0xA0 + 34)
         if b in (0xE0, 0xE4):  # long string, 0xFC-terminated
             return self._long_string()
+        if b == 0xE8:  # 7-bit-safe binary: unsigned-vint RAW length
+            raw_len, self.pos = decode_vint(self.data, self.pos)
+            if raw_len > len(self.data):  # forged length — fail before alloc
+                raise SmileDecodeError(
+                    f"7-bit binary length {raw_len} exceeds buffer"
+                )
+            raw, self.pos = _decode_7bit_binary(self.data, self.pos, raw_len)
+            return raw
+        if b == 0xFD:  # raw binary: unsigned-vint length + verbatim bytes
+            # lenient decode: accepted even without the header flag (the
+            # flag is advisory — it tells SCANNERS raw bytes may appear)
+            raw_len, self.pos = decode_vint(self.data, self.pos)
+            if self.pos + raw_len > len(self.data):
+                raise SmileDecodeError("raw binary ran past end of buffer")
+            raw = self.data[self.pos : self.pos + raw_len]
+            self.pos += raw_len
+            return raw
         if b == 0xF8:
             out = []
             while True:

@@ -108,6 +108,7 @@ def parse_smile_column(
         import pandas as pd
 
         from pyspark.sql.types import (
+            BinaryType as _BIN,
             BooleanType as _B,
             DoubleType as _D,
             FloatType as _F,
@@ -150,6 +151,13 @@ def parse_smile_column(
                         return False
                 elif isinstance(f.dataType, _B):
                     if not isinstance(v, bool):
+                        return False
+                elif isinstance(f.dataType, _BIN):
+                    # r11 (binary tokens land here): a non-bytes value in
+                    # a declared binary field would throw in the Arrow
+                    # conversion and kill the whole batch — dead-letter
+                    # the record instead (the ADVICE r9 class)
+                    if not isinstance(v, (bytes, bytearray)):
                         return False
             return True
 
