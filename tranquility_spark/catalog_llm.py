@@ -2307,6 +2307,87 @@ def txt20_bm25_served_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "txt21_bm25_pruned_contract",
+    """
+    SELECT CAST(1 AS BIGINT) AS kept_exact,
+           CAST(1 AS BIGINT) AS tail_one_sided,
+           CAST(1 AS BIGINT) AS tail_engaged
+    """,
+    doc="Driver-certified contract probe for the BM25 vocabulary prune "
+    "(text.py#bm25_stats_prune/serve — families #9 + #5 composed; "
+    "VERDICT r10 #7): stats pruned at the fixture vocabulary's MEDIAN df "
+    "(so both sides are non-empty), then the two safety claims evaluated "
+    "as booleans against the constant (1,1,1) oracle. kept_exact: scores "
+    "served from the pruned index for above-floor terms are BIT-identical "
+    "to full-stats serving (zero symmetric difference). tail_one_sided: "
+    "for tail terms served from the CMS, every doc's score is <= the "
+    "full-stats score — CMS only overestimates df, idf decreases in df, "
+    "per-term score increases in idf, and round(.,6) is monotone, so the "
+    "prune can only ever UNDERrank, never inflate. tail_engaged: the "
+    "served stats frame actually drew tail rows from the sketch (a "
+    "fixture where nothing is pruned would pass the other two "
+    "vacuously). The vocabulary collect that picks the floor/terms is a "
+    "certification artifact over the 31-token fixture vocab — the pruned "
+    "SERVING path itself never collects. Cost (both paths, both term "
+    "sets) recorded out-of-headline in BASELINE.md, the dd8b/dd11b "
+    "probe precedent; txt20 carries the measured serving row",
+)
+def txt21_bm25_pruned_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    stats = tx.bm25_corpus_stats(docs, text_col="text", id_cols=("doc_id",))
+    tok_rows = sorted(
+        (r["df"], r["tok"])
+        for r in stats.filter(F.col("tok").isNotNull()).collect()
+    )
+    floor = tok_rows[len(tok_rows) // 2][0]
+    kept_terms = [t for d, t in tok_rows if d > floor][:3]
+    tail_terms = [t for d, t in tok_rows if d <= floor][:3]
+    exact, tail_cms = tx.bm25_stats_prune(stats, df_floor=floor)
+    kw = dict(text_col="text", id_cols=("doc_id",), k1=_BM25_K1, b=_BM25_B)
+
+    served_kept = tx.bm25_scores(
+        docs,
+        kept_terms,
+        stats=tx.bm25_stats_serve(exact, tail_cms, kept_terms),
+        **kw,
+    )
+    full_kept = tx.bm25_scores(docs, kept_terms, stats=stats, **kw)
+    kept_exact = (
+        served_kept.exceptAll(full_kept)
+        .unionByName(full_kept.exceptAll(served_kept))
+        .agg((F.count(F.lit(1)) == 0).cast("long").alias("kept_exact"))
+    )
+
+    served_tail = tx.bm25_scores(
+        docs,
+        tail_terms,
+        stats=tx.bm25_stats_serve(exact, tail_cms, tail_terms),
+        **kw,
+    ).select("doc_id", F.col("bm25").alias("served"))
+    full_tail = tx.bm25_scores(docs, tail_terms, stats=stats, **kw).select(
+        "doc_id", F.col("bm25").alias("full")
+    )
+    one_sided = served_tail.join(full_tail, "doc_id", "outer").agg(
+        F.min(
+            F.col("served").isNotNull()
+            & F.col("full").isNotNull()
+            & (F.col("served") <= F.col("full"))
+        )
+        .cast("long")
+        .alias("tail_one_sided")
+    )
+
+    engaged = (
+        tx.bm25_stats_serve(exact, tail_cms, tail_terms)
+        .filter(F.col("tok").isNotNull() & F.col("n_units").isNull())
+        .agg((F.count(F.lit(1)) > 0).cast("long").alias("tail_engaged"))
+    )
+    return kept_exact.crossJoin(F.broadcast(one_sided)).crossJoin(
+        F.broadcast(engaged)
+    )
+
+
 def _pipe7_oracle_sql() -> str:
     terms = ", ".join(f"('{t}')" for t in _BM25_QUERY)
     return f"""
