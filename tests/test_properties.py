@@ -244,6 +244,85 @@ def test_gk_core_proven_bound_and_invariants(values, split_seed, eps):
         assert dist < max(1, 2 * eps * n), (target, best, dist)
 
 
+def _gk_certified_err_py(cuts, n):
+    """Python mirror of operators/gk.py#gk_certified_error: E_gap over the
+    (value, rmin)-ordered midpoints (covering both ends) + max width/2."""
+    mids = [(rmin + rmax) / 2.0 for _v, rmin, rmax in sorted(cuts)]
+    gaps = [mids[0], (n - 1) - mids[-1]] + [
+        (b - a) / 2.0 for a, b in zip(mids, mids[1:])
+    ]
+    half_w = max(rmax - rmin for _v, rmin, rmax in cuts) / 2.0
+    return max(gaps) + half_w
+
+
+@given(
+    values=st.lists(
+        st.one_of(
+            st.integers(min_value=-1000, max_value=1000).map(float),
+            st.sampled_from([0.0, 5.0, 5.0, 5.0, -7.5]),  # tie pressure
+        ),
+        min_size=1,
+        max_size=400,
+    ),
+    split_seed=st.integers(min_value=0, max_value=2**31),
+    eps=st.sampled_from([0.02, 0.05, 0.1]),
+)
+@settings(max_examples=60, deadline=None)
+def test_gk_deep_merge_tree_certified_bound(values, split_seed, eps):
+    """gk_merge_deep's engine (_merge_cuts_intervals) on a TWO-LEVEL tree
+    over ANY multiset and ANY 4-way split: (a) output intervals are
+    structurally valid and rank-monotone; (b) every query target's best
+    cut has true occurrence-rank distance within the COMPUTED
+    gk_certified_error bound — the contract that replaces the flat
+    merge's 2*eps*n constant at depth."""
+    import bisect
+
+    from tranquility_spark.operators.gk import (
+        _cuts,
+        _merge_cuts,
+        _merge_cuts_intervals,
+    )
+
+    h = split_seed
+    parts_vals = [[], [], [], []]
+    for v in values:
+        h = (h * 6364136223846793005 + 1442695040888963407) % (2**64)
+        parts_vals[h % 4].append(v)
+    exact_parts = []
+    for vs in parts_vals:
+        vs = sorted(vs)
+        if not vs:
+            continue
+        exact_parts.append(
+            ([(vs[p], p) for p in _cuts(len(vs), eps)], len(vs))
+        )
+    if not exact_parts:
+        return
+    half = max(1, len(exact_parts) // 2)
+    level1 = []
+    for grp in (exact_parts[:half], exact_parts[half:]):
+        if grp:
+            level1.append((_merge_cuts(grp), sum(np for _c, np in grp)))
+    tree = _merge_cuts_intervals(level1)
+    assert tree == _merge_cuts_intervals(level1)  # deterministic rerun
+    n = len(values)
+    prev_rmin = -1
+    for _v, rmin, rmax in sorted(tree):
+        assert 0 <= rmin <= rmax <= n - 1
+        assert rmin >= prev_rmin
+        prev_rmin = rmin
+    cert = _gk_certified_err_py(tree, n)
+    svals = sorted(values)
+    for target in {0, n // 4, n // 2, (3 * n) // 4, n - 1}:
+        best = min(
+            tree, key=lambda c: (abs((c[1] + c[2]) / 2.0 - target), c[0])
+        )
+        lo = bisect.bisect_left(svals, best[0])
+        hi = bisect.bisect_right(svals, best[0]) - 1
+        dist = max(0, lo - target, target - hi)
+        assert dist <= cert + 1e-9, (target, best, dist, cert)
+
+
 # ---------------------------------------------------------------------------
 # Wire-codec round-trip fuzz (P2 Smile / Avro extension) — regression armor
 # for the ADVICE r9 bug class: shared-table desync and out-of-range values

@@ -1421,3 +1421,91 @@ def test_gk_merge_rejects_already_merged_summaries(spark):
     )
     with pt.raises(Exception, match="already-merged"):
         remerge.collect()
+
+
+def test_gk_merge_deep_degenerate_equals_flat(spark):
+    """gk_merge_deep on NEVER-merged partials (rmin == rmax) reduces
+    bit-for-bit to gk_merge — the interval engine with degenerate
+    intervals is the classic arithmetic (the wrapper relationship,
+    asserted at the Spark level)."""
+    from tranquility_spark.operators.gk import (
+        gk_merge,
+        gk_merge_deep,
+        gk_partial,
+    )
+
+    df = spark.createDataFrame(
+        [("g", f"p{i % 5}", float((i * 2654435761) % 9973)) for i in range(5000)],
+        "grp string, part string, v double",
+    )
+    partials = gk_partial(df, ["grp", "part"], "v", eps=0.02)
+    flat = sorted(map(tuple, gk_merge(partials, ["grp"], "part").collect()))
+    deep = sorted(map(tuple, gk_merge_deep(partials, ["grp"], "part").collect()))
+    assert flat == deep and flat
+
+
+def test_gk_merge_deep_tree_certified_bound(spark):
+    """The multi-level rollup gk_merge REFUSES, done legally: day partials
+    -> two level-1 merges -> one level-2 gk_merge_deep. Assertions: the
+    tree summary is structurally valid (rmin <= rmax, in [0, n-1],
+    rmin non-decreasing in (value, rmin) order), every quantile estimate's
+    true rank error is within gk_certified_error's COMPUTED bound (the
+    contract that replaces the flat 2*eps*n constant), and the tree stays
+    inside the doubling envelope (< 4*eps*n for two levels) on this
+    adversarial fixture. The flat one-level merge of the same partials
+    certifies a bound no worse than the tree's."""
+    import math
+
+    from tranquility_spark.operators.gk import (
+        gk_certified_error,
+        gk_merge,
+        gk_merge_deep,
+        gk_partial,
+        gk_quantiles,
+    )
+
+    eps = 0.02
+    # adversarial: overlapping ranges WITHIN each half (disjoint ranges
+    # would merge with exact intervals and exercise nothing) + a
+    # heavy-duplicate partial
+    parts = {
+        "p0": [float(i) for i in range(1000)],
+        "p3": [500.0] * 1000,
+        "p1": [float((i * 31) % 1000) for i in range(1000)],
+        "p2": [float(250 + i) for i in range(1000)],
+    }
+    rows = [("g", pid, v) for pid, vs in parts.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, part string, v double")
+    partials = gk_partial(df, ["grp", "part"], "v", eps=eps).withColumn(
+        "half", F.when(F.col("part").isin("p0", "p3"), "h0").otherwise("h1")
+    )
+    level1 = gk_merge(partials, ["grp", "half"], "part")
+    assert level1.filter("rmin != rmax").count() > 0  # genuinely widened
+    tree = gk_merge_deep(level1, ["grp"], "half").collect()
+
+    all_vals = sorted(v for vs in parts.values() for v in vs)
+    n = len(all_vals)
+    assert all(r["n_total"] == n for r in tree)
+    ordered = sorted(tree, key=lambda r: (r["value"], r["rmin"]))
+    prev_rmin = -1
+    for r in ordered:
+        assert 0 <= r["rmin"] <= r["rmax"] <= n - 1
+        assert r["rmin"] >= prev_rmin
+        prev_rmin = r["rmin"]
+
+    tree_df = gk_merge_deep(level1, ["grp"], "half")
+    cert = gk_certified_error(tree_df, ["grp"]).collect()[0]["certified_err"]
+    flat_cert = gk_certified_error(
+        gk_merge(partials.drop("half"), ["grp"], "part"), ["grp"]
+    ).collect()[0]["certified_err"]
+    assert flat_cert <= cert  # deeper tree never certifies tighter
+    assert cert < 4 * eps * n  # two levels stay inside the doubling envelope
+
+    qs = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    est = gk_quantiles(tree_df, ["grp"], quantiles=qs).collect()[0]
+    for q in qs:
+        target = math.floor(q * (n - 1))
+        v = est[f"p{q * 100:g}".replace(".", "_")]
+        lo, hi = _gk_true_rank(all_vals, v)
+        dist = max(0, lo - target, target - hi)
+        assert dist <= cert, (q, v, dist, cert)

@@ -377,3 +377,92 @@ def a10f2_gk_bounds_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("all_queries_in_bound")
     )
     return intervals_ok.crossJoin(F.broadcast(queries_ok))
+
+
+@register(
+    "a10g_gk_deep_rollup",
+    """
+    SELECT CAST(1 AS BIGINT) AS all_intervals_valid,
+           CAST(1 AS BIGINT) AS all_queries_in_certified_bound
+    """,
+    doc="Multi-level GK rollup (r11 — the merge tree gk_merge refuses, "
+    "done legally via operators/gk.py#gk_merge_deep): per-(event_type, "
+    "day) proven-eps partials -> per-(event_type, month) level-1 merges "
+    "-> one level-2 interval-arithmetic merge per event_type — the "
+    "hierarchical re-summarization shape (persisted daily summaries "
+    "rolled up without re-reading raw values; at 100 TB the raw scan "
+    "happens once at ingest, every level above it shuffles kilobyte "
+    "summary rows). Certified against the constant (1, 1) oracle: "
+    "(a) every tree interval is structurally valid (rmin <= rmax within "
+    "[0, n-1]); (b) every served quantile's EXACT occurrence-rank "
+    "distance to its target is within gk_certified_error's bound "
+    "COMPUTED from the tree summary itself — the honest contract at "
+    "depth, where the flat merge's promised 2*eps*n constant no longer "
+    "applies (error roughly doubles per level). The same obligations "
+    "run on arbitrary multisets in the hypothesis suite; this entry "
+    "re-asserts them on the driver's fixture every window rotation",
+)
+def a10g_gk_deep_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.gk import (
+        gk_certified_error,
+        gk_merge,
+        gk_merge_deep,
+        gk_partial,
+        gk_quantiles,
+    )
+
+    eps = 0.01
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+        F.to_date("ts").cast("string").alias("day"),
+    )
+    partials = gk_partial(ev, ["event_type", "day"], "v", eps=eps).withColumn(
+        "month", F.substring("day", 1, 7)
+    )
+    level1 = gk_merge(partials, ["event_type", "month"], "day")
+    tree = gk_merge_deep(level1, ["event_type"], "month")
+    intervals_ok = tree.agg(
+        F.min(
+            (F.col("rmin") <= F.col("rmax"))
+            & (F.col("rmin") >= 0)
+            & (F.col("rmax") <= F.col("n_total") - 1)
+        )
+        .cast("long")
+        .alias("all_intervals_valid")
+    )
+    cert = gk_certified_error(tree, ["event_type"]).select(
+        "event_type", "certified_err"
+    )
+    est = gk_quantiles(tree, ["event_type"], quantiles=(0.5, 0.9, 0.99))
+    served = est.join(F.broadcast(cert), "event_type").select(
+        "event_type",
+        "n_total",
+        "certified_err",
+        F.expr(
+            "stack(3, CAST(0.5 AS DOUBLE), p50,"
+            " CAST(0.9 AS DOUBLE), p90,"
+            " CAST(0.99 AS DOUBLE), p99) AS (q, est_v)"
+        ),
+    )
+    counts = (
+        ev.filter(F.col("v").isNotNull())
+        .join(F.broadcast(served), "event_type")
+        .groupBy("event_type", "q", "est_v", "n_total", "certified_err")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("est_v"), 1).otherwise(0)).alias("lo"),
+            F.sum(F.when(F.col("v") <= F.col("est_v"), 1).otherwise(0)).alias("le"),
+        )
+    )
+    target = F.floor(F.col("q") * (F.col("n_total") - F.lit(1)).cast("double"))
+    dist = F.greatest(
+        F.lit(0.0),
+        (F.col("lo") - target).cast("double"),
+        (target - (F.col("le") - F.lit(1))).cast("double"),
+    )
+    queries_ok = counts.agg(
+        F.min(dist <= F.col("certified_err"))
+        .cast("long")
+        .alias("all_queries_in_certified_bound")
+    )
+    return intervals_ok.crossJoin(F.broadcast(queries_ok))

@@ -34,10 +34,15 @@ inside one stride (< ε·n_o) even under heavy duplicates, summing to
 so the nearest-midpoint quantile rule errs by at most ``gap/2 + Δ/2 +
 Δ/2 < 1.5·ε·n``, and the bound this module PROMISES (and tests assert
 strictly, on adversarial inputs) is the conservative ``2·ε·n``. Callers
-wanting a strict ``ε·n`` pass ``eps/2``. Deeper merge trees re-apply the
-argument with interval growth per level — the same one-merge-level
-contract as the CMS/bloom partials lifecycle (partials -> one merge at
-read), which is the only shape the sinks produce.
+wanting a strict ``ε·n`` pass ``eps/2``. ``gk_merge`` holds that line by
+REFUSING already-merged inputs; deeper merge trees are the explicit
+opt-in ``gk_merge_deep`` (r11), which re-applies the bracket with
+interval arithmetic on intervals — still sound at every depth, but the
+worst-case error roughly doubles per level, so the contract shifts from
+a promised constant to a bound COMPUTED from the output summary by
+``gk_certified_error``. The sinks still produce the flat
+partials -> one-merge shape (the CMS/bloom lifecycle); the deep path
+exists for hierarchical rollups over persisted summaries.
 
 Contrasts with the siblings (COVERAGE.md bounds table): deterministic
 AND proven like nothing else in the family; bit-reproducible across
@@ -108,55 +113,80 @@ def _merge_cuts_naive(parts: list) -> list:
     return out
 
 
-def _merge_cuts(parts: list) -> list:
-    """Pure merge arithmetic (hypothesis-tested directly): ``parts`` is a
-    list, in CANONICAL partial order, of ``(cuts, n)`` with cuts =
-    sorted [(value, exact_rank)]; returns sorted [(value, rmin, rmax)]
-    global intervals under the consistent tie order (see gk_merge).
+def _merge_cuts_intervals(parts: list) -> list:
+    """The general merge engine: ``parts`` is a list, in CANONICAL partial
+    order, of ``(cuts, n)`` with cuts = sorted [(value, rmin, rmax)]
+    rank-INTERVAL occurrences (a never-merged partial has rmin == rmax ==
+    its exact local rank); returns sorted [(value, rmin, rmax)] global
+    intervals under the consistent tie order (see gk_merge).
 
     Single sweep over the globally-ordered cut occurrences, O(T log T)
-    for T total cuts: every partial's bisect position against a cut
+    for T total cuts: every partial's bracketing position against a cut
     occurrence equals the count of that partial's cuts PRECEDING the
     occurrence in the (value, partial_id, position) tie order — exactly
     the per-partial pointers a merge sweep maintains — so the Σ over
     other partials becomes two running sums updated in O(1) per step.
-    Replaces the all-pairs form (kept as :func:`_merge_cuts_naive`),
-    which was O(P²) in partial count and made day-partitioned merges
-    super-linear in the 10x scale probe; output is bit-identical
-    (hypothesis-asserted sweep == naive)."""
+    (Replaces the all-pairs form, kept as :func:`_merge_cuts_naive` for
+    the exact-rank case, which was O(P²) in partial count and made
+    day-partitioned merges super-linear in the 10x scale probe.)
+
+    Why the interval bracket is sound (the gk_merge_deep argument): for
+    another summary o at the moment our occurrence is swept, every
+    PROCESSED cut of o sorts before us, so o's elements-before-us count
+    is >= rmin(last processed cut) + 1 (that cut is itself an element
+    before us, with at least rmin elements before IT); and every element
+    of o at or beyond o's NEXT unprocessed cut sorts after us (its value
+    is > v, or == v on the after side of the tie order), so the count is
+    <= rmax(next cut), or n_o once o is exhausted. With exact ranks the
+    bracket collapses to the classic adjacent-cuts-within-one-stride
+    argument."""
     npart = len(parts)
     if npart == 1:
         cuts, _n = parts[0]
-        return sorted((v, r, r) for v, r in cuts)
-    events = []  # (value, partial_id, position, exact_rank)
+        return sorted(cuts)
+    events = []  # (value, partial_id, position, rmin, rmax)
     for ip, (cuts, _n) in enumerate(parts):
-        for pos, (v, r) in enumerate(cuts):
-            events.append((v, ip, pos, r))
+        for pos, (v, rmin, rmax) in enumerate(cuts):
+            events.append((v, ip, pos, rmin, rmax))
     events.sort()
     # per-partial contribution terms under the current pointer state
     # (pointer = occurrences of that partial already swept):
-    #   min_term = rank(last swept cut) + 1, or 0 before any
-    #   max_term = rank(next unswept cut), or n once exhausted
+    #   min_term = rmin(last swept cut) + 1, or 0 before any
+    #   max_term = rmax(next unswept cut), or n once exhausted
     min_terms = [0] * npart
-    max_terms = [
-        cuts[0][1] if cuts else n for cuts, n in parts
-    ]
+    max_terms = [cuts[0][2] if cuts else n for cuts, n in parts]
     s_min = 0
     s_max = sum(max_terms)
     out = []
-    for v, ip, pos, r in events:
-        # sums currently include ip's own terms — subtract them: the spec
-        # sums over io != ip only
-        out.append((v, r + s_min - min_terms[ip], r + s_max - max_terms[ip]))
+    for v, ip, pos, rmin, rmax in events:
+        # sums currently include ip's own terms — subtract them: the
+        # contribution sums over io != ip only
+        out.append(
+            (v, rmin + s_min - min_terms[ip], rmax + s_max - max_terms[ip])
+        )
         cuts, n = parts[ip]
-        new_min = r + 1
-        new_max = cuts[pos + 1][1] if pos + 1 < len(cuts) else n
+        new_min = rmin + 1
+        new_max = cuts[pos + 1][2] if pos + 1 < len(cuts) else n
         s_min += new_min - min_terms[ip]
         s_max += new_max - max_terms[ip]
         min_terms[ip] = new_min
         max_terms[ip] = new_max
     out.sort()
     return out
+
+
+def _merge_cuts(parts: list) -> list:
+    """Exact-rank merge (hypothesis-tested directly against the naive
+    spec): ``parts`` is a list, in CANONICAL partial order, of
+    ``(cuts, n)`` with cuts = sorted [(value, exact_rank)]; returns
+    sorted [(value, rmin, rmax)] global intervals under the consistent
+    tie order (see gk_merge). Thin wrapper over the interval engine —
+    an exact rank is the degenerate interval [r, r], and the engine's
+    arithmetic reduces bit-for-bit to the classic form (the hypothesis
+    suite asserts sweep == naive)."""
+    return _merge_cuts_intervals(
+        [([(v, r, r) for v, r in cuts], n) for cuts, n in parts]
+    )
 
 
 def gk_partial(
@@ -262,6 +292,129 @@ def gk_merge(
         partials.select(*g, partial_col, "value", "rmin", "rmax", "n_total")
         .groupBy(*g)
         .applyInPandas(mfold, schema)
+    )
+
+
+def gk_merge_deep(
+    summaries: DataFrame,
+    group_cols,
+    partial_col: str,
+) -> DataFrame:
+    """Multi-level GK merge — the interval-arithmetic-on-intervals
+    algorithm ``gk_merge`` deliberately refuses (it treats rmin as an
+    exact local rank; this function does not). Accepts ANY mix of
+    never-merged partials (rmin == rmax) and already-merged summaries,
+    so merge TREES of arbitrary depth are legal: day partials -> daily
+    summaries -> weekly -> global, re-merging each level's outputs.
+
+    The bracket (see ``_merge_cuts_intervals``): another summary's
+    elements-before-an-occurrence count lies between rmin(last
+    preceding cut)+1 and rmax(next following cut) under the same
+    consistent tie order as ``gk_merge`` — with interval inputs the
+    bracket is built from the inputs' own [rmin, rmax] bounds instead
+    of exact ranks, which stays SOUND (true ranks remain inside every
+    output interval) but WIDENS per level: each level adds the inputs'
+    interval widths plus one inter-cut gap per input, so the worst-case
+    rank error roughly DOUBLES per merge level (< 2^L * eps * n after L
+    levels) instead of holding at gk_merge's one-level 2*eps*n. That
+    growth is the known cost of deep GK trees; the honest contract here
+    is: the achieved bound is COMPUTED from the output itself by
+    :func:`gk_certified_error`, not promised by a constant. Prefer
+    ``gk_merge`` (one level) when the lifecycle allows; use this when
+    partials must roll up hierarchically (e.g. re-summarizing persisted
+    daily summaries without re-reading raw values). Deterministic by the
+    same canonical-order argument as ``gk_merge``; same non-idempotent
+    replay caveat (``batch_id=`` partitions are the safety mechanism)."""
+    g = list(group_cols)
+    schema = _summary_schema(summaries, g)
+
+    def mfold(pdf):
+        import pandas as pd
+
+        from tranquility_spark.operators.gk import _merge_cuts_intervals
+
+        cols = [*g, "value", "rmin", "rmax", "n_total"]
+        pids = sorted(
+            {
+                None if p is None or (isinstance(p, float) and p != p) else p
+                for p in pdf[partial_col].unique()
+            },
+            key=lambda p: (p is not None, p),
+        )
+        parts = []
+        for pid in pids:
+            sub = (
+                pdf[pdf[partial_col].isna()]
+                if pid is None
+                else pdf[pdf[partial_col] == pid]
+            )
+            cuts = sorted(
+                zip(
+                    sub["value"].astype(float),
+                    sub["rmin"].astype(int),
+                    sub["rmax"].astype(int),
+                )
+            )
+            parts.append((cuts, int(sub["n_total"].iloc[0])))
+        n = sum(npart for _, npart in parts)
+        out = _merge_cuts_intervals(parts)
+        gvals = [pdf[c].iloc[0] for c in g]
+        return pd.DataFrame(
+            [[*gvals, v, rmin, rmax, n] for v, rmin, rmax in out],
+            columns=cols,
+        )
+
+    return (
+        summaries.select(*g, partial_col, "value", "rmin", "rmax", "n_total")
+        .groupBy(*g)
+        .applyInPandas(mfold, schema)
+    )
+
+
+def gk_certified_error(summary: DataFrame, group_cols) -> DataFrame:
+    """Per-group CERTIFIED worst-case rank error of any GK summary
+    (partial, one-level merge, or ``gk_merge_deep`` tree), computed from
+    the summary rows themselves — pure DataFrame math, no UDF.
+
+    Claim (the gk_quantiles nearest-midpoint rule): for EVERY target
+    rank t in [0, n-1], the chosen cut's true occurrence rank is within
+    ``certified_err`` of t. Proof: some cut has |mid - t| <= E_gap where
+    E_gap = max(first mid - 0, (n-1) - last mid, max consecutive
+    midpoint gap / 2) — the three terms cover the two ends and the
+    interior; the cut's true rank lies in [rmin, rmax], i.e. within
+    width/2 of mid. So err <= E_gap + max(width)/2. Every quantity is
+    read off the summary, so the bound HOLDS for whatever merge history
+    produced it — this is what replaces gk_merge's promised 2*eps*n
+    constant when gk_merge_deep's per-level widening applies.
+    Output: ``group…, n_total, certified_err`` (double, 6dp)."""
+    g = list(group_cols)
+    w = Window.partitionBy(*g).orderBy("value", "rmin")
+    mid = (F.col("rmin") + F.col("rmax")) / F.lit(2.0)
+    base = summary.withColumn("__mid", mid).withColumn(
+        "__prev", F.lag("__mid").over(w)
+    )
+    per = base.groupBy(*g).agg(
+        F.max(
+            F.when(F.col("__prev").isNull(), F.col("__mid")).otherwise(
+                (F.col("__mid") - F.col("__prev")) / F.lit(2.0)
+            )
+        ).alias("__gap"),
+        F.max("__mid").alias("__last_mid"),
+        (F.max(F.col("rmax") - F.col("rmin")) / F.lit(2.0)).alias("__half_w"),
+        F.max("n_total").alias("n_total"),
+    )
+    return per.select(
+        *g,
+        "n_total",
+        F.round(
+            F.greatest(
+                F.col("__gap"),
+                (F.col("n_total") - F.lit(1)).cast("double")
+                - F.col("__last_mid"),
+            )
+            + F.col("__half_w"),
+            6,
+        ).alias("certified_err"),
     )
 
 
