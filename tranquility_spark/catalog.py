@@ -1653,6 +1653,14 @@ _R11_DRIVER_WINDOW = [
     "q5_local_supplier_volume",
     "q7_volume_shipping",
     "q8_market_share",
+    # re-certify: the r11 de-hinting extended to every remaining SF-scaling
+    # broadcast site (part/supplier and the per-part-avg derived table) —
+    # same rationale and verification as q3/q5/q7/q8 above.
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q21_waiting_suppliers",
     # re-certify: VERDICT r10 #6 extended the smile codec with both spec
     # binary forms (0xE8 7-bit / 0xFD raw) and parse_smile_column's _typed
     # gained the BinaryType dead-letter branch — p12 consumes both edited
@@ -1702,9 +1710,11 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # 8 r10 re-certifies + txt20_bm25_served_stats + dd2b_distinct_sig_guard,
 # of which 5 (dd2b/txt19/rank2/pipe7/txt20) rotated back OUT in round 11
 # for the ADVICE r10 #3/#4 fixes). Round 11 also rotated q3/q5/q7/q8 out
-# for the VERDICT r10 #3 broadcast de-hinting, and p12 out for the
-# VERDICT r10 #6 smile binary-token extension.
-# Total: 161 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# for the VERDICT r10 #3 broadcast de-hinting (extended in the same
+# round to q14/q15/q17/q19/q21, the remaining SF-scaling broadcast
+# sites), and p12 out for the VERDICT r10 #6 smile binary-token
+# extension.
+# Total: 156 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
 # latest fn/oracle revision has a driver hash-match. Keys rotated back
 # into the window are subtracted until re-certified.
 _CERTIFIED = frozenset(
@@ -1737,9 +1747,8 @@ _CERTIFIED = frozenset(
         "j5_range_join_bucketed", "j6_asof_join_two_table",
         "mv1_multivalue_dim_rollup", "mv2_pivot", "mv3_unpivot",
         "p8_flatten_spec", "q10_returned_items", "q12_priority_shipping",
-        "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-        "q17_small_quantity_revenue", "q18_large_orders",
-        "q19_discounted_revenue", "q21_waiting_suppliers",
+        "q13_customer_distribution",
+        "q18_large_orders",
         "q22_global_sales_opportunity", "q4_order_priority",
         "s1_topk",
         "samp3_weighted_sample", "set1_set_ops", "txt10_top_tokens",

@@ -7,7 +7,12 @@ built-ins, because a general analytics engine needs them and the star-schema
 testdata implies multi-table queries. Every entry here is oracle-checked.
 
 Scale notes are per-query; common themes:
-- dimension joins broadcast (`F.broadcast`) — no shuffle of the fact side;
+- FIXED-size dimension joins (nation/region, one-row aggregates) carry an
+  explicit `F.broadcast` — no shuffle of the fact side at any scale. Tables
+  that SCALE with SF (customer/supplier/part and derived per-part/per-supp
+  aggregates) carry NO hint as of r11: a forced broadcast overrides AQE's
+  size check and would OOM the build side at 100x, while un-hinted AQE still
+  picks broadcast joins at every SF where they fit (plan-verified);
 - fact-fact joins shuffle on the join key and benefit from AQE skew handling;
 - top-k uses orderBy+limit which Spark executes as TakeOrderedAndProject
   (per-partition heap + merge — no global sort materializes);
@@ -917,7 +922,8 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
     """,
-    doc="TPC-H Q14 shape: promo revenue ratio — broadcast part join, single "
+    doc="TPC-H Q14 shape: promo revenue ratio — part join AQE-sized (part "
+    "scales with SF, r11 de-hint), single "
     "global aggregate, decimal accumulation for the cross-engine-exact ratio",
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -929,7 +935,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(_DEC))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part scales with SF — no hint; AQE broadcasts while it fits
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg((F.lit(100.0) * F.sum(promo) / F.sum(rev)).cast("double").alias("promo_revenue"))
     )
 
@@ -986,12 +993,12 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q19 shape: disjunctive multi-column predicates across both join "
     "sides — Catalyst pushes the per-side conjuncts to each scan and keeps the "
-    "cross-side residual on the broadcast join",
+    "cross-side residual on the join (AQE-sized: part scales with SF, r11)",
 )
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
@@ -1332,9 +1339,11 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                         WHERE l2.l_partkey = lineitem.l_partkey)
     """,
     doc="TPC-H Q17 shape: correlated per-part average subquery → computed as "
-    "one broadcast-joined per-part aggregate (decorrelated by hand the way "
-    "Catalyst decorrelates it); the per-part avg table is part-cardinality "
-    "small and broadcasts",
+    "one joined per-part aggregate (decorrelated by hand the way "
+    "Catalyst decorrelates it). The per-part avg table is part-cardinality "
+    "sized — it SCALES with SF, so neither it nor the filtered part side "
+    "carries a broadcast hint (r11 de-hint; a forced broadcast would OOM "
+    "the build side at 100x — AQE picks broadcast while they fit)",
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -1345,8 +1354,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(per_part_avg), li.l_partkey == F.col("ap_partkey"))
+        # both build sides scale with SF (filtered part linearly, the
+        # per-part avg with part cardinality) — AQE decides (r11)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part_avg, li.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             (F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / F.lit(7.0)).alias(
@@ -1569,7 +1580,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue supplier(s). The scalar max is a two-stage tree aggregate "
     "broadcast back over the revenue table (crossJoin of ONE row — never a "
     "single-partition global window, which would bottleneck at millions of "
-    "suppliers); supplier dim broadcast. Revenue equality is exact because "
+    "suppliers); the supplier join is AQE-sized (supplier scales with SF, "
+    "r11 de-hint). Revenue equality is exact because "
     "both engines accumulate the identical decimal sum",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1585,7 +1597,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("__mx"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.round("total_revenue", 6).alias("total_revenue"))
         .orderBy("s_suppkey")
     )
@@ -1643,7 +1655,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         late.join(multi, late.l_orderkey == F.col("__mo"), "left_semi")
         .join(sole_late, late.l_orderkey == F.col("__so"), "left_semi")
-        .join(F.broadcast(supp), late.l_suppkey == supp.s_suppkey)
+        # supplier scales with SF — AQE decides (r11)
+        .join(supp, late.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
