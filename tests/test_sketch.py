@@ -634,9 +634,13 @@ def test_cms_estimate_probe_side_never_shuffles(spark, sf_dir):
 
 def test_hll_merge_estimate_equals_direct(spark, sf_dir):
     """Merging per-day partials must estimate EXACTLY what a direct
-    whole-corpus sketch estimates (registers are per-slot maxima — state is
-    order/partition-independent even though serialized bytes are not), and
-    both track exact countDistinct within 5% (lgk=12 RSE ~1.6%)."""
+    whole-corpus sketch estimates AT THIS FIXTURE'S SCALE (sketches stay
+    sparse; registers are per-slot maxima), and both track exact
+    countDistinct within 5% (lgk=12 RSE ~1.6%). Scope caveat found by
+    a6c2's strict-equality first draft (r11): past the dense transition
+    (sf0.1 cardinalities) the union's register state can differ from a
+    direct build's by ~0.5% — the general contract is the a6c2 tracking
+    bound, not equality."""
     from tranquility_spark.operators.hll import (
         hll_estimates,
         hll_merge,

@@ -3889,6 +3889,85 @@ def hh1_heavy_hitters_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hh.mg_topk(merged, ["grp"], topk=20).drop("grp")
 
 
+@register(
+    "hh1b_mg_sandwich_vs_exact",
+    """
+    SELECT CAST(1 AS BIGINT) AS sandwich_holds,
+           CAST(1 AS BIGINT) AS deduct_bounded,
+           CAST(1 AS BIGINT) AS guaranteed_present,
+           CAST(1 AS BIGINT) AS n_total_exact
+    """,
+    doc="Driver-certified contract probe for hh1 (r11 rows-only-tail "
+    "deepening): the Misra-Gries guarantees evaluated as booleans against "
+    "the EXACT token counts (txt10's groupBy) and hash-checked against "
+    "the constant (1,1,1,1) oracle. sandwich_holds: every reported "
+    "counter satisfies est <= true <= est + deduct. deduct_bounded: the "
+    "merged deduct stays <= N/(k+1) — mergeability preserves the bound "
+    "(Agarwal et al., PODS'12). guaranteed_present: every token with "
+    "true count > deduct IS reported (no guaranteed heavy hitter "
+    "missing). n_total_exact: the summary's N equals the exact token "
+    "total. The same obligations run in tests; this entry re-asserts "
+    "them on the driver's fixture at every window rotation. Not in the "
+    "bench headline: hh1 carries the measured row",
+)
+def hh1b_mg_sandwich_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators import heavy_hitters as hh
+
+    k = 64
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).withColumn("grp", F.lit("all"))
+    partials = hh.mg_partial(toks, ["grp", "source"], "tok", k=k).drop("source")
+    # constant grp -> the benign single-partition merge window (see hh1)
+    merged = hh.mg_merge(partials, ["grp"], k=k)
+    summary = F.broadcast(merged.select("deduct", "n_total"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    reported = (
+        merged.select(F.explode("counters"))
+        .withColumnRenamed("key", "tok")
+        .withColumnRenamed("value", "est")
+    )
+    sandwich = (
+        reported.join(exact, "tok", "left")
+        .crossJoin(summary)
+        .agg(
+            F.min(
+                F.col("n_exact").isNotNull()
+                & (F.col("est") <= F.col("n_exact"))
+                & (F.col("n_exact") <= F.col("est") + F.col("deduct"))
+            )
+            .cast("long")
+            .alias("sandwich_holds")
+        )
+    )
+    bounded = merged.select(
+        (F.col("deduct") <= F.col("n_total") / F.lit(float(k + 1)))
+        .cast("long")
+        .alias("deduct_bounded")
+    )
+    guaranteed = (
+        exact.crossJoin(summary)
+        .filter(F.col("n_exact") > F.col("deduct"))
+        .join(reported.select("tok"), "tok", "left_anti")
+        .agg(
+            (F.count(F.lit(1)) == 0).cast("long").alias("guaranteed_present")
+        )
+    )
+    total_ok = (
+        exact.agg(F.sum("n_exact").alias("__s"))
+        .crossJoin(summary)
+        .select(
+            (F.col("__s") == F.col("n_total")).cast("long").alias("n_total_exact")
+        )
+    )
+    return (
+        sandwich.crossJoin(F.broadcast(bounded))
+        .crossJoin(F.broadcast(guaranteed))
+        .crossJoin(F.broadcast(total_ok))
+    )
+
+
 _MIX_WEIGHTS = [("de", 0.2), ("en", 0.3), ("es", 0.2), ("fr", 0.15), ("zh", 0.15)]
 _MIX_M = 1_000_000
 
