@@ -1427,6 +1427,79 @@ def test_gk_merge_rejects_already_merged_summaries(spark):
         remerge.collect()
 
 
+def test_gk_deep_rollup_over_persisted_summaries(spark, sf_dir, tmp_path):
+    """The stated purpose of gk_merge_deep, end-to-end: per-(type, day)
+    partials -> per-(type, month) level-1 merges PERSISTED to parquet ->
+    read back -> level-2 deep merge per type, WITHOUT re-reading raw
+    values. The tree's quantile estimates stay within the summary's own
+    gk_certified_error bound vs the exact per-type quantiles, and
+    gk_merge refuses the same persisted (already-merged) input."""
+    import bisect
+    import math
+
+    import pyspark.sql.functions as FF
+    import pytest as pt
+
+    from tranquility_spark.operators.gk import (
+        gk_certified_error,
+        gk_merge,
+        gk_merge_deep,
+        gk_partial,
+        gk_quantiles,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    eps = 0.02
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        FF.col("value").cast("double").alias("v"),
+        FF.to_date("ts").cast("string").alias("day"),
+    )
+    partials = gk_partial(ev, ["event_type", "day"], "v", eps=eps).withColumn(
+        "month", FF.substring("day", 1, 7)
+    )
+    monthly_dir = str(tmp_path / "gk_monthly")
+    gk_merge(partials, ["event_type", "month"], "day").write.parquet(
+        monthly_dir
+    )
+
+    persisted = spark.read.parquet(monthly_dir)
+    # gk_merge refuses WIDENED summaries; at tiny fixture scale the
+    # per-day partials are uncompressed (stride 1), so the monthly merge
+    # can come out exact (rmin == rmax) and legally re-mergeable — only
+    # assert the refusal when widening actually happened (the dedicated
+    # reject test covers it unconditionally on synthetic data)
+    if persisted.filter("rmin != rmax").count() > 0:
+        with pt.raises(Exception, match="already-merged"):
+            gk_merge(persisted, ["event_type"], "month").collect()
+    tree = gk_merge_deep(persisted, ["event_type"], "month")
+
+    cert = {
+        r["event_type"]: r["certified_err"]
+        for r in gk_certified_error(tree, ["event_type"]).collect()
+    }
+    qs = (0.1, 0.5, 0.9)
+    est = {
+        r["event_type"]: r
+        for r in gk_quantiles(tree, ["event_type"], quantiles=qs).collect()
+    }
+    by_type = {}
+    for r in ev.collect():
+        if r["v"] is not None:
+            by_type.setdefault(r["event_type"], []).append(r["v"])
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        assert est[et]["n_total"] == n
+        for q in qs:
+            target = math.floor(q * (n - 1))
+            v = est[et][f"p{q * 100:g}".replace(".", "_")]
+            lo = bisect.bisect_left(vals, v)
+            hi = bisect.bisect_right(vals, v) - 1
+            dist = max(0, lo - target, target - hi)
+            assert dist <= cert[et], (et, q, dist, cert[et])
+
+
 def test_gk_merge_deep_degenerate_equals_flat(spark):
     """gk_merge_deep on NEVER-merged partials (rmin == rmax) reduces
     bit-for-bit to gk_merge — the interval engine with degenerate
