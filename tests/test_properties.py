@@ -105,8 +105,18 @@ def test_bloom_cms_pos_sql_matches_python(key, i):
 
 @given(
     st.lists(
-        st.floats(
-            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        st.one_of(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            # signed-zero pressure (r11 regression): -0.0 == 0.0 so the
+            # stable sort does not canonicalize their order, but they
+            # pack to different CRC bits — extend() must normalize or
+            # compaction diverges between orderings of the same multiset
+            st.sampled_from([0.0, -0.0, 1.0]),
         ),
         min_size=0,
         max_size=400,

@@ -92,9 +92,17 @@ class _DKLL:
 
     def extend(self, values) -> None:
         """Fold values (caller supplies canonical order) in k-sized chunks
-        so level 0 never grows past 2k between cascades."""
+        so level 0 never grows past 2k between cascades.
+
+        Zero-sign normalization (r11, hypothesis-found): -0.0 and +0.0
+        compare EQUAL, so a stable sort does not canonicalize their
+        order — but they pack to DIFFERENT bits, so _compact's CRC (and
+        with it every compaction decision downstream) would diverge
+        between two orderings of the same multiset, breaking the
+        bit-reproducibility contract. ``v + 0.0`` maps -0.0 to +0.0 and
+        is the identity for every other non-NaN float."""
         for i in range(0, len(values), self.k):
-            chunk = values[i : i + self.k]
+            chunk = [v + 0.0 for v in values[i : i + self.k]]
             self.levels[0].extend(chunk)
             self.n += len(chunk)
             self._cascade()
@@ -132,7 +140,9 @@ class _DKLL:
         for lvl, v in level_values:
             while len(sk.levels) <= int(lvl):
                 sk.levels.append([])
-            sk.levels[int(lvl)].append(float(v))
+            # + 0.0: zero-sign normalization (see extend) — a summary
+            # persisted before the fix may still carry -0.0
+            sk.levels[int(lvl)].append(float(v) + 0.0)
         for items in sk.levels:
             items.sort()
         sk.n = int(n)
