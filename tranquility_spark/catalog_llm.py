@@ -1491,6 +1491,42 @@ def sim3c_served_equals_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim3e_full_probe_equals_exact",
+    """
+    SELECT CAST(0 AS BIGINT) AS n_mismatched, CAST(1 AS BIGINT) AS both_nonempty
+    """,
+    doc="Driver-certified contract probe for the IVF family's exactness "
+    "limit (r11): probing ALL inverted lists (nprobe == n_centroids) "
+    "must return exactly the brute-force cosine top-k — the partition "
+    "of the corpus into lists changes WHERE vectors sit, never WHICH "
+    "are nearest, and both paths share the cosine expression tree, "
+    "round-6 policy and (cosine desc, vec_id) tie-break. This pins the "
+    "recall knob's semantics: nprobe trades recall for scan fraction "
+    "and at full probe the trade is exactly zero. Symmetric difference "
+    "as a count row vs the constant-0 oracle; both_nonempty certifies "
+    "non-vacuousness. Not in the bench headline: sim1/sim3 carry the "
+    "measured rows",
+)
+def sim3e_full_probe_equals_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb_t = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb_t.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    cents = _cached_index(
+        "ivf",
+        _IVF_INDEX_CACHE,
+        _index_cache_key(sf_dir),
+        lambda: sim.ivf_centroids(emb_t, n_centroids=16),
+    )
+    full_probe = sim.ivf_topk(
+        emb_t, qvec, k=10, nprobe=len(cents), centroids=cents
+    )
+    exact = sim.cosine_topk(emb_t, qvec, k=10)
+    return _equality_probe(full_probe, exact)
+
+
+@register(
     "sim5c_served_equals_composition",
     """
     SELECT CAST(0 AS BIGINT) AS n_mismatched, CAST(1 AS BIGINT) AS both_nonempty
@@ -3769,6 +3805,55 @@ def emb9_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "dim_i int, loading double, eigenvalue double, explained_share double"
+    )
+
+
+@register(
+    "emb9b_pca_properties",
+    """
+    SELECT CAST(1 AS BIGINT) AS unit_norm,
+           CAST(1 AS BIGINT) AS rayleigh_dominant,
+           CAST(1 AS BIGINT) AS share_valid,
+           CAST(1 AS BIGINT) AS rerun_identical
+    """,
+    doc="Driver-certified contract probe for emb9 (r11 rows-only-tail "
+    "deepening): the principal component's mathematical obligations as "
+    "booleans vs the constant (1,1,1,1) oracle. unit_norm: the UNROUNDED "
+    "loading vector has |Σv²−1| < 1e-9 (eigh returns orthonormal "
+    "columns). rayleigh_dominant: the eigenvalue is ≥ every "
+    "coordinate-axis POPULATION variance computed independently in Spark "
+    "(the Rayleigh quotient at each basis vector can't exceed the top "
+    "eigenvalue; principal_component builds population covariance, so "
+    "var_pop is the matching convention). share_valid: explained share "
+    "in (0, 1]. rerun_identical: a second full pipeline run (covariance "
+    "pass + eigensolve) reproduces loadings, eigenvalue and share "
+    "BIT-identically — the determinism claim the rows-only policy rests "
+    "on, now hash-checked. Not in the bench headline: emb9 carries the "
+    "measured row",
+)
+def emb9b_pca_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    loadings, eigval, share = emb.principal_component(e)
+    loadings2, eigval2, share2 = emb.principal_component(e)
+    unit_norm = abs(sum(v * v for v in loadings) - 1.0) < 1e-9
+    rerun_identical = (
+        loadings == loadings2 and eigval == eigval2 and share == share2
+    )
+    share_valid = 0.0 < share <= 1.0
+    axis_var = (
+        e.filter(F.col("embedding").isNotNull())
+        .select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.var_pop(F.col("x").cast("double")).alias("v"))
+        .agg(F.max("v").alias("max_axis_var"))
+    )
+    return axis_var.select(
+        F.lit(int(unit_norm)).alias("unit_norm"),
+        (F.lit(float(eigval)) >= F.col("max_axis_var") - F.lit(1e-9))
+        .cast("long")
+        .alias("rayleigh_dominant"),
+        F.lit(int(share_valid)).alias("share_valid"),
+        F.lit(int(rerun_identical)).alias("rerun_identical"),
     )
 
 
