@@ -1276,7 +1276,9 @@ def dq10_lookup_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping key is regexp_extract(p_brand, 'Brand#(\\\\d+)') cast to its "
     "numeric id — extraction happens inline pre-aggregation, so the agg "
     "keys on the EXTRACTED value (bounded by |brands|). Plan: part is the "
-    "broadcast dim side, lineitem never reshuffles for the join; the topN "
+    "build side (AQE-sized — part scales with SF, so no explicit hint as "
+    "of r11; AQE broadcasts it while it fits and lineitem never "
+    "reshuffles for the join); the topN "
     "is TakeOrdered over |brands| rows with the deterministic "
     "(revenue DESC, brand_id) tie-break the LIMIT policy requires",
 )
@@ -1292,7 +1294,8 @@ def dq11_topn_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("brand_id"),
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part scales with SF — AQE decides (r11 broadcast-hint policy)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("brand_id")
         .agg(
             F.sum(
@@ -1661,6 +1664,7 @@ _R11_DRIVER_WINDOW = [
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
     "q21_waiting_suppliers",
+    "dq11_topn_extraction",
     # re-certify: VERDICT r10 #6 extended the smile codec with both spec
     # binary forms (0xE8 7-bit / 0xFD raw) and parse_smile_column's _typed
     # gained the BinaryType dead-letter branch — p12 consumes both edited
@@ -1711,10 +1715,10 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # of which 5 (dd2b/txt19/rank2/pipe7/txt20) rotated back OUT in round 11
 # for the ADVICE r10 #3/#4 fixes). Round 11 also rotated q3/q5/q7/q8 out
 # for the VERDICT r10 #3 broadcast de-hinting (extended in the same
-# round to q14/q15/q17/q19/q21, the remaining SF-scaling broadcast
-# sites), and p12 out for the VERDICT r10 #6 smile binary-token
-# extension.
-# Total: 156 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# round to q14/q15/q17/q19/q21 and dq11, the remaining SF-scaling
+# broadcast sites), and p12 out for the VERDICT r10 #6 smile
+# binary-token extension.
+# Total: 155 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
 # latest fn/oracle revision has a driver hash-match. Keys rotated back
 # into the window are subtracted until re-certified.
 _CERTIFIED = frozenset(
@@ -1782,7 +1786,7 @@ _CERTIFIED = frozenset(
         "dd10_bloom_gated_antijoin", "dq9_funnel",
         "emb5_binary_hamming_topk", "sim4_bq_rerank", "t4_tz_day_rollup",
         "dq5b_zero_filled_timeseries", "dq10_lookup_dimension",
-        "dq11_topn_extraction", "dq12_nested_groupby", "dq13_moving_average",
+        "dq12_nested_groupby", "dq13_moving_average",
         "dq14_scan_keyset", "dq15_rolling_active_users", "a14_first_last",
         "dd11b_gate_equals_ungated", "dd14_duplicate_passages",
         "dd15_duplication_density", "dd13_semantic_dedup",
