@@ -4599,6 +4599,72 @@ def emb10_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb10b_projection_properties",
+    """
+    SELECT CAST(1 AS BIGINT) AS loadings_orthonormal,
+           CAST(1 AS BIGINT) AS eigvals_descending,
+           CAST(1 AS BIGINT) AS pc_variance_matches,
+           CAST(1 AS BIGINT) AS pc_variance_ordered
+    """,
+    doc="Driver-certified contract probe for emb10 (r11 rows-only-tail "
+    "deepening): the PCA projection's obligations, the load-bearing one "
+    "checked DISTRIBUTED. loadings_orthonormal: |v_i·v_j − δ_ij| < 1e-9 "
+    "on the unrounded driver-side loadings (eigh's orthonormal columns). "
+    "eigvals_descending: components come variance-ordered. "
+    "pc_variance_matches: the POPULATION variance of the projected pc0 "
+    "column, computed in Spark over the actual projection expression, "
+    "equals the top eigenvalue within 0.1%% — v'Cv = λ for a unit "
+    "eigenvector, tying the driver-side eigensolve to the distributed "
+    "covariance pass it came from (a mismatch means the projection "
+    "expression and the covariance builder disagree about the data). "
+    "pc_variance_ordered: projected variances are non-increasing across "
+    "the four components. Constant (1,1,1,1) oracle. Not in the bench "
+    "headline: emb10 carries the measured row",
+)
+def emb10b_projection_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.embeddings import (
+        principal_components,
+        random_project,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    loadings, vals, _shares = principal_components(e, _EMB10_R)
+    ortho = all(
+        abs(
+            sum(a * b for a, b in zip(loadings[i], loadings[j]))
+            - (1.0 if i == j else 0.0)
+        )
+        < 1e-9
+        for i in range(len(loadings))
+        for j in range(i, len(loadings))
+    )
+    descending = all(
+        vals[i] >= vals[i + 1] - 1e-12 for i in range(len(vals) - 1)
+    )
+    cols = random_project(F.col("embedding").cast("array<double>"), loadings)
+    proj = e.filter(F.col("embedding").isNotNull()).select(
+        *[c.alias(f"pc{j}") for j, c in enumerate(cols)]
+    )
+    variances = proj.agg(
+        *[F.var_pop(f"pc{j}").alias(f"v{j}") for j in range(len(loadings))]
+    )
+    matches = (
+        F.abs(F.col("v0") - F.lit(float(vals[0])))
+        <= F.lit(1e-9) + F.lit(1e-3) * F.lit(float(vals[0]))
+    )
+    ordered = None
+    for j in range(len(loadings) - 1):
+        step = F.col(f"v{j}") >= F.col(f"v{j + 1}") - F.lit(1e-9)
+        ordered = step if ordered is None else (ordered & step)
+    return variances.select(
+        F.lit(int(ortho)).alias("loadings_orthonormal"),
+        F.lit(int(descending)).alias("eigvals_descending"),
+        matches.cast("long").alias("pc_variance_matches"),
+        ordered.cast("long").alias("pc_variance_ordered"),
+    )
+
+
+@register(
     "mm4_audio_frame_energy",
     """
     WITH hx AS (
