@@ -45,10 +45,14 @@ def main() -> None:
     from tranquility_spark.catalog import CATALOG
 
     def best_of(fn, sf_dir, n):
+        # ADVICE r11 #1: time a noop-sink write, not .count() — count lets
+        # Spark column-prune expensive projected expressions (pipe3's packed
+        # text, dd2's pair projection), under-measuring the real workload.
+        # The noop source materializes every output column.
         best = float("inf")
         for _ in range(n):
             t0 = time.time()
-            fn(spark, sf_dir).count()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         return best
 

@@ -3849,7 +3849,15 @@ def emb9b_pca_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return axis_var.select(
         F.lit(int(unit_norm)).alias("unit_norm"),
-        (F.lit(float(eigval)) >= F.col("max_axis_var") - F.lit(1e-9))
+        # ADVICE r11 #3: relative tolerance (emb10b's pattern) — on
+        # large-magnitude corpora where the top eigenvalue ~equals the max
+        # axis variance, summation-order float drift can exceed an absolute
+        # 1e-9 and flake the probe red.
+        (
+            F.lit(float(eigval))
+            >= F.col("max_axis_var")
+            - (F.lit(1e-9) + F.lit(1e-9) * F.abs(F.col("max_axis_var")))
+        )
         .cast("long")
         .alias("rayleigh_dominant"),
         F.lit(int(share_valid)).alias("share_valid"),

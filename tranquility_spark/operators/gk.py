@@ -388,7 +388,12 @@ def gk_certified_error(summary: DataFrame, group_cols) -> DataFrame:
     constant when gk_merge_deep's per-level widening applies.
     Output: ``group…, n_total, certified_err`` (double, 6dp)."""
     g = list(group_cols)
-    w = Window.partitionBy(*g).orderBy("value", "rmin")
+    # ADVICE r11 #2: rmax joins the sort key — rows tied on (value, rmin)
+    # but differing in rmax otherwise sit in nondeterministic order, making
+    # the lag-based midpoint gap (and hence certified_err) vary between
+    # runs. Always conservatively sound either way, but the module promises
+    # bit-reproducibility.
+    w = Window.partitionBy(*g).orderBy("value", "rmin", "rmax")
     mid = (F.col("rmin") + F.col("rmax")) / F.lit(2.0)
     base = summary.withColumn("__mid", mid).withColumn(
         "__prev", F.lag("__mid").over(w)
