@@ -1611,12 +1611,11 @@ from tranquility_spark import catalog_sketch  # noqa: E402,F401
 # with scripts/record_certified_fingerprints.py only when folding new greens).
 # ---------------------------------------------------------------------------
 
-_R11_DRIVER_WINDOW = [
+_R12_DRIVER_WINDOW = [
     # rows-only by policy (approximate sketches / LSH / index-defined probe
-    # sets — no SQL oracle); re-recorded every round by design. Round 10's
-    # rows-only additions (sim3b/sim5b persisted-ANN serving) join the
-    # permanent lead; its ten newly-green keys (p11/p11b/p12/mm6/dd16/
-    # txt19/rank2/pipe7/dd2b/txt20) fold into _CERTIFIED below.
+    # sets — no SQL oracle); re-recorded every round by design. Round 11's
+    # 29 foldable greens (16 re-certifies + 13 new oracled probes, minus
+    # emb9b/a10g which round 12 edits — see below) fold into _CERTIFIED.
     "hh1_heavy_hitters_merge",
     "a11c_theta_setops_approx",
     "a11d_sketch_merge_rollup",
@@ -1635,46 +1634,18 @@ _R11_DRIVER_WINDOW = [
     "emb10_pca_project",
     "sim3b_ivf_persisted_serving",
     "sim5b_ivfpq_persisted_serving",
-    # re-certify: ADVICE r10 #3 edited dd2b's fn (both_nonempty now counts
-    # BOTH runs); ADVICE r10 #4 edited the bm25_scores stats= totals path
-    # (aggregate-to-one-row + raise_error guard) — these four consume the
-    # edited helper (txt19/rank2/pipe7 on the UNCHANGED rescan branch, but
-    # the manual helper-rotation discipline applies; txt20 on the guarded
-    # stats branch, values unchanged for valid merged stats — verified vs
-    # the DuckDB oracles at both SFs before rotation).
-    "dd2b_distinct_sig_guard",
-    "txt19_bm25_topk",
-    "rank2_rrf_fusion",
-    "pipe7_chunk_retrieval",
-    "txt20_bm25_served_stats",
-    # re-certify: VERDICT r10 #3 dropped the explicit F.broadcast hints on
-    # the SF-scaling tables (customer/supplier/part) in q3/q5/q7/q8 —
-    # nation/region keep their hints, AQE size-checks the rest. Results
-    # unchanged (oracle parity re-verified at both SFs before rotation);
-    # only the plans changed, to ones that survive a 100x scale-up.
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    # re-certify: the r11 de-hinting extended to every remaining SF-scaling
-    # broadcast site (part/supplier and the per-part-avg derived table) —
-    # same rationale and verification as q3/q5/q7/q8 above.
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q21_waiting_suppliers",
-    "dq11_topn_extraction",
-    # re-certify: VERDICT r10 #6 extended the smile codec with both spec
-    # binary forms (0xE8 7-bit / 0xFD raw) and parse_smile_column's _typed
-    # gained the BinaryType dead-letter branch — p12 consumes both edited
-    # helpers (fixture outputs verified unchanged at both SFs).
-    "p12_smile_parse",
+    # re-certify: ADVICE r11 #3 changed emb9b's rayleigh_dominant slack
+    # from absolute 1e-9 to relative (fn edit — fingerprint-caught).
+    "emb9b_pca_properties",
+    # re-certify: ADVICE r11 #2 added rmax to gk_certified_error's window
+    # sort key — a10g consumes the edited helper (the manual
+    # helper-rotation discipline; fingerprints can't see helper edits).
+    "a10g_gk_deep_rollup",
 ]
 
 
 def _rotate_driver_window() -> None:
-    lead = [k for k in _R11_DRIVER_WINDOW if k in CATALOG]
+    lead = [k for k in _R12_DRIVER_WINDOW if k in CATALOG]
     # anything registered after this snapshot auto-joins the window
     lead += [
         k
@@ -1718,7 +1689,12 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # round to q14/q15/q17/q19/q21 and dq11, the remaining SF-scaling
 # broadcast sites), and p12 out for the VERDICT r10 #6 smile
 # binary-token extension.
-# Total: 155 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# r11 folds in 27 (CORRECTNESS_r11.json: 32 hash-greens, 0 fails;
+# p1/p3/p4 were already-certified backfill; of the 29 newly green,
+# emb9b and a10g rotate straight back out in round 12 — emb9b for the
+# ADVICE r11 #3 relative-tolerance fn edit, a10g because ADVICE r11 #2
+# edited its gk_certified_error helper).
+# Total: 182 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
 # latest fn/oracle revision has a driver hash-match. Keys rotated back
 # into the window are subtracted until re-certified.
 _CERTIFIED = frozenset(
@@ -1829,6 +1805,26 @@ _CERTIFIED = frozenset(
         # stats= totals path gained the unmerged-partials guard)
         "p11_avro_parse", "p11b_avro_evolution",
         "mm6_image_dhash", "dd16_dhash_neardup",
+        # --- r11 window (CORRECTNESS_r11.json: 50 sampled, 32 hash-green,
+        # 0 fails; the 27 eligible newly-green fold in — 16 re-certifies
+        # (dd2b/txt19/rank2/pipe7/txt20 after the ADVICE r10 #3/#4 fixes,
+        # q3/q5/q7/q8/q14/q15/q17/q19/q21/dq11 after the broadcast
+        # de-hinting, p12 after the smile binary forms) plus 11 of the 13
+        # new r11 constant-oracle probes; emb9b/a10g rotate back out for
+        # the round-12 ADVICE edits) ---
+        "dd2b_distinct_sig_guard", "txt19_bm25_topk", "rank2_rrf_fusion",
+        "pipe7_chunk_retrieval", "txt20_bm25_served_stats",
+        "q3_shipping_priority", "q5_local_supplier_volume",
+        "q7_volume_shipping", "q8_market_share", "q14_promo_revenue",
+        "q15_top_supplier", "q17_small_quantity_revenue",
+        "q19_discounted_revenue", "q21_waiting_suppliers",
+        "dq11_topn_extraction", "p12_smile_parse",
+        "sim3c_served_equals_inline", "sim3e_full_probe_equals_exact",
+        "sim5c_served_equals_composition", "txt21_bm25_pruned_contract",
+        "hh1b_mg_sandwich_vs_exact", "emb10b_projection_properties",
+        "a10e2_kll_partition_invariance", "a10f2_gk_bounds_certified",
+        "a6c2_hll_merge_tracks_direct", "a11d2_kmv_merge_equals_direct",
+        "a10c2_qsketch_merge_equals_direct",
     }
 )
 
