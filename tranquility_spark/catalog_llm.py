@@ -661,6 +661,33 @@ def dd3_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_signatures(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "dd3b_simhash_partition_invariance",
+    """
+    SELECT CAST(0 AS BIGINT) AS n_mismatched, CAST(1 AS BIGINT) AS both_nonempty
+    """,
+    doc="Driver-certified contract probe for dd3 (r12 rows-only-tail "
+    "deepening, the a10e2 adversarial-repartition shape): the full "
+    "(doc_id, simhash) signature set computed on the base frame must "
+    "equal the set computed on a copy repartitioned by an unrelated "
+    "content hash — 17 partitions keyed on crc32(text), which reshapes "
+    "every Arrow batch the pandas UDF sees. A green hash certifies the "
+    "blake2b bit-vote signature is a pure per-row function of the text "
+    "(no batch-order, batch-boundary or partition-layout dependence — "
+    "the property that makes dd3 signatures stable across cluster "
+    "layouts and reruns at 100 TB). Symmetric difference as a count row "
+    "vs the constant-0 oracle; both_nonempty certifies non-vacuousness. "
+    "Not in the bench headline: dd3 carries the measured row",
+)
+def dd3b_simhash_partition_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    base = dd.simhash_signatures(docs)
+    shuffled = dd.simhash_signatures(
+        docs.repartition(17, F.crc32(F.col("text")))
+    )
+    return _equality_probe(base, shuffled)
+
+
 _DD4_ORACLE = """
 WITH docs AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 300
@@ -3248,6 +3275,93 @@ def dd7_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(docs, "text", "doc_id")
     return neardup_survivors(docs, pairs, "doc_id").select("doc_id")
+
+
+@register(
+    "dd7b_survivor_contract",
+    """
+    SELECT CAST(1 AS BIGINT) AS partition_complete,
+           CAST(1 AS BIGINT) AS dropped_has_edge,
+           CAST(1 AS BIGINT) AS higher_endpoint_never_survives,
+           CAST(1 AS BIGINT) AS rerun_identical
+    """,
+    doc="Driver-certified contract probe for dd7 (r12 rows-only-tail "
+    "deepening): the min-id-per-connected-component survivor rule's "
+    "obligations evaluated as booleans against the SAME LSH pair set "
+    "(checkpointed once, shared by every check) and hash-checked "
+    "against the constant (1,1,1,1) oracle. partition_complete: "
+    "survivors + dropped exactly tile the corpus (disjoint, nothing "
+    "lost). dropped_has_edge: every dropped doc appears in at least one "
+    "pair — an isolated doc is its own component and MUST survive. "
+    "higher_endpoint_never_survives: no pair's id_b (the larger id — "
+    "pairs are emitted id_a < id_b) is a survivor, since the component "
+    "minimum is <= every neighbor; this subsumes "
+    "at-most-one-survivor-per-edge. rerun_identical: a second label "
+    "propagation over the same pairs reproduces the survivor set "
+    "exactly — the iterative algorithm has no order dependence. The "
+    "clustering is exactly verified on hand-built graphs in unit tests; "
+    "this entry re-asserts the contract on the driver's fixture at "
+    "every window rotation. Not in the bench headline: dd7 carries the "
+    "measured row",
+)
+def dd7b_survivor_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.operators.dedup import neardup_survivors
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    pairs = dd.minhash_lsh_pairs(docs, "text", "doc_id").select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=False)
+    surv = (
+        neardup_survivors(docs, pairs, "doc_id")
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    surv2 = neardup_survivors(docs, pairs, "doc_id").select("doc_id")
+    dropped = ids.join(surv, "doc_id", "left_anti")
+
+    n_docs = ids.agg(F.count(F.lit(1)).alias("__nd"))
+    n_surv = surv.agg(F.count(F.lit(1)).alias("__ns"))
+    n_drop = dropped.agg(F.count(F.lit(1)).alias("__ndr"))
+    surv_outside = surv.join(ids, "doc_id", "left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("__inside")
+    )
+    partition_complete = (
+        n_docs.crossJoin(F.broadcast(n_surv))
+        .crossJoin(F.broadcast(n_drop))
+        .crossJoin(F.broadcast(surv_outside))
+        .select(
+            (
+                (F.col("__ns") + F.col("__ndr") == F.col("__nd"))
+                & F.col("__inside")
+            )
+            .cast("long")
+            .alias("partition_complete")
+        )
+    )
+    edge_ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    orphans = dropped.join(edge_ids, "doc_id", "left_anti").agg(
+        (F.count(F.lit(1)) == 0).cast("long").alias("dropped_has_edge")
+    )
+    high_surv = pairs.join(
+        surv.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi"
+    ).agg(
+        (F.count(F.lit(1)) == 0)
+        .cast("long")
+        .alias("higher_endpoint_never_survives")
+    )
+    rerun = (
+        surv.exceptAll(surv2)
+        .unionByName(surv2.exceptAll(surv))
+        .agg((F.count(F.lit(1)) == 0).cast("long").alias("rerun_identical"))
+    )
+    return (
+        partition_complete.crossJoin(F.broadcast(orphans))
+        .crossJoin(F.broadcast(high_surv))
+        .crossJoin(F.broadcast(rerun))
+    )
 
 
 @register(

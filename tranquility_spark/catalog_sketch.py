@@ -10,6 +10,8 @@ tests/test_sketch.py against the exact twins.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -220,6 +222,111 @@ def a11e_theta_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_only_est"
         ),
     )
+
+
+def _exact_setops_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact click/error user-set algebra as ONE aggregate row (Spark-side
+    twin shared by a11c2/a11e2): per-user click/error presence flags from a
+    single hash agg, then intersection/union/a-only counts from the flags —
+    no set materialization, two map-side-combined aggs at any scale."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("e"),
+    )
+    return flags.agg(
+        F.sum(F.col("c") * F.col("e")).cast("double").alias("n_inter"),
+        F.count(F.lit(1)).cast("double").alias("n_union"),
+        F.sum(F.col("c") * (F.lit(1) - F.col("e"))).cast("double").alias("n_aonly"),
+    )
+
+
+def _setops_sandwich(est1: DataFrame, est2: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """The hh1b constant-oracle shape for a theta set-ops row: each of the
+    three estimates must sit within 4·RSE(k)·|A∪B| of its exact twin (the
+    tests' accuracy envelope — intersection/difference errors scale with the
+    UNION size, standard theta behavior), and a full second build must
+    reproduce the row bit-identically."""
+    rse = 1.0 / math.sqrt(k - 2)
+    budget = F.lit(4.0 * rse) * F.col("n_union")
+    flags = est1.crossJoin(F.broadcast(exact)).select(
+        (F.abs(F.col("both_types_est") - F.col("n_inter")) <= budget)
+        .cast("long")
+        .alias("inter_in_bound"),
+        (F.abs(F.col("either_type_est") - F.col("n_union")) <= budget)
+        .cast("long")
+        .alias("union_in_bound"),
+        (F.abs(F.col("click_only_est") - F.col("n_aonly")) <= budget)
+        .cast("long")
+        .alias("aonly_in_bound"),
+    )
+    est2r = est2.select(*[F.col(c).alias(f"r_{c}") for c in est2.columns])
+    rerun = est1.crossJoin(F.broadcast(est2r)).select(
+        (
+            (F.col("both_types_est") == F.col("r_both_types_est"))
+            & (F.col("either_type_est") == F.col("r_either_type_est"))
+            & (F.col("click_only_est") == F.col("r_click_only_est"))
+        )
+        .cast("long")
+        .alias("rerun_identical")
+    )
+    return flags.crossJoin(F.broadcast(rerun))
+
+
+_SETOPS_PROBE_ORACLE = """
+    SELECT CAST(1 AS BIGINT) AS inter_in_bound,
+           CAST(1 AS BIGINT) AS union_in_bound,
+           CAST(1 AS BIGINT) AS aonly_in_bound,
+           CAST(1 AS BIGINT) AS rerun_identical
+    """
+
+
+@register(
+    "a11c2_theta_setops_tracks_exact",
+    _SETOPS_PROBE_ORACLE,
+    doc="Driver-certified contract probe for a11c (r12 rows-only-tail "
+    "deepening, the hh1b exact-twin-sandwich shape): the KMV theta "
+    "set-ops estimates evaluated as booleans against the EXACT "
+    "click/error user-set algebra computed independently in Spark (one "
+    "per-user flag agg — no set materialization) and hash-checked "
+    "against the constant (1,1,1,1) oracle. Each estimate must sit "
+    "within 4·RSE(k=256)·|A∪B| of its exact value — the accuracy "
+    "envelope tests/test_sketch.py asserts (intersection/difference "
+    "error scales with UNION size, standard theta behavior); "
+    "rerun_identical re-builds both sketches from raw events and "
+    "requires the bit-identical row (KMV is seedless xxhash64 — "
+    "order-independent k-smallest, the determinism the rows-only "
+    "policy rests on). Not in the bench headline: a11c carries the "
+    "measured row",
+)
+def a11c2_theta_setops_tracks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est1 = a11c_theta_setops_approx(spark, sf_dir)
+    est2 = a11c_theta_setops_approx(spark, sf_dir)
+    return _setops_sandwich(est1, est2, _exact_setops_row(spark, sf_dir), _K)
+
+
+@register(
+    "a11e2_theta_native_tracks_exact",
+    _SETOPS_PROBE_ORACLE,
+    doc="Driver-certified contract probe for a11e (r12, same shape as "
+    "a11c2): Spark's NATIVE Datasketches theta set algebra sandwiched "
+    "against the exact Spark-side twin with the 4·RSE(k=4096)·|A∪B| "
+    "budget, plus bit-identical rerun of the full "
+    "sketch-build-plus-set-ops pipeline (the Datasketches theta state "
+    "is k-smallest-hashes — deterministic and order-independent, unlike "
+    "its KLL sibling, which is exactly why a11e is catalogable at all). "
+    "Certifies the engine-native path tracks truth with the SAME "
+    "obligations as the hand-built KMV — the two implementations are "
+    "interchangeable at the contract level. Not in the bench headline: "
+    "a11e carries the measured row",
+)
+def a11e2_theta_native_tracks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est1 = a11e_theta_native(spark, sf_dir)
+    est2 = a11e_theta_native(spark, sf_dir)
+    # native theta default k: lgNomEntries=12 -> 4096 nominal entries
+    return _setops_sandwich(est1, est2, _exact_setops_row(spark, sf_dir), 4096)
 
 
 @register(
