@@ -811,6 +811,96 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dd5b_lsh_precision_recall_contract",
+    """
+    SELECT CAST(1 AS BIGINT) AS lsh_subset_of_exact,
+           CAST(1 AS BIGINT) AS exact_nonempty,
+           CAST(1 AS BIGINT) AS recall_floor_met,
+           CAST(1 AS BIGINT) AS rerun_identical
+    """,
+    doc="Driver-certified contract probe for dd5 (r12 rows-only-tail "
+    "deepening): the hyperplane-LSH near-dup pipeline's precision/recall "
+    "obligations evaluated on a vec_id<1000 slice (the dd4 "
+    "SQL-checkable-slice precedent — per-pair collision probability is "
+    "corpus-size-independent, so the slice measures the same trade) and "
+    "hash-checked against the constant (1,1,1,1) oracle. "
+    "lsh_subset_of_exact: every emitted pair re-verifies against the "
+    "EXACT all-pairs cosine twin built Spark-side (per-vector v/norm "
+    "computed once, broadcast nested-loop over the bounded slice, the "
+    "SAME unrounded fold expression the operator filters on — precision "
+    "1.0 by construction, now driver-checked). recall_floor_met: "
+    "|got∩exact|/|exact| >= 0.65, the tests' measured floor (0.763/"
+    "0.745 at sf0.001/0.01; theory 1-(1-p^4)^8 ~ 0.70 at p~0.61). "
+    "rerun_identical: the seed-fixed construction reproduces the pair "
+    "set exactly (no join-order or distinct nondeterminism). Not in "
+    "the bench headline: dd5 carries the measured row",
+)
+def dd5b_lsh_precision_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    got = (
+        dd.embedding_neardup_pairs(
+            emb, threshold=0.35, num_planes=4, num_tables=8
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    got2 = dd.embedding_neardup_pairs(
+        emb, threshold=0.35, num_planes=4, num_tables=8
+    ).select("id_a", "id_b")
+    vd = sim._as_double(F.col("embedding"))
+    base = emb.select(
+        "vec_id", vd.alias("v"), sim.norm(vd).alias("nrm")
+    ).localCheckpoint(eager=False)
+    a, b = base.alias("a"), base.alias("b")
+    exact = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            (
+                sim.dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    subset = got.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        (F.count(F.lit(1)) == 0).cast("long").alias("lsh_subset_of_exact")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("__ne"))
+    n_hit = got.join(exact, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("__nh")
+    )
+    recall = (
+        n_exact.crossJoin(F.broadcast(n_hit)).select(
+            (F.col("__ne") > 0).cast("long").alias("exact_nonempty"),
+            (
+                F.col("__nh").cast("double")
+                >= F.lit(0.65) * F.col("__ne").cast("double")
+            )
+            .cast("long")
+            .alias("recall_floor_met"),
+        )
+    )
+    rerun = (
+        got.exceptAll(got2)
+        .unionByName(got2.exceptAll(got))
+        .agg((F.count(F.lit(1)) == 0).cast("long").alias("rerun_identical"))
+    )
+    return (
+        subset.crossJoin(F.broadcast(recall)).crossJoin(F.broadcast(rerun))
+        .select(
+            "lsh_subset_of_exact",
+            "exact_nonempty",
+            "recall_floor_met",
+            "rerun_identical",
+        )
+    )
+
+
 def _dd13_centroids() -> list[list[float]]:
     """Deterministic 6-dp centroid literals in [-1, 1], shared verbatim by
     the Spark expression and the SQL oracle — REUSES the certified emb6
@@ -1209,6 +1299,71 @@ def sim2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # exclude the query row itself, matching sim1's neighbor semantics
     return sim.lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10, num_planes=4)
+
+
+@register(
+    "sim2b_lsh_topk_contract",
+    """
+    SELECT CAST(1 AS BIGINT) AS scores_exact,
+           CAST(1 AS BIGINT) AS k_rows,
+           CAST(1 AS BIGINT) AS recall_floor_met,
+           CAST(1 AS BIGINT) AS rerun_identical
+    """,
+    doc="Driver-certified contract probe for sim2 (r12 rows-only-tail "
+    "deepening): the multi-probe LSH top-k's obligations as booleans vs "
+    "the constant (1,1,1,1) oracle. scores_exact: every returned cosine "
+    "equals the true 6-dp cosine recomputed independently for that "
+    "vec_id — the approximation is ONLY in which candidates get "
+    "scanned, never in the scores (so a served score can be trusted "
+    "downstream, e.g. by rank2's fusion). k_rows: the probed buckets "
+    "hold at least k rows at driver scale, so the entry returns exactly "
+    "k. recall_floor_met: recall@10 vs sim1's exact top-10 >= 0.4 — the "
+    "tests' measured floor on this corpus (0.5/0.4 at sf0.001/0.01; "
+    "near-uniform embeddings are sign-bit LSH's adversarial case, the "
+    "reason sim3 IVF is the high-recall path). rerun_identical: the "
+    "seed-fixed probe-set choice and scan reproduce the result exactly. "
+    "Not in the bench headline: sim2 carries the measured row",
+)
+def sim2b_lsh_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    ann = sim.lsh_topk(
+        corpus, qvec, k=10, num_planes=4
+    ).localCheckpoint(eager=False)
+    ann2 = sim.lsh_topk(corpus, qvec, k=10, num_planes=4)
+    exact = sim.cosine_topk_self(emb, query_id=0, k=10)
+    qarr = F.array(*[F.lit(float(x)) for x in qvec])
+    rescored = corpus.select(
+        "vec_id",
+        F.round(sim.cosine(sim._as_double(F.col("embedding")), qarr), 6).alias(
+            "__true_cos"
+        ),
+    )
+    scores = ann.join(rescored, "vec_id").agg(
+        F.min(F.col("cosine") == F.col("__true_cos"))
+        .cast("long")
+        .alias("scores_exact")
+    )
+    k_rows = ann.agg(
+        (F.count(F.lit(1)) == 10).cast("long").alias("k_rows")
+    )
+    recall = ann.join(exact.select("vec_id"), "vec_id", "left_semi").agg(
+        (F.count(F.lit(1)) >= 4).cast("long").alias("recall_floor_met")
+    )
+    rerun = (
+        ann.exceptAll(ann2)
+        .unionByName(ann2.exceptAll(ann))
+        .agg((F.count(F.lit(1)) == 0).cast("long").alias("rerun_identical"))
+    )
+    return (
+        scores.crossJoin(F.broadcast(k_rows))
+        .crossJoin(F.broadcast(recall))
+        .crossJoin(F.broadcast(rerun))
+    )
 
 
 _IVF_INDEX_CACHE: dict = {}
