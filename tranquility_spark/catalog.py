@@ -1641,6 +1641,9 @@ _R12_DRIVER_WINDOW = [
     # sort key — a10g consumes the edited helper (the manual
     # helper-rotation discipline; fingerprints can't see helper edits).
     "a10g_gk_deep_rollup",
+    # re-certify: the r12 pipe1b probe refactored pipe1's fn into the
+    # shared _pipe1_stats helper (fingerprint-caught; results unchanged).
+    "pipe1_corpus_pipeline",
 ]
 
 
@@ -1694,7 +1697,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # emb9b and a10g rotate straight back out in round 12 — emb9b for the
 # ADVICE r11 #3 relative-tolerance fn edit, a10g because ADVICE r11 #2
 # edited its gk_certified_error helper).
-# Total: 182 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# Total: 181 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
 # latest fn/oracle revision has a driver hash-match. Keys rotated back
 # into the window are subtracted until re-certified.
 _CERTIFIED = frozenset(
@@ -1714,7 +1717,11 @@ _CERTIFIED = frozenset(
         "samp1_hash_sample", "samp2_stratified_topn", "pack1_sequence_packing",
         "dd6_contamination_overlap", "txt5_pii_redact", "txt6_repetition",
         "txt7_quality_filter", "dd7_neardup_survivors",
-        "txt8_per_lang_quality_percentile", "pipe1_corpus_pipeline",
+        "txt8_per_lang_quality_percentile",
+        # pipe1_corpus_pipeline: r01-certified (rows-green), rotated back
+        # OUT in round 12 — its fn was refactored into the shared
+        # _pipe1_stats helper for the pipe1b staged-equality probe
+        # (results unchanged; parity re-verified at both SFs).
         "q1_pricing_summary",
         "q6_forecast_revenue",
         "j1_broadcast_dim_join", "j2_semi_join",

@@ -1186,6 +1186,118 @@ def dd13b_kmeans_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, cents, tau=_DD13_TAU)
 
 
+@register(
+    "dd13c_learned_centroid_contract",
+    """
+    SELECT CAST(1 AS BIGINT) AS keep_rule_exact,
+           CAST(1 AS BIGINT) AS sizes_consistent,
+           CAST(1 AS BIGINT) AS assignment_near_optimal,
+           CAST(1 AS BIGINT) AS centroid_build_deterministic
+    """,
+    doc="Driver-certified contract probe for dd13b (r12 rows-only-tail "
+    "deepening — the certification handoff dd13's docstring promises, "
+    "now driver-checked on the LEARNED-centroid path): the SemDeDup "
+    "obligations as booleans vs the constant (1,1,1,1) oracle. "
+    "keep_rule_exact: every keep flag equals the rule recomputed from "
+    "scratch in pure Spark expressions — a vec is dropped iff a "
+    "lower-id partner in ITS cluster has round-6 cosine > tau (the "
+    "same fold expressions dd13 hash-certifies against DuckDB, here "
+    "applied to the UDF's assignment). sizes_consistent: the reported "
+    "n_in_cluster equals a window count over the output itself. "
+    "assignment_near_optimal: each vec's cosine to its assigned "
+    "centroid is within 1e-9 of the max over all learned centroids, "
+    "computed via Spark literal-array folds — certifies the numpy-"
+    "matmul argmax agrees with independent JVM arithmetic. "
+    "centroid_build_deterministic: two fresh ivf_centroids builds AND "
+    "the two-level cache all agree element-for-element (TakeOrdered "
+    "seeds + one Lloyd pass are order-independent; the sidecar "
+    "round-trips floats exactly). Not in the bench headline: dd13b "
+    "carries the measured row",
+)
+def dd13c_learned_centroid_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from tranquility_spark.operators.dedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = _cached_index(
+        "ivf",
+        _IVF_INDEX_CACHE,
+        _index_cache_key(sf_dir),
+        lambda: sim.ivf_centroids(e, n_centroids=16),
+    )
+    cents_a = sim.ivf_centroids(e, n_centroids=16)
+    cents_b = sim.ivf_centroids(e, n_centroids=16)
+    det = int(cents_a == cents_b and cents == cents_a)
+
+    out = semantic_dedup(e, cents, tau=_DD13_TAU).localCheckpoint(eager=False)
+    vd = sim._as_double(F.col("embedding"))
+    base = e.select("vec_id", vd.alias("v"), sim.norm(vd).alias("nrm"))
+    assigned = (
+        out.select("vec_id", "cluster_id")
+        .join(base, "vec_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped_expected = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.round(
+                sim.dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("__cos"),
+        )
+        .filter(F.col("__cos") > _DD13_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("__d", F.lit(1))
+    )
+    keep_cmp = out.join(dropped_expected, "vec_id", "left").agg(
+        F.min(
+            F.col("keep")
+            == F.when(F.col("__d").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("keep_rule_exact")
+    )
+    w = Window.partitionBy("cluster_id")
+    sizes = out.withColumn("__n", F.count(F.lit(1)).over(w)).agg(
+        F.min(F.col("n_in_cluster") == F.col("__n"))
+        .cast("long")
+        .alias("sizes_consistent")
+    )
+    cos_cols = [
+        sim.cosine(
+            F.col("v"), F.array(*[F.lit(float(x)) for x in c])
+        ).alias(f"__c{j}")
+        for j, c in enumerate(cents)
+    ]
+    scored = assigned.select("cluster_id", *cos_cols)
+    assigned_cos = F.when(F.col("cluster_id") == 0, F.col("__c0"))
+    for j in range(1, len(cents)):
+        assigned_cos = assigned_cos.when(
+            F.col("cluster_id") == j, F.col(f"__c{j}")
+        )
+    best = F.greatest(*[F.col(f"__c{j}") for j in range(len(cents))])
+    optimal = scored.agg(
+        F.min(assigned_cos >= best - F.lit(1e-9))
+        .cast("long")
+        .alias("assignment_near_optimal")
+    )
+    return (
+        keep_cmp.crossJoin(F.broadcast(sizes))
+        .crossJoin(F.broadcast(optimal))
+        .withColumn("centroid_build_deterministic", F.lit(det).cast("long"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -3207,6 +3319,26 @@ def pipe4_quality_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rescanned",
 )
 def pipe5_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = _pipe5_stages(spark, sf_dir)
+    counts = [
+        parts["new"].agg(F.count(F.lit(1)).alias("n_new")),
+        parts["known"].agg(F.count(F.lit(1)).alias("n_exact_known")),
+        parts["near_ids"].agg(F.count(F.lit(1)).alias("n_near_dup")),
+        parts["unique"].agg(F.count(F.lit(1)).alias("n_unique")),
+        parts["admitted"].agg(F.count(F.lit(1)).alias("n_admitted")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out.withColumn(
+        "n_low_quality", F.col("n_unique") - F.col("n_admitted")
+    )
+
+
+def _pipe5_stages(spark: SparkSession, sf_dir: str) -> dict:
+    """pipe5's three-gate admission pipeline with every stage frame exposed
+    (r12: shared by the entry and its pipe5b stage-reconciliation probe —
+    ONE pipeline definition, the dd13-centroid one-generator rule)."""
     from tranquility_spark.operators.bloom import bloom_probe, bloom_words
 
     docs = _t(spark, sf_dir, "documents")
@@ -3247,19 +3379,79 @@ def pipe5_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stage 3 — composite quality gate on what survived both dedup stages
     admitted = tx.quality_filter(unique).filter(F.col("keep"))
+    return {
+        "new": new,
+        "registry": registry,
+        "reg_hashes": reg_hashes,
+        "known": known,
+        "near_ids": near_ids,
+        "unique": unique,
+        "admitted": admitted,
+    }
 
-    counts = [
-        new.agg(F.count(F.lit(1)).alias("n_new")),
-        known.agg(F.count(F.lit(1)).alias("n_exact_known")),
-        near_ids.agg(F.count(F.lit(1)).alias("n_near_dup")),
-        unique.agg(F.count(F.lit(1)).alias("n_unique")),
-        admitted.agg(F.count(F.lit(1)).alias("n_admitted")),
-    ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.crossJoin(c)
-    return out.withColumn(
-        "n_low_quality", F.col("n_unique") - F.col("n_admitted")
+
+@register(
+    "pipe5b_ingest_stage_reconciliation",
+    """
+    SELECT CAST(1 AS BIGINT) AS counts_reconcile,
+           CAST(1 AS BIGINT) AS exact_gate_equals_ungated,
+           CAST(1 AS BIGINT) AS admitted_subset_of_new,
+           CAST(1 AS BIGINT) AS both_stages_nonempty
+    """,
+    doc="Driver-certified contract probe for pipe5 (r12 rows-only-tail "
+    "deepening): the per-cycle admission pipeline's stage arithmetic and "
+    "gate semantics as booleans vs the constant (1,1,1,1) oracle, over "
+    "the SAME stage frames the entry reports (shared _pipe5_stages — "
+    "one pipeline definition). counts_reconcile: n_unique = n_new - "
+    "n_exact_known - n_near_dup — the three gates tile the batch with "
+    "nothing lost or double-counted. exact_gate_equals_ungated: stage "
+    "1's bloom-gated + exact-verified known set is EXACTLY the ungated "
+    "content-hash semi-join twin (the dd11b gate-transparency claim on "
+    "the hash gate: the bloom admits no false positive past the verify "
+    "and, having no false negatives, drops nothing). "
+    "admitted_subset_of_new: no registry doc can leak into admission. "
+    "both_stages_nonempty: the probe is non-vacuous (the batch and the "
+    "admitted set are both populated). Not in the bench headline: pipe5 "
+    "carries the measured row",
+)
+def pipe5b_ingest_stage_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = _pipe5_stages(spark, sf_dir)
+    n_new = parts["new"].agg(F.count(F.lit(1)).alias("__nn"))
+    n_known = parts["known"].agg(F.count(F.lit(1)).alias("__nk"))
+    n_near = parts["near_ids"].agg(F.count(F.lit(1)).alias("__nnd"))
+    n_unique = parts["unique"].agg(F.count(F.lit(1)).alias("__nu"))
+    n_adm = parts["admitted"].agg(F.count(F.lit(1)).alias("__na"))
+    ungated = (
+        parts["new"]
+        .withColumn("h", dd.content_hash(F.col("text")))
+        .join(parts["reg_hashes"].distinct(), "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("__nug"))
+    )
+    leak = (
+        parts["admitted"]
+        .select("doc_id")
+        .join(parts["new"].select("doc_id"), "doc_id", "left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("__noleak"))
+    )
+    row = (
+        n_new.crossJoin(F.broadcast(n_known))
+        .crossJoin(F.broadcast(n_near))
+        .crossJoin(F.broadcast(n_unique))
+        .crossJoin(F.broadcast(n_adm))
+        .crossJoin(F.broadcast(ungated))
+        .crossJoin(F.broadcast(leak))
+    )
+    return row.select(
+        (F.col("__nu") == F.col("__nn") - F.col("__nk") - F.col("__nnd"))
+        .cast("long")
+        .alias("counts_reconcile"),
+        (F.col("__nk") == F.col("__nug"))
+        .cast("long")
+        .alias("exact_gate_equals_ungated"),
+        F.col("__noleak").cast("long").alias("admitted_subset_of_new"),
+        ((F.col("__nn") > 0) & (F.col("__na") > 0))
+        .cast("long")
+        .alias("both_stages_nonempty"),
     )
 
 
@@ -3558,27 +3750,38 @@ def txt8_per_lang_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFr
     "transform; the composition adds no driver-side data movement",
 )
 def pipe1_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipe1_stats(spark, sf_dir, barrier=False)
+
+
+def _pipe1_stats(spark: SparkSession, sf_dir: str, barrier: bool = False) -> DataFrame:
+    """pipe1's five-stage corpus pipeline (r12: shared by the entry and its
+    pipe1b plan-shape-invariance probe). ``barrier=True`` cuts the logical
+    plan after every stage with a lazy localCheckpoint, forcing staged
+    evaluation — the probe compares it against the fused single-plan run."""
     from tranquility_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, neardup_survivors
     from tranquility_spark.operators.text import hash_sample, pack_sequences, quality_filter
+
+    def _b(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False) if barrier else df
 
     docs = _t(spark, sf_dir, "documents")
 
     # 1. quality gate
     verdicts = quality_filter(docs).select("doc_id", "keep")
-    kept = docs.join(verdicts.filter(F.col("keep")), "doc_id").drop("keep")
+    kept = _b(docs.join(verdicts.filter(F.col("keep")), "doc_id").drop("keep"))
 
     # 2. exact dedup: keep the min doc_id per content hash
     survivors_exact = exact_dedup(kept, "text", "doc_id").select(
         F.col("keep_doc_id").alias("doc_id")
     )
-    kept = kept.join(survivors_exact, "doc_id")
+    kept = _b(kept.join(survivors_exact, "doc_id"))
 
     # 3. near-dup survivors (LSH pairs → components → min-id per cluster)
     pairs = minhash_lsh_pairs(kept, "text", "doc_id")
-    kept = neardup_survivors(kept, pairs, "doc_id")
+    kept = _b(neardup_survivors(kept, pairs, "doc_id"))
 
     # 4. reproducible 80% train split
-    train = hash_sample(kept, "doc_id", 80)
+    train = _b(hash_sample(kept, "doc_id", 80))
 
     # 5. pack into 4096-token contexts per language
     packed = pack_sequences(
@@ -3594,6 +3797,33 @@ def pipe1_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "pipe1b_staged_equals_fused",
+    """
+    SELECT CAST(0 AS BIGINT) AS n_mismatched, CAST(1 AS BIGINT) AS both_nonempty
+    """,
+    doc="Driver-certified contract probe for pipe1 (r12 rows-only-tail "
+    "deepening, the dd11b/sim3c equality shape): the per-language corpus "
+    "stats from pipe1's FUSED five-stage plan (one logical plan Catalyst "
+    "optimizes end-to-end — filter pushdown, join reordering across "
+    "stage boundaries) must equal the STAGED run that cuts the plan "
+    "after every stage with a materialization barrier, so no "
+    "cross-stage rewrite can change semantics. This is the claim "
+    "pipe1's docstring makes in prose — 'the composition adds no "
+    "driver-side data movement' and composes exactly like its certified "
+    "components — now driver-checked: any Catalyst rewrite, reused "
+    "subplan or CSE across the quality/dedup/survivor/split/pack "
+    "stages that altered results would break the equality. Symmetric "
+    "difference as a count row vs the constant-0 oracle; both_nonempty "
+    "certifies non-vacuousness. Not in the bench headline: pipe1 "
+    "carries the measured row",
+)
+def pipe1b_staged_equals_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fused = _pipe1_stats(spark, sf_dir, barrier=False)
+    staged = _pipe1_stats(spark, sf_dir, barrier=True)
+    return _equality_probe(fused, staged)
 
 
 @register(
