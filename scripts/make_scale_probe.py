@@ -28,6 +28,13 @@ measuring a pathology rather than scale):
 
 Usage: python3 scripts/make_scale_probe.py [out_dir]   (default
 /tmp/spark_graft_sf1). Idempotent: overwrites the output dir.
+
+Second decade (VERDICT r11 #3): point SPARK_GRAFT_PROBE_SRC at a previous
+probe dir to fan THAT out 10x again (the suffix/rotation/offset transforms
+compose — re-suffixing "tok~3" to "tok~3~7" is still a per-copy shingle
+bijection), and set SPARK_GRAFT_PROBE_TABLES to a comma list to build only
+the tables the targeted probes read (e.g. "documents,events,lineitem,
+orders,supplier" for the a10e/dd11/q21 steep-curve set).
 """
 
 import os
@@ -39,6 +46,12 @@ from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
 SRC = os.environ.get("SPARK_GRAFT_PROBE_SRC", "/root/testdata/sf0.1")
 COPIES = 10
+_tables_env = os.environ.get("SPARK_GRAFT_PROBE_TABLES", "")
+TABLES = set(t.strip() for t in _tables_env.split(",") if t.strip()) or None
+
+
+def _wanted(name: str) -> bool:
+    return TABLES is None or name in TABLES
 
 
 def _fan(df):
@@ -67,83 +80,90 @@ def main() -> None:
     # regexp_replace's replacement must be a literal, so the per-copy token
     # suffix is a 10-branch union of literal-replacement plans (tiny plan,
     # executor-side work unchanged)
-    docs = t("documents")
-    step_doc = docs.agg(F.max("doc_id")).first()[0] + 1
-    per_copy = None
-    for i in range(COPIES):
-        part = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * step_doc))
-        if i:
-            part = part.withColumn(
-                "text", F.regexp_replace(F.col("text"), r"(\S+)", rf"$1~{i}")
-            ).withColumn("n_chars", F.length("text"))
-        per_copy = part if per_copy is None else per_copy.unionByName(part)
-    per_copy.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    if _wanted("documents"):
+        docs = t("documents")
+        step_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+        per_copy = None
+        for i in range(COPIES):
+            part = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * step_doc))
+            if i:
+                part = part.withColumn(
+                    "text", F.regexp_replace(F.col("text"), r"(\S+)", rf"$1~{i}")
+                ).withColumn("n_chars", F.length("text"))
+            per_copy = part if per_copy is None else per_copy.unionByName(part)
+        per_copy.write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
     # --- embeddings -----------------------------------------------------
-    emb = t("embeddings")
-    step_vec = emb.agg(F.max("vec_id")).first()[0] + 1
-    dim = len(emb.select("embedding").first()[0])
-    per_copy = None
-    for i in range(COPIES):
-        part = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * step_vec))
-        if i:
-            part = part.withColumn(
-                "embedding",
-                F.concat(
-                    F.slice("embedding", i + 1, dim - i),
-                    F.slice("embedding", 1, i),
-                ),
-            )
-        per_copy = part if per_copy is None else per_copy.unionByName(part)
-    per_copy.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    if _wanted("embeddings"):
+        emb = t("embeddings")
+        step_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+        dim = len(emb.select("embedding").first()[0])
+        per_copy = None
+        for i in range(COPIES):
+            part = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * step_vec))
+            if i:
+                part = part.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice("embedding", i + 1, dim - i),
+                        F.slice("embedding", 1, i),
+                    ),
+                )
+            per_copy = part if per_copy is None else per_copy.unionByName(part)
+        per_copy.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
     # --- events ---------------------------------------------------------
-    ev = t("events")
-    step_ev = ev.agg(F.max("event_id")).first()[0] + 1
-    step_usr = ev.agg(F.max("user_id")).first()[0] + 1
-    scaled_ev = (
-        _fan(ev)
-        .withColumn("event_id", F.col("event_id") + F.col("__copy") * step_ev)
-        .withColumn("user_id", F.col("user_id") + F.col("__copy") * step_usr)
-        .withColumn(
-            "ts", F.timestamp_add("DAY", (F.col("__copy") * 400), F.col("ts"))
+    if _wanted("events"):
+        ev = t("events")
+        step_ev = ev.agg(F.max("event_id")).first()[0] + 1
+        step_usr = ev.agg(F.max("user_id")).first()[0] + 1
+        scaled_ev = (
+            _fan(ev)
+            .withColumn("event_id", F.col("event_id") + F.col("__copy") * step_ev)
+            .withColumn("user_id", F.col("user_id") + F.col("__copy") * step_usr)
+            .withColumn(
+                "ts", F.timestamp_add("DAY", (F.col("__copy") * 400), F.col("ts"))
+            )
+            .drop("__copy")
         )
-        .drop("__copy")
-    )
-    scaled_ev.write.mode("overwrite").parquet(f"{out}/events.parquet")
+        scaled_ev.write.mode("overwrite").parquet(f"{out}/events.parquet")
 
     # --- relational (q21 probe: lineitem / orders / supplier) ------------
-    li, orders, supp = t("lineitem"), t("orders"), t("supplier")
-    step_ord = orders.agg(F.max("o_orderkey")).first()[0] + 1
-    step_supp = supp.agg(F.max("s_suppkey")).first()[0] + 1
-    step_cust = orders.agg(F.max("o_custkey")).first()[0] + 1
-    (
-        _fan(li)
-        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("__copy") * step_ord)
-        .withColumn("l_suppkey", F.col("l_suppkey") + F.col("__copy") * step_supp)
-        .drop("__copy")
-        .write.mode("overwrite")
-        .parquet(f"{out}/lineitem.parquet")
-    )
-    (
-        _fan(orders)
-        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("__copy") * step_ord)
-        .withColumn("o_custkey", F.col("o_custkey") + F.col("__copy") * step_cust)
-        .drop("__copy")
-        .write.mode("overwrite")
-        .parquet(f"{out}/orders.parquet")
-    )
-    (
-        _fan(supp)
-        .withColumn("s_suppkey", F.col("s_suppkey") + F.col("__copy") * step_supp)
-        .withColumn(
-            "s_name",
-            F.concat(F.col("s_name"), F.lit("#"), F.col("__copy").cast("string")),
-        )
-        .drop("__copy")
-        .write.mode("overwrite")
-        .parquet(f"{out}/supplier.parquet")
-    )
+    if any(_wanted(n) for n in ("lineitem", "orders", "supplier")):
+        li, orders, supp = t("lineitem"), t("orders"), t("supplier")
+        step_ord = orders.agg(F.max("o_orderkey")).first()[0] + 1
+        step_supp = supp.agg(F.max("s_suppkey")).first()[0] + 1
+        step_cust = orders.agg(F.max("o_custkey")).first()[0] + 1
+        if _wanted("lineitem"):
+            (
+                _fan(li)
+                .withColumn("l_orderkey", F.col("l_orderkey") + F.col("__copy") * step_ord)
+                .withColumn("l_suppkey", F.col("l_suppkey") + F.col("__copy") * step_supp)
+                .drop("__copy")
+                .write.mode("overwrite")
+                .parquet(f"{out}/lineitem.parquet")
+            )
+        if _wanted("orders"):
+            (
+                _fan(orders)
+                .withColumn("o_orderkey", F.col("o_orderkey") + F.col("__copy") * step_ord)
+                .withColumn("o_custkey", F.col("o_custkey") + F.col("__copy") * step_cust)
+                .drop("__copy")
+                .write.mode("overwrite")
+                .parquet(f"{out}/orders.parquet")
+            )
+        if _wanted("supplier"):
+            (
+                _fan(supp)
+                .withColumn("s_suppkey", F.col("s_suppkey") + F.col("__copy") * step_supp)
+                .withColumn(
+                    "s_name",
+                    F.concat(F.col("s_name"), F.lit("#"), F.col("__copy").cast("string")),
+                )
+                .drop("__copy")
+                .write.mode("overwrite")
+                .parquet(f"{out}/supplier.parquet")
+            )
 
     # dims some probes read incidentally — copied unscaled
     for name in ("nation", "region", "customer", "part"):
@@ -157,6 +177,8 @@ def main() -> None:
         "orders",
         "supplier",
     ):
+        if not _wanted(name):
+            continue
         n = spark.read.parquet(f"{out}/{name}.parquet").count()
         print(f"{name}: {n} rows")
     spark.stop()

@@ -4,6 +4,10 @@ print per-entry ratios. Results are recorded in SCALE.md — this is a
 measurement script, not part of the bench harness (anchors stay frozen).
 
 Usage: python3 scripts/run_scale_probe.py [sf1_dir] [entry ...]
+
+Second decade (VERDICT r11 #3): set SPARK_GRAFT_PROBE_BASE to a previous
+probe dir (e.g. /tmp/spark_graft_sf1) to measure sf1 -> sf10 ratios
+instead of sf0.1 -> sf1.
 """
 
 import json
@@ -56,16 +60,17 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return best
 
+    base = os.environ.get("SPARK_GRAFT_PROBE_BASE", "/root/testdata/sf0.1")
     rows = []
     for name in entries:
         fn = CATALOG[name].fn
-        small = best_of(fn, "/root/testdata/sf0.1", 3)
+        small = best_of(fn, base, 3)
         big = best_of(fn, sf1_dir, 2)
         rows.append(
             {
                 "entry": name,
-                "sf0.1": round(small, 3),
-                "sf1": round(big, 3),
+                "base": round(small, 3),
+                "scaled": round(big, 3),
                 "ratio": round(big / small, 2),
             }
         )
