@@ -1960,3 +1960,96 @@ def test_streaming_ivfpq_index_append_sink(spark, sf_dir, tmp_path):
     # structures would break reads), even with matching parameters
     with pt.raises(ValueError, match="partitioned by"):
         sim.ivfpq_index_append_sink(oneshot, cents, books)(emb.limit(5), 0)
+
+
+def test_streaming_chaos_kill_mid_batch_exactly_once(spark, tmp_path):
+    """VERDICT r11 #4, the DefunctBeam scenario (ClusteredBeamTest matrix):
+    kill a LIVE streaming query BETWEEN segment publish and marker commit,
+    then restart from the checkpoint and demand exactly-once at the sink.
+
+    The kill is injected into the real commit path (os.rename of the batch-1
+    marker raises on its first attempt), so the crash state is produced by
+    the query itself, not simulated by deleting files afterwards:
+      - mid-crash, batch 1's files ARE published (the failure window is
+        real) but the committed_only read exposes NONE of them — the marker
+        protocol leaves no partial segment visible to a snapshot reader;
+      - after restart, the replayed batch overwrites its own deterministic
+        file names and commits: both reads agree and equal the input
+        exactly (no loss, no duplication, no stray files).
+    """
+    import glob
+
+    import tranquility_spark.streaming.sink as sink_mod
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows_a = [("2024-06-01T11:05:00", "a1"), ("2024-06-01T11:06:00", "a2")]
+    rows_b = [("2024-06-01T12:05:00", "b1"), ("2024-06-01T12:06:00", "b2")]
+    for name, rows in (("a.json", rows_a), ("b.json", rows_b)):
+        with open(src / name, "w") as f:
+            for ts, page in rows:
+                f.write(json.dumps({"ts": ts, "page": page}) + "\n")
+
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    crashed = {"done": False}
+    real_rename = os.rename
+
+    def chaos_rename(s, d):
+        if os.path.basename(str(d)) == "wiki-1" and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("chaos: killed between publish and marker")
+        real_rename(s, d)
+
+    def run_query():
+        stream = (
+            spark.readStream.schema("ts string, page string")
+            .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+            .json(str(src))
+            .select(F.to_timestamp("ts").alias("ts"), "page")
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink.foreach_batch())
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    sink_mod.os.rename = chaos_rename
+    try:
+        with pytest.raises(StreamingQueryException, match="chaos"):
+            run_query()
+    finally:
+        sink_mod.os.rename = real_rename
+    assert crashed["done"], "the injected kill never fired"
+
+    # mid-crash state: batch 1 published but unmarked
+    committed = sink.committed_batch_ids()
+    assert 1 not in committed and len(committed) >= 1
+    published = glob.glob(f"{sink._ds_root(0)}/**/batch-1-*.parquet", recursive=True)
+    assert published, "crash fired before publish — the window wasn't exercised"
+    raw_mid = sink.read(spark).count()
+    snap_mid = sink.read(spark, committed_only=True)
+    marker_rows = sum(
+        json.load(open(f"{tmp_path}/seg/_batches/wiki-{b}"))["rows"]
+        for b in committed
+    )
+    assert snap_mid.count() == marker_rows  # snapshot == exactly the committed rows
+    assert raw_mid > marker_rows  # the partial segment IS on disk — and hidden
+
+    # restart from the same checkpoint: the replayed batch commits idempotently
+    run_query()
+    want = sorted(p for _, p in rows_a + rows_b)
+    for committed_only in (False, True):
+        got = sorted(
+            r["page"]
+            for r in sink.read(spark, committed_only=committed_only)
+            .select("page")
+            .collect()
+        )
+        assert got == want, f"exactly-once violated (committed_only={committed_only})"
+    # no stray files: every published file belongs to a committed batch
+    all_files = glob.glob(f"{sink._ds_root(0)}/**/*.parquet", recursive=True)
+    batch_ids = {int(os.path.basename(p).split("-")[1]) for p in all_files}
+    assert batch_ids <= sink.committed_batch_ids()

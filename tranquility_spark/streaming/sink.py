@@ -207,9 +207,59 @@ class SegmentSink:
 
     # -- read-back -----------------------------------------------------------
 
-    def read(self, spark, replica: int = 0) -> DataFrame:
-        return spark.read.option("mergeSchema", "true").option("basePath", self._ds_root(replica)).parquet(
-            self._ds_root(replica)
+    def committed_batch_ids(self) -> set:
+        """Batch ids with a committed marker for this datasource."""
+        base = f"{self.root}/_batches"
+        prefix = f"{self.datasource}-"
+        if not os.path.isdir(base):
+            return set()
+        return {
+            int(name[len(prefix):])
+            for name in os.listdir(base)
+            if name.startswith(prefix) and name[len(prefix):].isdigit()
+        }
+
+    def read(self, spark, replica: int = 0, committed_only: bool = False) -> DataFrame:
+        """Read the segment layout back.
+
+        ``committed_only=True`` is the snapshot-isolation read (r12, the
+        reference's DefunctBeam no-partial-segment story, SURVEY §2.6 W5):
+        only files whose batch has a committed ``_batches`` marker are read,
+        so a writer that died between publishing staged files and committing
+        the marker leaves NOTHING visible — the replayed batch overwrites
+        its own deterministic file names and only then becomes readable.
+        File-level filtering works because every published file is named
+        ``batch-<id>-<seq>.parquet``. Applies to the pre-compaction layout:
+        ``compact`` (run only on closed buckets, after every writer's marker
+        landed) rewrites names, at which point the whole bucket is committed
+        by construction.
+        """
+        base = self._ds_root(replica)
+        plain = (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", base)
+            .parquet(base)
+        )
+        if not committed_only:
+            return plain
+        committed = self.committed_batch_ids()
+        files = []
+        for dirpath, _dirs, fs in sorted(os.walk(base)):
+            for f in sorted(fs):
+                if not (f.startswith("batch-") and f.endswith(".parquet")):
+                    continue
+                try:
+                    bid = int(f.split("-")[1])
+                except (IndexError, ValueError):
+                    continue
+                if bid in committed:
+                    files.append(os.path.join(dirpath, f))
+        if not files:
+            return plain.limit(0)
+        return (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", base)
+            .parquet(*files)
         )
 
     def buckets(self, replica: int = 0) -> list[str]:
