@@ -349,6 +349,12 @@ _smile_scalars = st.one_of(
     st.none(),
     st.booleans(),
     st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+    # BigInteger band (r12): outside int64 both ways, across the 7-bit
+    # tail sizes of toByteArray lengths
+    st.integers(min_value=1 << 63, max_value=1 << 200),
+    st.integers(min_value=-(1 << 200), max_value=-(1 << 63) - 1),
+    # BigDecimal (r12): exact decimals incl. negative scales (1E+n forms)
+    st.decimals(allow_nan=False, allow_infinity=False, places=None),
     st.floats(allow_nan=False, allow_infinity=False),
     st.text(max_size=80),
     # sizes straddle every 7-bit tail group (len % 7 in 0..6) and both

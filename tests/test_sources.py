@@ -957,6 +957,126 @@ def test_smile_binary_token_vectors():
         decode_record(b":)\n\x00\xe8\x81\x80\x01")
 
 
+def test_smile_bignum_token_vectors():
+    """BigInteger (0x26) / BigDecimal (0x2A) — r12, VERDICT r11 #5.
+    Hand-computed vectors from the spec + Jackson's generator layout:
+    0x26 = unsigned-vint RAW length + 7-bit-safe packing of
+    BigInteger.toByteArray(); 0x2A = zigzag-vint scale + the 0x26
+    payload of unscaledValue(). Then round-trips across magnitude/scale
+    grids and the malformed edges."""
+    import decimal
+
+    import pytest as pt
+
+    from tranquility_spark.operators.smile_codec import (
+        SmileDecodeError,
+        SmileEncoder,
+        _to_byte_array,
+        decode_record,
+        decode_stream,
+    )
+
+    def body(value, **kw):
+        enc = SmileEncoder(**kw)
+        enc.write(value)
+        return enc.getvalue()[4:]
+
+    # toByteArray check values (Java semantics: minimal two's complement)
+    assert _to_byte_array(255) == b"\x00\xff"
+    assert _to_byte_array(127) == b"\x7f"
+    assert _to_byte_array(-128) == b"\x80"
+    assert _to_byte_array(0) == b"\x00"
+
+    # DECODE vector: BigInteger(255) = raw 00 FF (2 bytes, vint 0x82);
+    # 16 bits -> 7+7+2: bytes 0b0000000, 0b0111111, last 2 bits 0b11
+    assert decode_record(b":)\n\x00\x26\x82\x00\x3f\x03") == 255
+    # BigDecimal 123.45: scale 2 (zigzag 4 -> 0x84), unscaled 12345 =
+    # 0x3039 (2 bytes, vint 0x82) -> 7-bit 0x18 0x0e, last 2 bits 0b01
+    assert decode_record(b":)\n\x00\x2a\x84\x82\x18\x0e\x01") == decimal.Decimal(
+        "123.45"
+    )
+    # negative scale (1E+2): zigzag(-2)=3 -> 0x83; unscaled 1 -> raw 0x01
+    # (vint 0x81) -> 7-bit 0x00, last 1 bit 0b1
+    assert decode_record(b":)\n\x00\x2a\x83\x81\x00\x01") == decimal.Decimal(
+        "1E+2"
+    )
+
+    # ENCODE: ints inside int64 still take the vint tokens (0x25), only
+    # beyond-int64 magnitudes take 0x26 — the token choice is Jackson's
+    assert body((1 << 63) - 1)[0] == 0x25
+    assert body(1 << 63)[0] == 0x26
+    assert body(-(1 << 63))[0] == 0x25
+    assert body(-(1 << 63) - 1)[0] == 0x26
+    assert body(decimal.Decimal("123.45")) == b"\x2a\x84\x82\x18\x0e\x01"
+
+    # round-trip grids: every 7-bit tail size of the magnitude, both signs,
+    # scales across zero, inside records (the event-payload shape)
+    for mag_bits in (63, 64, 65, 70, 100, 129, 200):
+        for sign in (1, -1):
+            n = sign * ((1 << mag_bits) + 12345)
+            rec = {"v": n, "k": 1}
+            enc = SmileEncoder()
+            enc.write(rec)
+            assert list(decode_stream(enc.getvalue())) == [rec], n
+    for scale in (-5, -1, 0, 1, 2, 9, 40):
+        d = decimal.Decimal((0, (1, 2, 3, 4, 5), -scale))
+        enc = SmileEncoder()
+        enc.write({"amount": d})
+        (out,) = decode_stream(enc.getvalue())
+        assert out["amount"] == d
+        assert out["amount"].as_tuple() == d.as_tuple()  # scale-faithful
+
+    # malformed edges: forged magnitude length fails before allocation;
+    # non-finite Decimals have no wire form
+    with pt.raises(SmileDecodeError, match="exceeds buffer"):
+        decode_record(b":)\n\x00\x26\x0f\xff\xbf\x00")
+    with pt.raises(SmileDecodeError, match="exceeds buffer"):
+        decode_record(b":)\n\x00\x2a\x84\x0f\xff\xbf\x00")
+    with pt.raises(ValueError, match="no Smile form"):
+        body(decimal.Decimal("NaN"))
+
+
+def test_smile_bignum_payloads_dead_letter(spark):
+    """A schemaless payload carrying a big number into a typed field must
+    dead-letter THAT record (is_valid=0), never kill the Arrow batch:
+    out-of-int64 BigInteger in a long field, out-of-int32 in an int
+    field, unfloatable magnitude in a double field, Decimal anywhere
+    typed. A record whose big numbers all land in untyped-compatible
+    slots stays valid."""
+    import pyspark.sql.functions as FF
+
+    from tranquility_spark.operators.smile_codec import encode_stream
+    from tranquility_spark.sources.smile_source import parse_smile_column
+
+    def one(rec):
+        return encode_stream([rec])
+
+    payloads = [
+        ("ok", one({"l": 5, "i": 5, "d": 1.5})),
+        ("big_in_long", one({"l": 1 << 80, "i": 5, "d": 1.5})),
+        ("big_in_int", one({"l": 5, "i": 1 << 40, "d": 1.5})),
+        ("huge_in_double", one({"l": 5, "i": 5, "d": 10 ** 400})),
+        ("decimal_in_double", one({"l": 5, "i": 5, "d": __import__("decimal").Decimal("1.5")})),
+        ("big_elsewhere_ok", one({"l": 5, "i": 5, "d": 1.5, "x": 1 << 90})),
+    ]
+    df = spark.createDataFrame(payloads, "tag string, body binary")
+    out = parse_smile_column(
+        df, "body", "l long, i int, d double", keep=("tag",)
+    )
+    got = {r["tag"]: r["is_valid"] for r in out.collect()}
+    assert got == {
+        "ok": 1,
+        "big_in_long": 0,
+        "big_in_int": 0,
+        "huge_in_double": 0,
+        "decimal_in_double": 0,
+        "big_elsewhere_ok": 1,  # extra fields are ignored by the projection
+    }
+    # and the valid rows carry their values through
+    vals = {r["tag"]: (r["l"], r["i"], r["d"]) for r in out.collect() if r["is_valid"]}
+    assert vals["ok"] == (5, 5, 1.5)
+
+
 def test_smile_parse_column_corrupt_accounting(spark):
     """p10's corrupt-record contract on the Smile wire path: valid object
     payloads decode typed (missing fields NULL, extra fields ignored);

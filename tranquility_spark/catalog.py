@@ -1644,6 +1644,11 @@ _R12_DRIVER_WINDOW = [
     # re-certify: the r12 pipe1b probe refactored pipe1's fn into the
     # shared _pipe1_stats helper (fingerprint-caught; results unchanged).
     "pipe1_corpus_pipeline",
+    # re-certify: VERDICT r11 #5 added BigInteger/BigDecimal decode to the
+    # smile codec and extended parse_smile_column's _typed with the
+    # big-number range guards — p12 consumes both edited helpers (manual
+    # helper-rotation discipline; fixture outputs verified unchanged).
+    "p12_smile_parse",
 ]
 
 
@@ -1697,7 +1702,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # emb9b and a10g rotate straight back out in round 12 — emb9b for the
 # ADVICE r11 #3 relative-tolerance fn edit, a10g because ADVICE r11 #2
 # edited its gk_certified_error helper).
-# Total: 181 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# Total: 180 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
 # latest fn/oracle revision has a driver hash-match. Keys rotated back
 # into the window are subtracted until re-certified.
 _CERTIFIED = frozenset(
@@ -1825,7 +1830,9 @@ _CERTIFIED = frozenset(
         "q7_volume_shipping", "q8_market_share", "q14_promo_revenue",
         "q15_top_supplier", "q17_small_quantity_revenue",
         "q19_discounted_revenue", "q21_waiting_suppliers",
-        "dq11_topn_extraction", "p12_smile_parse",
+        "dq11_topn_extraction",
+        # (p12_smile_parse was r11-green but rotated back OUT in round 12
+        # for the VERDICT r11 #5 big-number codec + _typed guard edits)
         "sim3c_served_equals_inline", "sim3e_full_probe_equals_exact",
         "sim5c_served_equals_composition", "txt21_bm25_pruned_contract",
         "hh1b_mg_sandwich_vs_exact", "emb10b_projection_properties",

@@ -30,8 +30,15 @@ Supported (the event-record subset):
 - back-to-back root-level values in one stream (how Jackson writes event
   sequences) via :func:`decode_stream`
 
-Not implemented (raise ``SmileDecodeError`` with the token byte):
-BigInteger/BigDecimal — neither appears in event payloads.
+- BigInteger (``0x26``) and BigDecimal (``0x2A``) — r12, VERDICT r11 #5:
+  Jackson emits these for Java BigInteger/BigDecimal fields, which
+  financial-ish payloads can carry. Layouts per the public spec and
+  Jackson's generator: 0x26 = unsigned-vint RAW length + the 7-bit-safe
+  binary packing of ``BigInteger.toByteArray()`` (big-endian two's
+  complement, minimal length); 0x2A = SIGNED (zigzag) vint scale, then
+  the unscaled value in the 0x26 layout; value = unscaled · 10^(-scale).
+  Decode maps to Python ``int`` / ``decimal.Decimal``; encode emits 0x26
+  for ints outside int64 and 0x2A for ``decimal.Decimal`` inputs.
 
 The same anti-circularity discipline as ``avro_codec``: the encoder
 exists for fixtures/round-trips; tests pin HAND-COMPUTED byte vectors
@@ -42,6 +49,7 @@ from the spec's token tables (e.g. small int 0 → ``0xC0``, ``true`` →
 
 from __future__ import annotations
 
+import decimal
 import struct
 from typing import Any, Iterator
 
@@ -130,6 +138,18 @@ def _decode_7bit(buf: bytes, pos: int, raw_len: int) -> tuple[bytes, int]:
             raise SmileDecodeError("7-bit packing byte with high bit set")
         n = (n << 7) | b
     return n.to_bytes(raw_len, "big"), pos + nbytes
+
+
+def _to_byte_array(n: int) -> bytes:
+    """Java ``BigInteger.toByteArray()``: minimal big-endian two's
+    complement with a sign bit — the representation both big-number
+    tokens carry on the wire. Check values: 255 -> 00 FF, 127 -> 7F,
+    -128 -> 80, -1 -> FF, 0 -> 00. Negative lengths come from (n+1)'s
+    bit length (int.bit_length is magnitude-based, which over-counts
+    exact powers of two like -128 by one byte)."""
+    bits = n.bit_length() if n >= 0 else (n + 1).bit_length()
+    length = max(1, (bits + 8) // 8)
+    return n.to_bytes(length, "big", signed=True)
 
 
 def _encode_7bit_binary(raw: bytes) -> bytes:
@@ -241,7 +261,26 @@ class SmileEncoder:
                 b.append(0x25)
                 b += encode_vint(zigzag64(v))
             else:
-                raise ValueError(f"int out of 64-bit range: {v}")
+                # BigInteger (r12): unsigned-vint RAW length + 7-bit-safe
+                # packing of toByteArray() — Jackson's exact layout
+                raw = _to_byte_array(v)
+                b.append(0x26)
+                b += encode_vint(len(raw))
+                b += _encode_7bit_binary(raw)
+        elif isinstance(v, decimal.Decimal):
+            # BigDecimal (r12): SIGNED (zigzag) vint scale + unscaled
+            # BigInteger payload; value = unscaled * 10^-scale. NaN/Inf
+            # have no BigDecimal form — reject like Jackson would.
+            if not v.is_finite():
+                raise ValueError(f"non-finite Decimal has no Smile form: {v}")
+            sign, digits, exp = v.as_tuple()
+            unscaled = int("".join(map(str, digits))) * (-1 if sign else 1)
+            scale = -exp
+            raw = _to_byte_array(unscaled)
+            b.append(0x2A)
+            b += encode_vint(zigzag32(scale))
+            b += encode_vint(len(raw))
+            b += _encode_7bit_binary(raw)
         elif isinstance(v, float):
             b.append(0x29)
             b += _encode_7bit(struct.pack(">d", v))
@@ -392,6 +431,21 @@ class SmileDecoder:
         if b == 0x25:
             zz, self.pos = decode_vint(self.data, self.pos)
             return unzigzag(zz)
+        if b == 0x26:  # BigInteger: unsigned-vint RAW length + 7-bit payload
+            raw, self.pos = self._big_raw()
+            return int.from_bytes(raw, "big", signed=True)
+        if b == 0x2A:  # BigDecimal: zigzag-vint scale + unscaled BigInteger
+            zz, self.pos = decode_vint(self.data, self.pos)
+            scale = unzigzag(zz)
+            if not -(1 << 31) <= scale < 1 << 31:
+                raise SmileDecodeError(f"BigDecimal scale out of int32: {scale}")
+            raw, self.pos = self._big_raw()
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            # context-free construction (no context rounding/overflow):
+            # value = unscaled * 10^-scale exactly
+            sign = 1 if unscaled < 0 else 0
+            digits = tuple(int(d) for d in str(abs(unscaled)))
+            return decimal.Decimal((sign, digits, -scale))
         if b == 0x28:
             raw, self.pos = _decode_7bit(self.data, self.pos, 4)
             return struct.unpack(">f", raw)[0]
@@ -437,6 +491,18 @@ class SmileDecoder:
         raise SmileDecodeError(f"unsupported Smile value token 0x{b:02x}")
 
     # -- internals ----------------------------------------------------------
+
+    def _big_raw(self) -> tuple[bytes, int]:
+        """Shared magnitude reader for both big-number tokens: unsigned-vint
+        RAW length + 7-bit-safe payload, with the 0xE8 forged-length guard
+        (fail before allocating)."""
+        raw_len, pos = decode_vint(self.data, self.pos)
+        if raw_len > len(self.data):
+            raise SmileDecodeError(
+                f"big-number length {raw_len} exceeds buffer"
+            )
+        self.pos = pos
+        return _decode_7bit_binary(self.data, self.pos, raw_len)
 
     def _byte(self) -> int:
         if self.pos >= len(self.data):

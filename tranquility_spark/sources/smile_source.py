@@ -128,13 +128,28 @@ def parse_smile_column(
             """Smile is schemaless, so a payload can carry ANY type in any
             field — a mis-typed value must invalidate THAT record (the
             from_json record-corruption contract), not poison the whole
-            Arrow batch when the column converts."""
+            Arrow batch when the column converts. r12 (BigInteger/
+            BigDecimal tokens land here): decoded ints are now arbitrary
+            precision, so integral fields need EXPLICIT range guards — an
+            out-of-int64 value would OverflowError pd.array and kill the
+            batch; same for an unfloatable magnitude in a double field.
+            decimal.Decimal values dead-letter in every typed field (no
+            silent precision loss; route them to a string/decimal schema
+            downstream)."""
             for f in fields:
                 v = rec.get(f.name)
                 if v is None:
                     continue
                 if isinstance(f.dataType, (_L, _I, _T)):
                     if not isinstance(v, int) or isinstance(v, bool):
+                        return False
+                    if isinstance(f.dataType, _L) and not (
+                        -(1 << 63) <= v < 1 << 63
+                    ):
+                        return False
+                    if isinstance(f.dataType, _I) and not (
+                        -(1 << 31) <= v < 1 << 31
+                    ):
                         return False
                     if isinstance(f.dataType, _T) and not (
                         -TS_MICROS_ABS_BOUND <= v <= TS_MICROS_ABS_BOUND
@@ -146,6 +161,11 @@ def parse_smile_column(
                 elif isinstance(f.dataType, (_D, _F)):
                     if not isinstance(v, (int, float)) or isinstance(v, bool):
                         return False
+                    if isinstance(v, int):
+                        try:
+                            float(v)
+                        except OverflowError:
+                            return False
                 elif isinstance(f.dataType, _S):
                     if not isinstance(v, str):
                         return False
