@@ -114,6 +114,58 @@ def test_filter_to_column_variants(spark):
     assert neg.count() == 2
 
 
+def test_spatial_filter_bounds(spark):
+    """r12 spatialFilter semantics (SpatialFilter / RectangularBound /
+    RadiusBound [recall]): rectangular is INCLUSIVE on both ends per
+    coordinate; radius is Euclidean distance <= radius (boundary point
+    included); malformed or truncated coords rows are excluded, never an
+    ANSI cast error; the SQL twin agrees row-for-row via DuckDB."""
+    import duckdb
+
+    from tranquility_spark.specs import filter_to_sql
+
+    rows = [
+        ("on_min", "-30.0,-60.0"),
+        ("on_max", "30.0,60.0"),
+        ("inside", "0.0,0.0"),
+        ("lat_out", "30.01,0.0"),
+        ("lon_out", "0.0,-60.5"),
+        ("on_radius", "13.0,24.0"),   # distance from (10,20) = 5 exactly
+        ("malformed", "x,1.0"),
+        ("truncated", "5.0"),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(rows, "tag string, coords string")
+    rect = {
+        "type": "spatial",
+        "dimension": "coords",
+        "bound": {
+            "type": "rectangular",
+            "minCoords": [-30.0, -60.0],
+            "maxCoords": [30.0, 60.0],
+        },
+    }
+    radius = {
+        "type": "spatial",
+        "dimension": "coords",
+        "bound": {"type": "radius", "coords": [10.0, 20.0], "radius": 5.0},
+    }
+    got_rect = {r["tag"] for r in df.filter(filter_to_column(rect)).collect()}
+    assert got_rect == {"on_min", "on_max", "inside", "on_radius"}
+    got_rad = {r["tag"] for r in df.filter(filter_to_column(radius)).collect()}
+    assert got_rad == {"on_radius"}  # boundary point included
+
+    # SQL twin parity on the same rows
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(tag VARCHAR, coords VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    for spec, want in ((rect, got_rect), (radius, got_rad)):
+        sql_rows = con.execute(
+            f"SELECT tag FROM t WHERE {filter_to_sql(spec)}"
+        ).fetchall()
+        assert {t for (t,) in sql_rows} == want, spec
+
+
 def test_rollup_collapses_duplicate_keys(spark):
     # FIXTURES.md B5 rollup_dupes: identical (trunc ts, dims) rows collapse
     base = dt.datetime(2024, 1, 1, 10, 0)

@@ -42,6 +42,8 @@ from tranquility_spark.specs import (
     Cardinality,
     Count,
     DimensionsSpec,
+    filter_to_column,
+    filter_to_sql,
     DoubleMax,
     DoubleMin,
     DoubleSum,
@@ -1174,6 +1176,91 @@ def dq18_subtotals_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "day", "g_type", "g_day", "n", "sum_value")
 
 
+_DQ19_RECT = {
+    "type": "spatial",
+    "dimension": "coords",
+    "bound": {
+        "type": "rectangular",
+        "minCoords": [-30.0, -60.0],
+        "maxCoords": [30.0, 60.0],
+    },
+}
+_DQ19_RADIUS = {
+    "type": "spatial",
+    "dimension": "coords",
+    "bound": {"type": "radius", "coords": [10.0, 20.0], "radius": 45.0},
+}
+
+
+def _dq19_oracle_sql() -> str:
+    rect = filter_to_sql(_DQ19_RECT)
+    rad = filter_to_sql(_DQ19_RADIUS)
+    return f"""
+    WITH pts AS (
+      SELECT event_type,
+             CAST((user_id % 18000) / 100.0 - 90.0 AS VARCHAR) || ',' ||
+             CAST((event_id % 36000) / 100.0 - 180.0 AS VARCHAR) AS coords
+      FROM events),
+    flags AS (
+      SELECT event_type,
+             CASE WHEN {rect} THEN 1 ELSE 0 END AS in_rect,
+             CASE WHEN {rad} THEN 1 ELSE 0 END AS in_radius
+      FROM pts)
+    SELECT event_type,
+           count(*) AS n_points,
+           CAST(sum(in_rect) AS BIGINT) AS n_in_rect,
+           CAST(sum(in_radius) AS BIGINT) AS n_in_radius,
+           CAST(sum(in_rect * in_radius) AS BIGINT) AS n_in_both
+    FROM flags GROUP BY event_type
+    """
+
+
+@register(
+    "dq19_spatial_filter",
+    _dq19_oracle_sql(),
+    doc="Druid spatialDimensions + spatialFilter, end to end (r12 — "
+    "closes the VERDICT r11 'missing' #3 gap: the \"lat,lon\" encode "
+    "hook finally has a consumer): deterministic per-event coordinates "
+    "(exact two-decimal doubles from integer arithmetic, "
+    "engine-identical) are encoded through DimensionsSpec."
+    "spatial_columns — the reference's DruidDimensions#"
+    "spatialDimensions [recall] string convention — and filtered by "
+    "BOTH spatialFilter bound types (processing/.../filter/"
+    "SpatialFilter [recall]): a rectangular box (inclusive per-"
+    "coordinate) and a Euclidean radius, compiled by filter_to_column "
+    "with filter_to_sql as the cross-engine twin (the A8 dual-compile "
+    "pattern extended to its eighth filter type). The encode→parse "
+    "round trip is lossless in both engines (shortest-round-trip "
+    "double repr + try_cast), so boundary decisions are hash-exact "
+    "even where the intermediate strings differ. Scale: the whole "
+    "entry is one narrow codegen projection + two predicates + one "
+    "map-side-combined agg — scan-parallel at any size; on a layout "
+    "partitioned by a coarse geo prefix the same predicate prunes "
+    "partitions (the spatial analog of dq4's interval pruning)",
+)
+def dq19_spatial_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        ((F.col("user_id") % 18000) / F.lit(100.0) - F.lit(90.0)).alias("lat"),
+        ((F.col("event_id") % 36000) / F.lit(100.0) - F.lit(180.0)).alias("lon"),
+    )
+    dspec = DimensionsSpec(
+        dimensions=["event_type", "coords"],
+        spatial_dimensions=[("coords", ("lat", "lon"))],
+    )
+    for name, expr in dspec.spatial_columns():
+        pts = pts.withColumn(name, expr)
+    in_rect = F.when(filter_to_column(_DQ19_RECT), 1).otherwise(0)
+    in_radius = F.when(filter_to_column(_DQ19_RADIUS), 1).otherwise(0)
+    return pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(in_rect).cast("long").alias("n_in_rect"),
+        F.sum(in_radius).cast("long").alias("n_in_radius"),
+        F.sum(in_rect * in_radius).cast("long").alias("n_in_both"),
+    )
+
+
 @register(
     "dq17_time_extraction",
     """
@@ -1649,6 +1736,10 @@ _R12_DRIVER_WINDOW = [
     # big-number range guards — p12 consumes both edited helpers (manual
     # helper-rotation discipline; fixture outputs verified unchanged).
     "p12_smile_parse",
+    # re-certify: r12 dq19 extended filter_to_column/filter_to_sql with
+    # the spatial type (purely additive branch) — a8 consumes the edited
+    # helper (same discipline; existing filter types untouched).
+    "a8_filtered_aggs",
 ]
 
 
@@ -1702,7 +1793,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # emb9b and a10g rotate straight back out in round 12 — emb9b for the
 # ADVICE r11 #3 relative-tolerance fn edit, a10g because ADVICE r11 #2
 # edited its gk_certified_error helper).
-# Total: 180 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# Total: 179 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
 # latest fn/oracle revision has a driver hash-match. Keys rotated back
 # into the window are subtracted until re-certified.
 _CERTIFIED = frozenset(
@@ -1711,7 +1802,9 @@ _CERTIFIED = frozenset(
         "p1_json_parse", "p3_ts_extract", "p4_projection", "p5_schemaless",
         "p6_window_filter", "p7_metric_coercion", "t1_segment_bucket",
         "t2_query_granularity", "a1_a5_rollup_core", "a6_hyperunique_exact",
-        "a6_hyperunique_approx", "a7_cardinality_exact", "a8_filtered_aggs",
+        "a6_hyperunique_approx", "a7_cardinality_exact",
+        # (a8_filtered_aggs rotated back OUT in round 12: dq19's spatial
+        # branch edited its filter_to_column helper)
         "a9_custom_fold_agg", "a10_quantiles_exact", "a10_quantiles_approx",
         "a11_theta_sketch_approx", "a12_rollup_disabled", "a_derived_avg",
         "d1_hash_partition", "flagship_hourly_rollup", "dd1_exact_dedup",

@@ -236,7 +236,53 @@ def filter_to_column(spec: dict) -> Column:
         return out
     if t == "not":
         return ~filter_to_column(spec["field"])
+    if t == "spatial":
+        return _spatial_bound_column(spec["dimension"], spec["bound"])
     raise ValueError(f"unsupported filter type: {t}")
+
+
+def _spatial_coords(dim: str, n: int) -> list[Column]:
+    """The spatial dimension's coordinates, decoded from the "lat,lon"
+    string encoding ``DimensionsSpec.spatial_columns`` writes (Druid's
+    convention). try_element_at + try_cast: a truncated or malformed
+    coordinate makes the comparison NULL → row filtered out, never an
+    ANSI index/cast error."""
+    parts = F.split(F.col(dim), ",")
+    return [
+        F.try_element_at(parts, F.lit(i + 1)).try_cast("double")
+        for i in range(n)
+    ]
+
+
+def _spatial_bound_column(dim: str, bound: dict) -> Column:
+    """Druid spatialFilter bound → Spark predicate (r12, closes the
+    spatial-dimensions gap: the encode hook finally has a consumer).
+
+    Reference: ``processing/.../filter/SpatialFilter`` + ``RectangularBound``
+    / ``RadiusBound`` [recall] — rectangular contains() is inclusive on
+    both ends per coordinate; radius is Euclidean distance <= radius.
+    Both compile to narrow codegen expressions over the string dim —
+    a scan-parallel filter at any scale, and on a layout partitioned by
+    a coarse geo prefix the same predicate prunes partitions."""
+    bt = bound["type"]
+    if bt == "rectangular":
+        lo, hi = bound["minCoords"], bound["maxCoords"]
+        coords = _spatial_coords(dim, len(lo))
+        out = None
+        for c, a, b in zip(coords, lo, hi):
+            cond = (c >= F.lit(float(a))) & (c <= F.lit(float(b)))
+            out = cond if out is None else out & cond
+        return out
+    if bt == "radius":
+        center = bound["coords"]
+        r = float(bound["radius"])
+        coords = _spatial_coords(dim, len(center))
+        d2 = None
+        for c, x in zip(coords, center):
+            term = (c - F.lit(float(x))) * (c - F.lit(float(x)))
+            d2 = term if d2 is None else d2 + term
+        return d2 <= F.lit(r * r)
+    raise ValueError(f"unsupported spatial bound type: {bt}")
 
 
 def _sql_lit(v) -> str:
@@ -274,7 +320,39 @@ def filter_to_sql(spec: dict) -> str:
         return "(" + " OR ".join(filter_to_sql(f_) for f_ in spec["fields"]) + ")"
     if t == "not":
         return f"(NOT {filter_to_sql(spec['field'])})"
+    if t == "spatial":
+        return _spatial_bound_sql(spec["dimension"], spec["bound"])
     raise ValueError(f"unsupported filter type: {t}")
+
+
+def _spatial_coord_sql(dim: str, i: int) -> str:
+    # DuckDB lists are 1-indexed, same as Spark's element_at
+    return f"TRY_CAST(string_split({dim}, ',')[{i + 1}] AS DOUBLE)"
+
+
+def _spatial_bound_sql(dim: str, bound: dict) -> str:
+    """DuckDB twin of :func:`_spatial_bound_column` — identical arithmetic
+    shape (same term order in the distance sum) so boundary decisions are
+    engine-identical."""
+    bt = bound["type"]
+    if bt == "rectangular":
+        lo, hi = bound["minCoords"], bound["maxCoords"]
+        conds = [
+            f"({_spatial_coord_sql(dim, i)} >= {float(a)!r}"
+            f" AND {_spatial_coord_sql(dim, i)} <= {float(b)!r})"
+            for i, (a, b) in enumerate(zip(lo, hi))
+        ]
+        return "(" + " AND ".join(conds) + ")"
+    if bt == "radius":
+        center = bound["coords"]
+        r = float(bound["radius"])
+        terms = [
+            f"({_spatial_coord_sql(dim, i)} - {float(x)!r})"
+            f" * ({_spatial_coord_sql(dim, i)} - {float(x)!r})"
+            for i, x in enumerate(center)
+        ]
+        return "(" + " + ".join(terms) + f" <= {r * r!r})"
+    raise ValueError(f"unsupported spatial bound type: {bt}")
 
 
 # ---------------------------------------------------------------------------
