@@ -166,6 +166,50 @@ def test_spatial_filter_bounds(spark):
         assert {t for (t,) in sql_rows} == want, spec
 
 
+def test_spatial_cell_layout_prunes_partitions(spark, tmp_path):
+    """r12 spatial scale path: a layout partitioned by the coarse geo cell
+    turns a spatialFilter into partition pruning (the dq19 docstring's
+    claim, plan-asserted like the IVF inverted-list reads), and the
+    covering cell list is a superset — pruning before the exact
+    row-level predicate loses NO rows vs the unpruned filter."""
+    from tranquility_spark.specs import (
+        filter_to_column,
+        spatial_cell_column,
+        spatial_cells_for_bound,
+    )
+
+    rows = [
+        (i, f"{(i * 7) % 180 - 90}.5,{(i * 13) % 360 - 180}.25")
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "id long, coords string").withColumn(
+        "cell", spatial_cell_column("coords", 30.0)
+    )
+    root = str(tmp_path / "geo")
+    df.write.partitionBy("cell").parquet(root)
+
+    for bound in (
+        {"type": "rectangular", "minCoords": [-30.0, -60.0], "maxCoords": [30.0, 60.0]},
+        {"type": "radius", "coords": [10.0, 20.0], "radius": 35.0},
+    ):
+        spec = {"type": "spatial", "dimension": "coords", "bound": bound}
+        cells = spatial_cells_for_bound(bound, 30.0)
+        base = spark.read.option("basePath", root).parquet(root)
+        pruned = base.filter(
+            F.col("cell").isin(cells) & filter_to_column(spec)
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+        assert "cell" in pf and ("INSET" in pf or " IN " in pf), (
+            f"no partition pruning:\n{plan}"
+        )
+        # covering property: pruning loses nothing vs the unpruned filter
+        unpruned = base.filter(filter_to_column(spec))
+        got = {r["id"] for r in pruned.collect()}
+        want = {r["id"] for r in unpruned.collect()}
+        assert got == want and len(want) > 0, bound
+
+
 def test_rollup_collapses_duplicate_keys(spark):
     # FIXTURES.md B5 rollup_dupes: identical (trunc ts, dims) rows collapse
     base = dt.datetime(2024, 1, 1, 10, 0)

@@ -285,6 +285,51 @@ def _spatial_bound_column(dim: str, bound: dict) -> Column:
     raise ValueError(f"unsupported spatial bound type: {bt}")
 
 
+def spatial_cell_column(dim: str, cell_deg: float) -> Column:
+    """Coarse geo-cell id ("<gx>_<gy>", floor-quantized per coordinate)
+    for a "lat,lon" spatial dimension — the partition column of the
+    spatial layout. Writing ``partitionBy(cell)`` makes every
+    spatialFilter read a partition-pruned scan via
+    :func:`spatial_cells_for_bound` (the spatial analog of segment
+    interval pruning; same shape as the IVF inverted-list layout)."""
+    coords = _spatial_coords(dim, 2)
+    return F.concat_ws(
+        "_",
+        F.floor(coords[0] / F.lit(float(cell_deg))).cast("long"),
+        F.floor(coords[1] / F.lit(float(cell_deg))).cast("long"),
+    )
+
+
+def spatial_cells_for_bound(bound: dict, cell_deg: float) -> list[str]:
+    """The covering cell IN-list for a spatialFilter bound (rectangular
+    as-is; radius via its bounding box) — a driver-side computation over
+    the bound's constants, O(cells in the box). The list is a SUPERSET
+    of the cells containing matching points, so pruning with it before
+    the exact row-level predicate never loses a row (covering property
+    asserted in tests)."""
+    import math
+
+    bt = bound["type"]
+    if bt == "rectangular":
+        (lat0, lon0) = bound["minCoords"]
+        (lat1, lon1) = bound["maxCoords"]
+    elif bt == "radius":
+        (clat, clon) = bound["coords"]
+        r = float(bound["radius"])
+        lat0, lon0, lat1, lon1 = clat - r, clon - r, clat + r, clon + r
+    else:
+        raise ValueError(f"unsupported spatial bound type: {bt}")
+    cells = []
+    for gx in range(
+        math.floor(lat0 / cell_deg), math.floor(lat1 / cell_deg) + 1
+    ):
+        for gy in range(
+            math.floor(lon0 / cell_deg), math.floor(lon1 / cell_deg) + 1
+        ):
+            cells.append(f"{gx}_{gy}")
+    return cells
+
+
 def _sql_lit(v) -> str:
     if isinstance(v, str):
         escaped = v.replace("'", "''")
