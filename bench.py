@@ -144,6 +144,7 @@ HEADLINE = [
     "txt20_bm25_served_stats",
     "sim3b_ivf_persisted_serving",
     "sim5b_ivfpq_persisted_serving",
+    "dq19_spatial_filter",
 ]
 
 
