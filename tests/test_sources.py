@@ -1077,6 +1077,30 @@ def test_smile_bignum_payloads_dead_letter(spark):
     assert vals["ok"] == (5, 5, 1.5)
 
 
+def test_smile_file_reader_skips_unrepresentable_records(spark, tmp_path):
+    """The FILE reader gets the same big-number protection as the column
+    parse (r12, shared _record_fits): records whose values cannot land in
+    the declared Arrow columns are skipped, never allowed to kill the
+    batch — one bad record must not cost the file."""
+    import decimal
+
+    from tranquility_spark.operators.smile_codec import encode_stream
+    from tranquility_spark.sources.smile_source import load_smile_file
+
+    records = [
+        {"l": 1, "d": 1.5, "s": "ok1"},
+        {"l": 1 << 80, "d": 1.5, "s": "big_long"},        # skipped
+        {"l": 2, "d": 10 ** 400, "s": "huge_double"},     # skipped
+        {"l": 3, "d": decimal.Decimal("1.5"), "s": "dec"},  # skipped
+        {"l": 4, "d": 2.5, "s": "ok2", "extra": 1 << 90},  # extra ignored
+    ]
+    path = tmp_path / "mixed.smile"
+    path.write_bytes(encode_stream(records))
+    out = load_smile_file(spark, str(path), "l long, d double, s string")
+    got = sorted((r["l"], r["d"], r["s"]) for r in out.collect())
+    assert got == [(1, 1.5, "ok1"), (4, 2.5, "ok2")]
+
+
 def test_smile_parse_column_corrupt_accounting(spark):
     """p10's corrupt-record contract on the Smile wire path: valid object
     payloads decode typed (missing fields NULL, extra fields ignored);

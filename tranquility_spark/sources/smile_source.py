@@ -55,11 +55,72 @@ def _rows_to_pdf(rows: list, out_schema: StructType, keep_pdf=None, keep=()):
     return pd.DataFrame(out)
 
 
+def _record_fits(rec: dict, fields: StructType) -> bool:
+    """Shared record-level type/range guard for the schemaless Smile paths
+    (r12, extracted so the FILE reader gets the same protection as the
+    column parse): a record whose field value cannot convert into the
+    declared Arrow column — wrong type, out-of-int64/int32 BigInteger,
+    unfloatable magnitude, datetime64-unrepresentable epoch micros,
+    Decimal in any typed field — must be rejected per-record, never
+    allowed to throw inside the pandas conversion and kill the batch."""
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        StringType,
+    )
+
+    from tranquility_spark.sources.avro_source import TS_MICROS_ABS_BOUND
+
+    for f in fields:
+        v = rec.get(f.name)
+        if v is None:
+            continue
+        if isinstance(f.dataType, (LongType, IntegerType, TimestampType)):
+            if not isinstance(v, int) or isinstance(v, bool):
+                return False
+            if isinstance(f.dataType, LongType) and not (
+                -(1 << 63) <= v < 1 << 63
+            ):
+                return False
+            if isinstance(f.dataType, IntegerType) and not (
+                -(1 << 31) <= v < 1 << 31
+            ):
+                return False
+            if isinstance(f.dataType, TimestampType) and not (
+                -TS_MICROS_ABS_BOUND <= v <= TS_MICROS_ABS_BOUND
+            ):
+                return False
+        elif isinstance(f.dataType, (DoubleType, FloatType)):
+            if not isinstance(v, (int, float)) or isinstance(v, bool):
+                return False
+            if isinstance(v, int):
+                try:
+                    float(v)
+                except OverflowError:
+                    return False
+        elif isinstance(f.dataType, StringType):
+            if not isinstance(v, str):
+                return False
+        elif isinstance(f.dataType, BooleanType):
+            if not isinstance(v, bool):
+                return False
+        elif isinstance(f.dataType, BinaryType):
+            if not isinstance(v, (bytes, bytearray)):
+                return False
+    return True
+
+
 def load_smile_file(
     spark: SparkSession, path: str, spark_schema: str
 ) -> DataFrame:
     """Read file(s) of back-to-back Smile records into typed rows (fields
-    matched by name; non-object root values are skipped)."""
+    matched by name; non-object root values and records whose values
+    cannot represent in the declared schema are skipped — the r12 guard:
+    a 0x26 BigInteger outside int64 in a long field would otherwise
+    OverflowError the whole Arrow batch)."""
     prepare(spark)
     out_schema = StructType.fromDDL(spark_schema)
 
@@ -69,7 +130,9 @@ def load_smile_file(
         for pdf in batches:
             for content in pdf["content"]:
                 rows = [
-                    r for r in decode_stream(bytes(content)) if isinstance(r, dict)
+                    r
+                    for r in decode_stream(bytes(content))
+                    if isinstance(r, dict) and _record_fits(r, out_schema)
                 ]
                 yield _rows_to_pdf(rows, out_schema)
 
@@ -107,80 +170,18 @@ def parse_smile_column(
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
-        from pyspark.sql.types import (
-            BinaryType as _BIN,
-            BooleanType as _B,
-            DoubleType as _D,
-            FloatType as _F,
-            IntegerType as _I,
-            LongType as _L,
-            StringType as _S,
-            TimestampType as _T,
-        )
-
         from tranquility_spark.operators.smile_codec import (
             SmileDecodeError,
             decode_record,
         )
-        from tranquility_spark.sources.avro_source import TS_MICROS_ABS_BOUND
 
-        def _typed(rec: dict) -> bool:
-            """Smile is schemaless, so a payload can carry ANY type in any
-            field — a mis-typed value must invalidate THAT record (the
-            from_json record-corruption contract), not poison the whole
-            Arrow batch when the column converts. r12 (BigInteger/
-            BigDecimal tokens land here): decoded ints are now arbitrary
-            precision, so integral fields need EXPLICIT range guards — an
-            out-of-int64 value would OverflowError pd.array and kill the
-            batch; same for an unfloatable magnitude in a double field.
-            decimal.Decimal values dead-letter in every typed field (no
-            silent precision loss; route them to a string/decimal schema
-            downstream)."""
-            for f in fields:
-                v = rec.get(f.name)
-                if v is None:
-                    continue
-                if isinstance(f.dataType, (_L, _I, _T)):
-                    if not isinstance(v, int) or isinstance(v, bool):
-                        return False
-                    if isinstance(f.dataType, _L) and not (
-                        -(1 << 63) <= v < 1 << 63
-                    ):
-                        return False
-                    if isinstance(f.dataType, _I) and not (
-                        -(1 << 31) <= v < 1 << 31
-                    ):
-                        return False
-                    if isinstance(f.dataType, _T) and not (
-                        -TS_MICROS_ABS_BOUND <= v <= TS_MICROS_ABS_BOUND
-                    ):
-                        # int64-valid but datetime64[ns]-unrepresentable
-                        # epoch micros would OutOfBoundsDatetime the whole
-                        # Arrow batch in to_datetime (ADVICE r9)
-                        return False
-                elif isinstance(f.dataType, (_D, _F)):
-                    if not isinstance(v, (int, float)) or isinstance(v, bool):
-                        return False
-                    if isinstance(v, int):
-                        try:
-                            float(v)
-                        except OverflowError:
-                            return False
-                elif isinstance(f.dataType, _S):
-                    if not isinstance(v, str):
-                        return False
-                elif isinstance(f.dataType, _B):
-                    if not isinstance(v, bool):
-                        return False
-                elif isinstance(f.dataType, _BIN):
-                    # r11 (binary tokens land here): a non-bytes value in
-                    # a declared binary field would throw in the Arrow
-                    # conversion and kill the whole batch — dead-letter
-                    # the record instead (the ADVICE r9 class)
-                    if not isinstance(v, (bytes, bytearray)):
-                        return False
-            return True
-
+        # Smile is schemaless, so a payload can carry ANY type in any
+        # field — a mis-typed or unrepresentable value must invalidate
+        # THAT record (the from_json record-corruption contract), not
+        # poison the whole Arrow batch when the column converts. The
+        # type/range matrix (incl. the r11 BinaryType branch and the r12
+        # BigInteger/BigDecimal range guards) lives in _record_fits,
+        # shared with the file reader.
         for pdf in batches:
             rows, valid = [], []
             for payload in pdf[value_col]:
@@ -191,7 +192,7 @@ def parse_smile_column(
                         rec = decoded if isinstance(decoded, dict) else None
                     except SmileDecodeError:
                         rec = None
-                if rec is not None and not _typed(rec):
+                if rec is not None and not _record_fits(rec, fields):
                     rec = None
                 rows.append(rec if rec is not None else {})
                 valid.append(1 if rec is not None else 0)
