@@ -2053,3 +2053,82 @@ def test_streaming_chaos_kill_mid_batch_exactly_once(spark, tmp_path):
     all_files = glob.glob(f"{sink._ds_root(0)}/**/*.parquet", recursive=True)
     batch_ids = {int(os.path.basename(p).split("-")[1]) for p in all_files}
     assert batch_ids <= sink.committed_batch_ids()
+
+
+def test_streaming_chaos_kill_between_replica_publishes(spark, tmp_path):
+    """The second DefunctBeam kill window (r12, companion to the
+    marker-kill test): a LIVE query dies while publishing replica 1 of a
+    batch — replica 0 is already published, replica 1 is partial, no
+    marker exists. The injected failure raises a NON-OSError inside the
+    real publish loop (an OSError would silently take the copyfile
+    fallback). After restart both replicas must hold the input exactly
+    once and agree with each other; mid-crash the snapshot read hides
+    the unmarked batch on BOTH replicas."""
+    import glob
+
+    import tranquility_spark.streaming.sink as sink_mod
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows_a = [("2024-06-01T11:05:00", "a1"), ("2024-06-01T11:06:00", "a2")]
+    rows_b = [("2024-06-01T12:05:00", "b1"), ("2024-06-01T12:06:00", "b2")]
+    for name, rows in (("a.json", rows_a), ("b.json", rows_b)):
+        with open(src / name, "w") as f:
+            for ts, page in rows:
+                f.write(json.dumps({"ts": ts, "page": page}) + "\n")
+
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR", replicants=2)
+    crashed = {"done": False}
+    real_link = os.link
+
+    def chaos_link(s, d):
+        # kill while publishing batch 1's REPLICA 1 (replica 0 is done)
+        if "/r=1/" in str(d) and "batch-1-" in os.path.basename(str(d)) and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("chaos: killed between replica publishes")
+        real_link(s, d)
+
+    def run_query():
+        stream = (
+            spark.readStream.schema("ts string, page string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .select(F.to_timestamp("ts").alias("ts"), "page")
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink.foreach_batch())
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    sink_mod.os.link = chaos_link
+    try:
+        with pytest.raises(StreamingQueryException, match="chaos"):
+            run_query()
+    finally:
+        sink_mod.os.link = real_link
+    assert crashed["done"], "the injected kill never fired"
+
+    # mid-crash: replica 0 has batch 1, replica 1 doesn't finish it, no marker
+    assert 1 not in sink.committed_batch_ids()
+    r0_files = glob.glob(f"{sink._ds_root(0)}/**/batch-1-*.parquet", recursive=True)
+    assert r0_files, "crash fired before replica 0 published"
+    for replica in (0, 1):
+        snap = {
+            r["page"]
+            for r in sink.read(spark, replica=replica, committed_only=True)
+            .select("page").collect()
+        }
+        assert snap == {p for _, p in rows_a}, f"replica {replica} snapshot leaked"
+
+    # restart: the replayed batch heals replica 1 and overwrites replica 0
+    run_query()
+    want = sorted(p for _, p in rows_a + rows_b)
+    for replica in (0, 1):
+        got = sorted(
+            r["page"] for r in sink.read(spark, replica=replica).select("page").collect()
+        )
+        assert got == want, f"replica {replica} not exactly-once"
