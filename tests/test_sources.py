@@ -1034,6 +1034,21 @@ def test_smile_bignum_token_vectors():
         decode_record(b":)\n\x00\x2a\x84\x0f\xff\xbf\x00")
     with pt.raises(ValueError, match="no Smile form"):
         body(decimal.Decimal("NaN"))
+    # scales outside BigDecimal's int32 must be rejected, not zigzag-masked
+    # into a silently WRONG in-range scale (decode would round-trip 1E-2^31
+    # as 1E+1 with no error)
+    # scale = -exp: exp just past +/-2^31 puts scale outside int32
+    with pt.raises(ValueError, match="int32"):
+        body(decimal.Decimal((0, (1,), (1 << 31) + 1)))   # scale < -2^31
+    with pt.raises(ValueError, match="int32"):
+        body(decimal.Decimal((0, (1,), -(1 << 31))))      # scale = 2^31
+    # the extremes themselves round-trip (scale -2^31 and 2^31 - 1)
+    for d in (decimal.Decimal((0, (1,), 1 << 31)),
+              decimal.Decimal((0, (1,), -(1 << 31) + 1))):
+        enc = SmileEncoder()
+        enc.write({"v": d})
+        (out,) = decode_stream(enc.getvalue())
+        assert out["v"].as_tuple() == d.as_tuple()
 
 
 def test_smile_bignum_payloads_dead_letter(spark):

@@ -634,6 +634,13 @@ def test_segment_compaction_merges_files(spark, tmp_path):
     after = len(glob.glob(f"{bucket_dir}/*.parquet"))
     assert after == 1
     assert sorted(r.page for r in sink.read(spark).collect()) == rows_before
+    # r12: the snapshot read treats compact() rewrites as committed (they
+    # only exist on closed, fully-marked buckets) — a compacted layout
+    # reads identically through both modes, no silent empty result
+    assert (
+        sorted(r.page for r in sink.read(spark, committed_only=True).collect())
+        == rows_before
+    )
 
 
 def test_segment_sink_crash_between_publish_and_marker(spark, tmp_path):

@@ -1740,6 +1740,14 @@ _R12_DRIVER_WINDOW = [
     # the spatial type (purely additive branch) — a8 consumes the edited
     # helper (same discipline; existing filter types untouched).
     "a8_filtered_aggs",
+    # re-certify: the r12 code-review fix made ivf_centroids/pq_codebooks
+    # Lloyd means decimal-accumulated (bit-reproducible across shuffle
+    # orders; values shift in the last ulps) and rolled the index-cache
+    # format version — these three certified probes consume the edited
+    # builders (helper-rotation discipline).
+    "sim3c_served_equals_inline",
+    "sim3e_full_probe_equals_exact",
+    "sim5c_served_equals_composition",
 ]
 
 
@@ -1793,7 +1801,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # emb9b and a10g rotate straight back out in round 12 — emb9b for the
 # ADVICE r11 #3 relative-tolerance fn edit, a10g because ADVICE r11 #2
 # edited its gk_certified_error helper).
-# Total: 179 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# Total: 176 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
 # latest fn/oracle revision has a driver hash-match. Keys rotated back
 # into the window are subtracted until re-certified.
 _CERTIFIED = frozenset(
@@ -1926,8 +1934,9 @@ _CERTIFIED = frozenset(
         "dq11_topn_extraction",
         # (p12_smile_parse was r11-green but rotated back OUT in round 12
         # for the VERDICT r11 #5 big-number codec + _typed guard edits)
-        "sim3c_served_equals_inline", "sim3e_full_probe_equals_exact",
-        "sim5c_served_equals_composition", "txt21_bm25_pruned_contract",
+        # (sim3c/sim3e/sim5c were r11-green but rotated back OUT in round
+        # 12 for the decimal-mean centroid/codebook builder fix)
+        "txt21_bm25_pruned_contract",
         "hh1b_mg_sandwich_vs_exact", "emb10b_projection_properties",
         "a10e2_kll_partition_invariance", "a10f2_gk_bounds_certified",
         "a6c2_hll_merge_tracks_direct", "a11d2_kmv_merge_equals_direct",

@@ -885,11 +885,7 @@ def dd5b_lsh_precision_recall_contract(spark: SparkSession, sf_dir: str) -> Data
             .alias("recall_floor_met"),
         )
     )
-    rerun = (
-        got.exceptAll(got2)
-        .unionByName(got2.exceptAll(got))
-        .agg((F.count(F.lit(1)) == 0).cast("long").alias("rerun_identical"))
-    )
+    rerun = _rerun_identical(got, got2)
     return (
         subset.crossJoin(F.broadcast(recall)).crossJoin(F.broadcast(rerun))
         .select(
@@ -1466,11 +1462,7 @@ def sim2b_lsh_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall = ann.join(exact.select("vec_id"), "vec_id", "left_semi").agg(
         (F.count(F.lit(1)) >= 4).cast("long").alias("recall_floor_met")
     )
-    rerun = (
-        ann.exceptAll(ann2)
-        .unionByName(ann2.exceptAll(ann))
-        .agg((F.count(F.lit(1)) == 0).cast("long").alias("rerun_identical"))
-    )
+    rerun = _rerun_identical(ann, ann2)
     return (
         scores.crossJoin(F.broadcast(k_rows))
         .crossJoin(F.broadcast(recall))
@@ -1490,10 +1482,20 @@ def _index_cache_root() -> str:
     )
 
 
+# Bumped whenever an index BUILDER's output changes for the same data
+# (r12: the Lloyd/PQ means moved from float avg to decimal accumulation —
+# values shift in the last ulps, so every sidecar and layout digest must
+# roll or a stale sidecar would disagree with a fresh build and break the
+# dd13c/sim3c equality certifications).
+_INDEX_FORMAT_VERSION = 2
+
+
 def _index_cache_digest(kind: str, ck: tuple) -> str:
     import hashlib
 
-    return hashlib.sha256(repr((kind, ck)).encode("utf-8")).hexdigest()[:24]
+    return hashlib.sha256(
+        repr((kind, _INDEX_FORMAT_VERSION, ck)).encode("utf-8")
+    ).hexdigest()[:24]
 
 
 def _index_sidecar_path(kind: str, ck: tuple) -> str:
@@ -1717,6 +1719,17 @@ def sim5b_ivfpq_persisted_serving(spark: SparkSession, sf_dir: str) -> DataFrame
         sim.ivfpq_index_write(emb, cents, books, layout)
     return sim.ivfpq_topk_indexed(
         spark, layout, qvec, k=10, nprobe=4, shortlist=100
+    )
+
+
+def _rerun_identical(lhs: DataFrame, rhs: DataFrame) -> DataFrame:
+    """One-row boolean: the two frames are multiset-equal (the shared
+    rerun-determinism shape of the r12 certification probes — defined once
+    beside _equality_probe per the one-generator rule)."""
+    return (
+        lhs.exceptAll(rhs)
+        .unionByName(rhs.exceptAll(lhs))
+        .agg((F.count(F.lit(1)) == 0).cast("long").alias("rerun_identical"))
     )
 
 
@@ -3699,11 +3712,7 @@ def dd7b_survivor_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("higher_endpoint_never_survives")
     )
-    rerun = (
-        surv.exceptAll(surv2)
-        .unionByName(surv2.exceptAll(surv))
-        .agg((F.count(F.lit(1)) == 0).cast("long").alias("rerun_identical"))
-    )
+    rerun = _rerun_identical(surv, surv2)
     return (
         partition_complete.crossJoin(F.broadcast(orphans))
         .crossJoin(F.broadcast(high_surv))

@@ -161,18 +161,27 @@ def ivf_centroids(
         assigned = with_centroid_id(df, cents, vec_col)
         # per-dimension means via posexplode + hash agg (whole-stage codegen);
         # per-index element_at expressions would re-evaluate the array cast
-        # dim times per row (the same trap documented in the MinHash operator)
+        # dim times per row (the same trap documented in the MinHash operator).
+        # r12 (code-review find): the mean is decimal-accumulated, NOT
+        # F.avg — float partial sums merge in shuffle-fetch arrival order,
+        # which is not deterministic across runs/clusters, and the
+        # certification probes (dd13c) demand bit-identical rebuilds.
+        # decimal(38,18) addition is exact and order-independent; the final
+        # float division happens once, driver-side.
         agg = (
             assigned.select(
                 "centroid_id", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x")
             )
             .groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         means: dict[int, list[float]] = {}
         for r in agg:
-            means.setdefault(r.centroid_id, [0.0] * dim)[r.pos] = r.m
+            means.setdefault(r.centroid_id, [0.0] * dim)[r.pos] = float(r.s) / r.n
         for cid, vec in means.items():
             cents[cid] = vec
     return cents
@@ -256,11 +265,16 @@ def pq_codebooks(
                 "x",
             )
             .groupBy("s", "code", "p")
-            .agg(F.avg("x").alias("m"))
+            # decimal-accumulated mean for the same bit-reproducibility
+            # reason as ivf_centroids' Lloyd pass (r12)
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,18)")).alias("m_sum"),
+                F.count(F.lit(1)).alias("m_n"),
+            )
             .collect()
         )
         for r in agg:  # codes with no members keep their previous centroid
-            books[r.s][r.code][r.p] = r.m
+            books[r.s][r.code][r.p] = float(r.m_sum) / r.m_n
     return books
 
 

@@ -276,6 +276,13 @@ class SmileEncoder:
             sign, digits, exp = v.as_tuple()
             unscaled = int("".join(map(str, digits))) * (-1 if sign else 1)
             scale = -exp
+            if not -(1 << 31) <= scale < 1 << 31:
+                # Java BigDecimal scale is an int32; zigzag32 would silently
+                # mask a wider scale into a WRONG in-range value that the
+                # decoder's guard can never catch — reject like non-finite
+                raise ValueError(
+                    f"Decimal scale out of BigDecimal's int32 range: {scale}"
+                )
             raw = _to_byte_array(unscaled)
             b.append(0x2A)
             b += encode_vint(zigzag32(scale))

@@ -96,16 +96,7 @@ class SegmentSink:
         batch ids come from the checkpoint, where a replayed id really IS the
         same batch.
         """
-        base = f"{self.root}/_batches"
-        if not os.path.isdir(base):
-            return 0
-        prefix = f"{self.datasource}-"
-        ids = [
-            int(name[len(prefix):])
-            for name in os.listdir(base)
-            if name.startswith(prefix) and name[len(prefix):].isdigit()
-        ]
-        return max(ids, default=0)
+        return max(self.committed_batch_ids(), default=0)
 
     # -- the foreachBatch body ---------------------------------------------
 
@@ -228,34 +219,44 @@ class SegmentSink:
         so a writer that died between publishing staged files and committing
         the marker leaves NOTHING visible — the replayed batch overwrites
         its own deterministic file names and only then becomes readable.
-        File-level filtering works because every published file is named
-        ``batch-<id>-<seq>.parquet``. Applies to the pre-compaction layout:
-        ``compact`` (run only on closed buckets, after every writer's marker
-        landed) rewrites names, at which point the whole bucket is committed
-        by construction.
+        File-level filtering works because every file ``write_batch``
+        publishes is named ``batch-<id>-<seq>.parquet``. Files NOT matching
+        that pattern are ``compact`` rewrites, and compaction runs only on
+        closed buckets whose markers all landed — so they are committed by
+        the protocol and INCLUDED (a compacted layout reads identically
+        through both modes, asserted in tests). The snapshot path never
+        constructs the unfiltered reader, so an in-flight writer's staged
+        schema cannot leak into it; a layout with no committed files at all
+        raises instead of guessing a schema from uncommitted data.
         """
         base = self._ds_root(replica)
-        plain = (
-            spark.read.option("mergeSchema", "true")
-            .option("basePath", base)
-            .parquet(base)
-        )
         if not committed_only:
-            return plain
+            return (
+                spark.read.option("mergeSchema", "true")
+                .option("basePath", base)
+                .parquet(base)
+            )
         committed = self.committed_batch_ids()
         files = []
         for dirpath, _dirs, fs in sorted(os.walk(base)):
             for f in sorted(fs):
-                if not (f.startswith("batch-") and f.endswith(".parquet")):
+                if not f.endswith(".parquet"):
                     continue
-                try:
-                    bid = int(f.split("-")[1])
-                except (IndexError, ValueError):
-                    continue
-                if bid in committed:
-                    files.append(os.path.join(dirpath, f))
+                if f.startswith("batch-"):
+                    try:
+                        bid = int(f.split("-")[1])
+                    except (IndexError, ValueError):
+                        bid = None
+                    if bid not in committed:
+                        continue  # published but unmarked — invisible
+                # non-batch-named parquet = a compact() rewrite: committed
+                # by construction (compaction only runs on closed buckets)
+                files.append(os.path.join(dirpath, f))
         if not files:
-            return plain.limit(0)
+            raise ValueError(
+                f"no committed segment files under {base} — nothing to "
+                "snapshot-read (uncommitted staged data is never exposed)"
+            )
         return (
             spark.read.option("mergeSchema", "true")
             .option("basePath", base)
