@@ -2139,3 +2139,64 @@ def test_streaming_chaos_kill_between_replica_publishes(spark, tmp_path):
             r["page"] for r in sink.read(spark, replica=replica).select("page").collect()
         )
         assert got == want, f"replica {replica} not exactly-once"
+
+
+def test_stream_rollup_spatial_dimensions_match_batch(spark, tmp_path):
+    """r12: a spec with spatialDimensions rolls up identically through the
+    STREAMING path and the batch path — stream_rollup previously resolved
+    the derived dim's NAME without applying the "lat,lon" encode, so a
+    spatial spec worked in batch and threw in streaming. Covers both the
+    static-frame parity and a true availableNow file-stream run."""
+    spec = IngestSpec(
+        datasource="geo",
+        timestamp_spec=TimestampSpec(column="timestamp", output="ts"),
+        # NOTE the convention (documented on DimensionsSpec): spatial names
+        # are ADDED by resolve() — declaring "coords" in dimensions too
+        # would emit a duplicate column the parquet writer rejects
+        dimensions_spec=DimensionsSpec(
+            dimensions=["page"],
+            spatial_dimensions=[("coords", ("lat", "lon"))],
+        ),
+        metrics=(Count("n"), DoubleSum("added_sum", "added")),
+        granularity_spec=GranularitySpec(
+            segment_granularity="HOUR", query_granularity="MINUTE"
+        ),
+    )
+    rows = [
+        ("2024-06-01T11:05:10", "a", 1.0, 10.5, -20.25),
+        ("2024-06-01T11:05:40", "a", 2.0, 10.5, -20.25),   # same cell+minute: rolls up
+        ("2024-06-01T11:06:10", "b", 3.0, -45.0, 170.75),
+        ("2024-06-01T12:05:10", "a", 4.0, 10.5, -20.25),
+    ]
+    ddl = "timestamp string, page string, added double, lat double, lon double"
+    df = spark.createDataFrame(rows, ddl)
+    streamed_static = stream_rollup(df, spec).drop("segment_start")
+    batch = build_rollup(spec)(df)
+    assert sorted(map(tuple, streamed_static.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # the encode really happened: the first-minute bucket collapsed on coords
+    enc = {r["coords"] for r in batch.collect()}
+    assert enc == {"10.5,-20.25", "-45.0,170.75"}
+
+    # true streaming run through the sink
+    src = tmp_path / "src"
+    src.mkdir()
+    flush = ("2024-06-01T14:00:00", "__flush", 0.0, 0.0, 0.0)
+    with open(src / "part-0.json", "w") as f:
+        for ts, page, added, lat, lon in rows + [flush]:
+            f.write(json.dumps({"timestamp": ts, "page": page, "added": added,
+                                "lat": lat, "lon": lon}) + "\n")
+    stream = spark.readStream.schema(ddl).json(str(src))
+    sink = SegmentSink(str(tmp_path / "seg"), "geo", "HOUR")
+    q = (
+        stream_rollup(stream, spec)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sink.read(spark).select("ts", "page", "coords", "n", "added_sum")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))

@@ -167,7 +167,10 @@ class DimensionsSpec:
     ``spatial_dimensions`` → derived dims: each ``(dimName, (field, ...))``
     joins its coordinate fields into Druid's "lat,lon" string encoding
     (reference: ``spatialDimensions`` in ``DruidDimensions``; the derived
-    column is materialized by the rollup before grouping).
+    column is materialized by the rollup before grouping). Spatial names
+    are APPENDED by ``resolve`` — do not list them in ``dimensions`` too,
+    or the rollup emits a duplicate column the parquet writer rejects
+    (Druid likewise declares them separately from ``dimensions``).
     Reference: ``core/.../druid/DruidRollup.scala``.
     """
 

@@ -107,6 +107,12 @@ def stream_rollup(
     parsed = stream_df.withColumn(ts_out, spec.timestamp_spec.extract(stream_df)).filter(
         F.col(ts_out).isNotNull()
     )
+    # derived spatial dims, the same "lat,lon" encode build_rollup applies
+    # (r12 fix: resolve() already NAMED the spatial dims, so a spatial spec
+    # previously failed here with an unresolved column while working in
+    # batch — the two rollup paths must accept the same specs)
+    for name, expr in spec.dimensions_spec.spatial_columns():
+        parsed = parsed.withColumn(name, expr)
     if parsed.isStreaming:
         parsed = parsed.withWatermark(ts_out, watermark)
 
