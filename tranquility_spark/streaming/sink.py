@@ -228,6 +228,12 @@ class SegmentSink:
         constructs the unfiltered reader, so an in-flight writer's staged
         schema cannot leak into it; a layout with no committed files at all
         raises instead of guessing a schema from uncommitted data.
+
+        Scale note: the file filter is a driver-side listing (os.walk +
+        explicit file list) — right for a single-box layout; at object-
+        store scale the marker state belongs in a manifest/metadata layer
+        (the same evolution the module header describes for the publish
+        loop), where this read becomes a manifest lookup instead of a walk.
         """
         base = self._ds_root(replica)
         if not committed_only:
