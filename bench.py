@@ -145,6 +145,7 @@ HEADLINE = [
     "sim3b_ivf_persisted_serving",
     "sim5b_ivfpq_persisted_serving",
     "dq19_spatial_filter",
+    "dd17_simhash_neardup",
 ]
 
 

@@ -1313,3 +1313,26 @@ def test_sim5b_persisted_ivfpq_entry(spark, sf_dir, tmp_path, monkeypatch):
     exact = {r["vec_id"] for r in sim.cosine_topk(emb, qvec, k=10).collect()}
     recall = len({t[0] for t in got} & exact) / 10
     assert recall >= 0.4, f"IVF-PQ entry recall@10 too low: {recall}"
+
+
+def test_simhash_neardup_hexing_and_threshold_boundary(spark):
+    """r12 dd17 plumbing: the signed-int64 -> two's-complement-hex
+    conversion feeds the shared banding machinery correctly for NEGATIVE
+    signatures (half of all real simhashes), and the hamming threshold
+    is exact at the boundary — 3 pairs, 4 does not."""
+    import pyspark.sql.functions as FF
+
+    from tranquility_spark.operators.dedup import dhash_neardup_pairs
+
+    base = -(1 << 63) + 12345          # negative 64-bit signature
+    b = base ^ 0b111                   # hamming 3 from base -> pair
+    c = base ^ 0b11110000              # hamming 4 from base -> no pair
+    df = spark.createDataFrame(
+        [(1, base), (2, b), (3, c)], "doc_id long, simhash long"
+    )
+    hexed = df.select(
+        "doc_id", FF.lpad(FF.hex("simhash"), 16, "0").alias("__simhex")
+    )
+    pairs = dhash_neardup_pairs(hexed, threshold=3, hash_col="__simhex")
+    got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs.collect()}
+    assert got == {(1, 2, 3)}

@@ -450,3 +450,20 @@ def test_avro_record_roundtrip_fuzz(rec):
     )
 
     assert decode_record(encode_value(rec, _AVRO_FUZZ_SCHEMA), _AVRO_FUZZ_SCHEMA) == rec
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts=st.lists(st.text(max_size=60), min_size=1, max_size=6))
+def test_simhash_vectorized_equals_naive_spec(spark, texts):
+    """r12 (the GK `_merge_cuts_naive` pattern): the memoized/vectorized
+    simhash64 batch UDF must match the retained one-text reference spec
+    bit-for-bit — legal because bit votes are INTEGER sums, so evaluation
+    order cannot change a signature. Guards the 3x rewrite against any
+    future 'optimization' that breaks signatures silently."""
+    import pandas as pd
+
+    from tranquility_spark.operators import pandas_fns as pf
+
+    assert list(pf.simhash64.func(pd.Series(texts))) == [
+        pf._simhash64_one(t) for t in texts
+    ]

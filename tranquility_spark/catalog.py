@@ -1748,6 +1748,10 @@ _R12_DRIVER_WINDOW = [
     "sim3c_served_equals_inline",
     "sim3e_full_probe_equals_exact",
     "sim5c_served_equals_composition",
+    # re-certify: the r12 dd17 work memoized/vectorized the simhash64 UDF
+    # (bit-identical — hypothesis-pinned vs the retained naive spec, the
+    # GK sweep precedent) — dd3 consumes the edited helper.
+    "dd3_simhash_signatures",
 ]
 
 
@@ -1801,7 +1805,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # emb9b and a10g rotate straight back out in round 12 — emb9b for the
 # ADVICE r11 #3 relative-tolerance fn edit, a10g because ADVICE r11 #2
 # edited its gk_certified_error helper).
-# Total: 176 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# Total: 175 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
 # latest fn/oracle revision has a driver hash-match. Keys rotated back
 # into the window are subtracted until re-certified.
 _CERTIFIED = frozenset(
@@ -1816,7 +1820,10 @@ _CERTIFIED = frozenset(
         "a9_custom_fold_agg", "a10_quantiles_exact", "a10_quantiles_approx",
         "a11_theta_sketch_approx", "a12_rollup_disabled", "a_derived_avg",
         "d1_hash_partition", "flagship_hourly_rollup", "dd1_exact_dedup",
-        "dd2_minhash_lsh_pairs", "dd3_simhash_signatures", "dd4_ngram_jaccard",
+        "dd2_minhash_lsh_pairs",
+        # (dd3_simhash_signatures rotated back OUT in round 12: the dd17
+        # work rewrote its simhash64 helper — bit-identical, re-verified)
+        "dd4_ngram_jaccard",
         "dd5_embedding_neardup", "sim1_cosine_topk", "sim2_lsh_topk",
         "txt1_lang_id", "txt2_quality_score",
         "txt3_token_count", "txt4_fingerprint",

@@ -1044,6 +1044,43 @@ def semantic_dedup(
     )
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: int = 3,
+) -> DataFrame:
+    """Near-duplicate TEXT pairs from 64-bit SimHash signatures (r12 —
+    completes the SimHash family: dd3 produced signatures, this extracts
+    the pairs), via the SAME hamming-banding machinery the image path
+    uses: Manku et al. WWW'07's construction — split the 64-bit digest
+    into 4 x 16-bit bands; any pair within hamming ``threshold`` <= 3
+    agrees exactly on at least one band (pigeonhole — candidate recall
+    COMPLETE, not probabilistic), then verify with the exact hamming
+    distance. The signed-int64 signature converts to the 16-hex-char
+    form the shared banding stage consumes (two's-complement hex —
+    lossless, and bands re-enter integers as 16-bit words, inside the
+    63-bit cross-engine policy).
+
+    Scale shape: identical to :func:`dhash_neardup_pairs` — the banded
+    self-join runs over DISTINCT signatures (the hot-bucket guard), so
+    a boilerplate flood of identical texts costs one candidate row, and
+    doc ids fan back out only on verified hash pairs.
+
+    Output ``(doc_a, doc_b, hamming)``; contrast with dd2's MinHash
+    (Jaccard on shingles, probabilistic recall) — SimHash-3 is the
+    tighter "same document modulo a few tokens" net.
+    """
+    sigs = simhash_signatures(df, text_col, id_col)
+    hexed = sigs.select(
+        F.col(id_col),
+        F.lpad(F.hex(F.col("simhash")), 16, "0").alias("__simhex"),
+    )
+    return dhash_neardup_pairs(
+        hexed, threshold=threshold, id_col=id_col, hash_col="__simhex"
+    )
+
+
 def _dhash_hash_pairs(
     hashes: DataFrame,
     threshold: int = 3,
