@@ -146,6 +146,7 @@ HEADLINE = [
     "sim5b_ivfpq_persisted_serving",
     "dq19_spatial_filter",
     "dd17_simhash_neardup",
+    "dd18_simhash_incremental",
 ]
 
 

@@ -245,3 +245,53 @@ def test_bucketed_lsh_probe_with_bloom_gate_corpus_side_no_exchange(
         assert probe.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_simhash_index_probe_corpus_side_no_exchange(spark, sf_dir):
+    """dd18's 100 TB serving claim, plan-asserted (the dd8 test's shape on
+    the SimHash family): a simhash_band_index written bucketed by
+    (band, bval) is probed by a new batch's distinct signatures with NO
+    Exchange on the corpus side — only the batch shuffles, so the
+    per-cycle cost is independent of corpus size."""
+    import pyspark.sql.functions as FF
+
+    from tranquility_spark.operators.dedup import simhash_band_index
+    from tranquility_spark.sources.bucketed import write_bucketed
+    from tranquility_spark.sources.files import load_table
+
+    spark.sql("DROP TABLE IF EXISTS b_simhash_index")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        corpus = simhash_band_index(docs.filter(FF.col("doc_id") % 5 != 0))
+        write_bucketed(
+            corpus.select("sighex", "band", "bval").distinct(),
+            "b_simhash_index",
+            ["band", "bval"],
+            4,
+        )
+        new_h = (
+            simhash_band_index(docs.filter(FF.col("doc_id") % 5 == 0))
+            .select("sighex", "band", "bval")
+            .distinct()
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = new_h.alias("l").join(
+                spark.table("b_simhash_index").alias("r"),
+                (FF.col("l.band") == FF.col("r.band"))
+                & (FF.col("l.bval") == FF.col("r.bval")),
+            )
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            # exactly two Exchanges, both the NEW side's (its distinct +
+            # meeting the bucket layout): the bucketed corpus scan feeds
+            # the join through Sort/Filter only — if it needed a shuffle
+            # the count would be 3
+            assert plan.count("Exchange") == 2, plan
+            assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+            assert probe.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_simhash_index")

@@ -4221,6 +4221,82 @@ def dd17b_simhash_banding_contract(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "dd18_simhash_incremental",
+    None,  # blake2b signatures — rows-only (dd3/dd17 policy); equality to
+    # the full run is driver-certified by dd18b
+    doc="Incremental SimHash near-dup at ingest (r12 — dd8's "
+    "per-cycle pattern for the second signature family): a NEW batch "
+    "(20% of docs, dd8's split) probes the REGISTRY's persisted "
+    "simhash_band_index through (band, bval) bucket joins over DISTINCT "
+    "signatures — only the batch is signature-hashed, the corpus is "
+    "never re-hashed or reshuffled (write the index bucketed on the "
+    "probe key; the lsh_band_index layout contract). Emits every "
+    "hamming<=3 pair touching a new doc. With dd17 this completes the "
+    "SimHash family: signatures (dd3) -> pairs (dd17) -> "
+    "incremental-at-ingest (dd18), mirroring MinHash's dd2/dd8. "
+    "Per-cycle cost O(new batch + touched buckets), corpus-size-"
+    "independent — the measured dd8/dd11 scale story, same shape",
+)
+def dd18_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    new_pred = F.col("doc_id") % 5 == 0
+    index = dd.simhash_band_index(docs.filter(~new_pred))
+    return dd.simhash_incremental_pairs(
+        docs.filter(new_pred), index, threshold=3
+    )
+
+
+@register(
+    "dd18b_simhash_incremental_equals_full",
+    """
+    SELECT CAST(0 AS BIGINT) AS n_mismatched, CAST(1 AS BIGINT) AS both_nonempty
+    """,
+    doc="Driver-certified contract probe for dd18 (the dd8b shape): the "
+    "incremental run must EQUAL the full-corpus dd17 pipeline "
+    "restricted to pairs touching new ids — incrementality costs no "
+    "recall and invents no pairs (deterministic signatures make this "
+    "an exact equality, not a floor). Symmetric difference vs the "
+    "constant-0 oracle; both_nonempty certifies the split really "
+    "produces cross-boundary near-dup pairs. Not in the bench "
+    "headline: dd18 carries the measured row",
+)
+def dd18b_simhash_incremental_equals_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    new_pred = F.col("doc_id") % 5 == 0
+    new_ids = docs.filter(new_pred).select("doc_id")
+    index = dd.simhash_band_index(docs.filter(~new_pred))
+    inc = dd.simhash_incremental_pairs(
+        docs.filter(new_pred), index, threshold=3
+    )
+    full = dd.simhash_neardup_pairs(docs, threshold=3)
+    touching_new = (
+        full.join(
+            new_ids.select(F.col("doc_id").alias("doc_a")).withColumn(
+                "__fa", F.lit(1)
+            ),
+            "doc_a",
+            "left",
+        )
+        .join(
+            new_ids.select(F.col("doc_id").alias("doc_b")).withColumn(
+                "__fb", F.lit(1)
+            ),
+            "doc_b",
+            "left",
+        )
+        .filter(F.col("__fa").isNotNull() | F.col("__fb").isNotNull())
+        .select("doc_a", "doc_b", "hamming")
+    )
+    # lineage cut: exceptAll over the raw plans trips a Catalyst binding
+    # bug (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on the replication sum when
+    # a subset-column dropDuplicates sits upstream); checkpointing both
+    # sides compares materialized rows, same semantics
+    inc = inc.localCheckpoint(eager=False)
+    touching_new = touching_new.localCheckpoint(eager=False)
+    return _equality_probe(inc, touching_new)
+
+
+@register(
     "txt10_top_tokens",
     """
     SELECT tok, n_docs, n_total

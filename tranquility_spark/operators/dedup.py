@@ -1081,6 +1081,139 @@ def simhash_neardup_pairs(
     )
 
 
+def _hex_hamming(ca: Column, cb: Column) -> Column:
+    """Exact hamming distance between two 16-hex-char 64-bit digests —
+    the same per-band conv(hex,16,10) + bit_count(xor) arithmetic
+    :func:`_dhash_hash_pairs` inlines (kept standalone so the certified
+    dd16 chain stays untouched); band ints <= 0xffff, inside the 63-bit
+    cross-engine policy."""
+    ham = None
+    for i in range(4):
+        wa = F.conv(F.substring(ca, i * 4 + 1, 4), 16, 10).cast("long")
+        wb = F.conv(F.substring(cb, i * 4 + 1, 4), 16, 10).cast("long")
+        term = F.bit_count(wa.bitwiseXOR(wb))
+        ham = term if ham is None else ham + term
+    return ham.cast("long")
+
+
+def simhash_band_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Persistable SimHash band index (r12 — dd8's ingest-side pattern for
+    the second signature family): one row per (doc, band) carrying the
+    16-bit band value and the full 16-hex-char signature. Write it
+    bucketed or partitioned on ``(band, bval)`` and every later
+    :func:`simhash_incremental_pairs` probe joins it with NO corpus-side
+    shuffle (the lsh_band_index layout contract, plan-asserted in
+    tests/test_bucketed.py) — signatures are computed ONCE at ingest,
+    never re-hashed."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    hexed = sigs.select(
+        F.col(id_col).alias("id"),
+        F.lpad(F.hex(F.col("simhash")), 16, "0").alias("sighex"),
+    )
+    return hexed.select(
+        "id",
+        "sighex",
+        F.posexplode(
+            F.array(
+                *[F.substring("sighex", i * 4 + 1, 4) for i in range(4)]
+            )
+        ).alias("band", "bval"),
+    )
+
+
+def simhash_incremental_pairs(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    threshold: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs for an INCREMENTAL batch against a persisted
+    :func:`simhash_band_index` — the per-ingest-cycle form of
+    :func:`simhash_neardup_pairs` (dd8's incrementality argument applied
+    to hamming banding): only the new batch is signature-hashed; the
+    corpus is touched solely through (band, bval) bucket probes over its
+    DISTINCT signatures. Returns every hamming <= ``threshold`` pair
+    involving at least one new doc, canonically ordered — with
+    deterministic signatures this EQUALS the full-corpus run restricted
+    to pairs touching new ids (driver-certified). Precondition: new and
+    index doc ids are disjoint (batch vs registry — dd8's contract).
+
+    Scale shape: hash-level candidates join DISTINCT signatures on both
+    sides (the dd16 hot-bucket guard — a boilerplate flood costs one
+    row per distinct value per bucket), pigeonhole recall is complete
+    for threshold <= 3, and doc ids fan back out only on verified hash
+    pairs. Per-cycle cost: O(new batch + touched buckets), independent
+    of corpus size.
+    """
+    new_idx = simhash_band_index(new_df, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    nh = new_idx.select("sighex", "band", "bval").distinct()
+    ih = index_df.select("sighex", "band", "bval").distinct()
+
+    def _canon(left: DataFrame, right: DataFrame, lo_only: bool) -> DataFrame:
+        cond = (F.col("l.band") == F.col("r.band")) & (
+            F.col("l.bval") == F.col("r.bval")
+        )
+        if lo_only:
+            cond = cond & (F.col("l.sighex") <= F.col("r.sighex"))
+        return (
+            left.alias("l")
+            .join(right.alias("r"), cond)
+            .select(
+                F.least(F.col("l.sighex"), F.col("r.sighex")).alias("__ha"),
+                F.greatest(F.col("l.sighex"), F.col("r.sighex")).alias("__hb"),
+            )
+        )
+
+    # two SEPARATE joins (dd8's layout argument: a union would erase the
+    # index's bucketed layout and reshuffle the corpus every cycle)
+    cand = (
+        _canon(nh, ih, lo_only=False)
+        .unionByName(_canon(nh, nh, lo_only=True))
+        .dropDuplicates(["__ha", "__hb"])
+    )
+    hp = cand.select(
+        "__ha", "__hb", _hex_hamming(F.col("__ha"), F.col("__hb")).alias("hamming")
+    ).filter(F.col("hamming") <= threshold)
+
+    d_new = (
+        new_idx.select("id", "sighex").distinct().withColumn("__new", F.lit(1))
+    )
+    d_idx = (
+        index_df.select("id", "sighex").distinct().withColumn("__new", F.lit(0))
+    )
+    d_all = d_new.unionByName(d_idx)
+    da = d_all.select(
+        F.col("id").alias("__ida"), F.col("sighex").alias("__ha"),
+        F.col("__new").alias("__na"),
+    )
+    db = d_all.select(
+        F.col("id").alias("__idb"), F.col("sighex").alias("__hb"),
+        F.col("__new").alias("__nb"),
+    )
+    return (
+        hp.join(da, "__ha")
+        .join(db, "__hb")
+        .filter(
+            (
+                (F.col("__ha") != F.col("__hb"))
+                | (F.col("__ida") < F.col("__idb"))
+            )
+            & ((F.col("__na") == 1) | (F.col("__nb") == 1))
+        )
+        .select(
+            F.least("__ida", "__idb").alias("doc_a"),
+            F.greatest("__ida", "__idb").alias("doc_b"),
+            "hamming",
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def _dhash_hash_pairs(
     hashes: DataFrame,
     threshold: int = 3,
