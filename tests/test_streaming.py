@@ -2200,3 +2200,73 @@ def test_stream_rollup_spatial_dimensions_match_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sink.read(spark).select("ts", "page", "coords", "n", "added_sum")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_simhash_index_sink_equals_batch_pass(spark, sf_dir, tmp_path):
+    """r12, the MinHash sink test's shape on the second signature family:
+    stream the documents table in 4 micro-batches through
+    simhash_index_sink; the union of emitted pairs must equal ONE
+    simhash_neardup_pairs pass over the full corpus, and a replayed
+    delivery must rewrite its own partitions with identical content."""
+    from tranquility_spark.operators.dedup import (
+        simhash_index_sink,
+        simhash_neardup_pairs,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(src)
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    sink = simhash_index_sink(index_dir, pairs_dir, threshold=3)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    def pairs_snapshot():
+        return {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in spark.read.parquet(pairs_dir)
+            .dropDuplicates(["doc_a", "doc_b"])
+            .collect()
+        }
+
+    streamed = pairs_snapshot()
+    batch = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(docs, threshold=3).collect()
+    }
+    assert streamed == batch
+    assert batch, "fixture must produce hamming<=3 pairs"
+    # one band row per doc per band accumulated
+    assert spark.read.parquet(index_dir).count() == docs.count() * 4
+
+    # replay contract: redeliver the LAST batch id — contents unchanged
+    last = max(
+        r["batch_id"]
+        for r in spark.read.parquet(pairs_dir).select("batch_id").distinct().collect()
+    )
+    # re-run the real batch: reconstruct it from the index's own rows
+    replay_ids = {
+        r["id"]
+        for r in spark.read.parquet(index_dir)
+        .filter(F.col("batch_id") == last)
+        .select("id")
+        .distinct()
+        .collect()
+    }
+    replay_docs = docs.filter(F.col("doc_id").isin(list(replay_ids)))
+    before = pairs_snapshot()
+    sink(replay_docs, last)
+    assert pairs_snapshot() == before

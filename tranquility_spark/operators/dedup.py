@@ -556,6 +556,76 @@ def incremental_neardup_pairs(
     return _estimate_and_filter(cand, num_hashes, threshold)
 
 
+def _read_index_before(spark, index_dir: str, batch_id: int, cols: list):
+    """The prior-batch index view both streaming dedup sinks share:
+    ``batch_id < current`` so a REPLAYED delivery sees exactly the index
+    state of its first delivery (its own already-written signatures are
+    partition-pruned away — a first-batch replay yields an EMPTY view,
+    which the incremental path handles identically to cold start).
+    Returns None only on a missing path (true cold start); any OTHER
+    AnalysisException (UNABLE_TO_INFER_SCHEMA from a half-written dir,
+    permission errors, ...) propagates and fails the batch — swallowing
+    it would silently drop every cross-batch pair with no error
+    surfaced."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return (
+            spark.read.parquet(index_dir)
+            .filter(F.col("batch_id") < F.lit(batch_id))
+            .select(*cols)
+        )
+    except AnalysisException as exc:
+        err_class = ""
+        try:
+            err_class = exc.getErrorClass() or ""
+        except Exception:  # older message-only exceptions
+            pass
+        if err_class != "PATH_NOT_FOUND" and "Path does not exist" not in str(exc):
+            raise
+        return None
+
+
+def simhash_index_sink(
+    index_dir: str,
+    pairs_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: int = 3,
+):
+    """foreachBatch sink: streaming SimHash near-dup with a growing band
+    index (r12 — ``neardup_index_sink``'s shape on the second signature
+    family). Each micro-batch is deduped against the accumulated
+    :func:`simhash_band_index` of every PRIOR batch
+    (:func:`simhash_incremental_pairs`), its pairs append to
+    ``pairs_dir``, and its own band rows append to ``index_dir`` — so the
+    union of emitted pairs across the stream's lifetime equals ONE
+    :func:`simhash_neardup_pairs` pass over the whole corpus (every pair
+    surfaces exactly when its later doc arrives; asserted e2e in tests).
+    Same replay contract as the MinHash sink: per-batch ``batch_id=``
+    partitions under dynamic overwrite + the prior-batch index view make
+    a redelivery rewrite its own partitions with identical content."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        index = _read_index_before(
+            spark, index_dir, batch_id, ["id", "sighex", "band", "bval"]
+        )
+        if index is None:
+            pairs = simhash_neardup_pairs(batch_df, text_col, id_col, threshold)
+        else:
+            pairs = simhash_incremental_pairs(
+                batch_df, index, threshold, text_col, id_col
+            )
+        from tranquility_spark.operators.batch_sink import write_batch_partition
+
+        write_batch_partition(pairs, pairs_dir, batch_id)
+        banded = simhash_band_index(batch_df, text_col, id_col)
+        write_batch_partition(banded, index_dir, batch_id)
+
+    return write
+
+
 def neardup_index_sink(
     index_dir: str,
     pairs_dir: str,
@@ -590,36 +660,10 @@ def neardup_index_sink(
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         spark = batch_df.sparkSession
-        try:
-            index = (
-                spark.read.parquet(index_dir)
-                # replay idempotence: a redelivered batch must not see its
-                # own (or any later) signatures — partition-pruned, so the
-                # corpus-side scan never touches the excluded batches. A
-                # first-batch replay yields an EMPTY view here, which the
-                # incremental path handles identically to the cold-start
-                # branch (zero cross pairs, same in-batch pairs).
-                .filter(F.col("batch_id") < F.lit(batch_id))
-                .select("id", "sig", "band", "bhash")
-            )
-        except AnalysisException as exc:
-            # ONLY path-missing may fall through to the cold-start branch —
-            # any other AnalysisException (UNABLE_TO_INFER_SCHEMA from a
-            # half-written dir, permission analysis errors, ...) must
-            # propagate and fail the batch (swallowing it would silently
-            # drop every cross-batch pair of this batch, violating the
-            # union-equals-batch-pass contract with no error surfaced).
-            err_class = ""
-            try:
-                err_class = exc.getErrorClass() or ""
-            except Exception:  # older message-only exceptions
-                pass
-            if err_class != "PATH_NOT_FOUND" and "Path does not exist" not in str(exc):
-                raise
-            index = None
+        index = _read_index_before(
+            spark, index_dir, batch_id, ["id", "sig", "band", "bhash"]
+        )
         if index is None:
             pairs = minhash_lsh_pairs(
                 batch_df, text_col, id_col, num_hashes, bands, shingle_k,
