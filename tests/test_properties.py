@@ -467,3 +467,71 @@ def test_simhash_vectorized_equals_naive_spec(spark, texts):
     assert list(pf.simhash64.func(pd.Series(texts))) == [
         pf._simhash64_one(t) for t in texts
     ]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=-90, max_value=90, allow_nan=False),
+            st.floats(min_value=-180, max_value=180, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    b1=st.tuples(
+        st.floats(min_value=-90, max_value=0, allow_nan=False),
+        st.floats(min_value=-180, max_value=0, allow_nan=False),
+        st.floats(min_value=0, max_value=90, allow_nan=False),
+        st.floats(min_value=0, max_value=180, allow_nan=False),
+    ),
+    center=st.tuples(
+        st.floats(min_value=-90, max_value=90, allow_nan=False),
+        st.floats(min_value=-180, max_value=180, allow_nan=False),
+    ),
+    radius=st.floats(min_value=0, max_value=200, allow_nan=False),
+)
+def test_spatial_filter_sql_matches_column(spark, pts, b1, center, radius):
+    """r12 spatial dual-compile fuzz (the bloom_pos_sql property-test
+    pattern applied to the eighth filter type): for random point sets and
+    random rectangular/radius bounds, the Spark Column predicate and the
+    DuckDB SQL twin must keep EXACTLY the same rows — both consume the
+    same "lat,lon" string encode, so any arithmetic-shape or
+    index-convention drift between the dialects shows up as a set
+    difference. Coordinates round-trip through the string encode on both
+    engines (shortest-repr double printing is lossless), so boundary
+    decisions are engine-identical even at generated edge values."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from tranquility_spark.specs import filter_to_column, filter_to_sql
+
+    rows = [(i, f"{lat!r},{lon!r}") for i, (lat, lon) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "tag long, coords string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(tag BIGINT, coords VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+
+    rect = {
+        "type": "spatial",
+        "dimension": "coords",
+        "bound": {
+            "type": "rectangular",
+            "minCoords": [b1[0], b1[1]],
+            "maxCoords": [b1[2], b1[3]],
+        },
+    }
+    rad = {
+        "type": "spatial",
+        "dimension": "coords",
+        "bound": {"type": "radius", "coords": list(center), "radius": radius},
+    }
+    for spec in (rect, rad):
+        got = {r["tag"] for r in df.filter(filter_to_column(spec)).collect()}
+        want = {
+            t
+            for (t,) in con.execute(
+                f"SELECT tag FROM t WHERE {filter_to_sql(spec)}"
+            ).fetchall()
+        }
+        assert got == want, (spec, got ^ want)
