@@ -164,6 +164,43 @@ def test_centroid_assignment_deterministic(spark, sf_dir):
     assert a1 == a2
 
 
+def test_ivf_centroids_null_elements_guard(spark):
+    """r13 (ADVICE r12): the Lloyd mean's divisor counts only values whose
+    decimal cast succeeded (NULL array elements are skipped by the sum,
+    so counting raw rows would shrink the mean), and a (centroid, pos)
+    group whose casts are ALL NULL keeps the seed's value at that
+    position instead of raising TypeError on float(None)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tranquility_spark.operators import similarity as sim
+
+    ids = [1, 2, 3]
+    hashes = {
+        r.i: r.h
+        for r in spark.createDataFrame([(i,) for i in ids], "i long")
+        .select("i", F.xxhash64("i").alias("h"))
+        .collect()
+    }
+    seed_id = min(ids, key=lambda i: hashes[i])
+    # one clean-ish seed row (smallest hash -> the n_centroids=1 seed);
+    # the other two are NULL at positions 1 and 2
+    rows = [
+        (i, [1.0, 2.0, None] if i == seed_id else [3.0, None, None])
+        for i in ids
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sim.ivf_centroids(
+        df, n_centroids=1, vec_col="embedding", id_col="vec_id", refine_iters=1
+    )
+    assert len(cents) == 1
+    # pos 0: all three present -> (1+3+3)/3; pos 1: only the seed's 2.0
+    # (two NULLs skipped by sum AND count); pos 2: all NULL -> seed kept
+    assert cents[0][0] == pytest.approx(7.0 / 3.0)
+    assert cents[0][1] == pytest.approx(2.0)
+    assert cents[0][2] is None
+
+
 def test_neardup_clusters_and_survivors(spark):
     from tranquility_spark.operators.dedup import neardup_clusters, neardup_survivors
 

@@ -210,6 +210,85 @@ def test_spatial_cell_layout_prunes_partitions(spark, tmp_path):
         assert got == want and len(want) > 0, bound
 
 
+def test_spatial_cells_nd_and_validation():
+    """r13 (ADVICE r12): spatial_cells_for_bound is n-dimensional like the
+    row-level filter it prunes for — a 3-D bound covers a 3-D cell grid
+    instead of raising an opaque 2-tuple unpack ValueError — and
+    malformed bounds get explicit errors."""
+    from tranquility_spark.specs import spatial_cells_for_bound
+
+    # 2-D output byte-identical to the r12 shape (gx-major ordering)
+    cells = spatial_cells_for_bound(
+        {
+            "type": "rectangular",
+            "minCoords": [-1.0, -1.0],
+            "maxCoords": [1.0, 1.0],
+        },
+        1.0,
+    )
+    assert cells == [
+        "-1_-1", "-1_0", "-1_1",
+        "0_-1", "0_0", "0_1",
+        "1_-1", "1_0", "1_1",
+    ]
+    # 3-D radius bound: bounding cube inside one cell
+    assert spatial_cells_for_bound(
+        {"type": "radius", "coords": [0.5, 0.5, 0.5], "radius": 0.4}, 1.0
+    ) == ["0_0_0"]
+    # 3-D rectangular spanning two cells along the third axis only
+    assert spatial_cells_for_bound(
+        {
+            "type": "rectangular",
+            "minCoords": [0.1, 0.1, 0.9],
+            "maxCoords": [0.9, 0.9, 1.1],
+        },
+        1.0,
+    ) == ["0_0_0", "0_0_1"]
+    with pytest.raises(ValueError, match="dims"):
+        spatial_cells_for_bound(
+            {"type": "rectangular", "minCoords": [0.0], "maxCoords": [0.0, 1.0]},
+            1.0,
+        )
+    with pytest.raises(ValueError, match="no coordinates"):
+        spatial_cells_for_bound(
+            {"type": "rectangular", "minCoords": [], "maxCoords": []}, 1.0
+        )
+
+
+def test_spatial_cell_layout_3d_covering(spark):
+    """The n-D generalization end-to-end: a 3-D cell column + 3-D bound
+    covering keeps the pruned-equals-unpruned property (the 2-D layout
+    test's covering assertion, third axis added)."""
+    from tranquility_spark.specs import (
+        filter_to_column,
+        spatial_cell_column,
+        spatial_cells_for_bound,
+    )
+
+    rows = [
+        (
+            i,
+            f"{(i * 7) % 100 - 50}.5,{(i * 13) % 100 - 50}.25,{(i * 3) % 100 - 50}.75",
+        )
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "id long, coords string").withColumn(
+        "cell", spatial_cell_column("coords", 25.0, n_dims=3)
+    )
+    bound = {
+        "type": "rectangular",
+        "minCoords": [-20.0, -20.0, -20.0],
+        "maxCoords": [20.0, 20.0, 20.0],
+    }
+    spec = {"type": "spatial", "dimension": "coords", "bound": bound}
+    cells = spatial_cells_for_bound(bound, 25.0)
+    pruned = df.filter(F.col("cell").isin(cells) & filter_to_column(spec))
+    unpruned = df.filter(filter_to_column(spec))
+    got = {r["id"] for r in pruned.collect()}
+    want = {r["id"] for r in unpruned.collect()}
+    assert got == want and len(want) > 0
+
+
 def test_rollup_collapses_duplicate_keys(spark):
     # FIXTURES.md B5 rollup_dupes: identical (trunc ts, dims) rows collapse
     base = dt.datetime(2024, 1, 1, 10, 0)

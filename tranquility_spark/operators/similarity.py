@@ -168,6 +168,12 @@ def ivf_centroids(
         # certification probes (dd13c) demand bit-identical rebuilds.
         # decimal(38,18) addition is exact and order-independent; the final
         # float division happens once, driver-side.
+        # r13 (ADVICE r12): the count MUST count the CAST value, not
+        # F.lit(1) — a value whose decimal cast returns NULL (NaN/Inf/
+        # |x|>=1e20 under try semantics) is skipped by the sum, so
+        # counting raw rows would divide by too many; and a group whose
+        # casts are ALL NULL yields s=None, which must keep the previous
+        # centroid rather than TypeError on float(None).
         agg = (
             assigned.select(
                 "centroid_id", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x")
@@ -175,13 +181,17 @@ def ivf_centroids(
             .groupBy("centroid_id", "pos")
             .agg(
                 F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
+                F.count(F.col("x").cast("decimal(38,18)")).alias("n"),
             )
             .collect()
         )
         means: dict[int, list[float]] = {}
         for r in agg:
-            means.setdefault(r.centroid_id, [0.0] * dim)[r.pos] = float(r.s) / r.n
+            if r.s is None or r.n == 0:
+                continue
+            means.setdefault(r.centroid_id, list(cents[r.centroid_id]))[r.pos] = (
+                float(r.s) / r.n
+            )
         for cid, vec in means.items():
             cents[cid] = vec
     return cents
@@ -266,14 +276,18 @@ def pq_codebooks(
             )
             .groupBy("s", "code", "p")
             # decimal-accumulated mean for the same bit-reproducibility
-            # reason as ivf_centroids' Lloyd pass (r12)
+            # reason as ivf_centroids' Lloyd pass (r12); count the CAST
+            # value (not rows) and skip all-NULL groups for the same
+            # reason as ivf_centroids' r13 guard above
             .agg(
                 F.sum(F.col("x").cast("decimal(38,18)")).alias("m_sum"),
-                F.count(F.lit(1)).alias("m_n"),
+                F.count(F.col("x").cast("decimal(38,18)")).alias("m_n"),
             )
             .collect()
         )
         for r in agg:  # codes with no members keep their previous centroid
+            if r.m_sum is None or r.m_n == 0:
+                continue
             books[r.s][r.code][r.p] = float(r.m_sum) / r.m_n
     return books
 

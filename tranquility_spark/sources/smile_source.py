@@ -28,10 +28,21 @@ from __future__ import annotations
 from typing import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from tranquility_spark.session import prepare
-from tranquility_spark.sources.avro_source import _field_series
+from tranquility_spark.sources.avro_source import TS_MICROS_ABS_BOUND, _field_series
 
 
 def _rows_to_pdf(rows: list, out_schema: StructType, keep_pdf=None, keep=()):
@@ -62,18 +73,11 @@ def _record_fits(rec: dict, fields: StructType) -> bool:
     declared Arrow column — wrong type, out-of-int64/int32 BigInteger,
     unfloatable magnitude, datetime64-unrepresentable epoch micros,
     Decimal in any typed field — must be rejected per-record, never
-    allowed to throw inside the pandas conversion and kill the batch."""
-    from pyspark.sql.types import (
-        BinaryType,
-        BooleanType,
-        DoubleType,
-        FloatType,
-        IntegerType,
-        StringType,
-    )
+    allowed to throw inside the pandas conversion and kill the batch.
 
-    from tranquility_spark.sources.avro_source import TS_MICROS_ABS_BOUND
-
+    r13 (ADVICE r12): the type imports live at module level — this runs
+    once per RECORD in the hot decode loop, and per-call import machinery
+    (sys.modules lookups + attribute binds) is measurable there."""
     for f in fields:
         v = rec.get(f.name)
         if v is None:

@@ -288,18 +288,21 @@ def _spatial_bound_column(dim: str, bound: dict) -> Column:
     raise ValueError(f"unsupported spatial bound type: {bt}")
 
 
-def spatial_cell_column(dim: str, cell_deg: float) -> Column:
+def spatial_cell_column(dim: str, cell_deg: float, n_dims: int = 2) -> Column:
     """Coarse geo-cell id ("<gx>_<gy>", floor-quantized per coordinate)
     for a "lat,lon" spatial dimension — the partition column of the
     spatial layout. Writing ``partitionBy(cell)`` makes every
     spatialFilter read a partition-pruned scan via
     :func:`spatial_cells_for_bound` (the spatial analog of segment
-    interval pruning; same shape as the IVF inverted-list layout)."""
-    coords = _spatial_coords(dim, 2)
+    interval pruning; same shape as the IVF inverted-list layout).
+
+    r13 (ADVICE r12): takes ``n_dims`` so the layout matches the
+    filter's n-dimensional contract; the default keeps the 2-D geo
+    cell id byte-identical to the r12 layout."""
+    coords = _spatial_coords(dim, n_dims)
     return F.concat_ws(
         "_",
-        F.floor(coords[0] / F.lit(float(cell_deg))).cast("long"),
-        F.floor(coords[1] / F.lit(float(cell_deg))).cast("long"),
+        *[F.floor(c / F.lit(float(cell_deg))).cast("long") for c in coords],
     )
 
 
@@ -309,28 +312,37 @@ def spatial_cells_for_bound(bound: dict, cell_deg: float) -> list[str]:
     the bound's constants, O(cells in the box). The list is a SUPERSET
     of the cells containing matching points, so pruning with it before
     the exact row-level predicate never loses a row (covering property
-    asserted in tests)."""
+    asserted in tests).
+
+    r13 (ADVICE r12): n-dimensional, matching ``_spatial_bound_column``'s
+    contract — a valid 3-D bound used to cover a 3-D cell layout works
+    instead of raising an opaque 2-tuple unpack ValueError. Cell ids are
+    produced by :func:`spatial_cell_column` with the same ``n_dims``."""
+    import itertools
     import math
 
     bt = bound["type"]
     if bt == "rectangular":
-        (lat0, lon0) = bound["minCoords"]
-        (lat1, lon1) = bound["maxCoords"]
+        lo = [float(x) for x in bound["minCoords"]]
+        hi = [float(x) for x in bound["maxCoords"]]
+        if len(lo) != len(hi):
+            raise ValueError(
+                f"minCoords has {len(lo)} dims but maxCoords has {len(hi)}"
+            )
     elif bt == "radius":
-        (clat, clon) = bound["coords"]
+        center = [float(x) for x in bound["coords"]]
         r = float(bound["radius"])
-        lat0, lon0, lat1, lon1 = clat - r, clon - r, clat + r, clon + r
+        lo = [c - r for c in center]
+        hi = [c + r for c in center]
     else:
         raise ValueError(f"unsupported spatial bound type: {bt}")
-    cells = []
-    for gx in range(
-        math.floor(lat0 / cell_deg), math.floor(lat1 / cell_deg) + 1
-    ):
-        for gy in range(
-            math.floor(lon0 / cell_deg), math.floor(lon1 / cell_deg) + 1
-        ):
-            cells.append(f"{gx}_{gy}")
-    return cells
+    if not lo:
+        raise ValueError("spatial bound has no coordinates")
+    axes = [
+        range(math.floor(a / cell_deg), math.floor(b / cell_deg) + 1)
+        for a, b in zip(lo, hi)
+    ]
+    return ["_".join(str(g) for g in cell) for cell in itertools.product(*axes)]
 
 
 def _sql_lit(v) -> str:
