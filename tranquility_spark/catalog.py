@@ -1698,11 +1698,11 @@ from tranquility_spark import catalog_sketch  # noqa: E402,F401
 # with scripts/record_certified_fingerprints.py only when folding new greens).
 # ---------------------------------------------------------------------------
 
-_R12_DRIVER_WINDOW = [
+_R13_DRIVER_WINDOW = [
     # rows-only by policy (approximate sketches / LSH / index-defined probe
-    # sets — no SQL oracle); re-recorded every round by design. Round 11's
-    # 29 foldable greens (16 re-certifies + 13 new oracled probes, minus
-    # emb9b/a10g which round 12 edits — see below) fold into _CERTIFIED.
+    # sets — no SQL oracle); re-recorded every round by design. Round 12's
+    # 21 hash-greens fold into _CERTIFIED EXCEPT the five below that round
+    # 13's ADVICE fixes touch (helper-rotation discipline).
     "hh1_heavy_hitters_merge",
     "a11c_theta_setops_approx",
     "a11d_sketch_merge_rollup",
@@ -1721,42 +1721,26 @@ _R12_DRIVER_WINDOW = [
     "emb10_pca_project",
     "sim3b_ivf_persisted_serving",
     "sim5b_ivfpq_persisted_serving",
-    # re-certify: ADVICE r11 #3 changed emb9b's rayleigh_dominant slack
-    # from absolute 1e-9 to relative (fn edit — fingerprint-caught).
-    "emb9b_pca_properties",
-    # re-certify: ADVICE r11 #2 added rmax to gk_certified_error's window
-    # sort key — a10g consumes the edited helper (the manual
-    # helper-rotation discipline; fingerprints can't see helper edits).
-    "a10g_gk_deep_rollup",
-    # re-certify: the r12 pipe1b probe refactored pipe1's fn into the
-    # shared _pipe1_stats helper (fingerprint-caught; results unchanged).
-    "pipe1_corpus_pipeline",
-    # re-certify: VERDICT r11 #5 added BigInteger/BigDecimal decode to the
-    # smile codec and extended parse_smile_column's _typed with the
-    # big-number range guards — p12 consumes both edited helpers (manual
-    # helper-rotation discipline; fixture outputs verified unchanged).
-    "p12_smile_parse",
-    # re-certify: r12 dq19 extended filter_to_column/filter_to_sql with
-    # the spatial type (purely additive branch) — a8 consumes the edited
-    # helper (same discipline; existing filter types untouched).
-    "a8_filtered_aggs",
-    # re-certify: the r12 code-review fix made ivf_centroids/pq_codebooks
-    # Lloyd means decimal-accumulated (bit-reproducible across shuffle
-    # orders; values shift in the last ulps) and rolled the index-cache
-    # format version — these three certified probes consume the edited
-    # builders (helper-rotation discipline).
+    "dd17_simhash_neardup",
+    "dd18_simhash_incremental",
+    # re-certify: ADVICE r12 #1 made ivf_centroids/pq_codebooks count only
+    # successfully-CAST values in the Lloyd/PQ means and skip all-NULL
+    # groups — these four probes consume the edited builders (manual
+    # helper-rotation discipline; results on the NULL-free fixtures are
+    # bit-identical, parity re-verified at both SFs at the commit).
     "sim3c_served_equals_inline",
     "sim3e_full_probe_equals_exact",
     "sim5c_served_equals_composition",
-    # re-certify: the r12 dd17 work memoized/vectorized the simhash64 UDF
-    # (bit-identical — hypothesis-pinned vs the retained naive spec, the
-    # GK sweep precedent) — dd3 consumes the edited helper.
-    "dd3_simhash_signatures",
+    "dd13c_learned_centroid_contract",
+    # re-certify: ADVICE r12 #2 hoisted _record_fits' per-record imports to
+    # module level — p12 consumes the edited helper (pure perf, behavior
+    # unchanged; rotated anyway per the a8 purely-additive precedent).
+    "p12_smile_parse",
 ]
 
 
 def _rotate_driver_window() -> None:
-    lead = [k for k in _R12_DRIVER_WINDOW if k in CATALOG]
+    lead = [k for k in _R13_DRIVER_WINDOW if k in CATALOG]
     # anything registered after this snapshot auto-joins the window
     lead += [
         k
@@ -1805,7 +1789,12 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # emb9b and a10g rotate straight back out in round 12 — emb9b for the
 # ADVICE r11 #3 relative-tolerance fn edit, a10g because ADVICE r11 #2
 # edited its gk_certified_error helper).
-# Total: 175 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# r12 folds in 16 (CORRECTNESS_r12.json: 21 hash-greens, 0 fails; of
+# those, sim3c/sim3e/sim5c/dd13c rotate straight back out in round 13
+# for the ADVICE r12 #1 Lloyd-mean NULL-cast-count fix to their
+# ivf_centroids/pq_codebooks builders, and p12 for the ADVICE r12 #2
+# _record_fits import hoist — see _R13_DRIVER_WINDOW).
+# Total: 191 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
 # latest fn/oracle revision has a driver hash-match. Keys rotated back
 # into the window are subtracted until re-certified.
 _CERTIFIED = frozenset(
@@ -1948,6 +1937,24 @@ _CERTIFIED = frozenset(
         "a10e2_kll_partition_invariance", "a10f2_gk_bounds_certified",
         "a6c2_hll_merge_tracks_direct", "a11d2_kmv_merge_equals_direct",
         "a10c2_qsketch_merge_equals_direct",
+        # --- r12 window (CORRECTNESS_r12.json: 21 hash-greens, 0 fails;
+        # 16 fold in — the emb9b/a10g/pipe1/a8 re-certifies after their
+        # round-12 helper/fn edits, dd3 after the simhash64 memoize/
+        # vectorize rewrite, the 9 new r12 certification probes
+        # (a11c2/a11e2/dd3b/dd5b/dd7b/sim2b/pipe1b/pipe5b + dd17b/dd18b),
+        # and dq19. sim3c/sim3e/sim5c/dd13c/p12 were also r12-green but
+        # rotate back out for the round-13 ADVICE fixes — see
+        # _R13_DRIVER_WINDOW) ---
+        "emb9b_pca_properties", "a10g_gk_deep_rollup",
+        "pipe1_corpus_pipeline", "a8_filtered_aggs",
+        "dd3_simhash_signatures", "dq19_spatial_filter",
+        "a11c2_theta_setops_tracks_exact", "a11e2_theta_native_tracks_exact",
+        "dd3b_simhash_partition_invariance",
+        "dd5b_lsh_precision_recall_contract", "dd7b_survivor_contract",
+        "sim2b_lsh_topk_contract", "pipe1b_staged_equals_fused",
+        "pipe5b_ingest_stage_reconciliation",
+        "dd17b_simhash_banding_contract",
+        "dd18b_simhash_incremental_equals_full",
     }
 )
 
