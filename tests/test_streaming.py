@@ -643,6 +643,131 @@ def test_segment_compaction_merges_files(spark, tmp_path):
     )
 
 
+def test_compaction_chaos_kill_between_publish_and_marker(spark, tmp_path):
+    """VERDICT r12 #2: kill compact() between publishing its rewritten
+    files and committing the compaction marker — the delete-then-rename
+    window where the r12 dynamic-partition-overwrite version could lose
+    the ONLY copy of a closed bucket. The r13 protocol (stage →
+    deterministic publish → marker → delete) must leave the snapshot read
+    exact at every instant, with the kill injected into the REAL commit
+    path (os.rename of the _compactions marker raises), not simulated by
+    deleting files afterwards."""
+    import glob
+
+    import tranquility_spark.streaming.sink as sink_mod
+    from tranquility_spark.streaming.sink import compact
+
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    for b in range(4):
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 6, 1, 11, b), f"p{b}")], "ts timestamp, page string"
+        )
+        sink.write_batch(df, b)
+    want = sorted(f"p{b}" for b in range(4))
+    bucket_dir = str(tmp_path / "seg" / "ds=wiki" / "g=2024-06-01-11-00" / "p=0")
+
+    crashed = {"done": False}
+    real_rename = os.rename
+
+    def chaos_rename(s, d):
+        if os.path.basename(str(d)) == "wiki-r0-1" and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("chaos: killed between compaction publish and marker")
+        real_rename(s, d)
+
+    sink_mod.os.rename = chaos_rename
+    try:
+        with pytest.raises(RuntimeError, match="chaos"):
+            compact(sink, spark)
+    finally:
+        sink_mod.os.rename = real_rename
+    assert crashed["done"], "the injected kill never fired"
+
+    # mid-crash: the compacted files ARE published (the window is real)...
+    published = glob.glob(f"{bucket_dir}/compact-1-*.parquet")
+    assert published, "crash fired before publish — the window wasn't exercised"
+    # ...but no batch file was deleted and the snapshot hides the unmarked
+    # compaction: the closed bucket is intact, no loss, no duplication
+    assert len(glob.glob(f"{bucket_dir}/batch-*.parquet")) == 4
+    snap_mid = sorted(
+        r.page for r in sink.read(spark, committed_only=True).collect()
+    )
+    assert snap_mid == want
+    # the raw read transiently sees old+new — the same documented window
+    # as an unmarked batch file
+    assert sink.read(spark).count() == 8
+
+    # recovery: re-run compact — it clears the stale generation-1 leftovers,
+    # republishes over its own deterministic names, commits, and deletes
+    assert compact(sink, spark) == 1
+    for committed_only in (False, True):
+        got = sorted(
+            r.page
+            for r in sink.read(spark, committed_only=committed_only).collect()
+        )
+        assert got == want, f"exactly-once violated (committed_only={committed_only})"
+    assert len(glob.glob(f"{bucket_dir}/*.parquet")) == 1
+    # and a further re-run is a no-op (already at the target file count)
+    assert compact(sink, spark) == 0
+
+
+def test_compaction_chaos_kill_between_marker_and_delete(spark, tmp_path):
+    """The second compact() kill window (companion to the marker-kill
+    test): the compaction marker is committed but the crash lands before
+    the replaced batch files are deleted. The snapshot read must already
+    exclude them (the marker IS the flip), and the next compact() call's
+    janitor pass must finish the deletion without rewriting anything."""
+    import glob
+
+    import tranquility_spark.streaming.sink as sink_mod
+    from tranquility_spark.streaming.sink import compact
+
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 6, 1, 11, b), f"p{b}")], "ts timestamp, page string"
+        )
+        sink.write_batch(df, b)
+    want = sorted(f"p{b}" for b in range(3))
+    bucket_dir = str(tmp_path / "seg" / "ds=wiki" / "g=2024-06-01-11-00" / "p=0")
+
+    crashed = {"done": False}
+    real_remove = os.remove
+
+    def chaos_remove(p):
+        if os.path.basename(str(p)).startswith("batch-") and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("chaos: killed between marker commit and deletion")
+        real_remove(p)
+
+    sink_mod.os.remove = chaos_remove
+    try:
+        with pytest.raises(RuntimeError, match="chaos"):
+            compact(sink, spark)
+    finally:
+        sink_mod.os.remove = real_remove
+    assert crashed["done"], "the injected kill never fired"
+
+    # mid-crash: marker committed, old files still on disk — and invisible
+    assert len(sink.committed_compactions()) == 1
+    assert glob.glob(f"{bucket_dir}/batch-*.parquet")
+    snap_mid = sorted(
+        r.page for r in sink.read(spark, committed_only=True).collect()
+    )
+    assert snap_mid == want
+
+    # recovery: the janitor finishes the deletion; nothing is rewritten
+    assert compact(sink, spark) == 0
+    assert not glob.glob(f"{bucket_dir}/batch-*.parquet")
+    assert len(glob.glob(f"{bucket_dir}/*.parquet")) == 1
+    for committed_only in (False, True):
+        got = sorted(
+            r.page
+            for r in sink.read(spark, committed_only=committed_only).collect()
+        )
+        assert got == want
+
+
 def test_segment_sink_crash_between_publish_and_marker(spark, tmp_path):
     """Retry after a crash that published data but not the marker: no dupes.
 
