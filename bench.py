@@ -147,6 +147,7 @@ HEADLINE = [
     "dq19_spatial_filter",
     "dd17_simhash_neardup",
     "dd18_simhash_incremental",
+    "dd19_simhash_served_pairs",
 ]
 
 

@@ -247,6 +247,117 @@ def test_bucketed_lsh_probe_with_bloom_gate_corpus_side_no_exchange(
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_bucketed_simhash_served_pairs_zero_corpus_shuffle(spark, sf_dir):
+    """dd19's serving claim, plan-asserted (r13, VERDICT r12 #3): full
+    pair extraction from the persisted bucketed simhash index has NO
+    corpus-side shuffle and NO re-hash. The distinct over
+    (sighex, band, bval) collapses onto the bucketed scan (grouping keys
+    are a superset of the bucket key — two HashAggregates, no Exchange),
+    the banded candidate self-join is co-located, and the only shuffle
+    in the whole serving plan is the dropDuplicates over the
+    kilobyte-scale hash pairs. The signature UDF never appears: the text
+    was hashed once at ingest by simhash_index_write."""
+    import pyspark.sql.functions as FF
+
+    from tranquility_spark.operators.dedup import (
+        simhash_index_write,
+        simhash_neardup_pairs,
+        simhash_pairs_from_index,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    spark.sql("DROP TABLE IF EXISTS b_simhash_served")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        simhash_index_write(docs, "b_simhash_served", num_buckets=4)
+        idx = spark.table("b_simhash_served")
+
+        # candidate stage under forced SortMergeJoin: ZERO exchanges —
+        # the strictest form of "no corpus-side shuffle"
+        ds = idx.select("sighex", "band", "bval").distinct()
+        cand = ds.alias("a").join(
+            ds.alias("b"),
+            (FF.col("a.band") == FF.col("b.band"))
+            & (FF.col("a.bval") == FF.col("b.bval"))
+            & (FF.col("a.sighex") <= FF.col("b.sighex")),
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = cand._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange") == 0, plan
+            assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        # full serving plan under defaults: exactly one shuffle (the
+        # hash-pair dropDuplicates) and no Python eval node — nothing
+        # re-hashes the corpus at query time
+        pairs = simhash_pairs_from_index(idx, threshold=3)
+        full = pairs._jdf.queryExecution().executedPlan().toString()
+        assert full.count("Exchange hashpartitioning") == 1, full
+        assert "BatchEvalPython" not in full and "ArrowEvalPython" not in full
+
+        # and the served output IS the inline pipeline's output
+        got = sorted(map(tuple, pairs.collect()))
+        want = sorted(map(tuple, simhash_neardup_pairs(docs, threshold=3).collect()))
+        assert got == want and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_simhash_served")
+
+
+def test_register_bucketed_restores_layout_across_sessions(spark, sf_dir, tmp_path):
+    """r13: the serving-index session-restart story — write_bucketed with an
+    explicit path makes the table EXTERNAL; after the in-memory catalog
+    forgets it (simulated by DROP TABLE, which keeps external files),
+    register_bucketed restores the SAME bucketed plan from the surviving
+    files with one DDL statement: no rebuild, no re-hash, identical rows,
+    bucketing recognized by the scan."""
+    import pyspark.sql.functions as FF
+
+    from tranquility_spark.operators.dedup import simhash_index_write
+    from tranquility_spark.sources.bucketed import register_bucketed
+    from tranquility_spark.sources.files import load_table
+
+    loc = str(tmp_path / "simhash_ext")
+    spark.sql("DROP TABLE IF EXISTS b_simhash_ext")
+    try:
+        docs = load_table(spark, sf_dir, "documents").limit(500)
+        simhash_index_write(docs, "b_simhash_ext", num_buckets=4, path=loc)
+        before = sorted(map(tuple, spark.table("b_simhash_ext").collect()))
+        # the catalog forgets; the files survive (external location)
+        spark.sql("DROP TABLE b_simhash_ext")
+        import os
+
+        assert os.path.exists(os.path.join(loc, "_SUCCESS"))
+        register_bucketed(
+            spark,
+            "b_simhash_ext",
+            "id BIGINT, sighex STRING, band INT, bval STRING",
+            ["band", "bval"],
+            4,
+            loc,
+        )
+        after = sorted(map(tuple, spark.table("b_simhash_ext").collect()))
+        assert after == before and after
+        ds = spark.table("b_simhash_ext").select("sighex", "band", "bval").distinct()
+        cand = ds.alias("a").join(
+            ds.alias("b"),
+            (FF.col("a.band") == FF.col("b.band"))
+            & (FF.col("a.bval") == FF.col("b.bval")),
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = cand._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange") == 0, plan
+            assert "Bucketed: true" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_simhash_ext")
+
+
 def test_bucketed_simhash_index_probe_corpus_side_no_exchange(spark, sf_dir):
     """dd18's 100 TB serving claim, plan-asserted (the dd8 test's shape on
     the SimHash family): a simhash_band_index written bucketed by

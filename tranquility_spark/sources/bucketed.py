@@ -24,18 +24,54 @@ def write_bucketed(
     bucket_key: str | list[str],
     num_buckets: int,
     sort: bool = True,
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a bucketed (and optionally sorted) managed table.
+    """Persist ``df`` as a bucketed (and optionally sorted) table.
 
     ``bucket_key`` may be a single column or a composite key list (e.g. the
     LSH band index buckets on ``["band", "bhash"]`` so incremental dedup
     probes join shuffle-free on the corpus side).
+
+    ``path`` (r13) makes the table EXTERNAL at an explicit location — the
+    serving-index pattern: the session's in-memory catalog forgets table
+    registrations at shutdown but the files survive, so a digest-keyed
+    external location lets a fresh session re-register the same bucketed
+    layout with one DDL statement instead of re-paying the build (see
+    ``register_bucketed``).
     """
     keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
     writer = df.write.mode("overwrite").bucketBy(num_buckets, keys[0], *keys[1:])
     if sort:
         writer = writer.sortBy(keys[0], *keys[1:])
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def register_bucketed(
+    spark: SparkSession,
+    table: str,
+    schema_ddl: str,
+    bucket_key: list[str],
+    num_buckets: int,
+    path: str,
+    sort: bool = True,
+) -> None:
+    """Re-register an existing bucketed layout written by
+    :func:`write_bucketed` with an explicit ``path`` (r13): the bucket-id
+    file names Spark wrote are still on disk, so a CREATE TABLE with the
+    same CLUSTERED BY spec restores the shuffle-free join plans without
+    touching the data. The caller owns schema/bucketing fidelity — record
+    both in a sidecar next to the files (digest-keyed locations make a
+    stale mismatch structurally impossible: different data or format ⇒
+    different location)."""
+    keys = ", ".join(bucket_key)
+    sorted_by = f"SORTED BY ({keys}) " if sort else ""
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
+        f"CLUSTERED BY ({keys}) {sorted_by}INTO {num_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
 
 
 def bucketed_join(
