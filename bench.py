@@ -148,6 +148,7 @@ HEADLINE = [
     "dd17_simhash_neardup",
     "dd18_simhash_incremental",
     "dd19_simhash_served_pairs",
+    "dd20_minhash_served_pairs",
 ]
 
 

@@ -306,6 +306,58 @@ def test_bucketed_simhash_served_pairs_zero_corpus_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS b_simhash_served")
 
 
+def test_bucketed_minhash_served_pairs_zero_corpus_shuffle(spark, sf_dir):
+    """dd20's serving claim, plan-asserted — the dd19 test's shape on the
+    FIRST signature family: full pair extraction from the persisted
+    bucketed LSH index has no corpus-side shuffle (distinct collapses onto
+    the bucketed scan, candidate self-join co-located) and no Python eval
+    node (no shingling/permutation UDF at query time), and the served
+    output equals the guarded inline pipeline."""
+    import pyspark.sql.functions as FF
+
+    from tranquility_spark.operators.dedup import (
+        minhash_index_write,
+        minhash_lsh_pairs_distinct,
+        minhash_pairs_from_index,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    spark.sql("DROP TABLE IF EXISTS b_minhash_served")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        minhash_index_write(docs, "b_minhash_served", num_buckets=4)
+        idx = spark.table("b_minhash_served")
+
+        ds = idx.select("sig", "band", "bhash").distinct()
+        cand = ds.alias("a").join(
+            ds.alias("b"),
+            (FF.col("a.band") == FF.col("b.band"))
+            & (FF.col("a.bhash") == FF.col("b.bhash"))
+            & (FF.col("a.sig") <= FF.col("b.sig")),
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = cand._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange") == 0, plan
+            assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        pairs = minhash_pairs_from_index(idx, num_hashes=64, threshold=0.5)
+        full = pairs._jdf.queryExecution().executedPlan().toString()
+        assert full.count("Exchange hashpartitioning") == 1, full
+        assert "BatchEvalPython" not in full and "ArrowEvalPython" not in full
+
+        got = sorted(map(tuple, pairs.collect()))
+        want = sorted(
+            map(tuple, minhash_lsh_pairs_distinct(docs, threshold=0.5).collect())
+        )
+        assert got == want and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_minhash_served")
+
+
 def test_register_bucketed_restores_layout_across_sessions(spark, sf_dir, tmp_path):
     """r13: the serving-index session-restart story — write_bucketed with an
     explicit path makes the table EXTERNAL; after the in-memory catalog

@@ -4296,10 +4296,39 @@ def dd18b_simhash_incremental_equals_full(spark: SparkSession, sf_dir: str) -> D
     return _equality_probe(inc, touching_new)
 
 
-_SIMHASH_INDEX_BUCKETS = 4
 # the band index schema is fixed by simhash_band_index: doc id, full
 # 16-hex-char signature, band ordinal, 4-hex-char band value
 _SIMHASH_INDEX_SCHEMA = "id BIGINT, sighex STRING, band INT, bval STRING"
+# ~16k docs per bucket: small enough that bucket count (= max scan/join
+# parallelism for the zero-shuffle self-join) keeps every core busy well
+# before the scan dominates. r13 scale lesson, measured: a FIXED 4-bucket
+# index capped the serving plan at 4 tasks and made sf10 serving SLOWER
+# than the inline re-hash (44 s vs 19 s); bucket count must grow with the
+# corpus — at 100 TB size buckets to the 128 MB-1 GB guidance in
+# sources/bucketed.py, same rule, byte-denominated.
+_DOCS_PER_INDEX_BUCKET = 16_000
+
+
+def _doc_index_buckets(sf_dir: str) -> int:
+    """Corpus-sized bucket count from parquet footer metadata (no scan);
+    falls back to 32 (the local core count) when footers are unreadable."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    try:
+        if os.path.isdir(path):
+            n = sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            n = pq.ParquetFile(path).metadata.num_rows
+    except OSError:
+        return 32
+    return max(4, min(512, -(-n // _DOCS_PER_INDEX_BUCKET)))
 
 
 def _simhash_index_table(spark: SparkSession, sf_dir: str) -> str:
@@ -4308,11 +4337,13 @@ def _simhash_index_table(spark: SparkSession, sf_dir: str) -> str:
     fingerprint, format version) digest the ANN layouts use — a
     regenerated fixture changes the digest and the stale layout is
     simply never opened again. First touch per corpus pays the one
-    signature pass; a fresh SESSION whose in-memory catalog forgot the
-    registration (the catalog dies with the session, the files don't)
-    re-registers the existing files with one DDL statement
+    signature pass and records bucket count + schema in a _meta sidecar;
+    a fresh SESSION whose in-memory catalog forgot the registration (the
+    catalog dies with the session, the files don't) re-registers the
+    existing files with one DDL statement from the sidecar
     (sources/bucketed.py#register_bucketed) instead of re-hashing; every
     serving query reads the co-located (band, bval) rows."""
+    import json
     import os
 
     from tranquility_spark.sources.bucketed import register_bucketed
@@ -4323,22 +4354,37 @@ def _simhash_index_table(spark: SparkSession, sf_dir: str) -> str:
     if spark.catalog.tableExists(name):
         return name
     loc = os.path.join(_index_cache_root(), f"simhashidx-{digest}")
-    if os.path.exists(os.path.join(loc, "_SUCCESS")):
+    meta_path = os.path.join(loc, "_simhash_meta.json")
+    if os.path.exists(os.path.join(loc, "_SUCCESS")) and os.path.exists(meta_path):
+        with open(meta_path, encoding="utf-8") as fh:
+            meta = json.load(fh)
         register_bucketed(
             spark,
             name,
-            _SIMHASH_INDEX_SCHEMA,
-            ["band", "bval"],
-            _SIMHASH_INDEX_BUCKETS,
+            meta["schema_ddl"],
+            meta["bucket_key"],
+            meta["num_buckets"],
             loc,
         )
     else:
+        n_buckets = _doc_index_buckets(sf_dir)
         dd.simhash_index_write(
             _t(spark, sf_dir, "documents"),
             name,
-            num_buckets=_SIMHASH_INDEX_BUCKETS,
+            num_buckets=n_buckets,
             path=loc,
         )
+        tmp = f"{meta_path}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(
+                {
+                    "schema_ddl": _SIMHASH_INDEX_SCHEMA,
+                    "bucket_key": ["band", "bval"],
+                    "num_buckets": n_buckets,
+                },
+                fh,
+            )
+        os.replace(tmp, meta_path)
     return name
 
 
@@ -4386,6 +4432,120 @@ def dd19b_simhash_served_equals_inline(spark: SparkSession, sf_dir: str) -> Data
     table = _simhash_index_table(spark, sf_dir)
     served = dd.simhash_pairs_from_index(spark.table(table), threshold=3)
     inline = dd.simhash_neardup_pairs(_t(spark, sf_dir, "documents"), threshold=3)
+    return _equality_probe(served, inline)
+
+
+_MINHASH_INDEX_SCHEMA = "id BIGINT, sig ARRAY<BIGINT>, band INT, bhash BIGINT"
+_MINHASH_INDEX_PARAMS = dict(num_hashes=64, bands=16, shingle_k=3, seed=42)
+
+
+def _minhash_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """The persisted MinHash LSH band index for a corpus — the
+    _simhash_index_table pattern on the first signature family: external
+    digest-keyed location, corpus-sized bucket count, _meta sidecar
+    recording the LSH parameters (lsh_band_index's parameter-drift
+    warning: an index built with different (num_hashes, bands, shingle_k,
+    seed) silently produces garbage candidates, so the sidecar pins them
+    and the digest pins the data)."""
+    import json
+    import os
+
+    from tranquility_spark.sources.bucketed import register_bucketed
+
+    ck = _index_cache_key(sf_dir, table="documents")
+    digest = _index_cache_digest(
+        "minhashidx" + repr(sorted(_MINHASH_INDEX_PARAMS.items())), ck
+    )
+    name = f"minhash_idx_{digest}"
+    if spark.catalog.tableExists(name):
+        return name
+    loc = os.path.join(_index_cache_root(), f"minhashidx-{digest}")
+    meta_path = os.path.join(loc, "_minhash_meta.json")
+    if os.path.exists(os.path.join(loc, "_SUCCESS")) and os.path.exists(meta_path):
+        with open(meta_path, encoding="utf-8") as fh:
+            meta = json.load(fh)
+        register_bucketed(
+            spark,
+            name,
+            meta["schema_ddl"],
+            meta["bucket_key"],
+            meta["num_buckets"],
+            loc,
+        )
+    else:
+        n_buckets = _doc_index_buckets(sf_dir)
+        dd.minhash_index_write(
+            _t(spark, sf_dir, "documents"),
+            name,
+            num_buckets=n_buckets,
+            path=loc,
+            **_MINHASH_INDEX_PARAMS,
+        )
+        tmp = f"{meta_path}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(
+                {
+                    "schema_ddl": _MINHASH_INDEX_SCHEMA,
+                    "bucket_key": ["band", "bhash"],
+                    "num_buckets": n_buckets,
+                    "params": _MINHASH_INDEX_PARAMS,
+                },
+                fh,
+            )
+        os.replace(tmp, meta_path)
+    return name
+
+
+@register(
+    "dd20_minhash_served_pairs",
+    None,  # minhash permutations are hash-defined — rows-only (dd2 policy);
+    # equality to the guarded inline pipeline is driver-certified by dd20b
+    doc="MinHash near-dup pairs served from the PERSISTED (band, bhash)-"
+    "bucketed LSH index (r13 — dd19's serving shape on the FIRST "
+    "signature family, completing the symmetry: both families now have "
+    "signatures -> pairs -> incremental -> served-from-index): first "
+    "touch per corpus writes lsh_band_index bucketed+sorted with a "
+    "parameter-pinning sidecar; every query after that is "
+    "minhash_pairs_from_index — no shingling, no permutations, no "
+    "re-hash; the distinct-signature stage collapses onto the bucketed "
+    "scan and the banded candidate self-join is shuffle-free. Doc ids "
+    "attach from the band-0 slice to surviving signature pairs only. "
+    "At 100 TB the query reads the index (bands x ~550-byte rows per "
+    "doc), never the corpus text",
+)
+def dd20_minhash_served_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _minhash_index_table(spark, sf_dir)
+    return dd.minhash_pairs_from_index(
+        spark.table(table),
+        num_hashes=_MINHASH_INDEX_PARAMS["num_hashes"],
+        threshold=0.5,
+    )
+
+
+@register(
+    "dd20b_minhash_served_equals_guarded",
+    """
+    SELECT CAST(0 AS BIGINT) AS n_mismatched, CAST(1 AS BIGINT) AS both_nonempty
+    """,
+    doc="Driver-certified contract probe for dd20 (the dd19b shape): the "
+    "symmetric difference between the persisted-index serving path and "
+    "minhash_lsh_pairs_distinct's inline pipeline (same parameters) on "
+    "the full (id_a, id_b, est_jaccard) rows vs the constant-0 oracle — "
+    "and dd2b already certifies distinct == default, so served == dd2 "
+    "transitively. both_nonempty certifies the corpus really contains "
+    "est>=0.5 pairs. Not in the bench headline: dd20 carries the "
+    "measured serving row",
+)
+def dd20b_minhash_served_equals_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _minhash_index_table(spark, sf_dir)
+    served = dd.minhash_pairs_from_index(
+        spark.table(table),
+        num_hashes=_MINHASH_INDEX_PARAMS["num_hashes"],
+        threshold=0.5,
+    )
+    inline = dd.minhash_lsh_pairs_distinct(
+        _t(spark, sf_dir, "documents"), threshold=0.5, **_MINHASH_INDEX_PARAMS
+    )
     return _equality_probe(served, inline)
 
 

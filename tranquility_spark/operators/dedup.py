@@ -328,6 +328,101 @@ def minhash_lsh_pairs_distinct(
     )
 
 
+def minhash_index_write(
+    df: DataFrame,
+    table: str,
+    num_buckets: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    impl: str = "pandas",
+    path: str | None = None,
+) -> None:
+    """Persist the MinHash LSH band index as a bucketed+sorted table on the
+    probe key (r13 — the simhash_index_write twin for the FIRST signature
+    family): signatures and band hashes are computed ONCE here; every later
+    full-corpus pair extraction (:func:`minhash_pairs_from_index`) or
+    incremental probe reads (band, bhash)-co-located rows and never touches
+    the text again. The lsh_band_index parameter-drift warning applies
+    doubly to a persisted table: record (num_hashes, bands, shingle_k,
+    seed) next to the files and validate before serving."""
+    from tranquility_spark.sources.bucketed import write_bucketed
+
+    write_bucketed(
+        lsh_band_index(df, text_col, id_col, num_hashes, bands, shingle_k, seed, impl),
+        table,
+        ["band", "bhash"],
+        num_buckets,
+        path=path,
+    )
+
+
+def minhash_pairs_from_index(
+    index_df: DataFrame, num_hashes: int = 64, threshold: float = 0.5
+) -> DataFrame:
+    """Full near-dup pair extraction from a PERSISTED :func:`lsh_band_index`
+    (r13 — the serving form of :func:`minhash_lsh_pairs`, mirroring
+    simhash_pairs_from_index): no text is read and nothing is re-hashed —
+    the signature pass was paid once at ingest by
+    :func:`minhash_index_write`. Output EQUALS
+    :func:`minhash_lsh_pairs_distinct` with the index's parameters
+    (driver-certified by dd20b), which dd2b certifies equal to the default
+    pipeline — so served == inline, transitively.
+
+    Scale shape (the dd19 argument, first family): the candidate stage is
+    a SELF-join of the index's persisted (band, bhash) rows over DISTINCT
+    signatures; bucketed+sorted on that key the distinct collapses onto
+    the bucketed scan (grouping keys superset of the bucket key) and the
+    self-join is shuffle-free. Doc ids come from the ``band = 0`` slice
+    (exactly one index row per doc — a filter, not a distinct) and attach
+    only to surviving signature pairs.
+    """
+    idx = index_df.filter(F.col("sig").isNotNull())
+    ds = idx.select("sig", "band", "bhash").distinct()
+    l, r = ds.alias("l"), ds.alias("r")
+    sig_pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.sig") <= F.col("r.sig")),  # arrays order lexicographically
+        )
+        .select(F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
+        .dropDuplicates(["sig_a", "sig_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(num_hashes)
+    sig_pairs = sig_pairs.withColumn("est_jaccard", est).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    # one row per doc WITHOUT a distinct: every doc has exactly one band-0
+    # index row (lsh_band_index explodes `bands` rows per doc)
+    sig = idx.filter(F.col("band") == 0).select("id", "sig")
+    da, db = sig.alias("da"), sig.alias("db")
+    return (
+        sig_pairs.join(da, F.col("da.sig") == F.col("sig_a"))
+        .join(
+            db,
+            (F.col("db.sig") == F.col("sig_b"))
+            & (
+                (F.col("sig_a") != F.col("sig_b"))
+                | (F.col("da.id") < F.col("db.id"))
+            ),
+        )
+        .select(
+            F.least(F.col("da.id"), F.col("db.id")).alias("id_a"),
+            F.greatest(F.col("da.id"), F.col("db.id")).alias("id_b"),
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+        )
+    )
+
+
 def _estimate_and_filter(cand: DataFrame, num_hashes: int, threshold: float) -> DataFrame:
     """Signature re-compare: estimated Jaccard = fraction of agreeing
     positions; keep pairs at/above threshold."""
