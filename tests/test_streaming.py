@@ -2395,3 +2395,34 @@ def test_streaming_simhash_index_sink_equals_batch_pass(spark, sf_dir, tmp_path)
     before = pairs_snapshot()
     sink(replay_docs, last)
     assert pairs_snapshot() == before
+
+
+def test_streamed_simhash_index_serves_full_pairs(spark, sf_dir, tmp_path):
+    """r13, the ingest-to-serving closure: the band index ACCUMULATED BY
+    THE STREAMING SINK is directly servable by dd19's
+    simhash_pairs_from_index — full pair extraction from the streamed
+    index equals one inline simhash_neardup_pairs pass over everything
+    ingested, without re-hashing any batch. This is the 100 TB loop:
+    sign once at ingest (simhash_index_sink), serve pairs forever from
+    the index."""
+    from tranquility_spark.operators.dedup import (
+        simhash_index_sink,
+        simhash_neardup_pairs,
+        simhash_pairs_from_index,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    sink = simhash_index_sink(index_dir, pairs_dir, threshold=3)
+    for i in range(3):  # the foreachBatch body, driven directly
+        sink(docs.filter(F.col("doc_id") % 3 == i), i)
+
+    served = simhash_pairs_from_index(
+        spark.read.parquet(index_dir), threshold=3
+    )
+    inline = simhash_neardup_pairs(docs, threshold=3)
+    got = sorted(map(tuple, served.collect()))
+    want = sorted(map(tuple, inline.collect()))
+    assert got == want and got
