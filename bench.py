@@ -149,6 +149,7 @@ HEADLINE = [
     "dd18_simhash_incremental",
     "dd19_simhash_served_pairs",
     "dd20_minhash_served_pairs",
+    "dq20_spatial_served_filter",
 ]
 
 

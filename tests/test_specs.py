@@ -289,6 +289,48 @@ def test_spatial_cell_layout_3d_covering(spark):
     assert got == want and len(want) > 0
 
 
+def test_spatial_served_read_prunes_and_matches_unpruned(spark, tmp_path):
+    """r13 (dq20): the first-class served path — write_spatial_layout +
+    read_spatial_filtered — prunes partitions (PartitionFilters IN-list on
+    the cell column) and returns exactly the unpruned filter's rows, even
+    when the corpus contains malformed/NULL coordinates (they land in the
+    default partition, which the covering list never selects and the row
+    predicate never passes)."""
+    from tranquility_spark.sources.spatial import (
+        read_spatial_filtered,
+        write_spatial_layout,
+    )
+
+    rows = [
+        (i, f"{(i * 7) % 180 - 90}.5,{(i * 13) % 360 - 180}.25")
+        for i in range(3000)
+    ] + [(9001, "not-a-coord"), (9002, None), (9003, "12.0")]
+    df = spark.createDataFrame(rows, "id long, coords string")
+    layout = str(tmp_path / "geo_served")
+    write_spatial_layout(df, layout, dim="coords", cell_deg=30.0)
+
+    spec = {
+        "type": "spatial",
+        "dimension": "coords",
+        "bound": {
+            "type": "rectangular",
+            "minCoords": [-30.0, -60.0],
+            "maxCoords": [30.0, 60.0],
+        },
+    }
+    pruned = read_spatial_filtered(spark, layout, spec, cell_deg=30.0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "cell" in pf and ("INSET" in pf or " IN " in pf), plan
+
+    base = spark.read.option("basePath", layout).parquet(layout)
+    unpruned = base.filter(filter_to_column(spec))
+    got = {r["id"] for r in pruned.collect()}
+    want = {r["id"] for r in unpruned.collect()}
+    assert got == want and len(want) > 0
+    assert not {9001, 9002, 9003} & got
+
+
 def test_rollup_collapses_duplicate_keys(spark):
     # FIXTURES.md B5 rollup_dupes: identical (trunc ts, dims) rows collapse
     base = dt.datetime(2024, 1, 1, 10, 0)
