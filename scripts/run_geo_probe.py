@@ -48,12 +48,11 @@ def main() -> None:
 
     from tranquility_spark.catalog import _DQ19_RECT
     from tranquility_spark.sources.files import load_table
-    from tranquility_spark.specs import (
-        DimensionsSpec,
-        filter_to_column,
-        spatial_cell_column,
-        spatial_cells_for_bound,
+    from tranquility_spark.sources.spatial import (
+        read_spatial_filtered,
+        write_spatial_layout,
     )
+    from tranquility_spark.specs import DimensionsSpec, filter_to_column
 
     def best_of(df, n=3):
         best = float("inf")
@@ -79,21 +78,24 @@ def main() -> None:
             )
             for name, expr in dspec.spatial_columns():
                 pts = pts.withColumn(name, expr)
-            (
-                pts.select("event_type", "coords")
-                .withColumn("cell", spatial_cell_column("coords", CELL_DEG))
-                .write.mode("overwrite")
-                .partitionBy("cell")
-                .parquet(layout)
+            # the SHIPPED write path (sources/spatial.py), so the probe
+            # measures exactly the plan dq20 serves (r13 self-review: an
+            # inline copy here could silently drift from the real path)
+            write_spatial_layout(
+                pts.select("event_type", "coords"), layout, cell_deg=CELL_DEG
             )
         base = spark.read.option("basePath", layout).parquet(layout)
         pred = filter_to_column(_DQ19_RECT)
-        cells = spatial_cells_for_bound(_DQ19_RECT["bound"], CELL_DEG)
         agg = lambda df: df.groupBy("event_type").agg(  # noqa: E731
             F.count(F.lit(1)).alias("n_in_rect")
         )
-        pruned = best_of(agg(base.filter(F.col("cell").isin(cells) & pred)))
+        pruned = best_of(
+            agg(read_spatial_filtered(spark, layout, _DQ19_RECT, cell_deg=CELL_DEG))
+        )
         unpruned = best_of(agg(base.filter(pred)))
+        from tranquility_spark.specs import spatial_cells_for_bound
+
+        cells = spatial_cells_for_bound(_DQ19_RECT["bound"], CELL_DEG)
         n_cells = len([d for d in os.listdir(layout) if d.startswith("cell=")])
         rows.append(
             {

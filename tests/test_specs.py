@@ -329,6 +329,14 @@ def test_spatial_served_read_prunes_and_matches_unpruned(spark, tmp_path):
     want = {r["id"] for r in unpruned.collect()}
     assert got == want and len(want) > 0
     assert not {9001, 9002, 9003} & got
+    # the malformed rows are quarantined in the DEFAULT partition — a
+    # half-parsed "12.0" must NOT be filed under a real cell id like "0"
+    # (r13 self-review: concat_ws skips NULL args)
+    quarantined = {
+        r["id"]
+        for r in base.filter(F.col("cell").isNull()).select("id").collect()
+    }
+    assert quarantined == {9001, 9002, 9003}
 
 
 def test_rollup_collapses_duplicate_keys(spark):

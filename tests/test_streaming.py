@@ -711,6 +711,56 @@ def test_compaction_chaos_kill_between_publish_and_marker(spark, tmp_path):
     assert compact(sink, spark) == 0
 
 
+def test_compaction_janitor_clears_orphans_on_noop(spark, tmp_path):
+    """r13 self-review find: after a publish→marker crash, a retry that
+    takes the NO-OP early return (target already met) must still clear
+    the orphaned unmarked compact files — otherwise the raw read
+    double-counts them forever and the 'transient old+new visibility'
+    claim is false."""
+    import glob
+
+    import tranquility_spark.streaming.sink as sink_mod
+    from tranquility_spark.streaming.sink import compact
+
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 6, 1, 11, b), f"p{b}")], "ts timestamp, page string"
+        )
+        sink.write_batch(df, b)
+    want = sorted(f"p{b}" for b in range(3))
+    bucket_dir = str(tmp_path / "seg" / "ds=wiki" / "g=2024-06-01-11-00" / "p=0")
+
+    crashed = {"done": False}
+    real_rename = os.rename
+
+    def chaos_rename(s, d):
+        if os.path.basename(str(d)) == "wiki-r0-1" and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("chaos: killed between compaction publish and marker")
+        real_rename(s, d)
+
+    sink_mod.os.rename = chaos_rename
+    try:
+        with pytest.raises(RuntimeError, match="chaos"):
+            compact(sink, spark)
+    finally:
+        sink_mod.os.rename = real_rename
+    assert glob.glob(f"{bucket_dir}/compact-1-*.parquet"), "window not exercised"
+    assert sink.read(spark).count() > 3  # orphans visible to the raw read
+
+    # a retry whose target is already met takes the no-op path — and the
+    # janitor still removes the orphans first
+    assert compact(sink, spark, target_files_per_shard=3) == 0
+    assert not glob.glob(f"{bucket_dir}/compact-*.parquet")
+    for committed_only in (False, True):
+        got = sorted(
+            r.page
+            for r in sink.read(spark, committed_only=committed_only).collect()
+        )
+        assert got == want
+
+
 def test_compaction_chaos_kill_between_marker_and_delete(spark, tmp_path):
     """The second compact() kill window (companion to the marker-kill
     test): the compaction marker is committed but the crash lands before

@@ -1267,6 +1267,7 @@ def dq19_spatial_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # flag arithmetic; a serving entry must select rows to be non-vacuous).
 # Covering cells at 30 degrees: lat cell -3, lon cells -6..-4 — 3 of the
 # layout's cells, so the pruned read is a real subset at every SF.
+_DQ20_CELL_DEG = 30.0
 _DQ20_RECT = {
     "type": "spatial",
     "dimension": "coords",
@@ -1325,8 +1326,15 @@ def dq20_spatial_served_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ck = _index_cache_key(sf_dir, table="events")
+    # the digest pins cell_deg AND an encode version alongside the corpus
+    # fingerprint (the _minhash_index_table parameter-pinning rule, r13
+    # self-review): changing the grid or the coordinate encode changes the
+    # location, so a stale 30-degree layout can never serve a covering
+    # list computed on a different grid (which would silently prune
+    # EVERYTHING — the IN-list would match no cell values).
     layout = os.path.join(
-        _index_cache_root(), f"geolayout-{_index_cache_digest('geolayout', ck)}"
+        _index_cache_root(),
+        f"geolayout-{_index_cache_digest(f'geolayout-cell{_DQ20_CELL_DEG}-enc1', ck)}",
     )
     if not os.path.exists(os.path.join(layout, "_SUCCESS")):
         ev = _t(spark, sf_dir, "events")
@@ -1342,9 +1350,9 @@ def dq20_spatial_served_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, expr in dspec.spatial_columns():
             pts = pts.withColumn(name, expr)
         write_spatial_layout(
-            pts.select("event_type", "coords"), layout, cell_deg=30.0
+            pts.select("event_type", "coords"), layout, cell_deg=_DQ20_CELL_DEG
         )
-    got = read_spatial_filtered(spark, layout, _DQ20_RECT, cell_deg=30.0)
+    got = read_spatial_filtered(spark, layout, _DQ20_RECT, cell_deg=_DQ20_CELL_DEG)
     return got.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_in_rect")
     )

@@ -4326,35 +4326,47 @@ def _doc_index_buckets(sf_dir: str) -> int:
             )
         else:
             n = pq.ParquetFile(path).metadata.num_rows
-    except OSError:
+    except (OSError, ValueError):
+        # OSError: missing/non-local path; ValueError: pyarrow ArrowInvalid
+        # (a ValueError subclass) on a truncated or non-parquet footer —
+        # both take the documented fallback instead of killing the entry
         return 32
     return max(4, min(512, -(-n // _DOCS_PER_INDEX_BUCKET)))
 
 
-def _simhash_index_table(spark: SparkSession, sf_dir: str) -> str:
-    """The persisted SimHash band index for a corpus: a bucketed+sorted
-    EXTERNAL table at a location named by the same (sf_dir, parquet
-    fingerprint, format version) digest the ANN layouts use — a
-    regenerated fixture changes the digest and the stale layout is
-    simply never opened again. First touch per corpus pays the one
-    signature pass and records bucket count + schema in a _meta sidecar;
+def _served_index_table(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    schema_ddl: str,
+    bucket_key: list,
+    build_fn,
+    extra_meta: dict | None = None,
+) -> str:
+    """The shared served-index protocol (r13, factored out of the SimHash
+    and MinHash tables by self-review — one state machine, not two copies
+    that drift): a bucketed+sorted EXTERNAL table at a location named by
+    (kind, format version, corpus fingerprint) — a regenerated fixture or
+    changed parameters change the digest and the stale layout is simply
+    never opened again. First touch per corpus runs ``build_fn(df, name,
+    n_buckets, loc)`` (the one expensive pass) and records bucket count +
+    schema (+ ``extra_meta``, e.g. LSH parameters) in a ``_meta`` sidecar;
     a fresh SESSION whose in-memory catalog forgot the registration (the
     catalog dies with the session, the files don't) re-registers the
-    existing files with one DDL statement from the sidecar
-    (sources/bucketed.py#register_bucketed) instead of re-hashing; every
-    serving query reads the co-located (band, bval) rows."""
+    surviving files with one DDL statement from the sidecar
+    (sources/bucketed.py#register_bucketed) instead of rebuilding."""
     import json
     import os
 
     from tranquility_spark.sources.bucketed import register_bucketed
 
     ck = _index_cache_key(sf_dir, table="documents")
-    digest = _index_cache_digest("simhashidx", ck)
-    name = f"simhash_idx_{digest}"
+    digest = _index_cache_digest(kind, ck)
+    name = f"{kind.split('+')[0]}_{digest}"
     if spark.catalog.tableExists(name):
         return name
-    loc = os.path.join(_index_cache_root(), f"simhashidx-{digest}")
-    meta_path = os.path.join(loc, "_simhash_meta.json")
+    loc = os.path.join(_index_cache_root(), f"{kind.split('+')[0]}-{digest}")
+    meta_path = os.path.join(loc, "_meta.json")
     if os.path.exists(os.path.join(loc, "_SUCCESS")) and os.path.exists(meta_path):
         with open(meta_path, encoding="utf-8") as fh:
             meta = json.load(fh)
@@ -4368,24 +4380,36 @@ def _simhash_index_table(spark: SparkSession, sf_dir: str) -> str:
         )
     else:
         n_buckets = _doc_index_buckets(sf_dir)
-        dd.simhash_index_write(
-            _t(spark, sf_dir, "documents"),
-            name,
-            num_buckets=n_buckets,
-            path=loc,
-        )
+        build_fn(_t(spark, sf_dir, "documents"), name, n_buckets, loc)
         tmp = f"{meta_path}.tmp.{os.getpid()}"
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(
                 {
-                    "schema_ddl": _SIMHASH_INDEX_SCHEMA,
-                    "bucket_key": ["band", "bval"],
+                    "schema_ddl": schema_ddl,
+                    "bucket_key": bucket_key,
                     "num_buckets": n_buckets,
+                    **(extra_meta or {}),
                 },
                 fh,
             )
         os.replace(tmp, meta_path)
     return name
+
+
+def _simhash_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """The persisted SimHash band index for a corpus (the
+    _served_index_table protocol; serving queries read the co-located
+    (band, bval) rows — signatures are computed once, at build)."""
+    return _served_index_table(
+        spark,
+        sf_dir,
+        "simhashidx",
+        _SIMHASH_INDEX_SCHEMA,
+        ["band", "bval"],
+        lambda df, name, n, loc: dd.simhash_index_write(
+            df, name, num_buckets=n, path=loc
+        ),
+    )
 
 
 @register(
@@ -4440,60 +4464,24 @@ _MINHASH_INDEX_PARAMS = dict(num_hashes=64, bands=16, shingle_k=3, seed=42)
 
 
 def _minhash_index_table(spark: SparkSession, sf_dir: str) -> str:
-    """The persisted MinHash LSH band index for a corpus — the
-    _simhash_index_table pattern on the first signature family: external
-    digest-keyed location, corpus-sized bucket count, _meta sidecar
-    recording the LSH parameters (lsh_band_index's parameter-drift
-    warning: an index built with different (num_hashes, bands, shingle_k,
-    seed) silently produces garbage candidates, so the sidecar pins them
-    and the digest pins the data)."""
-    import json
-    import os
-
-    from tranquility_spark.sources.bucketed import register_bucketed
-
-    ck = _index_cache_key(sf_dir, table="documents")
-    digest = _index_cache_digest(
-        "minhashidx" + repr(sorted(_MINHASH_INDEX_PARAMS.items())), ck
+    """The persisted MinHash LSH band index for a corpus (the
+    _served_index_table protocol on the first signature family). The
+    LSH parameters ride in the digest kind — lsh_band_index's
+    parameter-drift warning: an index built with different (num_hashes,
+    bands, shingle_k, seed) silently produces garbage candidates, so
+    different parameters mean a different location — and in the sidecar
+    for human inspection."""
+    return _served_index_table(
+        spark,
+        sf_dir,
+        "minhashidx+" + repr(sorted(_MINHASH_INDEX_PARAMS.items())),
+        _MINHASH_INDEX_SCHEMA,
+        ["band", "bhash"],
+        lambda df, name, n, loc: dd.minhash_index_write(
+            df, name, num_buckets=n, path=loc, **_MINHASH_INDEX_PARAMS
+        ),
+        extra_meta={"params": _MINHASH_INDEX_PARAMS},
     )
-    name = f"minhash_idx_{digest}"
-    if spark.catalog.tableExists(name):
-        return name
-    loc = os.path.join(_index_cache_root(), f"minhashidx-{digest}")
-    meta_path = os.path.join(loc, "_minhash_meta.json")
-    if os.path.exists(os.path.join(loc, "_SUCCESS")) and os.path.exists(meta_path):
-        with open(meta_path, encoding="utf-8") as fh:
-            meta = json.load(fh)
-        register_bucketed(
-            spark,
-            name,
-            meta["schema_ddl"],
-            meta["bucket_key"],
-            meta["num_buckets"],
-            loc,
-        )
-    else:
-        n_buckets = _doc_index_buckets(sf_dir)
-        dd.minhash_index_write(
-            _t(spark, sf_dir, "documents"),
-            name,
-            num_buckets=n_buckets,
-            path=loc,
-            **_MINHASH_INDEX_PARAMS,
-        )
-        tmp = f"{meta_path}.tmp.{os.getpid()}"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(
-                {
-                    "schema_ddl": _MINHASH_INDEX_SCHEMA,
-                    "bucket_key": ["band", "bhash"],
-                    "num_buckets": n_buckets,
-                    "params": _MINHASH_INDEX_PARAMS,
-                },
-                fh,
-            )
-        os.replace(tmp, meta_path)
-    return name
 
 
 @register(

@@ -169,19 +169,22 @@ def ivf_centroids(
         # decimal(38,18) addition is exact and order-independent; the final
         # float division happens once, driver-side.
         # r13 (ADVICE r12): the count MUST count the CAST value, not
-        # F.lit(1) — a value whose decimal cast returns NULL (NaN/Inf/
-        # |x|>=1e20 under try semantics) is skipped by the sum, so
-        # counting raw rows would divide by too many; and a group whose
-        # casts are ALL NULL yields s=None, which must keep the previous
-        # centroid rather than TypeError on float(None).
+        # F.lit(1) — a value whose decimal cast returns NULL (NULL array
+        # elements; NaN/Inf/|x|>=1e20) is skipped by the sum, so counting
+        # raw rows would divide by too many; and a group whose casts are
+        # ALL NULL yields s=None, which must keep the previous centroid
+        # rather than TypeError on float(None). try_cast, not cast: under
+        # Spark 4 ANSI (the session default) a plain cast THROWS on
+        # NaN/overflow instead of returning NULL — the skip semantics
+        # this comment promises require the try_* form (r13 self-review).
         agg = (
             assigned.select(
                 "centroid_id", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x")
             )
             .groupBy("centroid_id", "pos")
             .agg(
-                F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
-                F.count(F.col("x").cast("decimal(38,18)")).alias("n"),
+                F.sum(F.col("x").try_cast("decimal(38,18)")).alias("s"),
+                F.count(F.col("x").try_cast("decimal(38,18)")).alias("n"),
             )
             .collect()
         )
@@ -277,11 +280,12 @@ def pq_codebooks(
             .groupBy("s", "code", "p")
             # decimal-accumulated mean for the same bit-reproducibility
             # reason as ivf_centroids' Lloyd pass (r12); count the CAST
-            # value (not rows) and skip all-NULL groups for the same
-            # reason as ivf_centroids' r13 guard above
+            # value (not rows), skip all-NULL groups, and try_cast so
+            # ANSI mode NULLs rather than throws — the ivf_centroids r13
+            # guard, verbatim
             .agg(
-                F.sum(F.col("x").cast("decimal(38,18)")).alias("m_sum"),
-                F.count(F.col("x").cast("decimal(38,18)")).alias("m_n"),
+                F.sum(F.col("x").try_cast("decimal(38,18)")).alias("m_sum"),
+                F.count(F.col("x").try_cast("decimal(38,18)")).alias("m_n"),
             )
             .collect()
         )

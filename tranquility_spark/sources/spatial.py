@@ -45,11 +45,13 @@ def write_spatial_layout(
     """Write ``df`` partitioned by the geo cell of its spatial dimension.
 
     The cell column is derived, written as the partition directory, and
-    dropped on read (Spark restores it from the path); rows with a
-    malformed/NULL coordinate land in the ``cell=__HIVE_DEFAULT_PARTITION__``
-    directory and still surface in unpruned reads — the covering IN-list
-    never selects them, which matches the row-level filter (a NULL
-    coordinate can never satisfy a bound)."""
+    dropped on read (Spark restores it from the path); rows with ANY
+    malformed/NULL coordinate get a NULL cell id (spatial_cell_column's
+    r13 guard) and land in the ``cell=__HIVE_DEFAULT_PARTITION__``
+    directory — still visible to unpruned reads, never selected by a
+    covering IN-list, never passed by a row-level bound (a NULL
+    coordinate can't satisfy one), and sweepable as a quarantine
+    partition (asserted in tests)."""
     (
         df.withColumn("cell", spatial_cell_column(dim, cell_deg, n_dims))
         .write.mode("overwrite")

@@ -298,12 +298,21 @@ def spatial_cell_column(dim: str, cell_deg: float, n_dims: int = 2) -> Column:
 
     r13 (ADVICE r12): takes ``n_dims`` so the layout matches the
     filter's n-dimensional contract; the default keeps the 2-D geo
-    cell id byte-identical to the r12 layout."""
+    cell id byte-identical to the r12 layout for well-formed coords.
+    A row with ANY malformed/missing coordinate gets a NULL cell id
+    (r13 self-review: concat_ws SKIPS null arguments, so the old
+    behavior filed a half-parsed "12.0" under cell "0" — a real cell's
+    id — instead of the default partition; correctness held because
+    neither a covering list nor the row predicate can match such rows,
+    but layout tooling that quarantines the default partition would
+    have missed them)."""
     coords = _spatial_coords(dim, n_dims)
-    return F.concat_ws(
-        "_",
-        *[F.floor(c / F.lit(float(cell_deg))).cast("long") for c in coords],
-    )
+    cells = [F.floor(c / F.lit(float(cell_deg))).cast("long") for c in coords]
+    all_present = None
+    for c in cells:
+        cond = c.isNotNull()
+        all_present = cond if all_present is None else all_present & cond
+    return F.when(all_present, F.concat_ws("_", *cells))
 
 
 def spatial_cells_for_bound(bound: dict, cell_deg: float) -> list[str]:

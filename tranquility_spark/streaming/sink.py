@@ -400,13 +400,18 @@ def compact(sink: SegmentSink, spark, replica: int = 0, target_files_per_shard: 
        in one rename;
     4. delete the replaced files. A crash here leaves them on disk but
        invisible (the marker excludes them); the next ``compact`` call's
-       janitor pass finishes the deletion.
+       janitor pass finishes the deletion. The janitor also clears
+       ORPHANED compact files (a generation that published but never
+       committed its marker), so a crash in the publish→marker window
+       cannot leave the raw read double-counting forever — even when the
+       retry takes the no-op early return.
 
     A kill at ANY point leaves ``read(committed_only=True)`` exact (chaos-
     tested live in tests/test_streaming.py); the raw read can transiently
     see old+new between steps 2 and 3 — same class as its documented
-    visibility of unmarked batch files. Re-running on an already-compacted
-    layout is a no-op (every partition already at the target file count).
+    visibility of unmarked batch files, and bounded by the next
+    ``compact`` call. Re-running on an already-compacted layout is a
+    no-op (every partition already at the target file count).
 
     At 100 TB run it per closed bucket (watermark passed — no more writes),
     exactly like Druid compacting historical segments; on an object store
@@ -417,12 +422,28 @@ def compact(sink: SegmentSink, spark, replica: int = 0, target_files_per_shard: 
     if not os.path.isdir(base):
         return 0
     committed = sink.committed_compactions(replica)
-    # janitor: finish any committed-but-undeleted predecessor's phase 4
+    # janitor: finish any committed-but-undeleted predecessor's phase 4...
     for m in committed:
         for rel in m["replaced"]:
             stale = os.path.join(base, rel)
             if os.path.exists(stale):
                 os.remove(stale)
+    # ...and clear ORPHANED compact files — a generation that published but
+    # never committed its marker (crash in the publish→marker window).
+    # Without this, the no-op early return below (or a retry with a larger
+    # target) would leave them double-counted by the raw read forever; with
+    # it, the raw read's old+new visibility really is transient (r13
+    # code-review find). Snapshot reads never saw them either way.
+    marked_gens = {m["gen"] for m in committed}
+    for dirpath, _dirs, fs in os.walk(base):
+        for f in fs:
+            if f.startswith("compact-") and f.endswith(".parquet"):
+                try:
+                    g = int(f.split("-")[1])
+                except (IndexError, ValueError):
+                    continue
+                if g not in marked_gens:
+                    os.remove(os.path.join(dirpath, f))
     live = sink.committed_files(replica)
     if not live:
         return 0
