@@ -150,6 +150,8 @@ HEADLINE = [
     "dd19_simhash_served_pairs",
     "dd20_minhash_served_pairs",
     "dq20_spatial_served_filter",
+    "dd21_simhash_incremental_served",
+    "dd22_minhash_incremental_served",
 ]
 
 

@@ -4537,6 +4537,165 @@ def dd20b_minhash_served_equals_guarded(spark: SparkSession, sf_dir: str) -> Dat
     return _equality_probe(served, inline)
 
 
+def _dd_new_batch():
+    """dd8/dd18's deterministic new-batch split (lazy: building a Column
+    expression needs an active SparkContext, so no module-level Column)."""
+    return F.col("doc_id") % 5 == 0
+
+
+def _simhash_registry_table(spark: SparkSession, sf_dir: str) -> str:
+    """The 80%-registry SimHash band index (dd18's split) as a REGISTERED
+    bucketed table — the per-cycle serving registry, distinct from the
+    full-corpus dd19 index by digest kind."""
+    return _served_index_table(
+        spark,
+        sf_dir,
+        "simhashidx80",
+        _SIMHASH_INDEX_SCHEMA,
+        ["band", "bval"],
+        lambda df, name, n, loc: dd.simhash_index_write(
+            df.filter(~_dd_new_batch()), name, num_buckets=n, path=loc
+        ),
+    )
+
+
+def _minhash_registry_table(spark: SparkSession, sf_dir: str) -> str:
+    """The 80%-registry LSH band index (dd8's split) as a REGISTERED
+    bucketed table, LSH parameters pinned in the digest kind."""
+    return _served_index_table(
+        spark,
+        sf_dir,
+        "minhashidx80+" + repr(sorted(_MINHASH_INDEX_PARAMS.items())),
+        _MINHASH_INDEX_SCHEMA,
+        ["band", "bhash"],
+        lambda df, name, n, loc: dd.minhash_index_write(
+            df.filter(~_dd_new_batch()),
+            name,
+            num_buckets=n,
+            path=loc,
+            **_MINHASH_INDEX_PARAMS,
+        ),
+        extra_meta={"params": _MINHASH_INDEX_PARAMS},
+    )
+
+
+@register(
+    "dd21_simhash_incremental_served",
+    None,  # blake2b signatures — rows-only (dd18 policy); equality to
+    # dd18's in-entry-rebuilt run is driver-certified by dd21b
+    doc="Incremental SimHash at ingest served from the REGISTERED "
+    "registry table (r13 — dd18's production shape completed: dd18 "
+    "rebuilds the registry's band index in-entry by design, this entry "
+    "probes the PERSISTED bucketed table a prior ingest cycle wrote, "
+    "exactly what a real per-cycle job does). Only the new 20% batch is "
+    "signature-hashed; the registry is touched through (band, bval) "
+    "bucket probes of the registered table — no corpus re-hash, no "
+    "corpus-side Exchange (the bucketed-probe plan asserted in "
+    "tests/test_bucketed.py now runs as a driver-checked entry). "
+    "Per-cycle cost O(new batch + touched buckets), corpus-size-"
+    "independent — with the registry's signature pass amortized to "
+    "ZERO per cycle",
+)
+def dd21_simhash_incremental_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _simhash_registry_table(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_incremental_pairs(
+        docs.filter(_dd_new_batch()), spark.table(table), threshold=3
+    )
+
+
+@register(
+    "dd21b_simhash_incremental_served_equals_inline",
+    """
+    SELECT CAST(0 AS BIGINT) AS n_mismatched, CAST(1 AS BIGINT) AS both_nonempty
+    """,
+    doc="Driver-certified contract probe for dd21 (the dd19b shape): the "
+    "symmetric difference between the registered-table incremental run "
+    "and dd18's in-entry-rebuilt run on the full (doc_a, doc_b, "
+    "hamming) rows vs the constant-0 oracle — and dd18b already "
+    "certifies dd18 == the full-corpus restriction, so served-"
+    "incremental == full transitively. Not in the bench headline: dd21 "
+    "carries the measured serving row",
+)
+def dd21b_simhash_incremental_served_equals_inline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    table = _simhash_registry_table(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    served = dd.simhash_incremental_pairs(
+        docs.filter(_dd_new_batch()), spark.table(table), threshold=3
+    )
+    inline = dd.simhash_incremental_pairs(
+        docs.filter(_dd_new_batch()),
+        dd.simhash_band_index(docs.filter(~_dd_new_batch())),
+        threshold=3,
+    )
+    # the dd18b lineage cut: exceptAll over plans with subset-column
+    # dropDuplicates upstream trips a Catalyst binding bug — compare
+    # materialized rows
+    served = served.localCheckpoint(eager=False)
+    inline = inline.localCheckpoint(eager=False)
+    return _equality_probe(served, inline)
+
+
+@register(
+    "dd22_minhash_incremental_served",
+    None,  # LSH is hash-defined — rows-only (dd8 policy); equality to
+    # dd8's in-entry-rebuilt run is driver-certified by dd22b
+    doc="Incremental MinHash dedup served from the REGISTERED registry "
+    "table (r13 — dd21's shape on the first signature family, closing "
+    "the matrix: both families now run inline AND served forms of both "
+    "full-corpus and incremental dedup). Only the new 20% batch is "
+    "shingled/hashed; the 80% registry is probed through its persisted "
+    "(band, bhash) buckets with no corpus-side Exchange. The "
+    "registry's shingle+permutation pass — the dominant inline cost — "
+    "amortizes to zero per cycle",
+)
+def dd22_minhash_incremental_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _minhash_registry_table(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return dd.incremental_neardup_pairs(
+        docs.filter(_dd_new_batch()),
+        spark.table(table),
+        threshold=0.5,
+        **_MINHASH_INDEX_PARAMS,
+    )
+
+
+@register(
+    "dd22b_minhash_incremental_served_equals_inline",
+    """
+    SELECT CAST(0 AS BIGINT) AS n_mismatched, CAST(1 AS BIGINT) AS both_nonempty
+    """,
+    doc="Driver-certified contract probe for dd22 (the dd21b shape): "
+    "registered-table incremental run == dd8's in-entry-rebuilt run on "
+    "the full (id_a, id_b, est_jaccard) rows vs the constant-0 oracle; "
+    "dd8b already certifies incremental == full-corpus restriction, so "
+    "served-incremental == full transitively. Not in the bench "
+    "headline: dd22 carries the measured serving row",
+)
+def dd22b_minhash_incremental_served_equals_inline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    table = _minhash_registry_table(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    served = dd.incremental_neardup_pairs(
+        docs.filter(_dd_new_batch()),
+        spark.table(table),
+        threshold=0.5,
+        **_MINHASH_INDEX_PARAMS,
+    )
+    inline = dd.incremental_neardup_pairs(
+        docs.filter(_dd_new_batch()),
+        dd.lsh_band_index(docs.filter(~_dd_new_batch()), **_MINHASH_INDEX_PARAMS),
+        threshold=0.5,
+        **_MINHASH_INDEX_PARAMS,
+    )
+    served = served.localCheckpoint(eager=False)
+    inline = inline.localCheckpoint(eager=False)
+    return _equality_probe(served, inline)
+
+
 @register(
     "txt10_top_tokens",
     """
