@@ -1176,6 +1176,59 @@ def test_minhash_distinct_sig_guard_pathological_and_equal(spark, sf_dir):
     assert len({(r["id_a"], r["id_b"]) for r in got}) == len(got)
 
 
+def test_served_pair_paths_pathological_corpora(spark):
+    """r13: the served pair extractions (dd19/dd20's operators) on the
+    corpora that break naive implementations — all-identical texts (one
+    distinct signature; the hot-bucket guard must hold through the
+    persisted index too: the fan-out is the FINAL join, never the banded
+    candidate stage), a single document (no pairs, no crash), and the
+    served == inline equality on both."""
+    from pyspark.sql import functions as F
+
+    from tranquility_spark.operators.dedup import (
+        lsh_band_index,
+        minhash_lsh_pairs_distinct,
+        minhash_pairs_from_index,
+        simhash_band_index,
+        simhash_neardup_pairs,
+        simhash_pairs_from_index,
+    )
+
+    n = 120
+    patho = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(n)],
+        "doc_id long, text string",
+    )
+    # SimHash served: one distinct signature -> candidate stage is 1x1;
+    # the complete quadratic pair set fans out at hamming 0
+    sidx = simhash_band_index(patho)
+    assert sidx.select("sighex").distinct().count() == 1
+    got = simhash_pairs_from_index(sidx, threshold=3).collect()
+    assert len(got) == n * (n - 1) // 2
+    assert all(r["hamming"] == 0 and r["doc_a"] < r["doc_b"] for r in got)
+    want = sorted(
+        map(tuple, simhash_neardup_pairs(patho, threshold=3).collect())
+    )
+    assert sorted(map(tuple, got)) == want
+
+    # MinHash served on the same corpus
+    midx = lsh_band_index(patho)
+    mgot = minhash_pairs_from_index(midx, num_hashes=64, threshold=0.5).collect()
+    assert len(mgot) == n * (n - 1) // 2
+    assert all(r["est_jaccard"] == 1.0 and r["id_a"] < r["id_b"] for r in mgot)
+    mwant = sorted(
+        map(tuple, minhash_lsh_pairs_distinct(patho, threshold=0.5).collect())
+    )
+    assert sorted(map(tuple, mgot)) == mwant
+
+    # single-document corpus: zero pairs, no crash on either family
+    single = spark.createDataFrame([(1, "just one doc")], "doc_id long, text string")
+    assert simhash_pairs_from_index(simhash_band_index(single)).count() == 0
+    assert (
+        minhash_pairs_from_index(lsh_band_index(single), num_hashes=64).count() == 0
+    )
+
+
 def test_ivf_persisted_index_prunes_partitions_and_matches(spark, sf_dir, tmp_path):
     """The persisted IVF serving path (the '100 TB shape' made literal):
     ivf_index_write lands the corpus partitionBy(centroid_id) with a

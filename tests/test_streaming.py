@@ -711,6 +711,50 @@ def test_compaction_chaos_kill_between_publish_and_marker(spark, tmp_path):
     assert compact(sink, spark) == 0
 
 
+def test_compaction_replicated_layout_per_replica_markers(spark, tmp_path):
+    """r13: compaction on a replicated sink is per-replica — each replica
+    compacts independently under its own _compactions marker namespace,
+    and a crash that compacted only replica 0 leaves replica 1's layout
+    fully readable (replication's whole point). After both compact, the
+    replicas agree through both read modes."""
+    import glob
+
+    from tranquility_spark.streaming.sink import compact
+
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR", replicants=2)
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 6, 1, 11, b), f"p{b}")], "ts timestamp, page string"
+        )
+        sink.write_batch(df, b)
+    want = sorted(f"p{b}" for b in range(3))
+
+    assert compact(sink, spark, replica=0) == 1
+    # replica 0 compacted, replica 1 untouched — the intermediate state a
+    # crash between the two compact calls would leave
+    assert len(sink.committed_compactions(0)) == 1
+    assert sink.committed_compactions(1) == []
+    assert glob.glob(f"{sink._ds_root(1)}/**/batch-*.parquet", recursive=True)
+    for replica in (0, 1):
+        for committed_only in (False, True):
+            got = sorted(
+                r.page
+                for r in sink.read(
+                    spark, replica=replica, committed_only=committed_only
+                ).collect()
+            )
+            assert got == want, (replica, committed_only)
+
+    assert compact(sink, spark, replica=1) == 1
+    for replica in (0, 1):
+        files = glob.glob(f"{sink._ds_root(replica)}/**/*.parquet", recursive=True)
+        assert len(files) == 1, files
+        got = sorted(
+            r.page for r in sink.read(spark, replica=replica).collect()
+        )
+        assert got == want
+
+
 def test_compaction_janitor_clears_orphans_on_noop(spark, tmp_path):
     """r13 self-review find: after a publish→marker crash, a retry that
     takes the NO-OP early return (target already met) must still clear
