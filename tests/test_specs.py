@@ -304,7 +304,17 @@ def test_spatial_served_read_prunes_and_matches_unpruned(spark, tmp_path):
     rows = [
         (i, f"{(i * 7) % 180 - 90}.5,{(i * 13) % 360 - 180}.25")
         for i in range(3000)
-    ] + [(9001, "not-a-coord"), (9002, None), (9003, "12.0")]
+    ] + [
+        (9001, "not-a-coord"),
+        (9002, None),
+        (9003, "12.0"),
+        # r13 code-review find: try_cast('double') PARSES these strings —
+        # without the finite-only guard NaN floor-casts to cell 0 (a REAL
+        # cell) and Infinity to Long.MAX (an absurd partition directory)
+        (9004, "NaN,5.0"),
+        (9005, "Infinity,5.0"),
+        (9006, "-Infinity,-5.0"),
+    ]
     df = spark.createDataFrame(rows, "id long, coords string")
     layout = str(tmp_path / "geo_served")
     write_spatial_layout(df, layout, dim="coords", cell_deg=30.0)
@@ -328,7 +338,7 @@ def test_spatial_served_read_prunes_and_matches_unpruned(spark, tmp_path):
     got = {r["id"] for r in pruned.collect()}
     want = {r["id"] for r in unpruned.collect()}
     assert got == want and len(want) > 0
-    assert not {9001, 9002, 9003} & got
+    assert not {9001, 9002, 9003, 9004, 9005, 9006} & got
     # the malformed rows are quarantined in the DEFAULT partition — a
     # half-parsed "12.0" must NOT be filed under a real cell id like "0"
     # (r13 self-review: concat_ws skips NULL args)
@@ -336,7 +346,7 @@ def test_spatial_served_read_prunes_and_matches_unpruned(spark, tmp_path):
         r["id"]
         for r in base.filter(F.col("cell").isNull()).select("id").collect()
     }
-    assert quarantined == {9001, 9002, 9003}
+    assert quarantined == {9001, 9002, 9003, 9004, 9005, 9006}
 
 
 def test_rollup_collapses_duplicate_keys(spark):

@@ -711,6 +711,33 @@ def test_compaction_chaos_kill_between_publish_and_marker(spark, tmp_path):
     assert compact(sink, spark) == 0
 
 
+def test_compaction_rejects_out_of_range_replica(spark, tmp_path):
+    """r13 code-review find: _ds_root aliases every replica number to the
+    SAME directory when replicants == 1, so compact(replica=1) on a
+    single-replica sink would read an empty marker namespace and the
+    orphan janitor would delete committed compact files as unmarked —
+    the call must be rejected up front, never treated as a no-op."""
+    from tranquility_spark.streaming.sink import compact
+
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    for b in range(2):
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 6, 1, 11, b), f"p{b}")], "ts timestamp, page string"
+        )
+        sink.write_batch(df, b)
+    assert compact(sink, spark) == 1
+    want = sorted(r.page for r in sink.read(spark).collect())
+    with pytest.raises(ValueError, match="out of range"):
+        compact(sink, spark, replica=1)
+    with pytest.raises(ValueError, match="out of range"):
+        compact(sink, spark, replica=-1)
+    # the committed compacted data is untouched by the rejected calls
+    assert sorted(r.page for r in sink.read(spark).collect()) == want
+    assert sorted(
+        r.page for r in sink.read(spark, committed_only=True).collect()
+    ) == want
+
+
 def test_compaction_replicated_layout_per_replica_markers(spark, tmp_path):
     """r13: compaction on a replicated sink is per-replica — each replica
     compacts independently under its own _compactions marker namespace,

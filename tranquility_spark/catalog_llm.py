@@ -1486,8 +1486,12 @@ def _index_cache_root() -> str:
 # (r12: the Lloyd/PQ means moved from float avg to decimal accumulation —
 # values shift in the last ulps, so every sidecar and layout digest must
 # roll or a stale sidecar would disagree with a fresh build and break the
-# dd13c/sim3c equality certifications).
-_INDEX_FORMAT_VERSION = 2
+# dd13c/sim3c equality certifications) OR the on-disk layout protocol
+# changes (r13: the served-index tables moved to the shared
+# _served_index_table protocol with a renamed `_meta.json` sidecar — an
+# explicit version roll beats a pre-roll cache dir silently half-matching
+# the new protocol and triggering an unintended in-place rebuild).
+_INDEX_FORMAT_VERSION = 3
 
 
 def _index_cache_digest(kind: str, ck: tuple) -> str:
@@ -4539,7 +4543,15 @@ def dd20b_minhash_served_equals_guarded(spark: SparkSession, sf_dir: str) -> Dat
 
 def _dd_new_batch():
     """dd8/dd18's deterministic new-batch split (lazy: building a Column
-    expression needs an active SparkContext, so no module-level Column)."""
+    expression needs an active SparkContext, so no module-level Column).
+
+    dd8/dd8b/dd18/dd18b inline the SAME predicate on purpose — they are
+    certified entries whose fn source is fingerprint-frozen, so routing
+    them through this helper would force four rotations for a purely
+    stylistic change (the minhash_lsh_pairs_distinct banding-copy
+    precedent). If the split fraction ever changes, update ALL copies and
+    rotate those entries — dd21b/dd22b's equality certification against
+    dd18/dd8 depends on the splits matching."""
     return F.col("doc_id") % 5 == 0
 
 

@@ -309,8 +309,13 @@ def spatial_cell_column(dim: str, cell_deg: float, n_dims: int = 2) -> Column:
     coords = _spatial_coords(dim, n_dims)
     cells = [F.floor(c / F.lit(float(cell_deg))).cast("long") for c in coords]
     all_present = None
-    for c in cells:
-        cond = c.isNotNull()
+    for c in coords:
+        # finite-only, not just non-NULL (r13 code-review find):
+        # try_cast('double') accepts 'NaN'/'Infinity' strings, and Spark's
+        # floor->long maps NaN to 0 (a REAL cell) and Inf to Long.MAX (an
+        # absurd partition directory) — both must quarantine like any
+        # other malformed coordinate (no bound can match them anyway)
+        cond = c.isNotNull() & ~F.isnan(c) & (F.abs(c) < F.lit(float("inf")))
         all_present = cond if all_present is None else all_present & cond
     return F.when(all_present, F.concat_ws("_", *cells))
 

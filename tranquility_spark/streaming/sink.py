@@ -418,6 +418,15 @@ def compact(sink: SegmentSink, spark, replica: int = 0, target_files_per_shard: 
     the marker becomes a manifest commit, same shape as ``write_batch``'s
     scale story. Returns the number of (bucket, shard) partitions rewritten.
     """
+    if not 0 <= replica < sink.replicants:
+        # r13 code-review find: _ds_root aliases EVERY replica number to
+        # the same directory when replicants == 1, so a wrong replica arg
+        # would read an empty marker namespace and the orphan janitor
+        # would delete committed compact files as "unmarked" — silent
+        # data loss where the pre-protocol code was a harmless no-op
+        raise ValueError(
+            f"replica {replica} out of range for replicants={sink.replicants}"
+        )
     base = sink._ds_root(replica)
     if not os.path.isdir(base):
         return 0
