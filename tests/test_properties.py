@@ -535,3 +535,65 @@ def test_spatial_filter_sql_matches_column(spark, pts, b1, center, radius):
             ).fetchall()
         }
         assert got == want, (spec, got ^ want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n_dims=st.integers(min_value=1, max_value=4),
+    cell_deg=st.floats(min_value=0.1, max_value=90.0, allow_nan=False),
+    data=st.data(),
+)
+def test_spatial_covering_property_fuzz(n_dims, cell_deg, data):
+    """r13: the covering invariant dq20's pruning correctness rests on,
+    fuzzed driver-side in pure Python (the cell-id arithmetic mirrors
+    Spark's FLOOR exactly — math.floor on doubles): for ANY bound and ANY
+    point satisfying it, the point's cell id MUST appear in
+    spatial_cells_for_bound's covering list. If this ever fails, the
+    pruned read silently drops matching rows — the one failure mode a
+    partition-pruning layout can have. n-dimensional per the ADVICE r12
+    #3 generalization; cell sizes from sub-degree to hemisphere."""
+    import math
+
+    from tranquility_spark.specs import spatial_cells_for_bound
+
+    coord = st.floats(min_value=-1000, max_value=1000, allow_nan=False)
+    # per-axis extent bounded to a few cells: the covering enumeration is
+    # O(product of per-axis cell counts) by design (and now guarded by
+    # max_cells — this fuzz FOUND that hazard); multi-cell coverage is
+    # still exercised on every axis
+    span = st.floats(min_value=0.0, max_value=3.0 * cell_deg, allow_nan=False)
+    if data.draw(st.booleans(), label="rectangular"):
+        lo = [data.draw(coord, label=f"lo{i}") for i in range(n_dims)]
+        hi = [a + data.draw(span, label=f"hi{i}") for i, a in enumerate(lo)]
+        bound = {"type": "rectangular", "minCoords": lo, "maxCoords": hi}
+        # a point inside the box, drawn per-axis within [lo, hi]
+        pt = [
+            data.draw(
+                st.floats(min_value=a, max_value=b, allow_nan=False),
+                label=f"pt{i}",
+            )
+            for i, (a, b) in enumerate(zip(lo, hi))
+        ]
+        satisfies = all(a <= x <= b for x, a, b in zip(pt, lo, hi))
+    else:
+        center = [data.draw(coord, label=f"c{i}") for i in range(n_dims)]
+        radius = data.draw(
+            st.floats(min_value=0.0, max_value=1.5 * cell_deg, allow_nan=False),
+            label="radius",
+        )
+        bound = {"type": "radius", "coords": center, "radius": radius}
+        # a point inside the bounding box of the ball; keep only those
+        # actually inside the ball (the predicate the reader applies)
+        pt = [
+            data.draw(
+                st.floats(min_value=c - radius, max_value=c + radius, allow_nan=False),
+                label=f"pt{i}",
+            )
+            for i, c in enumerate(center)
+        ]
+        satisfies = sum((x - c) ** 2 for x, c in zip(pt, center)) <= radius**2
+    if not satisfies:
+        return  # only points the row predicate keeps need covering
+    cells = spatial_cells_for_bound(bound, cell_deg)
+    cell_id = "_".join(str(math.floor(x / cell_deg)) for x in pt)
+    assert cell_id in cells, (bound, cell_deg, pt, cell_id)

@@ -253,6 +253,18 @@ def test_spatial_cells_nd_and_validation():
         spatial_cells_for_bound(
             {"type": "rectangular", "minCoords": [], "maxCoords": []}, 1.0
         )
+    # r13: the covering enumeration is driver-side O(cells in box) — a
+    # near-full-extent bound over a fine grid must fail loudly with the
+    # remedy, not hang or OOM the driver (found by the covering fuzz)
+    with pytest.raises(ValueError, match="coarsen cell_deg"):
+        spatial_cells_for_bound(
+            {
+                "type": "rectangular",
+                "minCoords": [-1000.0, -1000.0, -1000.0],
+                "maxCoords": [1000.0, 1000.0, 1000.0],
+            },
+            0.1,
+        )
 
 
 def test_spatial_cell_layout_3d_covering(spark):

@@ -320,7 +320,9 @@ def spatial_cell_column(dim: str, cell_deg: float, n_dims: int = 2) -> Column:
     return F.when(all_present, F.concat_ws("_", *cells))
 
 
-def spatial_cells_for_bound(bound: dict, cell_deg: float) -> list[str]:
+def spatial_cells_for_bound(
+    bound: dict, cell_deg: float, max_cells: int = 100_000
+) -> list[str]:
     """The covering cell IN-list for a spatialFilter bound (rectangular
     as-is; radius via its bounding box) — a driver-side computation over
     the bound's constants, O(cells in the box). The list is a SUPERSET
@@ -356,6 +358,19 @@ def spatial_cells_for_bound(bound: dict, cell_deg: float) -> list[str]:
         range(math.floor(a / cell_deg), math.floor(b / cell_deg) + 1)
         for a, b in zip(lo, hi)
     ]
+    # r13 (found by the covering-property fuzz): the enumeration is
+    # O(product of per-axis cell counts) DRIVER-side — a planet-wide bound
+    # over a fine grid would materialize millions of ids and then feed an
+    # equally huge IN-list to the planner. Fail loudly with the remedy
+    # instead of hanging; a bound this wide shouldn't prune anyway.
+    total = math.prod(len(ax) for ax in axes)
+    if total > max_cells:
+        raise ValueError(
+            f"bound covers {total} cells at cell_deg={cell_deg} "
+            f"(max_cells={max_cells}) — coarsen cell_deg or skip pruning "
+            "for near-full-extent bounds (an IN-list this wide prunes "
+            "nothing and bloats the plan)"
+        )
     return ["_".join(str(g) for g in cell) for cell in itertools.product(*axes)]
 
 
