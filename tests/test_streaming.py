@@ -711,6 +711,85 @@ def test_compaction_chaos_kill_between_publish_and_marker(spark, tmp_path):
     assert compact(sink, spark) == 0
 
 
+def test_compaction_crash_point_fuzz(spark, tmp_path_factory):
+    """r13: state-machine fuzz of the whole compaction protocol — crash
+    at EVERY filesystem-mutation point inside compact() (rename, remove,
+    link), not just the two hand-picked windows. The invariant at every
+    crash point: the snapshot read still equals exactly the committed
+    batches' rows (no loss, no duplication). Recovery invariant: one
+    clean compact() afterwards restores both read modes to exact and a
+    further call is a no-op. This subsumes the targeted chaos tests for
+    windows nobody thought to name."""
+    import itertools
+
+    import tranquility_spark.streaming.sink as sink_mod
+    from tranquility_spark.streaming.sink import compact
+
+    real = {"rename": os.rename, "remove": os.remove, "link": os.link}
+
+    for crash_at in itertools.count():
+        base_dir = tmp_path_factory.mktemp(f"chaosfuzz{crash_at}")
+        sink = SegmentSink(str(base_dir / "seg"), "wiki", "HOUR")
+        for b in range(3):
+            df = spark.createDataFrame(
+                [(dt.datetime(2024, 6, 1, 11 + (b % 2), b), f"p{b}")],
+                "ts timestamp, page string",
+            )
+            sink.write_batch(df, b)
+        want = sorted(f"p{b}" for b in range(3))
+
+        calls = {"n": 0}
+        crashed = {"done": False}
+
+        def make_chaos(name):
+            fn = real[name]
+
+            def chaos(*a, **kw):
+                calls["n"] += 1
+                if calls["n"] == crash_at + 1:
+                    crashed["done"] = True
+                    raise RuntimeError(f"chaos: fs mutation #{calls['n']} ({name})")
+                return fn(*a, **kw)
+
+            return chaos
+
+        sink_mod.os.rename = make_chaos("rename")
+        sink_mod.os.remove = make_chaos("remove")
+        sink_mod.os.link = make_chaos("link")
+        try:
+            try:
+                compact(sink, spark)
+            except RuntimeError as exc:
+                assert "chaos" in str(exc)
+        finally:
+            sink_mod.os.rename = real["rename"]
+            sink_mod.os.remove = real["remove"]
+            sink_mod.os.link = real["link"]
+
+        # THE invariant: whatever point the crash hit, the snapshot read
+        # is exact
+        got = sorted(
+            r.page for r in sink.read(spark, committed_only=True).collect()
+        )
+        assert got == want, f"snapshot broken at crash point {crash_at}"
+
+        # recovery: one clean compact, then both modes exact and no-op
+        compact(sink, spark)
+        for committed_only in (False, True):
+            got = sorted(
+                r.page
+                for r in sink.read(spark, committed_only=committed_only).collect()
+            )
+            assert got == want, (crash_at, committed_only)
+        assert compact(sink, spark) == 0
+
+        if not crashed["done"]:
+            # crash_at exceeded the protocol's total mutation count —
+            # every point has been exercised
+            assert crash_at >= 5, "suspiciously few fs mutations in compact()"
+            break
+
+
 def test_compaction_rejects_out_of_range_replica(spark, tmp_path):
     """r13 code-review find: _ds_root aliases every replica number to the
     SAME directory when replicants == 1, so compact(replica=1) on a
