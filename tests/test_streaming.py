@@ -711,6 +711,57 @@ def test_compaction_chaos_kill_between_publish_and_marker(spark, tmp_path):
     assert compact(sink, spark) == 0
 
 
+def test_compaction_bucket_scoped_before_cutoff(spark, tmp_path):
+    """r13: the production maintenance shape — compact(before=<bucket>)
+    rewrites only buckets strictly earlier than the cutoff (closed
+    segments), leaving later buckets' batch files untouched for further
+    streaming; reads stay exact throughout, and a later full compact
+    picks up the rest."""
+    import glob
+
+    from tranquility_spark.streaming.sink import compact
+
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    for b in range(6):
+        hour = 11 if b < 3 else 12
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 6, 1, hour, b), f"p{b}")],
+            "ts timestamp, page string",
+        )
+        sink.write_batch(df, b)
+    want = sorted(f"p{b}" for b in range(6))
+    old_dir = str(tmp_path / "seg" / "ds=wiki" / "g=2024-06-01-11-00" / "p=0")
+    new_dir = str(tmp_path / "seg" / "ds=wiki" / "g=2024-06-01-12-00" / "p=0")
+
+    # only the closed 11:00 bucket is rewritten
+    assert compact(sink, spark, before="2024-06-01-12-00") == 1
+    assert len(glob.glob(f"{old_dir}/*.parquet")) == 1
+    assert len(glob.glob(f"{new_dir}/batch-*.parquet")) == 3  # untouched
+    for committed_only in (False, True):
+        got = sorted(
+            r.page
+            for r in sink.read(spark, committed_only=committed_only).collect()
+        )
+        assert got == want
+    # the still-open bucket keeps receiving batches after the maintenance
+    sink.write_batch(
+        spark.createDataFrame(
+            [(dt.datetime(2024, 6, 1, 12, 30), "p6")], "ts timestamp, page string"
+        ),
+        6,
+    )
+    want = sorted(want + ["p6"])
+    # a later full compact merges the rest; everything still exact
+    assert compact(sink, spark) >= 1
+    assert len(glob.glob(f"{new_dir}/*.parquet")) == 1
+    for committed_only in (False, True):
+        got = sorted(
+            r.page
+            for r in sink.read(spark, committed_only=committed_only).collect()
+        )
+        assert got == want
+
+
 def test_compaction_crash_point_fuzz(spark, tmp_path_factory):
     """r13: state-machine fuzz of the whole compaction protocol — crash
     at EVERY filesystem-mutation point inside compact() (rename, remove,

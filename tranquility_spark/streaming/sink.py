@@ -374,7 +374,13 @@ class MultiDatasourceSink:
         return _fn
 
 
-def compact(sink: SegmentSink, spark, replica: int = 0, target_files_per_shard: int = 1) -> int:
+def compact(
+    sink: SegmentSink,
+    spark,
+    replica: int = 0,
+    target_files_per_shard: int = 1,
+    before: str | None = None,
+) -> int:
     """Merge a segment layout's accumulated micro-batch files (Druid compaction).
 
     Streaming produces one file per (bucket, shard) per micro-batch; after N
@@ -414,9 +420,17 @@ def compact(sink: SegmentSink, spark, replica: int = 0, target_files_per_shard: 
     no-op (every partition already at the target file count).
 
     At 100 TB run it per closed bucket (watermark passed — no more writes),
-    exactly like Druid compacting historical segments; on an object store
-    the marker becomes a manifest commit, same shape as ``write_batch``'s
-    scale story. Returns the number of (bucket, shard) partitions rewritten.
+    exactly like Druid compacting historical segments — that is what
+    ``before`` is for (r13): a ``g`` bucket-string cutoff
+    ("yyyy-MM-dd-HH-mm"; lexicographic == chronological) restricting the
+    rewrite to buckets STRICTLY earlier, so the maintenance job touches
+    yesterday's closed segments while today's keep streaming (a batch
+    landing in an untouched bucket during the rewrite is invisible to
+    this run's ``replaced`` list and stays live — the marker protocol
+    composes with concurrent writes to OTHER buckets by construction).
+    On an object store the marker becomes a manifest commit, same shape
+    as ``write_batch``'s scale story. Returns the number of
+    (bucket, shard) partitions rewritten.
     """
     if not 0 <= replica < sink.replicants:
         # r13 code-review find: _ds_root aliases EVERY replica number to
@@ -454,6 +468,18 @@ def compact(sink: SegmentSink, spark, replica: int = 0, target_files_per_shard: 
                 if g not in marked_gens:
                     os.remove(os.path.join(dirpath, f))
     live = sink.committed_files(replica)
+    if before is not None:
+        # bucket-scoped maintenance: only files in g=<bucket> partitions
+        # strictly earlier than the cutoff participate — later buckets are
+        # neither read, rewritten, replaced nor counted toward the no-op
+        # check (they may still be receiving batches)
+        def _bucket_of(path: str) -> str | None:
+            for part in os.path.relpath(path, base).split(os.sep):
+                if part.startswith("g="):
+                    return part[2:]
+            return None
+
+        live = [f for f in live if (_bucket_of(f) or "") < before]
     if not live:
         return 0
     by_dir: dict[str, int] = {}
