@@ -361,6 +361,45 @@ def test_spatial_served_read_prunes_and_matches_unpruned(spark, tmp_path):
     assert quarantined == {9001, 9002, 9003, 9004, 9005, 9006}
 
 
+def test_spatial_read_falls_back_when_covering_too_wide(spark, tmp_path):
+    """r13 code-review find: the max_cells guard must not turn a
+    previously-working wide-bound read into a hard failure —
+    read_spatial_filtered falls back to the unpruned scan (same rows,
+    no IN-list) when the covering enumeration would explode, while
+    genuine spec errors still propagate."""
+    import pytest as pt
+
+    from tranquility_spark.sources.spatial import (
+        read_spatial_filtered,
+        write_spatial_layout,
+    )
+
+    rows = [(i, f"{(i * 7) % 100 - 50}.5,{(i * 13) % 100 - 50}.25") for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, coords string")
+    layout = str(tmp_path / "geo_wide")
+    write_spatial_layout(df, layout, dim="coords", cell_deg=0.5)
+
+    wide = {
+        "type": "spatial",
+        "dimension": "coords",
+        "bound": {
+            "type": "rectangular",
+            "minCoords": [-10000.0, -10000.0],
+            "maxCoords": [10000.0, 10000.0],
+        },
+    }
+    got = read_spatial_filtered(spark, layout, wide, cell_deg=0.5, max_cells=1000)
+    assert got.count() == 500  # unpruned fallback — every row matches
+    # a genuine spec error is NOT swallowed by the fallback
+    bad = {
+        "type": "spatial",
+        "dimension": "coords",
+        "bound": {"type": "rectangular", "minCoords": [0.0], "maxCoords": [0.0, 1.0]},
+    }
+    with pt.raises(ValueError, match="dims"):
+        read_spatial_filtered(spark, layout, bad, cell_deg=0.5)
+
+
 def test_rollup_collapses_duplicate_keys(spark):
     # FIXTURES.md B5 rollup_dupes: identical (trunc ts, dims) rows collapse
     base = dt.datetime(2024, 1, 1, 10, 0)

@@ -667,20 +667,22 @@ def test_compaction_chaos_kill_between_publish_and_marker(spark, tmp_path):
     bucket_dir = str(tmp_path / "seg" / "ds=wiki" / "g=2024-06-01-11-00" / "p=0")
 
     crashed = {"done": False}
-    real_rename = os.rename
+    real_link = os.link
 
-    def chaos_rename(s, d):
+    def chaos_link(s, d):
+        # the r13 marker commit is an EXCLUSIVE os.link (concurrent-
+        # compactor guard), so the kill intercepts link, not rename
         if os.path.basename(str(d)) == "wiki-r0-1" and not crashed["done"]:
             crashed["done"] = True
             raise RuntimeError("chaos: killed between compaction publish and marker")
-        real_rename(s, d)
+        return real_link(s, d)
 
-    sink_mod.os.rename = chaos_rename
+    sink_mod.os.link = chaos_link
     try:
         with pytest.raises(RuntimeError, match="chaos"):
             compact(sink, spark)
     finally:
-        sink_mod.os.rename = real_rename
+        sink_mod.os.link = real_link
     assert crashed["done"], "the injected kill never fired"
 
     # mid-crash: the compacted files ARE published (the window is real)...
@@ -709,6 +711,113 @@ def test_compaction_chaos_kill_between_publish_and_marker(spark, tmp_path):
     assert len(glob.glob(f"{bucket_dir}/*.parquet")) == 1
     # and a further re-run is a no-op (already at the target file count)
     assert compact(sink, spark) == 0
+
+
+def test_compaction_guards_and_selective_rewrite(spark, tmp_path):
+    """r13 code-review finds, regression-pinned: (a) a malformed before
+    cutoff fails loudly instead of silently mis-scoping the maintenance
+    run; (b) a full compact rewrites ONLY over-target directories —
+    already-compacted closed segments are not re-read/re-published every
+    cycle (O(new small files), not O(total data)); (c) a concurrent
+    compactor losing the same-generation marker race aborts WITHOUT
+    deleting anything, and the next run's janitor clears its extras."""
+    import glob
+    import json as _json
+
+    from tranquility_spark.streaming.sink import compact
+
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 6, 1, 11, b), f"p{b}")], "ts timestamp, page string"
+        )
+        sink.write_batch(df, b)
+    want = sorted(f"p{b}" for b in range(3))
+    bucket_11 = str(tmp_path / "seg" / "ds=wiki" / "g=2024-06-01-11-00" / "p=0")
+    bucket_12 = str(tmp_path / "seg" / "ds=wiki" / "g=2024-06-01-12-00" / "p=0")
+
+    # (a) malformed cutoffs are rejected
+    for bad in ("2024-06-01", "2024-06-01T12:00", "yesterday"):
+        with pytest.raises(ValueError, match="bucket string"):
+            compact(sink, spark, before=bad)
+
+    # (b) selective rewrite: compact 11:00, then land batches in 12:00 —
+    # the next full compact must NOT touch 11:00's compacted file
+    assert compact(sink, spark) == 1
+    gen1_file = glob.glob(f"{bucket_11}/compact-1-*.parquet")
+    assert len(gen1_file) == 1
+    gen1_mtime = os.path.getmtime(gen1_file[0])
+    for b in (3, 4):
+        sink.write_batch(
+            spark.createDataFrame(
+                [(dt.datetime(2024, 6, 1, 12, b), f"p{b}")],
+                "ts timestamp, page string",
+            ),
+            b,
+        )
+    want = sorted(want + ["p3", "p4"])
+    assert compact(sink, spark) == 1  # only the 12:00 (bucket, shard)
+    assert glob.glob(f"{bucket_11}/compact-1-*.parquet") == gen1_file
+    assert os.path.getmtime(gen1_file[0]) == gen1_mtime  # untouched
+    assert len(glob.glob(f"{bucket_12}/compact-2-*.parquet")) == 1
+    for committed_only in (False, True):
+        got = sorted(
+            r.page
+            for r in sink.read(spark, committed_only=committed_only).collect()
+        )
+        assert got == want
+
+    # (c) losing the marker race: a "winner" marker for the SAME
+    # generation lands just before the loser's exclusive link (injected
+    # into the real commit path) — the loser must abort WITHOUT deleting
+    # anything, and the next run's janitor clears its unlisted extras
+    import tranquility_spark.streaming.sink as sink_mod
+
+    sink.write_batch(
+        spark.createDataFrame(
+            [(dt.datetime(2024, 6, 1, 12, 30), "p5")], "ts timestamp, page string"
+        ),
+        5,
+    )
+    want_after = sorted(want + ["p5"])
+    winner = {"gen": 3, "replica": 0, "rows": 0, "files": [], "replaced": []}
+    raced = {"done": False}
+    real_link = os.link
+
+    def racing_link(src, dst):
+        if os.path.basename(str(dst)) == "wiki-r0-3" and not raced["done"]:
+            raced["done"] = True
+            with open(dst, "w") as fh:
+                _json.dump(winner, fh)  # the concurrent winner commits first
+        return real_link(src, dst)
+
+    sink_mod.os.link = racing_link
+    try:
+        with pytest.raises(RuntimeError, match="concurrent compaction"):
+            compact(sink, spark)
+    finally:
+        sink_mod.os.link = real_link
+    assert raced["done"], "the race never fired"
+    # the loser deleted NOTHING: the snapshot read is exact (the loser's
+    # published gen-3 extras are unlisted in the winner's marker, hence
+    # invisible); the RAW read transiently sees them — the documented
+    # old+new window, bounded by the next compact's janitor
+    snap = sorted(
+        r.page for r in sink.read(spark, committed_only=True).collect()
+    )
+    assert snap == want_after
+    raw = sorted(r.page for r in sink.read(spark).collect())
+    assert set(raw) == set(want_after)  # nothing lost, dupes transient
+    # retry: the janitor removes the loser's unlisted gen-3 extras, the
+    # new run commits gen 4 cleanly
+    assert compact(sink, spark) == 1
+    assert not glob.glob(f"{bucket_12}/compact-3-*.parquet")
+    for committed_only in (False, True):
+        got = sorted(
+            r.page
+            for r in sink.read(spark, committed_only=committed_only).collect()
+        )
+        assert got == want_after, committed_only
 
 
 def test_compaction_bucket_scoped_before_cutoff(spark, tmp_path):
@@ -791,15 +900,24 @@ def test_compaction_crash_point_fuzz(spark, tmp_path_factory):
 
         calls = {"n": 0}
         crashed = {"done": False}
+        scope = str(base_dir)
 
         def make_chaos(name):
             fn = real[name]
 
             def chaos(*a, **kw):
-                calls["n"] += 1
-                if calls["n"] == crash_at + 1:
-                    crashed["done"] = True
-                    raise RuntimeError(f"chaos: fs mutation #{calls['n']} ({name})")
+                # count (and crash) ONLY mutations on this sink's paths:
+                # the patch is process-global (sink_mod.os IS os), so an
+                # unrelated caller — a tempfile finalizer, a py4j thread —
+                # must pass through untouched or the crash points drift
+                # between runs (r13 code-review find)
+                if a and str(a[0]).startswith(scope):
+                    calls["n"] += 1
+                    if calls["n"] == crash_at + 1:
+                        crashed["done"] = True
+                        raise RuntimeError(
+                            f"chaos: fs mutation #{calls['n']} ({name})"
+                        )
                 return fn(*a, **kw)
 
             return chaos
@@ -933,20 +1051,20 @@ def test_compaction_janitor_clears_orphans_on_noop(spark, tmp_path):
     bucket_dir = str(tmp_path / "seg" / "ds=wiki" / "g=2024-06-01-11-00" / "p=0")
 
     crashed = {"done": False}
-    real_rename = os.rename
+    real_link = os.link
 
-    def chaos_rename(s, d):
+    def chaos_link(s, d):
         if os.path.basename(str(d)) == "wiki-r0-1" and not crashed["done"]:
             crashed["done"] = True
             raise RuntimeError("chaos: killed between compaction publish and marker")
-        real_rename(s, d)
+        return real_link(s, d)
 
-    sink_mod.os.rename = chaos_rename
+    sink_mod.os.link = chaos_link
     try:
         with pytest.raises(RuntimeError, match="chaos"):
             compact(sink, spark)
     finally:
-        sink_mod.os.rename = real_rename
+        sink_mod.os.link = real_link
     assert glob.glob(f"{bucket_dir}/compact-1-*.parquet"), "window not exercised"
     assert sink.read(spark).count() > 3  # orphans visible to the raw read
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tranquility_spark.specs import (
+    CoveringTooWide,
     filter_to_column,
     spatial_cell_column,
     spatial_cells_for_bound,
@@ -65,17 +66,31 @@ def read_spatial_filtered(
     path: str,
     spec: dict,
     cell_deg: float = 30.0,
+    max_cells: int = 100_000,
 ) -> DataFrame:
     """Partition-pruned spatialFilter read over a
     :func:`write_spatial_layout` layout: covering-cell IN-list (pruning,
     driver-side arithmetic over the bound's constants) AND the exact
     row-level predicate (correctness). Returns exactly the rows the
     unpruned ``filter_to_column(spec)`` read would — the covering property
-    — while scanning only the bound's cells."""
-    cells = spatial_cells_for_bound(spec["bound"], cell_deg)
+    — while scanning only the bound's cells.
+
+    A bound whose covering exceeds ``max_cells`` (near-full-extent over a
+    fine grid — an IN-list that wide prunes nothing and bloats the plan)
+    falls back to the UNPRUNED filter: same rows, full scan — the read
+    API stays total where the raw enumeration
+    (:func:`tranquility_spark.specs.spatial_cells_for_bound`) fails loudly
+    (r13 code-review find: the guard alone turned previously-working
+    wide-bound reads into hard failures with no remedy in this API)."""
     base = (
         spark.read.option("mergeSchema", "true")
         .option("basePath", path)
         .parquet(path)
     )
-    return base.filter(F.col("cell").isin(cells) & filter_to_column(spec))
+    pred = filter_to_column(spec)
+    try:
+        cells = spatial_cells_for_bound(spec["bound"], cell_deg, max_cells)
+    except CoveringTooWide:
+        return base.filter(pred)  # covering too wide to help — scan
+    # (genuine spec errors — mismatched dims, bad bound type — propagate)
+    return base.filter(F.col("cell").isin(cells) & pred)

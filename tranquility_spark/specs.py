@@ -320,6 +320,15 @@ def spatial_cell_column(dim: str, cell_deg: float, n_dims: int = 2) -> Column:
     return F.when(all_present, F.concat_ws("_", *cells))
 
 
+class CoveringTooWide(ValueError):
+    """A spatialFilter bound's covering cell enumeration would exceed
+    ``max_cells`` (r13): near-full-extent bounds over fine grids should
+    skip pruning, not materialize a million-id IN-list. A distinct type
+    so callers with a fallback (sources/spatial.py#read_spatial_filtered)
+    can catch it WITHOUT swallowing genuine spec errors (mismatched
+    dims, unsupported bound type)."""
+
+
 def spatial_cells_for_bound(
     bound: dict, cell_deg: float, max_cells: int = 100_000
 ) -> list[str]:
@@ -365,7 +374,7 @@ def spatial_cells_for_bound(
     # instead of hanging; a bound this wide shouldn't prune anyway.
     total = math.prod(len(ax) for ax in axes)
     if total > max_cells:
-        raise ValueError(
+        raise CoveringTooWide(
             f"bound covers {total} cells at cell_deg={cell_deg} "
             f"(max_cells={max_cells}) — coarsen cell_deg or skip pruning "
             "for near-full-extent bounds (an IN-list this wide prunes "

@@ -35,6 +35,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
+import re
 import shutil
 from typing import Callable, Optional, Sequence
 
@@ -432,6 +433,17 @@ def compact(
     as ``write_batch``'s scale story. Returns the number of
     (bucket, shard) partitions rewritten.
     """
+    if before is not None and not re.fullmatch(
+        r"\d{4}-\d{2}-\d{2}-\d{2}-\d{2}", before
+    ):
+        # r13 code-review find: the cutoff is compared lexicographically
+        # against "yyyy-MM-dd-HH-mm" bucket strings — a date-only or
+        # ISO-'T' cutoff would silently mis-scope the run (compare
+        # "2024-06-01" < "2024-06-01-11-00" and "-" < "T"): a nightly
+        # maintenance job doing NOTHING forever must be loud, not quiet
+        raise ValueError(
+            f"before={before!r} is not a g bucket string (yyyy-MM-dd-HH-mm)"
+        )
     if not 0 <= replica < sink.replicants:
         # r13 code-review find: _ds_root aliases EVERY replica number to
         # the same directory when replicants == 1, so a wrong replica arg
@@ -457,7 +469,11 @@ def compact(
     # target) would leave them double-counted by the raw read forever; with
     # it, the raw read's old+new visibility really is transient (r13
     # code-review find). Snapshot reads never saw them either way.
-    marked_gens = {m["gen"] for m in committed}
+    # (a marked generation can also carry EXTRA files its marker does not
+    # list — a concurrent same-gen run that lost the marker race after
+    # publishing, see the exclusive-link commit below — those are equally
+    # invisible to the snapshot and equally removed here)
+    marked_files = {m["gen"]: set(m["files"]) for m in committed}
     for dirpath, _dirs, fs in os.walk(base):
         for f in fs:
             if f.startswith("compact-") and f.endswith(".parquet"):
@@ -465,7 +481,8 @@ def compact(
                     g = int(f.split("-")[1])
                 except (IndexError, ValueError):
                     continue
-                if g not in marked_gens:
+                rel = os.path.relpath(os.path.join(dirpath, f), base)
+                if g not in marked_files or rel not in marked_files[g]:
                     os.remove(os.path.join(dirpath, f))
     live = sink.committed_files(replica)
     if before is not None:
@@ -479,13 +496,27 @@ def compact(
                     return part[2:]
             return None
 
-        live = [f for f in live if (_bucket_of(f) or "") < before]
+        # files with NO g= component (legacy/manual placement) are
+        # excluded from a scoped run — their bucket is unknown, so they
+        # may be active; only a FULL compact may rewrite them (r13
+        # code-review find: coercing None to "" made them sort earliest
+        # and swept them into every scoped run)
+        live = [
+            f
+            for f in live
+            if _bucket_of(f) is not None and _bucket_of(f) < before
+        ]
     if not live:
         return 0
     by_dir: dict[str, int] = {}
     for f in live:
         by_dir[os.path.dirname(f)] = by_dir.get(os.path.dirname(f), 0) + 1
-    if all(n <= target_files_per_shard for n in by_dir.values()):
+    # rewrite ONLY directories over target (r13 code-review find): at
+    # 100 TB a maintenance cycle must cost O(new small files), not re-read
+    # and re-publish every previously-compacted closed segment each run
+    over = {d for d, n in by_dir.items() if n > target_files_per_shard}
+    live = [f for f in live if os.path.dirname(f) in over]
+    if not live:
         return 0  # nothing to merge — re-run is a no-op
     gen = (committed[-1]["gen"] + 1) if committed else 1
 
@@ -543,7 +574,27 @@ def compact(
              "files": published, "replaced": replaced},
             fh,
         )
-    os.rename(tmp, marker)  # the atomic flip
+    # the atomic flip — EXCLUSIVE: os.link fails with FileExistsError if a
+    # concurrent compactor committed the same generation first (r13
+    # code-review find: a plain rename would silently OVERWRITE the
+    # winner's marker, orphaning its published files while its replaced
+    # files were already deleted — committed rows lost). The loser aborts
+    # BEFORE its deletion phase: its published same-gen extras are
+    # invisible to the snapshot (not in the winner's file list) and the
+    # next run's janitor removes them.
+    try:
+        os.link(tmp, marker)
+        os.remove(tmp)
+    except FileExistsError:
+        os.remove(tmp)
+        raise RuntimeError(
+            f"concurrent compaction committed generation {gen} first; "
+            "this run's work was discarded (no data was deleted)"
+        )
+    except OSError:
+        # filesystem without hardlinks: fall back to the atomic rename
+        # (loses the concurrent-compactor guard, keeps crash atomicity)
+        os.rename(tmp, marker)
 
     for rel in replaced:
         stale = os.path.join(base, rel)
