@@ -567,7 +567,11 @@ def compact(
     os.makedirs(marker_dir, exist_ok=True)
     marker = f"{marker_dir}/{sink.datasource}-r{replica}-{gen}"
     replaced = [os.path.relpath(f, base) for f in live]
-    tmp = f"{marker}.tmp"
+    # pid-unique tmp (the index-sidecar precedent): two concurrent
+    # compactors sharing one tmp path could clobber each other's payload
+    # before the link — harmless today only because same-generation runs
+    # provably publish row-identical sets, but uniqueness costs nothing
+    tmp = f"{marker}.tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
         json.dump(
             {"gen": gen, "replica": replica, "rows": rows,
@@ -584,7 +588,6 @@ def compact(
     # next run's janitor removes them.
     try:
         os.link(tmp, marker)
-        os.remove(tmp)
     except FileExistsError:
         os.remove(tmp)
         raise RuntimeError(
@@ -595,6 +598,11 @@ def compact(
         # filesystem without hardlinks: fall back to the atomic rename
         # (loses the concurrent-compactor guard, keeps crash atomicity)
         os.rename(tmp, marker)
+    else:
+        # separate from the link's try: a failed tmp cleanup must never
+        # fall into the no-hardlink fallback and re-commit over the
+        # marker we just created
+        os.remove(tmp)
 
     for rel in replaced:
         stale = os.path.join(base, rel)
