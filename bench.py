@@ -152,6 +152,7 @@ HEADLINE = [
     "dq20_spatial_served_filter",
     "dd21_simhash_incremental_served",
     "dd22_minhash_incremental_served",
+    "dq21_range_clustered_scan",
 ]
 
 

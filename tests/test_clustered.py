@@ -1,0 +1,157 @@
+"""Range-clustered layout (sources/clustered.py, r14): the Druid
+single_dim/range secondary-partitioning analog. The contract under test:
+
+1. a clustered read under a range predicate is row-identical to the same
+   predicate over the raw frame (layout round trip — the dq21 oracle
+   certifies the same thing end-to-end via DuckDB);
+2. the layout's parquet footers carry tight near-disjoint min/max per
+   file, so a selective range structurally CANNOT touch most files — we
+   assert skip-ability from metadata, not wall-clock (SCALE.md r14 holds
+   the measured number at 10M rows);
+3. the range predicate reaches the scan (PushedFilters) — the skip is the
+   reader's, not a post-scan Filter's;
+4. NULLs in the cluster column survive the layout, are never returned by
+   a range read, and are visible to unfiltered reads (quarantine parity
+   with spatial.py's NULL-cell rule).
+"""
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tranquility_spark.sources.clustered import (
+    files_overlapping,
+    range_stats,
+    read_range_clustered,
+    write_range_clustered,
+)
+from tranquility_spark.sources.files import load_table
+
+
+def _norm(rows):
+    return sorted((r.event_id, r.user_id) for r in rows)
+
+
+def test_clustered_read_matches_raw_filter(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "layout")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    write_range_clustered(ev, path, "user_id", n_files=4)
+
+    pred = (F.col("user_id") >= 3) & (F.col("user_id") < 12)
+    got = read_range_clustered(spark, path, pred).collect()
+    want = ev.filter(pred).collect()
+    assert _norm(got) == _norm(want) and len(got) > 0
+
+
+def test_footer_stats_prove_skipability(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "layout")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    write_range_clustered(ev, path, "user_id", n_files=4)
+
+    stats = range_stats(path, "user_id")
+    assert len(stats) == 4 and all(mn is not None for (_, mn, _, _) in stats)
+    # near-disjoint: sorted by min, each file's min must be >= the
+    # previous file's max (range partitioning puts equal keys in one
+    # partition, so strict disjointness holds for distinct boundaries)
+    ordered = sorted(stats, key=lambda s: s[1])
+    for (_, _, prev_max, _), (_, cur_min, _, _) in zip(ordered, ordered[1:]):
+        assert cur_min >= prev_max
+    # the sf0.001 domain is 0..14 over 4 files (~4 ids/file): a 2-id range
+    # must structurally touch at most 2 of the 4
+    touched = files_overlapping(stats, 5, 7)
+    assert 1 <= len(touched) <= 2
+    # and the reader agrees: every row the pruned read returns comes from
+    # a file the footer test admits
+    hit_files = {
+        os.path.basename(r.f)
+        for r in read_range_clustered(
+            spark, path, (F.col("user_id") >= 5) & (F.col("user_id") < 7)
+        )
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert hit_files <= set(touched)
+
+
+def test_range_predicate_is_pushed(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "layout")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    write_range_clustered(ev, path, "user_id", n_files=4)
+
+    plan = (
+        read_range_clustered(
+            spark, path, (F.col("user_id") >= 3) & (F.col("user_id") < 12)
+        )
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(user_id,3)" in plan and "LessThan(user_id,12)" in plan
+
+
+def test_nulls_quarantined_from_range_reads(spark, tmp_path):
+    path = str(tmp_path / "layout")
+    df = spark.createDataFrame(
+        [Row(event_id=i, user_id=(None if i % 5 == 0 else i % 10)) for i in range(50)]
+    )
+    write_range_clustered(df, path, "user_id", n_files=3)
+
+    pred = (F.col("user_id") >= 0) & (F.col("user_id") < 100)
+    got = read_range_clustered(spark, path, pred)
+    assert got.filter(F.col("user_id").isNull()).count() == 0
+    assert got.count() == 40
+    # unfiltered read still sees the NULL rows (nothing lost in layout)
+    assert spark.read.parquet(path).count() == 50
+    # and the footer inventory accounts for them
+    assert sum(nulls for (_, _, _, nulls) in range_stats(path, "user_id")) == 10
+
+
+def test_multi_column_clustering_sorts_within_files(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "layout")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    write_range_clustered(ev, path, ["user_id", "ts"], n_files=4)
+    # rows inside each file are sorted on the leading column — tight row
+    # group stats depend on it; verify per-file monotonicity directly
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        vals = [
+            r.user_id
+            for r in spark.read.parquet(os.path.join(path, name))
+            .select("user_id")
+            .collect()
+        ]
+        assert vals == sorted(vals)
+
+
+def test_dq21_entry_reuses_persisted_layout(spark, sf_dir):
+    from tranquility_spark.catalog import CATALOG
+
+    fn = CATALOG["dq21_range_clustered_scan"].fn
+    first = fn(spark, sf_dir).collect()
+    # locate the layout the entry just built and pin its write time
+    from tranquility_spark.catalog_llm import (
+        _index_cache_digest,
+        _index_cache_key,
+        _index_cache_root,
+    )
+
+    layout = os.path.join(
+        _index_cache_root(),
+        "rangelayout-"
+        + _index_cache_digest(
+            "rangelayout-user_id-n8-v1", _index_cache_key(sf_dir, table="events")
+        ),
+    )
+    marker = os.path.join(layout, "_SUCCESS")
+    mtime = os.path.getmtime(marker)
+    second = fn(spark, sf_dir).collect()
+    assert os.path.getmtime(marker) == mtime, "entry rewrote a cached layout"
+    key = lambda r: r.event_type  # noqa: E731
+    assert sorted(first, key=key) == sorted(second, key=key)

@@ -1358,6 +1358,81 @@ def dq20_spatial_served_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dq21's range sits inside every SF's user_id domain (max 14 at sf0.001,
+# 149 at sf0.01, 1499 at sf0.1): [3, 12) is non-vacuous everywhere and
+# ~0.6%-of-users selective at the bench SF, where the clustered layout
+# prunes 7 of its 8 files (footer-stats-asserted in tests/test_clustered.py).
+_DQ21_LO, _DQ21_HI, _DQ21_FILES = 3, 12, 8
+
+
+@register(
+    "dq21_range_clustered_scan",
+    f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE user_id >= {_DQ21_LO} AND user_id < {_DQ21_HI}
+    GROUP BY event_type
+    """,
+    doc="Dimension-range scan served from a PERSISTED range-clustered "
+    "layout (r14 — Druid's secondary partitioning, partitionsSpec "
+    "single_dim/range, server/.../SingleDimensionPartitionsSpec [recall], "
+    "re-expressed Spark-first as repartitionByRange + sortWithinPartitions "
+    "parquet: sources/clustered.py): first touch per corpus writes events "
+    "range-clustered on user_id at a digest-keyed location; every query "
+    "after that is a plain declarative range filter the planner pushes "
+    "into the scan (PushedFilters, plan-asserted) and the parquet reader "
+    "turns into row-group skips via the footer min/max the clustered "
+    "write made tight — 1-2 of 8 files overlap the range at sf0.1 "
+    "(footer-stats-asserted; wall-clock at 10M rows in SCALE.md r14). "
+    "The oracle recomputes the same aggregate from raw events, so a green "
+    "hash certifies the layout round trip. Completes the served-layout "
+    "triptych: bucketed.py co-locates equi-joins, spatial.py prunes "
+    "directories on a SMALL value domain, this prunes on a "
+    "HIGH-CARDINALITY key with no directory explosion — the 100 TB lever "
+    "for id/time range scans off the primary partition axis.",
+)
+def dq21_range_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from tranquility_spark.catalog_llm import (
+        _index_cache_digest,
+        _index_cache_key,
+        _index_cache_root,
+    )
+    from tranquility_spark.sources.clustered import (
+        read_range_clustered,
+        write_range_clustered,
+    )
+
+    ck = _index_cache_key(sf_dir, table="events")
+    # digest pins the cluster column, file count and layout version with
+    # the corpus fingerprint (the dq20/_minhash_index_table parameter-
+    # pinning rule): changing any of them changes the location, so a read
+    # can never consult footer stats written under different parameters.
+    layout = os.path.join(
+        _index_cache_root(),
+        f"rangelayout-{_index_cache_digest(f'rangelayout-user_id-n{_DQ21_FILES}-v1', ck)}",
+    )
+    if not os.path.exists(os.path.join(layout, "_SUCCESS")):
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_range_clustered(ev, layout, "user_id", n_files=_DQ21_FILES)
+    got = read_range_clustered(
+        spark,
+        layout,
+        (F.col("user_id") >= _DQ21_LO) & (F.col("user_id") < _DQ21_HI),
+    )
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+    )
+
+
 @register(
     "dq17_time_extraction",
     """
