@@ -130,6 +130,78 @@ def test_multi_column_clustering_sorts_within_files(spark, sf_dir, tmp_path):
         assert vals == sorted(vals)
 
 
+def _sorted_runs(spark, path_or_file, col="user_id"):
+    vals = [r[0] for r in spark.read.parquet(path_or_file).select(col).collect()]
+    return vals == sorted(vals)
+
+
+def test_sink_cluster_by_sorts_batches_and_compaction(spark, tmp_path):
+    """SegmentSink(cluster_by=...) = Druid's range partitionsSpec at ingest:
+    every micro-batch file is sorted on the cluster column, compaction
+    collapses a closed bucket's sorted runs into one sorted file, and the
+    committed snapshot is row-identical throughout."""
+    import datetime as dt
+
+    from tranquility_spark.streaming.sink import SegmentSink, compact
+
+    sink = SegmentSink(
+        str(tmp_path / "seg"), "wiki", "HOUR", cluster_by=["user_id"]
+    )
+    base = dt.datetime(2024, 6, 1, 11, 0)
+    for b in range(3):
+        rows = [
+            (base + dt.timedelta(minutes=m % 50), (b * 17 + m * 31) % 100, float(m))
+            for m in range(60)
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, user_id long, v double")
+        assert sink.write_batch(df, batch_id=b + 1) == 60
+
+    seg = os.path.join(str(tmp_path / "seg"), "ds=wiki", "g=2024-06-01-11-00", "p=0")
+    batch_files = [f for f in os.listdir(seg) if f.startswith("batch-")]
+    assert len(batch_files) == 3
+    for f in batch_files:
+        assert _sorted_runs(spark, os.path.join(seg, f)), f"unsorted batch file {f}"
+
+    before = sink.read(spark, committed_only=True).collect()
+    assert compact(sink, spark) == 1
+    after = sink.read(spark, committed_only=True).collect()
+    key = lambda r: (r.ts, r.user_id, r.v)  # noqa: E731
+    assert sorted(before, key=key) == sorted(after, key=key)
+
+    compact_files = [f for f in os.listdir(seg) if f.startswith("compact-")]
+    assert len(compact_files) == 1
+    assert _sorted_runs(spark, os.path.join(seg, compact_files[0]))
+    # the closed bucket's footer stats are now bucket-wide and tight
+    stats = range_stats(seg, "user_id")
+    assert [s for s in stats if "compact-" in s[0]][0][1:3] == (0, 99)
+    # re-run stays a no-op (the clustered sort must not break convergence)
+    assert compact(sink, spark) == 0
+
+
+def test_sink_cluster_by_missing_column_is_loud(spark, tmp_path):
+    import datetime as dt
+
+    import pytest
+
+    from tranquility_spark.streaming.sink import SegmentSink, compact
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 6, 1, 11, 5), "a")], "ts timestamp, page string"
+    )
+    clustered = SegmentSink(
+        str(tmp_path / "seg"), "wiki", "HOUR", cluster_by=["user_id"]
+    )
+    with pytest.raises(ValueError, match="cluster_by columns missing"):
+        clustered.write_batch(df, batch_id=1)
+    # legacy layout written WITHOUT clustering, then compacted by a sink
+    # that declares it: the maintenance path must be equally loud
+    plain = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    plain.write_batch(df, batch_id=1)
+    plain.write_batch(df, batch_id=2)
+    with pytest.raises(ValueError, match="cluster_by columns missing"):
+        compact(clustered, spark)
+
+
 def test_dq21_entry_reuses_persisted_layout(spark, sf_dir):
     from tranquility_spark.catalog import CATALOG
 

@@ -1386,7 +1386,9 @@ _DQ21_LO, _DQ21_HI, _DQ21_FILES = 3, 12, 8
     "into the scan (PushedFilters, plan-asserted) and the parquet reader "
     "turns into row-group skips via the footer min/max the clustered "
     "write made tight — 1-2 of 8 files overlap the range at sf0.1 "
-    "(footer-stats-asserted; wall-clock at 10M rows in SCALE.md r14). "
+    "(footer-stats-asserted; the honest scale measurement — bytes "
+    "touched 2.4% vs 100%, compression 43% better, but NO warm-cache "
+    "local wall-clock win — is in SCALE.md r14). "
     "The oracle recomputes the same aggregate from raw events, so a green "
     "hash certifies the layout round trip. Completes the served-layout "
     "triptych: bucketed.py co-locates equi-joins, spatial.py prunes "

@@ -62,6 +62,7 @@ class SegmentSink:
         window_period: Optional[str] = None,
         clock: Optional[Clock] = None,
         latest_close_time: Optional[_dt.datetime] = None,
+        cluster_by: Optional[list[str]] = None,
     ):
         self.root = root.rstrip("/")
         self.datasource = datasource
@@ -77,6 +78,17 @@ class SegmentSink:
         self.window_period = window_period
         self.clock = clock
         self.latest_close_time = latest_close_time
+        # Secondary clustering (r14): Druid's range partitionsSpec
+        # (``partitionsSpec: single_dim/range`` on native ingest/compaction,
+        # public Druid docs) — rows inside each (bucket, shard) file are
+        # kept SORTED on these dimensions, so the parquet footers carry
+        # tight min/max and a range predicate on them skips row groups at
+        # read time (sources/clustered.py holds the standalone layout and
+        # the footer-stats probe; SCALE.md r14 the measured payoff).
+        # write_batch sorts each micro-batch file; compact() range-splits
+        # and re-sorts whole buckets, so the clustering IMPROVES as
+        # segments close — exactly Druid compaction's role.
+        self.cluster_by = list(cluster_by) if cluster_by else []
 
     # -- paths ------------------------------------------------------------
 
@@ -129,6 +141,22 @@ class SegmentSink:
         # at 720 buckets). This is the D2 rollup-aware layout applied to the
         # write path; one file per (g, p) per batch.
         out = out.repartition(F.col("g"), F.col("p"))
+        if self.cluster_by:
+            missing = [c for c in self.cluster_by if c not in out.columns]
+            if missing:
+                # loud, not silently-unsorted: a layout whose files CLAIM
+                # the clustering contract but interleave values would make
+                # every footer range wide and every skip impossible — the
+                # misconfiguration must surface at ingest, not as a slow
+                # query months later
+                raise ValueError(
+                    f"cluster_by columns missing from batch: {missing}"
+                )
+            # per-task sort, no extra shuffle: rows of each (g, p) are
+            # already co-located, partitionBy splits them into one file
+            # per (g, p), and the leading (g, p) sort keys keep each
+            # file's rows contiguous and ordered on the cluster columns
+            out = out.sortWithinPartitions("g", "p", *self.cluster_by)
 
         # Two-phase commit. Phase 1: one Spark job writes the batch into a
         # batch-scoped STAGING dir (restarted from scratch on retry — a
@@ -529,12 +557,30 @@ def compact(
     staging = f"{sink.root}/_staging/compact-{sink.datasource}-r{replica}-{gen}"
     if os.path.isdir(staging):
         shutil.rmtree(staging)
-    (
-        df.repartition(max(n_parts * target_files_per_shard, 1), F.col("g"), F.col("p"))
-        .write.mode("overwrite")
-        .partitionBy("g", "p")
-        .parquet(staging)
-    )
+    # hash-repartition on (g, p) keeps each (bucket, shard) WHOLE in one
+    # task — one output file per dir, so re-running on a compacted layout
+    # stays a no-op (a range partitioner on the cluster key could straddle
+    # a bucket across a boundary and re-split it forever)
+    df = df.repartition(max(n_parts * target_files_per_shard, 1), F.col("g"), F.col("p"))
+    if sink.cluster_by:
+        missing = [c for c in sink.cluster_by if c not in df.columns]
+        if missing:
+            # a legacy layout written before the sink declared clustering:
+            # compacting it unsorted would stamp the clustered sink's
+            # contract onto files that can't honor it — fail loudly, the
+            # write_batch guard's counterpart on the maintenance path
+            raise ValueError(
+                f"cluster_by columns missing from layout being compacted: {missing}"
+            )
+        # Druid compaction with a range partitionsSpec: the N
+        # micro-batch-sized sorted runs of a closing bucket collapse into
+        # ONE file whose row groups cover tight, disjoint cluster-column
+        # ranges — the per-batch footer stats become bucket-wide ones
+        # exactly when the segment closes, which is when range reads
+        # start hitting it (sources/clustered.py holds the read-side
+        # story; tests assert the in-file order survives compaction)
+        df = df.sortWithinPartitions("g", "p", *sink.cluster_by)
+    df.write.mode("overwrite").partitionBy("g", "p").parquet(staging)
     published: list[str] = []
     for dirpath, _dirs, fs in sorted(os.walk(staging)):
         parquets = sorted(f for f in fs if f.endswith(".parquet"))
