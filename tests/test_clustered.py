@@ -178,6 +178,47 @@ def test_sink_cluster_by_sorts_batches_and_compaction(spark, tmp_path):
     assert compact(sink, spark) == 0
 
 
+def test_sink_clustered_layout_prunes_on_committed_read(spark, tmp_path):
+    """Closure of the ingest-to-serving loop: the layout the clustered sink
+    (+ compaction) maintains is consumable by a plain committed-snapshot
+    read — the range predicate reaches the parquet scan (PushedFilters),
+    where the sorted files' footer stats make it a row-group skip."""
+    import datetime as dt
+
+    from tranquility_spark.streaming.sink import SegmentSink, compact
+
+    sink = SegmentSink(
+        str(tmp_path / "seg"), "wiki", "HOUR", cluster_by=["user_id"]
+    )
+    base = dt.datetime(2024, 6, 1, 11, 0)
+    for b in range(2):
+        rows = [
+            (base + dt.timedelta(minutes=m % 50), (b * 13 + m * 7) % 100, float(m))
+            for m in range(40)
+        ]
+        sink.write_batch(
+            spark.createDataFrame(rows, "ts timestamp, user_id long, v double"),
+            batch_id=b + 1,
+        )
+    compact(sink, spark)
+
+    got = sink.read(spark, committed_only=True).filter(
+        (F.col("user_id") >= 10) & (F.col("user_id") < 20)
+    )
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "GreaterThanOrEqual(user_id,10)" in plan and "LessThan(user_id,20)" in plan
+    want = [
+        r
+        for r in sink.read(spark, committed_only=True).collect()
+        if 10 <= r.user_id < 20
+    ]
+    assert sorted((r.ts, r.user_id, r.v) for r in got.collect()) == sorted(
+        (r.ts, r.user_id, r.v) for r in want
+    )
+
+
 def test_sink_cluster_by_missing_column_is_loud(spark, tmp_path):
     import datetime as dt
 
