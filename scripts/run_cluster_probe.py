@@ -101,7 +101,19 @@ def main() -> None:
 
     rows = []
     for sf_dir in dirs:
-        tag = os.path.basename(sf_dir.rstrip("/"))
+        # content-key the cached layouts on the source fixture (the
+        # catalog's _index_cache_key fingerprint — handles both single
+        # files and Spark part-file directories): a regenerated fixture
+        # at the same path must never reuse layouts built from old rows
+        from tranquility_spark.catalog_llm import (
+            _index_cache_digest,
+            _index_cache_key,
+        )
+
+        tag = (
+            f"{os.path.basename(sf_dir.rstrip('/'))}-"
+            f"{_index_cache_digest('cluster-probe', _index_cache_key(sf_dir, table='events'))[:12]}"
+        )
         # include the payload column: a range query that prunes 97% of
         # files saves 97% of PAYLOAD DECODE, and on a warm local page
         # cache decode is where the time actually goes (the narrow
@@ -209,7 +221,13 @@ def main() -> None:
                     )
                 )
                 if sel == "sel_1pct":
-                    counts[kind] = df.count()
+                    # layout-integrity parity: MATCHING ROW counts (a
+                    # grouped-frame count only compares the number of
+                    # event_type groups — vacuous against a lost or
+                    # duplicated layout)
+                    counts[kind] = (
+                        spark.read.parquet(path).filter(F.expr(pred)).count()
+                    )
                 timings[sel][kind] = round(best_of(df), 3)
         assert counts["clustered"] == counts["shuffled"], counts
         rows.append(

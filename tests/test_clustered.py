@@ -259,7 +259,7 @@ def test_dq21_entry_reuses_persisted_layout(spark, sf_dir):
         _index_cache_root(),
         "rangelayout-"
         + _index_cache_digest(
-            "rangelayout-user_id-n8-v1", _index_cache_key(sf_dir, table="events")
+            "rangelayout-user_id-n8-v2", _index_cache_key(sf_dir, table="events")
         ),
     )
     marker = os.path.join(layout, "_SUCCESS")

@@ -1414,15 +1414,28 @@ def dq21_range_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus fingerprint (the dq20/_minhash_index_table parameter-
     # pinning rule): changing any of them changes the location, so a read
     # can never consult footer stats written under different parameters.
+    # v2 (r14 code-review): dropped the never-read event_id column from
+    # the persisted layout — a column no consumer decodes still costs
+    # encode + storage on every first touch.
     layout = os.path.join(
         _index_cache_root(),
-        f"rangelayout-{_index_cache_digest(f'rangelayout-user_id-n{_DQ21_FILES}-v1', ck)}",
+        f"rangelayout-{_index_cache_digest(f'rangelayout-user_id-n{_DQ21_FILES}-v2', ck)}",
     )
     if not os.path.exists(os.path.join(layout, "_SUCCESS")):
-        ev = _t(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type", "value"
-        )
-        write_range_clustered(ev, layout, "user_id", n_files=_DQ21_FILES)
+        ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+        # build in a pid-unique sibling, publish with one atomic rename
+        # (the sink's exclusive-marker precedent): two concurrent first
+        # touches can otherwise interleave overwrite-deletes and commit a
+        # duplicated layout under a green _SUCCESS — the loser's rename
+        # fails and its staging is discarded
+        stage = f"{layout}.tmp.{os.getpid()}"
+        write_range_clustered(ev, stage, "user_id", n_files=_DQ21_FILES)
+        try:
+            os.rename(stage, layout)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
     got = read_range_clustered(
         spark,
         layout,

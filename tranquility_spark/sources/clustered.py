@@ -130,11 +130,20 @@ def range_stats(path: str, col: str) -> list[tuple[str, object, object, int]]:
         nulls = 0
         unbounded = False
         for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
+            grp = md.row_group(rg)
+            st = grp.column(idx).statistics
+            if st is not None and not st.has_min_max and (
+                st.null_count == grp.num_rows
+            ):
+                # an ALL-NULL row group writes no min/max by design — it is
+                # skippable for ANY range predicate (NULL never matches),
+                # so it contributes nulls but does not unbound the file
+                nulls += st.null_count
+                continue
             if st is None or not st.has_min_max:
-                # a group with no stats can never be skipped — record the
-                # FILE as an unbounded range (null_count -1) so callers see
-                # the pruning loss, and keep inventorying the rest
+                # a populated group with no stats can never be skipped —
+                # record the FILE as an unbounded range (null_count -1) so
+                # callers see the pruning loss; keep inventorying the rest
                 unbounded = True
                 break
             mn = st.min if mn is None else min(mn, st.min)
@@ -152,9 +161,19 @@ def files_overlapping(
     """Which files of a :func:`range_stats` inventory could contain rows
     with ``lo <= col < hi``? Mirrors the reader's row-group test
     (overlap of [min, max] with the predicate range) so tests can assert
-    "this query touches k of n files" from metadata alone."""
-    return [
-        f
-        for (f, mn, mx, _nulls) in stats
-        if mn is None or not (mx < lo or mn >= hi)  # type: ignore[operator]
-    ]
+    "this query touches k of n files" from metadata alone.
+
+    A file reported unbounded (``null_count == -1`` — some populated row
+    group carries no stats) must be included: the reader cannot skip it.
+    A file whose min/max are None with a real null count is ALL NULL —
+    no range predicate can match it, so it is excluded, same as the
+    reader would."""
+    out = []
+    for f, mn, mx, nulls in stats:
+        if nulls == -1:
+            out.append(f)  # unbounded — unskippable
+        elif mn is None:
+            continue  # all-NULL file — unmatchable by any range
+        elif not (mx < lo or mn >= hi):  # type: ignore[operator]
+            out.append(f)
+    return out

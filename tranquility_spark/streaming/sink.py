@@ -553,6 +553,17 @@ def compact(
         .option("basePath", base)
         .parquet(*live)
     )
+    if sink.cluster_by:
+        missing = [c for c in sink.cluster_by if c not in df.columns]
+        if missing:
+            # a legacy layout written before the sink declared clustering:
+            # compacting it unsorted would stamp the clustered sink's
+            # contract onto files that can't honor it — fail loudly BEFORE
+            # any Spark job runs (the schema is free; the distinct-count
+            # below is a full scan), the write_batch guard's counterpart
+            raise ValueError(
+                f"cluster_by columns missing from layout being compacted: {missing}"
+            )
     n_parts = df.select("g", "p").distinct().count()
     staging = f"{sink.root}/_staging/compact-{sink.datasource}-r{replica}-{gen}"
     if os.path.isdir(staging):
@@ -563,15 +574,7 @@ def compact(
     # a bucket across a boundary and re-split it forever)
     df = df.repartition(max(n_parts * target_files_per_shard, 1), F.col("g"), F.col("p"))
     if sink.cluster_by:
-        missing = [c for c in sink.cluster_by if c not in df.columns]
-        if missing:
-            # a legacy layout written before the sink declared clustering:
-            # compacting it unsorted would stamp the clustered sink's
-            # contract onto files that can't honor it — fail loudly, the
-            # write_batch guard's counterpart on the maintenance path
-            raise ValueError(
-                f"cluster_by columns missing from layout being compacted: {missing}"
-            )
+        # (missing-column guard already ran, before the distinct-count job)
         # Druid compaction with a range partitionsSpec: the N
         # micro-batch-sized sorted runs of a closing bucket collapse into
         # ONE file whose row groups cover tight, disjoint cluster-column
