@@ -243,6 +243,47 @@ def test_sink_cluster_by_missing_column_is_loud(spark, tmp_path):
         compact(clustered, spark)
 
 
+def test_files_overlapping_covering_property_fuzz(spark, tmp_path):
+    """The footer-admitted file set must be a SUPERSET of the files that
+    actually contain matching rows, for arbitrary ranges — including the
+    r14 code-review edge: an ALL-NULL file writes no min/max by design
+    and must be excluded (no range matches NULL), while a genuinely
+    unbounded file must always be admitted. Hypothesis fuzzes the ranges
+    against one fixed layout (writing parquet per example would dominate
+    the test)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    path = str(tmp_path / "layout")
+    rows = [(i, v) for i, v in enumerate([None] * 40 + list(range(-50, 300, 3)))]
+    df = spark.createDataFrame(rows, "rid long, user_id long")
+    write_range_clustered(df, path, "user_id", n_files=5)
+    stats = range_stats(path, "user_id")
+    # ground truth: which files really hold rows in [lo, hi)
+    by_file = {}
+    for name, _mn, _mx, _nulls in stats:
+        by_file[name] = [
+            r.user_id
+            for r in spark.read.parquet(os.path.join(path, name)).collect()
+            if r.user_id is not None
+        ]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        lo=st.integers(min_value=-200, max_value=400),
+        span=st.integers(min_value=0, max_value=300),
+    )
+    def check(lo, span):
+        hi = lo + span
+        admitted = set(files_overlapping(stats, lo, hi))
+        actual = {f for f, vals in by_file.items() if any(lo <= v < hi for v in vals)}
+        assert actual <= admitted, (lo, hi, actual - admitted)
+
+    check()
+    # the NULL rows all landed somewhere; the inventory accounts for them
+    assert sum(n for (_, _, _, n) in stats if n > 0) == 40
+
+
 def test_dq21_entry_reuses_persisted_layout(spark, sf_dir):
     from tranquility_spark.catalog import CATALOG
 
