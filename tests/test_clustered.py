@@ -219,6 +219,71 @@ def test_sink_clustered_layout_prunes_on_committed_read(spark, tmp_path):
     )
 
 
+def test_sink_cluster_by_streaming_e2e(spark, tmp_path):
+    """cluster_by through the REAL streaming wiring (foreachBatch +
+    availableNow), not just direct write_batch calls: per-batch files come
+    out sorted, the committed snapshot matches the source rows, and
+    compaction of the closed bucket yields one bucket-wide sorted file."""
+    import datetime as dt
+    import json
+
+    from tranquility_spark.streaming.sink import SegmentSink, compact
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {
+            "ts": f"2024-06-01T11:{m:02d}:00",
+            "user_id": (m * 37) % 50,
+            "v": float(m),
+        }
+        for m in range(30)
+    ]
+    # two source files → (at least) two micro-batches under availableNow
+    # with maxFilesPerTrigger=1
+    with open(src / "a.json", "w") as f:
+        for e in rows[:15]:
+            f.write(json.dumps(e) + "\n")
+    with open(src / "b.json", "w") as f:
+        for e in rows[15:]:
+            f.write(json.dumps(e) + "\n")
+
+    stream = (
+        spark.readStream.schema("ts string, user_id long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    from pyspark.sql import functions as SF
+
+    stream = stream.withColumn("ts", SF.to_timestamp("ts"))
+    sink = SegmentSink(
+        str(tmp_path / "seg"), "wiki", "HOUR", cluster_by=["user_id"]
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    seg = os.path.join(str(tmp_path / "seg"), "ds=wiki", "g=2024-06-01-11-00", "p=0")
+    batch_files = [f for f in os.listdir(seg) if f.startswith("batch-")]
+    assert len(batch_files) >= 2
+    for f in batch_files:
+        assert _sorted_runs(spark, os.path.join(seg, f)), f"unsorted {f}"
+
+    got = sink.read(spark, committed_only=True)
+    assert sorted((r.user_id, r.v) for r in got.collect()) == sorted(
+        (e["user_id"], e["v"]) for e in rows
+    )
+    assert compact(sink, spark) == 1
+    compact_files = [f for f in os.listdir(seg) if f.startswith("compact-")]
+    assert len(compact_files) == 1
+    assert _sorted_runs(spark, os.path.join(seg, compact_files[0]))
+
+
 def test_sink_cluster_by_missing_column_is_loud(spark, tmp_path):
     import datetime as dt
 
