@@ -458,3 +458,62 @@ def test_bucketed_simhash_index_probe_corpus_side_no_exchange(spark, sf_dir):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP TABLE IF EXISTS b_simhash_index")
+
+
+def test_bucketed_join_composite_key_no_exchange(spark, sf_dir, tmp_path):
+    """r14 code-review: bucketed_join must cover the FULL composite bucket
+    key — the single-key form over a composite-bucketed table silently
+    reinstates the Exchange. The list form keeps the plan shuffle-free."""
+    from tranquility_spark.sources.bucketed import bucketed_join, write_bucketed
+    from tranquility_spark.sources.files import load_table
+
+    for t in ("bc_left", "bc_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("band"),
+        (F.col("event_id") % 97).alias("bhash"),
+        "value",
+    )
+    write_bucketed(ev, "bc_left", ["band", "bhash"], 4)
+    write_bucketed(ev.select("band", "bhash"), "bc_right", ["band", "bhash"], 4)
+    # disable broadcast (shuffle-free too, but proves nothing — the
+    # original no-Exchange test's rationale)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(
+            spark, "bc_left", "bc_right", ["band", "bhash"], ["band", "bhash"]
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+        import pytest as pt
+
+        with pt.raises(ValueError, match="arity"):
+            bucketed_join(spark, "bc_left", "bc_right", ["band", "bhash"], "band")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("bc_left", "bc_right"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_register_bucketed_quotes_path_and_identifiers(spark, sf_dir, tmp_path):
+    """r14 code-review: a path containing a single quote (legal POSIX) and
+    a reserved-word-ish table name must survive the generated DDL."""
+    from tranquility_spark.sources.bucketed import register_bucketed, write_bucketed
+    from tranquility_spark.sources.files import load_table
+
+    path = str(tmp_path / "o'brien-idx")
+    spark.sql("DROP TABLE IF EXISTS `table`")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id").limit(100)
+    write_bucketed(ev, "table", "user_id", 2, path=path)
+    n = spark.table("`table`").count()
+    # forget the registration (files survive — EXTERNAL), re-register
+    spark.sql("DROP TABLE `table`")
+    register_bucketed(
+        spark, "table", "event_id BIGINT, user_id BIGINT", ["user_id"], 2, path
+    )
+    try:
+        assert spark.table("`table`").count() == n > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS `table`")

@@ -573,3 +573,83 @@ def test_spatial_dimensions_rollup(spark):
     )
     rows = {r.coord: r.n for r in build_rollup(spec)(df).collect()}
     assert rows == {"37.77,-122.42": 2, "40.71,-74.01": 1}
+
+
+def test_spatial_read_sidecar_and_fallbacks(spark, tmp_path):
+    """r14 code-review hardening of the served spatial read, four guards:
+
+    1. the grid sidecar makes a write/read cell_deg mismatch HARMLESS —
+       the read takes the grid from the layout's _spatial_meta.json, so
+       covering ids always match the directories that exist;
+    2. a well-formed bound of DIFFERENT dimensionality than the layout
+       falls back to the unpruned scan (its covering ids could match no
+       directory — the IN-list would silently prune everything);
+    3. a compound spec with no top-level bound stays total;
+    4. a degenerate bound with an EMPTY covering (negative radius) stays
+       row-identical to the unpruned filter."""
+    from tranquility_spark.sources.spatial import (
+        read_spatial_filtered,
+        write_spatial_layout,
+    )
+
+    rows = [
+        (i, f"{(i * 7) % 180 - 90}.5,{(i * 13) % 360 - 180}.25")
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "id long, coords string")
+    layout = str(tmp_path / "geo_meta")
+    write_spatial_layout(df, layout, dim="coords", cell_deg=5.0)  # FINE grid
+
+    rect = {
+        "type": "spatial",
+        "dimension": "coords",
+        "bound": {
+            "type": "rectangular",
+            "minCoords": [-30.0, -60.0],
+            "maxCoords": [30.0, 60.0],
+        },
+    }
+    # (1) caller passes the WRONG grid — the sidecar corrects it
+    got = read_spatial_filtered(spark, layout, rect, cell_deg=30.0)
+    want = spark.read.parquet(layout).filter(filter_to_column(rect))
+    assert {r.id for r in got.collect()} == {r.id for r in want.collect()} != set()
+
+    # (2) 3-D bound over the 2-D layout: valid bound, wrong dims — fallback
+    rect3 = {
+        "type": "spatial",
+        "dimension": "coords",
+        "bound": {
+            "type": "rectangular",
+            "minCoords": [-90.0, -180.0, 0.0],
+            "maxCoords": [90.0, 180.0, 1.0],
+        },
+    }
+    got3 = read_spatial_filtered(spark, layout, rect3)
+    want3 = spark.read.parquet(layout).filter(filter_to_column(rect3))
+    assert got3.count() == want3.count()
+
+    # (3) compound spec — no top-level bound, stays total
+    compound = {"type": "and", "fields": [rect]}
+    gotc = read_spatial_filtered(spark, layout, compound)
+    assert {r.id for r in gotc.collect()} == {r.id for r in want.collect()}
+
+    # (4) negative radius: row predicate d2 <= r2 still matches rows
+    # within |r|; the EMPTY covering must not drop them
+    neg = {
+        "type": "spatial",
+        "dimension": "coords",
+        "bound": {"type": "radius", "coords": [-89.5, -179.75], "radius": -1.0},
+    }
+    gotn = read_spatial_filtered(spark, layout, neg)
+    wantn = spark.read.parquet(layout).filter(filter_to_column(neg))
+    assert sorted(r.id for r in gotn.collect()) == sorted(
+        r.id for r in wantn.collect()
+    )
+
+    # and the collision guard: a corpus that already has a 'cell' column
+    import pytest as pt
+
+    with pt.raises(ValueError, match="'cell' column"):
+        write_spatial_layout(
+            df.withColumn("cell", df.id), str(tmp_path / "geo_clash")
+        )

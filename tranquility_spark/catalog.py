@@ -1919,6 +1919,18 @@ _R14_DRIVER_WINDOW = [
     "dd20_minhash_served_pairs",
     "dd21_simhash_incremental_served",
     "dd22_minhash_incremental_served",
+    # re-certify (r14 self-review helper edits, manual rotation
+    # discipline): sources/spatial.py gained the grid sidecar + four
+    # read fallbacks behind dq20, and sources/bucketed.py's
+    # register_bucketed gained identifier/path quoting behind the four
+    # served-index twins (results identical — parity re-verified at both
+    # SFs at the commit; the executed helper code changed, so they
+    # rotate until driver-re-certified).
+    "dq20_spatial_served_filter",
+    "dd19b_simhash_served_equals_inline",
+    "dd20b_minhash_served_equals_guarded",
+    "dd21b_simhash_incremental_served_equals_inline",
+    "dd22b_minhash_incremental_served_equals_inline",
 ]
 
 
@@ -1988,10 +2000,11 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # Lloyd-mean fix, p12 after the #2 import hoist) + the 5 new r13
 # oracled entries (dd19b/dd20b/dq20/dd21b/dd22b). If a future driver
 # round hash-checks any of them, its verdict supersedes this note.
-# Total: 201 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# Total: 196 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
 # latest fn/oracle revision has a driver hash-match (or the documented
-# r13 own-run evidence above). Keys rotated back into the window are
-# subtracted until re-certified.
+# r13 own-run evidence above), MINUS the five r14 helper-edit rotations
+# (dq20 + the four served-index twins — see the window list). Keys
+# rotated back into the window are subtracted until re-certified.
 _CERTIFIED = frozenset(
     {
         # --- r01/r02 window ---
@@ -2152,15 +2165,14 @@ _CERTIFIED = frozenset(
         "dd18b_simhash_incremental_equals_full",
         # --- r13 window (NO driver artifact — own-run evidence, see the
         # ledger note above: full-sweep 4× both SFs in r13 + targeted
-        # check_parity.py 20/20 at both SFs in the r14 fold commit) ---
+        # check_parity.py 20/20 at both SFs in the r14 fold commit).
+        # dq20 and the four served-index twins were folded here, then
+        # rotated back OUT later in round 14 for the self-review helper
+        # edits (spatial grid sidecar + read fallbacks; register_bucketed
+        # quoting) — see the r14 re-certify block in the window list. ---
         "sim3c_served_equals_inline", "sim3e_full_probe_equals_exact",
         "sim5c_served_equals_composition", "dd13c_learned_centroid_contract",
         "p12_smile_parse",
-        "dd19b_simhash_served_equals_inline",
-        "dd20b_minhash_served_equals_guarded",
-        "dq20_spatial_served_filter",
-        "dd21b_simhash_incremental_served_equals_inline",
-        "dd22b_minhash_incremental_served_equals_inline",
     }
 )
 

@@ -65,12 +65,15 @@ def register_bucketed(
     both in a sidecar next to the files (digest-keyed locations make a
     stale mismatch structurally impossible: different data or format ⇒
     different location)."""
-    keys = ", ".join(bucket_key)
+    # backtick-quote identifiers and escape the path literal (r14
+    # code-review): a reserved-word table/column or a quote in the path
+    # must not break — or inject into — the generated DDL
+    keys = ", ".join(f"`{k}`" for k in bucket_key)
     sorted_by = f"SORTED BY ({keys}) " if sort else ""
     spark.sql(
-        f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
+        f"CREATE TABLE `{table}` ({schema_ddl}) USING PARQUET "
         f"CLUSTERED BY ({keys}) {sorted_by}INTO {num_buckets} BUCKETS "
-        f"LOCATION '{path}'"
+        f"LOCATION '{path.replace(chr(39), chr(39) * 2)}'"
     )
 
 
@@ -78,11 +81,25 @@ def bucketed_join(
     spark: SparkSession,
     left_table: str,
     right_table: str,
-    key_left: str,
-    key_right: str,
+    key_left: "str | list[str]",
+    key_right: "str | list[str]",
     how: str = "inner",
 ) -> DataFrame:
-    """Join two same-bucket-count tables on their bucket keys (no shuffle)."""
+    """Join two same-bucket-count tables on their bucket keys (no shuffle).
+
+    ``key_left``/``key_right`` accept the composite-key form
+    (``["band", "bhash"]``) that :func:`write_bucketed` advertises — the
+    join must cover the FULL bucket key or HashPartitioning(all keys)
+    cannot satisfy the join's clustering and Spark silently reinstates
+    the Exchange this module exists to eliminate (r14 code-review)."""
+    kl = [key_left] if isinstance(key_left, str) else list(key_left)
+    kr = [key_right] if isinstance(key_right, str) else list(key_right)
+    if len(kl) != len(kr):
+        raise ValueError(f"key arity mismatch: {kl} vs {kr}")
     left = spark.table(left_table)
     right = spark.table(right_table)
-    return left.join(right, left[key_left] == right[key_right], how)
+    cond = None
+    for a, b in zip(kl, kr):
+        c = left[a] == right[b]
+        cond = c if cond is None else (cond & c)
+    return left.join(right, cond, how)
