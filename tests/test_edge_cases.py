@@ -497,3 +497,40 @@ def test_literal_dependent_entries_non_degenerate(spark, name):
         "no longer match its literals; re-adapt them (see HANDOFF soft "
         "spots) before trusting an empty-vs-empty oracle 'match'"
     )
+
+
+def test_parity_compare_detects_mismatches():
+    """Meta-test of the verification machinery itself (r14): the local
+    parity gate's compare must actually FAIL on value, NaN-asymmetry,
+    row-count and column mismatches — a silently-vacuous compare would
+    green-light everything and no other test would notice."""
+    import os
+    import sys
+
+    import numpy as np
+    import pandas as pd
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    from check_parity import compare
+
+    base = pd.DataFrame({"k": ["a", "b"], "x": [1.0, 2.0]})
+    assert compare(base, base.copy()) == []
+    # value drift
+    assert compare(base, pd.DataFrame({"k": ["a", "b"], "x": [1.0, 2.5]}))
+    # NaN on one side only (both-NaN must pass, one-sided must fail)
+    assert compare(
+        pd.DataFrame({"k": ["a"], "x": [np.nan]}),
+        pd.DataFrame({"k": ["a"], "x": [np.nan]}),
+    ) == []
+    assert compare(
+        pd.DataFrame({"k": ["a"], "x": [np.nan]}),
+        pd.DataFrame({"k": ["a"], "x": [1.0]}),
+    )
+    # row count and column-set drift
+    assert compare(base, base.iloc[:1])
+    assert compare(base, base.rename(columns={"x": "y"}))
+    # order-insensitivity: same rows, different order, must pass
+    assert compare(base, base.iloc[::-1].reset_index(drop=True)) == []
