@@ -2495,12 +2495,22 @@ def test_streaming_chaos_kill_mid_batch_exactly_once(spark, tmp_path):
     sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
     crashed = {"done": False}
     real_rename = os.rename
+    real_link = os.link
 
     def chaos_rename(s, d):
         if os.path.basename(str(d)) == "wiki-1" and not crashed["done"]:
             crashed["done"] = True
             raise RuntimeError("chaos: killed between publish and marker")
         real_rename(s, d)
+
+    def chaos_link(s, d):
+        # r14: the marker commit is exclusive-link-first (rename is only
+        # the no-hardlink fallback) — inject on both primitives so the
+        # kill still lands in the publish→marker window
+        if os.path.basename(str(d)) == "wiki-1" and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("chaos: killed between publish and marker")
+        real_link(s, d)
 
     def run_query():
         stream = (
@@ -2518,11 +2528,13 @@ def test_streaming_chaos_kill_mid_batch_exactly_once(spark, tmp_path):
         q.awaitTermination(120)
 
     sink_mod.os.rename = chaos_rename
+    sink_mod.os.link = chaos_link
     try:
         with pytest.raises(StreamingQueryException, match="chaos"):
             run_query()
     finally:
         sink_mod.os.rename = real_rename
+        sink_mod.os.link = real_link
     assert crashed["done"], "the injected kill never fired"
 
     # mid-crash state: batch 1 published but unmarked
@@ -2795,3 +2807,222 @@ def test_streamed_simhash_index_serves_full_pairs(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, served.collect()))
     want = sorted(map(tuple, inline.collect()))
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# r14 sink hardening (second code-review pass): retry drift, janitor race,
+# read-path guards, loud collisions, real multi-file targets
+# ---------------------------------------------------------------------------
+
+
+def test_window_period_retry_drift_clears_stale_buckets(spark, tmp_path):
+    """r14 code-review: with window_period, a retried batch re-filters at a
+    LATER clock and may stage FEWER buckets — the crashed attempt's file in
+    a bucket the retry no longer writes must NOT become committed-visible
+    (deterministic names only overwrite buckets written AGAIN)."""
+    import glob
+
+    import tranquility_spark.streaming.sink as sink_mod
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    clock = {"now": t0}
+    sink = SegmentSink(
+        str(tmp_path / "seg"), "wiki", "HOUR", window_period="PT10M",
+        clock=lambda: clock["now"],
+    )
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 6, 1, 11, 55, 0), "old_bucket"),  # 5m old at t0
+            (dt.datetime(2024, 6, 1, 12, 1, 0), "new_bucket"),
+        ],
+        "ts timestamp, page string",
+    )
+    # attempt 1: crash at the marker commit (publish already happened)
+    real_link, real_rename = os.link, os.rename
+
+    def chaos(s, d):
+        if os.path.basename(str(d)) == "wiki-1":
+            raise RuntimeError("chaos: marker")
+        real_link(s, d)
+
+    sink_mod.os.link = chaos
+    try:
+        import pytest as pt
+
+        with pt.raises(RuntimeError, match="chaos"):
+            sink.write_batch(df, batch_id=1)
+    finally:
+        sink_mod.os.link = real_link
+        sink_mod.os.rename = real_rename
+    stale = glob.glob(f"{sink._ds_root(0)}/g=2024-06-01-11-00/**/batch-1-*.parquet",
+                      recursive=True)
+    assert stale, "attempt 1 should have published the 11:00 bucket"
+
+    # retry 6 minutes later: the 11:55 row is now outside PT10M
+    clock["now"] = t0 + dt.timedelta(minutes=6)
+    n = sink.write_batch(df, batch_id=1)
+    assert n == 1  # only new_bucket survives the re-filter
+    got = [r.page for r in sink.read(spark, committed_only=True).collect()]
+    assert got == ["new_bucket"], got
+    assert not glob.glob(
+        f"{sink._ds_root(0)}/g=2024-06-01-11-00/**/batch-1-*.parquet",
+        recursive=True,
+    ), "stale bucket file from the crashed attempt leaked into the commit"
+
+
+def test_compact_repair_survives_janitor_race(spark, tmp_path):
+    """r14 code-review: a CONCURRENT compact's janitor may delete this run's
+    published-but-unmarked files (indistinguishable from a crashed
+    predecessor's orphans). The committing run must restore them from its
+    still-live staging AFTER winning the marker, BEFORE deleting the
+    replaced originals — else the marker references deleted files while
+    the only other copy is removed."""
+    import glob
+
+    import tranquility_spark.streaming.sink as sink_mod
+    from tranquility_spark.streaming.sink import compact
+
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 6, 1, 11, b), f"p{b}")], "ts timestamp, page string"
+        )
+        sink.write_batch(df, b + 1)
+    want = sorted(f"p{b}" for b in range(3))
+
+    real_link = os.link
+
+    def janitor_strikes_then_link(s, d):
+        # simulate the concurrent janitor: just before THIS run commits its
+        # marker, every published-but-unmarked compact file vanishes
+        if os.path.basename(str(d)).startswith("wiki-r0-"):
+            for f in glob.glob(f"{sink._ds_root(0)}/**/compact-*.parquet",
+                               recursive=True):
+                os.remove(f)
+        real_link(s, d)
+
+    sink_mod.os.link = janitor_strikes_then_link
+    try:
+        assert compact(sink, spark) == 1
+    finally:
+        sink_mod.os.link = real_link
+
+    got = sorted(r.page for r in sink.read(spark, committed_only=True).collect())
+    assert got == want, "committed snapshot lost rows to the janitor race"
+    # and the layout is healthy: marker's files all exist
+    m = sink.committed_compactions(0)[-1]
+    for rel in m["files"]:
+        assert os.path.exists(os.path.join(sink._ds_root(0), rel)), rel
+
+
+def test_staging_janitor_restores_marked_files_and_clears_leaks(spark, tmp_path):
+    """r14: staging outlives the marker (it backs the repair pass), so a
+    crash in the marker→cleanup window leaks it. The next compact's staging
+    janitor must (a) restore any MARKED file a double fault left missing,
+    (b) remove past-generation staging dirs."""
+    import glob
+    import shutil as sh
+
+    from tranquility_spark.streaming.sink import compact
+
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    for b in range(2):
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 6, 1, 11, b), f"p{b}")], "ts timestamp, page string"
+        )
+        sink.write_batch(df, b + 1)
+    want = sorted(f"p{b}" for b in range(2))
+    assert compact(sink, spark) == 1
+    # manufacture the double-fault state for gen 1: staging leaked AND a
+    # marked file missing from the live tree
+    m = sink.committed_compactions(0)[-1]
+    gen = m["gen"]
+    live_rel = m["files"][0]
+    live = os.path.join(sink._ds_root(0), live_rel)
+    staging = f"{sink.root}/_staging/compact-wiki-r0-{gen}"
+    os.makedirs(os.path.dirname(staging), exist_ok=True)
+    # rebuild a staging dir holding the file under its staged name/layout
+    sdir = os.path.join(staging, os.path.dirname(live_rel))
+    os.makedirs(sdir, exist_ok=True)
+    sh.copyfile(live, os.path.join(sdir, "part-00000.snappy.parquet"))
+    os.remove(live)
+    # snapshot is broken right now (marker references a missing file) —
+    # one compact() call must repair it and clear the leaked staging
+    compact(sink, spark)
+    assert os.path.exists(live), "staging janitor failed to restore the marked file"
+    assert not os.path.isdir(staging), "leaked staging dir not cleared"
+    got = sorted(r.page for r in sink.read(spark, committed_only=True).collect())
+    assert got == want
+
+
+def test_read_paths_reject_out_of_range_replica(spark, tmp_path):
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    sink.write_batch(
+        spark.createDataFrame(
+            [(dt.datetime(2024, 6, 1, 11, 5), "a")], "ts timestamp, page string"
+        ),
+        1,
+    )
+    for fn in (
+        lambda: sink.read(spark, replica=1),
+        lambda: sink.read(spark, replica=1, committed_only=True),
+        lambda: sink.committed_files(replica=1),
+        lambda: sink.committed_compactions(replica=1),
+        lambda: sink.buckets(replica=1),
+    ):
+        with pytest.raises(ValueError, match="out of range"):
+            fn()
+
+
+def test_multi_datasource_null_datasource_counted(spark, tmp_path):
+    from tranquility_spark.streaming.sink import MultiDatasourceSink
+
+    sinks = {"wiki": SegmentSink(str(tmp_path / "wiki"), "wiki", "HOUR")}
+    multi = MultiDatasourceSink(sinks)
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 6, 1, 11, 5), "a", "wiki"),
+            (dt.datetime(2024, 6, 1, 11, 6), "b", "other"),
+            (dt.datetime(2024, 6, 1, 11, 7), "c", None),  # NULL tag: was lost
+        ],
+        "ts timestamp, page string, datasource string",
+    )
+    assert multi.write_batch(df, 1) == 1
+    assert multi.unknown_dropped == 2  # 'other' AND the NULL row
+
+
+def test_sink_reserved_column_and_granularity_guards(spark, tmp_path):
+    with pytest.raises(ValueError, match="finer than"):
+        SegmentSink(str(tmp_path / "s1"), "wiki", "SECOND")
+    sink = SegmentSink(str(tmp_path / "s2"), "wiki", "HOUR")
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 6, 1, 11, 5), "a", 1)], "ts timestamp, page string, p int"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        sink.write_batch(df, 1)
+
+
+def test_compact_target_files_per_shard_actually_splits(spark, tmp_path):
+    """r14 code-review: target > 1 used to be a rewrite threshold only —
+    (g, p) hash partitioning always collapsed each dir to ONE file. The
+    row-hash slice key makes it real: at most `target` files per dir,
+    re-run still a no-op."""
+    from tranquility_spark.streaming.sink import compact
+
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    for b in range(4):
+        df = spark.createDataFrame(
+            [
+                (dt.datetime(2024, 6, 1, 11, m % 50), f"p{b}-{m}")
+                for m in range(50)
+            ],
+            "ts timestamp, page string",
+        )
+        sink.write_batch(df, b + 1)
+    before = sink.read(spark, committed_only=True).count()
+    assert compact(sink, spark, target_files_per_shard=2) == 1
+    seg = os.path.join(str(tmp_path / "seg"), "ds=wiki", "g=2024-06-01-11-00", "p=0")
+    compact_files = [f for f in os.listdir(seg) if f.startswith("compact-")]
+    assert len(compact_files) == 2, compact_files
+    assert sink.read(spark, committed_only=True).count() == before
+    assert compact(sink, spark, target_files_per_shard=2) == 0  # converged

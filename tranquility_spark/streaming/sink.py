@@ -71,6 +71,19 @@ class SegmentSink:
             if isinstance(segment_granularity, str)
             else segment_granularity
         )
+        if self.gran.name in ("SECOND", "NONE"):
+            # the g bucket string is minute-resolution (yyyy-MM-dd-HH-mm):
+            # a finer segment granularity would silently coalesce 60+
+            # logical buckets per directory while before=-scoped
+            # compaction and bucket listings operated on the coarser
+            # string — loud, not silently-coarsened (r14 code-review).
+            # (Druid's own segmentGranularity floor is MINUTE-scale too;
+            # sub-minute segments are an anti-pattern at any size.)
+            raise ValueError(
+                f"segment_granularity={self.gran.name} is finer than the "
+                "sink's minute-resolution bucket layout — use MINUTE or "
+                "coarser (queryGranularity may still be SECOND/NONE)"
+            )
         self.partitions = partitions
         self.replicants = replicants
         self.shard_key = shard_key
@@ -127,6 +140,16 @@ class SegmentSink:
                 latest_close_time=self.latest_close_time,
             )
 
+        clash = [c for c in ("g", "p") if c in out.columns]
+        if clash:
+            # loud, not silent (r14 code-review, the cluster_by guard's
+            # sibling): withColumn would REPLACE the user's column with
+            # the bucket/shard value and partitionBy would consume it as
+            # a directory key — the original values gone from the layout
+            raise ValueError(
+                f"batch columns {clash} collide with the sink's reserved "
+                "bucket/shard columns ('g', 'p') — rename them upstream"
+            )
         bucket = self.gran.truncate(F.col(self.ts_col))
         out = out.withColumn("g", F.date_format(bucket, "yyyy-MM-dd-HH-mm"))
         shard = (
@@ -168,6 +191,22 @@ class SegmentSink:
         # the data write and the marker write would duplicate the batch on
         # retry (append mode), and a crash between replica writes would
         # duplicate replica 0.
+        # clear EVERY file this batch id ever published (r14 code-review):
+        # deterministic names only overwrite partial work in buckets the
+        # retry writes AGAIN — with a wall clock (window_period,
+        # clock=None) the retry re-filters at a LATER now and may stage
+        # FEWER buckets, so a crashed attempt's file in a bucket the
+        # retry no longer produces would become committed-visible once
+        # the marker lands, exposing rows the committed batch filtered
+        # out. The batch id owns its files; sweep them all first.
+        for r in range(self.replicants):
+            root_r = self._ds_root(r)
+            if not os.path.isdir(root_r):
+                continue
+            for dirpath, _dirs, fs in os.walk(root_r):
+                for f in fs:
+                    if f.startswith(f"batch-{batch_id}-") and f.endswith(".parquet"):
+                        os.remove(os.path.join(dirpath, f))
         staging = f"{self.root}/_staging/{self.datasource}-{batch_id}"
         if os.path.isdir(staging):
             shutil.rmtree(staging)
@@ -201,12 +240,27 @@ class SegmentSink:
             n = sum(pq.ParquetFile(p).metadata.num_rows for _, ps in files_by_part for p in ps)
         shutil.rmtree(staging, ignore_errors=True)
         os.makedirs(os.path.dirname(marker), exist_ok=True)
-        # write-then-rename so a crash mid-write never leaves a marker
-        # that would make a half-written batch look committed
-        tmp = f"{marker}.tmp"
+        # write-then-commit so a crash mid-write never leaves a marker
+        # that would make a half-written batch look committed. The commit
+        # is pid-unique + EXCLUSIVE (r14 code-review, compact()'s
+        # protocol): two producers racing the same batch id — a
+        # misconfigured double daemon; the checkpoint contract says same
+        # id == same content — cannot silently clobber each other's
+        # marker; the loser treats the batch as already committed.
+        tmp = f"{marker}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump({"rows": n, "batch_id": batch_id}, f)
-        os.rename(tmp, marker)
+        try:
+            os.link(tmp, marker)
+        except FileExistsError:
+            os.remove(tmp)
+            return 0  # a concurrent producer committed this batch first
+        except OSError:
+            # filesystem without hardlinks: atomic rename (loses the
+            # concurrent-producer guard, keeps crash atomicity)
+            os.rename(tmp, marker)
+        else:
+            os.remove(tmp)
         return n
 
     # -- streaming attach ----------------------------------------------------
@@ -239,11 +293,25 @@ class SegmentSink:
             if name.startswith(prefix) and name[len(prefix):].isdigit()
         }
 
+    def _check_replica(self, replica: int) -> None:
+        """The compact() replica-range guard (r13), extended to every read
+        path (r14 code-review): with replicants == 1 ``_ds_root`` aliases
+        ALL replica numbers to the same directory, but the marker
+        namespaces stay per-replica — an out-of-range replica would find
+        the files and none of their markers, so a snapshot read would
+        silently skip every compacted file (or raise on a fully
+        compacted layout) instead of erroring on the bad argument."""
+        if not 0 <= replica < self.replicants:
+            raise ValueError(
+                f"replica {replica} out of range for replicants={self.replicants}"
+            )
+
     def committed_compactions(self, replica: int = 0) -> list[dict]:
         """Committed ``compact()`` markers for one replica, sorted by
         generation (r13, VERDICT r12 #2). Each marker records the files a
         compaction published and the files it replaced, so the snapshot
         read can flip from old to new atomically at the marker rename."""
+        self._check_replica(replica)
         base = f"{self.root}/_compactions"
         prefix = f"{self.datasource}-r{replica}-"
         if not os.path.isdir(base):
@@ -269,6 +337,7 @@ class SegmentSink:
         - anything else (pre-r13 ``part-*`` rewrites) is committed by the
           legacy protocol and included.
         """
+        self._check_replica(replica)
         base = self._ds_root(replica)
         committed = self.committed_batch_ids()
         comp_published: set[str] = set()
@@ -322,7 +391,17 @@ class SegmentSink:
         store scale the marker state belongs in a manifest/metadata layer
         (the same evolution the module header describes for the publish
         loop), where this read becomes a manifest lookup instead of a walk.
+
+        Known race (documented, same class as the raw read's transient
+        old+new visibility): a snapshot whose file list was taken BEFORE a
+        concurrent ``compact()`` committed can fail with FileNotFound when
+        the compaction's deletion phase removes the replaced files under
+        the in-flight job. File-level snapshots have no read locks; retry
+        the read (the new listing resolves through the marker) or schedule
+        compaction away from readers — the manifest layer above is where a
+        grace period would live at object-store scale.
         """
+        self._check_replica(replica)
         base = self._ds_root(replica)
         if not committed_only:
             return (
@@ -343,6 +422,7 @@ class SegmentSink:
         )
 
     def buckets(self, replica: int = 0) -> list[str]:
+        self._check_replica(replica)
         base = self._ds_root(replica)
         if not os.path.isdir(base):
             return []
@@ -389,8 +469,13 @@ class MultiDatasourceSink:
             for ds, sink in self.sinks.items():
                 part = df.filter(F.col(self.datasource_col) == ds).drop(self.datasource_col)
                 total += sink.write_batch(self._transform(ds)(part), batch_id)
+            # NULL-safe unknown counting (r14 code-review): ~isin(known) is
+            # NULL for a NULL datasource under three-valued logic, so the
+            # rows most likely to be misrouted (an unmapped topic's
+            # NULL tag) were dropped WITHOUT being counted
+            col = F.col(self.datasource_col)
             self.unknown_dropped += df.filter(
-                ~F.col(self.datasource_col).isin(known)
+                col.isNull() | ~col.isin(known)
             ).count()
             return total
         finally:
@@ -414,7 +499,10 @@ def compact(
 
     Streaming produces one file per (bucket, shard) per micro-batch; after N
     batches a bucket holds N small files and read amplification grows. This
-    rewrites each bucket to ``target_files_per_shard`` files using the SAME
+    rewrites each over-target (bucket, shard) to at most
+    ``target_files_per_shard`` files (r14: a deterministic row-hash slice
+    key makes targets above 1 real — hash co-location may merge slices,
+    so "at most") using the SAME
     stage → deterministic publish → marker protocol as ``write_batch`` (r13,
     VERDICT r12 #2 — the r12 version used Spark's dynamic partition
     overwrite, whose delete-then-rename commit window could lose the only
@@ -472,15 +560,13 @@ def compact(
         raise ValueError(
             f"before={before!r} is not a g bucket string (yyyy-MM-dd-HH-mm)"
         )
-    if not 0 <= replica < sink.replicants:
-        # r13 code-review find: _ds_root aliases EVERY replica number to
-        # the same directory when replicants == 1, so a wrong replica arg
-        # would read an empty marker namespace and the orphan janitor
-        # would delete committed compact files as "unmarked" — silent
-        # data loss where the pre-protocol code was a harmless no-op
-        raise ValueError(
-            f"replica {replica} out of range for replicants={sink.replicants}"
-        )
+    # r13 code-review find: _ds_root aliases EVERY replica number to the
+    # same directory when replicants == 1, so a wrong replica arg would
+    # read an empty marker namespace and the orphan janitor would delete
+    # committed compact files as "unmarked" — silent data loss where the
+    # pre-protocol code was a harmless no-op (r14: shared with the read
+    # paths as SegmentSink._check_replica)
+    sink._check_replica(replica)
     base = sink._ds_root(replica)
     if not os.path.isdir(base):
         return 0
@@ -512,6 +598,49 @@ def compact(
                 rel = os.path.relpath(os.path.join(dirpath, f), base)
                 if g not in marked_files or rel not in marked_files[g]:
                     os.remove(os.path.join(dirpath, f))
+    # staging janitor (r14 code-review follow-on): staging now outlives
+    # the marker commit (it backs the post-commit repair pass below), so
+    # a crash in the marker→cleanup window leaks a past generation's
+    # staging dir forever (later runs use higher gens and never revisit
+    # the path). Clear staging dirs of generations <= the last committed
+    # one — and BEFORE deleting a MARKED generation's staging, restore
+    # any of its files a double fault left missing from the live tree
+    # (crash after marker but before the repair pass, with a concurrent
+    # janitor having removed the published copies — staging holds the
+    # only remaining bytes). Staging of a HIGHER gen may belong to a
+    # live concurrent run and is left alone.
+    stage_root = f"{sink.root}/_staging"
+    last_gen = committed[-1]["gen"] if committed else 0
+    stage_prefix = f"compact-{sink.datasource}-r{replica}-"
+    if os.path.isdir(stage_root):
+        for d in sorted(os.listdir(stage_root)):
+            if not d.startswith(stage_prefix):
+                continue
+            try:
+                g = int(d[len(stage_prefix):])
+            except ValueError:
+                continue
+            if g > last_gen:
+                continue
+            sdir = os.path.join(stage_root, d)
+            if g in marked_files:
+                for dirpath, _dirs, fs in sorted(os.walk(sdir)):
+                    parquets = sorted(f for f in fs if f.endswith(".parquet"))
+                    if not parquets:
+                        continue
+                    rel_dir = os.path.relpath(dirpath, sdir)
+                    for seq, name in enumerate(parquets):
+                        rel = os.path.normpath(
+                            os.path.join(rel_dir, f"compact-{g}-{seq}.parquet")
+                        )
+                        dst = os.path.join(base, rel)
+                        if rel in marked_files[g] and not os.path.exists(dst):
+                            os.makedirs(os.path.dirname(dst), exist_ok=True)
+                            try:
+                                os.link(os.path.join(dirpath, name), dst)
+                            except OSError:
+                                shutil.copyfile(os.path.join(dirpath, name), dst)
+            shutil.rmtree(sdir, ignore_errors=True)
     live = sink.committed_files(replica)
     if before is not None:
         # bucket-scoped maintenance: only files in g=<bucket> partitions
@@ -568,11 +697,28 @@ def compact(
     staging = f"{sink.root}/_staging/compact-{sink.datasource}-r{replica}-{gen}"
     if os.path.isdir(staging):
         shutil.rmtree(staging)
-    # hash-repartition on (g, p) keeps each (bucket, shard) WHOLE in one
-    # task — one output file per dir, so re-running on a compacted layout
-    # stays a no-op (a range partitioner on the cluster key could straddle
-    # a bucket across a boundary and re-split it forever)
-    df = df.repartition(max(n_parts * target_files_per_shard, 1), F.col("g"), F.col("p"))
+    # hash-repartition on (g, p [, slice]) keeps each output group WHOLE
+    # in one task, so re-running on a compacted layout stays a no-op (a
+    # range partitioner on the cluster key could straddle a bucket across
+    # a boundary and re-split it forever). target_files_per_shard > 1
+    # (r14 code-review: it used to be rewrite-threshold-only — (g, p)
+    # hash partitioning always collapsed each dir to ONE file no matter
+    # the target, silently producing oversized files where the caller
+    # asked for bounded ones) adds a deterministic row-hash slice key:
+    # each (g, p) splits into UP TO `target` files (slices that hash to
+    # the same task co-locate and merge), and the next run's over-target
+    # check (n > target) stays a no-op at or under the target count.
+    part_cols = [F.col("g"), F.col("p")]
+    if target_files_per_shard > 1:
+        slice_key = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(target_files_per_shard),
+        )
+        df = df.withColumn("__slice", slice_key)
+        part_cols.append(F.col("__slice"))
+    df = df.repartition(max(n_parts * target_files_per_shard, 1), *part_cols)
+    if target_files_per_shard > 1:
+        df = df.drop("__slice")
     if sink.cluster_by:
         # (missing-column guard already ran, before the distinct-count job)
         # Druid compaction with a range partitionsSpec: the N
@@ -585,6 +731,7 @@ def compact(
         df = df.sortWithinPartitions("g", "p", *sink.cluster_by)
     df.write.mode("overwrite").partitionBy("g", "p").parquet(staging)
     published: list[str] = []
+    published_src: dict[str, str] = {}
     for dirpath, _dirs, fs in sorted(os.walk(staging)):
         parquets = sorted(f for f in fs if f.endswith(".parquet"))
         if not parquets:
@@ -604,13 +751,18 @@ def compact(
             except OSError:
                 shutil.copyfile(os.path.join(dirpath, name), dst)
             published.append(os.path.relpath(dst, base))
+            published_src[os.path.relpath(dst, base)] = os.path.join(dirpath, name)
     import pyarrow.parquet as pq
 
     rows = sum(
         pq.ParquetFile(os.path.join(base, rel)).metadata.num_rows
         for rel in published
     )
-    shutil.rmtree(staging, ignore_errors=True)
+    # staging is NOT removed yet (r14 code-review): a CONCURRENT compact's
+    # janitor can legally delete this run's published-but-unmarked files
+    # (they look exactly like a crashed predecessor's orphans); the staged
+    # inodes stay alive until after the marker commits so the repair pass
+    # below can restore anything the janitor took in that window.
 
     marker_dir = f"{sink.root}/_compactions"
     os.makedirs(marker_dir, exist_ok=True)
@@ -639,6 +791,7 @@ def compact(
         os.link(tmp, marker)
     except FileExistsError:
         os.remove(tmp)
+        shutil.rmtree(staging, ignore_errors=True)
         raise RuntimeError(
             f"concurrent compaction committed generation {gen} first; "
             "this run's work was discarded (no data was deleted)"
@@ -653,8 +806,23 @@ def compact(
         # marker we just created
         os.remove(tmp)
 
+    # repair pass (r14 code-review): if a concurrent run's janitor removed
+    # any of this generation's files during the publish→marker window
+    # (unmarked then, marked now), restore them from the still-live
+    # staging inodes BEFORE deleting the replaced originals — without
+    # this, the committed marker could reference deleted files while the
+    # only other copy of those rows (the replaced set) is removed below.
+    for rel, src in published_src.items():
+        dst = os.path.join(base, rel)
+        if not os.path.exists(dst):
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copyfile(src, dst)
+
     for rel in replaced:
         stale = os.path.join(base, rel)
         if os.path.exists(stale):
             os.remove(stale)
+    shutil.rmtree(staging, ignore_errors=True)
     return n_parts
