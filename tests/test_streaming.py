@@ -3026,3 +3026,129 @@ def test_compact_target_files_per_shard_actually_splits(spark, tmp_path):
     assert len(compact_files) == 2, compact_files
     assert sink.read(spark, committed_only=True).count() == before
     assert compact(sink, spark, target_files_per_shard=2) == 0  # converged
+
+
+def test_flush_failure_resolves_futures_exceptionally(spark, tmp_path):
+    """r14 code-review: a failed flush must not leave clients hanging on
+    futures nobody will complete — they resolve with the flush's error."""
+    from tranquility_spark.streaming.tranquilizer import Tranquilizer
+
+    spec = _spec()
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    t = Tranquilizer(spark, spec, sink, window_period=None)
+    # 'p' collides with the sink's reserved shard column → write_batch raises
+    fut = t.send({"timestamp": "2024-06-01T11:05:00", "page": "a", "added": 1.0, "p": 7})
+    with pytest.raises(ValueError, match="reserved"):
+        t.flush()
+    assert fut.done() and isinstance(fut.exception(), ValueError)
+
+
+def test_flush_batch_id_collision_is_loud(spark, tmp_path):
+    """r14 code-review: write_batch signals 'marker already exists' by
+    returning 0 — acknowledging those events as sent would be silent data
+    loss; the flush raises and the futures resolve exceptionally."""
+    from tranquility_spark.streaming.tranquilizer import (
+        MessageDroppedException,
+        Tranquilizer,
+    )
+
+    spec = _spec()
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    # commit a marker for batch id 1 from a "previous producer"
+    sink.write_batch(
+        spark.createDataFrame(
+            [(dt.datetime(2024, 6, 1, 10, 5), "old", 0.0)],
+            "ts timestamp, page string, added double",
+        ),
+        batch_id=1,
+    )
+    t = Tranquilizer(spark, spec, sink, window_period=None)
+    t._batch_id = 0  # simulate the misconfigured double producer
+    fut = t.send({"timestamp": "2024-06-01T11:05:00", "page": "a", "added": 1.0})
+    with pytest.raises(MessageDroppedException, match="NOT delivered"):
+        t.flush()
+    assert isinstance(fut.exception(), MessageDroppedException)
+    # the original producer's committed rows are untouched
+    assert sink.read(spark, committed_only=True).count() == 1
+
+
+def test_drop_reason_names_parse_failure_not_window(spark, tmp_path):
+    from tranquility_spark.streaming.beams import MemoryBeam
+    from tranquility_spark.streaming.tranquilizer import (
+        MessageDroppedException,
+        Tranquilizer,
+    )
+
+    t = Tranquilizer(spark, _spec(), MemoryBeam(), window_period=None)
+    ok = t.send({"timestamp": "2024-06-01T11:05:00", "page": "a", "added": 1.0})
+    bad = t.send({"timestamp": "not-a-timestamp", "page": "b", "added": 2.0})
+    t.flush()
+    assert ok.result().sent
+    exc = bad.exception()
+    assert isinstance(exc, MessageDroppedException)
+    assert "unparseable" in str(exc) and "windowPeriod" not in str(exc)
+
+
+def test_stream_rollup_metricless_spec_matches_batch_twin(spark):
+    """r14 code-review: an empty metricsSpec is valid (Druid dedups on the
+    rollup key; build_rollup uses dropDuplicates) — stream_rollup used to
+    crash on GroupedData.agg's no-exprs assert."""
+    from tranquility_spark.plans.rollup import build_rollup
+    from tranquility_spark.specs import (
+        DimensionsSpec,
+        GranularitySpec,
+        IngestSpec,
+        TimestampSpec,
+    )
+    from tranquility_spark.streaming.pipeline import stream_rollup
+
+    spec = IngestSpec(
+        datasource="wiki",
+        timestamp_spec=TimestampSpec(column="timestamp", format="iso", output="ts"),
+        dimensions_spec=DimensionsSpec(dimensions=["page"]),
+        metrics=(),
+        granularity_spec=GranularitySpec("HOUR", "MINUTE"),
+    )
+    df = spark.createDataFrame(
+        [
+            ("2024-06-01T11:05:10", "a"),
+            ("2024-06-01T11:05:20", "a"),  # same minute+page → one row
+            ("2024-06-01T11:06:10", "a"),
+        ],
+        "timestamp string, page string",
+    )
+    got = stream_rollup(df, spec)
+    want = build_rollup(spec)(df)
+    assert got.count() == want.count() == 2
+    assert sorted(r.ts for r in got.select("ts").collect()) == sorted(
+        r.ts for r in want.select("ts").collect()
+    )
+
+
+def test_sessionize_without_value_column_is_loud(spark):
+    from tranquility_spark.streaming.pipeline import stream_sessionize
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 6, 1, 11, 5), "x")], "user_id long, ts timestamp, page string"
+    )
+    with pytest.raises(ValueError, match="metrics"):
+        stream_sessionize(df)
+    # explicit metrics work without a 'value' column
+    out = stream_sessionize(df, metrics=[F.count(F.lit(1)).alias("n_events")])
+    assert out.collect()[0].n_events == 1
+
+
+def test_batch_exact_dedup_survivor_is_deterministic(spark):
+    """r14 code-review: the static path used dropDuplicates (arbitrary
+    survivor); now the earliest event time wins, stable across shuffles."""
+    from tranquility_spark.streaming import stream_exact_dedup
+
+    rows = [
+        (dt.datetime(2024, 6, 1, 11, m), f"u{m}", "same text")
+        for m in (7, 3, 9, 5)
+    ] + [(dt.datetime(2024, 6, 1, 11, 1), "other", "different text")]
+    df = spark.createDataFrame(rows, "ts timestamp, who string, text string")
+    for parts in (1, 7):
+        got = stream_exact_dedup(df.repartition(parts), "text", "ts").collect()
+        by_text = {r.text: r.who for r in got}
+        assert by_text == {"same text": "u3", "different text": "other"}, by_text

@@ -153,7 +153,19 @@ def stream_rollup(
 
     q_ts = gran.query_granularity.truncate(F.col(ts_out)).alias(ts_out)
     aggs = [m.column() for m in spec.metrics]
-    grouped = parsed.groupBy(win.alias("__w"), q_ts, *dims).agg(*aggs)
+    if aggs:
+        grouped = parsed.groupBy(win.alias("__w"), q_ts, *dims).agg(*aggs)
+    else:
+        # metric-less rollup is VALID (Druid with an empty metricsSpec
+        # dedups rows on the rollup key; the batch twin build_rollup uses
+        # dropDuplicates) — GroupedData.agg asserts on zero exprs, so
+        # aggregate a throwaway count and drop it: exactly the distinct
+        # (window, q_ts, dims) keys, streaming-safe (r14 code-review)
+        grouped = (
+            parsed.groupBy(win.alias("__w"), q_ts, *dims)
+            .agg(F.count(F.lit(1)).alias("__rollup_n"))
+            .drop("__rollup_n")
+        )
     return grouped.withColumn(bucket_col, F.col("__w").start).drop("__w").select(
         bucket_col, ts_out, *dims, *[m.name for m in spec.metrics]
     )
@@ -199,15 +211,32 @@ def stream_exact_dedup(
     cost of re-admitting a duplicate that arrives later than the horizon (the
     same bounded-window tradeoff the reference makes for late data, P6).
     Plain ``dropDuplicates`` on non-event-time keys would grow state forever.
-    Works identically on static frames (state-free global dedup).
+
+    Static frames dedup to the same KEY SET; the surviving row differs by
+    construction (r14 code-review — the old static path's dropDuplicates
+    kept an ARBITRARY row per hash, nondeterministic across shuffles):
+    streaming keeps the first ARRIVAL (the only order a stream has), the
+    batch path now keeps the earliest EVENT TIME deterministically (all
+    remaining columns as the total-order tiebreak) — the natural batch
+    reading of "first occurrence".
     """
+    from pyspark.sql import Window
+
     from tranquility_spark.operators.dedup import content_hash
 
     hashed = stream_df.withColumn("__content_hash", content_hash(F.col(text_col)))
     if hashed.isStreaming:
         hashed = hashed.withWatermark(ts_col, watermark)
         return hashed.dropDuplicatesWithinWatermark(["__content_hash"]).drop("__content_hash")
-    return hashed.dropDuplicates(["__content_hash"]).drop("__content_hash")
+    order_cols = [F.col(ts_col)] + [
+        F.col(c) for c in stream_df.columns if c != ts_col
+    ]
+    w = Window.partitionBy("__content_hash").orderBy(*order_cols)
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__content_hash")
+    )
 
 
 def stream_interval_join(
@@ -282,10 +311,22 @@ def stream_sessionize(
     passes. Works on static frames too (Catalyst computes sessions in one
     aggregation over the sorted-by-key partition — no driver logic).
     """
-    agg = metrics or [
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("value_sum"),
-    ]
+    if metrics is None:
+        # the default sums a column literally named 'value' — on a frame
+        # without one that fails deep in analysis with UNRESOLVED_COLUMN;
+        # name the parameter instead (r14 code-review). Count-only stays
+        # available by passing metrics=[F.count(F.lit(1)).alias(...)].
+        if "value" not in stream_df.columns:
+            raise ValueError(
+                "stream_sessionize's default metrics aggregate a 'value' "
+                "column, which this frame lacks — pass metrics=[...] "
+                "explicitly (e.g. [F.count(F.lit(1)).alias('n_events')])"
+            )
+        metrics = [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        ]
+    agg = metrics
     df = stream_df
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)

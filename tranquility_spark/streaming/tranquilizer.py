@@ -86,7 +86,20 @@ class Tranquilizer:
         events = [e for e, _ in self._buffer]
         futures = [f for _, f in self._buffer]
         self._buffer = []
+        try:
+            self._flush(events, futures)
+        except Exception as exc:
+            # r14 code-review: a failed flush must resolve every pending
+            # future exceptionally (the reference's contract), not leave
+            # clients blocked on futures nobody will ever complete while
+            # the buffered events are already gone
+            for fut in futures:
+                if not fut.done():
+                    self.dropped_count += 1
+                    fut.set_exception(exc)
+            raise
 
+    def _flush(self, events: list, futures: list) -> None:
         idx_col = "__send_idx"
         df = self.spark.createDataFrame(
             [{**e, idx_col: i} for i, e in enumerate(events)]
@@ -95,18 +108,56 @@ class Tranquilizer:
         parsed = df.withColumn(ts_out, self.spec.timestamp_spec.extract(df)).filter(
             F.col(ts_out).isNotNull()
         )
+        # ONE materialization of the real plan (r14 code-review: the old
+        # collect-then-write evaluated the lazy plan twice, and with a
+        # wall-clock window filter — F.current_timestamp() re-resolves per
+        # action — the write could drop boundary rows the disposition had
+        # already acknowledged as sent). Everything after this line
+        # operates on the <= max_batch_size collected rows.
+        parse_rows = parsed.collect()
+        parse_ok_idx = {r[idx_col] for r in parse_rows}
+        small = self.spark.createDataFrame(parse_rows, parsed.schema)
         if self.window_period is not None:
-            now = self.clock() if self.clock else None
-            parsed = two_sided_window_filter(parsed, ts_out, self.window_period, now=now)
-
-        accepted_idx = {r[idx_col] for r in parsed.select(idx_col).collect()}
-        batch = parsed.drop(idx_col)
+            # resolve 'now' driver-side exactly once per flush so the
+            # disposition and the written rows see the SAME instant
+            now = (
+                self.clock()
+                if self.clock
+                else _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+            )
+            small = two_sided_window_filter(
+                small, ts_out, self.window_period, now=now
+            )
+        accepted_rows = (
+            small.collect() if self.window_period is not None else parse_rows
+        )
+        accepted_idx = {r[idx_col] for r in accepted_rows}
+        batch_schema = parsed.drop(idx_col).schema
+        batch = self.spark.createDataFrame(
+            [
+                {k: v for k, v in r.asDict(recursive=False).items() if k != idx_col}
+                for r in accepted_rows
+            ],
+            schema=batch_schema,
+        )
 
         self._batch_id += 1
+        expected = len(accepted_rows)
         if hasattr(self.beam, "write_batch"):
-            self.beam.write_batch(batch, self._batch_id)
+            written = self.beam.write_batch(batch, self._batch_id)
         else:
-            self.beam.send_all(batch)
+            written = self.beam.send_all(batch)
+        if expected > 0 and written == 0:
+            # r14 code-review: the sink SIGNALS a batch-id collision (a
+            # marker already committed under this id — the misconfigured
+            # double-producer case) by returning 0; acknowledging these
+            # events as sent would be silent data loss
+            raise MessageDroppedException(
+                f"batch {self._batch_id} was not written: a marker for this "
+                "batch id already exists (concurrent producer / batch-id "
+                "collision), or the sink's own window filter rejected the "
+                "whole batch — events were NOT delivered"
+            )
 
         for i, fut in enumerate(futures):
             if i in accepted_idx:
@@ -114,9 +165,17 @@ class Tranquilizer:
                 fut.set_result(SendResult(sent=True))
             else:
                 self.dropped_count += 1
-                fut.set_exception(
-                    MessageDroppedException(f"event {i} outside windowPeriod {self.window_period}")
-                )
+                # name the actual cause (r14 code-review: every drop used
+                # to blame windowPeriod, even parse failures with the
+                # window disabled)
+                if i not in parse_ok_idx:
+                    msg = (
+                        f"event {i}: unparseable timestamp "
+                        f"(column {self.spec.timestamp_spec.column!r})"
+                    )
+                else:
+                    msg = f"event {i} outside windowPeriod {self.window_period}"
+                fut.set_exception(MessageDroppedException(msg))
 
     def close(self) -> None:
         self.flush()
