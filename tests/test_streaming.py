@@ -2939,7 +2939,9 @@ def test_staging_janitor_restores_marked_files_and_clears_leaks(spark, tmp_path)
     gen = m["gen"]
     live_rel = m["files"][0]
     live = os.path.join(sink._ds_root(0), live_rel)
-    staging = f"{sink.root}/_staging/compact-wiki-r0-{gen}"
+    # the leaked dir is the committing run's OWN staging — the marker
+    # records its (pid-unique) basename; the janitor restores only from it
+    staging = f"{sink.root}/_staging/{m.get('staging', f'compact-wiki-r0-{gen}')}"
     os.makedirs(os.path.dirname(staging), exist_ok=True)
     # rebuild a staging dir holding the file under its staged name/layout
     sdir = os.path.join(staging, os.path.dirname(live_rel))
@@ -2953,6 +2955,94 @@ def test_staging_janitor_restores_marked_files_and_clears_leaks(spark, tmp_path)
     assert not os.path.isdir(staging), "leaked staging dir not cleared"
     got = sorted(r.page for r in sink.read(spark, committed_only=True).collect())
     assert got == want
+
+
+def test_write_batch_live_lock_blocks_sweep(spark, tmp_path):
+    """ADVICE r14 (medium): a live concurrent producer of the same batch id
+    must not be able to sweep/clobber the other's files — exclusivity is
+    acquired BEFORE any mutation. A lock held by a live foreign pid makes
+    write_batch return 0 without touching the winner's published files."""
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 6, 1, 11, 5), "a")], "ts timestamp, page string"
+    )
+    assert sink.write_batch(df, 1) == 1
+    # simulate the winner mid-protocol: its files are on disk, marker not
+    # yet committed, lock held by a live pid (pid 1 is always alive)
+    marker = sink._marker_path(1)
+    os.remove(marker)
+    with open(f"{marker}.lock", "w") as fh:
+        fh.write("1")
+    files_before = sorted(
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(sink._ds_root(0))
+        for f in fs
+        if f.startswith("batch-1-")
+    )
+    assert sink.write_batch(df, 1) == 0  # blocked, not swept
+    files_after = sorted(
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(sink._ds_root(0))
+        for f in fs
+        if f.startswith("batch-1-")
+    )
+    assert files_after == files_before and files_before, (
+        "a blocked producer deleted the lock holder's published files"
+    )
+    os.remove(f"{marker}.lock")
+    # a lock recording OUR OWN pid (leaked by a killed thread) is stale
+    with open(f"{marker}.lock", "w") as fh:
+        fh.write(str(os.getpid()))
+    assert sink.write_batch(df, 1) == 1  # stolen and completed
+    assert not os.path.exists(f"{marker}.lock")
+    assert sink.read(spark, committed_only=True).count() == 1
+
+
+def test_compact_staging_is_pid_unique_and_restore_is_provenance_checked(
+    spark, tmp_path
+):
+    """ADVICE r14 (medium): concurrent same-generation compactors must not
+    share a staging dir, and the janitor's restore pass must only link
+    marked files from the dir the committed marker itself names — a
+    same-gen loser's staging may hold a divergent file sequence."""
+    import shutil as sh
+
+    from tranquility_spark.streaming.sink import compact
+
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    for b in range(2):
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 6, 1, 11, b), f"p{b}")], "ts timestamp, page string"
+        )
+        sink.write_batch(df, b + 1)
+    assert compact(sink, spark) == 1
+    m = sink.committed_compactions(0)[-1]
+    assert m["staging"].endswith(f".{os.getpid()}"), m["staging"]
+    gen = m["gen"]
+    live_rel = m["files"][0]
+    live = os.path.join(sink._ds_root(0), live_rel)
+    # double fault: marked file missing, marker's own staging leaked AND a
+    # same-gen loser staging present with DIVERGENT content
+    winner_staging = f"{sink.root}/_staging/{m['staging']}"
+    loser_staging = f"{sink.root}/_staging/compact-wiki-r0-{gen}.999999"
+    for staging in (winner_staging, loser_staging):
+        sdir = os.path.join(staging, os.path.dirname(live_rel))
+        os.makedirs(sdir, exist_ok=True)
+        sh.copyfile(live, os.path.join(sdir, "part-00000.snappy.parquet"))
+    # corrupt the loser's copy so a provenance mistake is detectable
+    with open(
+        os.path.join(
+            loser_staging, os.path.dirname(live_rel), "part-00000.snappy.parquet"
+        ),
+        "wb",
+    ) as fh:
+        fh.write(b"NOT A PARQUET FILE")
+    os.remove(live)
+    compact(sink, spark)
+    assert os.path.exists(live), "marked file not restored"
+    assert not os.path.isdir(winner_staging) and not os.path.isdir(loser_staging)
+    got = sorted(r.page for r in sink.read(spark, committed_only=True).collect())
+    assert got == ["p0", "p1"], "restored file content diverged (wrong provenance)"
 
 
 def test_read_paths_reject_out_of_range_replica(spark, tmp_path):
@@ -3089,6 +3179,38 @@ def test_drop_reason_names_parse_failure_not_window(spark, tmp_path):
     assert "unparseable" in str(exc) and "windowPeriod" not in str(exc)
 
 
+def test_default_clock_window_correct_on_non_utc_host(spark):
+    """ADVICE r14 (high): the default-clock 'now' must stay tz-AWARE. A
+    naive datetime literal converts via time.mktime in the driver's OS
+    timezone, so on a non-UTC host the window center shifts by the UTC
+    offset and every current event is dropped. Simulate the non-UTC host
+    with TZ + tzset and send an event stamped at the real current instant."""
+    import os
+    import time
+
+    from tranquility_spark.streaming.beams import MemoryBeam
+    from tranquility_spark.streaming.tranquilizer import Tranquilizer
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/Los_Angeles"  # UTC-7/-8: far outside PT10M
+    time.tzset()
+    try:
+        t = Tranquilizer(spark, _spec(), MemoryBeam(), window_period="PT10M")
+        now_utc = dt.datetime.now(dt.timezone.utc)
+        fut = t.send(_ev(now_utc.strftime("%Y-%m-%dT%H:%M:%S")))
+        t.close()
+        assert fut.result().sent is True, (
+            "current event dropped — the window center shifted by the host "
+            "UTC offset (naive-datetime mktime conversion)"
+        )
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+
+
 def test_stream_rollup_metricless_spec_matches_batch_twin(spark):
     """r14 code-review: an empty metricsSpec is valid (Druid dedups on the
     rollup key; build_rollup uses dropDuplicates) — stream_rollup used to
@@ -3152,3 +3274,23 @@ def test_batch_exact_dedup_survivor_is_deterministic(spark):
         got = stream_exact_dedup(df.repartition(parts), "text", "ts").collect()
         by_text = {r.text: r.who for r in got}
         assert by_text == {"same text": "u3", "different text": "other"}, by_text
+
+
+def test_batch_exact_dedup_handles_unorderable_columns(spark):
+    """ADVICE r14 (low): frames with map-typed columns — which the old
+    dropDuplicates path handled fine — must not fail analysis on the
+    deterministic-survivor window sort; unorderable columns are excluded
+    from the tiebreak, ts still decides."""
+    from tranquility_spark.streaming import stream_exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 6, 1, 11, 7), {"k": "late"}, "same text"),
+            (dt.datetime(2024, 6, 1, 11, 3), {"k": "early"}, "same text"),
+            (dt.datetime(2024, 6, 1, 11, 1), {"k": "x"}, "different text"),
+        ],
+        "ts timestamp, meta map<string,string>, text string",
+    )
+    got = stream_exact_dedup(df, "text", "ts").collect()
+    by_text = {r.text: r.meta["k"] for r in got}
+    assert by_text == {"same text": "early", "different text": "x"}, by_text

@@ -216,9 +216,12 @@ def stream_exact_dedup(
     construction (r14 code-review — the old static path's dropDuplicates
     kept an ARBITRARY row per hash, nondeterministic across shuffles):
     streaming keeps the first ARRIVAL (the only order a stream has), the
-    batch path now keeps the earliest EVENT TIME deterministically (all
-    remaining columns as the total-order tiebreak) — the natural batch
-    reading of "first occurrence".
+    batch path now keeps the earliest EVENT TIME deterministically (the
+    remaining ORDERABLE columns as the tiebreak — map-typed columns are
+    excluded, ADVICE r14: a window orderBy on MapType fails analysis where
+    the old dropDuplicates path handled such frames fine; rows that tie on
+    every orderable column fall back to an arbitrary-but-single survivor)
+    — the natural batch reading of "first occurrence".
     """
     from pyspark.sql import Window
 
@@ -228,8 +231,22 @@ def stream_exact_dedup(
     if hashed.isStreaming:
         hashed = hashed.withWatermark(ts_col, watermark)
         return hashed.dropDuplicatesWithinWatermark(["__content_hash"]).drop("__content_hash")
+
+    def _orderable(dtype) -> bool:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if isinstance(dtype, MapType):
+            return False
+        if isinstance(dtype, ArrayType):
+            return _orderable(dtype.elementType)
+        if isinstance(dtype, StructType):
+            return all(_orderable(f.dataType) for f in dtype.fields)
+        return True
+
     order_cols = [F.col(ts_col)] + [
-        F.col(c) for c in stream_df.columns if c != ts_col
+        F.col(f.name)
+        for f in stream_df.schema.fields
+        if f.name != ts_col and _orderable(f.dataType)
     ]
     w = Window.partitionBy("__content_hash").orderBy(*order_cols)
     return (

@@ -112,6 +112,74 @@ class SegmentSink:
     def _marker_path(self, batch_id: int) -> str:
         return f"{self.root}/_batches/{self.datasource}-{batch_id}"
 
+    def _acquire_batch_lock(self, marker: str) -> str | None:
+        """Exclusive in-progress lock for one batch id's write protocol.
+
+        ADVICE r14 (medium): ``write_batch`` sweeps every file its batch id
+        ever published BEFORE committing the marker — two live producers
+        racing the same id could both pass the top marker check, and the
+        loser's sweep would delete files the winner commits moments later
+        (with a wall-clock window the loser republishes FEWER buckets, then
+        loses the marker link and returns 0 — the winner's committed marker
+        left referencing deleted rows). Exclusivity must therefore be
+        acquired before ANY mutation, not at the marker commit.
+
+        Returns the lock path on success; ``None`` when a LIVE concurrent
+        producer holds the lock (the caller treats the batch as owned
+        elsewhere and returns 0 — the Tranquilizer surfaces that loudly).
+        A lock whose recorded pid is dead (crashed attempt) or is our own
+        pid (leaked by a killed thread in this process) is stale and is
+        stolen; pid-reuse misclassifying a stale lock as live only delays
+        a retry, never corrupts data.
+        """
+        lock = f"{marker}.lock"
+        os.makedirs(os.path.dirname(lock), exist_ok=True)
+        tmp = f"{lock}.tmp.{os.getpid()}"
+        # write-then-link: the pid is fully written before the lock becomes
+        # visible, so a reader never sees a half-written holder pid
+        with open(tmp, "w") as fh:
+            fh.write(str(os.getpid()))
+        try:
+            while True:
+                try:
+                    os.link(tmp, lock)
+                    return lock
+                except FileExistsError:
+                    try:
+                        with open(lock) as fh:
+                            holder = int(fh.read().strip() or "0")
+                    except (OSError, ValueError):
+                        holder = 0
+                    if holder and holder != os.getpid():
+                        try:
+                            os.kill(holder, 0)
+                            return None  # live concurrent producer
+                        except ProcessLookupError:
+                            pass  # dead holder — stale, steal below
+                        except PermissionError:
+                            return None  # exists under another uid — live
+                    try:
+                        os.remove(lock)
+                    except FileNotFoundError:
+                        pass
+                    # loop: re-attempt the link; if another stealer won the
+                    # race, the next iteration's liveness check sees ITS pid
+                except OSError:
+                    # filesystem without hardlinks: O_EXCL create (atomic on
+                    # local fs; accepts a tiny holder-pid visibility window)
+                    try:
+                        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    except FileExistsError:
+                        return None
+                    with os.fdopen(fd, "w") as fh:
+                        fh.write(str(os.getpid()))
+                    return lock
+        finally:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+
     def max_batch_id(self) -> int:
         """Highest committed batch id for this datasource (0 if none).
 
@@ -131,7 +199,23 @@ class SegmentSink:
         marker = self._marker_path(batch_id)
         if os.path.exists(marker):
             return 0
+        # exclusivity BEFORE the sweep (ADVICE r14): a live concurrent
+        # producer of the same batch id must not be able to delete files
+        # this run is about to commit
+        lock = self._acquire_batch_lock(marker)
+        if lock is None:
+            return 0  # a live concurrent producer owns this batch id
+        try:
+            if os.path.exists(marker):
+                return 0  # committed while we acquired the lock
+            return self._write_batch_locked(df, batch_id, marker)
+        finally:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
 
+    def _write_batch_locked(self, df: DataFrame, batch_id: int, marker: str) -> int:
         out = df
         if self.window_period is not None:
             now = self.clock() if self.clock else None
@@ -612,18 +696,28 @@ def compact(
     stage_root = f"{sink.root}/_staging"
     last_gen = committed[-1]["gen"] if committed else 0
     stage_prefix = f"compact-{sink.datasource}-r{replica}-"
+    # restore provenance (ADVICE r14): with pid-unique staging dirs a
+    # marked generation can have SEVERAL staging dirs on disk (the winner's
+    # plus same-gen losers'); only the one the marker itself names holds
+    # the exact file sequence the marker's counts were taken from. Legacy
+    # markers (no "staging" key) predate pid-suffixed dirs, so any dir of
+    # their generation is theirs.
+    marker_staging = {m["gen"]: m.get("staging") for m in committed}
     if os.path.isdir(stage_root):
         for d in sorted(os.listdir(stage_root)):
             if not d.startswith(stage_prefix):
                 continue
             try:
-                g = int(d[len(stage_prefix):])
+                # "…-<gen>" (legacy) or "…-<gen>.<pid>" (pid-unique)
+                g = int(d[len(stage_prefix):].split(".", 1)[0])
             except ValueError:
                 continue
             if g > last_gen:
+                # may belong to a live concurrent run racing for the next
+                # generation — left alone (it reaps itself on commit/abort)
                 continue
             sdir = os.path.join(stage_root, d)
-            if g in marked_files:
+            if g in marked_files and marker_staging.get(g) in (None, d):
                 for dirpath, _dirs, fs in sorted(os.walk(sdir)):
                     parquets = sorted(f for f in fs if f.endswith(".parquet"))
                     if not parquets:
@@ -694,9 +788,20 @@ def compact(
                 f"cluster_by columns missing from layout being compacted: {missing}"
             )
     n_parts = df.select("g", "p").distinct().count()
-    staging = f"{sink.root}/_staging/compact-{sink.datasource}-r{replica}-{gen}"
+    # pid-unique staging (ADVICE r14, medium — the marker-tmp / dq21-stage
+    # pattern): two concurrent same-generation compactors sharing one
+    # staging dir could rmtree each other mid-write or mid-publish-walk —
+    # the first run publishing a PARTIAL file set, still winning the
+    # marker link, then deleting the full replaced set (committed row
+    # loss). Each run now stages privately; the janitor above reaps only
+    # stale generations and restores only from the dir the committed
+    # marker itself names.
+    staging = (
+        f"{sink.root}/_staging/compact-{sink.datasource}-r{replica}-{gen}"
+        f".{os.getpid()}"
+    )
     if os.path.isdir(staging):
-        shutil.rmtree(staging)
+        shutil.rmtree(staging)  # our own pid's crashed leftovers only
     # hash-repartition on (g, p [, slice]) keeps each output group WHOLE
     # in one task, so re-running on a compacted layout stays a no-op (a
     # range partitioner on the cluster key could straddle a bucket across
@@ -776,7 +881,13 @@ def compact(
     with open(tmp, "w") as fh:
         json.dump(
             {"gen": gen, "replica": replica, "rows": rows,
-             "files": published, "replaced": replaced},
+             "files": published, "replaced": replaced,
+             # the committing run's OWN staging dir (basename): the
+             # janitor's restore pass must link marked files only from
+             # here — a same-gen loser's staging may split rows into a
+             # different file sequence, and restoring a marked name from
+             # it would put divergent content behind the marker's counts
+             "staging": os.path.basename(staging)},
             fh,
         )
     # the atomic flip — EXCLUSIVE: os.link fails with FileExistsError if a

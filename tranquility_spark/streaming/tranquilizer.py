@@ -119,12 +119,13 @@ class Tranquilizer:
         small = self.spark.createDataFrame(parse_rows, parsed.schema)
         if self.window_period is not None:
             # resolve 'now' driver-side exactly once per flush so the
-            # disposition and the written rows see the SAME instant
-            now = (
-                self.clock()
-                if self.clock
-                else _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
-            )
+            # disposition and the written rows see the SAME instant.
+            # Keep it tz-AWARE: PySpark converts aware datetimes via the
+            # UTC instant (calendar.timegm), while a naive one goes
+            # through time.mktime in the driver's OS timezone — on any
+            # non-UTC host that would shift the window center by the UTC
+            # offset and drop every current event (ADVICE r14, high).
+            now = self.clock() if self.clock else _dt.datetime.now(_dt.timezone.utc)
             small = two_sided_window_filter(
                 small, ts_out, self.window_period, now=now
             )
