@@ -1575,3 +1575,90 @@ def test_kafka_drop_malformed_rejects_unknown_mode(spark):
     df = spark.createDataFrame([("t", b"{}")], "topic string, value binary")
     with pt.raises(ValueError, match="drop_malformed"):
         parse_kafka_batch(df, "k long", [("t", "x")], drop_malformed="markk")
+
+
+# ---------------------------------------------------------------------------
+# Atomic first-touch layout publication (VERDICT r14 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_publish_layout_atomic_winner_and_loser(tmp_path):
+    """The shared stage+rename helper: a build publishes atomically; a
+    concurrent loser (final already exists) discards its staging and leaves
+    the winner's layout byte-identical."""
+    import os
+
+    from tranquility_spark.sources.layout import publish_layout_atomic
+
+    final = str(tmp_path / "layout-abc")
+
+    def build_v1(stage):
+        os.makedirs(stage)
+        with open(os.path.join(stage, "data.parquet"), "w") as fh:
+            fh.write("winner-bytes")
+        with open(os.path.join(stage, "_SUCCESS"), "w") as fh:
+            fh.write("")
+
+    assert publish_layout_atomic(final, build_v1) is True
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
+
+    def build_v2(stage):
+        os.makedirs(stage)
+        with open(os.path.join(stage, "data.parquet"), "w") as fh:
+            fh.write("loser-bytes")
+
+    assert publish_layout_atomic(final, build_v2) is False
+    with open(os.path.join(final, "data.parquet")) as fh:
+        assert fh.read() == "winner-bytes", "loser's rename clobbered the winner"
+    leftovers = [d for d in os.listdir(tmp_path) if ".tmp." in d]
+    assert not leftovers, f"loser staging not discarded: {leftovers}"
+
+
+def test_publish_layout_atomic_clears_own_crashed_stage(tmp_path):
+    """A crashed prior attempt from the SAME pid left a stale staging dir —
+    the next attempt must clear and rebuild it, not fail or publish the
+    stale half-written content."""
+    import os
+
+    from tranquility_spark.sources.layout import publish_layout_atomic
+
+    final = str(tmp_path / "layout-xyz")
+    stale = f"{final}.tmp.{os.getpid()}"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "half-written"), "w") as fh:
+        fh.write("junk")
+
+    def build(stage):
+        os.makedirs(stage)
+        with open(os.path.join(stage, "data.parquet"), "w") as fh:
+            fh.write("fresh")
+
+    assert publish_layout_atomic(final, build) is True
+    assert sorted(os.listdir(final)) == ["data.parquet"]
+
+
+def test_served_index_first_touch_leaves_no_staging(spark):
+    """The _served_index_table protocol through publish_layout_atomic: a
+    fresh first touch registers a usable bucketed table, the _meta sidecar
+    lands INSIDE the published dir, and no .tmp. staging survives."""
+    import os
+    import shutil
+
+    from tranquility_spark.catalog_llm import (
+        _index_cache_root,
+        _simhash_index_table,
+    )
+
+    root = _index_cache_root()
+    # drop any prior simhashidx layout + registration so this run builds
+    shutil.rmtree(root, ignore_errors=True)
+    for t in spark.catalog.listTables():
+        if t.name.startswith("simhashidx_"):
+            spark.sql(f"DROP TABLE `{t.name}`")
+    name = _simhash_index_table(spark, "/root/testdata/sf0.001")
+    assert spark.table(name).count() > 0
+    dirs = os.listdir(root)
+    assert not [d for d in dirs if ".tmp." in d], dirs
+    published = [d for d in dirs if d.startswith("simhashidx-")]
+    assert len(published) == 1
+    assert os.path.exists(os.path.join(root, published[0], "_meta.json"))

@@ -1672,7 +1672,13 @@ def sim3b_ivf_persisted_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     layout = _ivf_layout_path(ck)
     if not os.path.exists(os.path.join(layout, "_ivf_meta.json")):
-        sim.ivf_index_write(emb, cents, layout)
+        from tranquility_spark.sources.layout import publish_layout_atomic
+
+        # atomic first touch (VERDICT r14 #2): data + _ivf_meta.json stage
+        # together, one rename publishes the complete layout
+        publish_layout_atomic(
+            layout, lambda stage: sim.ivf_index_write(emb, cents, stage)
+        )
     return sim.ivf_topk_indexed(spark, layout, qvec, k=10, nprobe=4)
 
 
@@ -1720,7 +1726,13 @@ def sim5b_ivfpq_persisted_serving(spark: SparkSession, sf_dir: str) -> DataFrame
         _index_cache_root(), f"ivfpqlayout-{_index_cache_digest('ivfpqlayout', ck)}"
     )
     if not os.path.exists(os.path.join(layout, "_ivf_meta.json")):
-        sim.ivfpq_index_write(emb, cents, books, layout)
+        from tranquility_spark.sources.layout import publish_layout_atomic
+
+        # atomic first touch (VERDICT r14 #2): codes + sidecar stage
+        # together, one rename publishes the complete layout
+        publish_layout_atomic(
+            layout, lambda stage: sim.ivfpq_index_write(emb, cents, books, stage)
+        )
     return sim.ivfpq_topk_indexed(
         spark, layout, qvec, k=10, nprobe=4, shortlist=100
     )
@@ -1795,7 +1807,13 @@ def sim3c_served_equals_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     layout = _ivf_layout_path(ck)
     if not os.path.exists(os.path.join(layout, "_ivf_meta.json")):
-        sim.ivf_index_write(emb, cents, layout)
+        from tranquility_spark.sources.layout import publish_layout_atomic
+
+        # atomic first touch (VERDICT r14 #2): data + _ivf_meta.json stage
+        # together, one rename publishes the complete layout
+        publish_layout_atomic(
+            layout, lambda stage: sim.ivf_index_write(emb, cents, stage)
+        )
     served = sim.ivf_topk_indexed(spark, layout, qvec, k=10, nprobe=4)
     inline = sim.ivf_topk(emb, qvec, k=10, nprobe=4, centroids=cents)
     return _equality_probe(served, inline)
@@ -1878,7 +1896,13 @@ def sim5c_served_equals_composition(spark: SparkSession, sf_dir: str) -> DataFra
         _index_cache_root(), f"ivfpqlayout-{_index_cache_digest('ivfpqlayout', ck)}"
     )
     if not os.path.exists(os.path.join(layout, "_ivf_meta.json")):
-        sim.ivfpq_index_write(emb, cents, books, layout)
+        from tranquility_spark.sources.layout import publish_layout_atomic
+
+        # atomic first touch (VERDICT r14 #2): codes + sidecar stage
+        # together, one rename publishes the complete layout
+        publish_layout_atomic(
+            layout, lambda stage: sim.ivfpq_index_write(emb, cents, books, stage)
+        )
     served = sim.ivfpq_topk_indexed(
         spark, layout, qvec, k=10, nprobe=4, shortlist=100
     )
@@ -4383,20 +4407,36 @@ def _served_index_table(
             loc,
         )
     else:
+        from tranquility_spark.sources.layout import publish_layout_atomic
+
         n_buckets = _doc_index_buckets(sf_dir)
-        build_fn(_t(spark, sf_dir, "documents"), name, n_buckets, loc)
-        tmp = f"{meta_path}.tmp.{os.getpid()}"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(
-                {
-                    "schema_ddl": schema_ddl,
-                    "bucket_key": bucket_key,
-                    "num_buckets": n_buckets,
-                    **(extra_meta or {}),
-                },
-                fh,
-            )
-        os.replace(tmp, meta_path)
+
+        def _build(stage: str) -> None:
+            # the bucketed write + the _meta sidecar both land in the
+            # staged dir, so the single publish rename makes the layout
+            # and its parameters appear together (VERDICT r14 #2 — the
+            # old in-place build let a concurrent first touch interleave
+            # overwrite-deletes under a green _SUCCESS)
+            build_fn(_t(spark, sf_dir, "documents"), name, n_buckets, stage)
+            with open(os.path.join(stage, "_meta.json"), "w", encoding="utf-8") as fh:
+                json.dump(
+                    {
+                        "schema_ddl": schema_ddl,
+                        "bucket_key": bucket_key,
+                        "num_buckets": n_buckets,
+                        **(extra_meta or {}),
+                    },
+                    fh,
+                )
+            # build_fn's saveAsTable registered `name` at the STAGE path —
+            # drop it; the uniform re-registration below points at the
+            # published location (same DDL path a fresh session takes)
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+
+        publish_layout_atomic(loc, _build)
+        register_bucketed(
+            spark, name, schema_ddl, bucket_key, n_buckets, loc
+        )
     return name
 
 

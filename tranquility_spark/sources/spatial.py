@@ -120,7 +120,18 @@ def read_spatial_filtered(
     import json
     import os
 
-    base = spark.read.parquet(path)
+    # mergeSchema + basePath (ADVICE r14: the r14 hardening silently
+    # dropped them from the r13 code): partitions of an evolved layout can
+    # carry different schemas — a single-file-schema read would silently
+    # drop columns present only in some cells, diverging from the
+    # mergeSchema read contract the sink module documents. basePath keeps
+    # the cell partition column discovered even when a future caller
+    # passes a partition subdirectory.
+    base = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", path)
+        .parquet(path)
+    )
     pred = filter_to_column(spec)
     n_dims = None
     meta_path = os.path.join(path, "_spatial_meta.json")
