@@ -154,6 +154,7 @@ HEADLINE = [
     "dd22_minhash_incremental_served",
     "dq21_range_clustered_scan",
     "dd23_dhash_served_pairs",
+    "dd24_dhash_incremental_served",
 ]
 
 

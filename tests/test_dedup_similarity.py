@@ -1426,3 +1426,44 @@ def test_simhash_neardup_hexing_and_threshold_boundary(spark):
     pairs = dhash_neardup_pairs(hexed, threshold=3, hash_col="__simhex")
     got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs.collect()}
     assert got == {(1, 2, 3)}
+
+
+def test_dhash_incremental_equals_full_run_restricted(spark, sf_dir):
+    """r15 (the dd18b obligation split, promised by dd24b's doc): image
+    incremental dedup of a new batch against the existing corpus's dHash
+    band index returns EXACTLY the full-corpus dd16 pairs that touch a
+    new id — same pairs, same hamming distances."""
+    from tranquility_spark.operators.dedup import (
+        dhash_band_index,
+        dhash_incremental_pairs,
+        dhash_neardup_pairs,
+    )
+    from tranquility_spark.operators.multimodal import (
+        attach_binary_payload,
+        image_dhash,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = image_dhash(attach_binary_payload(docs)).select("doc_id", "dhash")
+
+    full = dhash_neardup_pairs(hashes, threshold=3)
+    new_ids = {
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % 5 == 0).select("doc_id").collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in full.collect()
+        if r.doc_a in new_ids or r.doc_b in new_ids
+    }
+
+    index = dhash_band_index(hashes.filter(F.col("doc_id") % 5 != 0))
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dhash_incremental_pairs(
+            hashes.filter(F.col("doc_id") % 5 == 0), index, threshold=3
+        ).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no image near-dup pairs touching the new batch"

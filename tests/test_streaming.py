@@ -3294,3 +3294,91 @@ def test_batch_exact_dedup_handles_unorderable_columns(spark):
     got = stream_exact_dedup(df, "text", "ts").collect()
     by_text = {r.text: r.meta["k"] for r in got}
     assert by_text == {"same text": "early", "different text": "x"}, by_text
+
+
+def test_streaming_dhash_index_sink_equals_batch_pass(spark, sf_dir, tmp_path):
+    """r15, the simhash sink test's shape on the IMAGE digest family:
+    stream the corpus's digests in 4 micro-batches through
+    dhash_index_sink; the union of emitted pairs must equal ONE
+    dhash_neardup_pairs pass over the full corpus, a replayed delivery
+    must rewrite its own partitions with identical content, and the
+    accumulated index must be directly servable by dd23's
+    dhash_pairs_from_index (the ingest->serving closure: decode + hash
+    once per image, at ingest)."""
+    from tranquility_spark.operators.dedup import (
+        dhash_index_sink,
+        dhash_neardup_pairs,
+        dhash_pairs_from_index,
+    )
+    from tranquility_spark.operators.multimodal import (
+        attach_binary_payload,
+        image_dhash,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = image_dhash(attach_binary_payload(docs)).select("doc_id", "dhash")
+    src = str(tmp_path / "src")
+    hashes.repartition(4).write.parquet(src)
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    sink = dhash_index_sink(index_dir, pairs_dir, threshold=3)
+    stream = (
+        spark.readStream.schema("doc_id long, dhash string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    def pairs_snapshot():
+        return {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in spark.read.parquet(pairs_dir)
+            .dropDuplicates(["doc_a", "doc_b"])
+            .collect()
+        }
+
+    streamed = pairs_snapshot()
+    batch = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dhash_neardup_pairs(hashes, threshold=3).collect()
+    }
+    assert streamed == batch
+    assert batch, "fixture must produce hamming<=3 image pairs"
+    # one band row per non-NULL digest per band accumulated
+    n_hashed = hashes.filter(F.col("dhash").isNotNull()).count()
+    assert spark.read.parquet(index_dir).count() == n_hashed * 4
+
+    # replay contract: redeliver the LAST batch id — contents unchanged
+    last = max(
+        r["batch_id"]
+        for r in spark.read.parquet(pairs_dir).select("batch_id").distinct().collect()
+    )
+    replay_ids = {
+        r["id"]
+        for r in spark.read.parquet(index_dir)
+        .filter(F.col("batch_id") == last)
+        .select("id")
+        .distinct()
+        .collect()
+    }
+    replay = hashes.filter(F.col("doc_id").isin(list(replay_ids)))
+    before = pairs_snapshot()
+    sink(replay, last)
+    assert pairs_snapshot() == before
+
+    # serving closure: the streamed index IS dd23's serving input
+    served = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dhash_pairs_from_index(
+            spark.read.parquet(index_dir).drop("batch_id"), threshold=3
+        ).collect()
+    }
+    assert served == batch

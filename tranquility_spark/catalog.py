@@ -1945,6 +1945,11 @@ _R15_DRIVER_WINDOW = [
     "dd20b_minhash_served_equals_guarded",
     "dd21b_simhash_incremental_served_equals_inline",
     "dd22b_minhash_incremental_served_equals_inline",
+    # re-certify (r15 image-family work): simhash_incremental_pairs'
+    # core moved into the shared _banded_incremental_pairs helper that
+    # dd18b's comparison executes (pure extraction; parity re-verified
+    # at both SFs in the dd24 commit)
+    "dd18b_simhash_incremental_equals_full",
 ]
 
 
@@ -2023,12 +2028,12 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # r14 folds in 6 (CORRECTNESS_r14.json: 23 hash-greens, 0 fails; 17 were
 # already-certified backfill; the 6 newly green = dq21_range_clustered_scan
 # plus the 5 r14 helper-rotation re-certifies dq20/dd19b/dd20b/dd21b/dd22b).
-# Total: 194 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# Total: 193 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
 # latest fn/oracle revision has a driver hash-match (or the documented
 # r13 own-run evidence above), MINUS the eight r15 atomic-first-touch
-# rotations (dq20/dq21/sim3c/sim5c + the four served-index twins — see
-# the window list). Keys rotated back into the window are subtracted
-# until re-certified.
+# rotations (dq20/dq21/sim3c/sim5c + the four served-index twins) and
+# the r15 dd18b helper rotation — see the window list. Keys rotated
+# back into the window are subtracted until re-certified.
 # DEFINITION ANNOTATION (r15, closing VERDICT r14 "What's wrong" #1):
 # nine ledger members are rows-only by policy (no SQL oracle, so a
 # driver row can never literally hash-match): a6_hyperunique_approx,
@@ -2198,7 +2203,11 @@ _CERTIFIED = frozenset(
         "sim2b_lsh_topk_contract", "pipe1b_staged_equals_fused",
         "pipe5b_ingest_stage_reconciliation",
         "dd17b_simhash_banding_contract",
-        "dd18b_simhash_incremental_equals_full",
+        # (dd18b was r12-green but rotated back OUT in round 15: the r15
+        # image-family work factored simhash_incremental_pairs' core into
+        # the shared _banded_incremental_pairs helper it now executes —
+        # pure extraction, parity re-verified both SFs, rotated until
+        # driver-re-certified)
         # --- r13 window (NO driver artifact — own-run evidence, see the
         # ledger note above: full-sweep 4× both SFs in r13 + targeted
         # check_parity.py 20/20 at both SFs in the r14 fold commit).

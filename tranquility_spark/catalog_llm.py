@@ -4823,6 +4823,87 @@ def dd22b_minhash_incremental_served_equals_inline(
     return _equality_probe(served, inline)
 
 
+def _dhash_registry_table(spark: SparkSession, sf_dir: str) -> str:
+    """The 80%-registry dHash band index (dd21's split on the image
+    family) as a REGISTERED bucketed table — the per-cycle serving
+    registry, distinct from the full-corpus dd23 index by digest kind.
+    The decode + perceptual-hash pass over the registry runs once, at
+    build."""
+    return _served_index_table(
+        spark,
+        sf_dir,
+        "dhashidx80",
+        _DHASH_INDEX_SCHEMA,
+        ["band", "bval"],
+        lambda df, name, n, loc: dd.dhash_index_write(
+            mm.image_dhash(mm.attach_binary_payload(df.filter(~_dd_new_batch()))),
+            name,
+            num_buckets=n,
+            path=loc,
+        ),
+    )
+
+
+@register(
+    "dd24_dhash_incremental_served",
+    None,  # perceptual-hash pair set — rows-only (dd21 policy); equality
+    # to the in-entry-rebuilt run is driver-certified by dd24b
+    doc="Incremental image near-dup at ingest served from the REGISTERED "
+    "dHash registry table (r15 — dd21's shape on the image family, "
+    "closing the matrix: all THREE signature families now run inline, "
+    "served AND incremental forms). Only the new 20% batch is decoded "
+    "and perceptual-hashed (multimodal.image_dhash — the dominant "
+    "per-image cost); the 80% registry is probed through its persisted "
+    "(band, bval) buckets with no corpus-side Exchange and no image "
+    "byte ever re-read. Per-cycle cost O(new images + touched "
+    "buckets), corpus-size-independent",
+)
+def dd24_dhash_incremental_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _dhash_registry_table(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    new_hashes = mm.image_dhash(
+        mm.attach_binary_payload(docs.filter(_dd_new_batch()))
+    )
+    return dd.dhash_incremental_pairs(new_hashes, spark.table(table), threshold=3)
+
+
+@register(
+    "dd24b_dhash_incremental_served_equals_inline",
+    """
+    SELECT CAST(0 AS BIGINT) AS n_mismatched, CAST(1 AS BIGINT) AS both_nonempty
+    """,
+    doc="Driver-certified contract probe for dd24 (the dd21b shape): the "
+    "symmetric difference between the registered-table incremental run "
+    "and an in-entry-rebuilt registry run on the full (doc_a, doc_b, "
+    "hamming) rows vs the constant-0 oracle; the incremental == "
+    "full-restriction half is pinned by "
+    "tests/test_dedup_similarity.py's dhash incremental-equals-full "
+    "assertion (the dd18b split of obligations). Not in the bench "
+    "headline: dd24 carries the measured serving row",
+)
+def dd24b_dhash_incremental_served_equals_inline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    table = _dhash_registry_table(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    new_hashes = mm.image_dhash(
+        mm.attach_binary_payload(docs.filter(_dd_new_batch()))
+    )
+    served = dd.dhash_incremental_pairs(
+        new_hashes, spark.table(table), threshold=3
+    )
+    registry_hashes = mm.image_dhash(
+        mm.attach_binary_payload(docs.filter(~_dd_new_batch()))
+    )
+    inline = dd.dhash_incremental_pairs(
+        new_hashes, dd.dhash_band_index(registry_hashes), threshold=3
+    )
+    # the dd18b lineage cut (see dd21b)
+    served = served.localCheckpoint(eager=False)
+    inline = inline.localCheckpoint(eager=False)
+    return _equality_probe(served, inline)
+
+
 @register(
     "txt10_top_tokens",
     """

@@ -1290,6 +1290,20 @@ def simhash_incremental_pairs(
     new_idx = simhash_band_index(new_df, text_col, id_col).localCheckpoint(
         eager=False
     )
+    return _banded_incremental_pairs(new_idx, index_df, threshold)
+
+
+def _banded_incremental_pairs(
+    new_idx: DataFrame, index_df: DataFrame, threshold: int
+) -> DataFrame:
+    """Digest-family-agnostic core of :func:`simhash_incremental_pairs`
+    (r15, factored out for the image family — both SimHash and dHash
+    persist the identical (id, sighex, band, bval) 4x16-bit layout, so
+    one incremental probe serves both): candidates from the two
+    separate (band, bval) joins, exact hamming verify, doc fan-out
+    restricted to pairs touching a new id. ``new_idx`` must carry the
+    band-index schema and SHOULD be lineage-cut (localCheckpoint) by
+    the caller — it is consumed twice."""
     nh = new_idx.select("sighex", "band", "bval").distinct()
     ih = index_df.select("sighex", "band", "bval").distinct()
 
@@ -1619,3 +1633,72 @@ def dhash_pairs_from_index(index_df: DataFrame, threshold: int = 3) -> DataFrame
     query cost is the INDEX (4 x ~40-byte rows per image), not the image
     bytes: nothing is re-decoded or re-hashed."""
     return simhash_pairs_from_index(index_df, threshold=threshold)
+
+
+def dhash_incremental_pairs(
+    new_hashes: DataFrame,
+    index_df: DataFrame,
+    threshold: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Image near-dup pairs for an INCREMENTAL batch against a persisted
+    :func:`dhash_band_index` (r15 — :func:`simhash_incremental_pairs` on
+    the image digest family, completing the inline/served/incremental
+    matrix for all three signature families): only the new batch's
+    digests arrive here (decode + perceptual hash happen upstream,
+    ``multimodal.image_dhash`` — per-cycle decode cost is the NEW images
+    only); the corpus is touched solely through (band, bval) bucket
+    probes over its distinct digests. Returns every hamming <=
+    ``threshold`` pair involving at least one new doc, canonically
+    ordered. Precondition: new and index doc ids are disjoint (batch vs
+    registry — dd8's contract). Per-cycle cost O(new batch + touched
+    buckets), independent of corpus size."""
+    new_idx = dhash_band_index(new_hashes, id_col, hash_col).localCheckpoint(
+        eager=False
+    )
+    return _banded_incremental_pairs(new_idx, index_df, threshold)
+
+
+def dhash_index_sink(
+    index_dir: str,
+    pairs_dir: str,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    threshold: int = 3,
+):
+    """foreachBatch sink: streaming image near-dup with a growing dHash
+    band index (r15, VERDICT r14 #3 — :func:`simhash_index_sink`'s shape
+    on the image family). Batches must already CARRY the digest column
+    (``multimodal.image_dhash`` upstream in the stream plan — decode
+    placement belongs to the stream builder, and this sink stays
+    digest-only like the rest of this module). Each micro-batch is
+    deduped against the accumulated index of every PRIOR batch
+    (:func:`dhash_incremental_pairs`), its pairs append to
+    ``pairs_dir``, and its own band rows append to ``index_dir`` — the
+    union of emitted pairs across the stream's lifetime equals ONE
+    :func:`dhash_neardup_pairs` pass over the whole corpus (asserted
+    e2e in tests). Same replay contract as the SimHash/MinHash sinks:
+    per-batch ``batch_id=`` partitions under dynamic overwrite + the
+    prior-batch index view make a redelivery rewrite its own partitions
+    with identical content."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        index = _read_index_before(
+            spark, index_dir, batch_id, ["id", "sighex", "band", "bval"]
+        )
+        if index is None:
+            pairs = dhash_neardup_pairs(batch_df, threshold, id_col, hash_col)
+        else:
+            pairs = dhash_incremental_pairs(
+                batch_df, index, threshold, id_col, hash_col
+            )
+        from tranquility_spark.operators.batch_sink import write_batch_partition
+
+        write_batch_partition(pairs, pairs_dir, batch_id)
+        write_batch_partition(
+            dhash_band_index(batch_df, id_col, hash_col), index_dir, batch_id
+        )
+
+    return write
