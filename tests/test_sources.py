@@ -1662,3 +1662,94 @@ def test_served_index_first_touch_leaves_no_staging(spark):
     published = [d for d in dirs if d.startswith("simhashidx-")]
     assert len(published) == 1
     assert os.path.exists(os.path.join(root, published[0], "_meta.json"))
+
+
+def test_publish_layout_atomic_heals_torn_dir(tmp_path):
+    """r15 self-review: a pre-existing TORN dir at final (a pre-protocol
+    crash left no completeness marker) must not wedge the location — with
+    the caller's is_complete predicate the helper swaps the wreck aside
+    and publishes the fresh complete build."""
+    import os
+
+    from tranquility_spark.sources.layout import publish_layout_atomic
+
+    final = str(tmp_path / "layout-torn")
+    os.makedirs(final)
+    with open(os.path.join(final, "partial.parquet"), "w") as fh:
+        fh.write("torn")  # no _SUCCESS — incomplete by the caller's gate
+
+    def build(stage):
+        os.makedirs(stage)
+        with open(os.path.join(stage, "data.parquet"), "w") as fh:
+            fh.write("fresh")
+        open(os.path.join(stage, "_SUCCESS"), "w").close()
+
+    ok = publish_layout_atomic(
+        final,
+        build,
+        is_complete=lambda p: os.path.exists(os.path.join(p, "_SUCCESS")),
+    )
+    assert ok is True
+    assert sorted(os.listdir(final)) == ["_SUCCESS", "data.parquet"]
+    leftovers = [d for d in os.listdir(tmp_path) if ".torn." in d or ".tmp." in d]
+    assert not leftovers, leftovers
+    # and a COMPLETE dir at final is still treated as a winner, untouched
+    def build2(stage):
+        os.makedirs(stage)
+        with open(os.path.join(stage, "data.parquet"), "w") as fh:
+            fh.write("loser")
+        open(os.path.join(stage, "_SUCCESS"), "w").close()
+
+    assert (
+        publish_layout_atomic(
+            final,
+            build2,
+            is_complete=lambda p: os.path.exists(os.path.join(p, "_SUCCESS")),
+        )
+        is False
+    )
+    with open(os.path.join(final, "data.parquet")) as fh:
+        assert fh.read() == "fresh"
+
+
+def test_publish_layout_atomic_thread_unique_staging(tmp_path):
+    """r15 self-review: two sibling THREADS first-touching the same layout
+    must stage separately (pid alone shared the stage dir — the second
+    thread's leftover sweep deleted the first's live build). Exactly one
+    publishes; the final layout is one thread's COMPLETE build, never a
+    mix."""
+    import os
+    import threading
+
+    from tranquility_spark.sources.layout import publish_layout_atomic
+
+    final = str(tmp_path / "layout-threads")
+    barrier = threading.Barrier(2)
+    outcomes = {}
+
+    def run(tag):
+        def build(stage):
+            os.makedirs(stage)
+            barrier.wait(timeout=30)  # both threads mid-build together
+            with open(os.path.join(stage, "data.parquet"), "w") as fh:
+                fh.write(tag)
+            open(os.path.join(stage, "_SUCCESS"), "w").close()
+
+        outcomes[tag] = publish_layout_atomic(
+            final,
+            build,
+            is_complete=lambda p: os.path.exists(os.path.join(p, "_SUCCESS")),
+        )
+
+    ts = [threading.Thread(target=run, args=(t,)) for t in ("A", "B")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(60)
+    assert sorted(outcomes.values()) == [False, True], outcomes
+    with open(os.path.join(final, "data.parquet")) as fh:
+        content = fh.read()
+    assert content in ("A", "B")  # one thread's build, whole
+    assert sorted(os.listdir(final)) == ["_SUCCESS", "data.parquet"]
+    leftovers = [d for d in os.listdir(tmp_path) if ".tmp." in d]
+    assert not leftovers, leftovers

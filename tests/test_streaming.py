@@ -2958,18 +2958,24 @@ def test_staging_janitor_restores_marked_files_and_clears_leaks(spark, tmp_path)
 
 
 def test_write_batch_live_lock_blocks_sweep(spark, tmp_path):
-    """ADVICE r14 (medium): a live concurrent producer of the same batch id
-    must not be able to sweep/clobber the other's files — exclusivity is
-    acquired BEFORE any mutation. A lock held by a live foreign pid makes
-    write_batch return 0 without touching the winner's published files."""
+    """ADVICE r14 (medium) + r15 self-review: a live concurrent producer
+    of the same batch id must not be able to sweep/clobber the other's
+    files — exclusivity is acquired BEFORE any mutation — and the blocked
+    producer WAITS for the holder's outcome (marker -> return 0; lock
+    freed -> write) instead of skipping on a liveness snapshot."""
+    import json as _json
+    import threading
+    import time as _time
+
     sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
     df = spark.createDataFrame(
         [(dt.datetime(2024, 6, 1, 11, 5), "a")], "ts timestamp, page string"
     )
     assert sink.write_batch(df, 1) == 1
     # simulate the winner mid-protocol: its files are on disk, marker not
-    # yet committed, lock held by a live pid (pid 1 is always alive)
+    # yet committed, lock held by a live FOREIGN pid (pid 1 always alive)
     marker = sink._marker_path(1)
+    committed = open(marker).read()
     os.remove(marker)
     with open(f"{marker}.lock", "w") as fh:
         fh.write("1")
@@ -2979,7 +2985,17 @@ def test_write_batch_live_lock_blocks_sweep(spark, tmp_path):
         for f in fs
         if f.startswith("batch-1-")
     )
-    assert sink.write_batch(df, 1) == 0  # blocked, not swept
+    # the holder "commits" its marker shortly after; the blocked producer
+    # must wait it out and return 0 without having touched any file
+    def commit_later():
+        _time.sleep(1.0)
+        with open(marker, "w") as fh:
+            fh.write(committed)
+
+    t = threading.Thread(target=commit_later)
+    t.start()
+    assert sink.write_batch(df, 1) == 0  # waited for the marker, not swept
+    t.join()
     files_after = sorted(
         os.path.join(dp, f)
         for dp, _d, fs in os.walk(sink._ds_root(0))
@@ -2989,13 +3005,34 @@ def test_write_batch_live_lock_blocks_sweep(spark, tmp_path):
     assert files_after == files_before and files_before, (
         "a blocked producer deleted the lock holder's published files"
     )
+    os.remove(marker)
     os.remove(f"{marker}.lock")
-    # a lock recording OUR OWN pid (leaked by a killed thread) is stale
+    # a lock recording OUR OWN pid but NOT held by a live thread of this
+    # process (leaked by a killed thread) is stale and is stolen
     with open(f"{marker}.lock", "w") as fh:
         fh.write(str(os.getpid()))
     assert sink.write_batch(df, 1) == 1  # stolen and completed
     assert not os.path.exists(f"{marker}.lock")
     assert sink.read(spark, committed_only=True).count() == 1
+
+
+def test_batch_lock_excludes_sibling_threads_of_same_pid(spark, tmp_path):
+    """r15 self-review: the pid in the lock file cannot distinguish a LIVE
+    sibling thread from a crashed attempt's leak — the process-local held
+    set must make a second same-process acquisition fail instead of
+    stealing, and release must re-enable acquisition."""
+    sink = SegmentSink(str(tmp_path / "seg"), "wiki", "HOUR")
+    marker = sink._marker_path(7)
+    lock = sink._acquire_batch_lock(marker)
+    assert lock is not None
+    try:
+        # same process, same pid — must NOT be classified as stale
+        assert sink._acquire_batch_lock(marker) is None
+    finally:
+        sink._release_batch_lock(lock)
+    lock2 = sink._acquire_batch_lock(marker)
+    assert lock2 is not None
+    sink._release_batch_lock(lock2)
 
 
 def test_compact_staging_is_pid_unique_and_restore_is_provenance_checked(
@@ -3017,7 +3054,7 @@ def test_compact_staging_is_pid_unique_and_restore_is_provenance_checked(
         sink.write_batch(df, b + 1)
     assert compact(sink, spark) == 1
     m = sink.committed_compactions(0)[-1]
-    assert m["staging"].endswith(f".{os.getpid()}"), m["staging"]
+    assert f".{os.getpid()}." in m["staging"], m["staging"]  # pid + thread id
     gen = m["gen"]
     live_rel = m["files"][0]
     live = os.path.join(sink._ds_root(0), live_rel)

@@ -1352,12 +1352,14 @@ def dq20_spatial_served_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, expr in dspec.spatial_columns():
             pts = pts.withColumn(name, expr)
         # atomic first touch (VERDICT r14 #2): stage + one rename, so two
-        # concurrent first touches can't interleave into a torn layout
+        # concurrent first touches can't interleave into a torn layout;
+        # is_complete = the same _SUCCESS gate that triggered this build
         publish_layout_atomic(
             layout,
             lambda stage: write_spatial_layout(
                 pts.select("event_type", "coords"), stage, cell_deg=_DQ20_CELL_DEG
             ),
+            is_complete=lambda p: os.path.exists(os.path.join(p, "_SUCCESS")),
         )
     got = read_spatial_filtered(spark, layout, _DQ20_RECT, cell_deg=_DQ20_CELL_DEG)
     return got.groupBy("event_type").agg(
@@ -1439,6 +1441,7 @@ def dq21_range_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda stage: write_range_clustered(
                 ev, stage, "user_id", n_files=_DQ21_FILES
             ),
+            is_complete=lambda p: os.path.exists(os.path.join(p, "_SUCCESS")),
         )
     got = read_range_clustered(
         spark,

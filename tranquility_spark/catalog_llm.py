@@ -1677,7 +1677,11 @@ def sim3b_ivf_persisted_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         # atomic first touch (VERDICT r14 #2): data + _ivf_meta.json stage
         # together, one rename publishes the complete layout
         publish_layout_atomic(
-            layout, lambda stage: sim.ivf_index_write(emb, cents, stage)
+            layout,
+            lambda stage: sim.ivf_index_write(emb, cents, stage),
+            is_complete=lambda p: os.path.exists(
+                os.path.join(p, "_ivf_meta.json")
+            ),
         )
     return sim.ivf_topk_indexed(spark, layout, qvec, k=10, nprobe=4)
 
@@ -1731,7 +1735,11 @@ def sim5b_ivfpq_persisted_serving(spark: SparkSession, sf_dir: str) -> DataFrame
         # atomic first touch (VERDICT r14 #2): codes + sidecar stage
         # together, one rename publishes the complete layout
         publish_layout_atomic(
-            layout, lambda stage: sim.ivfpq_index_write(emb, cents, books, stage)
+            layout,
+            lambda stage: sim.ivfpq_index_write(emb, cents, books, stage),
+            is_complete=lambda p: os.path.exists(
+                os.path.join(p, "_ivf_meta.json")
+            ),
         )
     return sim.ivfpq_topk_indexed(
         spark, layout, qvec, k=10, nprobe=4, shortlist=100
@@ -1812,7 +1820,11 @@ def sim3c_served_equals_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # atomic first touch (VERDICT r14 #2): data + _ivf_meta.json stage
         # together, one rename publishes the complete layout
         publish_layout_atomic(
-            layout, lambda stage: sim.ivf_index_write(emb, cents, stage)
+            layout,
+            lambda stage: sim.ivf_index_write(emb, cents, stage),
+            is_complete=lambda p: os.path.exists(
+                os.path.join(p, "_ivf_meta.json")
+            ),
         )
     served = sim.ivf_topk_indexed(spark, layout, qvec, k=10, nprobe=4)
     inline = sim.ivf_topk(emb, qvec, k=10, nprobe=4, centroids=cents)
@@ -1901,7 +1913,11 @@ def sim5c_served_equals_composition(spark: SparkSession, sf_dir: str) -> DataFra
         # atomic first touch (VERDICT r14 #2): codes + sidecar stage
         # together, one rename publishes the complete layout
         publish_layout_atomic(
-            layout, lambda stage: sim.ivfpq_index_write(emb, cents, books, stage)
+            layout,
+            lambda stage: sim.ivfpq_index_write(emb, cents, books, stage),
+            is_complete=lambda p: os.path.exists(
+                os.path.join(p, "_ivf_meta.json")
+            ),
         )
     served = sim.ivfpq_topk_indexed(
         spark, layout, qvec, k=10, nprobe=4, shortlist=100
@@ -4428,12 +4444,21 @@ def _served_index_table(
                     },
                     fh,
                 )
-            # build_fn's saveAsTable registered `name` at the STAGE path —
-            # drop it; the uniform re-registration below points at the
-            # published location (same DDL path a fresh session takes)
-            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
 
-        publish_layout_atomic(loc, _build)
+        try:
+            publish_layout_atomic(
+                loc,
+                _build,
+                is_complete=lambda p: os.path.exists(os.path.join(p, "_SUCCESS"))
+                and os.path.exists(os.path.join(p, "_meta.json")),
+            )
+        finally:
+            # build_fn's saveAsTable registered `name` at the STAGE path.
+            # Drop it in a finally (r15 self-review): a failure between
+            # the saveAsTable and here would otherwise leave the session
+            # serving a registered table over the never-published (and
+            # soon-deleted) staging dir via the tableExists short-circuit.
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
         register_bucketed(
             spark, name, schema_ddl, bucket_key, n_buckets, loc
         )

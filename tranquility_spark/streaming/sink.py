@@ -37,6 +37,8 @@ import json
 import os
 import re
 import shutil
+import threading
+import time as _time
 from typing import Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame
@@ -112,6 +114,16 @@ class SegmentSink:
     def _marker_path(self, batch_id: int) -> str:
         return f"{self.root}/_batches/{self.datasource}-{batch_id}"
 
+    # process-local registry of batch locks currently HELD by live threads
+    # of this process (r15 self-review: the pid recorded in the lock file
+    # cannot distinguish a sibling live thread from a leaked lock of a
+    # crashed prior attempt — without this set, two threads of one driver
+    # would classify each other's live locks as 'own pid == stale', steal
+    # them, and re-enable the sweep-deletes-winner's-files corruption the
+    # lock exists to prevent)
+    _held_locks: set = set()
+    _held_locks_mu = threading.Lock()
+
     def _acquire_batch_lock(self, marker: str) -> str | None:
         """Exclusive in-progress lock for one batch id's write protocol.
 
@@ -134,51 +146,76 @@ class SegmentSink:
         """
         lock = f"{marker}.lock"
         os.makedirs(os.path.dirname(lock), exist_ok=True)
-        tmp = f"{lock}.tmp.{os.getpid()}"
+        tmp = f"{lock}.tmp.{os.getpid()}.{threading.get_ident()}"
         # write-then-link: the pid is fully written before the lock becomes
         # visible, so a reader never sees a half-written holder pid
         with open(tmp, "w") as fh:
             fh.write(str(os.getpid()))
         try:
-            while True:
-                try:
-                    os.link(tmp, lock)
-                    return lock
-                except FileExistsError:
+            # the class mutex serializes every same-process decision —
+            # link attempts, held-set membership, steals — so two sibling
+            # threads can never both conclude a lock is theirs to take
+            with SegmentSink._held_locks_mu:
+                if lock in SegmentSink._held_locks:
+                    return None  # held by a live thread of THIS process
+                while True:
                     try:
-                        with open(lock) as fh:
-                            holder = int(fh.read().strip() or "0")
-                    except (OSError, ValueError):
-                        holder = 0
-                    if holder and holder != os.getpid():
-                        try:
-                            os.kill(holder, 0)
-                            return None  # live concurrent producer
-                        except ProcessLookupError:
-                            pass  # dead holder — stale, steal below
-                        except PermissionError:
-                            return None  # exists under another uid — live
-                    try:
-                        os.remove(lock)
-                    except FileNotFoundError:
-                        pass
-                    # loop: re-attempt the link; if another stealer won the
-                    # race, the next iteration's liveness check sees ITS pid
-                except OSError:
-                    # filesystem without hardlinks: O_EXCL create (atomic on
-                    # local fs; accepts a tiny holder-pid visibility window)
-                    try:
-                        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                        os.link(tmp, lock)
+                        SegmentSink._held_locks.add(lock)
+                        return lock
                     except FileExistsError:
-                        return None
-                    with os.fdopen(fd, "w") as fh:
-                        fh.write(str(os.getpid()))
-                    return lock
+                        try:
+                            with open(lock) as fh:
+                                holder = int(fh.read().strip() or "0")
+                        except (OSError, ValueError):
+                            holder = 0
+                        if holder == os.getpid():
+                            # our pid but not in the held set (checked
+                            # above, under the same mutex): a leaked lock
+                            # from a killed thread — stale, steal below
+                            pass
+                        elif holder:
+                            try:
+                                os.kill(holder, 0)
+                                return None  # live concurrent producer
+                            except ProcessLookupError:
+                                pass  # dead holder — stale, steal below
+                            except PermissionError:
+                                return None  # another uid's live process
+                        try:
+                            os.remove(lock)
+                        except FileNotFoundError:
+                            pass
+                        # loop: re-attempt the link; if a foreign stealer
+                        # won the race, the next iteration sees ITS pid
+                    except OSError:
+                        # filesystem without hardlinks: O_EXCL create
+                        # (atomic on local fs; accepts a tiny holder-pid
+                        # visibility window)
+                        try:
+                            fd = os.open(
+                                lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                            )
+                        except FileExistsError:
+                            return None
+                        with os.fdopen(fd, "w") as fh:
+                            fh.write(str(os.getpid()))
+                        SegmentSink._held_locks.add(lock)
+                        return lock
         finally:
             try:
                 os.remove(tmp)
             except FileNotFoundError:
                 pass
+
+    @staticmethod
+    def _release_batch_lock(lock: str) -> None:
+        with SegmentSink._held_locks_mu:
+            SegmentSink._held_locks.discard(lock)
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
 
     def max_batch_id(self) -> int:
         """Highest committed batch id for this datasource (0 if none).
@@ -201,19 +238,35 @@ class SegmentSink:
             return 0
         # exclusivity BEFORE the sweep (ADVICE r14): a live concurrent
         # producer of the same batch id must not be able to delete files
-        # this run is about to commit
-        lock = self._acquire_batch_lock(marker)
-        if lock is None:
-            return 0  # a live concurrent producer owns this batch id
+        # this run is about to commit. A blocked producer WAITS rather
+        # than skipping (r15 self-review): returning 0 on a liveness
+        # snapshot would let this producer's checkpoint advance past a
+        # batch the lock holder then fails to commit — the batch would be
+        # lost with no error anywhere, where the pre-lock code survived
+        # any single crash. The loop exits only on (a) the marker
+        # appearing (holder committed — genuine replay, return 0), or
+        # (b) acquiring the lock ourselves (holder released or died —
+        # its sweep-and-stage protocol makes our retry safe).
+        deadline = _time.monotonic() + 600.0
+        while True:
+            lock = self._acquire_batch_lock(marker)
+            if lock is not None:
+                break
+            if os.path.exists(marker):
+                return 0  # the concurrent producer committed this batch
+            if _time.monotonic() > deadline:
+                raise RuntimeError(
+                    f"batch {batch_id}: a live concurrent producer has "
+                    "held the write lock for over 600s without "
+                    "committing — refusing to silently skip the batch"
+                )
+            _time.sleep(0.2)
         try:
             if os.path.exists(marker):
                 return 0  # committed while we acquired the lock
             return self._write_batch_locked(df, batch_id, marker)
         finally:
-            try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass
+            self._release_batch_lock(lock)
 
     def _write_batch_locked(self, df: DataFrame, batch_id: int, marker: str) -> int:
         out = df
@@ -798,10 +851,13 @@ def compact(
     # marker itself names.
     staging = (
         f"{sink.root}/_staging/compact-{sink.datasource}-r{replica}-{gen}"
-        f".{os.getpid()}"
+        f".{os.getpid()}.{threading.get_ident()}"
     )
     if os.path.isdir(staging):
-        shutil.rmtree(staging)  # our own pid's crashed leftovers only
+        # this (pid, thread)'s own crashed leftovers only — a live sibling
+        # thread has a distinct ident (r15 self-review: pid alone let two
+        # maintenance threads of one driver share a staging path)
+        shutil.rmtree(staging)
     # hash-repartition on (g, p [, slice]) keeps each output group WHOLE
     # in one task, so re-running on a compacted layout stays a no-op (a
     # range partitioner on the cluster key could straddle a bucket across
