@@ -155,6 +155,10 @@ HEADLINE = [
     "dq21_range_clustered_scan",
     "dd23_dhash_served_pairs",
     "dd24_dhash_incremental_served",
+    "mm7_audio_fingerprint",
+    "dd25_audio_fp_pairs",
+    "dd26_audio_fp_served_pairs",
+    "dd27_audio_fp_incremental_served",
 ]
 
 

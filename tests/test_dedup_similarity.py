@@ -1467,3 +1467,76 @@ def test_dhash_incremental_equals_full_run_restricted(spark, sf_dir):
     }
     assert got == want
     assert want, "fixture produced no image near-dup pairs touching the new batch"
+
+
+def test_audio_fp_pairs_equal_bruteforce(spark, sf_dir):
+    """dd25's pigeonhole-completeness claim, pinned Spark-side too (the
+    DuckDB oracle checks it cross-engine; this keeps the property under
+    plain pytest): the banded audio near-dup pipeline returns EXACTLY
+    the brute-force all-pairs hamming<=3 set over the fingerprints."""
+    from tranquility_spark.operators.dedup import audio_fp_neardup_pairs
+    from tranquility_spark.operators.multimodal import (
+        attach_binary_payload,
+        audio_energy_fingerprint,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = audio_energy_fingerprint(attach_binary_payload(docs))
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in audio_fp_neardup_pairs(fps, threshold=3).collect()
+    }
+    vals = {r.doc_id: int(r.afp, 16) for r in fps.collect() if r.afp}
+    ids = sorted(vals)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(vals[a] ^ vals[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
+    assert want, "fixture produced no audio near-dup pairs"
+
+
+def test_audio_fp_incremental_equals_full_run_restricted(spark, sf_dir):
+    """dd27's obligation split (the dd18b/dd24b shape on the audio
+    family): incremental dedup of the new batch against the registry's
+    band index returns EXACTLY the full-corpus dd25 pairs touching a
+    new id — same pairs, same hamming distances."""
+    from tranquility_spark.operators.dedup import (
+        audio_fp_band_index,
+        audio_fp_incremental_pairs,
+        audio_fp_neardup_pairs,
+    )
+    from tranquility_spark.operators.multimodal import (
+        attach_binary_payload,
+        audio_energy_fingerprint,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = audio_energy_fingerprint(attach_binary_payload(docs)).select(
+        "doc_id", "afp"
+    )
+
+    full = audio_fp_neardup_pairs(fps, threshold=3)
+    new_ids = {
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % 5 == 0).select("doc_id").collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in full.collect()
+        if r.doc_a in new_ids or r.doc_b in new_ids
+    }
+
+    index = audio_fp_band_index(fps.filter(F.col("doc_id") % 5 != 0))
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in audio_fp_incremental_pairs(
+            fps.filter(F.col("doc_id") % 5 == 0), index, threshold=3
+        ).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no audio near-dup pairs touching the new batch"

@@ -279,3 +279,90 @@ def test_native_image_dhash_through_operator(spark):
 
     assert ham(got_big, got[1]) <= 8          # same content, other size
     assert ham(got[2], got[1]) > 8            # different content
+
+
+def test_audio_energy_fingerprint_stub_reference_and_dead_letter(spark):
+    """mm7's stub fingerprint equals an independent pure-python replay of
+    the recipe (tile to 520, 65 segment energies, adjacent-comparison
+    bits), an empty payload dead-letters to NULL, and a small byte edit
+    moves the digest only a few hamming bits (the near-dup signal dd25
+    bands on)."""
+    base = bytes((x * 37 + 11) % 256 for x in range(300))
+    edited = bytearray(base)
+    edited[7] = (edited[7] + 90) % 256  # one loud sample
+    rows = [
+        (1, bytearray(base), ("audio/fake",)),
+        (2, bytearray(edited), ("audio/fake",)),
+        (3, bytearray(b""), ("audio/fake",)),
+        (4, bytearray(b"\x05"), ("audio/fake",)),  # 1 byte, tiles to 520
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, payload binary, media_meta struct<media_type:string>",
+    )
+    got = {
+        r["doc_id"]: r["afp"]
+        for r in mm.audio_energy_fingerprint(df).collect()
+    }
+
+    def replay(data: bytes) -> str:
+        t = (data * (520 // len(data) + 1))[:520]
+        dev = [b - 128 for b in t]
+        e = [sum(d * d for d in dev[i * 8 : (i + 1) * 8]) for i in range(65)]
+        out = []
+        for r in range(8):
+            byte = 0
+            for c in range(8):
+                if e[r * 8 + c + 1] > e[r * 8 + c]:
+                    byte |= 1 << c
+            out.append(byte)
+        return "".join(f"{v:02x}" for v in out)
+
+    assert got[1] == replay(base)
+    assert got[2] == replay(bytes(edited))
+    assert got[3] is None  # empty payload dead-letters, no exception
+    # a constant signal has constant segment energies -> no strict >
+    assert got[4] == "00" * 8
+    ham = bin(int(got[1], 16) ^ int(got[2], 16)).count("1")
+    assert 1 <= ham <= 8  # localized edit moves few bits
+
+
+def test_native_wav_audio_fingerprint_through_operator(spark):
+    """mm7 with impl='native': a real 8-bit WAV demuxes through the SAME
+    fingerprint DSP as the stub — digest equals an independent replay
+    over wav_decode's centered samples — and amplitude scaling (the
+    16-bit re-encode analogy) preserves the digest exactly, because
+    energy ORDER is scale-invariant."""
+    payload = bytearray(_read("tone8.wav"))
+    df = spark.createDataFrame(
+        [(1, payload, ("audio/wav",))],
+        "doc_id bigint, payload binary, media_meta struct<media_type:string>",
+    )
+    got = mm.audio_energy_fingerprint(df, impl="native").collect()[0]["afp"]
+
+    _rate, samples = cx.wav_decode(bytes(payload))
+
+    def replay(sam) -> str:
+        t = np.tile(sam, 520 // len(sam) + 1)[:520]
+        e = (t * t).reshape(65, 8).sum(axis=1)
+        out = []
+        for r in range(8):
+            byte = 0
+            for c in range(8):
+                if e[r * 8 + c + 1] > e[r * 8 + c]:
+                    byte |= 1 << c
+            out.append(byte)
+        return "".join(f"{v:02x}" for v in out)
+
+    assert got == replay(samples)
+    # scale-invariance: 4x the amplitude (8->16-bit style) -> same digest
+    assert replay(samples * 4) == got
+    # corrupt WAV bytes dead-letter to NULL through the operator
+    df_bad = spark.createDataFrame(
+        [(2, bytearray(b"RIFFnotawav0"), ("audio/wav",))],
+        "doc_id bigint, payload binary, media_meta struct<media_type:string>",
+    )
+    assert (
+        mm.audio_energy_fingerprint(df_bad, impl="native").collect()[0]["afp"]
+        is None
+    )

@@ -3419,3 +3419,92 @@ def test_streaming_dhash_index_sink_equals_batch_pass(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert served == batch
+
+
+def test_streaming_audio_fp_index_sink_equals_batch_pass(spark, sf_dir, tmp_path):
+    """r15, the dhash sink test's shape on the AUDIO digest family (the
+    fourth family's streaming form): stream the corpus's fingerprints in
+    4 micro-batches through audio_fp_index_sink; the union of emitted
+    pairs must equal ONE audio_fp_neardup_pairs pass over the full
+    corpus, a replayed delivery must rewrite its own partitions with
+    identical content, and the accumulated index must be directly
+    servable by dd26's audio_fp_pairs_from_index (decode + fingerprint
+    once per clip, at ingest)."""
+    from tranquility_spark.operators.dedup import (
+        audio_fp_index_sink,
+        audio_fp_neardup_pairs,
+        audio_fp_pairs_from_index,
+    )
+    from tranquility_spark.operators.multimodal import (
+        attach_binary_payload,
+        audio_energy_fingerprint,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = audio_energy_fingerprint(attach_binary_payload(docs)).select(
+        "doc_id", "afp"
+    )
+    src = str(tmp_path / "src")
+    fps.repartition(4).write.parquet(src)
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    sink = audio_fp_index_sink(index_dir, pairs_dir, threshold=3)
+    stream = (
+        spark.readStream.schema("doc_id long, afp string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    def pairs_snapshot():
+        return {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in spark.read.parquet(pairs_dir)
+            .dropDuplicates(["doc_a", "doc_b"])
+            .collect()
+        }
+
+    streamed = pairs_snapshot()
+    batch = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in audio_fp_neardup_pairs(fps, threshold=3).collect()
+    }
+    assert streamed == batch
+    assert batch, "fixture must produce hamming<=3 audio pairs"
+    n_hashed = fps.filter(F.col("afp").isNotNull()).count()
+    assert spark.read.parquet(index_dir).count() == n_hashed * 4
+
+    # replay contract: redeliver the LAST batch id — contents unchanged
+    last = max(
+        r["batch_id"]
+        for r in spark.read.parquet(pairs_dir).select("batch_id").distinct().collect()
+    )
+    replay_ids = {
+        r["id"]
+        for r in spark.read.parquet(index_dir)
+        .filter(F.col("batch_id") == last)
+        .select("id")
+        .distinct()
+        .collect()
+    }
+    replay = fps.filter(F.col("doc_id").isin(list(replay_ids)))
+    before = pairs_snapshot()
+    sink(replay, last)
+    assert pairs_snapshot() == before
+
+    # serving closure: the streamed index IS dd26's serving input
+    served = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in audio_fp_pairs_from_index(
+            spark.read.parquet(index_dir).drop("batch_id"), threshold=3
+        ).collect()
+    }
+    assert served == batch

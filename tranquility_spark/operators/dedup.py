@@ -1707,3 +1707,122 @@ def dhash_index_sink(
         ),
         lambda b: dhash_band_index(b, id_col, hash_col),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint family (r15) — the FOURTH 64-bit digest family.
+# multimodal.audio_energy_fingerprint emits the same 16-hex-char digest
+# shape as image_dhash / simhash, so the whole hamming-banding machinery
+# (pigeonhole-complete 4 x 16-bit bands, distinct-digest hot-bucket guard,
+# persisted (band, bval) index, incremental probe, streaming sink) applies
+# verbatim via hash_col="afp". These wrappers exist so the audio family
+# reads as a family — ONE digest-generic implementation underneath, not a
+# fourth copy (the _banded_incremental_pairs lesson, applied up front).
+# ---------------------------------------------------------------------------
+
+
+def audio_fp_neardup_pairs(
+    hashes: DataFrame,
+    threshold: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "afp",
+) -> DataFrame:
+    """Near-duplicate audio pairs from 64-bit energy-delta fingerprints
+    (``multimodal.audio_energy_fingerprint``'s output) — the dd16 shape
+    on the audio modality: hamming banding over distinct digests,
+    pigeonhole-complete for threshold <= 3, exact hamming verify, doc
+    fan-out on verified hash pairs only. Because the fingerprint is
+    integer-exact and SQL-replicable, dd25 hash-certifies this whole
+    pipeline against a brute-force all-pairs DuckDB oracle — the only
+    signature family where the PAIR SET itself is cross-engine
+    certified, not just equality-twinned."""
+    return dhash_neardup_pairs(hashes, threshold, id_col, hash_col)
+
+
+def audio_fp_band_index(
+    hashes: DataFrame, id_col: str = "doc_id", hash_col: str = "afp"
+) -> DataFrame:
+    """Persistable audio-fingerprint band index — the
+    :func:`dhash_band_index` layout on the audio digest family (one row
+    per (doc, band), 16-bit band value + full digest)."""
+    return dhash_band_index(hashes, id_col, hash_col)
+
+
+def audio_fp_index_write(
+    hashes: DataFrame,
+    table: str,
+    num_buckets: int = 4,
+    id_col: str = "doc_id",
+    hash_col: str = "afp",
+    path: str | None = None,
+) -> None:
+    """Persist the audio-fingerprint band index bucketed+sorted on the
+    probe key — :func:`dhash_index_write` for the audio family. The
+    caller feeds ``multimodal.audio_energy_fingerprint`` output so the
+    PCM decode lives with the media operators and this module stays
+    digest-only."""
+    dhash_index_write(hashes, table, num_buckets, id_col, hash_col, path)
+
+
+def audio_fp_pairs_from_index(
+    index_df: DataFrame, threshold: int = 3
+) -> DataFrame:
+    """Full audio near-dup pair extraction from a PERSISTED
+    :func:`audio_fp_band_index` — the serving form of
+    :func:`audio_fp_neardup_pairs` (dd25), equal to it by construction
+    and hash-certified directly by dd26's brute-force oracle. All four
+    64-bit digest families persist the identical (id, sighex, band,
+    bval) layout, so the SimHash serving extraction applies verbatim.
+    At 100 TB the query cost is the INDEX (4 x ~40-byte rows per clip),
+    not the audio bytes: nothing is re-decoded or re-fingerprinted."""
+    return simhash_pairs_from_index(index_df, threshold=threshold)
+
+
+def audio_fp_incremental_pairs(
+    new_hashes: DataFrame,
+    index_df: DataFrame,
+    threshold: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "afp",
+) -> DataFrame:
+    """Audio near-dup pairs for an INCREMENTAL batch against a persisted
+    :func:`audio_fp_band_index` — :func:`dhash_incremental_pairs` on the
+    audio digest family: only the new batch is decoded + fingerprinted
+    (upstream, ``multimodal.audio_energy_fingerprint``); the corpus is
+    touched solely through (band, bval) bucket probes. Returns every
+    hamming <= ``threshold`` pair involving at least one new doc,
+    canonically ordered. Precondition: new and index doc ids are
+    disjoint (dd8's batch-vs-registry contract). Per-cycle cost
+    O(new batch + touched buckets), independent of corpus size."""
+    return dhash_incremental_pairs(
+        new_hashes, index_df, threshold, id_col, hash_col
+    )
+
+
+def audio_fp_index_sink(
+    index_dir: str,
+    pairs_dir: str,
+    id_col: str = "doc_id",
+    hash_col: str = "afp",
+    threshold: int = 3,
+):
+    """foreachBatch sink: streaming audio near-dup with a growing
+    fingerprint band index — :func:`dhash_index_sink`'s shape on the
+    audio family, sharing the :func:`_banded_index_sink` state machine.
+    Batches must already CARRY the digest column
+    (``multimodal.audio_energy_fingerprint`` upstream in the stream
+    plan — decode placement belongs to the stream builder). Union of
+    emitted pairs across the stream == ONE
+    :func:`audio_fp_neardup_pairs` pass over the whole corpus; same
+    ``batch_id=`` replay-idempotence contract as the other three
+    families' sinks."""
+    return _banded_index_sink(
+        index_dir,
+        pairs_dir,
+        ["id", "sighex", "band", "bval"],
+        lambda b: audio_fp_neardup_pairs(b, threshold, id_col, hash_col),
+        lambda b, idx: audio_fp_incremental_pairs(
+            b, idx, threshold, id_col, hash_col
+        ),
+        lambda b: audio_fp_band_index(b, id_col, hash_col),
+    )

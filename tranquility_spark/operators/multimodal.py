@@ -461,3 +461,126 @@ def image_dhash(
             )
 
     return media_df.mapInPandas(hashes, schema=DHASH_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = "doc_id bigint, afp string"
+
+# fingerprint geometry: 65 segments x 8 samples = 520-sample analysis
+# window; 64 adjacent-segment comparisons pack into 8 bytes = 16 hex chars
+AFP_SEGMENTS = 65
+AFP_SEG_SAMPLES = 8
+
+
+def audio_energy_fingerprint(
+    media_df: DataFrame,
+    id_col: str = "doc_id",
+    impl: str = "stub",
+    seg_samples: int = AFP_SEG_SAMPLES,
+    n_segments: int = AFP_SEGMENTS,
+) -> DataFrame:
+    """Energy-delta audio fingerprint (64-bit, 16 lowercase hex chars) per
+    audio payload — the AUDIO-modality near-dup signal, the exact
+    counterpart of ``image_dhash`` for sound: two clips within a few
+    hamming bits are re-encodes/trims of one source. The recipe is the
+    public energy-difference fingerprint family (Haitsma-Kalker-style
+    sign-of-delta bits over a coarse energy envelope, reduced to ONE
+    band): the centered integer samples are tiled/truncated to a FIXED
+    ``seg_samples * n_segments``-sample analysis window (fixed framing —
+    length-normalized segment boundaries lose alignment between near-dup
+    payloads the way unaligned dHash grids would), the per-segment
+    sum-of-squares energies form the envelope, and bit (r, c) = 1 iff
+    ``energy[r*8+c+1] > energy[r*8+c]`` — byte packing identical to
+    ``image_dhash``, so the digest drops straight into the 4 x 16-bit
+    hamming-banding machinery (``dedup.audio_fp_neardup_pairs``).
+
+    Like mm4 and unlike every other signature family, ALL arithmetic is
+    integer (sum of squared deviations, strict > comparisons), so the
+    default impl is exactly SQL-replicable: dd25/dd26/dd27's DuckDB
+    oracles recompute the fingerprint AND the brute-force hamming pair
+    set from the raw bytes — cross-engine hash-certified near-dup, not
+    just an equality twin.
+
+    ``impl="stub"`` (default, oracle-checked): payload bytes stand in
+    for unsigned 8-bit samples centered at 128 (``audio_frame_energy``'s
+    stub convention). ``impl="native"``: real 8/16-bit PCM WAV demux via
+    stdlib ``wave`` (``codecs.wav_decode``) to centered integer samples.
+    ``impl="soundfile"``: libsndfile decode as int16; import-gated.
+    Empty or undecodable payloads yield a NULL fingerprint (the
+    ``image_dhash`` dead-letter verdict — never a per-row exception).
+    Same Spark plan for every impl: one narrow mapInPandas, no shuffle;
+    cost linear in corpus bytes, paid once when the digests are
+    persisted (``dedup.audio_fp_index_write``).
+    """
+    _check_impl(impl, ("stub", "native", "soundfile"))
+    if impl == "soundfile":
+        _require_lib("soundfile", "soundfile", impl)
+    total = seg_samples * n_segments
+    if n_segments % 8 != 1:
+        raise ValueError(
+            "n_segments must be 8*k+1 (k bytes of adjacent-comparison "
+            f"bits); got {n_segments}"
+        )
+
+    def fps(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        if impl == "native":
+            from tranquility_spark.operators.codecs import wav_decode
+
+            def decode(payload):
+                _rate, samples = wav_decode(bytes(payload))
+                return samples
+
+        elif impl == "soundfile":
+            import io
+
+            import soundfile as sf
+
+            def decode(payload):
+                data = sf.read(
+                    io.BytesIO(bytes(payload)), always_2d=True, dtype="int16"
+                )[0]
+                return data[:, 0].astype(np.int64)
+
+        else:
+
+            def decode(payload):
+                return (
+                    np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                    - 128
+                )
+
+        n_bytes = (n_segments - 1) // 8
+
+        def fingerprint(payload):
+            if payload is None or len(bytes(payload)) == 0:
+                return None
+            try:
+                dev = decode(payload)
+            except Exception:
+                return None  # undecodable audio (impl="native"/"soundfile")
+            n = len(dev)
+            if n == 0:
+                return None
+            t = np.tile(dev, total // n + 1)[:total]
+            e = (t * t).reshape(n_segments, seg_samples).sum(axis=1)
+            bits = e[1:] > e[:-1]
+            out = []
+            for r in range(n_bytes):
+                byte = 0
+                for c in range(8):
+                    if bits[r * 8 + c]:
+                        byte |= 1 << c
+                out.append(byte)
+            return "".join(f"{v:02x}" for v in out)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "afp": pdf["payload"].map(fingerprint),
+                }
+            )
+
+    return media_df.mapInPandas(fps, schema=AUDIO_FP_SCHEMA)
