@@ -159,6 +159,10 @@ HEADLINE = [
     "dd25_audio_fp_pairs",
     "dd26_audio_fp_served_pairs",
     "dd27_audio_fp_incremental_served",
+    "mm8_video_frame_hashes",
+    "dd28_video_neardup_pairs",
+    "dd29_video_served_pairs",
+    "dd30_video_incremental_served",
 ]
 
 

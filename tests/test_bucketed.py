@@ -578,3 +578,63 @@ def test_bucketed_dhash_served_pairs_zero_corpus_shuffle(spark, sf_dir):
         assert got == want and got
     finally:
         spark.sql("DROP TABLE IF EXISTS b_dhash_served")
+
+
+def test_bucketed_video_served_pairs_zero_corpus_shuffle(spark, sf_dir):
+    """dd29's serving claim, plan-asserted (the dd23 test's shape on the
+    VIDEO family, whose index is (id, fhash) bucketed on the single probe
+    key): the inverted-index candidate self-join runs with ZERO exchanges
+    over co-located buckets, the full serving plan has no Python eval
+    node (no demux / frame-hash UDF at query time — the pass that makes
+    video THE most decode-dominated family), and the served output
+    equals the inline re-demux pipeline."""
+    import pyspark.sql.functions as FF
+
+    from tranquility_spark.operators.dedup import (
+        video_index_write,
+        video_neardup_pairs,
+        video_pairs_from_index,
+    )
+    from tranquility_spark.operators.multimodal import (
+        attach_binary_payload,
+        video_frame_hashes,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    spark.sql("DROP TABLE IF EXISTS b_video_served")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        fps = video_frame_hashes(attach_binary_payload(docs))
+        video_index_write(fps, "b_video_served", num_buckets=4)
+        idx = spark.table("b_video_served")
+
+        # candidate stage under forced SortMergeJoin: ZERO exchanges —
+        # the bucketed-on-fhash layout co-locates both join sides
+        cand = idx.alias("a").join(
+            idx.alias("b"),
+            (FF.col("a.fhash") == FF.col("b.fhash"))
+            & (FF.col("a.id") < FF.col("b.id")),
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = cand._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange") == 0, plan
+            assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        # full serving plan: no Python eval node — nothing re-demuxes or
+        # re-hashes a frame at query time (pair/count aggregations DO
+        # shuffle, but over ~24-byte index rows, not corpus bytes)
+        pairs = video_pairs_from_index(idx, min_shared=2)
+        full = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in full and "ArrowEvalPython" not in full
+
+        got = sorted(map(tuple, pairs.collect()))
+        want = sorted(
+            map(tuple, video_neardup_pairs(fps, min_shared=2).collect())
+        )
+        assert got == want and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_video_served")

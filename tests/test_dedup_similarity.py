@@ -1540,3 +1540,156 @@ def test_audio_fp_incremental_equals_full_run_restricted(spark, sf_dir):
     }
     assert got == want
     assert want, "fixture produced no audio near-dup pairs touching the new batch"
+
+
+def _video_bruteforce(fps_rows, min_shared=2, max_df=None):
+    """Independent containment reference over collected frame hashes."""
+    import collections
+    import itertools
+
+    dh = collections.defaultdict(set)
+    for r in fps_rows:
+        if r.fhash is not None:
+            dh[r.doc_id].add(r.fhash)
+    inv = collections.defaultdict(set)
+    for d, hs in dh.items():
+        for h in hs:
+            inv[h].add(d)
+    if max_df is not None:
+        inv = {h: ds for h, ds in inv.items() if len(ds) <= max_df}
+        dh = collections.defaultdict(set)
+        for h, ds in inv.items():
+            for d in ds:
+                dh[d].add(h)
+    pc = collections.Counter()
+    for h, ds in inv.items():
+        for a, b in itertools.combinations(sorted(ds), 2):
+            pc[(a, b)] += 1
+    out = {}
+    for (a, b), ns in pc.items():
+        if ns >= min_shared:
+            out[(a, b)] = (
+                ns,
+                len(dh[a]),
+                len(dh[b]),
+                round(ns / min(len(dh[a]), len(dh[b])), 6),
+            )
+    return out
+
+
+def test_video_pairs_equal_bruteforce_and_max_df(spark, sf_dir):
+    """dd28's containment claim pinned Spark-side (the DuckDB oracle
+    checks it cross-engine): the inverted-index pipeline returns EXACTLY
+    the brute-force shared-frame pair set — and the max_df hot-digest
+    cap drops capped digests from BOTH the join and the containment
+    denominators (max_df=1 leaves nothing shareable; a mid cap equals
+    the capped brute force)."""
+    from tranquility_spark.operators.dedup import video_neardup_pairs
+    from tranquility_spark.operators.multimodal import (
+        attach_binary_payload,
+        video_frame_hashes,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = video_frame_hashes(attach_binary_payload(docs))
+    fps_rows = fps.collect()
+
+    got = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.n_a, r.n_b, r.containment)
+        for r in video_neardup_pairs(fps, min_shared=2).collect()
+    }
+    want = _video_bruteforce(fps_rows, min_shared=2)
+    assert got == want
+    assert want, "fixture produced no shared-frame video pairs"
+
+    # max_df=1: every digest shared by >= 2 docs is capped away
+    assert video_neardup_pairs(fps, min_shared=2, max_df=1).count() == 0
+    # a mid cap equals the capped brute force AND changes something
+    import collections
+
+    inv = collections.Counter()
+    seen = collections.defaultdict(set)
+    for r in fps_rows:
+        if r.fhash is not None:
+            seen[r.fhash].add(r.doc_id)
+    hottest = max(len(v) for v in seen.values())
+    assert hottest > 2, "fixture has no hot digest to cap"
+    cap = hottest - 1
+    got_cap = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.n_a, r.n_b, r.containment)
+        for r in video_neardup_pairs(fps, min_shared=2, max_df=cap).collect()
+    }
+    want_cap = _video_bruteforce(fps_rows, min_shared=2, max_df=cap)
+    assert got_cap == want_cap
+
+    # controlled cap-effect check (the fixture's hot digests happen not to
+    # carry pair-deciding weight, so the effect is pinned synthetically):
+    # h0/h9 are boilerplate shared by ALL THREE docs; only (1,2) also
+    # share h1/h2. Uncapped, every pair passes min_shared=2 through the
+    # boilerplate; capped at 2, h0/h9 drop, (1,3)/(2,3) vanish, and
+    # (1,2)'s count AND containment denominators both shrink.
+    synth = spark.createDataFrame(
+        [
+            (1, 0, "aa"), (1, 1, "h1"), (1, 2, "h2"), (1, 3, "h0"), (1, 4, "h9"),
+            (2, 0, "bb"), (2, 1, "h1"), (2, 2, "h2"), (2, 3, "h0"), (2, 4, "h9"),
+            (3, 0, "cc"), (3, 1, "h0"), (3, 2, "h9"),
+        ],
+        "doc_id bigint, frame_idx bigint, fhash string",
+    )
+    uncapped = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.containment)
+        for r in video_neardup_pairs(synth, min_shared=2).collect()
+    }
+    assert uncapped == {
+        (1, 2): (4, 0.8),
+        (1, 3): (2, round(2 / 3, 6)),
+        (2, 3): (2, round(2 / 3, 6)),
+    }
+    capped = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.n_a, r.n_b, r.containment)
+        for r in video_neardup_pairs(synth, min_shared=2, max_df=2).collect()
+    }
+    assert capped == {(1, 2): (2, 3, 3, round(2 / 3, 6))}
+
+
+def test_video_incremental_equals_full_run_restricted(spark, sf_dir):
+    """dd30's obligation (the dd18b shape on the video family):
+    incremental containment of the new batch against the registry's
+    frame index returns EXACTLY the full-corpus dd28 pairs touching a
+    new id — same counts, same containments (both docs' complete digest
+    sets are visible at probe time)."""
+    from tranquility_spark.operators.dedup import (
+        video_frame_index,
+        video_incremental_pairs,
+        video_neardup_pairs,
+    )
+    from tranquility_spark.operators.multimodal import (
+        attach_binary_payload,
+        video_frame_hashes,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = video_frame_hashes(attach_binary_payload(docs))
+
+    full = video_neardup_pairs(fps, min_shared=2)
+    new_ids = {
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % 5 == 0).select("doc_id").collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.n_a, r.n_b, r.containment)
+        for r in full.collect()
+        if r.doc_a in new_ids or r.doc_b in new_ids
+    }
+
+    index = video_frame_index(fps.filter(F.col("doc_id") % 5 != 0))
+    got = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.n_a, r.n_b, r.containment)
+        for r in video_incremental_pairs(
+            fps.filter(F.col("doc_id") % 5 == 0), index, min_shared=2
+        ).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no video pairs touching the new batch"

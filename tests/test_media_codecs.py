@@ -366,3 +366,70 @@ def test_native_wav_audio_fingerprint_through_operator(spark):
         mm.audio_energy_fingerprint(df_bad, impl="native").collect()[0]["afp"]
         is None
     )
+
+
+def test_video_frame_hashes_stub_reference_and_pinning(spark):
+    """mm8's fused demux+digest pass equals (a) an independent
+    pure-python replay, (b) mm3's sample_frames demux formula (hashing
+    sample_frames' own slices yields the same digests — the inlined
+    copy can't drift silently), and (c) mm6's image_dhash digest recipe
+    (a frame slice fed to image_dhash as a payload hashes identically).
+    Empty payloads dead-letter to one NULL-fhash row."""
+    base = bytes((x * 53 + 19) % 256 for x in range(400))
+    rows = [
+        (1, bytearray(base), ("video/fake",)),
+        (2, bytearray(b""), ("video/fake",)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, payload binary, media_meta struct<media_type:string>",
+    )
+    got = {
+        (r["doc_id"], r["frame_idx"]): r["fhash"]
+        for r in mm.video_frame_hashes(df).collect()
+    }
+
+    def dhash72(b: bytes):
+        if len(b) == 0:
+            return None
+        px = list((b * (72 // max(len(b), 1) + 1))[:72])
+        out = []
+        for r in range(8):
+            byte = 0
+            for c in range(8):
+                if px[r * 9 + c + 1] > px[r * 9 + c]:
+                    byte |= 1 << c
+            out.append(byte)
+        return "".join(f"{v:02x}" for v in out)
+
+    # (a) independent replay of the demux + digest
+    want = {}
+    for doc_id, payload in ((1, base), (2, b"")):
+        duration_ms = (100 * len(payload)) % 60000
+        n = min(max(duration_ms // 1000, 1), 8)
+        for i in range(int(n)):
+            lo = (i * 13000) % max(len(payload) - 16, 1)
+            want[(doc_id, i)] = dhash72(payload[lo : lo + 16])
+    assert got == want
+    assert got[(2, 0)] is None  # empty payload dead-letters
+
+    # (b) the demux formula matches mm3's sample_frames byte-for-byte
+    frames = mm.sample_frames(
+        df.filter(F.col("doc_id") == 1), every_ms=1000, max_frames=8
+    ).collect()
+    assert {
+        (1, r["frame_idx"]): dhash72(bytes(r["payload"])) for r in frames
+    } == {k: v for k, v in got.items() if k[0] == 1}
+
+    # (c) the digest recipe matches mm6's image_dhash stub on the slices
+    slice_df = spark.createDataFrame(
+        [
+            (r["frame_idx"], bytearray(bytes(r["payload"])), ("image/fake",))
+            for r in frames
+        ],
+        "doc_id bigint, payload binary, media_meta struct<media_type:string>",
+    )
+    via_dhash = {
+        r["doc_id"]: r["dhash"] for r in mm.image_dhash(slice_df).collect()
+    }
+    assert via_dhash == {k[1]: v for k, v in got.items() if k[0] == 1}

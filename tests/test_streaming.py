@@ -3508,3 +3508,98 @@ def test_streaming_audio_fp_index_sink_equals_batch_pass(spark, sf_dir, tmp_path
         ).collect()
     }
     assert served == batch
+
+
+def test_streaming_video_index_sink_equals_batch_pass(spark, sf_dir, tmp_path):
+    """The fifth family's streaming form — and the first MULTI-ROW-PER-DOC
+    one: stream the corpus's frame hashes in 4 DOC-ATOMIC micro-batches
+    (hash-partitioned BY doc_id — the sink's stated contract; a row-level
+    split would undercount n_shared) through video_index_sink; the union
+    of emitted pairs must equal ONE video_neardup_pairs pass with full
+    counts and containments, a replayed delivery must rewrite its own
+    partitions identically, and the accumulated index must be directly
+    servable by dd29's video_pairs_from_index."""
+    from tranquility_spark.operators.dedup import (
+        video_index_sink,
+        video_neardup_pairs,
+        video_pairs_from_index,
+    )
+    from tranquility_spark.operators.multimodal import (
+        attach_binary_payload,
+        video_frame_hashes,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = video_frame_hashes(attach_binary_payload(docs)).select(
+        "doc_id", "frame_idx", "fhash"
+    )
+    src = str(tmp_path / "src")
+    fps.repartition(4, F.col("doc_id")).write.parquet(src)
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    sink = video_index_sink(index_dir, pairs_dir, min_shared=2)
+    stream = (
+        spark.readStream.schema("doc_id long, frame_idx long, fhash string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    def pairs_snapshot():
+        return {
+            (r["doc_a"], r["doc_b"]): (r["n_shared"], r["n_a"], r["n_b"], r["containment"])
+            for r in spark.read.parquet(pairs_dir)
+            .dropDuplicates(["doc_a", "doc_b"])
+            .collect()
+        }
+
+    streamed = pairs_snapshot()
+    batch = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared"], r["n_a"], r["n_b"], r["containment"])
+        for r in video_neardup_pairs(fps, min_shared=2).collect()
+    }
+    assert streamed == batch
+    assert batch, "fixture must produce shared-frame video pairs"
+    # index accumulates one row per DISTINCT (doc, digest)
+    n_index = (
+        fps.filter(F.col("fhash").isNotNull())
+        .select("doc_id", "fhash")
+        .distinct()
+        .count()
+    )
+    assert spark.read.parquet(index_dir).count() == n_index
+
+    # replay contract: redeliver the LAST batch id — contents unchanged
+    last = max(
+        r["batch_id"]
+        for r in spark.read.parquet(pairs_dir).select("batch_id").distinct().collect()
+    )
+    replay_ids = {
+        r["id"]
+        for r in spark.read.parquet(index_dir)
+        .filter(F.col("batch_id") == last)
+        .select("id")
+        .distinct()
+        .collect()
+    }
+    replay = fps.filter(F.col("doc_id").isin(list(replay_ids)))
+    before = pairs_snapshot()
+    sink(replay, last)
+    assert pairs_snapshot() == before
+
+    # serving closure: the streamed index IS dd29's serving input
+    served = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared"], r["n_a"], r["n_b"], r["containment"])
+        for r in video_pairs_from_index(
+            spark.read.parquet(index_dir).drop("batch_id"), min_shared=2
+        ).collect()
+    }
+    assert served == batch

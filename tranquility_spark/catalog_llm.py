@@ -5161,6 +5161,237 @@ def dd27_audio_fp_incremental_served(
     )
 
 
+# ---------------------------------------------------------------------------
+# Video near-dup family (r15b) — the FIFTH family and a different shape:
+# per-video SETS of frame digests (multimodal.video_frame_hashes), paired
+# by shared-frame containment over an inverted (fhash -> doc) index —
+# exact-equality joins, no hamming bands. Like the audio family, every
+# step is integer/byte-exact and SQL-replicable, so all three pair
+# entries carry DIRECT brute-force DuckDB value oracles. The frame CTE
+# below recomputes the stub demux (duration from byte length, one
+# 16-byte slice per sampled timestamp) and the tile-to-72 gradient
+# digest from the raw bytes.
+# ---------------------------------------------------------------------------
+
+_VFH_CTE = """
+hx AS (
+    SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+    FROM documents
+),
+chars AS (
+    -- byte-exact on ANY corpus (the mm2/mm3/mm4 hex lesson)
+    SELECT doc_id, nb,
+           list_transform(range(1, nb + 1),
+             i -> CAST(16 * (strpos('0123456789ABCDEF', h[i*2-1]) - 1)
+                       + (strpos('0123456789ABCDEF', h[i*2]) - 1)
+                       AS BIGINT)) AS cs
+    FROM hx
+),
+params AS (
+    -- sample_frames' stub demux: duration_ms = 100*nb % 60000,
+    -- n = clamp(duration//1000, 1, 8)
+    SELECT doc_id, nb, cs,
+           least(greatest(((100 * nb) % 60000) // 1000, 1), 8) AS nf
+    FROM chars
+),
+fr AS (
+    SELECT doc_id, nb, cs, unnest(range(0, nf)) AS fi FROM params
+),
+sl AS (
+    -- frame fi's 16-byte slice at offset (fi*1000*13) % max(nb-16, 1)
+    SELECT doc_id, fi,
+           cs[((fi * 13000) % greatest(nb - 16, 1)) + 1
+              : least(((fi * 13000) % greatest(nb - 16, 1)) + 16, nb)] AS fb
+    FROM fr
+),
+tile AS (
+    SELECT doc_id, fi,
+           list_transform(range(0, 72), j -> fb[(j % len(fb)) + 1]) AS px
+    FROM sl WHERE len(fb) > 0
+),
+byt AS (
+    SELECT doc_id, fi,
+           list_transform(range(0, 8),
+             r -> list_aggregate(
+                    list_transform(range(0, 8),
+                      c -> CASE WHEN px[r*9+c+2] > px[r*9+c+1]
+                                THEN (CAST(1 AS BIGINT) << c)
+                                ELSE CAST(0 AS BIGINT) END),
+                    'sum')) AS bs
+    FROM tile
+),
+vfh AS (
+    SELECT doc_id, fi AS frame_idx,
+           list_aggregate(
+             list_transform(bs,
+               v -> substr('0123456789abcdef', CAST(v // 16 AS INTEGER) + 1, 1)
+                    || substr('0123456789abcdef', CAST(v % 16 AS INTEGER) + 1, 1)),
+             'string_agg', '') AS fhash
+    FROM byt
+    UNION ALL
+    SELECT doc_id, fi AS frame_idx, NULL AS fhash
+    FROM sl WHERE len(fb) = 0
+)
+"""
+
+# brute-force containment pairs over the recomputed frame digests: the
+# inverted-index CTE chain IS the oracle (distinct (doc, digest) rows,
+# per-doc counts, equality self-join, >= 2 shared, containment rounded
+# to 6 per the float policy — denominators <= 8, no representable tie)
+_VIDEO_PAIRS_SQL_BODY = """
+    hset AS (SELECT DISTINCT doc_id, fhash FROM vfh WHERE fhash IS NOT NULL),
+    cnt AS (SELECT doc_id, count(*) AS nh FROM hset GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ns
+          FROM hset a JOIN hset b
+            ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT da AS doc_a, db AS doc_b, CAST(ns AS BIGINT) AS n_shared,
+           CAST(ca.nh AS BIGINT) AS n_a, CAST(cb.nh AS BIGINT) AS n_b,
+           ROUND(CAST(ns AS DOUBLE) / LEAST(ca.nh, cb.nh), 6) AS containment
+    FROM p JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+"""
+
+_VIDEO_PAIRS_SQL = f"""
+    WITH {_VFH_CTE},
+    {_VIDEO_PAIRS_SQL_BODY}
+"""
+
+
+@register(
+    "mm8_video_frame_hashes",
+    f"""
+    WITH {_VFH_CTE}
+    SELECT doc_id, frame_idx, fhash FROM vfh
+    """,
+    doc="Per-frame perceptual digests per video payload — the signature "
+    "pass of the dd28-dd30 video near-dup family: ONE mapInPandas fuses "
+    "sample_frames' stub demux fan-out (duration from byte length, one "
+    "16-byte slice per sampled second, max 8 frames) with image_dhash's "
+    "tile-to-72 gradient digest per frame. Real pyav/ffmpeg demux (lib "
+    "absent) would replace only the bytes-to-frame step; the 1-to-N "
+    "fan-out shape, cadence, digest recipe, and dead-letter NULL for "
+    "empty frames are impl-independent and oracle-recomputed from raw "
+    "bytes here. No shuffle; linear in corpus bytes",
+)
+def mm8_video_frame_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return mm.video_frame_hashes(media)
+
+
+@register(
+    "dd28_video_neardup_pairs",
+    _VIDEO_PAIRS_SQL,
+    doc="Near-duplicate video pairs by shared-frame containment (the "
+    "public CBVR copy-detection recipe): videos sharing >= 2 DISTINCT "
+    "frame digests, containment = n_shared/min(n_a, n_b) so a clip "
+    "inside a longer video scores 1.0. The join is an inverted "
+    "(fhash -> doc) index self-join over DISTINCT (doc, digest) rows — "
+    "cost sum over digests of df², never corpus-quadratic; the max_df "
+    "knob (dedup.py#_video_pairs_core) is the hot-digest/boilerplate-"
+    "frame guard, uncapped here (fixture buckets <= 10 docs, measured). "
+    "Integer-exact end to end, so the DuckDB oracle brute-forces the "
+    "same containment pairs from raw bytes — the fifth family, "
+    "hash-certified like the audio one",
+)
+def dd28_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return dd.video_neardup_pairs(mm.video_frame_hashes(media), min_shared=2)
+
+
+_VIDEO_INDEX_SCHEMA = "id BIGINT, fhash STRING"
+
+
+def _video_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """The persisted video frame-digest index for a corpus (the
+    _served_index_table protocol on the video family): demux +
+    frame-hash run ONCE here, at build; serving queries read
+    fhash-co-located ~24-byte rows and never touch video bytes again."""
+    return _served_index_table(
+        spark,
+        sf_dir,
+        "videoidx",
+        _VIDEO_INDEX_SCHEMA,
+        ["fhash"],
+        lambda df, name, n, loc: dd.video_index_write(
+            mm.video_frame_hashes(mm.attach_binary_payload(df)),
+            name,
+            num_buckets=n,
+            path=loc,
+        ),
+    )
+
+
+@register(
+    "dd29_video_served_pairs",
+    _VIDEO_PAIRS_SQL,
+    doc="Video near-dup pairs served from the PERSISTED frame-digest "
+    "index (the dd26 shape on the video family): first touch per corpus "
+    "demuxes + frame-hashes once and writes video_frame_index "
+    "bucketed+sorted on fhash; every query after that self-joins "
+    "co-located buckets (zero corpus-side Exchange) and reads ~24-byte "
+    "rows per (video, frame) — at 100 TB the demux (the dominant video "
+    "cost by orders of magnitude) is an ingest cost, not a query cost. "
+    "Directly value-oracled like dd26: the brute-force SQL recomputes "
+    "digests from raw bytes, hash-certifying the layout round trip",
+)
+def dd29_video_served_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _video_index_table(spark, sf_dir)
+    return dd.video_pairs_from_index(spark.table(table), min_shared=2)
+
+
+def _video_registry_table(spark: SparkSession, sf_dir: str) -> str:
+    """The 80%-registry video frame-digest index (dd21's split on the
+    video family) as a REGISTERED bucketed table — the per-cycle serving
+    registry, distinct from the full-corpus dd29 index by digest kind."""
+    return _served_index_table(
+        spark,
+        sf_dir,
+        "videoidx80",
+        _VIDEO_INDEX_SCHEMA,
+        ["fhash"],
+        lambda df, name, n, loc: dd.video_index_write(
+            mm.video_frame_hashes(
+                mm.attach_binary_payload(df.filter(~_dd_new_batch()))
+            ),
+            name,
+            num_buckets=n,
+            path=loc,
+        ),
+    )
+
+
+@register(
+    "dd30_video_incremental_served",
+    f"""
+    WITH {_VFH_CTE},
+    {_VIDEO_PAIRS_SQL_BODY}
+    WHERE (da % 5 = 0 OR db % 5 = 0)
+    """,
+    doc="Incremental video near-dup at ingest served from the REGISTERED "
+    "frame-digest registry (dd21/dd27's shape on the video family, "
+    "completing the FIFTH family's matrix): only the new 20% batch "
+    "(doc_id % 5 = 0) is demuxed and frame-hashed; the 80% registry is "
+    "probed through its fhash buckets — new-vs-index probe + new-vs-new "
+    "self-join, two separate joins so the bucketed layout survives. "
+    "Directly value-oracled: brute force restricted to pairs touching a "
+    "new doc certifies incremental == full-restriction cross-engine "
+    "(both docs' complete digest sets are visible at probe time, so "
+    "counts and containment are the full run's). Per-cycle cost O(new "
+    "videos + touched buckets), corpus-size-independent",
+)
+def dd30_video_incremental_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    table = _video_registry_table(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    new_hashes = mm.video_frame_hashes(
+        mm.attach_binary_payload(docs.filter(_dd_new_batch()))
+    )
+    return dd.video_incremental_pairs(
+        new_hashes, spark.table(table), min_shared=2
+    )
+
+
 @register(
     "txt10_top_tokens",
     """

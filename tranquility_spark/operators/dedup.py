@@ -1826,3 +1826,258 @@ def audio_fp_index_sink(
         ),
         lambda b: audio_fp_band_index(b, id_col, hash_col),
     )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup family (r15b) — the FIFTH family, and a different SHAPE:
+# a video carries a SET of frame digests (multimodal.video_frame_hashes),
+# not one 64-bit word, so near-dup is shared-frame CONTAINMENT over an
+# inverted (fhash -> doc) index — exact equality joins, no hamming bands.
+# The serving/incremental/streaming matrix still applies: the persisted
+# index is (id, fhash) bucketed on the probe key fhash, and the shared
+# _banded_index_sink state machine runs the streaming form unchanged
+# (it is column-generic; only the three callables differ).
+# ---------------------------------------------------------------------------
+
+
+def video_frame_index(
+    frame_hashes: DataFrame, id_col: str = "doc_id", hash_col: str = "fhash"
+) -> DataFrame:
+    """Persistable video frame-digest index: DISTINCT (id, fhash) rows —
+    one row per (video, distinct frame digest), NULL digests (the
+    dead-letter verdict for empty frames) excluded at build. Write it
+    bucketed+sorted on ``fhash``: the decode + frame-hash pass (the
+    dominant per-video cost — real demux is orders of magnitude heavier
+    than any join) is paid ONCE, here."""
+    return (
+        frame_hashes.filter(F.col(hash_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(hash_col).alias("fhash"))
+        .distinct()
+    )
+
+
+def _video_pairs_core(
+    h: DataFrame, min_shared: int, max_df: int | None
+) -> DataFrame:
+    """Shared core of the inline and served video pair extractions over a
+    DISTINCT (id, fhash) frame index: optional document-frequency cap,
+    per-doc digest counts, inverted-index self-join, pair aggregation,
+    containment. Output (doc_a, doc_b, n_shared, n_a, n_b, containment),
+    doc_a < doc_b."""
+    if max_df is not None:
+        # the hot-digest guard, CBVR's stopword removal: a boilerplate
+        # frame (black frame, title card) appearing in > max_df videos
+        # would cost df² in the self-join while carrying no near-dup
+        # signal — drop the digest, not the videos. NOTE the per-doc
+        # counts below are computed AFTER the cap so containment stays
+        # a ratio over the digests that actually joined.
+        ok = (
+            h.groupBy("fhash")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fhash")
+        )
+        h = h.join(ok, "fhash")
+    cnt = h.groupBy("id").agg(F.count(F.lit(1)).alias("__nh"))
+    a, b = h.alias("a"), h.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fhash") == F.col("b.fhash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("__ns"))
+        .filter(F.col("__ns") >= min_shared)
+    )
+    ca = cnt.select(F.col("id").alias("doc_a"), F.col("__nh").alias("n_a"))
+    cb = cnt.select(F.col("id").alias("doc_b"), F.col("__nh").alias("n_b"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("__ns").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(F.col("__ns") / F.least("n_a", "n_b"), 6).alias(
+                "containment"
+            ),
+        )
+    )
+
+
+def video_neardup_pairs(
+    frame_hashes: DataFrame,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    hash_col: str = "fhash",
+) -> DataFrame:
+    """Near-duplicate video pairs by shared-frame containment (dd28):
+    videos sharing >= ``min_shared`` DISTINCT frame digests, with
+    ``containment = n_shared / min(n_a, n_b)`` (a clip contained in a
+    longer video scores 1.0 regardless of the length gap — the CBVR
+    copy-detection convention; round(…,6) per the cross-engine float
+    policy, denominators <= max_frames so no representable tie exists).
+
+    Scale shape: the self-join runs on the inverted (fhash -> doc)
+    index over DISTINCT (doc, digest) rows — cost is sum over digests of
+    df², never corpus-quadratic, and the ``max_df`` cap bounds the
+    worst bucket exactly like dd2's LSH banding bounds its hot bucket.
+    At fixture scale every bucket holds <= 10 docs (measured), so the
+    certified entries run uncapped; production sets max_df to the
+    boilerplate-frame knee. Integer-exact end to end (digests are byte
+    comparisons, counts are counts), so the whole pipeline is
+    brute-force oracle-certified like the audio family."""
+    return _video_pairs_core(
+        video_frame_index(frame_hashes, id_col, hash_col), min_shared, max_df
+    )
+
+
+def video_pairs_from_index(
+    index_df: DataFrame, min_shared: int = 2, max_df: int | None = None
+) -> DataFrame:
+    """Full video near-dup pair extraction from a PERSISTED
+    :func:`video_frame_index` (dd29) — the serving form of
+    :func:`video_neardup_pairs`, equal to it by construction and
+    hash-certified directly by dd29's brute-force oracle. With the index
+    bucketed on ``fhash``, the self-join is a zero-Exchange
+    SortMergeJoin over co-located buckets; at 100 TB the query reads
+    ~24-byte index rows per (video, frame), never the video bytes —
+    demux is an ingest cost, not a query cost."""
+    return _video_pairs_core(
+        index_df.select("id", "fhash").distinct(), min_shared, max_df
+    )
+
+
+def video_incremental_pairs(
+    new_hashes: DataFrame,
+    index_df: DataFrame,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    hash_col: str = "fhash",
+) -> DataFrame:
+    """Video near-dup pairs for an INCREMENTAL batch against a persisted
+    :func:`video_frame_index` (dd30): only the new batch is demuxed and
+    frame-hashed (upstream); the corpus is touched solely through
+    ``fhash`` bucket probes. Returns every pair with >= ``min_shared``
+    shared digests involving at least one new doc — EXACTLY the full
+    run's restriction (both docs' complete digest sets are visible:
+    the new side in the batch, the old side in the index), canonically
+    ordered. Precondition: new and index doc ids are disjoint (dd8's
+    batch-vs-registry contract). No ``max_df``: a frequency cap over a
+    GROWING corpus is time-dependent (a digest under the cap today may
+    exceed it tomorrow), which would break incremental == restriction
+    and the streaming sink's union == one-batch-pass contract.
+
+    Two SEPARATE joins (dd8's layout argument — a union would erase the
+    index's bucketed layout and reshuffle the corpus every cycle):
+    new-vs-index probes the buckets, new-vs-new self-joins the batch."""
+    new_idx = video_frame_index(new_hashes, id_col, hash_col).localCheckpoint(
+        eager=False
+    )
+    idx = index_df.select("id", "fhash").distinct()
+
+    n, i = new_idx.alias("n"), idx.alias("i")
+    no = (
+        n.join(i, F.col("n.fhash") == F.col("i.fhash"))
+        .groupBy(
+            F.least(F.col("n.id"), F.col("i.id")).alias("doc_a"),
+            F.greatest(F.col("n.id"), F.col("i.id")).alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__ns"))
+    )
+    a, b = new_idx.alias("a"), new_idx.alias("b")
+    nn = (
+        a.join(
+            b,
+            (F.col("a.fhash") == F.col("b.fhash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("__ns"))
+    )
+    pairs = no.unionByName(nn).filter(F.col("__ns") >= min_shared)
+    cnt = (
+        new_idx.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__nh"))
+        .unionByName(idx.groupBy("id").agg(F.count(F.lit(1)).alias("__nh")))
+    )
+    ca = cnt.select(F.col("id").alias("doc_a"), F.col("__nh").alias("n_a"))
+    cb = cnt.select(F.col("id").alias("doc_b"), F.col("__nh").alias("n_b"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("__ns").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(F.col("__ns") / F.least("n_a", "n_b"), 6).alias(
+                "containment"
+            ),
+        )
+    )
+
+
+def video_index_write(
+    frame_hashes: DataFrame,
+    table: str,
+    num_buckets: int = 4,
+    id_col: str = "doc_id",
+    hash_col: str = "fhash",
+    path: str | None = None,
+) -> None:
+    """Persist the video frame-digest index as a bucketed+sorted table on
+    the probe key ``fhash`` — the family's ingest-side write. The caller
+    feeds ``multimodal.video_frame_hashes`` output so the demux lives
+    with the media operators and this module stays digest-only."""
+    from tranquility_spark.sources.bucketed import write_bucketed
+
+    write_bucketed(
+        video_frame_index(frame_hashes, id_col, hash_col),
+        table,
+        ["fhash"],
+        num_buckets,
+        path=path,
+    )
+
+
+def video_index_sink(
+    index_dir: str,
+    pairs_dir: str,
+    id_col: str = "doc_id",
+    hash_col: str = "fhash",
+    min_shared: int = 2,
+):
+    """foreachBatch sink: streaming video near-dup with a growing frame
+    index — the :func:`_banded_index_sink` state machine on the video
+    family (the helper is column-generic; index rows here are
+    (id, fhash)). Batches must already CARRY the digest column
+    (``multimodal.video_frame_hashes`` upstream in the stream plan) and
+    must be DOC-ATOMIC (all of a video's frames in one batch — the same
+    doc-granularity contract every family's sink has, but stated here
+    because video is the first multi-row-per-doc signature: a split doc
+    would undercount n_shared on both sides of the split). Union of
+    emitted pairs across the stream == ONE :func:`video_neardup_pairs`
+    pass (every pair surfaces when its later video arrives, with full
+    counts — both complete digest sets are visible then); same
+    ``batch_id=`` replay-idempotence contract as the other sinks. No
+    ``max_df`` (see :func:`video_incremental_pairs`)."""
+    return _banded_index_sink(
+        index_dir,
+        pairs_dir,
+        ["id", "fhash"],
+        lambda b: video_neardup_pairs(b, min_shared, None, id_col, hash_col),
+        lambda b, idx: video_incremental_pairs(
+            b, idx, min_shared, id_col, hash_col
+        ),
+        lambda b: video_frame_index(b, id_col, hash_col),
+    )

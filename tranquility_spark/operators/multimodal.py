@@ -584,3 +584,73 @@ def audio_energy_fingerprint(
             )
 
     return media_df.mapInPandas(fps, schema=AUDIO_FP_SCHEMA)
+
+
+VIDEO_FHASH_SCHEMA = "doc_id bigint, frame_idx bigint, fhash string"
+
+
+def video_frame_hashes(
+    media_df: DataFrame,
+    id_col: str = "doc_id",
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    impl: str = "stub",
+) -> DataFrame:
+    """Per-frame perceptual digests for each 'video' payload — the
+    signature pass of the VIDEO-modality near-dup family (dd28-dd30):
+    two videos sharing >= min_shared distinct frame digests are copies /
+    re-encodes / clips of one source (the public content-based
+    video-retrieval recipe: frame fingerprints + inverted-index
+    containment — one digest per sampled frame, NOT one per video,
+    because clipping shifts global signatures but preserves frames).
+
+    ONE mapInPandas fuses ``sample_frames``'s demux fan-out with
+    ``image_dhash``'s per-frame digest (two separate passes would pay the
+    Arrow round trip twice); the 1-to-N row fan-out, typed schema, and
+    bounded ``max_frames`` amplification guard are sample_frames'
+    contract verbatim. The frame-sampling formula and the tile-to-72
+    gradient digest are INLINED copies of sample_frames'/image_dhash's
+    stub recipes on purpose (the _dd_new_batch precedent: those feed
+    certified entries mm3/mm6 whose behavior must not rotate for a new
+    family; the formulas are pinned against each other in tests).
+
+    ``impl="stub"`` (default, oracle-checked): fake demux — duration
+    from byte length, one 16-byte slice per sampled timestamp, digest =
+    the slice tiled to 72 'pixels' through the 9x8 gradient-bit recipe.
+    A real pyav/ffmpeg demux (no such lib in this environment) would
+    replace ONLY the bytes-to-frame step; sampling cadence, digest
+    recipe, fan-out shape, and everything downstream (banding, serving,
+    incremental) are impl-independent. Zero-length frame slices (empty
+    payloads) dead-letter to a NULL fhash row, never an exception."""
+    _check_impl(impl, ("stub",))
+
+    def hashes(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        def dhash72(b: bytes):
+            if len(b) == 0:
+                return None
+            px = list((b * (72 // max(len(b), 1) + 1))[:72])
+            out = []
+            for r in range(8):
+                byte = 0
+                for c in range(8):
+                    if px[r * 9 + c + 1] > px[r * 9 + c]:
+                        byte |= 1 << c
+                out.append(byte)
+            return "".join(f"{v:02x}" for v in out)
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "fhash": []}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                payload = bytes(payload)
+                duration_ms = (100 * len(payload)) % 60000
+                n = min(max(duration_ms // every_ms, 1), max_frames)
+                for i in range(int(n)):
+                    lo = (i * every_ms * 13) % max(len(payload) - 16, 1)
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["fhash"].append(dhash72(payload[lo : lo + 16]))
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(hashes, schema=VIDEO_FHASH_SCHEMA)
