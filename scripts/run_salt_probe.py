@@ -1,8 +1,8 @@
 """salt_buckets decade probe (r15b): the one knob of the r14 skew-join
 study left unmeasured. run_skew_probe.py showed salted_join at ONE
 setting (salt_buckets=16) matching tuned-AQE; this probe sweeps the knob
-across a decade-plus (1..64) on the SAME fixture to measure the shape a
-100 TB operator needs to know to SIZE it:
+across three decades (1..1024) on the SAME fixture to measure the shape
+a 100 TB operator needs to know to SIZE it:
 
 - too few buckets: the hot key's rows still concentrate — the hot
   reducer holds hot_rows/salt_buckets rows and the stage is that task.
@@ -76,8 +76,13 @@ def main() -> None:
         F.col("id").alias("dim_id"),
         (F.col("id") % 7).cast("long").alias("grp"),
     )
-    # the r14 fixture paths on purpose: same bytes, comparable numbers
-    fact_path, dim_path = "/tmp/spark_graft_skew/fact", "/tmp/spark_graft_skew/dim"
+    # the r14 fixture paths on purpose at the default size (same bytes,
+    # comparable numbers); any OTHER fact_rows gets its own directory —
+    # a bare _SUCCESS check would silently time a stale 50M fixture
+    # while reporting the new row count (r15b self-review)
+    suffix = "" if fact_rows == 50_000_000 else f"-{fact_rows}"
+    fact_path = f"/tmp/spark_graft_skew/fact{suffix}"
+    dim_path = "/tmp/spark_graft_skew/dim"
     for df, path in ((fact, fact_path), (dim, dim_path)):
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             df.write.mode("overwrite").parquet(path)

@@ -76,7 +76,12 @@ def main() -> None:
         (F.col("id") % 7).cast("long").alias("grp"),
     )
     # materialize both sides once so strategy timings exclude generation
-    fact_path, dim_path = "/tmp/spark_graft_skew/fact", "/tmp/spark_graft_skew/dim"
+    # non-default fact_rows gets its own directory — a bare _SUCCESS
+    # check would silently time a stale 50M fixture while reporting the
+    # new row count (r15b self-review, found via run_salt_probe's copy)
+    suffix = "" if fact_rows == 50_000_000 else f"-{fact_rows}"
+    fact_path = f"/tmp/spark_graft_skew/fact{suffix}"
+    dim_path = "/tmp/spark_graft_skew/dim"
     for df, path in ((fact, fact_path), (dim, dim_path)):
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             df.write.mode("overwrite").parquet(path)

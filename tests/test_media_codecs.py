@@ -379,6 +379,7 @@ def test_video_frame_hashes_stub_reference_and_pinning(spark):
     rows = [
         (1, bytearray(base), ("video/fake",)),
         (2, bytearray(b""), ("video/fake",)),
+        (3, None, ("video/fake",)),
     ]
     df = spark.createDataFrame(
         rows,
@@ -402,8 +403,10 @@ def test_video_frame_hashes_stub_reference_and_pinning(spark):
             out.append(byte)
         return "".join(f"{v:02x}" for v in out)
 
-    # (a) independent replay of the demux + digest
-    want = {}
+    # (a) independent replay of the demux + digest; NULL and empty
+    # payloads each dead-letter to one NULL-fhash row (the r15b
+    # self-review fix: None used to TypeError in the worker)
+    want = {(3, 0): None}
     for doc_id, payload in ((1, base), (2, b"")):
         duration_ms = (100 * len(payload)) % 60000
         n = min(max(duration_ms // 1000, 1), 8)

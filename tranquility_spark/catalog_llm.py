@@ -5026,7 +5026,9 @@ _AFP_PAIRS_SQL = f"""
              'string_agg', '') AS afp
     FROM byt
     UNION ALL
-    SELECT doc_id, NULL AS afp FROM hx WHERE nb = 0
+    -- empty AND NULL payloads both dead-letter to a NULL fingerprint
+    -- (nb IS NULL would slip through a bare nb = 0 predicate)
+    SELECT doc_id, NULL AS afp FROM hx WHERE nb = 0 OR nb IS NULL
     """,
     doc="Energy-delta audio fingerprint (64-bit, 16 hex chars) per payload "
     "— image_dhash's counterpart for the audio modality and the digest "
@@ -5231,6 +5233,11 @@ vfh AS (
     UNION ALL
     SELECT doc_id, fi AS frame_idx, NULL AS fhash
     FROM sl WHERE len(fb) = 0
+    UNION ALL
+    -- NULL payload (NULL text): the operator dead-letters ONE row with
+    -- frame_idx 0 and a NULL digest instead of demuxing nothing
+    SELECT doc_id, 0 AS frame_idx, NULL AS fhash
+    FROM hx WHERE nb IS NULL
 )
 """
 

@@ -1892,6 +1892,17 @@ def _video_pairs_core(
         .agg(F.count(F.lit(1)).alias("__ns"))
         .filter(F.col("__ns") >= min_shared)
     )
+    return _video_attach_counts(pairs, cnt)
+
+
+def _video_attach_counts(pairs: DataFrame, cnt: DataFrame) -> DataFrame:
+    """Shared tail of every video pair extraction (inline, served,
+    incremental — ONE definition of the output contract): attach per-doc
+    digest counts to (doc_a, doc_b, __ns) pair rows and emit
+    (doc_a, doc_b, n_shared, n_a, n_b, containment) with
+    ``containment = n_shared / min(n_a, n_b)`` rounded to 6 (the
+    cross-engine float policy; denominators <= max_frames, so no
+    representable rounding tie exists)."""
     ca = cnt.select(F.col("id").alias("doc_a"), F.col("__nh").alias("n_a"))
     cb = cnt.select(F.col("id").alias("doc_b"), F.col("__nh").alias("n_b"))
     return (
@@ -1933,9 +1944,17 @@ def video_neardup_pairs(
     boilerplate-frame knee. Integer-exact end to end (digests are byte
     comparisons, counts are counts), so the whole pipeline is
     brute-force oracle-certified like the audio family."""
-    return _video_pairs_core(
-        video_frame_index(frame_hashes, id_col, hash_col), min_shared, max_df
+    # lineage cut (the dd18b/localCheckpoint precedent): the frame index
+    # feeds the per-doc count aggregate, the df-cap aggregate, and BOTH
+    # sides of the self-join — distinct exchange keys, so without the cut
+    # the upstream demux+hash mapInPandas (the dominant per-video cost)
+    # re-executes per consumer. The served form (video_pairs_from_index)
+    # must NOT do this: checkpointing a bucketed table would erase its
+    # co-located layout and the zero-Exchange self-join with it.
+    h = video_frame_index(frame_hashes, id_col, hash_col).localCheckpoint(
+        eager=False
     )
+    return _video_pairs_core(h, min_shared, max_df)
 
 
 def video_pairs_from_index(
@@ -2003,28 +2022,36 @@ def video_incremental_pairs(
         )
         .agg(F.count(F.lit(1)).alias("__ns"))
     )
-    pairs = no.unionByName(nn).filter(F.col("__ns") >= min_shared)
+    pairs = (
+        no.unionByName(nn)
+        .filter(F.col("__ns") >= min_shared)
+        # consumed three times below (touched-doc extraction + the two
+        # count joins) — cut lineage so the bucket probes run once
+        .localCheckpoint(eager=False)
+    )
+    # containment denominators need full per-doc digest counts, but ONLY
+    # for docs that actually surfaced in a pair (r15b self-review: a
+    # groupBy("id") over the whole index re-shuffled the FULL corpus
+    # index every cycle — id is not the bucket key — breaking the
+    # corpus-size-independence this function promises). Semi-join the
+    # index down to the touched docs first: the touched set is bounded
+    # by the probe's own output, so the per-cycle cost stays
+    # O(new batch + touched buckets + touched docs' rows).
+    touched = (
+        pairs.select(F.col("doc_a").alias("id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
     cnt = (
         new_idx.groupBy("id")
         .agg(F.count(F.lit(1)).alias("__nh"))
-        .unionByName(idx.groupBy("id").agg(F.count(F.lit(1)).alias("__nh")))
-    )
-    ca = cnt.select(F.col("id").alias("doc_a"), F.col("__nh").alias("n_a"))
-    cb = cnt.select(F.col("id").alias("doc_b"), F.col("__nh").alias("n_b"))
-    return (
-        pairs.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("__ns").cast("long").alias("n_shared"),
-            F.col("n_a").cast("long").alias("n_a"),
-            F.col("n_b").cast("long").alias("n_b"),
-            F.round(F.col("__ns") / F.least("n_a", "n_b"), 6).alias(
-                "containment"
-            ),
+        .unionByName(
+            idx.join(touched, "id", "semi")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("__nh"))
         )
     )
+    return _video_attach_counts(pairs, cnt)
 
 
 def video_index_write(

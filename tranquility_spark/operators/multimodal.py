@@ -643,6 +643,14 @@ def video_frame_hashes(
         for pdf in batches:
             rows = {"doc_id": [], "frame_idx": [], "fhash": []}
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    # NULL payload dead-letters like every sibling
+                    # signature operator (image_dhash's None guard): one
+                    # NULL-digest row, never a worker TypeError
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(0)
+                    rows["fhash"].append(None)
+                    continue
                 payload = bytes(payload)
                 duration_ms = (100 * len(payload)) % 60000
                 n = min(max(duration_ms // every_ms, 1), max_frames)
