@@ -1937,13 +1937,20 @@ def video_neardup_pairs(
 
     Scale shape: the self-join runs on the inverted (fhash -> doc)
     index over DISTINCT (doc, digest) rows — cost is sum over digests of
-    df², never corpus-quadratic, and the ``max_df`` cap bounds the
-    worst bucket exactly like dd2's LSH banding bounds its hot bucket.
-    At fixture scale every bucket holds <= 10 docs (measured), so the
-    certified entries run uncapped; production sets max_df to the
-    boilerplate-frame knee. Integer-exact end to end (digests are byte
-    comparisons, counts are counts), so the whole pipeline is
-    brute-force oracle-certified like the audio family."""
+    df². Unlike the hamming families' hot-bucket guard (a rare-pathology
+    defense), ``max_df`` here is LOAD-BEARING at corpus scale: the
+    digest space saturates as the corpus grows (frame vocabularies are
+    finite; boilerplate frames — title cards, black frames — recur
+    everywhere), so df grows ~linearly and Σ df² ~quadratically. The
+    measured decades (SCALE.md r15b: 6.2k → 8.0k distinct digests
+    across 100× of docs, Σ df² 5.2e5 → 2.1e10, uncapped join DIVERGED
+    at 500k while max_df=64 ran in 6 s) make the cap mandatory in
+    production; it is also the precision control — boilerplate digests
+    assert template co-membership, not near-duplication. The fixture
+    entries run uncapped because the driver corpus's hottest df is 10.
+    Integer-exact end to end (digests are byte comparisons, counts are
+    counts), so the whole pipeline is brute-force oracle-certified like
+    the audio family."""
     # lineage cut (the dd18b/localCheckpoint precedent): the frame index
     # feeds the per-doc count aggregate, the df-cap aggregate, and BOTH
     # sides of the self-join — distinct exchange keys, so without the cut
