@@ -597,3 +597,106 @@ def test_spatial_covering_property_fuzz(n_dims, cell_deg, data):
     cells = spatial_cells_for_bound(bound, cell_deg)
     cell_id = "_".join(str(math.floor(x / cell_deg)) for x in pt)
     assert cell_id in cells, (bound, cell_deg, pt, cell_id)
+
+
+# ---------------------------------------------------------------------------
+# r15b: the audio/video signature oracles vs the stub recipes, fuzzed.
+# The fixture parity runs prove the DuckDB oracle CTEs equal the Python
+# stub recipes on the driver corpus; these prove it for ARBITRARY utf-8
+# text (multi-byte codepoints are exactly where a byte-level hex-decode
+# recipe could silently drift from encode(text)'s bytes). Pure
+# python-vs-DuckDB — no SparkSession, hundreds of examples stay cheap.
+# The SQL under test is pulled from the REGISTERED oracles, not a copy.
+# ---------------------------------------------------------------------------
+
+
+def _afp_stub(data: bytes):
+    """multimodal.audio_energy_fingerprint's stub recipe, re-derived."""
+    n = len(data)
+    if n == 0:
+        return None
+    t = (data * (520 // n + 1))[:520]
+    dev = [b - 128 for b in t]
+    e = [sum(d * d for d in dev[i * 8 : (i + 1) * 8]) for i in range(65)]
+    out = []
+    for r in range(8):
+        byte = 0
+        for c in range(8):
+            if e[r * 8 + c + 1] > e[r * 8 + c]:
+                byte |= 1 << c
+        out.append(byte)
+    return "".join(f"{v:02x}" for v in out)
+
+
+def _vfh_stub(data: bytes):
+    """multimodal.video_frame_hashes' stub recipe, re-derived."""
+
+    def dhash72(b):
+        if len(b) == 0:
+            return None
+        px = list((b * (72 // max(len(b), 1) + 1))[:72])
+        out = []
+        for r in range(8):
+            byte = 0
+            for c in range(8):
+                if px[r * 9 + c + 1] > px[r * 9 + c]:
+                    byte |= 1 << c
+            out.append(byte)
+        return "".join(f"{v:02x}" for v in out)
+
+    duration_ms = (100 * len(data)) % 60000
+    n = min(max(duration_ms // 1000, 1), 8)
+    return {
+        i: dhash72(data[(i * 13000) % max(len(data) - 16, 1) :][:16])
+        for i in range(int(n))
+    }
+
+
+def _oracle_on_one_doc(oracle_sql: str, text: str):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (1, ?)", [text])
+    return con.execute(oracle_sql).fetchall()
+
+
+@given(text=st.text(max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_audio_fp_oracle_matches_stub_recipe_fuzz(text):
+    """mm7's REGISTERED DuckDB oracle equals the stub recipe on the utf-8
+    bytes of any text — including astral-plane codepoints whose 4-byte
+    encodings the hex-digit decode must reproduce exactly."""
+    from tranquility_spark.catalog import CATALOG
+
+    rows = _oracle_on_one_doc(CATALOG["mm7_audio_fingerprint"].oracle, text)
+    assert rows == [(1, _afp_stub(text.encode("utf-8")))]
+
+
+@given(text=st.text(max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_video_fhash_oracle_matches_stub_recipe_fuzz(text):
+    """mm8's REGISTERED DuckDB oracle equals the fused demux+digest stub
+    on the utf-8 bytes of any text — frame count, offsets, short tail
+    slices, and empty-slice dead-letters included."""
+    from tranquility_spark.catalog import CATALOG
+
+    rows = _oracle_on_one_doc(CATALOG["mm8_video_frame_hashes"].oracle, text)
+    got = {fi: fh for _d, fi, fh in rows}
+    assert len(got) == len(rows), "duplicate frame_idx in oracle output"
+    assert got == _vfh_stub(text.encode("utf-8"))
+
+
+def test_signature_oracles_null_text_dead_letter():
+    """The NULL-text branches of the mm7/mm8 oracles (r15b self-review:
+    a bare nb = 0 predicate let NULL slip past the dead-letter row)
+    match the operators' contracts: one NULL-digest row per NULL doc."""
+    from tranquility_spark.catalog import CATALOG
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (7, NULL)")
+    assert con.execute(
+        CATALOG["mm7_audio_fingerprint"].oracle
+    ).fetchall() == [(7, None)]
+    assert con.execute(
+        CATALOG["mm8_video_frame_hashes"].oracle
+    ).fetchall() == [(7, 0, None)]
