@@ -87,6 +87,9 @@ def main() -> None:
         docs = load_table(spark, sf_dir, "documents")
         n_docs = docs.count()
         fps = audio_energy_fingerprint(attach_binary_payload(docs))
+        # warm the Python UDF workers before any timed row (the video
+        # probe's 5k contamination lesson)
+        fps.count()
 
         # saturation + hot-bucket facts the banded join's cost rides on
         idx = audio_fp_band_index(fps)
@@ -103,8 +106,11 @@ def main() -> None:
             .collect()[0]
         )
 
-        inline = best_of(audio_fp_neardup_pairs(fps, threshold=3))
-        n_pairs = audio_fp_neardup_pairs(fps, threshold=3).count()
+        # count from the SAME DataFrame best_of just timed (the video
+        # probe's re-demux-per-count lesson)
+        df_inline = audio_fp_neardup_pairs(fps, threshold=3)
+        inline = best_of(df_inline)
+        n_pairs = df_inline.count()
 
         table = f"audio_probe_{n_docs}"
         loc = os.path.join(INDEX_ROOT, table)

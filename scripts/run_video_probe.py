@@ -83,6 +83,10 @@ def main() -> None:
         docs = load_table(spark, sf_dir, "documents")
         n_docs = docs.count()
         fps = video_frame_hashes(attach_binary_payload(docs))
+        # warm the Python UDF workers before ANY timed row (the bench.py
+        # lesson, applied to probes after the 5k uncapped row measured
+        # 4.07 s cold vs 0.56 s warm — worker fork, not plan cost)
+        fps.count()
 
         # the df² facts the scale bound rides on
         idx = video_frame_index(fps)
@@ -108,17 +112,18 @@ def main() -> None:
         cap = 64  # ~the 5k corpus's organic hottest df: removes only
         # frames that are boilerplate at EVERY probe size
         if df_stats["sum_df_sq"] <= 200_000_000:
-            inline = best_of(video_neardup_pairs(fps, min_shared=2))
-            n_pairs = video_neardup_pairs(fps, min_shared=2).count()
+            # count from the SAME DataFrame best_of just timed: a fresh
+            # call would rebuild the localCheckpoint and re-pay the full
+            # demux per count (second-review finding)
+            df_unc = video_neardup_pairs(fps, min_shared=2)
+            inline = best_of(df_unc)
+            n_pairs = df_unc.count()
         else:
             inline = None
             n_pairs = None
-        inline_capped = best_of(
-            video_neardup_pairs(fps, min_shared=2, max_df=cap)
-        )
-        n_pairs_capped = video_neardup_pairs(
-            fps, min_shared=2, max_df=cap
-        ).count()
+        df_cap = video_neardup_pairs(fps, min_shared=2, max_df=cap)
+        inline_capped = best_of(df_cap)
+        n_pairs_capped = df_cap.count()
 
         # served: build the bucketed index once (ingest-side), then time
         # the query path alone

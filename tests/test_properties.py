@@ -653,10 +653,12 @@ def _vfh_stub(data: bytes):
 
 
 def _oracle_on_one_doc(oracle_sql: str, text: str):
-    con = duckdb.connect()
-    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
-    con.execute("INSERT INTO documents VALUES (1, ?)", [text])
-    return con.execute(oracle_sql).fetchall()
+    # close per example — 120 hypothesis examples would otherwise hold
+    # 120 live in-memory connections until GC (r15b second review)
+    with duckdb.connect() as con:
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.execute("INSERT INTO documents VALUES (1, ?)", [text])
+        return con.execute(oracle_sql).fetchall()
 
 
 @given(text=st.text(max_size=300))
