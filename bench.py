@@ -163,6 +163,8 @@ HEADLINE = [
     "dd28_video_neardup_pairs",
     "dd29_video_served_pairs",
     "dd30_video_incremental_served",
+    "dd31_audio_fp_survivors",
+    "dd32_video_survivors",
 ]
 
 

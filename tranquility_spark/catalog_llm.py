@@ -5399,6 +5399,105 @@ def dd30_video_incremental_served(
     )
 
 
+# survivors = every doc NOT a non-root member of a pair component; the
+# recursive CTE computes the transitive closure of the (symmetrized)
+# pair graph and each node's component min — connected components in
+# ANSI SQL, which upgrades the survivor entries from dd7's rows-only
+# category to full hash oracles (WITH RECURSIVE reaches what the
+# iterative Spark loop reaches; components here are tiny dup families,
+# so the closure is cheap at oracle scale)
+_SURVIVORS_SQL_TAIL = """
+e AS (
+    SELECT doc_a AS a, doc_b AS b FROM p
+    UNION
+    SELECT doc_b, doc_a FROM p
+),
+tc(a, b) AS (
+    SELECT a, b FROM e
+    UNION
+    SELECT tc.a, e.b FROM tc JOIN e ON tc.b = e.a
+),
+root AS (
+    SELECT a AS id, least(a, min(b)) AS cluster_id FROM tc GROUP BY a
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM root WHERE id <> cluster_id)
+"""
+
+
+@register(
+    "dd31_audio_fp_survivors",
+    f"""
+    WITH RECURSIVE {_AFP_WORDS_CTE},
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM words a JOIN words b ON a.doc_id < b.doc_id
+        WHERE {_AFP_HAMMING} <= 3
+    ),
+    {_SURVIVORS_SQL_TAIL}
+    """,
+    doc="Audio dedup DECISION form: one survivor (the min doc_id) per "
+    "near-dup component, every unpaired doc untouched — dd7's terminal "
+    "pipeline step (pairs -> iterative min-label connected components "
+    "-> anti-join victims) composed onto the audio fingerprint family. "
+    "FIRST iterative entry with a full value oracle: the DuckDB side "
+    "recomputes the pairs from raw bytes and resolves components via a "
+    "WITH RECURSIVE transitive closure — the 'iterative algorithms are "
+    "rows-only' exemption (dd7's) does not actually apply when the "
+    "fixpoint is expressible as a recursive CTE. Scale: per-round cost "
+    "is one join + one groupBy on node ids; rounds = component "
+    "diameter (dup families are dense and tiny, 2-3 in practice)",
+)
+def dd31_audio_fp_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.attach_binary_payload(docs)
+    pairs = (
+        dd.audio_fp_neardup_pairs(mm.audio_energy_fingerprint(media), threshold=3)
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+        # lineage cut BEFORE the iterative loop: neardup_clusters' rounds
+        # each act on the edge frame, and an uncut plan re-runs the whole
+        # fingerprint+banding pipeline per round (measured 4.7 s -> the
+        # anchored number below)
+        .localCheckpoint(eager=False)
+    )
+    return dd.neardup_survivors(docs, pairs).select("doc_id")
+
+
+@register(
+    "dd32_video_survivors",
+    f"""
+    WITH RECURSIVE {_VFH_CTE},
+    hset AS (SELECT DISTINCT doc_id, fhash FROM vfh WHERE fhash IS NOT NULL),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM hset a JOIN hset b
+          ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    {_SURVIVORS_SQL_TAIL}
+    """,
+    doc="Video dedup DECISION form: one survivor per shared-frame "
+    "component (dd31's shape on the containment family — the same "
+    "generic pairs -> connected components -> anti-join machinery "
+    "consumes BOTH pair graphs, which is the point of emitting every "
+    "family's pairs in one canonical schema). Full value oracle via "
+    "the WITH RECURSIVE transitive closure over the brute-force "
+    "containment pairs",
+)
+def dd32_video_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.attach_binary_payload(docs)
+    pairs = (
+        dd.video_neardup_pairs(mm.video_frame_hashes(media), min_shared=2)
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+        # the dd31 lineage cut (uncut: demux+containment re-ran per CC
+        # round — measured 10.8 s)
+        .localCheckpoint(eager=False)
+    )
+    return dd.neardup_survivors(docs, pairs).select("doc_id")
+
+
+
 @register(
     "txt10_top_tokens",
     """
