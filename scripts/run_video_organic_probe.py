@@ -10,9 +10,13 @@ is the family's ORGANIC scaling: how the uncapped join behaves when a
 This probe builds that fixture: each copy's text is PREFIXED with a
 distinct marker. A prefix changes every frame offset downstream
 ((fi*13000) % (len-16) shifts with len, and every slice's bytes move),
-so cross-copy frame digests were EXPECTED to decorrelate — while
-WITHIN a copy the docs are byte-identical to the originals, preserving
-the organic near-dup structure exactly.
+so cross-copy frame digests were EXPECTED to decorrelate. (Precision
+note, r15b third review: only copy 0 is byte-identical to the
+originals — every OTHER copy's docs share that copy's uniform prefix,
+so within-copy pair structure is length-shifted, not preserved
+verbatim; the controlled variable here is cross-copy digest overlap,
+and the saturation statistics below do not depend on within-copy pair
+preservation.)
 
 MEASURED RESULT (kept because it refutes the hypothesis): the prefix
 does NOT decorrelate. At 50k docs the fixture shows the SAME
@@ -41,6 +45,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
 FIXTURE_ROOT = "/tmp/spark_graft_video_organic"
+# bump when the transform or source corpus changes — fixture dirs are
+# keyed on it, so a scheme edit cannot silently reuse stale files (the
+# salt/skew-probe stale-fixture lesson, applied on arrival this time)
+FIXTURE_VERSION = "v1"
 SIZES = [1, 10, 100]  # copies of the 5k-doc base -> 5k / 50k / 500k
 
 
@@ -80,7 +88,7 @@ def main() -> None:
 
     results = []
     for copies in SIZES:
-        path = os.path.join(FIXTURE_ROOT, f"c{copies}")
+        path = os.path.join(FIXTURE_ROOT, f"{FIXTURE_VERSION}-c{copies}")
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             parts = []
             for i in range(copies):

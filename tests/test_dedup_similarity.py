@@ -1693,3 +1693,29 @@ def test_video_incremental_equals_full_run_restricted(spark, sf_dir):
     }
     assert got == want
     assert want, "fixture produced no video pairs touching the new batch"
+
+
+def test_neardup_survivors_converged_long_chain(spark):
+    """The r15b third-review finding, pinned: a chain component whose min
+    node is farther than max_iterations hops used to return silently
+    TRUNCATED labels (at sf0.1 the video pair graph has a 39-hop chain —
+    634 wrong labels under the old 10-round budget). The converged form
+    must (a) solve a long chain exactly under its default budget and
+    (b) raise LOUDLY, never return, when the budget is too small."""
+    import pytest
+
+    from tranquility_spark.operators.dedup import neardup_survivors_converged
+
+    n = 15  # chain 0-1-2-...-14: min node 0 is 14 hops from node 14
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+    )
+    got = sorted(
+        r.doc_id
+        for r in neardup_survivors_converged(docs, pairs).collect()
+    )
+    assert got == [0]  # one component, min id survives
+
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        neardup_survivors_converged(docs, pairs, max_iterations=5).collect()

@@ -5245,17 +5245,26 @@ vfh AS (
 # inverted-index CTE chain IS the oracle (distinct (doc, digest) rows,
 # per-doc counts, equality self-join, >= 2 shared, containment rounded
 # to 6 per the float policy — denominators <= 8, no representable tie)
-_VIDEO_PAIRS_SQL_BODY = """
+# ONE definition of the shared-frame pair graph (hset + p): dd28/dd29/
+# dd30's containment oracles AND dd32's survivors oracle all include
+# this fragment, so a change to the pair predicate (min_shared, NULL
+# handling) cannot silently certify different pair sets per entry
+# (r15b third review). p emits (doc_a, doc_b, ns) with doc_a < doc_b.
+_VIDEO_PAIR_IDS_CTE = """
     hset AS (SELECT DISTINCT doc_id, fhash FROM vfh WHERE fhash IS NOT NULL),
-    cnt AS (SELECT doc_id, count(*) AS nh FROM hset GROUP BY doc_id),
-    p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ns
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ns
           FROM hset a JOIN hset b
             ON a.fhash = b.fhash AND a.doc_id < b.doc_id
           GROUP BY 1, 2 HAVING count(*) >= 2)
-    SELECT da AS doc_a, db AS doc_b, CAST(ns AS BIGINT) AS n_shared,
+"""
+
+_VIDEO_PAIRS_SQL_BODY = f"""
+    {_VIDEO_PAIR_IDS_CTE},
+    cnt AS (SELECT doc_id, count(*) AS nh FROM hset GROUP BY doc_id)
+    SELECT doc_a, doc_b, CAST(ns AS BIGINT) AS n_shared,
            CAST(ca.nh AS BIGINT) AS n_a, CAST(cb.nh AS BIGINT) AS n_b,
            ROUND(CAST(ns AS DOUBLE) / LEAST(ca.nh, cb.nh), 6) AS containment
-    FROM p JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+    FROM p JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
 """
 
 _VIDEO_PAIRS_SQL = f"""
@@ -5372,7 +5381,7 @@ def _video_registry_table(spark: SparkSession, sf_dir: str) -> str:
     f"""
     WITH {_VFH_CTE},
     {_VIDEO_PAIRS_SQL_BODY}
-    WHERE (da % 5 = 0 OR db % 5 = 0)
+    WHERE (doc_a % 5 = 0 OR doc_b % 5 = 0)
     """,
     doc="Incremental video near-dup at ingest served from the REGISTERED "
     "frame-digest registry (dd21/dd27's shape on the video family, "
@@ -5460,20 +5469,14 @@ def dd31_audio_fp_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         # anchored number below)
         .localCheckpoint(eager=False)
     )
-    return dd.neardup_survivors(docs, pairs).select("doc_id")
+    return dd.neardup_survivors_converged(docs, pairs).select("doc_id")
 
 
 @register(
     "dd32_video_survivors",
     f"""
     WITH RECURSIVE {_VFH_CTE},
-    hset AS (SELECT DISTINCT doc_id, fhash FROM vfh WHERE fhash IS NOT NULL),
-    p AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM hset a JOIN hset b
-          ON a.fhash = b.fhash AND a.doc_id < b.doc_id
-        GROUP BY 1, 2 HAVING count(*) >= 2
-    ),
+    {_VIDEO_PAIR_IDS_CTE},
     {_SURVIVORS_SQL_TAIL}
     """,
     doc="Video dedup DECISION form: one survivor per shared-frame "
@@ -5494,7 +5497,7 @@ def dd32_video_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round — measured 10.8 s)
         .localCheckpoint(eager=False)
     )
-    return dd.neardup_survivors(docs, pairs).select("doc_id")
+    return dd.neardup_survivors_converged(docs, pairs).select("doc_id")
 
 
 

@@ -2115,3 +2115,55 @@ def video_index_sink(
         ),
         lambda b: video_frame_index(b, id_col, hash_col),
     )
+
+
+def neardup_survivors_converged(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 64,
+) -> DataFrame:
+    """:func:`neardup_survivors` with a VERIFIED fixpoint — the form the
+    oracle-certified survivor entries (dd31/dd32) use.
+
+    :func:`neardup_clusters` returns silently-TRUNCATED labels when a
+    component's min label is farther than ``max_iterations`` hops from
+    some member (dd7's long-standing bounded-best-effort contract, kept
+    as-is — this wrapper exists so the certified dd7/pipe1 chain stays
+    untouched). Truncation would silently diverge from dd31/dd32's
+    EXACT recursive-CTE transitive-closure oracles, so this wrapper
+    (a) raises the round budget (rounds cost nothing after convergence
+    — the loop exits at the fixpoint) and (b) VERIFIES the fixpoint
+    from outside rather than trusting the loop's early-exit: at a true
+    fixpoint no edge connects two different labels (min-label
+    propagation can only stall with a label mismatch across some edge).
+    One extra join over the edge list; raises loudly on violation —
+    either the answer equals the exact closure or the job fails, never
+    a silent cross-engine mismatch."""
+    clusters = neardup_clusters(pairs, max_iterations=max_iterations)
+    edges = pairs.select(
+        F.col("id_a").alias("__src"), F.col("id_b").alias("__dst")
+    )
+    la = clusters.select(
+        F.col("id").alias("__src"), F.col("cluster_id").alias("__ca")
+    )
+    lb = clusters.select(
+        F.col("id").alias("__dst"), F.col("cluster_id").alias("__cb")
+    )
+    violations = (
+        edges.join(la, "__src")
+        .join(lb, "__dst")
+        .filter(F.col("__ca") != F.col("__cb"))
+        .limit(1)
+        .count()
+    )
+    if violations:
+        raise RuntimeError(
+            "neardup_survivors_converged: label propagation did not reach "
+            f"a fixpoint within {max_iterations} rounds (an edge still "
+            "connects two different labels) — raise max_iterations"
+        )
+    victims = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(victims, id_col, "left_anti")
