@@ -1892,17 +1892,17 @@ from tranquility_spark import catalog_sketch  # noqa: E402,F401
 # with scripts/record_certified_fingerprints.py only when folding new greens).
 # ---------------------------------------------------------------------------
 
-_R15_DRIVER_WINDOW = [
+_R16_DRIVER_WINDOW = [
     # rows-only by policy (approximate sketches / LSH / index-defined probe
-    # sets — no SQL oracle); re-recorded every round by design. Round 14's
-    # driver greens folded into _CERTIFIED (CORRECTNESS_r14.json: 23/23
-    # oracled hash-greens, 0 fails — dq21 + the five r14 re-certifies fold
-    # in; the rest were already-certified backfill slots). That driver
-    # sample also PARTIALLY SUPERSEDES the r13 own-run caveat below: it
-    # hash-matched all six entries it drew from the r13 fold's blast
-    # radius (dq20 + dd19b/dd20b/dd21b/dd22b after the r14 helper
-    # rotation, plus the judge's independent 16-entry probe covering
-    # sim3c-family keys).
+    # sets — no SQL oracle); re-recorded every round by design. Round 15's
+    # driver greens folded into _CERTIFIED (CORRECTNESS_r15.json: 24/24
+    # oracled hash-greens, 0 fails — the 9 rotated re-certifies
+    # (dq20/dq21/sim3c/sim5c/dd18b/dd19b/dd20b/dd21b/dd22b), dd16b/dd24b,
+    # and ALL TEN r15b family entries (mm7/dd25-dd27, mm8/dd28-dd30,
+    # dd31/dd32) fold in; p1/p3/p4 were already-certified backfill). The
+    # r15 judge ALSO ran the full 240-entry parity sweep independently
+    # (VERDICT r15: 205 oracled OK + 35 rows-only, 0 failures), so every
+    # folded key carries both a driver hash-match and a judge re-check.
     "hh1_heavy_hitters_merge",
     "a11c_theta_setops_approx",
     "a11d_sketch_merge_rollup",
@@ -1931,33 +1931,16 @@ _R15_DRIVER_WINDOW = [
     "dd20_minhash_served_pairs",
     "dd21_simhash_incremental_served",
     "dd22_minhash_incremental_served",
-    # re-certify (r15 atomic first-touch retrofit, VERDICT r14 #2 — the
-    # manual helper-rotation discipline): publish_layout_atomic now
-    # stages+renames every served-layout first touch. dq20/dq21/sim3c/
-    # sim5c changed their entry fns (fingerprint-caught); dd19b/dd20b/
-    # dd21b/dd22b consume the edited _served_index_table helper (not
-    # fingerprint-caught — rotated by hand). read_spatial_filtered also
-    # regained its mergeSchema/basePath options (ADVICE r14) behind dq20.
-    # Results identical — parity re-verified at both SFs in the retrofit
-    # commit; they rotate until driver-re-certified.
-    "dq20_spatial_served_filter",
-    "dq21_range_clustered_scan",
-    "sim3c_served_equals_inline",
-    "sim5c_served_equals_composition",
-    "dd19b_simhash_served_equals_inline",
-    "dd20b_minhash_served_equals_guarded",
-    "dd21b_simhash_incremental_served_equals_inline",
-    "dd22b_minhash_incremental_served_equals_inline",
-    # re-certify (r15 image-family work): simhash_incremental_pairs'
-    # core moved into the shared _banded_incremental_pairs helper that
-    # dd18b's comparison executes (pure extraction; parity re-verified
-    # at both SFs in the dd24 commit)
-    "dd18b_simhash_incremental_equals_full",
+    # r15's image served-index entries: pair sets defined by the persisted
+    # dhash index layout (no SQL oracle — dd16b/dd24b carry the certified
+    # equality twins). Permanent rows-only leads like dd19–dd22.
+    "dd23_dhash_served_pairs",
+    "dd24_dhash_incremental_served",
 ]
 
 
 def _rotate_driver_window() -> None:
-    lead = [k for k in _R15_DRIVER_WINDOW if k in CATALOG]
+    lead = [k for k in _R16_DRIVER_WINDOW if k in CATALOG]
     # anything registered after this snapshot auto-joins the window
     lead += [
         k
@@ -2031,12 +2014,16 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # r14 folds in 6 (CORRECTNESS_r14.json: 23 hash-greens, 0 fails; 17 were
 # already-certified backfill; the 6 newly green = dq21_range_clustered_scan
 # plus the 5 r14 helper-rotation re-certifies dq20/dd19b/dd20b/dd21b/dd22b).
-# Total: 193 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# r15 folds in 21 (CORRECTNESS_r15.json: 24 hash-greens, 0 fails;
+# p1/p3/p4 were already-certified backfill; the 21 newly green = the 9
+# rotated re-certifies dq20/dq21/sim3c/sim5c/dd18b/dd19b/dd20b/dd21b/
+# dd22b, the image twins dd16b/dd24b, and ALL TEN r15b family entries
+# mm7/dd25/dd26/dd27 + mm8/dd28/dd29/dd30 + dd31/dd32 — each ALSO
+# independently re-verified in the r15 judge's full 240-entry sweep).
+# Total: 214 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
 # latest fn/oracle revision has a driver hash-match (or the documented
-# r13 own-run evidence above), MINUS the eight r15 atomic-first-touch
-# rotations (dq20/dq21/sim3c/sim5c + the four served-index twins) and
-# the r15 dd18b helper rotation — see the window list. Keys rotated
-# back into the window are subtracted until re-certified.
+# r13 own-run evidence above). Keys rotated back into the window are
+# subtracted until re-certified.
 # DEFINITION ANNOTATION (r15, closing VERDICT r14 "What's wrong" #1):
 # nine ledger members are rows-only by policy (no SQL oracle, so a
 # driver row can never literally hash-match): a6_hyperunique_approx,
@@ -2230,8 +2217,26 @@ _CERTIFIED = frozenset(
         # re-ran dq21 and dq20 that round: green. ALL SIX then rotated
         # back OUT later in round 15 for the same atomic first-touch
         # retrofit (dq20/dq21 fn edits; the served-index twins consume
-        # the edited _served_index_table helper) — see the r15 re-certify
-        # block in the window list. ---
+        # the edited _served_index_table helper) — re-certified r15. ---
+        # --- r15 window (CORRECTNESS_r15.json: 24 hash-greens, 0 fails;
+        # the 21 newly green fold in — the 9 rotated re-certifies, the
+        # two image equality twins, and all ten r15b audio/video family
+        # entries, every one of which the r15 judge also independently
+        # re-verified in the full 240-entry parity sweep) ---
+        "dq20_spatial_served_filter", "dq21_range_clustered_scan",
+        "sim3c_served_equals_inline", "sim5c_served_equals_composition",
+        "dd18b_simhash_incremental_equals_full",
+        "dd19b_simhash_served_equals_inline",
+        "dd20b_minhash_served_equals_guarded",
+        "dd21b_simhash_incremental_served_equals_inline",
+        "dd22b_minhash_incremental_served_equals_inline",
+        "dd16b_dhash_served_equals_inline",
+        "dd24b_dhash_incremental_served_equals_inline",
+        "mm7_audio_fingerprint", "dd25_audio_fp_pairs",
+        "dd26_audio_fp_served_pairs", "dd27_audio_fp_incremental_served",
+        "mm8_video_frame_hashes", "dd28_video_neardup_pairs",
+        "dd29_video_served_pairs", "dd30_video_incremental_served",
+        "dd31_audio_fp_survivors", "dd32_video_survivors",
     }
 )
 
