@@ -1719,3 +1719,41 @@ def test_neardup_survivors_converged_long_chain(spark):
 
     with pytest.raises(RuntimeError, match="fixpoint"):
         neardup_survivors_converged(docs, pairs, max_iterations=5).collect()
+
+
+def test_hamming_banding_rejects_non_64bit_digest(spark):
+    """ADVICE r15 #1: the shared 4x16-bit banding machinery hardcodes
+    16-hex-char digests; a wider digest (audio_energy_fingerprint with
+    n_segments=129 emits 32 hex chars) previously banded and verified
+    only its first 64 bits — silently breaking pigeonhole completeness.
+    The _guard_hex16 wrap must fail the job loudly instead, on both the
+    inline pair path and the index build."""
+    wide = spark.createDataFrame(
+        [(1, "ab" * 16), (2, "cd" * 16)], "doc_id long, dhash string"
+    )
+    with pytest.raises(Exception, match="16 hex chars"):
+        dd.dhash_neardup_pairs(wide).collect()
+    with pytest.raises(Exception, match="16 hex chars"):
+        dd.dhash_band_index(wide).collect()
+    # the exact ADVICE scenario, end to end: a non-default fingerprint
+    # geometry flowing into the audio banding pipeline
+    from tranquility_spark.operators.multimodal import (
+        attach_binary_payload,
+        audio_energy_fingerprint,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "payload one two three"), (2, "payload one two four")],
+        "doc_id long, text string",
+    )
+    fps = audio_energy_fingerprint(attach_binary_payload(docs), n_segments=129)
+    with pytest.raises(Exception, match="16 hex chars"):
+        dd.audio_fp_neardup_pairs(fps).collect()
+    # the valid default geometry still flows through untouched
+    ok = audio_energy_fingerprint(attach_binary_payload(docs))
+    dd.audio_fp_neardup_pairs(ok).collect()
+    # NULL digests (dead-letter verdict) are filtered before the guard
+    nulls = spark.createDataFrame(
+        [(1, None), (2, "0" * 16)], "doc_id long, dhash string"
+    )
+    assert dd.dhash_band_index(nulls).count() == 4

@@ -3603,3 +3603,37 @@ def test_streaming_video_index_sink_equals_batch_pass(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert served == batch
+
+
+def test_video_index_sink_rejects_split_doc(spark, tmp_path):
+    """ADVICE r15 #2: the DOC-ATOMIC batch contract is enforced at
+    runtime — a micro-batch carrying frames for a doc id that already
+    has frames in the accumulated index must raise (a split doc would
+    silently undercount n_shared/containment on both sides), while a
+    disjoint follow-up batch proceeds normally. The check must also not
+    trip on a replayed delivery (the index view excludes the batch's own
+    rows)."""
+    from tranquility_spark.operators.dedup import video_index_sink
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    sink = video_index_sink(index_dir, pairs_dir, min_shared=1)
+    schema = "doc_id long, frame_idx long, fhash string"
+    b0 = spark.createDataFrame(
+        [(1, 0, "a" * 16), (1, 1, "b" * 16), (2, 0, "a" * 16)], schema
+    )
+    sink(b0, 0)
+    # split doc: doc 1's "remaining" frames arriving in a later batch
+    b1 = spark.createDataFrame([(1, 2, "c" * 16), (3, 0, "b" * 16)], schema)
+    with pytest.raises(RuntimeError, match="DOC-ATOMIC"):
+        sink(b1, 1)
+    # replay of batch 0 sees index state strictly BEFORE it: no false trip
+    sink(b0, 0)
+    # disjoint batch proceeds and emits its cross-batch pairs
+    b2 = spark.createDataFrame([(3, 0, "b" * 16), (3, 1, "d" * 16)], schema)
+    sink(b2, 1)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert (1, 3) in got  # doc 3 shares frame "b"*16 with doc 1

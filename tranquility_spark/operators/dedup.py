@@ -1115,6 +1115,18 @@ def neardup_survivors(
 
     The terminal step of the dedup pipeline: LSH pairs → components →
     anti-join the non-survivors. Documents in no pair survive untouched.
+
+    .. warning:: SOFT-DEPRECATED for new callers (ADVICE r15 #3): this
+       form inherits :func:`neardup_clusters`' bounded-best-effort
+       10-round contract, which returns silently-WRONG labels on
+       components whose diameter exceeds the budget (demonstrated at
+       sf0.1: 634 wrong labels on a 39-hop chain while sf0.01 parity
+       stayed green). It is kept byte-for-byte because the certified
+       dd7/pipe1 chain pins it; every NEW caller should use
+       :func:`neardup_survivors_converged`, which runs log-diameter
+       pointer-doubling rounds and VERIFIES the fixpoint (exact or
+       loud, never silent). When the dd7/pipe1 fingerprints next rotate
+       for an unrelated reason, fold this into the converged form.
     """
     clusters = neardup_clusters(pairs)
     victims = clusters.filter(F.col("id") != F.col("cluster_id")).select(
@@ -1232,6 +1244,31 @@ def simhash_neardup_pairs(
     return dhash_neardup_pairs(
         hexed, threshold=threshold, id_col=id_col, hash_col="__simhex"
     )
+
+
+def _guard_hex16(c: Column) -> Column:
+    """Loud digest-width guard (ADVICE r15 #1): the shared 4x16-bit
+    hamming-banding machinery (:func:`_dhash_hash_pairs`,
+    :func:`dhash_band_index`, :func:`_hex_hamming`) hardcodes
+    16-hex-char 64-bit digests. A producer with non-default geometry —
+    e.g. ``audio_energy_fingerprint(n_segments=129)`` emits 32 hex
+    chars — would previously band and hamming-verify only the FIRST 64
+    bits, silently breaking pigeonhole completeness. Wrapping the digest
+    column in this check makes a mismatched width fail the job instead:
+    the ``when`` branch keeps the expression un-prunable (it IS the
+    digest value on the valid path, byte-identical output)."""
+    return F.when(
+        F.length(c) != 16,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "hamming-banding digests must be 16 hex chars (64-bit); got '"
+                ),
+                c,
+                F.lit("' — non-default fingerprint geometry is not banding-compatible"),
+            )
+        ),
+    ).otherwise(c)
 
 
 def _hex_hamming(ca: Column, cb: Column) -> Column:
@@ -1494,7 +1531,7 @@ def _dhash_hash_pairs(
     """
     bands = 4
     dh = hashes.filter(F.col(hash_col).isNotNull()).select(
-        F.col(hash_col).alias("__h")
+        _guard_hex16(F.col(hash_col)).alias("__h")
     ).distinct()
     b = dh.select(
         "__h",
@@ -1601,7 +1638,7 @@ def dhash_band_index(
     pipeline's up-front filter. Write it bucketed+sorted on
     ``(band, bval)``; the image decode + hash pass is paid ONCE, here."""
     hv = hashes.filter(F.col(hash_col).isNotNull()).select(
-        F.col(id_col).alias("id"), F.col(hash_col).alias("sighex")
+        F.col(id_col).alias("id"), _guard_hex16(F.col(hash_col)).alias("sighex")
     )
     return hv.select(
         "id",
@@ -2104,15 +2141,48 @@ def video_index_sink(
     pass (every pair surfaces when its later video arrives, with full
     counts — both complete digest sets are visible then); same
     ``batch_id=`` replay-idempotence contract as the other sinks. No
-    ``max_df`` (see :func:`video_incremental_pairs`)."""
+    ``max_df`` (see :func:`video_incremental_pairs`).
+
+    The DOC-ATOMIC contract is ENFORCED at runtime, not just documented
+    (ADVICE r15 #2): before the incremental probe, the batch's doc ids
+    are semi-joined against the ids already in the accumulated index and
+    any overlap raises — a stream builder that split a video across
+    micro-batches would otherwise silently undercount ``n_shared`` (and
+    therefore containment) on both sides of the split. The check is one
+    column-pruned scan of the index's ``id`` column against the (small,
+    broadcastable) batch id set — a bucket-restricted check would NOT be
+    sound, because the later half of a split doc can share zero fhash
+    buckets with its earlier frames."""
+
+    def _incr_doc_atomic(b: DataFrame, idx: DataFrame) -> DataFrame:
+        split = (
+            idx.select("id")
+            .join(
+                F.broadcast(
+                    b.select(F.col(id_col).alias("id")).distinct()
+                ),
+                "id",
+                "left_semi",
+            )
+            .limit(1)
+            .count()
+        )
+        if split:
+            raise RuntimeError(
+                "video_index_sink: DOC-ATOMIC batch contract violated — a "
+                "doc id in this micro-batch already has frames in the "
+                "accumulated index (a video split across batches would "
+                "undercount n_shared/containment on both sides); route all "
+                "frames of a video through one micro-batch"
+            )
+        return video_incremental_pairs(b, idx, min_shared, id_col, hash_col)
+
     return _banded_index_sink(
         index_dir,
         pairs_dir,
         ["id", "fhash"],
         lambda b: video_neardup_pairs(b, min_shared, None, id_col, hash_col),
-        lambda b, idx: video_incremental_pairs(
-            b, idx, min_shared, id_col, hash_col
-        ),
+        _incr_doc_atomic,
         lambda b: video_frame_index(b, id_col, hash_col),
     )
 

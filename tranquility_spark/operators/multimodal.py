@@ -520,6 +520,13 @@ def audio_energy_fingerprint(
             "n_segments must be 8*k+1 (k bytes of adjacent-comparison "
             f"bits); got {n_segments}"
         )
+    # ADVICE r15 #1: only the default 65-segment geometry yields the
+    # 16-hex-char 64-bit digest the audio_fp_* banding pipeline assumes
+    # (a wider digest, e.g. n_segments=129 -> 32 hex chars, would band
+    # only its first 64 bits). The shared banding machinery now guards
+    # digest width loudly (dedup._guard_hex16), so a mismatched geometry
+    # fails the downstream job instead of silently losing recall; wider
+    # digests remain valid for exact-equality consumers.
 
     def fps(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import numpy as np
