@@ -1717,8 +1717,21 @@ def test_neardup_survivors_converged_long_chain(spark):
     )
     assert got == [0]  # one component, min id survives
 
+    # r16: max_iterations now bounds pointer-DOUBLING rounds (coverage
+    # ~4^rounds hops, so the old diameter-denominated budget of 5 would
+    # converge here). One round covers ~4 hops < 14 — the external
+    # fixpoint check must still raise LOUDLY, never return truncated
+    # labels.
     with pytest.raises(RuntimeError, match="fixpoint"):
-        neardup_survivors_converged(docs, pairs, max_iterations=5).collect()
+        neardup_survivors_converged(docs, pairs, max_iterations=1).collect()
+
+    # the doubling loop itself solves the chain exactly in log-diameter
+    # rounds — the measured claim behind the dd32 re-anchor
+    from tranquility_spark.operators.dedup import _cc_pointer_doubling
+
+    labels, rounds = _cc_pointer_doubling(pairs)
+    assert {r.cluster_id for r in labels.collect()} == {0}
+    assert rounds <= 4  # 14 hops: ceil(log4(14)) + O(1), not 14
 
 
 def test_hamming_banding_rejects_non_64bit_digest(spark):

@@ -1936,6 +1936,19 @@ _R16_DRIVER_WINDOW = [
     # equality twins). Permanent rows-only leads like dd19–dd22.
     "dd23_dhash_served_pairs",
     "dd24_dhash_incremental_served",
+    # re-certify (r16 pointer-doubling CC, VERDICT r15 #2/#5 — the manual
+    # helper-rotation discipline): neardup_survivors_converged now
+    # resolves components via _cc_pointer_doubling (hooking + double
+    # pointer-jumping, log-diameter rounds, props-empty natural
+    # termination) instead of the O(diameter) one-hop min-label loop.
+    # dd31/dd32 consume the edited helper (not fingerprint-caught —
+    # rotated by hand). Results identical — parity re-verified vs the
+    # WITH RECURSIVE closure oracles at both SFs in the rewrite commit
+    # (sf0.1 incl. the 39-hop chain component); they rotate until
+    # driver-re-certified. The certified dd7/pipe1 chain
+    # (neardup_clusters/neardup_survivors) is byte-untouched.
+    "dd31_audio_fp_survivors",
+    "dd32_video_survivors",
 ]
 
 
@@ -2020,10 +2033,11 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # dd22b, the image twins dd16b/dd24b, and ALL TEN r15b family entries
 # mm7/dd25/dd26/dd27 + mm8/dd28/dd29/dd30 + dd31/dd32 — each ALSO
 # independently re-verified in the r15 judge's full 240-entry sweep).
-# Total: 214 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# Total: 212 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
 # latest fn/oracle revision has a driver hash-match (or the documented
-# r13 own-run evidence above). Keys rotated back into the window are
-# subtracted until re-certified.
+# r13 own-run evidence above), MINUS the two r16 pointer-doubling
+# rotations (dd31/dd32 — see the window list). Keys rotated back into
+# the window are subtracted until re-certified.
 # DEFINITION ANNOTATION (r15, closing VERDICT r14 "What's wrong" #1):
 # nine ledger members are rows-only by policy (no SQL oracle, so a
 # driver row can never literally hash-match): a6_hyperunique_approx,
@@ -2236,7 +2250,10 @@ _CERTIFIED = frozenset(
         "dd26_audio_fp_served_pairs", "dd27_audio_fp_incremental_served",
         "mm8_video_frame_hashes", "dd28_video_neardup_pairs",
         "dd29_video_served_pairs", "dd30_video_incremental_served",
-        "dd31_audio_fp_survivors", "dd32_video_survivors",
+        # (dd31/dd32 were r15-green and folded here, then rotated back
+        # OUT in the same round-16 session for the VERDICT r15 #2
+        # pointer-doubling CC rewrite of their
+        # neardup_survivors_converged helper — see the window list)
     }
 )
 

@@ -5453,9 +5453,11 @@ WHERE doc_id NOT IN (SELECT id FROM root WHERE id <> cluster_id)
     "recomputes the pairs from raw bytes and resolves components via a "
     "WITH RECURSIVE transitive closure — the 'iterative algorithms are "
     "rows-only' exemption (dd7's) does not actually apply when the "
-    "fixpoint is expressible as a recursive CTE. Scale: per-round cost "
-    "is one join + one groupBy on node ids; rounds = component "
-    "diameter (dup families are dense and tiny, 2-3 in practice)",
+    "fixpoint is expressible as a recursive CTE. Scale: components "
+    "resolve via _cc_pointer_doubling (hook + double pointer-jump) in "
+    "~log4(diameter) rounds — an adversarial chain costs log rounds, "
+    "not diameter rounds (r16; measured 2/4/5 rounds on chain decades "
+    "10/100/1000)",
 )
 def dd31_audio_fp_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")

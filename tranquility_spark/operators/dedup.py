@@ -2187,6 +2187,96 @@ def video_index_sink(
     )
 
 
+def _cc_pointer_doubling(
+    pairs: DataFrame,
+    max_rounds: int = 64,
+) -> tuple[DataFrame, int]:
+    """Exact min-label connected components in LOG-DIAMETER rounds —
+    Shiloach–Vishkin-style hooking + pointer jumping over DataFrames
+    (r16, VERDICT r15 #2: :func:`neardup_clusters`' one-hop min-label
+    propagation needs diameter-many rounds; sf0.1's 39-hop video chain
+    made dd32 the suite's long pole at 16.3 s).
+
+    Per round: (1) HOOK — for every edge whose endpoints carry different
+    labels, propose the smaller label to the NODE named by the larger
+    label (labels are always member ids of the same component, so the
+    proposal stays in-component and monotone non-increasing); (2) JUMP
+    twice — ``label(v) <- label(label(v))`` path-compression, which
+    doubles the distance a label has travelled per jump (on a chain:
+    one hook + two jumps move the frontier 4 hops, vs 1 for plain
+    propagation). Rounds to converge ~ log4(diameter) + O(1) instead of
+    diameter; each round is three joins + a groupBy on the (tiny,
+    checkpointed) node/mismatch frames.
+
+    Termination is the round's OWN output, not a separate convergence
+    action (VERDICT r15 #5): the hook stage's mismatch frame ("props")
+    is materialized once per round anyway, and props-EMPTY is exactly
+    the fixpoint condition (every edge label-equal => labels constant
+    per component => equal to the component min, since the min node's
+    label can never move). The old loop ran a join + limit(1).count()
+    driver action on top of each of its 39 rounds; this one runs
+    ~log4(diameter) rounds with the emptiness probe answered from the
+    already-materialized frame.
+
+    Returns ``(labels, rounds_used)``; labels = (id, cluster_id) for
+    every node appearing in ``pairs``. If ``max_rounds`` is exhausted
+    before the fixpoint, the returned labels may be short of the
+    component minima — callers (``neardup_survivors_converged``) MUST
+    verify externally, which is also what keeps this exact-or-loud
+    rather than trusting the doubling arithmetic."""
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        # lineage cut per round (the neardup_clusters discipline):
+        # without it each iteration's plan embeds all previous ones
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_rounds):
+        la = labels.select(
+            F.col("id").alias("src"), F.col("cluster_id").alias("__la")
+        )
+        lb = labels.select(
+            F.col("id").alias("dst"), F.col("cluster_id").alias("__lb")
+        )
+        props = (
+            edges.join(la, "src")
+            .join(lb, "dst")
+            .filter(F.col("__la") != F.col("__lb"))
+            .select(
+                F.greatest("__la", "__lb").alias("id"),
+                F.least("__la", "__lb").alias("__prop"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if props.isEmpty():  # fixpoint PROVEN: every edge label-equal
+            break
+        rounds += 1
+        cand = props.groupBy("id").agg(F.min("__prop").alias("__prop"))
+        hooked = labels.join(cand, "id", "left").select(
+            "id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("__prop", F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        for _ in range(2):
+            ptr = hooked.select(
+                F.col("id").alias("__pid"), F.col("cluster_id").alias("__plbl")
+            )
+            hooked = hooked.join(
+                ptr, F.col("cluster_id") == F.col("__pid"), "left"
+            ).select(
+                "id", F.coalesce("__plbl", "cluster_id").alias("cluster_id")
+            )
+        labels = hooked.localCheckpoint(eager=True)
+    return labels, rounds
+
+
 def neardup_survivors_converged(
     df: DataFrame,
     pairs: DataFrame,
@@ -2202,15 +2292,17 @@ def neardup_survivors_converged(
     as-is — this wrapper exists so the certified dd7/pipe1 chain stays
     untouched). Truncation would silently diverge from dd31/dd32's
     EXACT recursive-CTE transitive-closure oracles, so this wrapper
-    (a) raises the round budget (rounds cost nothing after convergence
-    — the loop exits at the fixpoint) and (b) VERIFIES the fixpoint
-    from outside rather than trusting the loop's early-exit: at a true
-    fixpoint no edge connects two different labels (min-label
-    propagation can only stall with a label mismatch across some edge).
-    One extra join over the edge list; raises loudly on violation —
-    either the answer equals the exact closure or the job fails, never
-    a silent cross-engine mismatch."""
-    clusters = neardup_clusters(pairs, max_iterations=max_iterations)
+    (a) resolves components with :func:`_cc_pointer_doubling` — hooking
+    + pointer jumping, ~log4(diameter) rounds instead of diameter (r16;
+    the r15 form propagated one hop per round and paid 39 rounds on
+    sf0.1's video chain) — and (b) VERIFIES the fixpoint from outside
+    rather than trusting the loop: at a true fixpoint no edge connects
+    two different labels. ``max_iterations`` now bounds DOUBLING rounds
+    (coverage ~4^rounds hops), so the default comfortably exceeds any
+    real diameter; one extra join over the edge list verifies; raises
+    loudly on violation — either the answer equals the exact closure or
+    the job fails, never a silent cross-engine mismatch."""
+    clusters, _ = _cc_pointer_doubling(pairs, max_rounds=max_iterations)
     edges = pairs.select(
         F.col("id_a").alias("__src"), F.col("id_b").alias("__dst")
     )
