@@ -1770,3 +1770,39 @@ def test_hamming_banding_rejects_non_64bit_digest(spark):
         [(1, None), (2, "0" * 16)], "doc_id long, dhash string"
     )
     assert dd.dhash_band_index(nulls).count() == 4
+
+
+def test_video_uncapped_df_guard(spark):
+    """VERDICT r15 #4: the video family's max_df contract is structural.
+    An uncapped pair extraction must raise loudly when any digest's
+    document frequency exceeds _VIDEO_UNCAPPED_DF_LIMIT (the measured
+    divergence regime), on BOTH the inline and the served form; an
+    explicit max_df opts out; passing corpora are untouched."""
+    import pytest
+
+    from tranquility_spark.operators import dedup as d
+
+    limit = d._VIDEO_UNCAPPED_DF_LIMIT
+    # one boilerplate digest in limit+1 docs, plus a benign shared pair
+    rows = [(i, 0, "00" * 8) for i in range(limit + 1)]
+    rows += [(0, 1, "aa" * 8), (1, 1, "aa" * 8)]
+    fps = spark.createDataFrame(rows, "doc_id long, frame_idx long, fhash string")
+    with pytest.raises(Exception, match="uncapped"):
+        d.video_neardup_pairs(fps, min_shared=1).collect()
+    with pytest.raises(Exception, match="uncapped"):
+        d.video_pairs_from_index(
+            d.video_frame_index(fps), min_shared=1
+        ).collect()
+    # explicit cap: the hot digest is dropped, the benign pair survives
+    capped = d.video_neardup_pairs(fps, min_shared=1, max_df=64).collect()
+    assert {(r.doc_a, r.doc_b) for r in capped} == {(0, 1)}
+    # under the limit, uncapped output is unchanged (byte-identical path)
+    small = spark.createDataFrame(
+        [(0, 0, "aa" * 8), (1, 0, "aa" * 8), (1, 1, "bb" * 8), (2, 0, "bb" * 8)],
+        "doc_id long, frame_idx long, fhash string",
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.n_shared)
+        for r in d.video_neardup_pairs(small, min_shared=1).collect()
+    }
+    assert got == {(0, 1, 1), (1, 2, 1)}

@@ -1893,6 +1893,20 @@ def video_frame_index(
     )
 
 
+# Structural uncapped-run guard (r16, VERDICT r15 #4): the video
+# family's df cap is LOAD-BEARING, not a rare-pathology defense — the
+# digest space saturates as the corpus grows, so an uncapped self-join
+# DIVERGES (SCALE.md r15b: measured OK at 50k docs with max df 1,116 /
+# Σ df² 8.8e7; divergent at 500k docs with max df 20,088 / Σ df²
+# 2.1e10). 4096 sits comfortably above the measured-OK decade and well
+# below the measured-divergent one: a digest in >4096 videos is
+# boilerplate (title card / black frame), contributes >16M pair
+# expansions from one bucket, and carries no near-dup signal. Runs that
+# genuinely want a different policy must say so with an explicit
+# ``max_df`` — the guard only arms when no cap is set.
+_VIDEO_UNCAPPED_DF_LIMIT = 4096
+
+
 def _video_pairs_core(
     h: DataFrame, min_shared: int, max_df: int | None
 ) -> DataFrame:
@@ -1900,7 +1914,17 @@ def _video_pairs_core(
     DISTINCT (id, fhash) frame index: optional document-frequency cap,
     per-doc digest counts, inverted-index self-join, pair aggregation,
     containment. Output (doc_a, doc_b, n_shared, n_a, n_b, containment),
-    doc_a < doc_b."""
+    doc_a < doc_b.
+
+    With ``max_df=None`` the plan EMBEDS the divergence guard (see
+    ``_VIDEO_UNCAPPED_DF_LIMIT``): every index row gets its digest's
+    document frequency attached, and the fhash column feeding the
+    self-join is wrapped in a raise_error branch that fails the job the
+    moment any digest exceeds the limit — structural, not documentary,
+    and evaluated BEFORE the quadratic fan-out the hot digest would
+    cause. No driver-side action: the check rides the join input scan
+    (on the served/bucketed layout the df aggregate is exchange-free).
+    Output on passing corpora is byte-identical to the unguarded form."""
     if max_df is not None:
         # the hot-digest guard, CBVR's stopword removal: a boilerplate
         # frame (black frame, title card) appearing in > max_df videos
@@ -1915,8 +1939,45 @@ def _video_pairs_core(
             .select("fhash")
         )
         h = h.join(ok, "fhash")
+    ha = h
+    if max_df is None:
+        # df via a WINDOW over fhash, not groupBy+join-back: the window's
+        # hash-partitioning on fhash is exactly the self-join's key, so
+        # the partitioning is computed once and reused (and on the
+        # served fhash-bucketed layout it introduces no Exchange at all
+        # — measured: the join-back form cost dd29 0.59 -> 0.95 s, the
+        # window form stays near the anchor). Guarding ONE side of the
+        # self-join suffices: every index row flows through side a, so
+        # any over-limit digest trips the raise there; side b and the
+        # per-doc counts stay on the raw (row-identical) frame.
+        from pyspark.sql.window import Window
+
+        dfw = F.count(F.lit(1)).over(Window.partitionBy("fhash"))
+        ha = h.select(
+            "id",
+            F.when(
+                dfw > _VIDEO_UNCAPPED_DF_LIMIT,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "video pair extraction without max_df hit a digest in "
+                        ),
+                        dfw.cast("string"),
+                        F.lit(
+                            f" videos (> {_VIDEO_UNCAPPED_DF_LIMIT}): an uncapped"
+                            " shared-frame self-join diverges on saturated digest"
+                            " spaces (SCALE.md r15b) — pass max_df (boilerplate-"
+                            "frame cap) or pre-filter the index; offending fhash="
+                        ),
+                        F.col("fhash"),
+                    )
+                ),
+            )
+            .otherwise(F.col("fhash"))
+            .alias("fhash"),
+        )
     cnt = h.groupBy("id").agg(F.count(F.lit(1)).alias("__nh"))
-    a, b = h.alias("a"), h.alias("b")
+    a, b = ha.alias("a"), h.alias("b")
     pairs = (
         a.join(
             b,
@@ -1983,8 +2044,12 @@ def video_neardup_pairs(
     across 100× of docs, Σ df² 5.2e5 → 2.1e10, uncapped join DIVERGED
     at 500k while max_df=64 ran in 6 s) make the cap mandatory in
     production; it is also the precision control — boilerplate digests
-    assert template co-membership, not near-duplication. The fixture
-    entries run uncapped because the driver corpus's hottest df is 10.
+    assert template co-membership, not near-duplication. Since r16 the
+    contract is STRUCTURAL: an uncapped run embeds a per-digest df
+    check in the plan and raises loudly past
+    ``_VIDEO_UNCAPPED_DF_LIMIT`` (4096) instead of diverging. The
+    fixture entries run uncapped because the driver corpus's hottest
+    df is 10 — far under the guard.
     Integer-exact end to end (digests are byte comparisons, counts are
     counts), so the whole pipeline is brute-force oracle-certified like
     the audio family."""
