@@ -165,6 +165,7 @@ HEADLINE = [
     "dd30_video_incremental_served",
     "dd31_audio_fp_survivors",
     "dd32_video_survivors",
+    "pipe8_cross_family_dedup",
 ]
 
 

@@ -5502,6 +5502,149 @@ def dd32_video_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.neardup_survivors_converged(docs, pairs).select("doc_id")
 
 
+@register(
+    "pipe8_cross_family_dedup",
+    """
+    SELECT CAST(1 AS BIGINT) AS counts_tile,
+           CAST(1 AS BIGINT) AS victims_partition_corpus,
+           CAST(1 AS BIGINT) AS no_family_pair_survives,
+           CAST(1 AS BIGINT) AS text_and_video_gates_bite,
+           CAST(1 AS BIGINT) AS final_nonempty
+    """,
+    doc="Cross-family dedup composition (r16, VERDICT r15 #3): ONE "
+    "pipeline over ONE corpus chaining all five signature families' "
+    "gates in sequence — exact content-hash, text MinHash-LSH, image "
+    "dHash, audio fingerprint, video shared-frame containment — each "
+    "near-dup gate consuming its family's PERSISTED served index (the "
+    "production shape: signatures are ingest costs, the composed decide "
+    "pass reads only index rows) and resolving survivors with the "
+    "converged pointer-doubling CC on pairs RESTRICTED to the gate's "
+    "input. Constant-oracle contract booleans (the pipe5b audit "
+    "pattern): counts_tile (final = corpus - every stage's removals); "
+    "victims_partition_corpus (victim sets + final tile the corpus "
+    "exactly — disjoint, nothing lost); no_family_pair_survives (NO "
+    "family's full-corpus pair has both endpoints alive at the end — "
+    "true only if every gate's CC was exact, so this cross-checks the "
+    "converged form's fixpoint across four graphs; restriction-safe "
+    "because every family's pair predicate is pairwise); "
+    "text_and_video_gates_bite (non-vacuity: the two families that "
+    "survive earlier gates' overlap still remove docs — image/audio "
+    "near-dups in this corpus are text near-dups too, so those gates "
+    "legitimately find nothing left, which is itself the composition "
+    "working); final_nonempty. Scale: 4 CC runs over tiny pair graphs "
+    "+ 5 semi-join audits; the corpus is touched once (exact hash)",
+)
+def pipe8_cross_family_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    hashed = docs.select(
+        "doc_id", dd.content_hash(F.col("text")).alias("__h")
+    ).localCheckpoint(eager=False)
+    keep = hashed.groupBy("__h").agg(F.min("doc_id").alias("__keep"))
+    exact_victims = (
+        hashed.join(keep, "__h")
+        .filter(F.col("doc_id") != F.col("__keep"))
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    cur = ids.join(exact_victims, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+    n0 = ids.agg(F.count(F.lit(1)).alias("__n0"))
+
+    fam_pairs = {
+        "text": dd.minhash_pairs_from_index(
+            spark.table(_minhash_index_table(spark, sf_dir)),
+            num_hashes=_MINHASH_INDEX_PARAMS["num_hashes"],
+            threshold=0.5,
+        ).select("id_a", "id_b"),
+        "image": dd.dhash_pairs_from_index(
+            spark.table(_dhash_index_table(spark, sf_dir)), threshold=3
+        ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")),
+        "audio": dd.audio_fp_pairs_from_index(
+            spark.table(_audio_fp_index_table(spark, sf_dir)), threshold=3
+        ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")),
+        "video": dd.video_pairs_from_index(
+            spark.table(_video_index_table(spark, sf_dir)), min_shared=2
+        ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")),
+    }
+    fam_pairs = {
+        k: v.localCheckpoint(eager=False) for k, v in fam_pairs.items()
+    }
+    victims = {"exact": exact_victims}
+    for fam, pairs in fam_pairs.items():
+        restricted = (
+            pairs.join(
+                cur.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi"
+            )
+            .join(
+                cur.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+            )
+            .localCheckpoint(eager=False)
+        )
+        nxt = dd.neardup_survivors_converged(cur, restricted).localCheckpoint(
+            eager=False
+        )
+        victims[fam] = cur.join(nxt, "doc_id", "left_anti").localCheckpoint(
+            eager=False
+        )
+        cur = nxt
+    final = cur
+    n_final = final.agg(F.count(F.lit(1)).alias("__nf"))
+
+    removal_aggs = {
+        k: v.agg(F.count(F.lit(1)).alias(f"__rm_{k}"))
+        for k, v in victims.items()
+    }
+    tiled = final.select("doc_id")
+    for v in victims.values():
+        tiled = tiled.unionByName(v.select("doc_id"))
+    tile_agg = tiled.agg(
+        F.count(F.lit(1)).alias("__tile_n"),
+        F.count_distinct(F.col("doc_id")).alias("__tile_d"),
+    )
+    # survivor audit: no family's full-corpus pair keeps both endpoints
+    leftovers = None
+    for pairs in fam_pairs.values():
+        alive = pairs.join(
+            final.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi"
+        ).join(
+            final.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+        )
+        leftovers = alive if leftovers is None else leftovers.unionByName(alive)
+    exact_left = (
+        hashed.join(final, "doc_id", "left_semi")
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select(F.lit(0).alias("id_a"), F.lit(0).alias("id_b"))
+    )
+    leftover_agg = leftovers.unionByName(exact_left).agg(
+        F.count(F.lit(1)).alias("__left")
+    )
+
+    row = n0.crossJoin(F.broadcast(n_final)).crossJoin(F.broadcast(tile_agg))
+    for agg in removal_aggs.values():
+        row = row.crossJoin(F.broadcast(agg))
+    row = row.crossJoin(F.broadcast(leftover_agg))
+    rm_total = sum(F.col(f"__rm_{k}") for k in victims)
+    return row.select(
+        (F.col("__nf") == F.col("__n0") - rm_total)
+        .cast("long")
+        .alias("counts_tile"),
+        (
+            (F.col("__tile_n") == F.col("__n0"))
+            & (F.col("__tile_d") == F.col("__n0"))
+        )
+        .cast("long")
+        .alias("victims_partition_corpus"),
+        (F.col("__left") == 0).cast("long").alias("no_family_pair_survives"),
+        ((F.col("__rm_text") > 0) & (F.col("__rm_video") > 0))
+        .cast("long")
+        .alias("text_and_video_gates_bite"),
+        (F.col("__nf") > 0).cast("long").alias("final_nonempty"),
+    )
+
 
 @register(
     "txt10_top_tokens",
