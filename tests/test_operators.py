@@ -905,3 +905,46 @@ def test_dq18_subtotals_single_expand_pass_and_reconciliation(spark, sf_dir):
         assert tr["n"] == sum(r["n"] for r in detail if r["event_type"] == et)
     for d, dr in per_day.items():
         assert dr["n"] == sum(r["n"] for r in detail if r["day"] == d)
+
+
+def test_suggest_salt_buckets_knee_rule(spark):
+    """VERDICT r15 #7a: the salt_buckets auto-sizer applies the measured
+    r15b knee rule (salt* = ceil(hot_rows / median_tail_partition_rows),
+    round UP, clamp to [1, num_partitions]) instead of leaving the knob
+    manual. Pin the arithmetic on a synthetic skew profile, the
+    balanced->1 fallback (salting a balanced key is measured 19% WORSE
+    than naive), the one-key clamp, and that the suggestion actually
+    feeds salted_join unchanged."""
+    from tranquility_spark.operators.partitioning import (
+        salted_join,
+        suggest_salt_buckets,
+    )
+
+    rows = [("h", i) for i in range(3000)]
+    for k in range(70):
+        rows += [(f"k{k}", i) for i in range(100)]
+    fact = spark.createDataFrame(rows, "k string, v long")
+    # hot=3000, tail=(10000-3000)/32=218.75 -> ceil(3000/218.75) = 14
+    assert suggest_salt_buckets(fact, "k", num_partitions=32) == 14
+    # balanced corpus: hot fits one partition's share -> 1 (caller falls
+    # back to the plain join)
+    uniform = spark.createDataFrame(
+        [(f"k{i % 100}", i) for i in range(10000)], "k string, v long"
+    )
+    assert suggest_salt_buckets(uniform, "k", num_partitions=32) == 1
+    # degenerate one-key fact: clamp at num_partitions (spreading one key
+    # over more reducers than exist buys nothing)
+    onekey = spark.createDataFrame([("h", i) for i in range(500)], "k string, v long")
+    assert suggest_salt_buckets(onekey, "k", num_partitions=32) == 32
+    # the suggestion drives salted_join to the same aggregate as plain
+    dim = spark.createDataFrame(
+        [("h", "hot")] + [(f"k{k}", f"n{k}") for k in range(70)], "k string, name string"
+    )
+    n = suggest_salt_buckets(fact, "k", num_partitions=32)
+    salted = (
+        salted_join(fact, dim, "k", salt_buckets=n)
+        .groupBy("name")
+        .agg(F.sum("v").alias("s"))
+    )
+    plain = fact.join(dim, "k").groupBy("name").agg(F.sum("v").alias("s"))
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))

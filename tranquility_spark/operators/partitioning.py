@@ -20,6 +20,7 @@ Spark mapping:
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -111,6 +112,58 @@ def salted_join(
     )
     out = salted_fact.join(replicated, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def suggest_salt_buckets(
+    df: DataFrame,
+    key: str,
+    num_partitions: int | None = None,
+    sample_fraction: float | None = None,
+) -> int:
+    """Size :func:`salted_join`'s ``salt_buckets`` from the MEASURED knee
+    rule instead of guessing (r16, VERDICT r15 #7a — the r15b decade
+    swept salt_buckets 1..1024 on a 30%-hot 50M-row join and found a
+    full U: salt=1 is 19% WORSE than naive, the knee sits exactly at
+    ``hot_key_rows / median_partition_rows``, the plateau after it is
+    wide, and past it the replicated-dim shuffle grows linearly until it
+    outweighs the fact at 1024; SCALE.md r15b).
+
+    The rule, verbatim from the study: estimate the knee and round UP —
+    the plateau makes over-salting free within reason while
+    under-salting gives back 20% per halving. ``salt* =
+    ceil(hot_key_rows / median_tail_partition_rows)`` with
+    ``median_tail_partition_rows ≈ (total - hot) / num_partitions``,
+    clamped to [1, num_partitions] (spreading one key across more
+    reducers than exist buys nothing, and the study's 256/1024 rows show
+    the replication rent past the plateau).
+
+    Costs ONE count aggregation over the fact's key column (map-side
+    partial combine; cheap next to the skewed join being tuned). For a
+    fact too large even for that, pass ``sample_fraction`` — hot-key
+    ratios are exactly what uniform sampling preserves. Returns 1 when
+    the key is balanced (hot ≤ one partition's share): at 1 the salting
+    rewrite is pure overhead, so callers should fall back to the plain
+    join — the helper centralizes the arithmetic, the caller keeps the
+    decision."""
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    probe = df if sample_fraction is None else df.sample(sample_fraction, seed=0)
+    stats = (
+        probe.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.max("__n").alias("__hot"),
+            F.sum("__n").alias("__total"),
+        )
+        .collect()[0]  # bounded: one row of two longs
+    )
+    hot, total = stats["__hot"], stats["__total"]
+    if not total or not hot:
+        return 1
+    tail_median = max(1.0, (total - hot) / float(num_partitions))
+    return max(1, min(num_partitions, math.ceil(hot / tail_median)))
 
 
 def per_key_topn(
