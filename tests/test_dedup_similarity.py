@@ -1744,9 +1744,9 @@ def test_hamming_banding_rejects_non_64bit_digest(spark):
     wide = spark.createDataFrame(
         [(1, "ab" * 16), (2, "cd" * 16)], "doc_id long, dhash string"
     )
-    with pytest.raises(Exception, match="16 hex chars"):
+    with pytest.raises(Exception, match="hex chars"):
         dd.dhash_neardup_pairs(wide).collect()
-    with pytest.raises(Exception, match="16 hex chars"):
+    with pytest.raises(Exception, match="hex chars"):
         dd.dhash_band_index(wide).collect()
     # the exact ADVICE scenario, end to end: a non-default fingerprint
     # geometry flowing into the audio banding pipeline
@@ -1760,7 +1760,7 @@ def test_hamming_banding_rejects_non_64bit_digest(spark):
         "doc_id long, text string",
     )
     fps = audio_energy_fingerprint(attach_binary_payload(docs), n_segments=129)
-    with pytest.raises(Exception, match="16 hex chars"):
+    with pytest.raises(Exception, match="hex chars"):
         dd.audio_fp_neardup_pairs(fps).collect()
     # the valid default geometry still flows through untouched
     ok = audio_energy_fingerprint(attach_binary_payload(docs))
@@ -1770,6 +1770,15 @@ def test_hamming_banding_rejects_non_64bit_digest(spark):
         [(1, None), (2, "0" * 16)], "doc_id long, dhash string"
     )
     assert dd.dhash_band_index(nulls).count() == 4
+    # right WIDTH, wrong ALPHABET (r16 review): conv(hex,16,10) would
+    # silently parse only the valid prefix — the guard must catch it
+    b32 = spark.createDataFrame(
+        [(1, "MFRGGZDFMZTWQ2LK"), (2, "0" * 16)], "doc_id long, dhash string"
+    )
+    with pytest.raises(Exception, match="hex chars"):
+        dd.dhash_neardup_pairs(b32).collect()
+    with pytest.raises(Exception, match="hex chars"):
+        dd.dhash_band_index(b32).collect()
 
 
 def test_video_uncapped_df_guard(spark):
@@ -1806,3 +1815,34 @@ def test_video_uncapped_df_guard(spark):
         for r in d.video_neardup_pairs(small, min_shared=1).collect()
     }
     assert got == {(0, 1, 1), (1, 2, 1)}
+
+
+def test_video_incremental_index_df_guard(spark):
+    """r16 review: the batch forms' divergence guard also covers the
+    incremental probe — the accumulated index is the input that grows
+    without bound. A TOUCHED index digest past _VIDEO_UNCAPPED_DF_LIMIT
+    raises (loud, never a silent slow batch); an untouched saturated
+    digest costs and risks nothing, so it does not; passing probes are
+    output-identical (no filter — the union contract holds)."""
+    import pytest
+
+    from tranquility_spark.operators import dedup as d
+
+    limit = d._VIDEO_UNCAPPED_DF_LIMIT
+    schema = "doc_id long, frame_idx long, fhash string"
+    hot = [(i, 0, "00" * 8) for i in range(limit + 1)]
+    benign = [(limit + 1, 0, "aa" * 8), (limit + 2, 0, "bb" * 8)]
+    idx = d.video_frame_index(spark.createDataFrame(hot + benign, schema))
+    # batch touches the hot digest -> raise
+    touch = spark.createDataFrame([(10_000, 0, "00" * 8)], schema)
+    with pytest.raises(Exception, match="saturated"):
+        d.video_incremental_pairs(touch, idx, min_shared=1).collect()
+    # batch touches only benign digests -> normal result
+    miss = spark.createDataFrame(
+        [(10_001, 0, "aa" * 8), (10_001, 1, "cc" * 8)], schema
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in d.video_incremental_pairs(miss, idx, min_shared=1).collect()
+    }
+    assert got == {(limit + 1, 10_001)}

@@ -948,3 +948,11 @@ def test_suggest_salt_buckets_knee_rule(spark):
     )
     plain = fact.join(dim, "k").groupBy("name").agg(F.sum("v").alias("s"))
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # NULL keys never reach an equi-join reducer (r16 review): a
+    # NULL-heavy fact must not inflate the suggestion
+    nullheavy = fact.unionByName(
+        spark.createDataFrame([(None, i) for i in range(40000)], "k string, v long")
+    )
+    assert suggest_salt_buckets(nullheavy, "k", num_partitions=32) == 14
+    allnull = spark.createDataFrame([(None, 1)], "k string, v long")
+    assert suggest_salt_buckets(allnull, "k", num_partitions=32) == 1

@@ -1949,6 +1949,26 @@ _R16_DRIVER_WINDOW = [
     # (neardup_clusters/neardup_survivors) is byte-untouched.
     "dd31_audio_fp_survivors",
     "dd32_video_survivors",
+    # re-certify (r16 guard retrofits, same discipline — the round's own
+    # review flagged the inconsistency of rotating dd31/dd32 but not
+    # these): _guard_hex16 now wraps the digest column in
+    # _dhash_hash_pairs/dhash_band_index (ADVICE r15 #1 — executed by the
+    # image/audio inline, twin, served-build and incremental paths), and
+    # _video_pairs_core/video_incremental_pairs embed the uncapped-df
+    # divergence raise (VERDICT r15 #4 + the review's incremental-gap
+    # finding). All raise-only on passing corpora — parity re-verified
+    # hash-green at both SFs in the retrofit commits — but the executed
+    # plans changed, so the nine certified dependents rotate until
+    # driver-re-certified.
+    "dd16_dhash_neardup",
+    "dd16b_dhash_served_equals_inline",
+    "dd24b_dhash_incremental_served_equals_inline",
+    "dd25_audio_fp_pairs",
+    "dd26_audio_fp_served_pairs",
+    "dd27_audio_fp_incremental_served",
+    "dd28_video_neardup_pairs",
+    "dd29_video_served_pairs",
+    "dd30_video_incremental_served",
 ]
 
 
@@ -2033,11 +2053,13 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # dd22b, the image twins dd16b/dd24b, and ALL TEN r15b family entries
 # mm7/dd25/dd26/dd27 + mm8/dd28/dd29/dd30 + dd31/dd32 — each ALSO
 # independently re-verified in the r15 judge's full 240-entry sweep).
-# Total: 212 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# Total: 203 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
 # latest fn/oracle revision has a driver hash-match (or the documented
-# r13 own-run evidence above), MINUS the two r16 pointer-doubling
-# rotations (dd31/dd32 — see the window list). Keys rotated back into
-# the window are subtracted until re-certified.
+# r13 own-run evidence above), MINUS the eleven r16 rotations (dd31/
+# dd32 for the pointer-doubling CC; dd16/dd16b/dd24b/dd25/dd26/dd27/
+# dd28/dd29/dd30 for the digest-width + uncapped-df guard retrofits —
+# see the window list). Keys rotated back into the window are
+# subtracted until re-certified.
 # DEFINITION ANNOTATION (r15, closing VERDICT r14 "What's wrong" #1):
 # nine ledger members are rows-only by policy (no SQL oracle, so a
 # driver row can never literally hash-match): a6_hyperunique_approx,
@@ -2166,7 +2188,9 @@ _CERTIFIED = frozenset(
         # dd2b's both_nonempty now counts both runs, and the bm25_scores
         # stats= totals path gained the unmerged-partials guard)
         "p11_avro_parse", "p11b_avro_evolution",
-        "mm6_image_dhash", "dd16_dhash_neardup",
+        "mm6_image_dhash",
+        # (dd16_dhash_neardup was r09-certified here, rotated back OUT
+        # in round 16 for the _guard_hex16 retrofit — see the window)
         # --- r11 window (CORRECTNESS_r11.json: 50 sampled, 32 hash-green,
         # 0 fails; the 27 eligible newly-green fold in — 16 re-certifies
         # (dd2b/txt19/rank2/pipe7/txt20 after the ADVICE r10 #3/#4 fixes,
@@ -2244,16 +2268,15 @@ _CERTIFIED = frozenset(
         "dd20b_minhash_served_equals_guarded",
         "dd21b_simhash_incremental_served_equals_inline",
         "dd22b_minhash_incremental_served_equals_inline",
-        "dd16b_dhash_served_equals_inline",
-        "dd24b_dhash_incremental_served_equals_inline",
-        "mm7_audio_fingerprint", "dd25_audio_fp_pairs",
-        "dd26_audio_fp_served_pairs", "dd27_audio_fp_incremental_served",
-        "mm8_video_frame_hashes", "dd28_video_neardup_pairs",
-        "dd29_video_served_pairs", "dd30_video_incremental_served",
+        "mm7_audio_fingerprint",
+        "mm8_video_frame_hashes",
         # (dd31/dd32 were r15-green and folded here, then rotated back
         # OUT in the same round-16 session for the VERDICT r15 #2
         # pointer-doubling CC rewrite of their
-        # neardup_survivors_converged helper — see the window list)
+        # neardup_survivors_converged helper; dd16/dd16b/dd24b/dd25/
+        # dd26/dd27/dd28/dd29/dd30 likewise rotated in-session for the
+        # r16 digest-width and uncapped-df guard retrofits their
+        # helpers now execute — see the window list)
     }
 )
 

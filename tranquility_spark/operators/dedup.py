@@ -1256,13 +1256,19 @@ def _guard_hex16(c: Column) -> Column:
     bits, silently breaking pigeonhole completeness. Wrapping the digest
     column in this check makes a mismatched width fail the job instead:
     the ``when`` branch keeps the expression un-prunable (it IS the
-    digest value on the valid path, byte-identical output)."""
+    digest value on the valid path, byte-identical output). The check is
+    the full lowercase-hex alphabet, not just the length (r16 review):
+    a 16-char digest in the wrong alphabet (base32/base64) would pass a
+    length check and then ``conv(hex, 16, 10)`` parses only the valid
+    prefix — garbage buckets and hamming distances, the same silent
+    recall loss this guard exists to prevent."""
     return F.when(
-        F.length(c) != 16,
+        ~c.rlike("^[0-9a-f]{16}$"),
         F.raise_error(
             F.concat(
                 F.lit(
-                    "hamming-banding digests must be 16 hex chars (64-bit); got '"
+                    "hamming-banding digests must be 16 lowercase hex chars"
+                    " (64-bit); got '"
                 ),
                 c,
                 F.lit("' — non-default fingerprint geometry is not banding-compatible"),
@@ -2097,20 +2103,60 @@ def video_incremental_pairs(
     run's restriction (both docs' complete digest sets are visible:
     the new side in the batch, the old side in the index), canonically
     ordered. Precondition: new and index doc ids are disjoint (dd8's
-    batch-vs-registry contract). No ``max_df``: a frequency cap over a
-    GROWING corpus is time-dependent (a digest under the cap today may
-    exceed it tomorrow), which would break incremental == restriction
-    and the streaming sink's union == one-batch-pass contract.
+    batch-vs-registry contract). No ``max_df`` FILTER: a frequency cap
+    over a GROWING corpus is time-dependent (a digest under the cap
+    today may exceed it tomorrow), which would break incremental ==
+    restriction and the streaming sink's union == one-batch-pass
+    contract. The divergence guard still applies, as a RAISE (r16
+    review closing the batch forms' gap): the accumulated index is the
+    one input that grows without bound, so the probe wraps the TOUCHED
+    index rows' fhash in the ``_VIDEO_UNCAPPED_DF_LIMIT`` raise branch —
+    a boilerplate digest crossing the limit fails the cycle loudly
+    (operator must re-ingest with a digest filter) instead of silently
+    degrading every later batch. A raise, unlike a filter, cannot make
+    the union diverge from the one-pass result on corpora that pass.
 
     Two SEPARATE joins (dd8's layout argument — a union would erase the
     index's bucketed layout and reshuffle the corpus every cycle):
-    new-vs-index probes the buckets, new-vs-new self-joins the batch."""
+    new-vs-index probes the buckets, new-vs-new self-joins the batch
+    (bounded by micro-batch size, hence unguarded)."""
+    from pyspark.sql.window import Window
+
     new_idx = video_frame_index(new_hashes, id_col, hash_col).localCheckpoint(
         eager=False
     )
     idx = index_df.select("id", "fhash").distinct()
 
-    n, i = new_idx.alias("n"), idx.alias("i")
+    # guard input: only buckets the batch touches (a broadcast semi-join —
+    # the equi-join below restricts to them anyway, so output is identical
+    # and the df window runs over the touched rows, not the whole index)
+    idx_touched = idx.join(
+        F.broadcast(new_idx.select("fhash").distinct()), "fhash", "left_semi"
+    )
+    dfw = F.count(F.lit(1)).over(Window.partitionBy("fhash"))
+    idx_guarded = idx_touched.select(
+        "id",
+        F.when(
+            dfw > _VIDEO_UNCAPPED_DF_LIMIT,
+            F.raise_error(
+                F.concat(
+                    F.lit("video incremental probe hit an index digest in "),
+                    dfw.cast("string"),
+                    F.lit(
+                        f" videos (> {_VIDEO_UNCAPPED_DF_LIMIT}): the"
+                        " accumulated index has saturated on a boilerplate"
+                        " frame (SCALE.md r15b divergence regime) — filter"
+                        " the digest at ingest; offending fhash="
+                    ),
+                    F.col("fhash"),
+                )
+            ),
+        )
+        .otherwise(F.col("fhash"))
+        .alias("fhash"),
+    )
+
+    n, i = new_idx.alias("n"), idx_guarded.alias("i")
     no = (
         n.join(i, F.col("n.fhash") == F.col("i.fhash"))
         .groupBy(

@@ -144,12 +144,19 @@ def suggest_salt_buckets(
     the key is balanced (hot ≤ one partition's share): at 1 the salting
     rewrite is pure overhead, so callers should fall back to the plain
     join — the helper centralizes the arithmetic, the caller keeps the
-    decision."""
+    decision.
+
+    NULL keys are EXCLUDED from the estimate (r16 review): an equi-join
+    drops them before any reducer sees them, so a NULL-heavy fact (40%
+    late-arriving dimension keys is ordinary) would otherwise size the
+    salt for skew that never reaches the join — pure replication rent."""
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
-    probe = df if sample_fraction is None else df.sample(sample_fraction, seed=0)
+    probe = df.filter(F.col(key).isNotNull())
+    if sample_fraction is not None:
+        probe = probe.sample(sample_fraction, seed=0)
     stats = (
         probe.groupBy(key)
         .agg(F.count(F.lit(1)).alias("__n"))
