@@ -1969,6 +1969,14 @@ _R16_DRIVER_WINDOW = [
     "dd28_video_neardup_pairs",
     "dd29_video_served_pairs",
     "dd30_video_incremental_served",
+    # ... and the SimHash twins whose inline/full comparison side runs
+    # simhash_neardup_pairs -> _dhash_hash_pairs (the full-suite battery
+    # caught the first lowercase-only draft of _guard_hex16 rejecting
+    # the family's uppercase F.hex digests — proof these entries DO
+    # execute the guard, hence rotate with the rest of the blast radius)
+    "dd17b_simhash_banding_contract",
+    "dd18b_simhash_incremental_equals_full",
+    "dd19b_simhash_served_equals_inline",
 ]
 
 
@@ -2053,13 +2061,13 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # dd22b, the image twins dd16b/dd24b, and ALL TEN r15b family entries
 # mm7/dd25/dd26/dd27 + mm8/dd28/dd29/dd30 + dd31/dd32 — each ALSO
 # independently re-verified in the r15 judge's full 240-entry sweep).
-# Total: 203 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# Total: 200 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
 # latest fn/oracle revision has a driver hash-match (or the documented
-# r13 own-run evidence above), MINUS the eleven r16 rotations (dd31/
+# r13 own-run evidence above), MINUS the fourteen r16 rotations (dd31/
 # dd32 for the pointer-doubling CC; dd16/dd16b/dd24b/dd25/dd26/dd27/
-# dd28/dd29/dd30 for the digest-width + uncapped-df guard retrofits —
-# see the window list). Keys rotated back into the window are
-# subtracted until re-certified.
+# dd28/dd29/dd30 + the SimHash twins dd17b/dd18b/dd19b for the
+# digest-width + uncapped-df guard retrofits — see the window list).
+# Keys rotated back into the window are subtracted until re-certified.
 # DEFINITION ANNOTATION (r15, closing VERDICT r14 "What's wrong" #1):
 # nine ledger members are rows-only by policy (no SQL oracle, so a
 # driver row can never literally hash-match): a6_hyperunique_approx,
@@ -2230,7 +2238,8 @@ _CERTIFIED = frozenset(
         "dd5b_lsh_precision_recall_contract", "dd7b_survivor_contract",
         "sim2b_lsh_topk_contract", "pipe1b_staged_equals_fused",
         "pipe5b_ingest_stage_reconciliation",
-        "dd17b_simhash_banding_contract",
+        # (dd17b was r12-green but rotated back OUT in round 16 for the
+        # _guard_hex16 retrofit its simhash_neardup_pairs side executes)
         # (dd18b was r12-green but rotated back OUT in round 15: the r15
         # image-family work factored simhash_incremental_pairs' core into
         # the shared _banded_incremental_pairs helper it now executes —
@@ -2263,8 +2272,8 @@ _CERTIFIED = frozenset(
         # re-verified in the full 240-entry parity sweep) ---
         "dq20_spatial_served_filter", "dq21_range_clustered_scan",
         "sim3c_served_equals_inline", "sim5c_served_equals_composition",
-        "dd18b_simhash_incremental_equals_full",
-        "dd19b_simhash_served_equals_inline",
+        # (dd18b/dd19b were r15-green and folded here, then rotated back
+        # OUT in round 16 for the _guard_hex16 retrofit)
         "dd20b_minhash_served_equals_guarded",
         "dd21b_simhash_incremental_served_equals_inline",
         "dd22b_minhash_incremental_served_equals_inline",

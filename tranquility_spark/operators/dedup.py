@@ -1257,17 +1257,25 @@ def _guard_hex16(c: Column) -> Column:
     column in this check makes a mismatched width fail the job instead:
     the ``when`` branch keeps the expression un-prunable (it IS the
     digest value on the valid path, byte-identical output). The check is
-    the full lowercase-hex alphabet, not just the length (r16 review):
-    a 16-char digest in the wrong alphabet (base32/base64) would pass a
-    length check and then ``conv(hex, 16, 10)`` parses only the valid
-    prefix — garbage buckets and hamming distances, the same silent
-    recall loss this guard exists to prevent."""
+    the full hex alphabet, not just the length (r16 review): a 16-char
+    digest in the wrong alphabet (base32/base64) would pass a length
+    check and then ``conv(hex, 16, 10)`` parses only the valid prefix —
+    garbage buckets and hamming distances, the same silent recall loss
+    this guard exists to prevent. BOTH cases are valid — the SimHash
+    family emits uppercase (Spark's ``F.hex``), the python-formatted
+    families lowercase, and ``conv`` is case-insensitive (the round's
+    own full-suite run caught a lowercase-only first draft of this
+    check rejecting legitimate SimHash digests). Case must still be
+    CONSISTENT per corpus: bands bucket by string equality, so the
+    per-family producers each emit one case — mixed-case duplicates of
+    the same digest would silently miss each other's buckets, which is
+    a producer bug this guard cannot see."""
     return F.when(
-        ~c.rlike("^[0-9a-f]{16}$"),
+        ~c.rlike("^[0-9a-fA-F]{16}$"),
         F.raise_error(
             F.concat(
                 F.lit(
-                    "hamming-banding digests must be 16 lowercase hex chars"
+                    "hamming-banding digests must be 16 hex chars"
                     " (64-bit); got '"
                 ),
                 c,
