@@ -21,8 +21,14 @@ an explicit diameter-sized budget) for the linear-vs-log comparison —
 at chain 1000 the old loop's 999 rounds are prohibitive, so the old
 form is only timed up to the length where a run stays under ~2 min.
 
+Besides chains, a DENSE decade runs blob graphs (k near-dup clusters
+of m docs each with full intra-cluster pair sets — the shape real dup
+families have): diameter is 1, so rounds should be constant while edge
+volume grows 100x; this pins that the doubling loop's round count
+tracks DIAMETER, not size.
+
 Usage: python3 scripts/run_cc_probe.py [chain_len ...]
-       (default: 10 100 1000)
+       (default: 10 100 1000, then the dense decade)
 """
 
 import os
@@ -74,6 +80,25 @@ def main() -> None:
             f"{n:9d} | {rounds:15d} | {wall:15.2f} | "
             + (f"{old_wall:.2f}" if old_wall is not None else "skipped (linear rounds)")
         )
+
+    print("\ndense blob decade (k clusters x m docs, full intra-cluster pair sets)")
+    print("clusters x size | edges | doubling_rounds | wall_s")
+    for k, m in ((10, 10), (100, 10), (100, 32)):
+        rows = []
+        for c in range(k):
+            base = c * 1000
+            rows += [
+                (base + i, base + j) for i in range(m) for j in range(i + 1, m)
+            ]
+        pairs = spark.createDataFrame(
+            rows, "id_a bigint, id_b bigint"
+        ).localCheckpoint(eager=True)
+        t0 = time.time()
+        labels, rounds = _cc_pointer_doubling(pairs)
+        got = {r.cluster_id for r in labels.collect()}
+        wall = time.time() - t0
+        assert got == {c * 1000 for c in range(k)}, f"blob {k}x{m}: wrong minima"
+        print(f"{k:7d} x {m:5d} | {len(rows):5d} | {rounds:15d} | {wall:6.2f}")
 
     spark.stop()
 
