@@ -5502,6 +5502,36 @@ def dd32_video_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.neardup_survivors_converged(docs, pairs).select("doc_id")
 
 
+_CXHASH_INDEX_SCHEMA = "id BIGINT, h STRING"
+
+
+def _content_hash_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """The persisted content-hash index for a corpus (the
+    _served_index_table protocol on the EXACT family, r16): one
+    (id, h) row per doc, bucketed+sorted on ``h`` so the exact-dedup
+    groupBy rides the layout with no Exchange. With this, pipe8's
+    composed decide pass touches ZERO corpus bytes — the text hash,
+    like every signature, becomes an ingest cost."""
+
+    def _build(df: DataFrame, name: str, n: int, loc: str) -> None:
+        from tranquility_spark.sources.bucketed import write_bucketed
+
+        write_bucketed(
+            df.select(
+                F.col("doc_id").alias("id"),
+                dd.content_hash(F.col("text")).alias("h"),
+            ),
+            name,
+            ["h"],
+            n,
+            path=loc,
+        )
+
+    return _served_index_table(
+        spark, sf_dir, "cxhashidx", _CXHASH_INDEX_SCHEMA, ["h"], _build
+    )
+
+
 @register(
     "pipe8_cross_family_dedup",
     """
@@ -5532,14 +5562,18 @@ def dd32_video_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-dups in this corpus are text near-dups too, so those gates "
     "legitimately find nothing left, which is itself the composition "
     "working); final_nonempty. Scale: 4 CC runs over tiny pair graphs "
-    "+ 5 semi-join audits; the corpus is touched once (exact hash)",
+    "+ 5 semi-join audits; ZERO corpus bytes at decide time — the "
+    "exact gate serves from a persisted content-hash index (r16 "
+    "follow-up), so all five families pay their corpus pass at ingest",
 )
 def pipe8_cross_family_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    ids = docs.select("doc_id")
-    hashed = docs.select(
-        "doc_id", dd.content_hash(F.col("text")).alias("__h")
-    ).localCheckpoint(eager=False)
+    # the exact gate ALSO serves from a persisted index (r16 follow-up):
+    # with the content-hash table the composed decide pass reads zero
+    # corpus bytes — five families, five ingest-time indexes, one plan
+    hashed = spark.table(_content_hash_index_table(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), F.col("h").alias("__h")
+    )
+    ids = hashed.select("doc_id")
     keep = hashed.groupBy("__h").agg(F.min("doc_id").alias("__keep"))
     exact_victims = (
         hashed.join(keep, "__h")
