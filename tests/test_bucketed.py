@@ -638,3 +638,45 @@ def test_bucketed_video_served_pairs_zero_corpus_shuffle(spark, sf_dir):
         assert got == want and got
     finally:
         spark.sql("DROP TABLE IF EXISTS b_video_served")
+
+
+def test_bucketed_content_hash_exact_gate_no_exchange(spark, sf_dir):
+    """pipe8's served exact gate, plan-asserted (r16): with the
+    content-hash index bucketed+sorted on h, the exact-dedup
+    groupBy(h) aggregates in place — ZERO Exchange in the plan — and
+    the gate's keep-min output equals the inline content_hash scan."""
+    import pyspark.sql.functions as FF
+
+    from tranquility_spark.operators.dedup import content_hash
+    from tranquility_spark.sources.bucketed import write_bucketed
+    from tranquility_spark.sources.files import load_table
+
+    spark.sql("DROP TABLE IF EXISTS b_cxhash")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        write_bucketed(
+            docs.select(
+                FF.col("doc_id").alias("id"),
+                content_hash(FF.col("text")).alias("h"),
+            ),
+            "b_cxhash",
+            ["h"],
+            4,
+        )
+        idx = spark.table("b_cxhash")
+        keep = idx.groupBy("h").agg(FF.min("id").alias("keep"))
+        plan = keep._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        served = {(r["h"], r["keep"]) for r in keep.collect()}
+        inline = {
+            (r["h"], r["keep"])
+            for r in docs.select(
+                content_hash(FF.col("text")).alias("h"), "doc_id"
+            )
+            .groupBy("h")
+            .agg(FF.min("doc_id").alias("keep"))
+            .collect()
+        }
+        assert served == inline and served
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_cxhash")
