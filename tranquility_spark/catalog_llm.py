@@ -5567,6 +5567,19 @@ def _content_hash_index_table(spark: SparkSession, sf_dir: str) -> str:
     "follow-up), so all five families pay their corpus pass at ingest",
 )
 def pipe8_cross_family_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipe8_decide(spark, sf_dir)
+
+
+def _pipe8_decide(
+    spark: SparkSession, sf_dir: str, video_max_df: int | None = None
+) -> DataFrame:
+    """pipe8's composed decide pass, parameterized for the scale probe
+    (scripts/run_pipe8_probe.py): the fixture entry runs the video gate
+    uncapped (hottest df is 10 there and the structural guard arms);
+    the probe runs the 500k-doc decade with ``video_max_df=64`` — the
+    production setting the r15b video study prescribes — and ALSO
+    demonstrates the uncapped guard firing at exactly the corpus size
+    where the study measured divergence."""
     # the exact gate ALSO serves from a persisted index (r16 follow-up):
     # with the content-hash table the composed decide pass reads zero
     # corpus bytes — five families, five ingest-time indexes, one plan
@@ -5599,7 +5612,9 @@ def pipe8_cross_family_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.table(_audio_fp_index_table(spark, sf_dir)), threshold=3
         ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")),
         "video": dd.video_pairs_from_index(
-            spark.table(_video_index_table(spark, sf_dir)), min_shared=2
+            spark.table(_video_index_table(spark, sf_dir)),
+            min_shared=2,
+            max_df=video_max_df,
         ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")),
     }
     fam_pairs = {
