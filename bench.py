@@ -166,6 +166,7 @@ HEADLINE = [
     "dd31_audio_fp_survivors",
     "dd32_video_survivors",
     "pipe8_cross_family_dedup",
+    "pipe9_cross_family_admission",
 ]
 
 

@@ -5696,6 +5696,145 @@ def _pipe8_decide(
 
 
 @register(
+    "pipe9_cross_family_admission",
+    """
+    SELECT CAST(1 AS BIGINT) AS counts_tile,
+           CAST(1 AS BIGINT) AS rejected_partition_batch,
+           CAST(1 AS BIGINT) AS exact_gate_transparent,
+           CAST(1 AS BIGINT) AS admitted_all_from_batch,
+           CAST(1 AS BIGINT) AS gates_bite
+    """,
+    doc="Cross-family INCREMENTAL admission (r16 — pipe5's per-cycle "
+    "shape at full family breadth, the steady-state twin of pipe8's "
+    "batch composition): the 20% arriving batch is gated against the "
+    "80% registry through all five families — exact content-hash (the "
+    "persisted cxhashidx split batch/registry), then text-MinHash / "
+    "image-dHash / audio-fp / video-containment incremental probes, "
+    "each consuming the SAME registry tables and probe definitions as "
+    "the standalone certified entries (dd22/dd24/dd27/dd30's fns are "
+    "called verbatim — one definition, the _pipe5_stages discipline), "
+    "rejections attributed sequentially. Constant-oracle booleans: "
+    "counts_tile (admitted = batch - every gate's rejections); "
+    "rejected_partition_batch (rejection sets + admitted tile the "
+    "batch exactly); exact_gate_transparent (the INDEX-served exact "
+    "gate equals the recompute-from-text ungated twin — certifies the "
+    "cxhashidx round trip); admitted_all_from_batch (no registry "
+    "leak); gates_bite (non-vacuity: the exact+text+video gates each "
+    "reject at every SF; image/audio near-dups in this corpus are "
+    "text near-dups too — the overlap is the composition working, as "
+    "in pipe8). Scale: per-cycle cost = batch signature passes + "
+    "bucket probes into the registries + five audits; the registry "
+    "is touched only through co-located index buckets",
+)
+def pipe9_cross_family_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    batch_pred = F.col("id") % 5 == 0  # _dd_new_batch on the index id col
+    hashes = spark.table(_content_hash_index_table(spark, sf_dir))
+    batch = hashes.filter(batch_pred).select(
+        F.col("id").alias("doc_id"), F.col("h").alias("__h")
+    )
+    registry_h = hashes.filter(~batch_pred).select("h")
+    n_batch = batch.agg(F.count(F.lit(1)).alias("__nb"))
+
+    rejected = {
+        "exact": batch.join(
+            registry_h.distinct().withColumnRenamed("h", "__h"), "__h", "left_semi"
+        ).select("doc_id")
+    }
+    remaining = batch.select("doc_id").join(
+        rejected["exact"], "doc_id", "left_anti"
+    ).localCheckpoint(eager=False)
+
+    gate_pairs = {
+        "text": dd22_minhash_incremental_served(spark, sf_dir).select(
+            "id_a", "id_b"
+        ),
+        "image": dd24_dhash_incremental_served(spark, sf_dir).select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        ),
+        "audio": dd27_audio_fp_incremental_served(spark, sf_dir).select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        ),
+        "video": dd30_video_incremental_served(spark, sf_dir).select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        ),
+    }
+    for fam, pairs in gate_pairs.items():
+        touched = (
+            pairs.select(F.col("id_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        rejected[fam] = remaining.join(
+            touched, "doc_id", "left_semi"
+        ).localCheckpoint(eager=False)
+        remaining = remaining.join(
+            rejected[fam], "doc_id", "left_anti"
+        ).localCheckpoint(eager=False)
+    admitted = remaining
+    n_adm = admitted.agg(F.count(F.lit(1)).alias("__na"))
+
+    # ungated exact twin: recompute hashes FROM TEXT for batch docs and
+    # semi-join registry text hashes — proves the served index path
+    docs = _t(spark, sf_dir, "documents")
+    t_batch = docs.filter(_dd_new_batch()).select(
+        "doc_id", dd.content_hash(F.col("text")).alias("__th")
+    )
+    t_reg_h = (
+        docs.filter(~_dd_new_batch())
+        .select(dd.content_hash(F.col("text")).alias("__th"))
+        .distinct()
+    )
+    ungated = t_batch.join(t_reg_h, "__th", "left_semi").agg(
+        F.count(F.lit(1)).alias("__nug")
+    )
+
+    tiled = admitted.select("doc_id")
+    for v in rejected.values():
+        tiled = tiled.unionByName(v.select("doc_id"))
+    tile_agg = tiled.agg(
+        F.count(F.lit(1)).alias("__tile_n"),
+        F.count_distinct(F.col("doc_id")).alias("__tile_d"),
+    )
+    leak = admitted.agg(
+        F.sum((~_dd_new_batch()).cast("long")).alias("__leak")
+    )
+    rej_aggs = {
+        k: v.agg(F.count(F.lit(1)).alias(f"__rj_{k}"))
+        for k, v in rejected.items()
+    }
+
+    row = n_batch.crossJoin(F.broadcast(n_adm)).crossJoin(F.broadcast(ungated))
+    row = row.crossJoin(F.broadcast(tile_agg)).crossJoin(F.broadcast(leak))
+    for agg in rej_aggs.values():
+        row = row.crossJoin(F.broadcast(agg))
+    rj_total = sum(F.col(f"__rj_{k}") for k in rejected)
+    return row.select(
+        (F.col("__na") == F.col("__nb") - rj_total)
+        .cast("long")
+        .alias("counts_tile"),
+        (
+            (F.col("__tile_n") == F.col("__nb"))
+            & (F.col("__tile_d") == F.col("__nb"))
+        )
+        .cast("long")
+        .alias("rejected_partition_batch"),
+        (F.col("__rj_exact") == F.col("__nug"))
+        .cast("long")
+        .alias("exact_gate_transparent"),
+        (F.coalesce(F.col("__leak"), F.lit(0)) == 0)
+        .cast("long")
+        .alias("admitted_all_from_batch"),
+        (
+            (F.col("__rj_text") > 0)
+            & (F.col("__rj_video") > 0)
+            & (F.col("__na") > 0)
+        )
+        .cast("long")
+        .alias("gates_bite"),
+    )
+
+
+@register(
     "txt10_top_tokens",
     """
     SELECT tok, n_docs, n_total
