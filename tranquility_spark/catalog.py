@@ -1977,6 +1977,15 @@ _R16_DRIVER_WINDOW = [
     "dd17b_simhash_banding_contract",
     "dd18b_simhash_incremental_equals_full",
     "dd19b_simhash_served_equals_inline",
+    # re-certify (r16 exact-double oracle literals): the spatial fuzz's
+    # falsifying example exposed DuckDB's DECIMAL->DOUBLE literal
+    # conversion as one ulp off at a representable boundary, so
+    # _spatial_bound_sql now emits CAST('<repr>' AS DOUBLE) literals.
+    # dq19/dq20's ORACLE TEXT changed (fingerprint-caught, correctly);
+    # results identical at fixture bounds — parity re-verified — and
+    # the fix makes the oracle RIGHT at any future 17-digit bound.
+    "dq19_spatial_filter",
+    "dq20_spatial_served_filter",
 ]
 
 
@@ -2061,12 +2070,13 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # dd22b, the image twins dd16b/dd24b, and ALL TEN r15b family entries
 # mm7/dd25/dd26/dd27 + mm8/dd28/dd29/dd30 + dd31/dd32 — each ALSO
 # independently re-verified in the r15 judge's full 240-entry sweep).
-# Total: 200 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# Total: 198 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
 # latest fn/oracle revision has a driver hash-match (or the documented
-# r13 own-run evidence above), MINUS the fourteen r16 rotations (dd31/
+# r13 own-run evidence above), MINUS the sixteen r16 rotations (dd31/
 # dd32 for the pointer-doubling CC; dd16/dd16b/dd24b/dd25/dd26/dd27/
 # dd28/dd29/dd30 + the SimHash twins dd17b/dd18b/dd19b for the
-# digest-width + uncapped-df guard retrofits — see the window list).
+# digest-width + uncapped-df guard retrofits; dq19/dq20 for the
+# exact-double oracle-literal fix — see the window list).
 # Keys rotated back into the window are subtracted until re-certified.
 # DEFINITION ANNOTATION (r15, closing VERDICT r14 "What's wrong" #1):
 # nine ledger members are rows-only by policy (no SQL oracle, so a
@@ -2232,7 +2242,9 @@ _CERTIFIED = frozenset(
         # the r13 window — folded above with the own-run caveat) ---
         "emb9b_pca_properties", "a10g_gk_deep_rollup",
         "pipe1_corpus_pipeline", "a8_filtered_aggs",
-        "dd3_simhash_signatures", "dq19_spatial_filter",
+        "dd3_simhash_signatures",
+        # (dq19 rotated back OUT in round 16: the exact-double oracle
+        # literal fix changed its oracle text — see the window list)
         "a11c2_theta_setops_tracks_exact", "a11e2_theta_native_tracks_exact",
         "dd3b_simhash_partition_invariance",
         "dd5b_lsh_precision_recall_contract", "dd7b_survivor_contract",
@@ -2270,7 +2282,8 @@ _CERTIFIED = frozenset(
         # two image equality twins, and all ten r15b audio/video family
         # entries, every one of which the r15 judge also independently
         # re-verified in the full 240-entry parity sweep) ---
-        "dq20_spatial_served_filter", "dq21_range_clustered_scan",
+        "dq21_range_clustered_scan",
+        # (dq20 rotated back OUT in round 16 with dq19, same fix)
         "sim3c_served_equals_inline", "sim5c_served_equals_composition",
         # (dd18b/dd19b were r15-green and folded here, then rotated back
         # OUT in round 16 for the _guard_hex16 retrofit)

@@ -428,16 +428,30 @@ def _spatial_coord_sql(dim: str, i: int) -> str:
     return f"TRY_CAST(string_split({dim}, ',')[{i + 1}] AS DOUBLE)"
 
 
+def _sql_double(x: float) -> str:
+    """A float literal that reaches DuckDB as the EXACT double (r16 —
+    found by the spatial dual-compile fuzz's falsifying example at a
+    1-ulp boundary): DuckDB parses a bare decimal literal as
+    DECIMAL(w,s), and its DECIMAL→DOUBLE conversion can be one ulp off
+    (measured: ``0.9922027587890625`` → ``…624`` via the decimal path,
+    while ``CAST('0.9922027587890625' AS DOUBLE)`` is correctly
+    rounded — string→double parsing is correctly rounded in both
+    engines, same as Python's repr round-trip). Every float literal in
+    the spatial SQL twin goes through the VARCHAR cast so boundary
+    decisions stay engine-identical at ANY representable bound."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
 def _spatial_bound_sql(dim: str, bound: dict) -> str:
     """DuckDB twin of :func:`_spatial_bound_column` — identical arithmetic
-    shape (same term order in the distance sum) so boundary decisions are
-    engine-identical."""
+    shape (same term order in the distance sum) AND exact-double literals
+    (:func:`_sql_double`) so boundary decisions are engine-identical."""
     bt = bound["type"]
     if bt == "rectangular":
         lo, hi = bound["minCoords"], bound["maxCoords"]
         conds = [
-            f"({_spatial_coord_sql(dim, i)} >= {float(a)!r}"
-            f" AND {_spatial_coord_sql(dim, i)} <= {float(b)!r})"
+            f"({_spatial_coord_sql(dim, i)} >= {_sql_double(a)}"
+            f" AND {_spatial_coord_sql(dim, i)} <= {_sql_double(b)})"
             for i, (a, b) in enumerate(zip(lo, hi))
         ]
         return "(" + " AND ".join(conds) + ")"
@@ -445,11 +459,11 @@ def _spatial_bound_sql(dim: str, bound: dict) -> str:
         center = bound["coords"]
         r = float(bound["radius"])
         terms = [
-            f"({_spatial_coord_sql(dim, i)} - {float(x)!r})"
-            f" * ({_spatial_coord_sql(dim, i)} - {float(x)!r})"
+            f"({_spatial_coord_sql(dim, i)} - {_sql_double(x)})"
+            f" * ({_spatial_coord_sql(dim, i)} - {_sql_double(x)})"
             for i, x in enumerate(center)
         ]
-        return "(" + " + ".join(terms) + f" <= {r * r!r})"
+        return "(" + " + ".join(terms) + f" <= {_sql_double(r * r)})"
     raise ValueError(f"unsupported spatial bound type: {bt}")
 
 
