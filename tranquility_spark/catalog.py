@@ -1892,17 +1892,20 @@ from tranquility_spark import catalog_sketch  # noqa: E402,F401
 # with scripts/record_certified_fingerprints.py only when folding new greens).
 # ---------------------------------------------------------------------------
 
-_R16_DRIVER_WINDOW = [
+_R17_DRIVER_WINDOW = [
     # rows-only by policy (approximate sketches / LSH / index-defined probe
-    # sets — no SQL oracle); re-recorded every round by design. Round 15's
-    # driver greens folded into _CERTIFIED (CORRECTNESS_r15.json: 24/24
-    # oracled hash-greens, 0 fails — the 9 rotated re-certifies
-    # (dq20/dq21/sim3c/sim5c/dd18b/dd19b/dd20b/dd21b/dd22b), dd16b/dd24b,
-    # and ALL TEN r15b family entries (mm7/dd25-dd27, mm8/dd28-dd30,
-    # dd31/dd32) fold in; p1/p3/p4 were already-certified backfill). The
-    # r15 judge ALSO ran the full 240-entry parity sweep independently
-    # (VERDICT r15: 205 oracled OK + 35 rows-only, 0 failures), so every
-    # folded key carries both a driver hash-match and a judge re-check.
+    # sets — no SQL oracle); re-recorded every round by design. Round 16's
+    # driver greens folded into _CERTIFIED (CORRECTNESS_r16.json: 24/24
+    # oracled hash-greens, 0 fails — the 16 rotated re-certifies
+    # (dd16/dd16b/dd24b + dd17b/dd18b/dd19b + dd25/dd26/dd27 +
+    # dd28/dd29/dd30 + dd31/dd32 + dq19/dq20) and the two new r16
+    # compositions pipe8/pipe9 fold in; p1/p3/p4/p5/p6/p7 were
+    # already-certified backfill). The r16 judge ALSO ran the full
+    # 242-entry parity sweep independently (VERDICT r16: 207 oracled OK +
+    # 35 rows-only, 0 failures), so every folded key carries both a
+    # driver hash-match and a judge re-check. After the fold the window
+    # holds exactly these 26 permanent rows-only leads; new r17 entries
+    # and any r17 rotations auto-join via _rotate_driver_window.
     "hh1_heavy_hitters_merge",
     "a11c_theta_setops_approx",
     "a11d_sketch_merge_rollup",
@@ -1936,61 +1939,11 @@ _R16_DRIVER_WINDOW = [
     # equality twins). Permanent rows-only leads like dd19–dd22.
     "dd23_dhash_served_pairs",
     "dd24_dhash_incremental_served",
-    # re-certify (r16 pointer-doubling CC, VERDICT r15 #2/#5 — the manual
-    # helper-rotation discipline): neardup_survivors_converged now
-    # resolves components via _cc_pointer_doubling (hooking + double
-    # pointer-jumping, log-diameter rounds, props-empty natural
-    # termination) instead of the O(diameter) one-hop min-label loop.
-    # dd31/dd32 consume the edited helper (not fingerprint-caught —
-    # rotated by hand). Results identical — parity re-verified vs the
-    # WITH RECURSIVE closure oracles at both SFs in the rewrite commit
-    # (sf0.1 incl. the 39-hop chain component); they rotate until
-    # driver-re-certified. The certified dd7/pipe1 chain
-    # (neardup_clusters/neardup_survivors) is byte-untouched.
-    "dd31_audio_fp_survivors",
-    "dd32_video_survivors",
-    # re-certify (r16 guard retrofits, same discipline — the round's own
-    # review flagged the inconsistency of rotating dd31/dd32 but not
-    # these): _guard_hex16 now wraps the digest column in
-    # _dhash_hash_pairs/dhash_band_index (ADVICE r15 #1 — executed by the
-    # image/audio inline, twin, served-build and incremental paths), and
-    # _video_pairs_core/video_incremental_pairs embed the uncapped-df
-    # divergence raise (VERDICT r15 #4 + the review's incremental-gap
-    # finding). All raise-only on passing corpora — parity re-verified
-    # hash-green at both SFs in the retrofit commits — but the executed
-    # plans changed, so the nine certified dependents rotate until
-    # driver-re-certified.
-    "dd16_dhash_neardup",
-    "dd16b_dhash_served_equals_inline",
-    "dd24b_dhash_incremental_served_equals_inline",
-    "dd25_audio_fp_pairs",
-    "dd26_audio_fp_served_pairs",
-    "dd27_audio_fp_incremental_served",
-    "dd28_video_neardup_pairs",
-    "dd29_video_served_pairs",
-    "dd30_video_incremental_served",
-    # ... and the SimHash twins whose inline/full comparison side runs
-    # simhash_neardup_pairs -> _dhash_hash_pairs (the full-suite battery
-    # caught the first lowercase-only draft of _guard_hex16 rejecting
-    # the family's uppercase F.hex digests — proof these entries DO
-    # execute the guard, hence rotate with the rest of the blast radius)
-    "dd17b_simhash_banding_contract",
-    "dd18b_simhash_incremental_equals_full",
-    "dd19b_simhash_served_equals_inline",
-    # re-certify (r16 exact-double oracle literals): the spatial fuzz's
-    # falsifying example exposed DuckDB's DECIMAL->DOUBLE literal
-    # conversion as one ulp off at a representable boundary, so
-    # _spatial_bound_sql now emits CAST('<repr>' AS DOUBLE) literals.
-    # dq19/dq20's ORACLE TEXT changed (fingerprint-caught, correctly);
-    # results identical at fixture bounds — parity re-verified — and
-    # the fix makes the oracle RIGHT at any future 17-digit bound.
-    "dq19_spatial_filter",
-    "dq20_spatial_served_filter",
 ]
 
 
 def _rotate_driver_window() -> None:
-    lead = [k for k in _R16_DRIVER_WINDOW if k in CATALOG]
+    lead = [k for k in _R17_DRIVER_WINDOW if k in CATALOG]
     # anything registered after this snapshot auto-joins the window
     lead += [
         k
@@ -2298,7 +2251,28 @@ _CERTIFIED = frozenset(
         # neardup_survivors_converged helper; dd16/dd16b/dd24b/dd25/
         # dd26/dd27/dd28/dd29/dd30 likewise rotated in-session for the
         # r16 digest-width and uncapped-df guard retrofits their
-        # helpers now execute — see the window list)
+        # helpers now execute — re-certified r16, folded below)
+        # --- r16 window (CORRECTNESS_r16.json: 24 hash-greens, 0 fails;
+        # the 18 newly green fold in — the 16 rotated re-certifies (the
+        # pointer-doubling CC survivors, the _guard_hex16 +
+        # uncapped-df-guard blast radius, the SimHash twins, and the
+        # exact-double spatial oracle literals) plus the two new r16
+        # cross-family compositions. The r16 judge also independently
+        # re-verified every one in the full 242-entry parity sweep
+        # (VERDICT r16: 207 oracled OK + 35 rows-only, 0 failures).
+        # p1/p3/p4/p5/p6/p7 were already-certified backfill. ---
+        "dd16_dhash_neardup", "dd16b_dhash_served_equals_inline",
+        "dd17b_simhash_banding_contract",
+        "dd18b_simhash_incremental_equals_full",
+        "dd19b_simhash_served_equals_inline",
+        "dd24b_dhash_incremental_served_equals_inline",
+        "dd25_audio_fp_pairs", "dd26_audio_fp_served_pairs",
+        "dd27_audio_fp_incremental_served",
+        "dd28_video_neardup_pairs", "dd29_video_served_pairs",
+        "dd30_video_incremental_served",
+        "dd31_audio_fp_survivors", "dd32_video_survivors",
+        "dq19_spatial_filter", "dq20_spatial_served_filter",
+        "pipe8_cross_family_dedup", "pipe9_cross_family_admission",
     }
 )
 
