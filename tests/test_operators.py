@@ -1,6 +1,7 @@
 """Unit tests for window filter, partitioning, parsing (SURVEY.md §2.2/§2.5)."""
 
 import datetime as dt
+import math
 
 import pytest
 from pyspark.sql import functions as F
@@ -956,3 +957,22 @@ def test_suggest_salt_buckets_knee_rule(spark):
     assert suggest_salt_buckets(nullheavy, "k", num_partitions=32) == 14
     allnull = spark.createDataFrame([(None, 1)], "k string, v long")
     assert suggest_salt_buckets(allnull, "k", num_partitions=32) == 1
+    # ADVICE r16 #3: a non-numeric shuffle-partitions conf (e.g. "auto"
+    # under AQE-coordinated deployments) must not crash the sizing helper
+    # — it falls back to defaultParallelism instead of raising ValueError.
+    # Local Spark 4 validates conf.set("...partitions", "auto") as an int,
+    # so simulate the managed-runtime value by patching the conf read.
+    from unittest import mock
+
+    real_get = type(spark.conf).get
+
+    def fake_get(self, key, *args, **kwargs):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return real_get(self, key, *args, **kwargs)
+
+    with mock.patch.object(type(spark.conf), "get", fake_get):
+        got = suggest_salt_buckets(fact, "k")
+    dp = spark.sparkContext.defaultParallelism
+    tail = max(1.0, (10000 - 3000) / float(dp))
+    assert got == max(1, min(dp, math.ceil(3000 / tail)))

@@ -2272,7 +2272,13 @@ _CERTIFIED = frozenset(
         "dd30_video_incremental_served",
         "dd31_audio_fp_survivors", "dd32_video_survivors",
         "dq19_spatial_filter", "dq20_spatial_served_filter",
-        "pipe8_cross_family_dedup", "pipe9_cross_family_admission",
+        "pipe8_cross_family_dedup",
+        # (pipe9_cross_family_admission was r16-green and folded here,
+        # then rotated straight back OUT in round 17: ADVICE r16 #1 asked
+        # the intra-batch drop-all-endpoints policy be stated explicitly
+        # in the entry doc — doc-only, results byte-identical, parity
+        # re-verified at both SFs in the edit commit; it rotates until
+        # driver-re-certified. pipe10 is the new keep-one admission twin.)
     }
 )
 

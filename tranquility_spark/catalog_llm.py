@@ -4689,9 +4689,14 @@ def _dd_new_batch():
     certified entries whose fn source is fingerprint-frozen, so routing
     them through this helper would force four rotations for a purely
     stylistic change (the minhash_lsh_pairs_distinct banding-copy
-    precedent). If the split fraction ever changes, update ALL copies and
-    rotate those entries — dd21b/dd22b's equality certification against
-    dd18/dd8 depends on the splits matching."""
+    precedent). pipe9/pipe10 carry a THIRD inline variant on the
+    content-hash index's ``id`` column (``F.col("id") % 5 == 0`` — same
+    split, different column name; ADVICE r16 #2). If the split fraction
+    ever changes, update ALL copies — dd8/dd8b/dd18/dd18b here in
+    operators/dedup.py, pipe9/pipe10's index-id variants, and this
+    helper — and rotate those entries; dd21b/dd22b's equality
+    certification against dd18/dd8 and pipe9/pipe10's
+    exact_gate_transparent boolean depend on the splits matching."""
     return F.col("doc_id") % 5 == 0
 
 
@@ -5722,9 +5727,18 @@ def _pipe8_decide(
     "leak); gates_bite (non-vacuity: the exact+text+video gates each "
     "reject at every SF; image/audio near-dups in this corpus are "
     "text near-dups too — the overlap is the composition working, as "
-    "in pipe8). Scale: per-cycle cost = batch signature passes + "
-    "bucket probes into the registries + five audits; the registry "
-    "is touched only through co-located index buckets",
+    "in pipe8). INTRA-BATCH POLICY (explicit, ADVICE r16 #1): each "
+    "family's incremental probe emits batch-internal (new x new) pairs "
+    "as well as batch x registry pairs, and the gate rejects EVERY "
+    "endpoint it touches — a batch carrying two near-identical novel "
+    "docs admits NEITHER. That is the conservative quarantine shape "
+    "(suspect content is held out of the registry entirely, e.g. for "
+    "re-review next cycle), deliberately distinct from pipe8's "
+    "keep-one-survivor CC resolution; pipe10 is the keep-one admission "
+    "twin for pipelines that must not lose novel content. Scale: "
+    "per-cycle cost = batch signature passes + bucket probes into the "
+    "registries + five audits; the registry is touched only through "
+    "co-located index buckets",
 )
 def pipe9_cross_family_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_pred = F.col("id") % 5 == 0  # _dd_new_batch on the index id col

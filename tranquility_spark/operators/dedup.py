@@ -1938,7 +1938,16 @@ def _video_pairs_core(
     and evaluated BEFORE the quadratic fan-out the hot digest would
     cause. No driver-side action: the check rides the join input scan
     (on the served/bucketed layout the df aggregate is exchange-free).
-    Output on passing corpora is byte-identical to the unguarded form."""
+    Output on passing corpora is byte-identical to the unguarded form.
+
+    CAVEAT (ADVICE r16): the raise rides LAZY evaluation of side a's
+    join key, so it is best-effort-per-action, not a precondition
+    check — a partially consumed plan (e.g. a downstream limit() that
+    short-circuits the scan before reaching the hot digest's
+    partition) can finish without evaluating the guard. The entry
+    paths all fully materialize their output, where every index row is
+    evaluated; callers composing new plans on top must not treat the
+    guard as a guarantee that the whole index was audited."""
     if max_df is not None:
         # the hot-digest guard, CBVR's stopword removal: a boilerplate
         # frame (black frame, title card) appearing in > max_df videos

@@ -151,9 +151,16 @@ def suggest_salt_buckets(
     late-arriving dimension keys is ordinary) would otherwise size the
     salt for skew that never reaches the join — pure replication rent."""
     if num_partitions is None:
-        num_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
+        try:
+            num_partitions = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+        except ValueError:
+            # the conf can hold a non-numeric sentinel ("auto" under some
+            # resource managers / AQE-coordinated deployments) — fall back
+            # to the cluster's default parallelism rather than crashing a
+            # sizing HELPER (ADVICE r16)
+            num_partitions = df.sparkSession.sparkContext.defaultParallelism
     probe = df.filter(F.col(key).isNotNull())
     if sample_fraction is not None:
         probe = probe.sample(sample_fraction, seed=0)
