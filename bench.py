@@ -167,6 +167,7 @@ HEADLINE = [
     "dd32_video_survivors",
     "pipe8_cross_family_dedup",
     "pipe9_cross_family_admission",
+    "pipe10_cross_family_admission_keepone",
 ]
 
 

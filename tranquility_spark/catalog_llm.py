@@ -5849,6 +5849,210 @@ def pipe9_cross_family_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe10_cross_family_admission_keepone",
+    """
+    SELECT CAST(1 AS BIGINT) AS counts_tile,
+           CAST(1 AS BIGINT) AS rejected_partition_batch,
+           CAST(1 AS BIGINT) AS no_gate_pair_coadmitted,
+           CAST(1 AS BIGINT) AS admits_superset_of_dropall,
+           CAST(1 AS BIGINT) AS keepone_gain_nonvacuous,
+           CAST(1 AS BIGINT) AS admitted_all_from_batch
+    """,
+    doc="Cross-family incremental admission, KEEP-ONE form (r17 — the "
+    "production twin ADVICE r16 #1 asked for): same five gates, same "
+    "registries and probe fns as pipe9, but batch-internal near-dup "
+    "evidence resolves like pipe8 instead of quarantining — per "
+    "family, batch docs matching the REGISTRY are rejected outright, "
+    "then the intra-batch pair graph RESTRICTED to still-standing "
+    "docs runs the converged CC and keeps each component's minimum "
+    "(neardup_survivors_converged), so a batch carrying N copies of "
+    "novel content admits exactly one instead of zero. Edges through "
+    "already-rejected docs do NOT propagate (pairwise evidence among "
+    "standing candidates only — the sequential-attribution semantic, "
+    "stated explicitly); the intra-batch EXACT gate keeps min doc_id "
+    "per content hash (vacuous on this corpus, kept for form). "
+    "Booleans: counts_tile / rejected_partition_batch / "
+    "admitted_all_from_batch (pipe9's tiling audits); "
+    "no_gate_pair_coadmitted (NO family's batch-internal probe pair "
+    "has both endpoints admitted — the dedup guarantee keep-one still "
+    "owes); admits_superset_of_dropall (every doc pipe9's drop-all "
+    "policy admits, this admits — computed inline from the same pair "
+    "frames); keepone_gain_nonvacuous (strictly MORE admitted than "
+    "drop-all: measured +1/+1/+41 at sf0.001/0.01/0.1 — the novel "
+    "content drop-all loses). Scale: pipe9's probe cost + four CC "
+    "runs over tiny restricted intra-batch graphs",
+)
+def pipe10_cross_family_admission_keepone(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    batch_pred = F.col("id") % 5 == 0  # _dd_new_batch on the index id col
+    hashes = spark.table(_content_hash_index_table(spark, sf_dir))
+    batch = hashes.filter(batch_pred).select(
+        F.col("id").alias("doc_id"), F.col("h").alias("__h")
+    )
+    registry_h = hashes.filter(~batch_pred).select(
+        F.col("h").alias("__h")
+    ).distinct()
+    n_batch = batch.agg(F.count(F.lit(1)).alias("__nb"))
+
+    rejected = {
+        "exact_registry": batch.join(registry_h, "__h", "left_semi")
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    }
+    rem = batch.join(rejected["exact_registry"], "doc_id", "left_anti")
+    keep = rem.groupBy("__h").agg(F.min("doc_id").alias("__keep"))
+    rejected["exact_intra"] = (
+        rem.join(keep, "__h")
+        .filter(F.col("doc_id") != F.col("__keep"))
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    remaining = (
+        rem.select("doc_id")
+        .join(rejected["exact_intra"], "doc_id", "left_anti")
+        .localCheckpoint(eager=False)
+    )
+
+    gate_pairs = {
+        "text": dd22_minhash_incremental_served(spark, sf_dir).select(
+            "id_a", "id_b"
+        ),
+        "image": dd24_dhash_incremental_served(spark, sf_dir).select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        ),
+        "audio": dd27_audio_fp_incremental_served(spark, sf_dir).select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        ),
+        "video": dd30_video_incremental_served(spark, sf_dir).select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        ),
+    }
+    gate_pairs = {
+        k: v.localCheckpoint(eager=False) for k, v in gate_pairs.items()
+    }
+    batch_a = F.col("id_a") % 5 == 0
+    batch_b = F.col("id_b") % 5 == 0
+    intra_all = None
+    for fam, pairs in gate_pairs.items():
+        reg_touched = (
+            pairs.filter(batch_a & ~batch_b)
+            .select(F.col("id_a").alias("doc_id"))
+            .unionByName(
+                pairs.filter(~batch_a & batch_b).select(
+                    F.col("id_b").alias("doc_id")
+                )
+            )
+            .distinct()
+        )
+        rejected[f"{fam}_registry"] = remaining.join(
+            reg_touched, "doc_id", "left_semi"
+        ).localCheckpoint(eager=False)
+        standing = remaining.join(
+            rejected[f"{fam}_registry"], "doc_id", "left_anti"
+        ).localCheckpoint(eager=False)
+        intra = (
+            pairs.filter(batch_a & batch_b)
+            .join(
+                standing.select(F.col("doc_id").alias("id_a")),
+                "id_a",
+                "left_semi",
+            )
+            .join(
+                standing.select(F.col("doc_id").alias("id_b")),
+                "id_b",
+                "left_semi",
+            )
+            .localCheckpoint(eager=False)
+        )
+        survivors = dd.neardup_survivors_converged(
+            standing, intra
+        ).localCheckpoint(eager=False)
+        rejected[f"{fam}_intra"] = standing.join(
+            survivors, "doc_id", "left_anti"
+        ).localCheckpoint(eager=False)
+        remaining = survivors
+        bb = pairs.filter(batch_a & batch_b).select("id_a", "id_b")
+        intra_all = bb if intra_all is None else intra_all.unionByName(bb)
+    admitted = remaining
+    n_adm = admitted.agg(F.count(F.lit(1)).alias("__na"))
+
+    tiled = admitted.select("doc_id")
+    for v in rejected.values():
+        tiled = tiled.unionByName(v.select("doc_id"))
+    tile_agg = tiled.agg(
+        F.count(F.lit(1)).alias("__tile_n"),
+        F.count_distinct(F.col("doc_id")).alias("__tile_d"),
+    )
+    # end-to-end co-admission audit over the UNRESTRICTED batch-internal
+    # pair sets: keep-one may admit one endpoint, never both
+    coadmitted = (
+        intra_all.join(
+            admitted.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi"
+        )
+        .join(
+            admitted.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+        )
+        .agg(F.count(F.lit(1)).alias("__coadm"))
+    )
+    # pipe9's drop-all admission, computed inline from the SAME frames:
+    # batch minus exact registry matches minus every batch endpoint of
+    # every family pair (sequential attribution only relabels rejections;
+    # the admitted SET is this difference)
+    touched = rejected["exact_registry"].select("doc_id")
+    for pairs in gate_pairs.values():
+        touched = touched.unionByName(
+            pairs.filter(batch_a).select(F.col("id_a").alias("doc_id"))
+        ).unionByName(
+            pairs.filter(batch_b).select(F.col("id_b").alias("doc_id"))
+        )
+    dropall = batch.select("doc_id").join(
+        touched.distinct(), "doc_id", "left_anti"
+    ).localCheckpoint(eager=False)
+    n_dropall = dropall.agg(F.count(F.lit(1)).alias("__nd"))
+    not_superset = dropall.join(admitted, "doc_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("__nsup")
+    )
+    leak = admitted.agg(
+        F.sum((~_dd_new_batch()).cast("long")).alias("__leak")
+    )
+    rej_aggs = {
+        k: v.agg(F.count(F.lit(1)).alias(f"__rj_{k}"))
+        for k, v in rejected.items()
+    }
+
+    row = n_batch.crossJoin(F.broadcast(n_adm)).crossJoin(F.broadcast(tile_agg))
+    row = (
+        row.crossJoin(F.broadcast(coadmitted))
+        .crossJoin(F.broadcast(n_dropall))
+        .crossJoin(F.broadcast(not_superset))
+        .crossJoin(F.broadcast(leak))
+    )
+    for agg in rej_aggs.values():
+        row = row.crossJoin(F.broadcast(agg))
+    rj_total = sum(F.col(f"__rj_{k}") for k in rejected)
+    return row.select(
+        (F.col("__na") == F.col("__nb") - rj_total)
+        .cast("long")
+        .alias("counts_tile"),
+        (
+            (F.col("__tile_n") == F.col("__nb"))
+            & (F.col("__tile_d") == F.col("__nb"))
+        )
+        .cast("long")
+        .alias("rejected_partition_batch"),
+        (F.col("__coadm") == 0).cast("long").alias("no_gate_pair_coadmitted"),
+        (F.col("__nsup") == 0).cast("long").alias("admits_superset_of_dropall"),
+        (F.col("__na") > F.col("__nd"))
+        .cast("long")
+        .alias("keepone_gain_nonvacuous"),
+        (F.coalesce(F.col("__leak"), F.lit(0)) == 0)
+        .cast("long")
+        .alias("admitted_all_from_batch"),
+    )
+
+
+@register(
     "txt10_top_tokens",
     """
     SELECT tok, n_docs, n_total
