@@ -1734,6 +1734,38 @@ def test_neardup_survivors_converged_long_chain(spark):
     assert rounds <= 4  # 14 hops: ceil(log4(14)) + O(1), not 14
 
 
+def test_cc_alternating_star_matches_pointer_doubling(spark):
+    """r17 study arm: the alternating large-star/small-star CC
+    (Kiveris et al. SoCC'14 — the GraphFrames family) must produce the
+    SAME min-label components as the production pointer-doubling form
+    on every topology shape the comparison probe measures — chain,
+    multi-component, clique-with-tail, high-degree star, duplicate and
+    reversed edges. The probe (scripts/run_cc_compare_probe.py)
+    measured pointer doubling faster on all five large topologies
+    (SCALE.md r17); this test keeps the study arm CORRECT so a future
+    re-measurement stays apples-to-apples."""
+    from tranquility_spark.operators.dedup import (
+        _cc_alternating_star,
+        _cc_pointer_doubling,
+    )
+
+    cases = {
+        "chain": [(i, i + 1) for i in range(9)],
+        "two_comps": [(0, 1), (1, 2), (5, 6), (6, 7), (7, 8)],
+        "clique_tail": [(3, 4), (4, 5), (3, 5), (5, 6), (6, 7)],
+        "star": [(0, i) for i in range(1, 20)],
+        "dup_and_reversed": [(1, 2), (2, 1), (1, 2), (9, 8)],
+    }
+    for name, es in cases.items():
+        pairs = spark.createDataFrame(es, "id_a bigint, id_b bigint")
+        star_labels, star_rounds = _cc_alternating_star(pairs)
+        pd_labels, _ = _cc_pointer_doubling(pairs)
+        got = {r.id: r.cluster_id for r in star_labels.collect()}
+        want = {r.id: r.cluster_id for r in pd_labels.collect()}
+        assert got == want, f"{name}: {got} != {want}"
+        assert star_rounds >= 1
+
+
 def test_hamming_banding_rejects_non_64bit_digest(spark):
     """ADVICE r15 #1: the shared 4x16-bit banding machinery hardcodes
     16-hex-char digests; a wider digest (audio_energy_fingerprint with

@@ -2405,6 +2405,97 @@ def _cc_pointer_doubling(
     return labels, rounds
 
 
+def _cc_alternating_star(
+    pairs: DataFrame,
+    max_rounds: int = 64,
+) -> "tuple[DataFrame, int]":
+    """Min-label connected components via the ALTERNATING large-star /
+    small-star algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — the algorithm family GraphFrames'
+    connectedComponents implements). r17 STUDY ARM ONLY: the production
+    CC is :func:`_cc_pointer_doubling`; this exists so the choice
+    between the two is a measured comparison on multiple graph
+    topologies (scripts/run_cc_compare_probe.py, SCALE.md r17) instead
+    of a citation. Not wired into any catalog entry.
+
+    Per round, the EDGE SET itself is rewritten (vs pointer doubling's
+    fixed edge set + shrinking label frame):
+
+    - large-star: every node u connects its strictly-larger neighbors
+      to m(u) = min(N(u) ∪ {u});
+    - small-star: edges orient toward the smaller endpoint; every node
+      u connects its ≤-neighbors and itself to m(u).
+
+    Both phases are one groupBy + one join over the current edge set.
+    Converged when a large+small round leaves the edge set unchanged
+    (count equal AND exceptAll empty — count alone could alias). At the
+    fixpoint the edges form stars rooted at component minima, so labels
+    read directly off the edge list. Proven O(log^2 n) rounds; in
+    practice a handful. Returns ``(labels, rounds_used)`` with labels =
+    (id, cluster_id) for every node in ``pairs``, exactly
+    :func:`_cc_pointer_doubling`'s contract (equality asserted per
+    topology in the probe)."""
+    nodes = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_rounds):
+        # ---- large-star ----
+        nbr = edges.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        mins = nbr.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            nbr.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # ---- small-star ----
+        toward_small = large.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        smins = toward_small.groupBy("u").agg(F.min("v").alias("m"))
+        sm_children = (
+            toward_small.join(smins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        sm_self = smins.select(
+            F.col("u").alias("a"), F.col("m").alias("b")
+        ).filter(F.col("a") != F.col("b"))
+        small = (
+            sm_children.union(sm_self).distinct().localCheckpoint(eager=True)
+        )
+        rounds += 1
+        if small.count() == edges.count() and small.exceptAll(
+            edges
+        ).isEmpty():
+            edges = small
+            break
+        edges = small
+    child_labels = edges.select(
+        F.col("a").alias("id"), F.col("b").alias("cluster_id")
+    )
+    labels = nodes.join(child_labels, "id", "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+    )
+    return labels, rounds
+
+
 def neardup_survivors_converged(
     df: DataFrame,
     pairs: DataFrame,
