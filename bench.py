@@ -168,6 +168,7 @@ HEADLINE = [
     "pipe8_cross_family_dedup",
     "pipe9_cross_family_admission",
     "pipe10_cross_family_admission_keepone",
+    "pipe11_registry_update_cycles",
 ]
 
 

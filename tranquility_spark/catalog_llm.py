@@ -6053,6 +6053,326 @@ def pipe10_cross_family_admission_keepone(
 
 
 @register(
+    "pipe11_registry_update_cycles",
+    """
+    SELECT CAST(1 AS BIGINT) AS cycles_tile,
+           CAST(1 AS BIGINT) AS admitted_from_own_batch,
+           CAST(1 AS BIGINT) AS update_probe_transparent,
+           CAST(1 AS BIGINT) AS update_changes_outcome,
+           CAST(1 AS BIGINT) AS no_pair_coadmitted
+    """,
+    doc="TWO admission cycles with a REGISTRY UPDATE between them (r17 — "
+    "the steady-state loop pipe9/pipe10 stop short of: they gate a "
+    "batch against frozen registries; production ALSO folds what it "
+    "admits back in, and the next batch must be gated against that). "
+    "The 20% batch splits in half by id arithmetic: cycle 1 admits "
+    "batch1 (keep-one: exact + UNION near-dup evidence across all four "
+    "signature families — the verbatim dd22/dd24/dd27/dd30 probe "
+    "outputs, restriction-by-id-arithmetic being exact because every "
+    "family's pair predicate is pairwise — then one converged CC over "
+    "the intra-batch union graph); the admitted set A1 becomes the "
+    "registry DELTA; cycle 2 gates batch2 against base+delta (exact "
+    "hashes ∪ A1 hashes; near-dup evidence vs registry AND vs A1 — "
+    "the LSM base+delta serving shape: the big index stays immutable, "
+    "the delta is batch-sized). Booleans: cycles_tile + "
+    "admitted_from_own_batch (both cycles' rejections partition their "
+    "batches, no leaks); update_probe_transparent (probing a REAL "
+    "freshly-built LSH delta index of A1 docs emits exactly the "
+    "batch2-vs-A1 restriction of the text probe — the contract that "
+    "lets production serve the delta from a persisted index); "
+    "update_changes_outcome (rerunning cycle 2 WITHOUT the update "
+    "yields a DIFFERENT admitted set — the fold-back has an "
+    "observable effect at every SF, attribution-order-independent); "
+    "no_pair_coadmitted (across A1 ∪ A2 no family pair and no exact "
+    "duplicate survives). Scale: per-cycle cost = batch probes + two "
+    "tiny CC runs; the delta index is batch-sized and the base "
+    "registry is never rebuilt — compaction folds deltas in at its "
+    "own cadence, exactly the segment-sink story",
+)
+def pipe11_registry_update_cycles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    half1 = lambda c: (c % 10) == 0  # noqa: E731 — id-arithmetic halves
+    half2 = lambda c: (c % 10) == 5  # noqa: E731   of _dd_new_batch's 20%
+    registry_pred = lambda c: (c % 5) != 0  # noqa: E731
+
+    hashes = spark.table(_content_hash_index_table(spark, sf_dir))
+    reg_h = (
+        hashes.filter(registry_pred(F.col("id")))
+        .select(F.col("h").alias("__h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    b1 = hashes.filter(half1(F.col("id"))).select(
+        F.col("id").alias("doc_id"), F.col("h").alias("__h")
+    )
+    b2 = hashes.filter(half2(F.col("id"))).select(
+        F.col("id").alias("doc_id"), F.col("h").alias("__h")
+    )
+
+    # ONE probe pass per family (the pipe9 verbatim-fn discipline),
+    # reused by both cycles via id-arithmetic restriction
+    fam_pairs = {
+        "text": dd22_minhash_incremental_served(spark, sf_dir).select(
+            "id_a", "id_b", "est_jaccard"
+        ),
+        "image": dd24_dhash_incremental_served(spark, sf_dir).select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        ),
+        "audio": dd27_audio_fp_incremental_served(spark, sf_dir).select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        ),
+        "video": dd30_video_incremental_served(spark, sf_dir).select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        ),
+    }
+    fam_pairs = {
+        k: v.localCheckpoint(eager=False) for k, v in fam_pairs.items()
+    }
+    union_pairs = None
+    for v in fam_pairs.values():
+        p = v.select("id_a", "id_b")
+        union_pairs = p if union_pairs is None else union_pairs.unionByName(p)
+    union_pairs = union_pairs.localCheckpoint(eager=False)
+
+    def admit(batch, batch_half, extra_reg_h=None, upd_ev=None):
+        """One keep-one admission cycle: exact gate (base hashes plus the
+        optional delta), registry near-dup evidence, optional update
+        (vs-A1) evidence, then ONE converged CC over the intra-batch
+        union evidence graph. Returns (admitted, [rejected frames])."""
+        gate_h = reg_h if extra_reg_h is None else reg_h.unionByName(
+            extra_reg_h
+        )
+        rej_exact = batch.join(gate_h, "__h", "left_semi").select(
+            "doc_id"
+        ).localCheckpoint(eager=False)
+        rem = batch.join(rej_exact, "doc_id", "left_anti")
+        keep = rem.groupBy("__h").agg(F.min("doc_id").alias("__keep"))
+        rej_exact_intra = (
+            rem.join(keep, "__h")
+            .filter(F.col("doc_id") != F.col("__keep"))
+            .select("doc_id")
+            .localCheckpoint(eager=False)
+        )
+        standing = (
+            rem.select("doc_id")
+            .join(rej_exact_intra, "doc_id", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        reg_ev = (
+            union_pairs.filter(
+                batch_half(F.col("id_a")) & registry_pred(F.col("id_b"))
+            )
+            .select(F.col("id_a").alias("doc_id"))
+            .unionByName(
+                union_pairs.filter(
+                    registry_pred(F.col("id_a")) & batch_half(F.col("id_b"))
+                ).select(F.col("id_b").alias("doc_id"))
+            )
+            .distinct()
+        )
+        rej_reg = standing.join(reg_ev, "doc_id", "left_semi").localCheckpoint(
+            eager=False
+        )
+        standing = standing.join(
+            rej_reg, "doc_id", "left_anti"
+        ).localCheckpoint(eager=False)
+        rejs = [rej_exact, rej_exact_intra, rej_reg]
+        if upd_ev is not None:
+            rej_upd = standing.join(
+                upd_ev, "doc_id", "left_semi"
+            ).localCheckpoint(eager=False)
+            standing = standing.join(
+                rej_upd, "doc_id", "left_anti"
+            ).localCheckpoint(eager=False)
+            rejs.append(rej_upd)
+        intra = (
+            union_pairs.filter(
+                batch_half(F.col("id_a")) & batch_half(F.col("id_b"))
+            )
+            .join(
+                standing.select(F.col("doc_id").alias("id_a")),
+                "id_a",
+                "left_semi",
+            )
+            .join(
+                standing.select(F.col("doc_id").alias("id_b")),
+                "id_b",
+                "left_semi",
+            )
+            .localCheckpoint(eager=False)
+        )
+        admitted = dd.neardup_survivors_converged(
+            standing, intra
+        ).localCheckpoint(eager=False)
+        rejs.append(
+            standing.join(admitted, "doc_id", "left_anti").localCheckpoint(
+                eager=False
+            )
+        )
+        return admitted, rejs
+
+    # ---- cycle 1: batch1 vs the frozen base registries ----
+    a1, rejs1 = admit(b1, half1)
+    a1_h = (
+        b1.join(a1, "doc_id", "left_semi")
+        .select("__h")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # update evidence: batch2 endpoints of cross-half pairs whose batch1
+    # endpoint was ADMITTED (a rejected doc never enters the registry)
+    upd_ev = (
+        union_pairs.filter(half1(F.col("id_a")) & half2(F.col("id_b")))
+        .join(a1.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi")
+        .select(F.col("id_b").alias("doc_id"))
+        .unionByName(
+            union_pairs.filter(half2(F.col("id_a")) & half1(F.col("id_b")))
+            .join(
+                a1.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+            )
+            .select(F.col("id_a").alias("doc_id"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    # ---- cycle 2: batch2 vs base + delta ----
+    a2, rejs2 = admit(b2, half2, extra_reg_h=a1_h, upd_ev=upd_ev)
+    # ---- counterfactual: cycle 2 WITHOUT the registry update ----
+    a2_noupd, _ = admit(b2, half2)
+
+    # ---- transparency: a REAL delta index probe equals the restriction ----
+    docs = _t(spark, sf_dir, "documents")
+    a1_docs = docs.join(a1, "doc_id", "left_semi")
+    b2_docs = docs.filter(half2(F.col("doc_id")))
+    delta_probe = (
+        dd.incremental_neardup_pairs(
+            b2_docs,
+            dd.lsh_band_index(a1_docs, **_MINHASH_INDEX_PARAMS),
+            threshold=0.5,
+            **_MINHASH_INDEX_PARAMS,
+        )
+        .filter(
+            (half1(F.col("id_a")) & half2(F.col("id_b")))
+            | (half2(F.col("id_a")) & half1(F.col("id_b")))
+        )
+        .localCheckpoint(eager=False)
+    )
+    restriction = (
+        fam_pairs["text"]
+        .filter(
+            (half1(F.col("id_a")) & half2(F.col("id_b")))
+            | (half2(F.col("id_a")) & half1(F.col("id_b")))
+        )
+        .join(
+            a1.select(F.col("doc_id").alias("__a1")),
+            (F.col("id_a") == F.col("__a1")) | (F.col("id_b") == F.col("__a1")),
+            "left_semi",
+        )
+        .localCheckpoint(eager=False)
+    )
+    transp_mismatch = (
+        delta_probe.exceptAll(restriction)
+        .unionByName(restriction.exceptAll(delta_probe))
+        .agg(F.count(F.lit(1)).alias("__tmis"))
+    )
+
+    # ---- audits ----
+    n_b1 = b1.agg(F.count(F.lit(1)).alias("__nb1"))
+    n_b2 = b2.agg(F.count(F.lit(1)).alias("__nb2"))
+    tiled1 = a1.select("doc_id")
+    for r in rejs1:
+        tiled1 = tiled1.unionByName(r.select("doc_id"))
+    tile1 = tiled1.agg(
+        F.count(F.lit(1)).alias("__t1n"),
+        F.count_distinct(F.col("doc_id")).alias("__t1d"),
+    )
+    tiled2 = a2.select("doc_id")
+    for r in rejs2:
+        tiled2 = tiled2.unionByName(r.select("doc_id"))
+    tile2 = tiled2.agg(
+        F.count(F.lit(1)).alias("__t2n"),
+        F.count_distinct(F.col("doc_id")).alias("__t2d"),
+    )
+    sourced = (
+        a1.agg(
+            F.sum((~half1(F.col("doc_id"))).cast("long")).alias("__bad1")
+        ).crossJoin(
+            F.broadcast(
+                a2.agg(
+                    F.sum((~half2(F.col("doc_id"))).cast("long")).alias(
+                        "__bad2"
+                    )
+                )
+            )
+        )
+    )
+    outcome_diff = (
+        a2.join(a2_noupd, "doc_id", "left_anti")
+        .unionByName(a2_noupd.join(a2, "doc_id", "left_anti"))
+        .agg(F.count(F.lit(1)).alias("__odiff"))
+    )
+    all_adm = a1.unionByName(a2).localCheckpoint(eager=False)
+    coadm_pairs = (
+        union_pairs.join(
+            all_adm.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi"
+        )
+        .join(
+            all_adm.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+        )
+        .select(F.lit(1).alias("__one"))
+    )
+    coadm_exact = (
+        hashes.select(F.col("id").alias("doc_id"), "h")
+        .join(all_adm, "doc_id", "left_semi")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select(F.lit(1).alias("__one"))
+    )
+    coadm = coadm_pairs.unionByName(coadm_exact).agg(
+        F.count(F.lit(1)).alias("__coadm")
+    )
+    n_a1 = a1.agg(F.count(F.lit(1)).alias("__na1"))
+    n_a2 = a2.agg(F.count(F.lit(1)).alias("__na2"))
+    rj1 = sum(r.count() for r in rejs1)
+    rj2 = sum(r.count() for r in rejs2)
+
+    row = n_b1.crossJoin(F.broadcast(n_b2)).crossJoin(F.broadcast(tile1))
+    row = (
+        row.crossJoin(F.broadcast(tile2))
+        .crossJoin(F.broadcast(sourced))
+        .crossJoin(F.broadcast(outcome_diff))
+        .crossJoin(F.broadcast(coadm))
+        .crossJoin(F.broadcast(transp_mismatch))
+        .crossJoin(F.broadcast(n_a1))
+        .crossJoin(F.broadcast(n_a2))
+    )
+    return row.select(
+        (
+            (F.col("__t1n") == F.col("__nb1"))
+            & (F.col("__t1d") == F.col("__nb1"))
+            & (F.col("__t2n") == F.col("__nb2"))
+            & (F.col("__t2d") == F.col("__nb2"))
+            & (F.col("__na1") == F.col("__nb1") - F.lit(rj1))
+            & (F.col("__na2") == F.col("__nb2") - F.lit(rj2))
+        )
+        .cast("long")
+        .alias("cycles_tile"),
+        (
+            (F.coalesce(F.col("__bad1"), F.lit(0)) == 0)
+            & (F.coalesce(F.col("__bad2"), F.lit(0)) == 0)
+        )
+        .cast("long")
+        .alias("admitted_from_own_batch"),
+        (F.col("__tmis") == 0).cast("long").alias("update_probe_transparent"),
+        (F.col("__odiff") > 0).cast("long").alias("update_changes_outcome"),
+        (F.col("__coadm") == 0).cast("long").alias("no_pair_coadmitted"),
+    )
+
+
+@register(
     "txt10_top_tokens",
     """
     SELECT tok, n_docs, n_total
