@@ -169,6 +169,7 @@ HEADLINE = [
     "pipe9_cross_family_admission",
     "pipe10_cross_family_admission_keepone",
     "pipe11_registry_update_cycles",
+    "pipe12_registry_compaction",
 ]
 
 

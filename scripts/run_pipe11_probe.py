@@ -1,0 +1,99 @@
+"""pipe11/pipe12 decades (r17) — the registry-update loop's own scale
+measurement (the pipe8-probe discipline on the new entries).
+
+pipe11 certifies CORRECTNESS of two admission cycles with a registry
+update (constant-oracle booleans, three SFs); pipe12 certifies the
+delta→base compaction. This probe answers the 100 TB question: does the
+per-cycle cost stay batch-shaped as the corpus grows 10×, and where does
+the composition hit its documented bound?
+
+Corpora: sf0.1 (5k docs) and /tmp/spark_graft_sf1 (50k — regenerate via
+make_scale_probe.py if /tmp was wiped). Per corpus:
+
+- first_touch: wall of the first pipe11 run (pays any registry-index
+  builds this box hasn't cached for the corpus digest, plus the
+  mhcompact write for pipe12);
+- decide: min-of-3 wall for pipe11 and pipe12 with all layouts warm;
+- booleans: asserted ALL 1 at every size (correctness does not decay).
+
+At /tmp/spark_graft_sf10 (500k) the probe asserts the composed ctx
+RAISES via `_VIDEO_UNCAPPED_DF_LIMIT`: pipe11/pipe12's cross-family
+cycle calls dd30's UNCAPPED video probe verbatim, and the 500k video
+registry carries the 20,088-df boilerplate digest the r15b study
+measured as divergent — the loop is bounded by the structural guard,
+loudly, not by join divergence. (pipe8's probe demonstrates the same
+corpus passing with the production max_df=64; a capped admission
+variant would compose the same way.)
+
+Results -> SCALE.md r17.
+
+Usage: python3 scripts/run_pipe11_probe.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+MEASURE_DIRS = ["/root/testdata/sf0.1", "/tmp/spark_graft_sf1"]
+GUARD_DIR = "/tmp/spark_graft_sf10"
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from tranquility_spark.catalog_llm import (
+        pipe11_registry_update_cycles,
+        pipe12_registry_compaction,
+    )
+
+    print("corpus | entry | first_touch_s | decide_min3_s | booleans")
+    for sf_dir in MEASURE_DIRS:
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        for name, fn in (
+            ("pipe11", pipe11_registry_update_cycles),
+            ("pipe12", pipe12_registry_compaction),
+        ):
+            t0 = time.time()
+            row = fn(spark, sf_dir).collect()[0]
+            first = time.time() - t0
+            assert all(v == 1 for v in row.asDict().values()), (
+                f"{sf_dir} {name}: boolean failed: {row}"
+            )
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                fn(spark, sf_dir).collect()
+                best = min(best, time.time() - t0)
+            print(
+                f"{sf_dir} ({n_docs} docs) | {name} | {first:.1f} | "
+                f"{best:.2f} | all 1"
+            )
+
+    if os.path.exists(f"{GUARD_DIR}/documents.parquet"):
+        try:
+            pipe11_registry_update_cycles(spark, GUARD_DIR).collect()
+            raise AssertionError(
+                "500k: expected the _VIDEO_UNCAPPED_DF_LIMIT raise"
+            )
+        except Exception as exc:  # noqa: BLE001 — asserting the guard
+            msg = str(exc)
+            assert "max_df" in msg or "uncapped" in msg.lower() or (
+                "video" in msg.lower()
+            ), f"500k raised, but not the video guard: {msg[:300]}"
+            print(f"{GUARD_DIR} (500k) | pipe11 | GUARD RAISED (bounded, loud)")
+    else:
+        print(f"{GUARD_DIR} missing — regenerate via make_scale_probe.py")
+
+
+if __name__ == "__main__":
+    main()

@@ -6052,46 +6052,15 @@ def pipe10_cross_family_admission_keepone(
     )
 
 
-@register(
-    "pipe11_registry_update_cycles",
-    """
-    SELECT CAST(1 AS BIGINT) AS cycles_tile,
-           CAST(1 AS BIGINT) AS admitted_from_own_batch,
-           CAST(1 AS BIGINT) AS update_probe_transparent,
-           CAST(1 AS BIGINT) AS update_changes_outcome,
-           CAST(1 AS BIGINT) AS no_pair_coadmitted
-    """,
-    doc="TWO admission cycles with a REGISTRY UPDATE between them (r17 — "
-    "the steady-state loop pipe9/pipe10 stop short of: they gate a "
-    "batch against frozen registries; production ALSO folds what it "
-    "admits back in, and the next batch must be gated against that). "
-    "The 20% batch splits in half by id arithmetic: cycle 1 admits "
-    "batch1 (keep-one: exact + UNION near-dup evidence across all four "
-    "signature families — the verbatim dd22/dd24/dd27/dd30 probe "
-    "outputs, restriction-by-id-arithmetic being exact because every "
-    "family's pair predicate is pairwise — then one converged CC over "
-    "the intra-batch union graph); the admitted set A1 becomes the "
-    "registry DELTA; cycle 2 gates batch2 against base+delta (exact "
-    "hashes ∪ A1 hashes; near-dup evidence vs registry AND vs A1 — "
-    "the LSM base+delta serving shape: the big index stays immutable, "
-    "the delta is batch-sized). Booleans: cycles_tile + "
-    "admitted_from_own_batch (both cycles' rejections partition their "
-    "batches, no leaks); update_probe_transparent (probing a REAL "
-    "freshly-built LSH delta index of A1 docs emits exactly the "
-    "batch2-vs-A1 restriction of the text probe — the contract that "
-    "lets production serve the delta from a persisted index); "
-    "update_changes_outcome (rerunning cycle 2 WITHOUT the update "
-    "yields a DIFFERENT admitted set — the fold-back has an "
-    "observable effect at every SF, attribution-order-independent); "
-    "no_pair_coadmitted (across A1 ∪ A2 no family pair and no exact "
-    "duplicate survives). Scale: per-cycle cost = batch probes + two "
-    "tiny CC runs; the delta index is batch-sized and the base "
-    "registry is never rebuilt — compaction folds deltas in at its "
-    "own cadence, exactly the segment-sink story",
-)
-def pipe11_registry_update_cycles(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+def _cross_family_cycle_ctx(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared context of the registry-update entries (r17: pipe11's two
+    admission cycles and pipe12's compaction — the _pipe5_stages
+    one-definition discipline): the id-arithmetic halves of
+    _dd_new_batch's 20% batch, the content-hash frames, ONE probe pass
+    per family (the pipe9 verbatim-fn discipline, reused by every cycle
+    via id-arithmetic restriction — exact because each family's pair
+    predicate is pairwise), the union evidence graph, and the
+    ``admit()`` keep-one cycle closure."""
     half1 = lambda c: (c % 10) == 0  # noqa: E731 — id-arithmetic halves
     half2 = lambda c: (c % 10) == 5  # noqa: E731   of _dd_new_batch's 20%
     registry_pred = lambda c: (c % 5) != 0  # noqa: E731
@@ -6110,8 +6079,6 @@ def pipe11_registry_update_cycles(
         F.col("id").alias("doc_id"), F.col("h").alias("__h")
     )
 
-    # ONE probe pass per family (the pipe9 verbatim-fn discipline),
-    # reused by both cycles via id-arithmetic restriction
     fam_pairs = {
         "text": dd22_minhash_incremental_served(spark, sf_dir).select(
             "id_a", "id_b", "est_jaccard"
@@ -6211,6 +6178,70 @@ def pipe11_registry_update_cycles(
             )
         )
         return admitted, rejs
+
+    return {
+        "half1": half1,
+        "half2": half2,
+        "registry_pred": registry_pred,
+        "hashes": hashes,
+        "reg_h": reg_h,
+        "b1": b1,
+        "b2": b2,
+        "fam_pairs": fam_pairs,
+        "union_pairs": union_pairs,
+        "admit": admit,
+    }
+
+
+@register(
+    "pipe11_registry_update_cycles",
+    """
+    SELECT CAST(1 AS BIGINT) AS cycles_tile,
+           CAST(1 AS BIGINT) AS admitted_from_own_batch,
+           CAST(1 AS BIGINT) AS update_probe_transparent,
+           CAST(1 AS BIGINT) AS update_changes_outcome,
+           CAST(1 AS BIGINT) AS no_pair_coadmitted
+    """,
+    doc="TWO admission cycles with a REGISTRY UPDATE between them (r17 — "
+    "the steady-state loop pipe9/pipe10 stop short of: they gate a "
+    "batch against frozen registries; production ALSO folds what it "
+    "admits back in, and the next batch must be gated against that). "
+    "The 20% batch splits in half by id arithmetic: cycle 1 admits "
+    "batch1 (keep-one: exact + UNION near-dup evidence across all four "
+    "signature families — the verbatim dd22/dd24/dd27/dd30 probe "
+    "outputs, restriction-by-id-arithmetic being exact because every "
+    "family's pair predicate is pairwise — then one converged CC over "
+    "the intra-batch union graph); the admitted set A1 becomes the "
+    "registry DELTA; cycle 2 gates batch2 against base+delta (exact "
+    "hashes ∪ A1 hashes; near-dup evidence vs registry AND vs A1 — "
+    "the LSM base+delta serving shape: the big index stays immutable, "
+    "the delta is batch-sized). Booleans: cycles_tile + "
+    "admitted_from_own_batch (both cycles' rejections partition their "
+    "batches, no leaks); update_probe_transparent (probing a REAL "
+    "freshly-built LSH delta index of A1 docs emits exactly the "
+    "batch2-vs-A1 restriction of the text probe — the contract that "
+    "lets production serve the delta from a persisted index); "
+    "update_changes_outcome (rerunning cycle 2 WITHOUT the update "
+    "yields a DIFFERENT admitted set — the fold-back has an "
+    "observable effect at every SF, attribution-order-independent); "
+    "no_pair_coadmitted (across A1 ∪ A2 no family pair and no exact "
+    "duplicate survives). Scale: per-cycle cost = batch probes + two "
+    "tiny CC runs; the delta index is batch-sized and the base "
+    "registry is never rebuilt — compaction folds deltas in at its "
+    "own cadence, exactly the segment-sink story",
+)
+def pipe11_registry_update_cycles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ctx = _cross_family_cycle_ctx(spark, sf_dir)
+    half1, half2, registry_pred = (
+        ctx["half1"],
+        ctx["half2"],
+        ctx["registry_pred"],
+    )
+    hashes, b1, b2 = ctx["hashes"], ctx["b1"], ctx["b2"]
+    fam_pairs, union_pairs = ctx["fam_pairs"], ctx["union_pairs"]
+    admit = ctx["admit"]
 
     # ---- cycle 1: batch1 vs the frozen base registries ----
     a1, rejs1 = admit(b1, half1)
@@ -6369,6 +6400,116 @@ def pipe11_registry_update_cycles(
         (F.col("__tmis") == 0).cast("long").alias("update_probe_transparent"),
         (F.col("__odiff") > 0).cast("long").alias("update_changes_outcome"),
         (F.col("__coadm") == 0).cast("long").alias("no_pair_coadmitted"),
+    )
+
+
+@register(
+    "pipe12_registry_compaction",
+    """
+    SELECT CAST(1 AS BIGINT) AS compacted_rows_exact,
+           CAST(1 AS BIGINT) AS compacted_probe_equals_rebuilt,
+           CAST(1 AS BIGINT) AS compacted_probe_nonempty,
+           CAST(1 AS BIGINT) AS delta_nonempty
+    """,
+    doc="Registry COMPACTION (r17 — the third act of the LSM story: "
+    "pipe11 serves base+delta; at some cadence the delta folds into "
+    "the base, and the fold must cost ZERO corpus bytes). The "
+    "compacted MinHash registry is the ROW UNION of the persisted 80% "
+    "base index and the cycle-1 admitted set's delta band rows — no "
+    "document is re-read, no signature recomputed, because banded "
+    "signature rows are self-contained — written once per corpus as a "
+    "(band, bhash)-bucketed table under the _served_index_table "
+    "protocol (digest-keyed location, atomic publish, sidecar). "
+    "Booleans: compacted_rows_exact (row count == base + delta — "
+    "exact, the doc sets are disjoint); compacted_probe_equals_rebuilt "
+    "(probing batch2 against the COMPACTED table emits exactly the "
+    "pairs of probing against an index REBUILT from the registry∪A1 "
+    "documents — the union-of-rows IS the rebuild, certified on full "
+    "(id_a, id_b, est_jaccard) rows); compacted_probe_nonempty + "
+    "delta_nonempty (non-vacuity). Scale: compaction cost = one "
+    "bucketed write of base+delta rows (shuffle on the bucket key "
+    "only); at 100 TB the base rows stream through without ever "
+    "touching corpus text — the amortization claim made structural",
+)
+def pipe12_registry_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tranquility_spark.sources.bucketed import write_bucketed
+
+    ctx = _cross_family_cycle_ctx(spark, sf_dir)
+    half2 = ctx["half2"]
+    base_table = _minhash_registry_table(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+
+    a1, _ = ctx["admit"](ctx["b1"], ctx["half1"])
+    a1_docs = docs.join(a1, "doc_id", "left_semi")
+    delta_rows = dd.lsh_band_index(
+        a1_docs, **_MINHASH_INDEX_PARAMS
+    ).localCheckpoint(eager=False)
+
+    def _compact_build(df, name, n, loc):
+        # ignores the protocol's documents frame ON PURPOSE: compaction
+        # is a row union of two existing signature frames — reading the
+        # corpus here would falsify the zero-corpus-bytes claim the
+        # entry certifies
+        write_bucketed(
+            spark.table(base_table).unionByName(delta_rows),
+            name,
+            ["band", "bhash"],
+            n,
+            path=loc,
+        )
+
+    compacted = _served_index_table(
+        spark,
+        sf_dir,
+        "mhcompact+" + repr(sorted(_MINHASH_INDEX_PARAMS.items())),
+        _MINHASH_INDEX_SCHEMA,
+        ["band", "bhash"],
+        _compact_build,
+        extra_meta={"params": _MINHASH_INDEX_PARAMS, "compaction": "base+A1"},
+    )
+
+    b2_docs = docs.filter(half2(F.col("doc_id")))
+    probe_compacted = dd.incremental_neardup_pairs(
+        b2_docs, spark.table(compacted), threshold=0.5, **_MINHASH_INDEX_PARAMS
+    ).localCheckpoint(eager=False)
+    # the certification rebuild: registry∪A1 documents re-signatured from
+    # text — the expensive pass compaction avoids, run here only to prove
+    # the row union equals it
+    rebuilt_idx = dd.lsh_band_index(
+        docs.filter(ctx["registry_pred"](F.col("doc_id"))).unionByName(
+            a1_docs
+        ),
+        **_MINHASH_INDEX_PARAMS,
+    )
+    probe_rebuilt = dd.incremental_neardup_pairs(
+        b2_docs, rebuilt_idx, threshold=0.5, **_MINHASH_INDEX_PARAMS
+    ).localCheckpoint(eager=False)
+
+    mismatch = (
+        probe_compacted.exceptAll(probe_rebuilt)
+        .unionByName(probe_rebuilt.exceptAll(probe_compacted))
+        .agg(F.count(F.lit(1)).alias("__mis"))
+    )
+    n_comp = spark.table(compacted).agg(F.count(F.lit(1)).alias("__ncomp"))
+    n_base = spark.table(base_table).agg(F.count(F.lit(1)).alias("__nbase"))
+    n_delta = delta_rows.agg(F.count(F.lit(1)).alias("__ndelta"))
+    n_probe = probe_compacted.agg(F.count(F.lit(1)).alias("__nprobe"))
+
+    row = (
+        n_comp.crossJoin(F.broadcast(n_base))
+        .crossJoin(F.broadcast(n_delta))
+        .crossJoin(F.broadcast(n_probe))
+        .crossJoin(F.broadcast(mismatch))
+    )
+    return row.select(
+        (F.col("__ncomp") == F.col("__nbase") + F.col("__ndelta"))
+        .cast("long")
+        .alias("compacted_rows_exact"),
+        (F.col("__mis") == 0)
+        .cast("long")
+        .alias("compacted_probe_equals_rebuilt"),
+        (F.col("__nprobe") > 0).cast("long").alias("compacted_probe_nonempty"),
+        (F.col("__ndelta") > 0).cast("long").alias("delta_nonempty"),
     )
 
 
