@@ -3637,3 +3637,151 @@ def test_video_index_sink_rejects_split_doc(spark, tmp_path):
         for r in spark.read.parquet(pairs_dir).collect()
     }
     assert (1, 3) in got  # doc 3 shares frame "b"*16 with doc 1
+
+
+def test_streaming_admission_sink_end_to_end(spark, sf_dir, tmp_path):
+    """r17: the cross-family streaming ADMISSION sink (the streaming twin
+    of pipe10/pipe11): documents stream in 4 micro-batches; each batch
+    is signatured once per family, gated keep-one against the
+    ACCUMULATED ADMITTED-ONLY registries, and only admitted docs'
+    signature rows enter the indexes. End-to-end audits are
+    batch-composition-independent:
+
+    (a) decisions tile the corpus (one row per doc);
+    (b) NO two admitted docs are near-dups under a FULL batch-mode pass
+        of ANY family (the dedup guarantee the gate owes), and no two
+        admitted docs share a content hash;
+    (c) registry purity: every index row's id is an admitted doc;
+    (d) served == rebuilt: each family's accumulated index rows equal
+        the index built fresh from the admitted docs' raw text — the
+        serving registry IS the admitted corpus's index.
+    """
+    from tranquility_spark.operators.admission import admission_sink
+    from tranquility_spark.operators import dedup as dd
+    from tranquility_spark.operators import multimodal as mm
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(src)
+
+    index_root = str(tmp_path / "idx")
+    decisions_dir = str(tmp_path / "decisions")
+    sink = admission_sink(index_root, decisions_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    decisions = spark.read.parquet(decisions_dir)
+    # (a) tiling
+    assert decisions.count() == n_docs
+    assert decisions.select("doc_id").distinct().count() == n_docs
+    admitted = decisions.filter(F.col("admitted") == 1).select("doc_id")
+    n_adm = admitted.count()
+    assert 0 < n_adm < n_docs  # gates bite, corpus survives
+    # the accumulated registries rejected at least one cross-batch dup
+    reasons = {
+        r["reason"]: r["n"]
+        for r in decisions.groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert reasons.get("exact_registry", 0) + reasons.get(
+        "neardup_registry", 0
+    ) > 0, reasons
+
+    # (b) no coadmitted near-dup pair under any family's FULL pass
+    adm_docs = docs.join(admitted, "doc_id", "left_semi").localCheckpoint()
+    payload = mm.attach_binary_payload(adm_docs)
+    assert dd.minhash_lsh_pairs(adm_docs, threshold=0.5).count() == 0
+    assert (
+        dd.dhash_neardup_pairs(mm.image_dhash(payload), threshold=3).count()
+        == 0
+    )
+    assert (
+        dd.audio_fp_neardup_pairs(
+            mm.audio_energy_fingerprint(payload), threshold=3
+        ).count()
+        == 0
+    )
+    assert (
+        dd.video_neardup_pairs(
+            mm.video_frame_hashes(payload), min_shared=2
+        ).count()
+        == 0
+    )
+    assert (
+        adm_docs.select(dd.content_hash(F.col("text")).alias("h"))
+        .groupBy("h")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    )
+
+    # (c) registry purity + (d) served == rebuilt per family
+    rebuilt = {
+        "exact": adm_docs.select(
+            F.col("doc_id").alias("id"),
+            dd.content_hash(F.col("text")).alias("h"),
+        ),
+        "text": dd.lsh_band_index(adm_docs),
+        "image": dd.dhash_band_index(mm.image_dhash(payload)),
+        "audio": dd.audio_fp_band_index(mm.audio_energy_fingerprint(payload)),
+        "video": dd.video_frame_index(mm.video_frame_hashes(payload)),
+    }
+    for fam, want in rebuilt.items():
+        got = spark.read.parquet(f"{index_root}/{fam}").drop("batch_id")
+        assert (
+            got.join(admitted.withColumnRenamed("doc_id", "id"), "id", "left_anti")
+            .count()
+            == 0
+        ), f"{fam}: non-admitted id in registry"
+        want = want.select(*got.columns)
+        assert got.exceptAll(want).count() == 0, f"{fam}: extra served rows"
+        assert want.exceptAll(got).count() == 0, f"{fam}: missing served rows"
+
+
+def test_admission_sink_replay_contract(spark, sf_dir, tmp_path):
+    """A redelivered batch must rewrite its own decision and index
+    partitions with IDENTICAL content (the per-family sinks' replay
+    contract, now over five indexes + a decisions dir at once): the
+    prior-index view excludes the batch's own rows, so the replay
+    recomputes the same gates against the same registry state."""
+    from tranquility_spark.operators.admission import admission_sink
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    index_root = str(tmp_path / "idx")
+    decisions_dir = str(tmp_path / "decisions")
+    sink = admission_sink(index_root, decisions_dir)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def snapshot():
+        out = {
+            "decisions": sorted(
+                map(tuple, spark.read.parquet(decisions_dir).collect())
+            )
+        }
+        for fam in ("exact", "text", "image", "audio", "video"):
+            out[fam] = sorted(
+                map(tuple, spark.read.parquet(f"{index_root}/{fam}").collect())
+            )
+        return out
+
+    before = snapshot()
+    sink(b1, 1)  # redelivery
+    assert snapshot() == before

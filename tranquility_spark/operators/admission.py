@@ -1,0 +1,258 @@
+"""Cross-family streaming ADMISSION sink — the streaming twin of the
+pipe10/pipe11 batch compositions (r17).
+
+The per-family streaming dedup sinks (operators/dedup.py:
+neardup/simhash/dhash/audio_fp/video_index_sink) detect duplicates and
+index EVERYTHING. A production ingest gate does something stronger: it
+DECIDES per document, and only what it admits may enter the registries —
+rejected content must never gate future batches. This module composes
+all five signature families into that decision loop as one foreachBatch
+sink:
+
+per micro-batch (exactly the pipe10 keep-one semantics):
+1. signature the batch ONCE per family (content hash, MinHash bands,
+   image dHash, audio fingerprint, video frame digests — the media
+   decode cost is paid here and only here);
+2. read each family's ACCUMULATED admitted-only index (prior batches —
+   ``_read_index_before``, the shared replay contract: a redelivered
+   batch sees exactly the registry state of its first delivery);
+3. gates in order: exact-vs-registry, exact intra keep-min, union
+   near-dup evidence vs registry (all four families' incremental
+   probes), then ONE converged CC over the intra-batch union graph
+   keeping component minima;
+4. write one decision row per doc (doc_id, admitted, reason) and append
+   ONLY the admitted docs' signature rows to each family index, both
+   under ``batch_id=`` partitions (dynamic overwrite → replay rewrites
+   identical content).
+
+Reference parity note: tranquility itself admits by TIME (windowPeriod
+rejects late/early events, core/BeamPropagator [recall]); content-level
+admission is part of this repo's LLM-pipeline extension surface, the
+streaming form of SURVEY §2.7's declared north star.
+
+Scale shape: per batch the registries are touched only through banded
+bucket probes of admitted-only rows; the decide pass adds one tiny CC.
+Registry growth is bounded by ADMITTED volume (dedup sinks grow with
+ingest volume) — on a 100 TB stream with heavy duplication the index
+footprint is the deduplicated corpus, which is the entire point.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tranquility_spark.operators import dedup as dd
+from tranquility_spark.operators import multimodal as mm
+from tranquility_spark.operators.batch_sink import write_batch_partition
+from tranquility_spark.operators.dedup import _read_index_before
+
+# accumulated-index layouts, one subdir per family under index_root
+_FAMILY_SCHEMAS = {
+    "exact": "id bigint, h string",
+    "text": "id bigint, sig array<bigint>, band int, bhash bigint",
+    "image": "id bigint, sighex string, band int, bval string",
+    "audio": "id bigint, sighex string, band int, bval string",
+    "video": "id bigint, fhash string",
+}
+_FAMILY_COLS = {
+    k: [c.strip().split()[0] for c in v.split(",")]
+    for k, v in _FAMILY_SCHEMAS.items()
+}
+
+
+def admission_sink(
+    index_root: str,
+    decisions_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    minhash_params: dict | None = None,
+    minhash_threshold: float = 0.5,
+    dhash_threshold: int = 3,
+    audio_threshold: int = 3,
+    video_min_shared: int = 2,
+):
+    """Build the foreachBatch callable. Batches carry (doc_id, text);
+    media digests derive from the repo's binary-payload convention
+    (``multimodal.attach_binary_payload`` — stub decode, real plumbing).
+    Batches must be DOC-ATOMIC (the video sink's contract: all of a
+    doc's frames decide in one batch — trivially true here since the
+    batch carries whole document rows)."""
+    P = minhash_params or dict(num_hashes=64, bands=16, shingle_k=3, seed=42)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=False)
+        ids = batch_df.select(F.col(id_col).alias("doc_id")).localCheckpoint(
+            eager=False
+        )
+
+        # ---- 1. signature passes, once per family ----
+        payload = mm.attach_binary_payload(batch_df, text_col, id_col)
+        sig = {
+            "exact": batch_df.select(
+                F.col(id_col).alias("id"),
+                dd.content_hash(F.col(text_col)).alias("h"),
+            ),
+            "text": dd.lsh_band_index(batch_df, text_col, id_col, **P),
+            "image": mm.image_dhash(payload),
+            "audio": mm.audio_energy_fingerprint(payload),
+            "video": mm.video_frame_hashes(payload),
+        }
+        sig = {k: v.localCheckpoint(eager=False) for k, v in sig.items()}
+
+        # ---- 2. accumulated admitted-only registry views ----
+        views = {}
+        for fam, cols in _FAMILY_COLS.items():
+            v = _read_index_before(
+                spark, os.path.join(index_root, fam), batch_id, cols
+            )
+            views[fam] = (
+                v
+                if v is not None
+                else spark.createDataFrame([], _FAMILY_SCHEMAS[fam])
+            )
+
+        # ---- 3. near-dup evidence (incremental probes; an empty view
+        # degrades each probe to its intra-batch self-join) ----
+        pairs = {
+            "text": dd.incremental_neardup_pairs(
+                batch_df,
+                views["text"],
+                text_col=text_col,
+                id_col=id_col,
+                threshold=minhash_threshold,
+                **P,
+            ).select("id_a", "id_b"),
+            "image": dd.dhash_incremental_pairs(
+                sig["image"], views["image"], dhash_threshold
+            ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")),
+            "audio": dd.audio_fp_incremental_pairs(
+                sig["audio"], views["audio"], audio_threshold
+            ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")),
+            "video": dd.video_incremental_pairs(
+                sig["video"], views["video"], video_min_shared
+            ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")),
+        }
+        union = None
+        for p in pairs.values():
+            union = p if union is None else union.unionByName(p)
+        union = union.localCheckpoint(eager=False)
+
+        # batch membership is set membership here, NOT id arithmetic
+        # (pipe11's mod-10 halves are a fixture convenience)
+        reg_ev = (
+            union.join(
+                ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_anti"
+            )
+            .select(F.col("id_a").alias("doc_id"))
+            .unionByName(
+                union.join(
+                    ids.select(F.col("doc_id").alias("id_a")),
+                    "id_a",
+                    "left_anti",
+                ).select(F.col("id_b").alias("doc_id"))
+            )
+            .distinct()
+        )
+        intra = union.join(
+            ids.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi"
+        ).join(ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+
+        # ---- 4. gates, pipe10 order ----
+        hashed = sig["exact"].select(F.col("id").alias("doc_id"), "h")
+        rej_exact = (
+            hashed.join(views["exact"].select("h").distinct(), "h", "left_semi")
+            .select("doc_id")
+            .localCheckpoint(eager=False)
+        )
+        rem = hashed.join(rej_exact, "doc_id", "left_anti")
+        keep = rem.groupBy("h").agg(F.min("doc_id").alias("__keep"))
+        rej_exact_intra = (
+            rem.join(keep, "h")
+            .filter(F.col("doc_id") != F.col("__keep"))
+            .select("doc_id")
+            .localCheckpoint(eager=False)
+        )
+        standing = (
+            ids.join(rej_exact, "doc_id", "left_anti")
+            .join(rej_exact_intra, "doc_id", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        rej_reg = standing.join(reg_ev, "doc_id", "left_semi").localCheckpoint(
+            eager=False
+        )
+        standing = standing.join(
+            rej_reg, "doc_id", "left_anti"
+        ).localCheckpoint(eager=False)
+        intra_standing = intra.join(
+            standing.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi"
+        ).join(
+            standing.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+        )
+        admitted = dd.neardup_survivors_converged(
+            standing, intra_standing
+        ).localCheckpoint(eager=False)
+        rej_intra = standing.join(admitted, "doc_id", "left_anti")
+
+        decisions = (
+            admitted.select(
+                "doc_id",
+                F.lit(1).alias("admitted"),
+                F.lit("admitted").alias("reason"),
+            )
+            .unionByName(
+                rej_exact.select(
+                    "doc_id",
+                    F.lit(0).alias("admitted"),
+                    F.lit("exact_registry").alias("reason"),
+                )
+            )
+            .unionByName(
+                rej_exact_intra.select(
+                    "doc_id",
+                    F.lit(0).alias("admitted"),
+                    F.lit("exact_intra").alias("reason"),
+                )
+            )
+            .unionByName(
+                rej_reg.select(
+                    "doc_id",
+                    F.lit(0).alias("admitted"),
+                    F.lit("neardup_registry").alias("reason"),
+                )
+            )
+            .unionByName(
+                rej_intra.select(
+                    "doc_id",
+                    F.lit(0).alias("admitted"),
+                    F.lit("neardup_intra").alias("reason"),
+                )
+            )
+        )
+        write_batch_partition(decisions, decisions_dir, batch_id)
+
+        # ---- 5. registry updates: ADMITTED rows only ----
+        adm_id = admitted.select(F.col("doc_id").alias("id"))
+        adm_doc = admitted.select("doc_id")
+        updates = {
+            "exact": sig["exact"].join(adm_id, "id", "left_semi"),
+            "text": sig["text"].join(adm_id, "id", "left_semi"),
+            "image": dd.dhash_band_index(
+                sig["image"].join(adm_doc, "doc_id", "left_semi")
+            ),
+            "audio": dd.audio_fp_band_index(
+                sig["audio"].join(adm_doc, "doc_id", "left_semi")
+            ),
+            "video": dd.video_frame_index(
+                sig["video"].join(adm_doc, "doc_id", "left_semi")
+            ),
+        }
+        for fam, rows in updates.items():
+            write_batch_partition(
+                rows, os.path.join(index_root, fam), batch_id
+            )
+
+    return write
