@@ -170,6 +170,7 @@ HEADLINE = [
     "pipe10_cross_family_admission_keepone",
     "pipe11_registry_update_cycles",
     "pipe12_registry_compaction",
+    "dd33_video_incremental_capped",
 ]
 
 

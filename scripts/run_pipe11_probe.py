@@ -91,6 +91,24 @@ def main() -> None:
                 "video" in msg.lower()
             ), f"500k raised, but not the video guard: {msg[:300]}"
             print(f"{GUARD_DIR} (500k) | pipe11 | GUARD RAISED (bounded, loud)")
+
+        # the capped escape hatch (r17 follow-up): dd33's snapshot-capped
+        # video probe lets the SAME loop run past the guard's bound —
+        # video_max_df=64 is the r15b-prescribed production cap
+        from tranquility_spark.catalog_llm import _pipe11_impl
+
+        t0 = time.time()
+        row = _pipe11_impl(spark, GUARD_DIR, video_max_df=64).collect()[0]
+        first = time.time() - t0
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _pipe11_impl(spark, GUARD_DIR, video_max_df=64).collect()
+            best = min(best, time.time() - t0)
+        print(
+            f"{GUARD_DIR} (500k) | pipe11 capped(video_max_df=64) | "
+            f"{first:.1f} | {best:.2f} | {dict(row.asDict())}"
+        )
     else:
         print(f"{GUARD_DIR} missing — regenerate via make_scale_probe.py")
 

@@ -1695,6 +1695,87 @@ def test_video_incremental_equals_full_run_restricted(spark, sf_dir):
     assert want, "fixture produced no video pairs touching the new batch"
 
 
+def test_video_incremental_capped_equals_capped_full_restricted(spark, sf_dir):
+    """dd33's obligation (r17): the SNAPSHOT-capped incremental probe —
+    df computed over the decision-time population (index ∪ new) —
+    returns EXACTLY the capped full run's pairs touching a new id, with
+    the capped run's post-cap per-doc counts. Includes the cross-side
+    accumulation case: a digest at df 3(index)+2(new) with max_df 4
+    must be dropped even though neither side alone exceeds the cap."""
+    from tranquility_spark.operators.dedup import (
+        video_frame_index,
+        video_incremental_pairs_capped,
+        video_neardup_pairs,
+    )
+    from tranquility_spark.operators.multimodal import (
+        attach_binary_payload,
+        video_frame_hashes,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = video_frame_hashes(attach_binary_payload(docs))
+    for max_df in (2, 4):
+        full = video_neardup_pairs(fps, min_shared=2, max_df=max_df)
+        new_ids = {
+            r.doc_id
+            for r in docs.filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id")
+            .collect()
+        }
+        want = {
+            (r.doc_a, r.doc_b): (r.n_shared, r.n_a, r.n_b, r.containment)
+            for r in full.collect()
+            if r.doc_a in new_ids or r.doc_b in new_ids
+        }
+        index = video_frame_index(fps.filter(F.col("doc_id") % 5 != 0))
+        got = {
+            (r.doc_a, r.doc_b): (r.n_shared, r.n_a, r.n_b, r.containment)
+            for r in video_incremental_pairs_capped(
+                fps.filter(F.col("doc_id") % 5 == 0),
+                index,
+                min_shared=2,
+                max_df=max_df,
+            ).collect()
+        }
+        assert got == want, f"max_df={max_df}"
+    assert want, "fixture produced no capped pairs touching the new batch"
+
+    # synthetic cross-side accumulation: digest X at df 3+2 = 5 > 4 is
+    # dropped globally; digest Y at 2+2 = 4 <= 4 survives and pairs
+    schema = "doc_id long, frame_idx long, fhash string"
+    old = spark.createDataFrame(
+        [(i, 0, "x" * 16) for i in (1, 2, 3)]
+        + [(i, 1, "y" * 16) for i in (1, 2)]
+        + [(1, 2, "z" * 16), (2, 2, "z" * 16)],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [(10, 0, "x" * 16), (11, 0, "x" * 16)]
+        + [(10, 1, "y" * 16), (11, 1, "y" * 16)]
+        + [(10, 2, "w" * 16), (11, 2, "w" * 16)],
+        schema,
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in video_incremental_pairs_capped(
+            new, video_frame_index(old), min_shared=2, max_df=4
+        ).collect()
+    }
+    # x (df 5) is capped away on BOTH sides; y (df 4) and w (df 2)
+    # survive -> only the new-new pair (10, 11) reaches min_shared 2
+    assert got == {(10, 11): 2}
+    full_synth = video_neardup_pairs(
+        new.unionByName(old), min_shared=2, max_df=4
+    )
+    want_synth = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in full_synth.collect()
+        if r.doc_a in (10, 11) or r.doc_b in (10, 11)
+    }
+    assert got == want_synth
+
+
 def test_neardup_survivors_converged_long_chain(spark):
     """The r15b third-review finding, pinned: a chain component whose min
     node is farther than max_iterations hops used to return silently

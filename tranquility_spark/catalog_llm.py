@@ -5413,6 +5413,68 @@ def dd30_video_incremental_served(
     )
 
 
+# dd33's capped pair graph: the SAME hset as _VIDEO_PAIR_IDS_CTE with a
+# global-df cap applied BEFORE pairing and counting — deliberately a
+# separate fragment (the one-definition rule covers the UNCAPPED graph
+# dd28/dd29/dd30/dd32 share; the capped graph is a different predicate
+# by design, and its per-doc counts are post-cap per _video_pairs_core)
+_DD33_MAX_DF = 4  # bites at fixture scale (hottest df 9-10); prod uses 64
+
+
+@register(
+    "dd33_video_incremental_capped",
+    f"""
+    WITH {_VFH_CTE},
+    hset AS (SELECT DISTINCT doc_id, fhash FROM vfh WHERE fhash IS NOT NULL),
+    okh AS (SELECT fhash FROM hset GROUP BY fhash
+            HAVING count(*) <= {_DD33_MAX_DF}),
+    hc AS (SELECT h.doc_id, h.fhash FROM hset h JOIN okh USING (fhash)),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ns
+          FROM hc a JOIN hc b
+            ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    cnt AS (SELECT doc_id, count(*) AS nh FROM hc GROUP BY doc_id)
+    SELECT doc_a, doc_b, CAST(ns AS BIGINT) AS n_shared,
+           CAST(ca.nh AS BIGINT) AS n_a, CAST(cb.nh AS BIGINT) AS n_b,
+           ROUND(CAST(ns AS DOUBLE) / LEAST(ca.nh, cb.nh), 6) AS containment
+    FROM p JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE (doc_a % 5 = 0 OR doc_b % 5 = 0)
+    """,
+    doc="SNAPSHOT-capped incremental video near-dup (r17 — the missing "
+    "form between dd30's uncapped-with-raise probe and dd28's capped "
+    "full run): the new 20% batch probes the 80% frame-digest registry "
+    "with the hot-digest cap applied at GLOBAL document frequency — df "
+    "computed over the decision-time population (registry ∪ batch), "
+    "both sides counted, so a digest at 3+2 with cap 4 drops even "
+    "though neither side alone exceeds it. Per-doc counts are the "
+    "capped run's post-cap counts. Directly value-oracled: the brute "
+    "force applies the same global cap (HAVING count(*) <= max_df over "
+    "the full hset) before pairing — a green hash certifies "
+    "capped-incremental == capped-full-restriction cross-engine. This "
+    "is what lets a FIXED-REGISTRY admission cycle run on corpora past "
+    "`_VIDEO_UNCAPPED_DF_LIMIT` (the 500k decade, where the uncapped "
+    "probe correctly raises — SCALE.md r17); the ACCUMULATING "
+    "streaming sink keeps the raise instead, because a df cap over a "
+    "growing corpus is time-dependent and would break union == "
+    "one-batch-pass. df is computed only for touched buckets "
+    "(broadcast semi-joins into the bucketed registry) — per-cycle "
+    "cost stays corpus-size-independent. max_df=4 here so the cap "
+    "demonstrably bites at fixture scale (capped 4 vs uncapped 9 "
+    "pairs at sf0.01); production uses the r15b-prescribed 64",
+)
+def dd33_video_incremental_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    table = _video_registry_table(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    new_hashes = mm.video_frame_hashes(
+        mm.attach_binary_payload(docs.filter(_dd_new_batch()))
+    )
+    return dd.video_incremental_pairs_capped(
+        new_hashes, spark.table(table), min_shared=2, max_df=_DD33_MAX_DF
+    )
+
+
 # survivors = every doc NOT a non-root member of a pair component; the
 # recursive CTE computes the transitive closure of the (symmetrized)
 # pair graph and each node's component min — connected components in
@@ -6052,7 +6114,9 @@ def pipe10_cross_family_admission_keepone(
     )
 
 
-def _cross_family_cycle_ctx(spark: SparkSession, sf_dir: str) -> dict:
+def _cross_family_cycle_ctx(
+    spark: SparkSession, sf_dir: str, video_max_df: int | None = None
+) -> dict:
     """Shared context of the registry-update entries (r17: pipe11's two
     admission cycles and pipe12's compaction — the _pipe5_stages
     one-definition discipline): the id-arithmetic halves of
@@ -6060,7 +6124,17 @@ def _cross_family_cycle_ctx(spark: SparkSession, sf_dir: str) -> dict:
     per family (the pipe9 verbatim-fn discipline, reused by every cycle
     via id-arithmetic restriction — exact because each family's pair
     predicate is pairwise), the union evidence graph, and the
-    ``admit()`` keep-one cycle closure."""
+    ``admit()`` keep-one cycle closure.
+
+    ``video_max_df`` (the run_pipe11_probe 500k leg; entries pass None):
+    swaps the video gate to the SNAPSHOT-capped probe (dd33's
+    ``video_incremental_pairs_capped``) so the loop runs on corpora
+    whose digest space saturated past ``_VIDEO_UNCAPPED_DF_LIMIT``.
+    CAVEAT: the capped pair predicate is NOT pairwise (df depends on
+    the population), so the restriction-by-id reuse makes each cycle
+    see df over (registry ∪ WHOLE batch) rather than its own
+    population — fine for a scale probe, documented here so nobody
+    certifies an oracle against the capped ctx without rethinking it."""
     half1 = lambda c: (c % 10) == 0  # noqa: E731 — id-arithmetic halves
     half2 = lambda c: (c % 10) == 5  # noqa: E731   of _dd_new_batch's 20%
     registry_pred = lambda c: (c % 5) != 0  # noqa: E731
@@ -6089,9 +6163,20 @@ def _cross_family_cycle_ctx(spark: SparkSession, sf_dir: str) -> dict:
         "audio": dd27_audio_fp_incremental_served(spark, sf_dir).select(
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         ),
-        "video": dd30_video_incremental_served(spark, sf_dir).select(
-            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
-        ),
+        "video": (
+            dd30_video_incremental_served(spark, sf_dir)
+            if video_max_df is None
+            else dd.video_incremental_pairs_capped(
+                mm.video_frame_hashes(
+                    mm.attach_binary_payload(
+                        _t(spark, sf_dir, "documents").filter(_dd_new_batch())
+                    )
+                ),
+                spark.table(_video_registry_table(spark, sf_dir)),
+                min_shared=2,
+                max_df=video_max_df,
+            )
+        ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")),
     }
     fam_pairs = {
         k: v.localCheckpoint(eager=False) for k, v in fam_pairs.items()
@@ -6233,7 +6318,18 @@ def _cross_family_cycle_ctx(spark: SparkSession, sf_dir: str) -> dict:
 def pipe11_registry_update_cycles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    ctx = _cross_family_cycle_ctx(spark, sf_dir)
+    return _pipe11_impl(spark, sf_dir)
+
+
+def _pipe11_impl(
+    spark: SparkSession, sf_dir: str, video_max_df: int | None = None
+) -> DataFrame:
+    """pipe11's two-cycle registry-update pass, parameterized for the
+    scale probe (the _pipe8_decide precedent): the fixture entry runs
+    the video gate uncapped; run_pipe11_probe's 500k leg passes
+    ``video_max_df=64`` so the loop runs past the uncapped guard's
+    divergence bound (see _cross_family_cycle_ctx's caveat)."""
+    ctx = _cross_family_cycle_ctx(spark, sf_dir, video_max_df=video_max_df)
     half1, half2, registry_pred = (
         ctx["half1"],
         ctx["half2"],

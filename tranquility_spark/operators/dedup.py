@@ -2226,6 +2226,124 @@ def video_incremental_pairs(
     return _video_attach_counts(pairs, cnt)
 
 
+def video_incremental_pairs_capped(
+    new_hashes: DataFrame,
+    index_df: DataFrame,
+    min_shared: int = 2,
+    max_df: int = 64,
+    id_col: str = "doc_id",
+    hash_col: str = "fhash",
+) -> DataFrame:
+    """SNAPSHOT-capped incremental video pairs (r17): the hot-digest cap
+    of :func:`video_neardup_pairs`' ``max_df``, made available to the
+    batch-vs-registry probe with document frequency computed over the
+    DECISION-TIME population (index ∪ new) — so the result EQUALS the
+    capped FULL run over (index docs ∪ new docs) restricted to pairs
+    touching new ids (asserted in tests; per-doc counts are the capped
+    run's counts, i.e. computed AFTER the cap with GLOBAL df).
+
+    This is the form a fixed-registry admission cycle (pipe11's shape)
+    uses to run on corpora whose digest space has saturated past
+    ``_VIDEO_UNCAPPED_DF_LIMIT`` — the 500k decade where the uncapped
+    probe (correctly) raises. It must NOT replace
+    :func:`video_incremental_pairs` in the ACCUMULATING streaming sink:
+    a df cap over a growing corpus is time-dependent (a digest under
+    the cap today exceeds it tomorrow), which would break the sink's
+    union == one-batch-pass contract — that path keeps the raise guard
+    (see the uncapped docstring). Snapshot semantics sidestep this: df
+    is a pure function of the fixed (index, new) pair.
+
+    Scale shape: df is computed only for BUCKETS THE PROBE TOUCHES
+    (new-side digests for the pair join; touched docs' digests for the
+    capped counts) via broadcast semi-joins into the bucketed index —
+    never a full-index groupBy, so the per-cycle cost stays
+    O(new batch + touched buckets + touched docs' digest buckets),
+    corpus-size-independent like the uncapped form."""
+    new_idx = video_frame_index(new_hashes, id_col, hash_col).localCheckpoint(
+        eager=False
+    )
+    idx = index_df.select("id", "fhash").distinct()
+
+    def _global_df_ok(fhashes: DataFrame) -> DataFrame:
+        """fhash values (from ``fhashes``) whose df over index ∪ new is
+        <= max_df — both sides counted, so a digest at df 3+2 with
+        max_df 4 is dropped (a per-side cap would keep it)."""
+        di = (
+            idx.join(F.broadcast(fhashes), "fhash", "left_semi")
+            .groupBy("fhash")
+            .agg(F.count(F.lit(1)).alias("__di"))
+        )
+        dn = (
+            new_idx.join(F.broadcast(fhashes), "fhash", "left_semi")
+            .groupBy("fhash")
+            .agg(F.count(F.lit(1)).alias("__dn"))
+        )
+        return (
+            di.join(dn, "fhash", "full_outer")
+            .filter(
+                F.coalesce(F.col("__di"), F.lit(0))
+                + F.coalesce(F.col("__dn"), F.lit(0))
+                <= max_df
+            )
+            .select("fhash")
+        )
+
+    ok_new = _global_df_ok(new_idx.select("fhash").distinct()).localCheckpoint(
+        eager=False
+    )
+    new_capped = new_idx.join(
+        F.broadcast(ok_new), "fhash", "left_semi"
+    ).localCheckpoint(eager=False)
+    idx_probe = idx.join(F.broadcast(ok_new), "fhash", "left_semi")
+
+    n, i = new_capped.alias("n"), idx_probe.alias("i")
+    no = (
+        n.join(i, F.col("n.fhash") == F.col("i.fhash"))
+        .groupBy(
+            F.least(F.col("n.id"), F.col("i.id")).alias("doc_a"),
+            F.greatest(F.col("n.id"), F.col("i.id")).alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__ns"))
+    )
+    a, b = new_capped.alias("a"), new_capped.alias("b")
+    nn = (
+        a.join(
+            b,
+            (F.col("a.fhash") == F.col("b.fhash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("__ns"))
+    )
+    pairs = (
+        no.unionByName(nn)
+        .filter(F.col("__ns") >= min_shared)
+        .localCheckpoint(eager=False)
+    )
+
+    # capped per-doc counts, GLOBAL-df-exact, for surfaced docs only:
+    # new docs' digests are all in ok_new's population; touched INDEX
+    # docs may carry digests the probe never joined, whose global df
+    # still decides whether the capped full run counts them
+    touched = (
+        pairs.select(F.col("doc_a").alias("id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
+    t_rows = idx.join(touched, "id", "semi").localCheckpoint(eager=False)
+    ok_t = _global_df_ok(t_rows.select("fhash").distinct())
+    cnt = (
+        new_capped.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__nh"))
+        .unionByName(
+            t_rows.join(F.broadcast(ok_t), "fhash", "left_semi")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("__nh"))
+        )
+    )
+    return _video_attach_counts(pairs, cnt)
+
+
 def video_index_write(
     frame_hashes: DataFrame,
     table: str,
