@@ -11,9 +11,11 @@ Method (MinHash family, 50k-doc corpus /tmp/spark_graft_sf1; falls back
 to sf0.1's 5k docs):
 
 - base = the persisted 80% registry band index (bucketed table);
-- the 20% batch splits into 8 equal sub-batches by id arithmetic; each
-  becomes a small delta band-row parquet (written + read back, the
-  production delta shape);
+- the 20% batch splits into 9 equal slices by id arithmetic: slice 0 is
+  the fixed PROBE batch, slices 1..8 become small delta band-row
+  parquets (written + read back, the production delta shape) — probe
+  and deltas DISJOINT, since production gates a batch before it can
+  become a delta;
 - per cycle i: the probe batch is SIGNATURED ONCE (lsh_band_index +
   localCheckpoint — the per-cycle fixed cost production pays anyway),
   then joined against base and against each of the i accumulated
@@ -99,18 +101,21 @@ def main() -> None:
     base = spark.table(_minhash_registry_table(spark, sf_dir))
     num_hashes, threshold = P["num_hashes"], 0.5
 
-    # 8 sub-batches of the 20% batch; the PROBE batch is a fixed extra
-    # slice so every cycle probes the same-sized batch
+    # N_DELTAS + 1 slices of the 20% batch: slice 0 is the PROBE batch,
+    # slices 1..N are the deltas — DISJOINT (r17 review: an earlier draft
+    # reused slice 0 as delta_0, so every D>=1 cycle near-self-joined the
+    # probe batch against its own band rows, a shape production never
+    # runs — a batch is gated BEFORE becoming a delta)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     sub = [
-        batch.filter((F.col("doc_id") / 5).cast("long") % N_DELTAS == i)
-        for i in range(N_DELTAS)
+        batch.filter((F.col("doc_id") / 5).cast("long") % (N_DELTAS + 1) == i)
+        for i in range(N_DELTAS + 1)
     ]
     import tempfile
 
     root = tempfile.mkdtemp(prefix="cadence_")
     deltas = []
-    for i, s in enumerate(sub):
+    for i, s in enumerate(sub[1:]):
         path = os.path.join(root, f"delta_{i}")
         dd.lsh_band_index(s, **P).write.parquet(path)
         deltas.append(spark.read.parquet(path))
@@ -145,10 +150,6 @@ def main() -> None:
         path=os.path.join(root, "compacted"),
     )
     compact_wall = time.time() - t0
-    t0 = time.time()
-    probe_join(
-        spark.table("cadence_compacted"), base, num_hashes, threshold
-    )  # plan only; timing below uses the table as index
     post = float("inf")
     for _ in range(3):
         t0 = time.time()
@@ -157,7 +158,9 @@ def main() -> None:
         ).count()
         post = min(post, time.time() - t0)
     marginal = (walls[8] - walls[0]) / 8.0
-    dstar = max(1, round(compact_wall / max(marginal, 1e-9)))
+    import math
+
+    dstar = max(1, math.ceil(compact_wall / max(marginal, 1e-9)))
     print(f"compaction_write_s={compact_wall:.2f}")
     print(f"post_compaction_probe_s={post:.2f}")
     print(f"marginal_delta_join_s={marginal:.3f}")

@@ -80,17 +80,23 @@ def main() -> None:
             )
 
     if os.path.exists(f"{GUARD_DIR}/documents.parquet"):
+        # the completed-without-raising sentinel must live OUTSIDE the
+        # try (r17 review: an inner AssertionError whose message mentions
+        # the guard would be swallowed by the same except and pass the
+        # substring check — the leg could never fail)
+        guard_msg = None
         try:
             pipe11_registry_update_cycles(spark, GUARD_DIR).collect()
-            raise AssertionError(
-                "500k: expected the _VIDEO_UNCAPPED_DF_LIMIT raise"
-            )
         except Exception as exc:  # noqa: BLE001 — asserting the guard
-            msg = str(exc)
-            assert "max_df" in msg or "uncapped" in msg.lower() or (
-                "video" in msg.lower()
-            ), f"500k raised, but not the video guard: {msg[:300]}"
-            print(f"{GUARD_DIR} (500k) | pipe11 | GUARD RAISED (bounded, loud)")
+            guard_msg = str(exc)
+        assert guard_msg is not None, (
+            "500k: pipe11 completed — expected the _VIDEO_UNCAPPED_DF_LIMIT"
+            " raise"
+        )
+        assert "max_df" in guard_msg or "uncapped" in guard_msg.lower() or (
+            "video" in guard_msg.lower()
+        ), f"500k raised, but not the video guard: {guard_msg[:300]}"
+        print(f"{GUARD_DIR} (500k) | pipe11 | GUARD RAISED (bounded, loud)")
 
         # the capped escape hatch (r17 follow-up): dd33's snapshot-capped
         # video probe lets the SAME loop run past the guard's bound —
@@ -100,6 +106,9 @@ def main() -> None:
         t0 = time.time()
         row = _pipe11_impl(spark, GUARD_DIR, video_max_df=64).collect()[0]
         first = time.time() - t0
+        assert all(v == 1 for v in row.asDict().values()), (
+            f"500k capped: boolean failed: {row}"
+        )
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
@@ -107,7 +116,7 @@ def main() -> None:
             best = min(best, time.time() - t0)
         print(
             f"{GUARD_DIR} (500k) | pipe11 capped(video_max_df=64) | "
-            f"{first:.1f} | {best:.2f} | {dict(row.asDict())}"
+            f"{first:.1f} | {best:.2f} | all 1"
         )
     else:
         print(f"{GUARD_DIR} missing — regenerate via make_scale_probe.py")

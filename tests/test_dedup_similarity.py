@@ -1846,6 +1846,17 @@ def test_cc_alternating_star_matches_pointer_doubling(spark):
         assert got == want, f"{name}: {got} != {want}"
         assert star_rounds >= 1
 
+    # exact-or-loud (r17 review): an exhausted round budget must RAISE,
+    # never return a non-star edge set whose labels frame silently maps
+    # one node to several cluster_ids
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        _cc_alternating_star(chain, max_rounds=1)
+
 
 def test_hamming_banding_rejects_non_64bit_digest(spark):
     """ADVICE r15 #1: the shared 4x16-bit banding machinery hardcodes

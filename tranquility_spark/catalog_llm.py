@@ -5939,7 +5939,10 @@ def pipe9_cross_family_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     "has both endpoints admitted — the dedup guarantee keep-one still "
     "owes); admits_superset_of_dropall (every doc pipe9's drop-all "
     "policy admits, this admits — computed inline from the same pair "
-    "frames); keepone_gain_nonvacuous (strictly MORE admitted than "
+    "frames, MODULO exact intra-batch duplicates invisible to all four "
+    "pair gates, which keep-min correctly rejects where drop-all "
+    "admits both copies — vacuous here, true-in-general form); "
+    "keepone_gain_nonvacuous (strictly MORE admitted than "
     "drop-all: measured +1/+1/+41 at sf0.001/0.01/0.1 — the novel "
     "content drop-all loses). Scale: pipe9's probe cost + four CC "
     "runs over tiny restricted intra-batch graphs",
@@ -6072,8 +6075,16 @@ def pipe10_cross_family_admission_keepone(
         touched.distinct(), "doc_id", "left_anti"
     ).localCheckpoint(eager=False)
     n_dropall = dropall.agg(F.count(F.lit(1)).alias("__nd"))
-    not_superset = dropall.join(admitted, "doc_id", "left_anti").agg(
-        F.count(F.lit(1)).alias("__nsup")
+    # the true-in-general invariant (r17 review): keep-one admits every
+    # drop-all admit EXCEPT exact intra-batch duplicates invisible to all
+    # four pair gates (identical empty/undigestable docs: drop-all admits
+    # both copies, keep-min correctly rejects one — fewer, not a bug).
+    # Vacuous on this corpus (no intra-batch exact dupes) but the boolean
+    # must encode the claim that holds on ANY corpus.
+    not_superset = (
+        dropall.join(admitted, "doc_id", "left_anti")
+        .join(rejected["exact_intra"], "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("__nsup"))
     )
     leak = admitted.agg(
         F.sum((~_dd_new_batch()).cast("long")).alias("__leak")

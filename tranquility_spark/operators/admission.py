@@ -9,7 +9,13 @@ rejected content must never gate future batches. This module composes
 all five signature families into that decision loop as one foreachBatch
 sink:
 
-per micro-batch (exactly the pipe10 keep-one semantics):
+per micro-batch (pipe11's ``admit()`` keep-one semantics — UNION
+evidence across families into ONE converged CC, which is NOT
+pipe10's sequential per-family resolution: on text pair (1,2) +
+image pair (2,3), pipe10 admits {1,3} (the image edge vanishes once
+2 is text-rejected) while the union CC admits {1} — the union policy
+treats any-modality evidence as one dup relation, stated here so
+nobody ports pipe10's measured numbers to the sink):
 1. signature the batch ONCE per family (content hash, MinHash bands,
    image dHash, audio fingerprint, video frame digests — the media
    decode cost is paid here and only here);
@@ -84,19 +90,22 @@ def admission_sink(
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # normalize the id column up front: the multimodal digest UDFs
+        # hardcode 'doc_id' in their Arrow schemas (r17 review — a
+        # non-default id_col would KeyError inside the executor)
+        if id_col != "doc_id":
+            batch_df = batch_df.withColumnRenamed(id_col, "doc_id")
         batch_df = batch_df.localCheckpoint(eager=False)
-        ids = batch_df.select(F.col(id_col).alias("doc_id")).localCheckpoint(
-            eager=False
-        )
+        ids = batch_df.select("doc_id").localCheckpoint(eager=False)
 
         # ---- 1. signature passes, once per family ----
-        payload = mm.attach_binary_payload(batch_df, text_col, id_col)
+        payload = mm.attach_binary_payload(batch_df, text_col)
         sig = {
             "exact": batch_df.select(
-                F.col(id_col).alias("id"),
+                F.col("doc_id").alias("id"),
                 dd.content_hash(F.col(text_col)).alias("h"),
             ),
-            "text": dd.lsh_band_index(batch_df, text_col, id_col, **P),
+            "text": dd.lsh_band_index(batch_df, text_col, **P),
             "image": mm.image_dhash(payload),
             "audio": mm.audio_energy_fingerprint(payload),
             "video": mm.video_frame_hashes(payload),
@@ -122,8 +131,8 @@ def admission_sink(
                 batch_df,
                 views["text"],
                 text_col=text_col,
-                id_col=id_col,
                 threshold=minhash_threshold,
+                prebanded=sig["text"],  # signature pass paid ONCE (above)
                 **P,
             ).select("id_a", "id_b"),
             "image": dd.dhash_incremental_pairs(

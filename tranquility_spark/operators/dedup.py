@@ -563,11 +563,19 @@ def incremental_neardup_pairs(
     gate_words: DataFrame | None = None,
     gate_m_bits: int = GATE_M_BITS,
     gate_k: int = 5,
+    prebanded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs for an INCREMENTAL batch against an existing corpus
     index — the shape a production pipeline actually runs per ingest cycle
     (re-running ``minhash_lsh_pairs`` over old ∪ new re-pays the whole
     corpus every day; this pays only the new batch).
+
+    ``prebanded`` (r17, the admission_sink double-signature finding): a
+    caller that already built the batch's :func:`lsh_band_index` frame —
+    with the SAME (num_hashes, bands, shingle_k, seed) — passes it here
+    to skip the internal signature pass (``new_df`` is then ignored).
+    Default None preserves the original plan byte-for-byte (certified
+    dd8/dd22 consumers are unaffected).
 
     ``index_df`` is a persisted ``lsh_band_index`` frame built with the SAME
     (num_hashes, bands, shingle_k, seed). Returns every pair involving at
@@ -582,8 +590,12 @@ def incremental_neardup_pairs(
     per-cycle cost is O(new batch + touched buckets), independent of
     corpus size.
     """
-    new_banded = lsh_band_index(
-        new_df, text_col, id_col, num_hashes, bands, shingle_k, seed, impl
+    new_banded = (
+        prebanded
+        if prebanded is not None
+        else lsh_band_index(
+            new_df, text_col, id_col, num_hashes, bands, shingle_k, seed, impl
+        )
     )
     # Truncate the new batch's lineage for EVERY impl here (unlike
     # minhash_lsh_pairs, which only guards impl='sql'): the two-join shape
@@ -2566,6 +2578,7 @@ def _cc_alternating_star(
         .localCheckpoint(eager=True)
     )
     rounds = 0
+    converged = False
     for _ in range(max_rounds):
         # ---- large-star ----
         nbr = edges.select(
@@ -2603,8 +2616,19 @@ def _cc_alternating_star(
             edges
         ).isEmpty():
             edges = small
+            converged = True
             break
         edges = small
+    if not converged and rounds:
+        # a non-fixpoint edge set is not a star forest: a node adjacent
+        # to two centers would emit TWO (id, cluster_id) rows and the
+        # labels frame silently stops being a function — the exact
+        # silent-truncation class neardup_survivors_converged raises on
+        # (r17 review). Study arm or not, exact-or-loud.
+        raise RuntimeError(
+            "_cc_alternating_star: edge set did not reach the star-forest "
+            f"fixpoint within {max_rounds} rounds — raise max_rounds"
+        )
     child_labels = edges.select(
         F.col("a").alias("id"), F.col("b").alias("cluster_id")
     )
