@@ -56,6 +56,9 @@ def main() -> None:
     from tranquility_spark.sources.files import load_table
 
     for sf_dir in dirs:
+        if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+            print(f"{sf_dir} missing — regenerate via make_scale_probe.py")
+            continue
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text"
         )

@@ -28,7 +28,8 @@ to sf0.1's 5k docs):
   measured once; post-compaction probe cost = base'-only join.
 
 Output: per-D probe walls, the compaction wall, and the break-even
-cadence D* = ceil(compact_wall / median marginal delta-join cost) —
+cadence D* = ceil(compact_wall / marginal delta-join cost), with the
+marginal taken as the endpoint average (walls[8] - walls[0]) / 8 —
 fold every D* cycles. Results -> SCALE.md r17.
 
 Usage: python3 scripts/run_compaction_cadence_probe.py [sf_dir]

@@ -1849,8 +1849,6 @@ def test_cc_alternating_star_matches_pointer_doubling(spark):
     # exact-or-loud (r17 review): an exhausted round budget must RAISE,
     # never return a non-star edge set whose labels frame silently maps
     # one node to several cluster_ids
-    import pytest
-
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], "id_a bigint, id_b bigint"
     )

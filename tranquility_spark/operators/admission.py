@@ -94,6 +94,15 @@ def admission_sink(
         # hardcode 'doc_id' in their Arrow schemas (r17 review — a
         # non-default id_col would KeyError inside the executor)
         if id_col != "doc_id":
+            if "doc_id" in batch_df.columns:
+                # a silent rename here would create TWO doc_id columns
+                # and every later select would die on AMBIGUOUS_REFERENCE
+                # (r17 second review) — make the contract violation loud
+                raise ValueError(
+                    "admission_sink: batch already has a 'doc_id' column "
+                    f"alongside id_col={id_col!r} — drop or rename it "
+                    "upstream"
+                )
             batch_df = batch_df.withColumnRenamed(id_col, "doc_id")
         batch_df = batch_df.localCheckpoint(eager=False)
         ids = batch_df.select("doc_id").localCheckpoint(eager=False)

@@ -590,20 +590,22 @@ def incremental_neardup_pairs(
     per-cycle cost is O(new batch + touched buckets), independent of
     corpus size.
     """
-    new_banded = (
-        prebanded
-        if prebanded is not None
-        else lsh_band_index(
+    if prebanded is not None:
+        # the caller owns lineage truncation for a frame it built — a
+        # second localCheckpoint here would materialize the same banded
+        # rows twice per cycle (r17 second review)
+        new_banded = prebanded
+    else:
+        new_banded = lsh_band_index(
             new_df, text_col, id_col, num_hashes, bands, shingle_k, seed, impl
         )
-    )
-    # Truncate the new batch's lineage for EVERY impl here (unlike
-    # minhash_lsh_pairs, which only guards impl='sql'): the two-join shape
-    # below references new_banded THREE times (probe left + both self-join
-    # sides), so the recompute-beats-materialize measurement made at two
-    # references no longer applies — and what's materialized is only the
-    # new batch's banded rows, not the corpus.
-    new_banded = new_banded.localCheckpoint(eager=False)
+        # Truncate the new batch's lineage for EVERY impl here (unlike
+        # minhash_lsh_pairs, which only guards impl='sql'): the two-join
+        # shape below references new_banded THREE times (probe left + both
+        # self-join sides), so the recompute-beats-materialize measurement
+        # made at two references no longer applies — and what's
+        # materialized is only the new batch's banded rows, not the corpus.
+        new_banded = new_banded.localCheckpoint(eager=False)
 
     # Optional bloom gate (dd11): rows whose (band, bhash) bucket key is not
     # in the index's bucket bloom cannot match any index row — filter them
@@ -2619,12 +2621,14 @@ def _cc_alternating_star(
             converged = True
             break
         edges = small
-    if not converged and rounds:
+    if not converged and not edges.isEmpty():
         # a non-fixpoint edge set is not a star forest: a node adjacent
         # to two centers would emit TWO (id, cluster_id) rows and the
         # labels frame silently stops being a function — the exact
         # silent-truncation class neardup_survivors_converged raises on
-        # (r17 review). Study arm or not, exact-or-loud.
+        # (r17 review). Study arm or not, exact-or-loud. Checked via the
+        # edge set, not the round counter, so max_rounds<=0 on a
+        # nonempty graph also raises (second-review catch).
         raise RuntimeError(
             "_cc_alternating_star: edge set did not reach the star-forest "
             f"fixpoint within {max_rounds} rounds — raise max_rounds"
