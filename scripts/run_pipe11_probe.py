@@ -93,9 +93,17 @@ def main() -> None:
             "500k: pipe11 completed — expected the _VIDEO_UNCAPPED_DF_LIMIT"
             " raise"
         )
-        assert "max_df" in guard_msg or "uncapped" in guard_msg.lower() or (
-            "video" in guard_msg.lower()
-        ), f"500k raised, but not the video guard: {guard_msg[:300]}"
+        # match the guard's OWN raise text (ADVICE r17 #2 — a loose
+        # 'video' substring would let an unrelated failure, e.g. a
+        # missing registry table at GUARD_DIR, pass as the guard):
+        # both raise branches in _video_pairs_core / the incremental
+        # probe emit "(> {limit})" and end "offending fhash=<hex>"
+        from tranquility_spark.operators.dedup import _VIDEO_UNCAPPED_DF_LIMIT
+
+        assert (
+            f"(> {_VIDEO_UNCAPPED_DF_LIMIT})" in guard_msg
+            and "offending fhash=" in guard_msg
+        ), f"500k raised, but not the video df guard: {guard_msg[:300]}"
         print(f"{GUARD_DIR} (500k) | pipe11 | GUARD RAISED (bounded, loud)")
 
         # the capped escape hatch (r17 follow-up): dd33's snapshot-capped

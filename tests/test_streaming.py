@@ -3785,3 +3785,37 @@ def test_admission_sink_replay_contract(spark, sf_dir, tmp_path):
     before = snapshot()
     sink(b1, 1)  # redelivery
     assert snapshot() == before
+
+
+def test_admission_sink_empty_first_batch_does_not_wedge(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r17 #1: an all-empty first batch (zero rows admitted, so
+    every family index dir is written with zero rows and no inferable
+    schema) must NOT wedge the stream — the next batch's registry read
+    is schema-pinned and degrades to the empty view, i.e. behaves
+    exactly like cold start. Also covers the per-family variant: batch
+    0 admitting SOME docs still writes zero-row partitions for any
+    family whose digests all dead-letter."""
+    from tranquility_spark.operators.admission import admission_sink
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_root = str(tmp_path / "idx")
+    decisions_dir = str(tmp_path / "decisions")
+    sink = admission_sink(index_root, decisions_dir)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    sink(empty, 0)  # writes zero-row decision + index dirs
+    b1 = docs.filter(F.col("doc_id") % 7 == 0)
+    sink(b1, 1)  # pre-fix: UNABLE_TO_INFER_SCHEMA on every family read
+
+    decisions = spark.read.parquet(decisions_dir)
+    assert decisions.count() == b1.count()
+    admitted = decisions.filter(F.col("admitted") == 1)
+    assert admitted.count() > 0
+    # registries hold exactly batch 1's admitted rows (no phantom rows
+    # from the empty batch, no schema drift)
+    got = spark.read.parquet(f"{index_root}/exact")
+    assert got.filter(F.col("batch_id") != 1).count() == 0
+    assert got.count() == admitted.count()

@@ -6551,6 +6551,21 @@ def pipe12_registry_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_rows = dd.lsh_band_index(
         a1_docs, **_MINHASH_INDEX_PARAMS
     ).localCheckpoint(eager=False)
+    # A1-content digest folded into the served-table key (ADVICE r17
+    # #3): the compacted table is a function of the ADMITTED set, and
+    # MinHash params alone don't capture the admission policy that
+    # produced it — a future _cross_family_cycle_ctx/admit() change
+    # must yield a FRESH location, not a stale cached table failing
+    # booleans confusingly. ONE bounded one-row collect over the
+    # already-checkpointed batch-sized A1 frame (count + id sum + crc
+    # fold — deterministic, and a collision just degrades to today's
+    # loud boolean failure).
+    a1_digest = a1.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("s"),
+        F.sum(F.crc32(F.col("doc_id").cast("string"))).alias("c"),
+    ).collect()[0]
+    a1_key = f"a1({a1_digest['n']},{a1_digest['s']},{a1_digest['c']})"
 
     def _compact_build(df, name, n, loc):
         # ignores the protocol's documents frame ON PURPOSE: compaction
@@ -6568,7 +6583,10 @@ def pipe12_registry_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacted = _served_index_table(
         spark,
         sf_dir,
-        "mhcompact+" + repr(sorted(_MINHASH_INDEX_PARAMS.items())),
+        "mhcompact+"
+        + repr(sorted(_MINHASH_INDEX_PARAMS.items()))
+        + "+"
+        + a1_key,
         _MINHASH_INDEX_SCHEMA,
         ["band", "bhash"],
         _compact_build,

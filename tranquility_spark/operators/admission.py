@@ -122,10 +122,21 @@ def admission_sink(
         sig = {k: v.localCheckpoint(eager=False) for k, v in sig.items()}
 
         # ---- 2. accumulated admitted-only registry views ----
+        # schema PINNED (ADVICE r17 #1): unlike the dedup sinks, every
+        # index row here derives from the ADMITTED set, so a first batch
+        # that admits nothing (empty batch 0, or all-dead-letter for a
+        # family) legitimately writes a zero-row dir with nothing to
+        # infer a schema from — pinning makes that degrade to an empty
+        # view instead of UNABLE_TO_INFER_SCHEMA wedging every later
+        # batch
         views = {}
         for fam, cols in _FAMILY_COLS.items():
             v = _read_index_before(
-                spark, os.path.join(index_root, fam), batch_id, cols
+                spark,
+                os.path.join(index_root, fam),
+                batch_id,
+                cols,
+                schema=_FAMILY_SCHEMAS[fam] + ", batch_id bigint",
             )
             views[fam] = (
                 v

@@ -665,7 +665,9 @@ def incremental_neardup_pairs(
     return _estimate_and_filter(cand, num_hashes, threshold)
 
 
-def _read_index_before(spark, index_dir: str, batch_id: int, cols: list):
+def _read_index_before(
+    spark, index_dir: str, batch_id: int, cols: list, schema: str | None = None
+):
     """The prior-batch index view both streaming dedup sinks share:
     ``batch_id < current`` so a REPLAYED delivery sees exactly the index
     state of its first delivery (its own already-written signatures are
@@ -675,12 +677,24 @@ def _read_index_before(spark, index_dir: str, batch_id: int, cols: list):
     AnalysisException (UNABLE_TO_INFER_SCHEMA from a half-written dir,
     permission errors, ...) propagates and fails the batch — swallowing
     it would silently drop every cross-batch pair with no error
-    surfaced."""
+    surfaced.
+
+    ``schema`` (default None — plan byte-identical for existing
+    callers): a DDL string INCLUDING the ``batch_id`` partition column.
+    Callers whose sink may legitimately write an ALL-EMPTY first batch
+    (admission_sink: every family index row derives from the ADMITTED
+    set, which can be empty) pass their pinned family schema so a
+    zero-row index dir (just _SUCCESS, no partition dirs, nothing to
+    infer from) degrades to an empty view instead of raising
+    UNABLE_TO_INFER_SCHEMA forever after (ADVICE r17 #1). The dedup
+    sinks deliberately do NOT pass it: they index every batch row, so
+    an uninferable dir there really is half-written state."""
     from pyspark.errors import AnalysisException
 
     try:
+        reader = spark.read if schema is None else spark.read.schema(schema)
         return (
-            spark.read.parquet(index_dir)
+            reader.parquet(index_dir)
             .filter(F.col("batch_id") < F.lit(batch_id))
             .select(*cols)
         )
