@@ -409,10 +409,10 @@ def test_driver_window_rotation_invariants():
     # the explicit window list too: _rotate_driver_window silently skips
     # names not in CATALOG, so a typo'd entry would lose its lead slot
     # with no error anywhere else
-    from tranquility_spark.catalog import _R17_DRIVER_WINDOW
+    from tranquility_spark.catalog import _R18_DRIVER_WINDOW
 
-    assert set(_R17_DRIVER_WINDOW) <= set(keys), sorted(
-        set(_R17_DRIVER_WINDOW) - set(keys)
+    assert set(_R18_DRIVER_WINDOW) <= set(keys), sorted(
+        set(_R18_DRIVER_WINDOW) - set(keys)
     )
     # VERDICT r05 #1(a): every oracle-backed entry is either certified or
     # inside the driver's 50-slot window — no hash-checkable entry may ever

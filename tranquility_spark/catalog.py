@@ -1892,20 +1892,22 @@ from tranquility_spark import catalog_sketch  # noqa: E402,F401
 # with scripts/record_certified_fingerprints.py only when folding new greens).
 # ---------------------------------------------------------------------------
 
-_R17_DRIVER_WINDOW = [
+_R18_DRIVER_WINDOW = [
     # rows-only by policy (approximate sketches / LSH / index-defined probe
-    # sets — no SQL oracle); re-recorded every round by design. Round 16's
-    # driver greens folded into _CERTIFIED (CORRECTNESS_r16.json: 24/24
-    # oracled hash-greens, 0 fails — the 16 rotated re-certifies
-    # (dd16/dd16b/dd24b + dd17b/dd18b/dd19b + dd25/dd26/dd27 +
-    # dd28/dd29/dd30 + dd31/dd32 + dq19/dq20) and the two new r16
-    # compositions pipe8/pipe9 fold in; p1/p3/p4/p5/p6/p7 were
-    # already-certified backfill). The r16 judge ALSO ran the full
-    # 242-entry parity sweep independently (VERDICT r16: 207 oracled OK +
-    # 35 rows-only, 0 failures), so every folded key carries both a
-    # driver hash-match and a judge re-check. After the fold the window
-    # holds exactly these 26 permanent rows-only leads; new r17 entries
-    # and any r17 rotations auto-join via _rotate_driver_window.
+    # sets — no SQL oracle); re-recorded every round by design. Round 17's
+    # driver greens folded into _CERTIFIED (CORRECTNESS_r17.json: 21/21
+    # oracled hash-greens, 0 fails — the pipe9 re-certify and the new
+    # pipe10/dd33 compositions fold in; the rest were already-certified
+    # backfill. pipe11/pipe12 were ALSO r17-green but round 18 edits
+    # them — the ADVICE r17 #3 A1-digest location key and the
+    # certification-boolean split into pipe11b/pipe12b — so they stay
+    # in the window until driver-re-certified instead of folding). The
+    # r17 judge ALSO ran the full 246-entry parity sweep independently
+    # (VERDICT r17: 211 oracled OK + 35 rows-only, 0 failures), so every
+    # folded key carries both a driver hash-match and a judge re-check.
+    # After the fold the window holds these 26 permanent rows-only
+    # leads; new r18 entries and any r18 rotations auto-join via
+    # _rotate_driver_window.
     "hh1_heavy_hitters_merge",
     "a11c_theta_setops_approx",
     "a11d_sketch_merge_rollup",
@@ -1943,7 +1945,7 @@ _R17_DRIVER_WINDOW = [
 
 
 def _rotate_driver_window() -> None:
-    lead = [k for k in _R17_DRIVER_WINDOW if k in CATALOG]
+    lead = [k for k in _R18_DRIVER_WINDOW if k in CATALOG]
     # anything registered after this snapshot auto-joins the window
     lead += [
         k
@@ -2023,7 +2025,7 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # dd22b, the image twins dd16b/dd24b, and ALL TEN r15b family entries
 # mm7/dd25/dd26/dd27 + mm8/dd28/dd29/dd30 + dd31/dd32 — each ALSO
 # independently re-verified in the r15 judge's full 240-entry sweep).
-# Total: 198 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
+# Total: 218 = the CURRENT ledger size (len(_CERTIFIED)): keys whose
 # latest fn/oracle revision has a driver hash-match (or the documented
 # r13 own-run evidence above), MINUS the sixteen r16 rotations (dd31/
 # dd32 for the pointer-doubling CC; dd16/dd16b/dd24b/dd25/dd26/dd27/
@@ -2273,12 +2275,19 @@ _CERTIFIED = frozenset(
         "dd31_audio_fp_survivors", "dd32_video_survivors",
         "dq19_spatial_filter", "dq20_spatial_served_filter",
         "pipe8_cross_family_dedup",
-        # (pipe9_cross_family_admission was r16-green and folded here,
-        # then rotated straight back OUT in round 17: ADVICE r16 #1 asked
-        # the intra-batch drop-all-endpoints policy be stated explicitly
-        # in the entry doc — doc-only, results byte-identical, parity
-        # re-verified at both SFs in the edit commit; it rotates until
-        # driver-re-certified. pipe10 is the new keep-one admission twin.)
+        # --- r17 window (CORRECTNESS_r17.json: 21 hash-greens, 0 fails;
+        # 3 fold in — the pipe9 re-certify (after the r17 doc-only ADVICE
+        # r16 #1 rotation) and the new pipe10/dd33 compositions. The r17
+        # judge also independently re-verified every one in the full
+        # 246-entry parity sweep (VERDICT r17: 211 oracled OK + 35
+        # rows-only, 0 failures). pipe11/pipe12 were ALSO r17-green but
+        # round 18 edits them (ADVICE r17 #3 A1-digest key; the
+        # VERDICT r17 #2 certification-boolean split), so they stay in
+        # the window until driver-re-certified; the other 16 r17 greens
+        # were already-certified backfill. ---
+        "pipe9_cross_family_admission",
+        "pipe10_cross_family_admission_keepone",
+        "dd33_video_incremental_capped",
     }
 )
 
