@@ -15,6 +15,10 @@ make_scale_probe.py if /tmp was wiped). Per corpus:
   mhcompact write for pipe12);
 - decide: min-of-3 wall for pipe11 and pipe12 with all layouts warm;
 - booleans: asserted ALL 1 at every size (correctness does not decay).
+  Since the r18 headline/certification split (VERDICT r17 #2) the
+  counterfactual-rerun and rebuild-equality booleans live in
+  pipe11b/pipe12b — asserted once per corpus here (no min-of-3: they
+  are certification passes, not the production cost being measured).
 
 At /tmp/spark_graft_sf10 (500k) the probe asserts the composed ctx
 RAISES via `_VIDEO_UNCAPPED_DF_LIMIT`: pipe11/pipe12's cross-family
@@ -53,7 +57,9 @@ def main() -> None:
 
     from tranquility_spark.catalog_llm import (
         pipe11_registry_update_cycles,
+        pipe11b_update_cycle_probes,
         pipe12_registry_compaction,
+        pipe12b_compaction_probes,
     )
 
     print("corpus | entry | first_touch_s | decide_min3_s | booleans")
@@ -77,6 +83,23 @@ def main() -> None:
             print(
                 f"{sf_dir} ({n_docs} docs) | {name} | {first:.1f} | "
                 f"{best:.2f} | all 1"
+            )
+        # certification entries: booleans only (one run — they are the
+        # expensive correctness passes the headline split out, not the
+        # production cost this probe measures)
+        for name, fn in (
+            ("pipe11b", pipe11b_update_cycle_probes),
+            ("pipe12b", pipe12b_compaction_probes),
+        ):
+            t0 = time.time()
+            row = fn(spark, sf_dir).collect()[0]
+            wall = time.time() - t0
+            assert all(v == 1 for v in row.asDict().values()), (
+                f"{sf_dir} {name}: boolean failed: {row}"
+            )
+            print(
+                f"{sf_dir} ({n_docs} docs) | {name} | {wall:.1f} | "
+                f"(certification, single run) | all 1"
             )
 
     if os.path.exists(f"{GUARD_DIR}/documents.parquet"):
@@ -125,6 +148,21 @@ def main() -> None:
         print(
             f"{GUARD_DIR} (500k) | pipe11 capped(video_max_df=64) | "
             f"{first:.1f} | {best:.2f} | all 1"
+        )
+
+        # the certification split's booleans also hold at 500k (single
+        # run — counterfactual rerun + delta-index transparency)
+        from tranquility_spark.catalog_llm import _pipe11b_impl
+
+        t0 = time.time()
+        row = _pipe11b_impl(spark, GUARD_DIR, video_max_df=64).collect()[0]
+        wall = time.time() - t0
+        assert all(v == 1 for v in row.asDict().values()), (
+            f"500k capped pipe11b: boolean failed: {row}"
+        )
+        print(
+            f"{GUARD_DIR} (500k) | pipe11b capped(video_max_df=64) | "
+            f"{wall:.1f} | (certification, single run) | all 1"
         )
     else:
         print(f"{GUARD_DIR} missing — regenerate via make_scale_probe.py")

@@ -6289,66 +6289,20 @@ def _cross_family_cycle_ctx(
     }
 
 
-@register(
-    "pipe11_registry_update_cycles",
-    """
-    SELECT CAST(1 AS BIGINT) AS cycles_tile,
-           CAST(1 AS BIGINT) AS admitted_from_own_batch,
-           CAST(1 AS BIGINT) AS update_probe_transparent,
-           CAST(1 AS BIGINT) AS update_changes_outcome,
-           CAST(1 AS BIGINT) AS no_pair_coadmitted
-    """,
-    doc="TWO admission cycles with a REGISTRY UPDATE between them (r17 — "
-    "the steady-state loop pipe9/pipe10 stop short of: they gate a "
-    "batch against frozen registries; production ALSO folds what it "
-    "admits back in, and the next batch must be gated against that). "
-    "The 20% batch splits in half by id arithmetic: cycle 1 admits "
-    "batch1 (keep-one: exact + UNION near-dup evidence across all four "
-    "signature families — the verbatim dd22/dd24/dd27/dd30 probe "
-    "outputs, restriction-by-id-arithmetic being exact because every "
-    "family's pair predicate is pairwise — then one converged CC over "
-    "the intra-batch union graph); the admitted set A1 becomes the "
-    "registry DELTA; cycle 2 gates batch2 against base+delta (exact "
-    "hashes ∪ A1 hashes; near-dup evidence vs registry AND vs A1 — "
-    "the LSM base+delta serving shape: the big index stays immutable, "
-    "the delta is batch-sized). Booleans: cycles_tile + "
-    "admitted_from_own_batch (both cycles' rejections partition their "
-    "batches, no leaks); update_probe_transparent (probing a REAL "
-    "freshly-built LSH delta index of A1 docs emits exactly the "
-    "batch2-vs-A1 restriction of the text probe — the contract that "
-    "lets production serve the delta from a persisted index); "
-    "update_changes_outcome (rerunning cycle 2 WITHOUT the update "
-    "yields a DIFFERENT admitted set — the fold-back has an "
-    "observable effect at every SF, attribution-order-independent); "
-    "no_pair_coadmitted (across A1 ∪ A2 no family pair and no exact "
-    "duplicate survives). Scale: per-cycle cost = batch probes + two "
-    "tiny CC runs; the delta index is batch-sized and the base "
-    "registry is never rebuilt — compaction folds deltas in at its "
-    "own cadence, exactly the segment-sink story",
-)
-def pipe11_registry_update_cycles(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    return _pipe11_impl(spark, sf_dir)
-
-
-def _pipe11_impl(
+def _pipe11_parts(
     spark: SparkSession, sf_dir: str, video_max_df: int | None = None
-) -> DataFrame:
-    """pipe11's two-cycle registry-update pass, parameterized for the
-    scale probe (the _pipe8_decide precedent): the fixture entry runs
-    the video gate uncapped; run_pipe11_probe's 500k leg passes
-    ``video_max_df=64`` so the loop runs past the uncapped guard's
-    divergence bound (see _cross_family_cycle_ctx's caveat)."""
+) -> dict:
+    """The two-cycle registry-update pass shared by pipe11 (headline:
+    the production per-cycle cost) and pipe11b (the out-of-headline
+    certification probes — the dd2b/txt21 split, VERDICT r17 #2):
+    cycle 1 admits batch1 against the frozen base registries, the
+    admitted set A1 becomes the registry delta, cycle 2 gates batch2
+    against base+delta. ``video_max_df`` is the scale-probe hook
+    (run_pipe11_probe's 500k leg — see _cross_family_cycle_ctx)."""
     ctx = _cross_family_cycle_ctx(spark, sf_dir, video_max_df=video_max_df)
-    half1, half2, registry_pred = (
-        ctx["half1"],
-        ctx["half2"],
-        ctx["registry_pred"],
-    )
-    hashes, b1, b2 = ctx["hashes"], ctx["b1"], ctx["b2"]
-    fam_pairs, union_pairs = ctx["fam_pairs"], ctx["union_pairs"]
-    admit = ctx["admit"]
+    half1, half2 = ctx["half1"], ctx["half2"]
+    b1, b2 = ctx["b1"], ctx["b2"]
+    union_pairs, admit = ctx["union_pairs"], ctx["admit"]
 
     # ---- cycle 1: batch1 vs the frozen base registries ----
     a1, rejs1 = admit(b1, half1)
@@ -6377,8 +6331,194 @@ def _pipe11_impl(
 
     # ---- cycle 2: batch2 vs base + delta ----
     a2, rejs2 = admit(b2, half2, extra_reg_h=a1_h, upd_ev=upd_ev)
+    return dict(
+        ctx=ctx, a1=a1, rejs1=rejs1, a1_h=a1_h, upd_ev=upd_ev, a2=a2,
+        rejs2=rejs2,
+    )
+
+
+@register(
+    "pipe11_registry_update_cycles",
+    """
+    SELECT CAST(1 AS BIGINT) AS cycles_tile,
+           CAST(1 AS BIGINT) AS admitted_from_own_batch,
+           CAST(1 AS BIGINT) AS no_pair_coadmitted
+    """,
+    doc="TWO admission cycles with a REGISTRY UPDATE between them (r17 — "
+    "the steady-state loop pipe9/pipe10 stop short of: they gate a "
+    "batch against frozen registries; production ALSO folds what it "
+    "admits back in, and the next batch must be gated against that). "
+    "The 20% batch splits in half by id arithmetic: cycle 1 admits "
+    "batch1 (keep-one: exact + UNION near-dup evidence across all four "
+    "signature families — the verbatim dd22/dd24/dd27/dd30 probe "
+    "outputs, restriction-by-id-arithmetic being exact because every "
+    "family's pair predicate is pairwise — then one converged CC over "
+    "the intra-batch union graph); the admitted set A1 becomes the "
+    "registry DELTA; cycle 2 gates batch2 against base+delta (exact "
+    "hashes ∪ A1 hashes; near-dup evidence vs registry AND vs A1 — "
+    "the LSM base+delta serving shape: the big index stays immutable, "
+    "the delta is batch-sized). Booleans (the PRODUCTION audits; the "
+    "counterfactual-rerun and delta-index-transparency certifications "
+    "live in pipe11b, the dd2b out-of-headline split — r18, VERDICT "
+    "r17 #2): cycles_tile + admitted_from_own_batch (both cycles' "
+    "rejections partition their batches, no leaks); no_pair_coadmitted "
+    "(across A1 ∪ A2 no family pair and no exact duplicate survives). "
+    "Scale: per-cycle cost = batch probes + two tiny CC runs; the "
+    "delta index is batch-sized and the base registry is never "
+    "rebuilt — compaction folds deltas in at its own cadence, exactly "
+    "the segment-sink story",
+)
+def pipe11_registry_update_cycles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _pipe11_impl(spark, sf_dir)
+
+
+def _pipe11_impl(
+    spark: SparkSession, sf_dir: str, video_max_df: int | None = None
+) -> DataFrame:
+    """pipe11's headline form, parameterized for the scale probe (the
+    _pipe8_decide precedent): the fixture entry runs the video gate
+    uncapped; run_pipe11_probe's 500k leg passes ``video_max_df=64`` so
+    the loop runs past the uncapped guard's divergence bound."""
+    parts = _pipe11_parts(spark, sf_dir, video_max_df=video_max_df)
+    ctx = parts["ctx"]
+    half1, half2 = ctx["half1"], ctx["half2"]
+    hashes, b1, b2 = ctx["hashes"], ctx["b1"], ctx["b2"]
+    union_pairs = ctx["union_pairs"]
+    a1, rejs1, a2, rejs2 = (
+        parts["a1"], parts["rejs1"], parts["a2"], parts["rejs2"],
+    )
+
+    # ---- audits ----
+    n_b1 = b1.agg(F.count(F.lit(1)).alias("__nb1"))
+    n_b2 = b2.agg(F.count(F.lit(1)).alias("__nb2"))
+    tiled1 = a1.select("doc_id")
+    for r in rejs1:
+        tiled1 = tiled1.unionByName(r.select("doc_id"))
+    tile1 = tiled1.agg(
+        F.count(F.lit(1)).alias("__t1n"),
+        F.count_distinct(F.col("doc_id")).alias("__t1d"),
+    )
+    tiled2 = a2.select("doc_id")
+    for r in rejs2:
+        tiled2 = tiled2.unionByName(r.select("doc_id"))
+    tile2 = tiled2.agg(
+        F.count(F.lit(1)).alias("__t2n"),
+        F.count_distinct(F.col("doc_id")).alias("__t2d"),
+    )
+    sourced = (
+        a1.agg(
+            F.sum((~half1(F.col("doc_id"))).cast("long")).alias("__bad1")
+        ).crossJoin(
+            F.broadcast(
+                a2.agg(
+                    F.sum((~half2(F.col("doc_id"))).cast("long")).alias(
+                        "__bad2"
+                    )
+                )
+            )
+        )
+    )
+    all_adm = a1.unionByName(a2).localCheckpoint(eager=False)
+    coadm_pairs = (
+        union_pairs.join(
+            all_adm.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi"
+        )
+        .join(
+            all_adm.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+        )
+        .select(F.lit(1).alias("__one"))
+    )
+    coadm_exact = (
+        hashes.select(F.col("id").alias("doc_id"), "h")
+        .join(all_adm, "doc_id", "left_semi")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select(F.lit(1).alias("__one"))
+    )
+    coadm = coadm_pairs.unionByName(coadm_exact).agg(
+        F.count(F.lit(1)).alias("__coadm")
+    )
+    n_a1 = a1.agg(F.count(F.lit(1)).alias("__na1"))
+    n_a2 = a2.agg(F.count(F.lit(1)).alias("__na2"))
+    rj1 = sum(r.count() for r in rejs1)
+    rj2 = sum(r.count() for r in rejs2)
+
+    row = n_b1.crossJoin(F.broadcast(n_b2)).crossJoin(F.broadcast(tile1))
+    row = (
+        row.crossJoin(F.broadcast(tile2))
+        .crossJoin(F.broadcast(sourced))
+        .crossJoin(F.broadcast(coadm))
+        .crossJoin(F.broadcast(n_a1))
+        .crossJoin(F.broadcast(n_a2))
+    )
+    return row.select(
+        (
+            (F.col("__t1n") == F.col("__nb1"))
+            & (F.col("__t1d") == F.col("__nb1"))
+            & (F.col("__t2n") == F.col("__nb2"))
+            & (F.col("__t2d") == F.col("__nb2"))
+            & (F.col("__na1") == F.col("__nb1") - F.lit(rj1))
+            & (F.col("__na2") == F.col("__nb2") - F.lit(rj2))
+        )
+        .cast("long")
+        .alias("cycles_tile"),
+        (
+            (F.coalesce(F.col("__bad1"), F.lit(0)) == 0)
+            & (F.coalesce(F.col("__bad2"), F.lit(0)) == 0)
+        )
+        .cast("long")
+        .alias("admitted_from_own_batch"),
+        (F.col("__coadm") == 0).cast("long").alias("no_pair_coadmitted"),
+    )
+
+
+@register(
+    "pipe11b_update_cycle_probes",
+    """
+    SELECT CAST(1 AS BIGINT) AS update_probe_transparent,
+           CAST(1 AS BIGINT) AS update_changes_outcome
+    """,
+    doc="pipe11's out-of-headline certification probes (r18, VERDICT r17 "
+    "#2 — the dd2b/txt21 split: the headline row measures the "
+    "production per-cycle cost, the expensive counterfactual/equality "
+    "passes certify here): update_probe_transparent (probing a REAL "
+    "freshly-built LSH delta index of the cycle-1 admitted docs emits "
+    "exactly the batch2-vs-A1 restriction of the text family's probe "
+    "pass — the contract that lets production serve the delta from a "
+    "persisted index instead of re-probing, and the transparency "
+    "contract that licenses pipe11's restriction-derived update "
+    "evidence); update_changes_outcome (rerunning cycle 2 WITHOUT the "
+    "registry update yields a DIFFERENT admitted set — the fold-back "
+    "has an observable effect at every SF, attribution-order-"
+    "independent). Cost = pipe11's two cycles PLUS a third keep-one "
+    "pass and a delta index build+probe — certification work by "
+    "design, which is exactly why it is not the headline row",
+)
+def pipe11b_update_cycle_probes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _pipe11b_impl(spark, sf_dir)
+
+
+def _pipe11b_impl(
+    spark: SparkSession, sf_dir: str, video_max_df: int | None = None
+) -> DataFrame:
+    parts = _pipe11_parts(spark, sf_dir, video_max_df=video_max_df)
+    ctx = parts["ctx"]
+    half1, half2 = ctx["half1"], ctx["half2"]
+    b2, fam_pairs, admit = ctx["b2"], ctx["fam_pairs"], ctx["admit"]
+    a1, a2 = parts["a1"], parts["a2"]
+
     # ---- counterfactual: cycle 2 WITHOUT the registry update ----
     a2_noupd, _ = admit(b2, half2)
+    outcome_diff = (
+        a2.join(a2_noupd, "doc_id", "left_anti")
+        .unionByName(a2_noupd.join(a2, "doc_id", "left_anti"))
+        .agg(F.count(F.lit(1)).alias("__odiff"))
+    )
 
     # ---- transparency: a REAL delta index probe equals the restriction ----
     docs = _t(spark, sf_dir, "documents")
@@ -6416,129 +6556,22 @@ def _pipe11_impl(
         .agg(F.count(F.lit(1)).alias("__tmis"))
     )
 
-    # ---- audits ----
-    n_b1 = b1.agg(F.count(F.lit(1)).alias("__nb1"))
-    n_b2 = b2.agg(F.count(F.lit(1)).alias("__nb2"))
-    tiled1 = a1.select("doc_id")
-    for r in rejs1:
-        tiled1 = tiled1.unionByName(r.select("doc_id"))
-    tile1 = tiled1.agg(
-        F.count(F.lit(1)).alias("__t1n"),
-        F.count_distinct(F.col("doc_id")).alias("__t1d"),
-    )
-    tiled2 = a2.select("doc_id")
-    for r in rejs2:
-        tiled2 = tiled2.unionByName(r.select("doc_id"))
-    tile2 = tiled2.agg(
-        F.count(F.lit(1)).alias("__t2n"),
-        F.count_distinct(F.col("doc_id")).alias("__t2d"),
-    )
-    sourced = (
-        a1.agg(
-            F.sum((~half1(F.col("doc_id"))).cast("long")).alias("__bad1")
-        ).crossJoin(
-            F.broadcast(
-                a2.agg(
-                    F.sum((~half2(F.col("doc_id"))).cast("long")).alias(
-                        "__bad2"
-                    )
-                )
-            )
-        )
-    )
-    outcome_diff = (
-        a2.join(a2_noupd, "doc_id", "left_anti")
-        .unionByName(a2_noupd.join(a2, "doc_id", "left_anti"))
-        .agg(F.count(F.lit(1)).alias("__odiff"))
-    )
-    all_adm = a1.unionByName(a2).localCheckpoint(eager=False)
-    coadm_pairs = (
-        union_pairs.join(
-            all_adm.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi"
-        )
-        .join(
-            all_adm.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
-        )
-        .select(F.lit(1).alias("__one"))
-    )
-    coadm_exact = (
-        hashes.select(F.col("id").alias("doc_id"), "h")
-        .join(all_adm, "doc_id", "left_semi")
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") > 1)
-        .select(F.lit(1).alias("__one"))
-    )
-    coadm = coadm_pairs.unionByName(coadm_exact).agg(
-        F.count(F.lit(1)).alias("__coadm")
-    )
-    n_a1 = a1.agg(F.count(F.lit(1)).alias("__na1"))
-    n_a2 = a2.agg(F.count(F.lit(1)).alias("__na2"))
-    rj1 = sum(r.count() for r in rejs1)
-    rj2 = sum(r.count() for r in rejs2)
-
-    row = n_b1.crossJoin(F.broadcast(n_b2)).crossJoin(F.broadcast(tile1))
-    row = (
-        row.crossJoin(F.broadcast(tile2))
-        .crossJoin(F.broadcast(sourced))
-        .crossJoin(F.broadcast(outcome_diff))
-        .crossJoin(F.broadcast(coadm))
-        .crossJoin(F.broadcast(transp_mismatch))
-        .crossJoin(F.broadcast(n_a1))
-        .crossJoin(F.broadcast(n_a2))
-    )
+    row = transp_mismatch.crossJoin(F.broadcast(outcome_diff))
     return row.select(
-        (
-            (F.col("__t1n") == F.col("__nb1"))
-            & (F.col("__t1d") == F.col("__nb1"))
-            & (F.col("__t2n") == F.col("__nb2"))
-            & (F.col("__t2d") == F.col("__nb2"))
-            & (F.col("__na1") == F.col("__nb1") - F.lit(rj1))
-            & (F.col("__na2") == F.col("__nb2") - F.lit(rj2))
-        )
-        .cast("long")
-        .alias("cycles_tile"),
-        (
-            (F.coalesce(F.col("__bad1"), F.lit(0)) == 0)
-            & (F.coalesce(F.col("__bad2"), F.lit(0)) == 0)
-        )
-        .cast("long")
-        .alias("admitted_from_own_batch"),
         (F.col("__tmis") == 0).cast("long").alias("update_probe_transparent"),
         (F.col("__odiff") > 0).cast("long").alias("update_changes_outcome"),
-        (F.col("__coadm") == 0).cast("long").alias("no_pair_coadmitted"),
     )
 
 
-@register(
-    "pipe12_registry_compaction",
-    """
-    SELECT CAST(1 AS BIGINT) AS compacted_rows_exact,
-           CAST(1 AS BIGINT) AS compacted_probe_equals_rebuilt,
-           CAST(1 AS BIGINT) AS compacted_probe_nonempty,
-           CAST(1 AS BIGINT) AS delta_nonempty
-    """,
-    doc="Registry COMPACTION (r17 — the third act of the LSM story: "
-    "pipe11 serves base+delta; at some cadence the delta folds into "
-    "the base, and the fold must cost ZERO corpus bytes). The "
-    "compacted MinHash registry is the ROW UNION of the persisted 80% "
-    "base index and the cycle-1 admitted set's delta band rows — no "
-    "document is re-read, no signature recomputed, because banded "
-    "signature rows are self-contained — written once per corpus as a "
-    "(band, bhash)-bucketed table under the _served_index_table "
-    "protocol (digest-keyed location, atomic publish, sidecar). "
-    "Booleans: compacted_rows_exact (row count == base + delta — "
-    "exact, the doc sets are disjoint); compacted_probe_equals_rebuilt "
-    "(probing batch2 against the COMPACTED table emits exactly the "
-    "pairs of probing against an index REBUILT from the registry∪A1 "
-    "documents — the union-of-rows IS the rebuild, certified on full "
-    "(id_a, id_b, est_jaccard) rows); compacted_probe_nonempty + "
-    "delta_nonempty (non-vacuity). Scale: compaction cost = one "
-    "bucketed write of base+delta rows (shuffle on the bucket key "
-    "only); at 100 TB the base rows stream through without ever "
-    "touching corpus text — the amortization claim made structural",
-)
-def pipe12_registry_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pipe12_parts(spark: SparkSession, sf_dir: str) -> dict:
+    """The compaction pass shared by pipe12 (headline: the production
+    fold cost — cycle-1 admission + row-union write + probe) and
+    pipe12b (the out-of-headline certification rebuild — the
+    dd2b/txt21 split, VERDICT r17 #2): the compacted MinHash registry
+    is the row union of the persisted 80% base index and the cycle-1
+    admitted set's delta band rows, written once per corpus under the
+    _served_index_table protocol with the A1-content digest folded
+    into the location key (ADVICE r17 #3)."""
     from tranquility_spark.sources.bucketed import write_bucketed
 
     ctx = _cross_family_cycle_ctx(spark, sf_dir)
@@ -6597,17 +6630,110 @@ def pipe12_registry_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_compacted = dd.incremental_neardup_pairs(
         b2_docs, spark.table(compacted), threshold=0.5, **_MINHASH_INDEX_PARAMS
     ).localCheckpoint(eager=False)
+    return dict(
+        ctx=ctx,
+        docs=docs,
+        base_table=base_table,
+        a1_docs=a1_docs,
+        delta_rows=delta_rows,
+        compacted=compacted,
+        b2_docs=b2_docs,
+        probe_compacted=probe_compacted,
+    )
+
+
+@register(
+    "pipe12_registry_compaction",
+    """
+    SELECT CAST(1 AS BIGINT) AS compacted_rows_exact,
+           CAST(1 AS BIGINT) AS compacted_probe_nonempty,
+           CAST(1 AS BIGINT) AS delta_nonempty
+    """,
+    doc="Registry COMPACTION (r17 — the third act of the LSM story: "
+    "pipe11 serves base+delta; at some cadence the delta folds into "
+    "the base, and the fold must cost ZERO corpus bytes). The "
+    "compacted MinHash registry is the ROW UNION of the persisted 80% "
+    "base index and the cycle-1 admitted set's delta band rows — no "
+    "document is re-read, no signature recomputed, because banded "
+    "signature rows are self-contained — written once per corpus as a "
+    "(band, bhash)-bucketed table under the _served_index_table "
+    "protocol (digest-keyed location + A1-content digest, atomic "
+    "publish, sidecar). Booleans (the PRODUCTION audits; the "
+    "union-of-rows-equals-rebuild certification lives in pipe12b, the "
+    "dd2b out-of-headline split — r18, VERDICT r17 #2): "
+    "compacted_rows_exact (row count == base + delta — exact, the doc "
+    "sets are disjoint); compacted_probe_nonempty + delta_nonempty "
+    "(non-vacuity). Cost = cycle-1 admission + the row-union bucketed "
+    "write (first-touch-cached) + the batch2 probe — the per-fold "
+    "production cost. Scale: compaction cost = one bucketed write of "
+    "base+delta rows (shuffle on the bucket key only); at 100 TB the "
+    "base rows stream through without ever touching corpus text — the "
+    "amortization claim made structural",
+)
+def pipe12_registry_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = _pipe12_parts(spark, sf_dir)
+    n_comp = (
+        spark.table(parts["compacted"])
+        .agg(F.count(F.lit(1)).alias("__ncomp"))
+    )
+    n_base = (
+        spark.table(parts["base_table"])
+        .agg(F.count(F.lit(1)).alias("__nbase"))
+    )
+    n_delta = parts["delta_rows"].agg(F.count(F.lit(1)).alias("__ndelta"))
+    n_probe = parts["probe_compacted"].agg(
+        F.count(F.lit(1)).alias("__nprobe")
+    )
+
+    row = (
+        n_comp.crossJoin(F.broadcast(n_base))
+        .crossJoin(F.broadcast(n_delta))
+        .crossJoin(F.broadcast(n_probe))
+    )
+    return row.select(
+        (F.col("__ncomp") == F.col("__nbase") + F.col("__ndelta"))
+        .cast("long")
+        .alias("compacted_rows_exact"),
+        (F.col("__nprobe") > 0).cast("long").alias("compacted_probe_nonempty"),
+        (F.col("__ndelta") > 0).cast("long").alias("delta_nonempty"),
+    )
+
+
+@register(
+    "pipe12b_compaction_probes",
+    """
+    SELECT CAST(1 AS BIGINT) AS compacted_probe_equals_rebuilt,
+           CAST(1 AS BIGINT) AS probe_nonvacuous
+    """,
+    doc="pipe12's out-of-headline certification probe (r18, VERDICT r17 "
+    "#2 — the dd2b/txt21 split: the headline row measures the "
+    "production fold cost, the expensive equality pass certifies "
+    "here): compacted_probe_equals_rebuilt (probing batch2 against "
+    "the COMPACTED table emits exactly the pairs of probing against "
+    "an index REBUILT from the registry∪A1 documents, re-signatured "
+    "from text — the union-of-rows IS the rebuild, certified on full "
+    "(id_a, id_b, est_jaccard) rows); probe_nonvacuous (the compared "
+    "pair sets are non-empty, so the equality can't hold trivially). "
+    "Cost = pipe12's fold PLUS the full corpus re-signature pass "
+    "compaction exists to avoid — certification work by design, which "
+    "is exactly why it is not the headline row",
+)
+def pipe12b_compaction_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = _pipe12_parts(spark, sf_dir)
+    ctx, docs = parts["ctx"], parts["docs"]
+    probe_compacted = parts["probe_compacted"]
+
     # the certification rebuild: registry∪A1 documents re-signatured from
     # text — the expensive pass compaction avoids, run here only to prove
     # the row union equals it
     rebuilt_idx = dd.lsh_band_index(
         docs.filter(ctx["registry_pred"](F.col("doc_id"))).unionByName(
-            a1_docs
+            parts["a1_docs"]
         ),
         **_MINHASH_INDEX_PARAMS,
     )
     probe_rebuilt = dd.incremental_neardup_pairs(
-        b2_docs, rebuilt_idx, threshold=0.5, **_MINHASH_INDEX_PARAMS
+        parts["b2_docs"], rebuilt_idx, threshold=0.5, **_MINHASH_INDEX_PARAMS
     ).localCheckpoint(eager=False)
 
     mismatch = (
@@ -6615,26 +6741,14 @@ def pipe12_registry_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(probe_rebuilt.exceptAll(probe_compacted))
         .agg(F.count(F.lit(1)).alias("__mis"))
     )
-    n_comp = spark.table(compacted).agg(F.count(F.lit(1)).alias("__ncomp"))
-    n_base = spark.table(base_table).agg(F.count(F.lit(1)).alias("__nbase"))
-    n_delta = delta_rows.agg(F.count(F.lit(1)).alias("__ndelta"))
     n_probe = probe_compacted.agg(F.count(F.lit(1)).alias("__nprobe"))
 
-    row = (
-        n_comp.crossJoin(F.broadcast(n_base))
-        .crossJoin(F.broadcast(n_delta))
-        .crossJoin(F.broadcast(n_probe))
-        .crossJoin(F.broadcast(mismatch))
-    )
+    row = mismatch.crossJoin(F.broadcast(n_probe))
     return row.select(
-        (F.col("__ncomp") == F.col("__nbase") + F.col("__ndelta"))
-        .cast("long")
-        .alias("compacted_rows_exact"),
         (F.col("__mis") == 0)
         .cast("long")
         .alias("compacted_probe_equals_rebuilt"),
-        (F.col("__nprobe") > 0).cast("long").alias("compacted_probe_nonempty"),
-        (F.col("__ndelta") > 0).cast("long").alias("delta_nonempty"),
+        (F.col("__nprobe") > 0).cast("long").alias("probe_nonvacuous"),
     )
 
 
