@@ -159,9 +159,9 @@ def main() -> None:
         ).count()
         post = min(post, time.time() - t0)
     marginal = (walls[8] - walls[0]) / 8.0
-    import math
-
-    dstar = max(1, math.ceil(compact_wall / max(marginal, 1e-9)))
+    # the knee rule lives in the library since r18 (VERDICT r17 #5) — the
+    # probe feeds its own measurements through the helper deployments use
+    dstar = dd.suggest_compaction_cadence(compact_wall, max(marginal, 1e-9))
     print(f"compaction_write_s={compact_wall:.2f}")
     print(f"post_compaction_probe_s={post:.2f}")
     print(f"marginal_delta_join_s={marginal:.3f}")

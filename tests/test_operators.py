@@ -976,3 +976,50 @@ def test_suggest_salt_buckets_knee_rule(spark):
     dp = spark.sparkContext.defaultParallelism
     tail = max(1.0, (10000 - 3000) / float(dp))
     assert got == max(1, min(dp, math.ceil(3000 / tail)))
+
+
+def test_suggest_compaction_cadence_knee_rule():
+    """VERDICT r17 #5: the delta->base fold cadence helper applies the
+    r17 measured knee (SCALE.md r17 / run_compaction_cadence_probe:
+    ~0.28 s marginal delta join vs 2.75-3.6 s fold -> D* = 10-13,
+    'fold roughly every dozen cycles'). Pin the break-even arithmetic
+    on the study's own numbers, the latency-budget early-fold cap, the
+    fold-every-cycle floor, and the bad-measurement raises."""
+    import pytest
+
+    from tranquility_spark.operators.dedup import suggest_compaction_cadence
+
+    # the r17 study's measured range, verbatim
+    assert suggest_compaction_cadence(2.75, 0.28) == 10
+    assert suggest_compaction_cadence(3.0, 0.28) == 11
+    assert suggest_compaction_cadence(3.6, 0.28) == 13
+    # fold cheaper than one delta join -> fold every cycle
+    assert suggest_compaction_cadence(0.1, 0.28) == 1
+    # latency budget: fold EARLIER than break-even, never later — cap at
+    # the largest D whose projected probe wall fits the budget. Study
+    # numbers: base probe 0.79, budget 2.0 -> floor(1.21/0.28) = 4.
+    assert (
+        suggest_compaction_cadence(
+            3.0, 0.28, probe_latency_budget_s=2.0, base_probe_s=0.79
+        )
+        == 4
+    )
+    # budget tighter than one delta join -> still at least every cycle
+    assert (
+        suggest_compaction_cadence(
+            3.0, 0.28, probe_latency_budget_s=0.8, base_probe_s=0.79
+        )
+        == 1
+    )
+    # a generous budget never pushes PAST break-even
+    assert (
+        suggest_compaction_cadence(
+            3.0, 0.28, probe_latency_budget_s=100.0, base_probe_s=0.79
+        )
+        == 11
+    )
+    # non-positive measurements are errors, not knees
+    with pytest.raises(ValueError):
+        suggest_compaction_cadence(0.0, 0.28)
+    with pytest.raises(ValueError):
+        suggest_compaction_cadence(3.0, -0.1)

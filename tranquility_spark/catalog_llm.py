@@ -6668,7 +6668,11 @@ def _pipe12_parts(spark: SparkSession, sf_dir: str) -> dict:
     "production cost. Scale: compaction cost = one bucketed write of "
     "base+delta rows (shuffle on the bucket key only); at 100 TB the "
     "base rows stream through without ever touching corpus text — the "
-    "amortization claim made structural",
+    "amortization claim made structural. WHEN to fold: "
+    "dedup.suggest_compaction_cadence sizes the cadence from the "
+    "measured knee (SCALE.md r17: ~0.28 s marginal delta join vs "
+    "2.75–3.6 s fold → every 10–13 cycles; fold earlier under a probe "
+    "latency budget, never later)",
 )
 def pipe12_registry_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = _pipe12_parts(spark, sf_dir)

@@ -41,6 +41,14 @@ bucket probes of admitted-only rows; the decide pass adds one tiny CC.
 Registry growth is bounded by ADMITTED volume (dedup sinks grow with
 ingest volume) — on a 100 TB stream with heavy duplication the index
 footprint is the deduplicated corpus, which is the entire point.
+
+Maintenance cadence: each micro-batch appends one ``batch_id=``
+partition per family index, so probing pays one extra partition's
+bucket join per accumulated batch — the LSM delta shape pipe11/pipe12
+certify. Fold the accumulated partitions into a compacted base at the
+cadence ``dedup.suggest_compaction_cadence`` computes from the measured
+knee (SCALE.md r17: ≈ every dozen batches at the studied shape; earlier
+under a probe-latency budget, never later).
 """
 
 from __future__ import annotations

