@@ -171,6 +171,7 @@ HEADLINE = [
     "pipe11_registry_update_cycles",
     "pipe12_registry_compaction",
     "dd33_video_incremental_capped",
+    "pipe13_capped_update_cycles",
 ]
 
 

@@ -25,11 +25,12 @@ RAISES via `_VIDEO_UNCAPPED_DF_LIMIT`: pipe11/pipe12's cross-family
 cycle calls dd30's UNCAPPED video probe verbatim, and the 500k video
 registry carries the 20,088-df boilerplate digest the r15b study
 measured as divergent — the loop is bounded by the structural guard,
-loudly, not by join divergence. (pipe8's probe demonstrates the same
-corpus passing with the production max_df=64; a capped admission
-variant would compose the same way.)
+loudly, not by join divergence. The capped escape hatch then runs
+pipe13 (r18): per-cycle snapshot probes with the production
+video_max_df=64, the driver-certified composition — not the r17 ctx
+hook, whose one-pass df reuse was non-certifiable by design.
 
-Results -> SCALE.md r17.
+Results -> SCALE.md r17 (decades), r18 (pipe13 swap).
 
 Usage: python3 scripts/run_pipe11_probe.py
 """
@@ -60,6 +61,8 @@ def main() -> None:
         pipe11b_update_cycle_probes,
         pipe12_registry_compaction,
         pipe12b_compaction_probes,
+        pipe13_capped_update_cycles,
+        pipe13b_capped_cycle_probes,
     )
 
     print("corpus | entry | first_touch_s | decide_min3_s | booleans")
@@ -68,6 +71,7 @@ def main() -> None:
         for name, fn in (
             ("pipe11", pipe11_registry_update_cycles),
             ("pipe12", pipe12_registry_compaction),
+            ("pipe13", pipe13_capped_update_cycles),
         ):
             t0 = time.time()
             row = fn(spark, sf_dir).collect()[0]
@@ -90,6 +94,7 @@ def main() -> None:
         for name, fn in (
             ("pipe11b", pipe11b_update_cycle_probes),
             ("pipe12b", pipe12b_compaction_probes),
+            ("pipe13b", pipe13b_capped_cycle_probes),
         ):
             t0 = time.time()
             row = fn(spark, sf_dir).collect()[0]
@@ -129,13 +134,16 @@ def main() -> None:
         ), f"500k raised, but not the video df guard: {guard_msg[:300]}"
         print(f"{GUARD_DIR} (500k) | pipe11 | GUARD RAISED (bounded, loud)")
 
-        # the capped escape hatch (r17 follow-up): dd33's snapshot-capped
-        # video probe lets the SAME loop run past the guard's bound —
-        # video_max_df=64 is the r15b-prescribed production cap
-        from tranquility_spark.catalog_llm import _pipe11_impl
+        # the capped escape hatch, r18 form: pipe13's PER-CYCLE snapshot
+        # composition (driver-certified at 3 SFs) lets the SAME loop run
+        # past the guard's bound — video_max_df=64 is the r15b-prescribed
+        # production cap. (The r17 leg ran _pipe11_impl with the capped
+        # ctx hook, whose one-pass df reuse was documented as
+        # non-certifiable; pipe13 replaced it.)
+        from tranquility_spark.catalog_llm import _pipe13_impl
 
         t0 = time.time()
-        row = _pipe11_impl(spark, GUARD_DIR, video_max_df=64).collect()[0]
+        row = _pipe13_impl(spark, GUARD_DIR, video_max_df=64).collect()[0]
         first = time.time() - t0
         assert all(v == 1 for v in row.asDict().values()), (
             f"500k capped: boolean failed: {row}"
@@ -143,25 +151,25 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            _pipe11_impl(spark, GUARD_DIR, video_max_df=64).collect()
+            _pipe13_impl(spark, GUARD_DIR, video_max_df=64).collect()
             best = min(best, time.time() - t0)
         print(
-            f"{GUARD_DIR} (500k) | pipe11 capped(video_max_df=64) | "
+            f"{GUARD_DIR} (500k) | pipe13 capped(video_max_df=64) | "
             f"{first:.1f} | {best:.2f} | all 1"
         )
 
         # the certification split's booleans also hold at 500k (single
-        # run — counterfactual rerun + delta-index transparency)
-        from tranquility_spark.catalog_llm import _pipe11b_impl
+        # run — per-cycle-population equality + cap engagement)
+        from tranquility_spark.catalog_llm import _pipe13b_impl
 
         t0 = time.time()
-        row = _pipe11b_impl(spark, GUARD_DIR, video_max_df=64).collect()[0]
+        row = _pipe13b_impl(spark, GUARD_DIR, video_max_df=64).collect()[0]
         wall = time.time() - t0
         assert all(v == 1 for v in row.asDict().values()), (
-            f"500k capped pipe11b: boolean failed: {row}"
+            f"500k capped pipe13b: boolean failed: {row}"
         )
         print(
-            f"{GUARD_DIR} (500k) | pipe11b capped(video_max_df=64) | "
+            f"{GUARD_DIR} (500k) | pipe13b capped(video_max_df=64) | "
             f"{wall:.1f} | (certification, single run) | all 1"
         )
     else:

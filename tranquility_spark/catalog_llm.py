@@ -6125,9 +6125,7 @@ def pipe10_cross_family_admission_keepone(
     )
 
 
-def _cross_family_cycle_ctx(
-    spark: SparkSession, sf_dir: str, video_max_df: int | None = None
-) -> dict:
+def _cross_family_cycle_ctx(spark: SparkSession, sf_dir: str) -> dict:
     """Shared context of the registry-update entries (r17: pipe11's two
     admission cycles and pipe12's compaction — the _pipe5_stages
     one-definition discipline): the id-arithmetic halves of
@@ -6137,15 +6135,15 @@ def _cross_family_cycle_ctx(
     predicate is pairwise), the union evidence graph, and the
     ``admit()`` keep-one cycle closure.
 
-    ``video_max_df`` (the run_pipe11_probe 500k leg; entries pass None):
-    swaps the video gate to the SNAPSHOT-capped probe (dd33's
-    ``video_incremental_pairs_capped``) so the loop runs on corpora
-    whose digest space saturated past ``_VIDEO_UNCAPPED_DF_LIMIT``.
-    CAVEAT: the capped pair predicate is NOT pairwise (df depends on
-    the population), so the restriction-by-id reuse makes each cycle
-    see df over (registry ∪ WHOLE batch) rather than its own
-    population — fine for a scale probe, documented here so nobody
-    certifies an oracle against the capped ctx without rethinking it."""
+    The CAPPED video form deliberately does NOT ride this ctx's
+    one-pass-restriction trick: the capped pair predicate is not
+    pairwise (df depends on the population), so a restriction-by-id
+    reuse would make each cycle see df over (registry ∪ WHOLE batch)
+    rather than its own population. pipe13 builds per-cycle capped
+    probes instead and injects them through ``admit(union_ev=...)``
+    (r18, VERDICT r17 #4 — the r17 scale probe's ``video_max_df`` ctx
+    hook lived here with exactly that caveat until pipe13 replaced
+    it)."""
     half1 = lambda c: (c % 10) == 0  # noqa: E731 — id-arithmetic halves
     half2 = lambda c: (c % 10) == 5  # noqa: E731   of _dd_new_batch's 20%
     registry_pred = lambda c: (c % 5) != 0  # noqa: E731
@@ -6174,20 +6172,9 @@ def _cross_family_cycle_ctx(
         "audio": dd27_audio_fp_incremental_served(spark, sf_dir).select(
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         ),
-        "video": (
-            dd30_video_incremental_served(spark, sf_dir)
-            if video_max_df is None
-            else dd.video_incremental_pairs_capped(
-                mm.video_frame_hashes(
-                    mm.attach_binary_payload(
-                        _t(spark, sf_dir, "documents").filter(_dd_new_batch())
-                    )
-                ),
-                spark.table(_video_registry_table(spark, sf_dir)),
-                min_shared=2,
-                max_df=video_max_df,
-            )
-        ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")),
+        "video": dd30_video_incremental_served(spark, sf_dir).select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        ),
     }
     fam_pairs = {
         k: v.localCheckpoint(eager=False) for k, v in fam_pairs.items()
@@ -6198,11 +6185,17 @@ def _cross_family_cycle_ctx(
         union_pairs = p if union_pairs is None else union_pairs.unionByName(p)
     union_pairs = union_pairs.localCheckpoint(eager=False)
 
-    def admit(batch, batch_half, extra_reg_h=None, upd_ev=None):
+    def admit(batch, batch_half, extra_reg_h=None, upd_ev=None, union_ev=None):
         """One keep-one admission cycle: exact gate (base hashes plus the
         optional delta), registry near-dup evidence, optional update
         (vs-A1) evidence, then ONE converged CC over the intra-batch
-        union evidence graph. Returns (admitted, [rejected frames])."""
+        union evidence graph. Returns (admitted, [rejected frames]).
+
+        ``union_ev`` (r18, pipe13): replaces the shared union evidence
+        graph for compositions whose video predicate must be PER-CYCLE
+        (the capped snapshot form — df over each cycle's own
+        population). Default None keeps the pipe9–12 path unchanged."""
+        ev = union_pairs if union_ev is None else union_ev
         gate_h = reg_h if extra_reg_h is None else reg_h.unionByName(
             extra_reg_h
         )
@@ -6223,12 +6216,12 @@ def _cross_family_cycle_ctx(
             .localCheckpoint(eager=False)
         )
         reg_ev = (
-            union_pairs.filter(
+            ev.filter(
                 batch_half(F.col("id_a")) & registry_pred(F.col("id_b"))
             )
             .select(F.col("id_a").alias("doc_id"))
             .unionByName(
-                union_pairs.filter(
+                ev.filter(
                     registry_pred(F.col("id_a")) & batch_half(F.col("id_b"))
                 ).select(F.col("id_b").alias("doc_id"))
             )
@@ -6250,7 +6243,7 @@ def _cross_family_cycle_ctx(
             ).localCheckpoint(eager=False)
             rejs.append(rej_upd)
         intra = (
-            union_pairs.filter(
+            ev.filter(
                 batch_half(F.col("id_a")) & batch_half(F.col("id_b"))
             )
             .join(
@@ -6289,17 +6282,17 @@ def _cross_family_cycle_ctx(
     }
 
 
-def _pipe11_parts(
-    spark: SparkSession, sf_dir: str, video_max_df: int | None = None
-) -> dict:
+def _pipe11_parts(spark: SparkSession, sf_dir: str) -> dict:
     """The two-cycle registry-update pass shared by pipe11 (headline:
     the production per-cycle cost) and pipe11b (the out-of-headline
     certification probes — the dd2b/txt21 split, VERDICT r17 #2):
     cycle 1 admits batch1 against the frozen base registries, the
     admitted set A1 becomes the registry delta, cycle 2 gates batch2
-    against base+delta. ``video_max_df`` is the scale-probe hook
-    (run_pipe11_probe's 500k leg — see _cross_family_cycle_ctx)."""
-    ctx = _cross_family_cycle_ctx(spark, sf_dir, video_max_df=video_max_df)
+    against base+delta. The 500k scale leg runs pipe13's per-cycle
+    CAPPED composition instead (r18 — run_pipe11_probe's capped leg
+    moved there, so the form that runs past the uncapped guard is the
+    driver-certified one)."""
+    ctx = _cross_family_cycle_ctx(spark, sf_dir)
     half1, half2 = ctx["half1"], ctx["half2"]
     b1, b2 = ctx["b1"], ctx["b2"]
     union_pairs, admit = ctx["union_pairs"], ctx["admit"]
@@ -6374,23 +6367,28 @@ def pipe11_registry_update_cycles(
     return _pipe11_impl(spark, sf_dir)
 
 
-def _pipe11_impl(
-    spark: SparkSession, sf_dir: str, video_max_df: int | None = None
-) -> DataFrame:
-    """pipe11's headline form, parameterized for the scale probe (the
-    _pipe8_decide precedent): the fixture entry runs the video gate
-    uncapped; run_pipe11_probe's 500k leg passes ``video_max_df=64`` so
-    the loop runs past the uncapped guard's divergence bound."""
-    parts = _pipe11_parts(spark, sf_dir, video_max_df=video_max_df)
+def _pipe11_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipe11's headline form (uncapped video gate; the 500k capped
+    scale leg runs pipe13's per-cycle composition instead — r18)."""
+    parts = _pipe11_parts(spark, sf_dir)
     ctx = parts["ctx"]
-    half1, half2 = ctx["half1"], ctx["half2"]
-    hashes, b1, b2 = ctx["hashes"], ctx["b1"], ctx["b2"]
-    union_pairs = ctx["union_pairs"]
-    a1, rejs1, a2, rejs2 = (
+    return _two_cycle_audit_row(
+        ctx["half1"], ctx["half2"], ctx["hashes"], ctx["b1"], ctx["b2"],
         parts["a1"], parts["rejs1"], parts["a2"], parts["rejs2"],
+        ctx["union_pairs"],
     )
 
-    # ---- audits ----
+
+def _two_cycle_audit_row(
+    half1, half2, hashes, b1, b2, a1, rejs1, a2, rejs2, union_ev
+) -> DataFrame:
+    """The production audits shared by pipe11 and pipe13 (extracted r18
+    when pipe13 became the second two-cycle composition): cycles_tile
+    (admitted + rejections partition each batch, with distinctness and
+    count arithmetic), admitted_from_own_batch, and no_pair_coadmitted
+    (across A1 ∪ A2 no ``union_ev`` pair and no exact duplicate
+    survives — the caller passes the evidence graph its composition
+    gated on, per-cycle capped evidence included for pipe13)."""
     n_b1 = b1.agg(F.count(F.lit(1)).alias("__nb1"))
     n_b2 = b2.agg(F.count(F.lit(1)).alias("__nb2"))
     tiled1 = a1.select("doc_id")
@@ -6422,7 +6420,7 @@ def _pipe11_impl(
     )
     all_adm = a1.unionByName(a2).localCheckpoint(eager=False)
     coadm_pairs = (
-        union_pairs.join(
+        union_ev.join(
             all_adm.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi"
         )
         .join(
@@ -6503,10 +6501,8 @@ def pipe11b_update_cycle_probes(
     return _pipe11b_impl(spark, sf_dir)
 
 
-def _pipe11b_impl(
-    spark: SparkSession, sf_dir: str, video_max_df: int | None = None
-) -> DataFrame:
-    parts = _pipe11_parts(spark, sf_dir, video_max_df=video_max_df)
+def _pipe11b_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = _pipe11_parts(spark, sf_dir)
     ctx = parts["ctx"]
     half1, half2 = ctx["half1"], ctx["half2"]
     b2, fam_pairs, admit = ctx["b2"], ctx["fam_pairs"], ctx["admit"]
@@ -6753,6 +6749,317 @@ def pipe12b_compaction_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("compacted_probe_equals_rebuilt"),
         (F.col("__nprobe") > 0).cast("long").alias("probe_nonvacuous"),
+    )
+
+
+_PIPE13_MAX_DF = 4  # dd33's fixture cap: bites at every SF (hottest df 9-10)
+
+
+def _pipe13_parts(
+    spark: SparkSession, sf_dir: str, video_max_df: int = _PIPE13_MAX_DF
+) -> dict:
+    """The CAPPED two-cycle registry-update pass shared by pipe13
+    (headline) and pipe13b (certification probes) — r18, VERDICT r17
+    #4. The r17 scale probe ran the capped loop by swapping the shared
+    ctx's video slice, which reused ONE whole-batch probe across both
+    cycles; that is exact for the pairwise families but NOT for the
+    capped video predicate, whose df depends on the population (each
+    cycle saw df over registry ∪ WHOLE batch instead of its own
+    decision-time population). Here the video evidence is a PER-CYCLE
+    snapshot probe: cycle 1 probes batch1 against the registry (df over
+    registry ∪ batch1), cycle 2 probes batch2 against registry ∪ the
+    cycle-1 admitted docs' frame rows (df over registry ∪ A1 ∪ batch2 —
+    the fold-back changes the df snapshot, exactly as a production
+    fixed-registry-plus-delta cycle would see it). The three pairwise
+    families keep the ctx's verbatim one-pass restriction (exact for
+    them by pairwise-ness), injected together with the per-cycle video
+    evidence through ``admit(union_ev=...)``.
+
+    This is the form run_pipe11_probe's 500k leg runs (the decade where
+    the uncapped probe correctly raises) — driver-certified at 3 SFs
+    here rather than probe-asserted only."""
+    ctx = _cross_family_cycle_ctx(spark, sf_dir)
+    half1, half2 = ctx["half1"], ctx["half2"]
+    b1, b2 = ctx["b1"], ctx["b2"]
+    union3 = None
+    for fam in ("text", "image", "audio"):
+        p = ctx["fam_pairs"][fam].select("id_a", "id_b")
+        union3 = p if union3 is None else union3.unionByName(p)
+    union3 = union3.localCheckpoint(eager=False)
+
+    docs = _t(spark, sf_dir, "documents")
+    batch_frames = mm.video_frame_hashes(
+        mm.attach_binary_payload(docs.filter(_dd_new_batch()))
+    ).localCheckpoint(eager=False)
+    b1f = batch_frames.filter(half1(F.col("doc_id")))
+    b2f = batch_frames.filter(half2(F.col("doc_id")))
+    reg_idx = (
+        spark.table(_video_registry_table(spark, sf_dir))
+        .select("id", "fhash")
+        .localCheckpoint(eager=False)
+    )
+
+    # ---- cycle 1: batch1 vs registry, df over registry ∪ batch1 ----
+    v1 = dd.video_incremental_pairs_capped(
+        b1f, reg_idx, min_shared=2, max_df=video_max_df
+    ).localCheckpoint(eager=False)
+    v1_ids = v1.select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    a1, rejs1 = ctx["admit"](
+        b1,
+        half1,
+        union_ev=union3.unionByName(v1_ids).localCheckpoint(eager=False),
+    )
+    a1_h = (
+        b1.join(a1, "doc_id", "left_semi")
+        .select("__h")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a1f = dd.video_frame_index(
+        b1f.join(a1, "doc_id", "left_semi")
+    ).localCheckpoint(eager=False)
+    idx2 = reg_idx.unionByName(a1f).localCheckpoint(eager=False)
+
+    # ---- cycle 2: batch2 vs registry ∪ A1, df over its own population ----
+    v2 = dd.video_incremental_pairs_capped(
+        b2f, idx2, min_shared=2, max_df=video_max_df
+    ).localCheckpoint(eager=False)
+    v2_ids = v2.select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    union_c2 = union3.unionByName(v2_ids).localCheckpoint(eager=False)
+    # update evidence: batch2 endpoints of cross-half pairs whose batch1
+    # endpoint was ADMITTED (pipe11's construction; the v2 cross-half
+    # pairs satisfy the A1 semi-join by construction — only A1's frame
+    # rows are in idx2 — but run through the same path for one shape)
+    upd_ev = (
+        union_c2.filter(half1(F.col("id_a")) & half2(F.col("id_b")))
+        .join(a1.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi")
+        .select(F.col("id_b").alias("doc_id"))
+        .unionByName(
+            union_c2.filter(half2(F.col("id_a")) & half1(F.col("id_b")))
+            .join(
+                a1.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+            )
+            .select(F.col("id_a").alias("doc_id"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a2, rejs2 = ctx["admit"](
+        b2, half2, extra_reg_h=a1_h, upd_ev=upd_ev, union_ev=union_c2
+    )
+    return dict(
+        ctx=ctx,
+        union3=union3,
+        b1f=b1f,
+        b2f=b2f,
+        reg_idx=reg_idx,
+        v1=v1,
+        v2=v2,
+        a1=a1,
+        rejs1=rejs1,
+        a1f=a1f,
+        idx2=idx2,
+        a2=a2,
+        rejs2=rejs2,
+        video_max_df=video_max_df,
+    )
+
+
+@register(
+    "pipe13_capped_update_cycles",
+    """
+    SELECT CAST(1 AS BIGINT) AS cycles_tile,
+           CAST(1 AS BIGINT) AS admitted_from_own_batch,
+           CAST(1 AS BIGINT) AS no_pair_coadmitted
+    """,
+    doc="pipe11's registry-update loop with the CAPPED video gate as "
+    "PER-CYCLE snapshot probes (r18, VERDICT r17 #4): the r17 scale "
+    "probe's capped ctx hook reused one whole-batch probe across both "
+    "cycles, which is wrong in principle for a population-dependent "
+    "predicate (df over registry ∪ whole batch instead of each cycle's "
+    "own decision-time population) and was documented as "
+    "non-certifiable. Here cycle 1's video evidence is dd33's snapshot "
+    "probe over (registry ∪ batch1) and cycle 2's is over (registry ∪ "
+    "A1 ∪ batch2) — the fold-back enters the df snapshot exactly as a "
+    "production fixed-registry-plus-delta cycle sees it; the pairwise "
+    "families keep the verbatim one-pass restriction (exact for them). "
+    "Same production audits as pipe11 (shared _two_cycle_audit_row): "
+    "cycles tile, admitted from own batch, no pair co-admitted under "
+    "the per-cycle capped evidence. The per-cycle-population equality "
+    "certifications (probe == capped full run over that cycle's own "
+    "population) live in pipe13b. This is the form the 500k scale leg "
+    "runs (run_pipe11_probe, video_max_df=64) — past the uncapped "
+    "guard's bound, and now driver-certified at 3 SFs rather than "
+    "probe-asserted. max_df=4 at fixture scale so the cap bites "
+    "(dd33's setting)",
+)
+def pipe13_capped_update_cycles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _pipe13_impl(spark, sf_dir)
+
+
+def _pipe13_impl(
+    spark: SparkSession, sf_dir: str, video_max_df: int = _PIPE13_MAX_DF
+) -> DataFrame:
+    """pipe13's headline form, parameterized for the scale probe (the
+    _pipe8_decide precedent): the fixture entry runs max_df=4 so the
+    cap bites; run_pipe11_probe's 500k leg passes the production 64."""
+    parts = _pipe13_parts(spark, sf_dir, video_max_df=video_max_df)
+    ctx = parts["ctx"]
+    union_ev = (
+        parts["union3"]
+        .unionByName(
+            parts["v1"].select(
+                F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+            )
+        )
+        .unionByName(
+            parts["v2"].select(
+                F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+            )
+        )
+    )
+    return _two_cycle_audit_row(
+        ctx["half1"], ctx["half2"], ctx["hashes"], ctx["b1"], ctx["b2"],
+        parts["a1"], parts["rejs1"], parts["a2"], parts["rejs2"],
+        union_ev,
+    )
+
+
+def _video_capped_full_restriction(
+    pop_idx: DataFrame, new_ids: DataFrame, min_shared: int, max_df: int
+) -> DataFrame:
+    """The capped FULL run over a fixed population, restricted to pairs
+    touching a new id — dd33's DuckDB oracle logic as a Spark frame,
+    used by pipe13b to certify each cycle's snapshot probe against its
+    OWN population (including cycle 2's A1 delta, which no single
+    whole-corpus oracle covers). ``pop_idx``: distinct (id, fhash) rows
+    of the decision-time population; ``new_ids``: one ``id`` column."""
+    okh = (
+        pop_idx.groupBy("fhash")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("fhash")
+    )
+    hc = pop_idx.join(F.broadcast(okh), "fhash", "left_semi").localCheckpoint(
+        eager=False
+    )
+    a, b = hc.alias("a"), hc.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fhash") == F.col("b.fhash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("__ns"))
+        .filter(F.col("__ns") >= min_shared)
+    )
+    pairs_new = (
+        pairs.join(
+            new_ids.select(F.col("id").alias("doc_a")), "doc_a", "left_semi"
+        )
+        .unionByName(
+            pairs.join(
+                new_ids.select(F.col("id").alias("doc_b")),
+                "doc_b",
+                "left_semi",
+            )
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cnt = hc.groupBy("id").agg(F.count(F.lit(1)).alias("__nh"))
+    return dd._video_attach_counts(pairs_new, cnt)
+
+
+@register(
+    "pipe13b_capped_cycle_probes",
+    """
+    SELECT CAST(1 AS BIGINT) AS c1_probe_equals_capped_full,
+           CAST(1 AS BIGINT) AS c2_probe_equals_capped_full,
+           CAST(1 AS BIGINT) AS cap_engaged,
+           CAST(1 AS BIGINT) AS delta_population_exact
+    """,
+    doc="pipe13's out-of-headline certification probes (the dd2b split, "
+    "applied at birth per the r18 suite-budget rule): "
+    "c1/c2_probe_equals_capped_full (each cycle's snapshot probe "
+    "equals the capped FULL run over that cycle's OWN population — "
+    "registry ∪ batch1, then registry ∪ A1 ∪ batch2 — restricted to "
+    "batch-touching pairs, certified on full (doc_a, doc_b, n_shared, "
+    "n_a, n_b, containment) rows against an independent brute-force "
+    "recomputation; cycle 2's is the equality no whole-corpus oracle "
+    "can express, the exact gap that made the r17 capped ctx "
+    "non-certifiable); cap_engaged (some digest's df over cycle 1's "
+    "population exceeds max_df, so the capped semantics are "
+    "non-vacuous at every SF); delta_population_exact (cycle 2's index "
+    "is exactly registry rows + A1's frame rows). Cost = pipe13's two "
+    "cycles PLUS two brute-force capped full runs — certification "
+    "work by design, not the headline row",
+)
+def pipe13b_capped_cycle_probes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _pipe13b_impl(spark, sf_dir)
+
+
+def _pipe13b_impl(
+    spark: SparkSession, sf_dir: str, video_max_df: int = _PIPE13_MAX_DF
+) -> DataFrame:
+    parts = _pipe13_parts(spark, sf_dir, video_max_df=video_max_df)
+    reg_idx, b1f, b2f = parts["reg_idx"], parts["b1f"], parts["b2f"]
+    v1, v2, a1f, idx2 = parts["v1"], parts["v2"], parts["a1f"], parts["idx2"]
+
+    b1_idx = dd.video_frame_index(b1f).localCheckpoint(eager=False)
+    b2_idx = dd.video_frame_index(b2f).localCheckpoint(eager=False)
+    pop1 = reg_idx.unionByName(b1_idx)
+    pop2 = idx2.unionByName(b2_idx)
+
+    def _mismatch(probe, pop, new_idx, alias):
+        want = _video_capped_full_restriction(
+            pop, new_idx.select("id"), 2, video_max_df
+        )
+        return (
+            probe.exceptAll(want)
+            .unionByName(want.exceptAll(probe))
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    mis1 = _mismatch(v1, pop1, b1_idx, "__mis1")
+    mis2 = _mismatch(v2, pop2, b2_idx, "__mis2")
+    hot = (
+        pop1.groupBy("fhash")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .agg(F.max("__df").alias("__hot"))
+    )
+    n_idx2 = idx2.agg(F.count(F.lit(1)).alias("__ni2"))
+    n_reg = reg_idx.agg(F.count(F.lit(1)).alias("__nreg"))
+    n_a1f = a1f.agg(F.count(F.lit(1)).alias("__na1f"))
+
+    row = (
+        mis1.crossJoin(F.broadcast(mis2))
+        .crossJoin(F.broadcast(hot))
+        .crossJoin(F.broadcast(n_idx2))
+        .crossJoin(F.broadcast(n_reg))
+        .crossJoin(F.broadcast(n_a1f))
+    )
+    return row.select(
+        (F.col("__mis1") == 0)
+        .cast("long")
+        .alias("c1_probe_equals_capped_full"),
+        (F.col("__mis2") == 0)
+        .cast("long")
+        .alias("c2_probe_equals_capped_full"),
+        (F.col("__hot") > F.lit(video_max_df)).cast("long").alias(
+            "cap_engaged"
+        ),
+        (F.col("__ni2") == F.col("__nreg") + F.col("__na1f"))
+        .cast("long")
+        .alias("delta_population_exact"),
     )
 
 
