@@ -6125,7 +6125,11 @@ def pipe10_cross_family_admission_keepone(
     )
 
 
-def _cross_family_cycle_ctx(spark: SparkSession, sf_dir: str) -> dict:
+def _cross_family_cycle_ctx(
+    spark: SparkSession,
+    sf_dir: str,
+    families: tuple = ("text", "image", "audio", "video"),
+) -> dict:
     """Shared context of the registry-update entries (r17: pipe11's two
     admission cycles and pipe12's compaction — the _pipe5_stages
     one-definition discipline): the id-arithmetic halves of
@@ -6142,8 +6146,14 @@ def _cross_family_cycle_ctx(spark: SparkSession, sf_dir: str) -> dict:
     rather than its own population. pipe13 builds per-cycle capped
     probes instead and injects them through ``admit(union_ev=...)``
     (r18, VERDICT r17 #4 — the r17 scale probe's ``video_max_df`` ctx
-    hook lived here with exactly that caveat until pipe13 replaced
-    it)."""
+    hook lived here with exactly that caveat until pipe13 replaced it).
+    pipe13 passes ``families`` WITHOUT "video" so the uncapped dd30
+    slice is never even planned: under AQE the fam_pairs lazy
+    localCheckpoints materialize at ctx-build time, and on a corpus
+    past ``_VIDEO_UNCAPPED_DF_LIMIT`` the unused uncapped slice would
+    raise the very guard the capped composition exists to get past
+    (hit live by the r18 500k probe). Default is all four — the
+    pipe11/pipe12 path is unchanged."""
     half1 = lambda c: (c % 10) == 0  # noqa: E731 — id-arithmetic halves
     half2 = lambda c: (c % 10) == 5  # noqa: E731   of _dd_new_batch's 20%
     registry_pred = lambda c: (c % 5) != 0  # noqa: E731
@@ -6162,22 +6172,22 @@ def _cross_family_cycle_ctx(spark: SparkSession, sf_dir: str) -> dict:
         F.col("id").alias("doc_id"), F.col("h").alias("__h")
     )
 
-    fam_pairs = {
-        "text": dd22_minhash_incremental_served(spark, sf_dir).select(
+    fam_builders = {
+        "text": lambda: dd22_minhash_incremental_served(spark, sf_dir).select(
             "id_a", "id_b", "est_jaccard"
         ),
-        "image": dd24_dhash_incremental_served(spark, sf_dir).select(
+        "image": lambda: dd24_dhash_incremental_served(spark, sf_dir).select(
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         ),
-        "audio": dd27_audio_fp_incremental_served(spark, sf_dir).select(
+        "audio": lambda: dd27_audio_fp_incremental_served(spark, sf_dir).select(
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         ),
-        "video": dd30_video_incremental_served(spark, sf_dir).select(
+        "video": lambda: dd30_video_incremental_served(spark, sf_dir).select(
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         ),
     }
     fam_pairs = {
-        k: v.localCheckpoint(eager=False) for k, v in fam_pairs.items()
+        k: fam_builders[k]().localCheckpoint(eager=False) for k in families
     }
     union_pairs = None
     for v in fam_pairs.values():
@@ -6778,7 +6788,9 @@ def _pipe13_parts(
     This is the form run_pipe11_probe's 500k leg runs (the decade where
     the uncapped probe correctly raises) — driver-certified at 3 SFs
     here rather than probe-asserted only."""
-    ctx = _cross_family_cycle_ctx(spark, sf_dir)
+    ctx = _cross_family_cycle_ctx(
+        spark, sf_dir, families=("text", "image", "audio")
+    )
     half1, half2 = ctx["half1"], ctx["half2"]
     b1, b2 = ctx["b1"], ctx["b2"]
     union3 = None
