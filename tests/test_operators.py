@@ -1018,8 +1018,15 @@ def test_suggest_compaction_cadence_knee_rule():
         )
         == 11
     )
-    # non-positive measurements are errors, not knees
+    # non-positive measurements are errors, not knees — and the budget
+    # args are measurements too (r18 review)
     with pytest.raises(ValueError):
         suggest_compaction_cadence(0.0, 0.28)
     with pytest.raises(ValueError):
         suggest_compaction_cadence(3.0, -0.1)
+    with pytest.raises(ValueError):
+        suggest_compaction_cadence(3.0, 0.28, probe_latency_budget_s=-5.0)
+    with pytest.raises(ValueError):
+        suggest_compaction_cadence(
+            3.0, 0.28, probe_latency_budget_s=2.0, base_probe_s=-0.5
+        )

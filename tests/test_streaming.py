@@ -3920,3 +3920,26 @@ def test_admission_served_pairs_closure(spark, sf_dir, tmp_path):
     # unknown family is a loud error, not an empty frame
     with pytest.raises(ValueError, match="unknown family"):
         admission_served_pairs(spark, index_root, "emoji")
+
+    # minhash param drift is a loud error (r18 review): serving a
+    # 64-hash registry with num_hashes=128 would otherwise halve every
+    # est_jaccard silently
+    with pytest.raises(ValueError, match="64-hash signatures"):
+        admission_served_pairs(
+            spark,
+            index_root,
+            "text",
+            minhash_params=dict(num_hashes=128, bands=32, shingle_k=3, seed=42),
+        )
+
+    # the video serving cap forwards (r18 review: a saturated admitted
+    # registry needs the same escape hatch the capped loop has) and
+    # equals the inline capped full run at the same cap
+    served_capped = served("video", video_max_df=1)
+    inline_capped = dd.video_neardup_pairs(
+        mm.video_frame_hashes(payload), min_shared=2, max_df=1
+    )
+    assert rows(served_capped) == rows(
+        inline_capped.select(*served_capped.columns)
+    )
+    assert len(rows(served_capped)) < len(rows(got["video"]))  # cap bites

@@ -6793,11 +6793,10 @@ def _pipe13_parts(
     )
     half1, half2 = ctx["half1"], ctx["half2"]
     b1, b2 = ctx["b1"], ctx["b2"]
-    union3 = None
-    for fam in ("text", "image", "audio"):
-        p = ctx["fam_pairs"][fam].select("id_a", "id_b")
-        union3 = p if union3 is None else union3.unionByName(p)
-    union3 = union3.localCheckpoint(eager=False)
+    # the 3-family ctx's union_pairs IS the pairwise evidence union
+    # (r18 review: a first draft re-derived and re-checkpointed the
+    # identical frame from fam_pairs)
+    union3 = ctx["union_pairs"]
 
     docs = _t(spark, sf_dir, "documents")
     batch_frames = mm.video_frame_hashes(
@@ -7024,7 +7023,7 @@ def _pipe13b_impl(
 ) -> DataFrame:
     parts = _pipe13_parts(spark, sf_dir, video_max_df=video_max_df)
     reg_idx, b1f, b2f = parts["reg_idx"], parts["b1f"], parts["b2f"]
-    v1, v2, a1f, idx2 = parts["v1"], parts["v2"], parts["a1f"], parts["idx2"]
+    v1, v2, idx2 = parts["v1"], parts["v2"], parts["idx2"]
 
     b1_idx = dd.video_frame_index(b1f).localCheckpoint(eager=False)
     b2_idx = dd.video_frame_index(b2f).localCheckpoint(eager=False)
@@ -7048,16 +7047,27 @@ def _pipe13b_impl(
         .agg(F.count(F.lit(1)).alias("__df"))
         .agg(F.max("__df").alias("__hot"))
     )
-    n_idx2 = idx2.agg(F.count(F.lit(1)).alias("__ni2"))
-    n_reg = reg_idx.agg(F.count(F.lit(1)).alias("__nreg"))
-    n_a1f = a1f.agg(F.count(F.lit(1)).alias("__na1f"))
+    # row-SET equality against an independently recomputed population
+    # (r18 review: the first draft compared row COUNTS of idx2 vs
+    # reg + a1f, which unionByName makes true by construction — a
+    # tautology. This form catches a miswired delta, e.g. a1f built
+    # from the whole batch instead of the admitted docs, or duplicated
+    # registry rows).
+    want_idx2 = parts["reg_idx"].unionByName(
+        dd.video_frame_index(
+            b1f.join(parts["a1"], "doc_id", "left_semi")
+        )
+    )
+    pop_mis = (
+        idx2.exceptAll(want_idx2)
+        .unionByName(want_idx2.exceptAll(idx2))
+        .agg(F.count(F.lit(1)).alias("__pmis"))
+    )
 
     row = (
         mis1.crossJoin(F.broadcast(mis2))
         .crossJoin(F.broadcast(hot))
-        .crossJoin(F.broadcast(n_idx2))
-        .crossJoin(F.broadcast(n_reg))
-        .crossJoin(F.broadcast(n_a1f))
+        .crossJoin(F.broadcast(pop_mis))
     )
     return row.select(
         (F.col("__mis1") == 0)
@@ -7069,9 +7079,7 @@ def _pipe13b_impl(
         (F.col("__hot") > F.lit(video_max_df)).cast("long").alias(
             "cap_engaged"
         ),
-        (F.col("__ni2") == F.col("__nreg") + F.col("__na1f"))
-        .cast("long")
-        .alias("delta_population_exact"),
+        (F.col("__pmis") == 0).cast("long").alias("delta_population_exact"),
     )
 
 

@@ -304,6 +304,7 @@ def admission_served_pairs(
     dhash_threshold: int = 3,
     audio_threshold: int = 3,
     video_min_shared: int = 2,
+    video_max_df: int | None = None,
 ) -> DataFrame:
     """Serve a family's near-dup pair extraction DIRECTLY from
     :func:`admission_sink`'s accumulated admitted-only registry (r18,
@@ -328,7 +329,13 @@ def admission_served_pairs(
     exact form pairs same-content-hash docs (always empty under the
     exact gate — the invariant form). A missing registry dir raises —
     serving from a registry that was never built is an error, not an
-    empty result.
+    empty result. The text form validates the persisted signature
+    width against ``minhash_params`` (one bounded single-row probe): a
+    registry written with different params would otherwise serve a
+    silently mis-scaled est_jaccard. ``video_max_df`` forwards the
+    serving-time hot-digest cap — a long-running admitted registry can
+    saturate past the uncapped guard's bound, and serving must have
+    the same escape hatch the capped admission loop has.
 
     Scale: identical to the batch serving entries — the pair extraction
     reads kilobyte index rows, never corpus bytes; at 100 TB the
@@ -353,6 +360,22 @@ def admission_served_pairs(
             .select("id_a", "id_b", "h")
         )
     if family == "text":
+        # param-drift guard (r18 review): est_jaccard divides agreement
+        # by num_hashes, so serving a 128-hash registry with the default
+        # 64 would double every estimate with no error. One bounded
+        # single-row probe; an empty registry has nothing to mismatch.
+        probe = (
+            idx.filter(F.col("sig").isNotNull())
+            .select(F.size("sig").alias("__w"))
+            .first()
+        )
+        if probe is not None and probe["__w"] != P["num_hashes"]:
+            raise ValueError(
+                "admission_served_pairs: text registry holds "
+                f"{probe['__w']}-hash signatures but minhash_params asks "
+                f"for num_hashes={P['num_hashes']} — pass the params the "
+                "sink was built with"
+            )
         return dd.minhash_pairs_from_index(
             idx, num_hashes=P["num_hashes"], threshold=minhash_threshold
         )
@@ -360,4 +383,6 @@ def admission_served_pairs(
         return dd.dhash_pairs_from_index(idx, threshold=dhash_threshold)
     if family == "audio":
         return dd.audio_fp_pairs_from_index(idx, threshold=audio_threshold)
-    return dd.video_pairs_from_index(idx, min_shared=video_min_shared)
+    return dd.video_pairs_from_index(
+        idx, min_shared=video_min_shared, max_df=video_max_df
+    )

@@ -759,6 +759,19 @@ def suggest_compaction_cadence(
             f"compact_wall_s={compact_wall_s}, "
             f"marginal_delta_probe_s={marginal_delta_probe_s}"
         )
+    # the budget args are measurements too (r18 review): a negative
+    # budget or base probe is a unit/argument mistake, and letting it
+    # through degrades to a silently wrong cadence instead of a raise
+    if probe_latency_budget_s is not None and probe_latency_budget_s <= 0:
+        raise ValueError(
+            "suggest_compaction_cadence: probe_latency_budget_s must be "
+            f"positive when given, got {probe_latency_budget_s}"
+        )
+    if base_probe_s < 0:
+        raise ValueError(
+            "suggest_compaction_cadence: base_probe_s must be >= 0, got "
+            f"{base_probe_s}"
+        )
     cadence = math.ceil(compact_wall_s / marginal_delta_probe_s)
     if probe_latency_budget_s is not None:
         headroom = probe_latency_budget_s - base_probe_s
