@@ -3943,3 +3943,181 @@ def test_admission_served_pairs_closure(spark, sf_dir, tmp_path):
         inline_capped.select(*served_capped.columns)
     )
     assert len(rows(served_capped)) < len(rows(got["video"]))  # cap bites
+
+
+def test_admission_sink_compaction_invariance(spark, sf_dir, tmp_path):
+    """r18 — the streaming LSM fold: ``compact_every=`` folds each
+    family's accumulated delta partitions inside the sink loop, and the
+    fold must be INVISIBLE to every consumer except partition count:
+
+    (a) decisions over 4 batches equal the no-compaction run's row for
+        row (gate views are row-identical before/after a fold);
+    (b) each family's registry ROWS (minus batch_id) equal the
+        no-compaction run's — the fold moves partition tags only;
+    (c) the folded dirs hold FEWER batch_id partitions than batches
+        written (the fold actually ran);
+    (d) admission_served_pairs output is byte-identical across the two
+        runs (serving never sees the fold).
+    """
+    from tranquility_spark.operators.admission import (
+        admission_served_pairs,
+        admission_sink,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batches = [docs.filter(F.col("doc_id") % 4 == k) for k in range(4)]
+
+    roots = {}
+    for mode, compact_every in (("plain", None), ("folded", 2)):
+        index_root = str(tmp_path / f"idx_{mode}")
+        decisions_dir = str(tmp_path / f"dec_{mode}")
+        sink = admission_sink(
+            index_root, decisions_dir, compact_every=compact_every
+        )
+        for i, b in enumerate(batches):
+            sink(b, i)
+        roots[mode] = (index_root, decisions_dir)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # (a) decisions identical
+    dec = {
+        m: rows(spark.read.parquet(d).select("doc_id", "admitted", "reason"))
+        for m, (_, d) in roots.items()
+    }
+    assert dec["plain"] == dec["folded"]
+
+    import os
+
+    for fam in ("exact", "text", "image", "audio", "video"):
+        # (b) registry rows identical modulo partition tag
+        got = {
+            m: rows(spark.read.parquet(f"{r}/{fam}").drop("batch_id"))
+            for m, (r, _) in roots.items()
+        }
+        assert got["plain"] == got["folded"], fam
+        # (c) fewer partitions in the folded run (4 batches wrote ≤4
+        # non-empty partitions; cadence 2 folds at least once)
+        nparts = {
+            m: len(
+                [
+                    n
+                    for n in os.listdir(f"{r}/{fam}")
+                    if n.startswith("batch_id=")
+                ]
+            )
+            for m, (r, _) in roots.items()
+        }
+        assert nparts["folded"] < nparts["plain"], (fam, nparts)
+        # (d) serving identical (text served at a looser-than-gate
+        # threshold so the frame is non-vacuous for at least one family)
+        kw = {"minhash_threshold": 0.2} if fam == "text" else {}
+        srv = {
+            m: rows(admission_served_pairs(spark, r, fam, **kw))
+            for m, (r, _) in roots.items()
+        }
+        assert srv["plain"] == srv["folded"], fam
+
+
+def test_admission_sink_replay_after_compaction(spark, sf_dir, tmp_path):
+    """The fold must preserve the replay contract: a batch redelivered
+    AFTER its first delivery triggered a fold recomputes identical
+    decisions and identical registry state — folded rows stay visible
+    under the ``batch_id < b`` horizon (re-tagged with the max folded
+    id, strictly below any replayable batch), and the redelivery's own
+    fold check is a no-op (one folded delta < cadence)."""
+    from tranquility_spark.operators.admission import admission_sink
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batches = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    index_root = str(tmp_path / "idx")
+    decisions_dir = str(tmp_path / "decisions")
+    sink = admission_sink(index_root, decisions_dir, compact_every=2)
+    for i, b in enumerate(batches):
+        sink(b, i)  # batch 2's cycle folds partitions {0, 1}
+
+    def snapshot():
+        out = {
+            "decisions": sorted(
+                map(tuple, spark.read.parquet(decisions_dir).collect())
+            )
+        }
+        for fam in ("exact", "text", "image", "audio", "video"):
+            out[fam] = sorted(
+                map(tuple, spark.read.parquet(f"{index_root}/{fam}").collect())
+            )
+        return out
+
+    before = snapshot()
+    sink(batches[2], 2)  # redelivery after the fold
+    assert snapshot() == before
+
+
+def test_admission_compaction_crash_recovery(spark, sf_dir, tmp_path):
+    """Every torn fold state self-heals (the swap protocol's two crash
+    windows), and a healed registry re-folds to the same rows:
+
+    - crash between swap-aside and publish (family dir MISSING, aside
+      copy present) → recovery restores the original partitions; the
+      next cycle re-runs the fold instead of reading cold start;
+    - crash between publish and cleanup (both dirs present) → recovery
+      drops the aside copy and keeps the live folded layout.
+    """
+    import os
+    import shutil
+
+    from tranquility_spark.operators.admission import (
+        _recover_family_compaction,
+        admission_sink,
+        compact_admission_registries,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_root = str(tmp_path / "idx")
+    decisions_dir = str(tmp_path / "decisions")
+    sink = admission_sink(index_root, decisions_dir)
+    for i in range(3):
+        sink(docs.filter(F.col("doc_id") % 3 == i), i)
+
+    fam_dir = f"{index_root}/exact"
+
+    def rows():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(fam_dir).drop("batch_id").collect(),
+            )
+        )
+
+    want = rows()
+
+    # window 1: aside done, publish lost — the staged build vanished
+    # with the crash, so recovery must restore the original
+    os.rename(fam_dir, fam_dir + ".pre_compact")
+    _recover_family_compaction(fam_dir)
+    assert rows() == want
+    assert not os.path.isdir(fam_dir + ".pre_compact")
+    folded = compact_admission_registries(spark, index_root, 3)
+    assert folded["exact"] == 3 and rows() == want
+
+    # window 2: publish done, cleanup lost — the aside copy is stale
+    # and must be dropped, not restored over the folded layout
+    shutil.copytree(fam_dir, fam_dir + ".pre_compact")
+    _recover_family_compaction(fam_dir)
+    assert rows() == want
+    assert not os.path.isdir(fam_dir + ".pre_compact")
+    # folded layout is live: one partition for the three folded batches
+    parts = [n for n in os.listdir(fam_dir) if n.startswith("batch_id=")]
+    assert parts == ["batch_id=2"]
+
+    # a second fold over the already-folded dir is a clean no-op
+    assert compact_admission_registries(spark, index_root, 3)["exact"] == 0
+    assert rows() == want
+
+    # cadence validation is loud
+    with pytest.raises(ValueError, match="compact_every"):
+        admission_sink(index_root, decisions_dir, compact_every=1)

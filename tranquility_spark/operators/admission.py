@@ -45,15 +45,19 @@ footprint is the deduplicated corpus, which is the entire point.
 Maintenance cadence: each micro-batch appends one ``batch_id=``
 partition per family index, so probing pays one extra partition's
 bucket join per accumulated batch — the LSM delta shape pipe11/pipe12
-certify. Fold the accumulated partitions into a compacted base at the
-cadence ``dedup.suggest_compaction_cadence`` computes from the measured
-knee (SCALE.md r17: ≈ every dozen batches at the studied shape; earlier
+certify. ``compact_every=`` folds the accumulated partitions into a
+compacted base IN the sink loop (r18 — the streaming act of pipe12's
+batch-mode fold; :func:`compact_admission_registries`), at the cadence
+``dedup.suggest_compaction_cadence`` computes from the measured knee
+(SCALE.md r17: ≈ every dozen batches at the studied shape; earlier
 under a probe-latency budget, never later).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import threading
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -77,6 +81,125 @@ _FAMILY_COLS = {
 }
 
 
+_PRE_COMPACT_SUFFIX = ".pre_compact"
+
+
+def _recover_family_compaction(family_dir: str) -> None:
+    """Finish or roll back a fold interrupted by a crash (the streaming
+    twin of the segment sink's commit-recovery walk). The fold's swap
+    leaves exactly one of two torn states, each self-describing:
+
+    - ``<dir>.pre_compact`` exists, ``<dir>`` missing → the crash hit
+      between swap-aside and publish; the staged build is orphaned and
+      the ORIGINAL partitions are authoritative → rename them back.
+    - both exist → the crash hit after publish, before cleanup; the
+      folded layout is live and complete → drop the aside copy.
+
+    Idempotent and cheap (two ``os.path`` checks when clean); called at
+    every fold and every sink cycle so a crashed fold can never leave a
+    batch reading a missing registry as cold start."""
+    pre = family_dir + _PRE_COMPACT_SUFFIX
+    if not os.path.isdir(pre):
+        return
+    if os.path.isdir(family_dir):
+        shutil.rmtree(pre)
+    else:
+        os.rename(pre, family_dir)
+
+
+def _delta_partitions(family_dir: str, before_batch_id: int) -> list[int]:
+    if not os.path.isdir(family_dir):
+        return []
+    out = []
+    for name in os.listdir(family_dir):
+        if name.startswith("batch_id="):
+            try:
+                bid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if bid < before_batch_id:
+                out.append(bid)
+    return sorted(out)
+
+
+def compact_admission_registries(
+    spark,
+    index_root: str,
+    before_batch_id: int,
+    families: tuple = tuple(sorted(_FAMILY_SCHEMAS)),
+) -> dict:
+    """Fold each family's accumulated ``batch_id=`` delta partitions
+    STRICTLY below ``before_batch_id`` into one partition — the
+    streaming act of the LSM story pipe12 certifies in batch mode
+    (delta→base fold as a row union: zero corpus bytes, zero
+    re-signaturing; only partition tags move).
+
+    Correctness under the replay contract: folded rows keep visibility
+    under ``_read_index_before``'s ``batch_id < b`` filter because they
+    are re-tagged with the MAX folded id ``c`` — for every batch ``b``
+    that can still be (re)delivered, ``c < b`` holds iff every folded id
+    did, so each batch sees row-identical registry state before and
+    after the fold. Partitions at or above ``before_batch_id`` (a
+    replayed batch's own rows) are preserved under their original tags.
+    Folding ANY partition ≥ the oldest replayable batch would move that
+    batch's own rows below its read horizon and break replay — callers
+    inside the sink pass the CURRENT batch id, which Structured
+    Streaming guarantees is the only replayable one.
+
+    Crash safety: the folded layout is staged as a sibling, then
+    swap-published (aside → publish → cleanup) with
+    :func:`_recover_family_compaction` run first, so every torn state
+    self-heals on the next cycle. The stage name carries pid+thread id
+    (the publish_layout_atomic discipline). NOT safe against concurrent
+    external readers of the same dir mid-swap — the streaming sink is
+    single-threaded per query, and out-of-band serving reads during a
+    fold can transiently fail exactly like any layout rewrite; a
+    deployment serving while folding should read through the
+    digest-keyed served-table protocol instead of the live sink dirs.
+
+    Returns {family: number of partitions folded (0 = skipped)}.
+
+    Scale shape: one fold streams each family's accumulated rows once
+    (the same O(base) cost as pipe12's certified fold) and runs every
+    ``compact_every`` batches, so amortized per-batch fold cost is
+    O(registry / cadence) while probing returns to base-plus-few-deltas
+    shape — the knee ``dedup.suggest_compaction_cadence`` sizes from
+    the measured r17 curve."""
+    folded = {}
+    for fam in families:
+        if fam not in _FAMILY_SCHEMAS:
+            raise ValueError(
+                f"compact_admission_registries: unknown family {fam!r}"
+            )
+        fam_dir = os.path.join(index_root, fam)
+        _recover_family_compaction(fam_dir)
+        ids = _delta_partitions(fam_dir, before_batch_id)
+        if len(ids) < 2:
+            folded[fam] = 0
+            continue
+        c = max(ids)
+        schema = _FAMILY_SCHEMAS[fam] + ", batch_id bigint"
+        full = spark.read.schema(schema).parquet(fam_dir)
+        refolded = full.withColumn(
+            "batch_id",
+            F.when(
+                F.col("batch_id") < F.lit(before_batch_id), F.lit(c)
+            ).otherwise(F.col("batch_id")),
+        )
+        stage = (
+            f"{fam_dir}.compact.tmp.{os.getpid()}.{threading.get_ident()}"
+        )
+        if os.path.isdir(stage):  # this (pid, thread)'s crashed leftover
+            shutil.rmtree(stage)
+        refolded.write.partitionBy("batch_id").parquet(stage)
+        pre = fam_dir + _PRE_COMPACT_SUFFIX
+        os.rename(fam_dir, pre)
+        os.rename(stage, fam_dir)
+        shutil.rmtree(pre)
+        folded[fam] = len(ids)
+    return folded
+
+
 def admission_sink(
     index_root: str,
     decisions_dir: str,
@@ -87,17 +210,45 @@ def admission_sink(
     dhash_threshold: int = 3,
     audio_threshold: int = 3,
     video_min_shared: int = 2,
+    compact_every: int | None = None,
 ):
     """Build the foreachBatch callable. Batches carry (doc_id, text);
     media digests derive from the repo's binary-payload convention
     (``multimodal.attach_binary_payload`` — stub decode, real plumbing).
     Batches must be DOC-ATOMIC (the video sink's contract: all of a
     doc's frames decide in one batch — trivially true here since the
-    batch carries whole document rows)."""
+    batch carries whole document rows).
+
+    ``compact_every`` (default None = never): fold each family's
+    accumulated delta partitions into one base partition whenever that
+    many have piled up, BEFORE the batch's registry reads — the
+    streaming LSM act (:func:`compact_admission_registries`; size the
+    cadence with ``dedup.suggest_compaction_cadence`` from measured
+    walls). Gate decisions are fold-invariant (row-identical registry
+    views) and the fold is crash-recovered at every cycle, so enabling
+    it changes probe SHAPE only, never admissions."""
     P = minhash_params or dict(num_hashes=64, bands=16, shingle_k=3, seed=42)
+    if compact_every is not None and compact_every < 2:
+        raise ValueError(
+            f"admission_sink: compact_every={compact_every} — a fold "
+            "needs at least 2 accumulated deltas (None disables)"
+        )
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # fold/heal BEFORE any registry read: views built below must see
+        # either the pre-fold or the complete post-fold layout, never a
+        # mid-swap dir (single-threaded per query, so ordering suffices)
+        for fam in _FAMILY_SCHEMAS:
+            fam_dir = os.path.join(index_root, fam)
+            _recover_family_compaction(fam_dir)
+            if (
+                compact_every is not None
+                and len(_delta_partitions(fam_dir, batch_id)) >= compact_every
+            ):
+                compact_admission_registries(
+                    spark, index_root, batch_id, families=(fam,)
+                )
         # normalize the id column up front: the multimodal digest UDFs
         # hardcode 'doc_id' in their Arrow schemas (r17 review — a
         # non-default id_col would KeyError inside the executor)
