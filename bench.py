@@ -172,6 +172,7 @@ HEADLINE = [
     "pipe12_registry_compaction",
     "dd33_video_incremental_capped",
     "pipe13_capped_update_cycles",
+    "adm1_admission_served_video_pairs",
 ]
 
 

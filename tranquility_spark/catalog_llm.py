@@ -7083,6 +7083,260 @@ def _pipe13b_impl(
     )
 
 
+# --- admission-registry serving (r18, HANDOFF r18 option b: the
+# ingest→serving closure made DRIVER-VISIBLE — the streaming sink's
+# admitted-only registries as a queries() serving surface) ---
+
+# the ctx's full admission parameterization, folded into the location
+# digest so ANY drift (batch split, fold cadence, gate thresholds, LSH
+# params) lands at a fresh location instead of serving a stale registry
+# (the ADVICE r17 #3 lesson, applied at birth)
+_ADM_REG_KIND = "admreg+b4+c2+mh64.16.3.42+tx0.5+dh3+au3+vm2"
+_ADM_REG_BATCHES = 4
+_ADM_COMPACT_EVERY = 2
+_ADM_SERVE_TXT_T = 0.2
+_ADM_SERVE_VIDEO_MS = 1
+
+
+def _admission_registry_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once admission registry for a corpus: the streaming
+    admission sink (operators/admission.py) run over ``_ADM_REG_BATCHES``
+    deterministic batches of ``documents`` (``doc_id % 4`` — batch
+    membership by SET, decided at split time) with ALL FIVE gates at
+    production defaults and the streaming fold ENABLED
+    (``compact_every=2``), so the layout the entries serve from is the
+    folded LSM state, not the never-compacted delta pile. Published
+    atomically at a location keyed by (kind incl. every parameter,
+    format version, corpus fingerprint) — the _served_index_table
+    discipline on a directory tree (five family indexes + decisions)
+    instead of a single table. Returns the root; family indexes live
+    under ``<root>/idx/<family>``, decisions under ``<root>/decisions``.
+
+    Admission is deterministic (every gate is a deterministic frame
+    computation; keep-one CC keeps component minima), so concurrent
+    first touches build identical layouts and the publish race is
+    winner-takes-all-safely (publish_layout_atomic)."""
+    import json
+    import os
+
+    from tranquility_spark.operators.admission import admission_sink
+    from tranquility_spark.sources.layout import publish_layout_atomic
+
+    ck = _index_cache_key(sf_dir, table="documents")
+    digest = _index_cache_digest(_ADM_REG_KIND, ck)
+    root = os.path.join(_index_cache_root(), f"admreg-{digest}")
+    meta_path = os.path.join(root, "_meta.json")
+    if os.path.exists(meta_path):
+        return root
+
+    def _build(stage: str) -> None:
+        os.makedirs(stage, exist_ok=True)
+        sink = admission_sink(
+            os.path.join(stage, "idx"),
+            os.path.join(stage, "decisions"),
+            compact_every=_ADM_COMPACT_EVERY,
+        )
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        for i in range(_ADM_REG_BATCHES):
+            sink(docs.filter(F.col("doc_id") % _ADM_REG_BATCHES == i), i)
+        with open(
+            os.path.join(stage, "_meta.json"), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(
+                {"kind": _ADM_REG_KIND, "batches": _ADM_REG_BATCHES}, fh
+            )
+
+    publish_layout_atomic(
+        root, _build, is_complete=lambda d: os.path.exists(meta_path)
+    )
+    return root
+
+
+@register(
+    "adm1_admission_served_video_pairs",
+    None,  # rows-only: the pair set is defined by the admission gate's
+    # admitted set, which the minhash/dhash gates make hash-defined (the
+    # dd19-dd24 served-entry policy); the five-family served==inline
+    # certification is adm1b's constant-oracle probe
+    doc="Video near-miss pairs served from the STREAMING admission "
+    "sink's accumulated admitted-only registry (r18 — the ingest→"
+    "serving closure driver-visible: dd29's serving shape pointed at "
+    "the layout admission_sink built batch-by-batch, folds included). "
+    "The registry ctx runs the five-gate keep-one admission over 4 "
+    "deterministic batches at production thresholds with the streaming "
+    "LSM fold enabled (compact_every=2), then this entry asks the "
+    "registry a LOOSER question than the gate: pairs sharing >= 1 "
+    "frame digest among ADMITTED docs — exactly the shared-frame "
+    "evidence that fell SHORT of the min_shared=2 gate, i.e. the "
+    "near-miss band a contamination/curriculum scan wants (the text "
+    "analog at est_jaccard 0.2 is adm1b's equality boolean; on this "
+    "fixture the admitted corpus has no sub-gate text band "
+    "collisions, so video is the non-vacuous serving family). "
+    "Serving any family at the gate's own threshold is EMPTY by the "
+    "no-coadmitted-pair invariant (adm1b reads that back from disk). "
+    "Nothing is re-read or re-hashed at serve time — ~24-byte index "
+    "rows only; the build is a one-time ingest cost at a digest-keyed "
+    "location. Scale: dd29's inverted-index join with the same "
+    "uncapped-df structural guard (video_max_df= forwards for "
+    "saturated registries); registry size is bounded by ADMITTED "
+    "volume (12% on the heavy-dup probe corpus, SCALE.md r17) and the "
+    "fold keeps the partition count at the cadence bound regardless "
+    "of stream length",
+)
+def adm1_admission_served_video_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from tranquility_spark.operators.admission import admission_served_pairs
+
+    root = _admission_registry_root(spark, sf_dir)
+    return admission_served_pairs(
+        spark,
+        os.path.join(root, "idx"),
+        "video",
+        video_min_shared=_ADM_SERVE_VIDEO_MS,
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "adm1b_admission_serving_probes",
+    """
+    SELECT CAST(1 AS BIGINT) AS text_served_equals_inline,
+           CAST(1 AS BIGINT) AS image_served_equals_inline,
+           CAST(1 AS BIGINT) AS audio_served_equals_inline,
+           CAST(1 AS BIGINT) AS video_served_equals_inline,
+           CAST(1 AS BIGINT) AS exact_served_empty,
+           CAST(1 AS BIGINT) AS text_gate_served_empty,
+           CAST(1 AS BIGINT) AS served_ids_admitted,
+           CAST(1 AS BIGINT) AS fold_engaged
+    """,
+    doc="adm1's out-of-headline certification probes (constant-oracle "
+    "booleans, landed WITH the headline per the r18 suite-budget "
+    "rule): each near-dup family's serving from the admission "
+    "registry EQUALS the family's inline batch pass over the admitted "
+    "documents at the serving thresholds (video at min_shared=1 — "
+    "adm1's non-vacuous near-miss band; text at the loose 0.2, "
+    "image/audio at the gate thresholds — on this fixture those "
+    "equalities compare the empty no-coadmitted frames, which IS the "
+    "audit that serving finds nothing the gate should have caught); "
+    "serving the EXACT family and the TEXT family at the gate's own "
+    "threshold is empty (the no-coadmitted-pair guarantee read back "
+    "from disk); every adm1 endpoint is an admitted doc; and every "
+    "family dir holds at most compact_every batch_id partitions — the "
+    "streaming fold ENGAGED while the registry was built, so the "
+    "equality certifies serving over the folded layout, not just the "
+    "delta pile. Cost: five signature passes over the admitted "
+    "subset — a certification probe by design (the dd2b/txt21 budget "
+    "policy)",
+)
+def adm1b_admission_serving_probes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from tranquility_spark.operators import multimodal as mm
+    from tranquility_spark.operators.admission import (
+        _FAMILY_SCHEMAS,
+        admission_served_pairs,
+    )
+
+    root = _admission_registry_root(spark, sf_dir)
+    idx_root = os.path.join(root, "idx")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    admitted = (
+        spark.read.parquet(os.path.join(root, "decisions"))
+        .filter(F.col("admitted") == 1)
+        .select("doc_id")
+    )
+    adm_docs = docs.join(admitted, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
+    payload = mm.attach_binary_payload(adm_docs)
+
+    def _served(fam, **kw):
+        return admission_served_pairs(spark, idx_root, fam, **kw)
+
+    # inline twins at the SERVING thresholds (video one notch looser
+    # than its gate so the equality compares non-empty frames)
+    inline = {
+        "text": dd.minhash_lsh_pairs_distinct(
+            adm_docs, threshold=_ADM_SERVE_TXT_T
+        ),
+        "image": dd.dhash_neardup_pairs(mm.image_dhash(payload), threshold=3),
+        "audio": dd.audio_fp_neardup_pairs(
+            mm.audio_energy_fingerprint(payload), threshold=3
+        ),
+        "video": dd.video_neardup_pairs(
+            mm.video_frame_hashes(payload), min_shared=_ADM_SERVE_VIDEO_MS
+        ),
+    }
+    served = {
+        "text": _served("text", minhash_threshold=_ADM_SERVE_TXT_T),
+        "image": _served("image"),
+        "audio": _served("audio"),
+        "video": _served("video", video_min_shared=_ADM_SERVE_VIDEO_MS),
+    }
+    mismatches = {}
+    for fam in inline:
+        want = inline[fam].select(*served[fam].columns)
+        mismatches[fam] = (
+            served[fam]
+            .exceptAll(want)
+            .unionByName(want.exceptAll(served[fam]))
+            .agg(F.count(F.lit(1)).alias(f"__mis_{fam}"))
+        )
+    n_exact = _served("exact").agg(F.count(F.lit(1)).alias("__nx"))
+    n_gate_t = _served("text", minhash_threshold=0.5).agg(
+        F.count(F.lit(1)).alias("__ngt")
+    )
+    adm1 = adm1_admission_served_video_pairs(spark, sf_dir)
+    stray = (
+        adm1.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(adm1.select(F.col("doc_b").alias("doc_id")))
+        .join(admitted, "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("__stray"))
+    )
+    # driver-side layout fact: the fold bounds every family's partition
+    # count at the cadence (folds only ever reduce; a family admitted
+    # in fewer batches sits below the bound vacuously-correctly)
+    fold_ok = all(
+        len(
+            [
+                n
+                for n in os.listdir(os.path.join(idx_root, fam))
+                if n.startswith("batch_id=")
+            ]
+        )
+        <= _ADM_COMPACT_EVERY
+        for fam in _FAMILY_SCHEMAS
+    )
+
+    row = n_exact.crossJoin(F.broadcast(n_gate_t)).crossJoin(
+        F.broadcast(stray)
+    )
+    for mis in mismatches.values():
+        row = row.crossJoin(F.broadcast(mis))
+    return row.select(
+        (F.col("__mis_text") == 0)
+        .cast("long")
+        .alias("text_served_equals_inline"),
+        (F.col("__mis_image") == 0)
+        .cast("long")
+        .alias("image_served_equals_inline"),
+        (F.col("__mis_audio") == 0)
+        .cast("long")
+        .alias("audio_served_equals_inline"),
+        (F.col("__mis_video") == 0)
+        .cast("long")
+        .alias("video_served_equals_inline"),
+        (F.col("__nx") == 0).cast("long").alias("exact_served_empty"),
+        (F.col("__ngt") == 0).cast("long").alias("text_gate_served_empty"),
+        (F.col("__stray") == 0).cast("long").alias("served_ids_admitted"),
+        F.lit(1 if fold_ok else 0).cast("long").alias("fold_engaged"),
+    )
+
+
 @register(
     "txt10_top_tokens",
     """
