@@ -226,7 +226,13 @@ def admission_sink(
     cadence with ``dedup.suggest_compaction_cadence`` from measured
     walls). Gate decisions are fold-invariant (row-identical registry
     views) and the fold is crash-recovered at every cycle, so enabling
-    it changes probe SHAPE only, never admissions."""
+    it changes probe SHAPE only, never admissions. Budget note: the
+    folded BASE partition counts toward the partition budget (it is
+    just the oldest ``batch_id=`` partition), so steady state is one
+    fold every ``compact_every - 1`` batches, each streaming the full
+    registry once — amortized O(registry / (compact_every-1)) rows per
+    cycle; the cadence helper's knee already prices exactly this
+    trade."""
     P = minhash_params or dict(num_hashes=64, bands=16, shingle_k=3, seed=42)
     if compact_every is not None and compact_every < 2:
         raise ValueError(
