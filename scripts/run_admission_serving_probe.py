@@ -57,6 +57,7 @@ def main() -> None:
     from tranquility_spark.operators.admission import (
         admission_served_pairs,
         admission_sink,
+        count_batch_partitions,
     )
     from tranquility_spark.sources.files import load_table
 
@@ -67,80 +68,88 @@ def main() -> None:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         n_docs = docs.count()
         root = tempfile.mkdtemp(prefix="admission_serving_probe_")
-        runs = {}
-        for mode, compact_every in (("plain", None), ("folded", COMPACT_EVERY)):
-            index_root = os.path.join(root, mode, "idx")
-            decisions_dir = os.path.join(root, mode, "decisions")
-            sink = admission_sink(
-                index_root, decisions_dir, compact_every=compact_every
+        try:
+            _probe_one(
+                spark, sf_dir, docs, n_docs, root,
+                admission_sink, admission_served_pairs, count_batch_partitions,
             )
-            walls = []
-            for b in range(N_BATCHES):
-                batch = docs.filter(F.col("doc_id") % N_BATCHES == b)
+        finally:
+            # the invariance assert firing is exactly when the 50k-doc
+            # registry tree must NOT be left behind in /tmp (r18 review)
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def _probe_one(
+    spark, sf_dir, docs, n_docs, root,
+    admission_sink, admission_served_pairs, count_batch_partitions,
+) -> None:
+    runs = {}
+    for mode, compact_every in (("plain", None), ("folded", COMPACT_EVERY)):
+        index_root = os.path.join(root, mode, "idx")
+        decisions_dir = os.path.join(root, mode, "decisions")
+        sink = admission_sink(
+            index_root, decisions_dir, compact_every=compact_every
+        )
+        walls = []
+        for b in range(N_BATCHES):
+            batch = docs.filter(F.col("doc_id") % N_BATCHES == b)
+            t0 = time.time()
+            sink(batch, b)
+            walls.append(round(time.time() - t0, 2))
+        runs[mode] = (index_root, decisions_dir, walls)
+
+    # 1. fold-invariance at the decade size
+    dec = {
+        m: spark.read.parquet(d).select("doc_id", "admitted", "reason")
+        for m, (_, d, _) in runs.items()
+    }
+    mismatch = (
+        dec["plain"].exceptAll(dec["folded"]).count()
+        + dec["folded"].exceptAll(dec["plain"]).count()
+    )
+    assert mismatch == 0, f"fold changed decisions at {sf_dir}!"
+    n_adm = dec["plain"].filter(F.col("admitted") == 1).count()
+
+    # 3. warm serving min-of-3 per family, both layouts
+    serve_kw = {
+        "video": dict(video_min_shared=1),
+        "text": dict(minhash_threshold=0.2),
+        "image": {},
+        "audio": {},
+    }
+    report = {}
+    for mode, (index_root, _, walls) in runs.items():
+        nparts = {
+            fam: count_batch_partitions(os.path.join(index_root, fam))
+            for fam in serve_kw
+        }
+        times = {}
+        for fam, kw in serve_kw.items():
+            best = float("inf")
+            n_pairs = -1
+            for _ in range(3):
                 t0 = time.time()
-                sink(batch, b)
-                walls.append(round(time.time() - t0, 2))
-            runs[mode] = (index_root, decisions_dir, walls)
+                n_pairs = admission_served_pairs(
+                    spark, index_root, fam, **kw
+                ).count()
+                best = min(best, time.time() - t0)
+            times[fam] = (round(best, 3), n_pairs)
+        report[mode] = (walls, nparts, times)
 
-        # 1. fold-invariance at the decade size
-        dec = {
-            m: spark.read.parquet(d).select("doc_id", "admitted", "reason")
-            for m, (_, d, _) in runs.items()
-        }
-        mismatch = (
-            dec["plain"].exceptAll(dec["folded"]).count()
-            + dec["folded"].exceptAll(dec["plain"]).count()
-        )
-        assert mismatch == 0, f"fold changed decisions at {sf_dir}!"
-        n_adm = dec["plain"].filter(F.col("admitted") == 1).count()
-
-        # 3. warm serving min-of-3 per family, both layouts
-        serve_kw = {
-            "video": dict(video_min_shared=1),
-            "text": dict(minhash_threshold=0.2),
-            "image": {},
-            "audio": {},
-        }
-        report = {}
-        for mode, (index_root, _, walls) in runs.items():
-            nparts = {
-                fam: len(
-                    [
-                        n
-                        for n in os.listdir(os.path.join(index_root, fam))
-                        if n.startswith("batch_id=")
-                    ]
-                )
-                for fam in serve_kw
-            }
-            times = {}
-            for fam, kw in serve_kw.items():
-                best = float("inf")
-                n_pairs = -1
-                for _ in range(3):
-                    t0 = time.time()
-                    n_pairs = admission_served_pairs(
-                        spark, index_root, fam, **kw
-                    ).count()
-                    best = min(best, time.time() - t0)
-                times[fam] = (round(best, 3), n_pairs)
-            report[mode] = (walls, nparts, times)
-
+    print(
+        f"\nRESULT {sf_dir} ({n_docs} docs, {N_BATCHES} batches, "
+        f"admitted={n_adm}, fold_invariant=True):"
+    )
+    for mode, (walls, nparts, times) in report.items():
+        print(f"RESULT   {mode}: cycle_walls={walls}")
         print(
-            f"\nRESULT {sf_dir} ({n_docs} docs, {N_BATCHES} batches, "
-            f"admitted={n_adm}, fold_invariant=True):"
-        )
-        for mode, (walls, nparts, times) in report.items():
-            print(f"RESULT   {mode}: cycle_walls={walls}")
-            print(
-                f"RESULT   {mode}: partitions={nparts} "
-                f"serve_min3={{"
-                + ", ".join(
-                    f"{fam}: {t}s/{n} pairs" for fam, (t, n) in times.items()
-                )
-                + "}"
+            f"RESULT   {mode}: partitions={nparts} "
+            f"serve_min3={{"
+            + ", ".join(
+                f"{fam}: {t}s/{n} pairs" for fam, (t, n) in times.items()
             )
-        shutil.rmtree(root, ignore_errors=True)
+            + "}"
+        )
 
 
 if __name__ == "__main__":

@@ -3989,7 +3989,7 @@ def test_admission_sink_compaction_invariance(spark, sf_dir, tmp_path):
     }
     assert dec["plain"] == dec["folded"]
 
-    import os
+    from tranquility_spark.operators.admission import count_batch_partitions
 
     for fam in ("exact", "text", "image", "audio", "video"):
         # (b) registry rows identical modulo partition tag
@@ -3998,19 +3998,16 @@ def test_admission_sink_compaction_invariance(spark, sf_dir, tmp_path):
             for m, (r, _) in roots.items()
         }
         assert got["plain"] == got["folded"], fam
-        # (c) fewer partitions in the folded run (4 batches wrote ≤4
-        # non-empty partitions; cadence 2 folds at least once)
+        # (c) the folded run holds at most compact_every partitions; the
+        # strict < additionally needs rows in ≥2 batches (a single-delta
+        # family never folds — fixture-fragility guard, r18 review)
         nparts = {
-            m: len(
-                [
-                    n
-                    for n in os.listdir(f"{r}/{fam}")
-                    if n.startswith("batch_id=")
-                ]
-            )
+            m: count_batch_partitions(f"{r}/{fam}")
             for m, (r, _) in roots.items()
         }
-        assert nparts["folded"] < nparts["plain"], (fam, nparts)
+        assert nparts["folded"] <= 2, (fam, nparts)
+        if nparts["plain"] >= 2:
+            assert nparts["folded"] < nparts["plain"], (fam, nparts)
         # (d) serving identical (text served at a looser-than-gate
         # threshold so the frame is non-vacuous for at least one family)
         kw = {"minhash_threshold": 0.2} if fam == "text" else {}

@@ -7094,6 +7094,14 @@ def _pipe13b_impl(
 _ADM_REG_KIND = "admreg+b4+c2+mh64.16.3.42+tx0.5+dh3+au3+vm2"
 _ADM_REG_BATCHES = 4
 _ADM_COMPACT_EVERY = 2
+# the sink's GATE thresholds, spelled once (r18 review: adm1b's inline
+# twins and from-disk emptiness probes must compare at exactly the
+# thresholds the registry was gated with — these are the tx/dh/au/vm
+# tokens of _ADM_REG_KIND; change one, change the other, new location)
+_ADM_GATE_TXT_T = 0.5
+_ADM_GATE_DHASH = 3
+_ADM_GATE_AUDIO = 3
+# serving thresholds: one notch LOOSER than the gate (the near-miss band)
 _ADM_SERVE_TXT_T = 0.2
 _ADM_SERVE_VIDEO_MS = 1
 
@@ -7239,6 +7247,7 @@ def adm1b_admission_serving_probes(
     from tranquility_spark.operators.admission import (
         _FAMILY_SCHEMAS,
         admission_served_pairs,
+        count_batch_partitions,
     )
 
     root = _admission_registry_root(spark, sf_dir)
@@ -7263,9 +7272,11 @@ def adm1b_admission_serving_probes(
         "text": dd.minhash_lsh_pairs_distinct(
             adm_docs, threshold=_ADM_SERVE_TXT_T
         ),
-        "image": dd.dhash_neardup_pairs(mm.image_dhash(payload), threshold=3),
+        "image": dd.dhash_neardup_pairs(
+            mm.image_dhash(payload), threshold=_ADM_GATE_DHASH
+        ),
         "audio": dd.audio_fp_neardup_pairs(
-            mm.audio_energy_fingerprint(payload), threshold=3
+            mm.audio_energy_fingerprint(payload), threshold=_ADM_GATE_AUDIO
         ),
         "video": dd.video_neardup_pairs(
             mm.video_frame_hashes(payload), min_shared=_ADM_SERVE_VIDEO_MS
@@ -7273,8 +7284,8 @@ def adm1b_admission_serving_probes(
     }
     served = {
         "text": _served("text", minhash_threshold=_ADM_SERVE_TXT_T),
-        "image": _served("image"),
-        "audio": _served("audio"),
+        "image": _served("image", dhash_threshold=_ADM_GATE_DHASH),
+        "audio": _served("audio", audio_threshold=_ADM_GATE_AUDIO),
         "video": _served("video", video_min_shared=_ADM_SERVE_VIDEO_MS),
     }
     mismatches = {}
@@ -7287,7 +7298,7 @@ def adm1b_admission_serving_probes(
             .agg(F.count(F.lit(1)).alias(f"__mis_{fam}"))
         )
     n_exact = _served("exact").agg(F.count(F.lit(1)).alias("__nx"))
-    n_gate_t = _served("text", minhash_threshold=0.5).agg(
+    n_gate_t = _served("text", minhash_threshold=_ADM_GATE_TXT_T).agg(
         F.count(F.lit(1)).alias("__ngt")
     )
     adm1 = adm1_admission_served_video_pairs(spark, sf_dir)
@@ -7301,13 +7312,7 @@ def adm1b_admission_serving_probes(
     # count at the cadence (folds only ever reduce; a family admitted
     # in fewer batches sits below the bound vacuously-correctly)
     fold_ok = all(
-        len(
-            [
-                n
-                for n in os.listdir(os.path.join(idx_root, fam))
-                if n.startswith("batch_id=")
-            ]
-        )
+        count_batch_partitions(os.path.join(idx_root, fam))
         <= _ADM_COMPACT_EVERY
         for fam in _FAMILY_SCHEMAS
     )

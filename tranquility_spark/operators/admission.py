@@ -95,9 +95,25 @@ def _recover_family_compaction(family_dir: str) -> None:
     - both exist → the crash hit after publish, before cleanup; the
       folded layout is live and complete → drop the aside copy.
 
-    Idempotent and cheap (two ``os.path`` checks when clean); called at
-    every fold and every sink cycle so a crashed fold can never leave a
-    batch reading a missing registry as cold start."""
+    Also sweeps orphaned fold STAGE dirs (``<dir>.compact.tmp.*``) left
+    by a crash before the swap began — a restarted process gets a new
+    pid, so the stage's own same-(pid, thread) cleanup never fires and
+    folds recur on the same live dirs indefinitely (unlike the
+    once-per-digest served-table builds, where an orphan is bounded).
+    Safe under the sink's contract of ONE streaming query per
+    index_root: foreachBatch is single-threaded per query, so any stage
+    dir present when a cycle starts is a dead fold's leftover, never a
+    live competitor's build.
+
+    Idempotent and cheap (an ``os.listdir`` of the parent when clean);
+    called at every fold and every sink cycle so a crashed fold can
+    never leave a batch reading a missing registry as cold start."""
+    parent = os.path.dirname(family_dir) or "."
+    base = os.path.basename(family_dir)
+    if os.path.isdir(parent):
+        for name in os.listdir(parent):
+            if name.startswith(base + ".compact.tmp."):
+                shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
     pre = family_dir + _PRE_COMPACT_SUFFIX
     if not os.path.isdir(pre):
         return
@@ -122,11 +138,21 @@ def _delta_partitions(family_dir: str, before_batch_id: int) -> list[int]:
     return sorted(out)
 
 
+def count_batch_partitions(family_dir: str) -> int:
+    """Number of ``batch_id=`` partitions a family index dir holds — the
+    single partition-name-parsing point shared by the fold trigger, the
+    adm1b fold-engagement boolean, the scale probes, and the invariance
+    tests (r18 review: four inline listdir comprehensions would drift
+    on any layout change)."""
+    return len(_delta_partitions(family_dir, 2**63 - 1))
+
+
 def compact_admission_registries(
     spark,
     index_root: str,
     before_batch_id: int,
     families: tuple = tuple(sorted(_FAMILY_SCHEMAS)),
+    min_deltas: int = 2,
 ) -> dict:
     """Fold each family's accumulated ``batch_id=`` delta partitions
     STRICTLY below ``before_batch_id`` into one partition — the
@@ -157,6 +183,12 @@ def compact_admission_registries(
     deployment serving while folding should read through the
     digest-keyed served-table protocol instead of the live sink dirs.
 
+    ``min_deltas``: fold a family only when at least this many
+    partitions sit below the horizon (default 2 — a single partition
+    has nothing to fold with). The sink passes its ``compact_every``
+    here, so trigger check and fold share ONE recovery+listing pass
+    instead of two code paths agreeing on the horizon (r18 review).
+
     Returns {family: number of partitions folded (0 = skipped)}.
 
     Scale shape: one fold streams each family's accumulated rows once
@@ -174,7 +206,7 @@ def compact_admission_registries(
         fam_dir = os.path.join(index_root, fam)
         _recover_family_compaction(fam_dir)
         ids = _delta_partitions(fam_dir, before_batch_id)
-        if len(ids) < 2:
+        if len(ids) < max(min_deltas, 2):
             folded[fam] = 0
             continue
         c = max(ids)
@@ -244,17 +276,15 @@ def admission_sink(
         spark = batch_df.sparkSession
         # fold/heal BEFORE any registry read: views built below must see
         # either the pre-fold or the complete post-fold layout, never a
-        # mid-swap dir (single-threaded per query, so ordering suffices)
-        for fam in _FAMILY_SCHEMAS:
-            fam_dir = os.path.join(index_root, fam)
-            _recover_family_compaction(fam_dir)
-            if (
-                compact_every is not None
-                and len(_delta_partitions(fam_dir, batch_id)) >= compact_every
-            ):
-                compact_admission_registries(
-                    spark, index_root, batch_id, families=(fam,)
-                )
+        # mid-swap dir (single-threaded per query, so ordering suffices);
+        # min_deltas=compact_every makes trigger and fold one pass
+        if compact_every is not None:
+            compact_admission_registries(
+                spark, index_root, batch_id, min_deltas=compact_every
+            )
+        else:
+            for fam in _FAMILY_SCHEMAS:
+                _recover_family_compaction(os.path.join(index_root, fam))
         # normalize the id column up front: the multimodal digest UDFs
         # hardcode 'doc_id' in their Arrow schemas (r17 review — a
         # non-default id_col would KeyError inside the executor)
