@@ -39,7 +39,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-N_BATCHES = 10
+# ADM_PROBE_BATCHES=100 runs the LONG-STREAM leg (the r18 10-batch run
+# measured folded-vs-plain serving as a wash; the fold's claim is the
+# BOUND, which only bites when a stream accumulates partitions the
+# 10-batch run never reaches — same corpus, many more batches)
+N_BATCHES = int(os.environ.get("ADM_PROBE_BATCHES", "10"))
 COMPACT_EVERY = 3
 DEFAULT_DIRS = ["/root/testdata/sf0.1", "/tmp/spark_graft_sf1"]
 
