@@ -3982,14 +3982,19 @@ def test_admission_sink_compaction_invariance(spark, sf_dir, tmp_path):
     def rows(df):
         return sorted(map(tuple, df.collect()))
 
-    # (a) decisions identical
+    # (a) decisions identical — and the folded run's DECISIONS dir is
+    # partition-bounded too (r18: the decisions fold rides the same
+    # cadence; an unbounded stream would otherwise make terminal reads
+    # listing-bound)
     dec = {
         m: rows(spark.read.parquet(d).select("doc_id", "admitted", "reason"))
         for m, (_, d) in roots.items()
     }
     assert dec["plain"] == dec["folded"]
-
     from tranquility_spark.operators.admission import count_batch_partitions
+
+    assert count_batch_partitions(roots["folded"][1]) <= 2
+    assert count_batch_partitions(roots["plain"][1]) == 4
 
     for fam in ("exact", "text", "image", "audio", "video"):
         # (b) registry rows identical modulo partition tag

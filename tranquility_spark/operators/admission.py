@@ -147,6 +147,52 @@ def count_batch_partitions(family_dir: str) -> int:
     return len(_delta_partitions(family_dir, 2**63 - 1))
 
 
+def compact_batch_partitions(
+    spark,
+    out_dir: str,
+    before_batch_id: int,
+    schema_ddl: str,
+    min_deltas: int = 2,
+) -> int:
+    """Fold ONE ``batch_id=``-partitioned dir's partitions strictly
+    below ``before_batch_id`` into a single partition tagged with the
+    max folded id — the generic core of
+    :func:`compact_admission_registries`, also applied to the sink's
+    DECISIONS dir (r18: decisions accumulate one partition per batch
+    like the indexes do; nothing probes them per cycle, but an
+    unbounded stream still makes even a terminal read listing-bound).
+    ``schema_ddl`` EXCLUDES the ``batch_id`` partition column. Same
+    horizon/crash-safety arguments as the registry fold (see that
+    docstring). Returns the number of partitions folded (0 =
+    skipped)."""
+    _recover_family_compaction(out_dir)
+    ids = _delta_partitions(out_dir, before_batch_id)
+    if len(ids) < max(min_deltas, 2):
+        return 0
+    c = max(ids)
+    full = spark.read.schema(schema_ddl + ", batch_id bigint").parquet(
+        out_dir
+    )
+    refolded = full.withColumn(
+        "batch_id",
+        F.when(
+            F.col("batch_id") < F.lit(before_batch_id), F.lit(c)
+        ).otherwise(F.col("batch_id")),
+    )
+    stage = f"{out_dir}.compact.tmp.{os.getpid()}.{threading.get_ident()}"
+    if os.path.isdir(stage):  # this (pid, thread)'s crashed leftover
+        shutil.rmtree(stage)
+    refolded.write.partitionBy("batch_id").parquet(stage)
+    pre = out_dir + _PRE_COMPACT_SUFFIX
+    os.rename(out_dir, pre)
+    os.rename(stage, out_dir)
+    shutil.rmtree(pre)
+    return len(ids)
+
+
+_DECISIONS_SCHEMA = "doc_id bigint, admitted int, reason string"
+
+
 def compact_admission_registries(
     spark,
     index_root: str,
@@ -203,32 +249,13 @@ def compact_admission_registries(
             raise ValueError(
                 f"compact_admission_registries: unknown family {fam!r}"
             )
-        fam_dir = os.path.join(index_root, fam)
-        _recover_family_compaction(fam_dir)
-        ids = _delta_partitions(fam_dir, before_batch_id)
-        if len(ids) < max(min_deltas, 2):
-            folded[fam] = 0
-            continue
-        c = max(ids)
-        schema = _FAMILY_SCHEMAS[fam] + ", batch_id bigint"
-        full = spark.read.schema(schema).parquet(fam_dir)
-        refolded = full.withColumn(
-            "batch_id",
-            F.when(
-                F.col("batch_id") < F.lit(before_batch_id), F.lit(c)
-            ).otherwise(F.col("batch_id")),
+        folded[fam] = compact_batch_partitions(
+            spark,
+            os.path.join(index_root, fam),
+            before_batch_id,
+            _FAMILY_SCHEMAS[fam],
+            min_deltas=min_deltas,
         )
-        stage = (
-            f"{fam_dir}.compact.tmp.{os.getpid()}.{threading.get_ident()}"
-        )
-        if os.path.isdir(stage):  # this (pid, thread)'s crashed leftover
-            shutil.rmtree(stage)
-        refolded.write.partitionBy("batch_id").parquet(stage)
-        pre = fam_dir + _PRE_COMPACT_SUFFIX
-        os.rename(fam_dir, pre)
-        os.rename(stage, fam_dir)
-        shutil.rmtree(pre)
-        folded[fam] = len(ids)
     return folded
 
 
@@ -277,14 +304,26 @@ def admission_sink(
         # fold/heal BEFORE any registry read: views built below must see
         # either the pre-fold or the complete post-fold layout, never a
         # mid-swap dir (single-threaded per query, so ordering suffices);
-        # min_deltas=compact_every makes trigger and fold one pass
+        # min_deltas=compact_every makes trigger and fold one pass. The
+        # decisions dir folds on the same cadence — nothing probes it
+        # per cycle, but an unbounded stream would otherwise make even
+        # a terminal read listing-bound.
         if compact_every is not None:
             compact_admission_registries(
                 spark, index_root, batch_id, min_deltas=compact_every
             )
+            if os.path.isdir(decisions_dir):
+                compact_batch_partitions(
+                    spark,
+                    decisions_dir,
+                    batch_id,
+                    _DECISIONS_SCHEMA,
+                    min_deltas=compact_every,
+                )
         else:
             for fam in _FAMILY_SCHEMAS:
                 _recover_family_compaction(os.path.join(index_root, fam))
+            _recover_family_compaction(decisions_dir)
         # normalize the id column up front: the multimodal digest UDFs
         # hardcode 'doc_id' in their Arrow schemas (r17 review — a
         # non-default id_col would KeyError inside the executor)
