@@ -3917,6 +3917,16 @@ def test_admission_served_pairs_closure(spark, sf_dir, tmp_path):
     for fam in before:
         assert rows(served(fam)) == before[fam], f"{fam}: replay changed pairs"
 
+    # the "nothing re-read at serve time" claim, asserted on the actual
+    # plan (r18): every FileScan in a served extraction reads the
+    # admission index dirs — the documents table never appears
+    for fam in ("text", "image", "audio", "video", "exact"):
+        plan = (
+            served(fam)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "documents.parquet" not in plan, f"{fam} re-reads corpus"
+        assert index_root in plan, f"{fam} does not scan the registry"
+
     # unknown family is a loud error, not an empty frame
     with pytest.raises(ValueError, match="unknown family"):
         admission_served_pairs(spark, index_root, "emoji")
