@@ -4133,3 +4133,67 @@ def test_admission_compaction_crash_recovery(spark, sf_dir, tmp_path):
     # cadence validation is loud
     with pytest.raises(ValueError, match="compact_every"):
         admission_sink(index_root, decisions_dir, compact_every=1)
+
+
+def test_compact_batch_partitions_preserves_live_horizons(spark, tmp_path):
+    """The fold's core contract, isolated from the sink: for every read
+    horizon b STRICTLY ABOVE the max folded id, the ``batch_id < b``
+    view over a folded dir equals the view over a never-folded twin —
+    decisions equality in the sink tests is a consequence; a horizon
+    bug that happened to cancel out in gate composition would still
+    fail here. Horizons AT or BELOW the fold point are deliberately
+    coarsened (folded rows carry the max folded tag, so a past horizon
+    sees none of them) — those horizons are unreachable in the sink:
+    Structured Streaming only redelivers the last uncommitted batch,
+    and the fold runs with ``before_batch_id`` = the current one. The
+    test pins BOTH halves: live horizons exact, dead horizons visibly
+    coarsened (the property that would catch a fold tagging rows with
+    anything other than the max folded id). Synthetic frames (no
+    signature UDFs), interleaved folds including a fold-of-a-fold and
+    a preserved above-horizon partition (the redelivery layout)."""
+    from tranquility_spark.operators.admission import (
+        _read_index_before,
+        compact_batch_partitions,
+        count_batch_partitions,
+    )
+    from tranquility_spark.operators.batch_sink import write_batch_partition
+
+    schema = "id bigint, h string"
+    plain = str(tmp_path / "plain")
+    folded = str(tmp_path / "folded")
+    n_batches = 6
+    for b in range(n_batches):
+        rows = spark.range(b * 10, b * 10 + 5).select(
+            F.col("id"), F.concat(F.lit("h"), F.col("id") % 3).alias("h")
+        )
+        for d in (plain, folded):
+            write_batch_partition(rows, d, b)
+        # fold mid-stream at two points: after batch 2 (folds {0,1,2})
+        # and after batch 4 (folds {folded(2), 3, 4} — a fold of a fold)
+        if b in (2, 4):
+            n = compact_batch_partitions(spark, folded, b + 1, schema)
+            assert n >= 2
+
+    assert count_batch_partitions(folded) < count_batch_partitions(plain)
+
+    def view(d, horizon):
+        got = _read_index_before(spark, d, horizon, ["id", "h"])
+        return sorted(map(tuple, got.collect())) if got is not None else None
+
+    max_folded = 4  # the second fold re-tagged everything below 5 as 4
+    for horizon in range(max_folded + 1, n_batches + 1):
+        assert view(folded, horizon) == view(plain, horizon), horizon
+    # dead horizons: coarsened exactly as the max-folded-tag predicts —
+    # a horizon at/below the fold sees NO folded rows, only partitions
+    # that kept their own tag (none below 5 here)
+    for horizon in range(1, max_folded + 1):
+        assert view(folded, horizon) == [], horizon
+
+    # a fold with a preserved above-horizon partition (the redelivery
+    # layout: partition 5 stays under its own tag, {<=4} fold to one)
+    compact_batch_partitions(spark, folded, 5, schema)
+    assert count_batch_partitions(folded) == 2
+    for horizon in range(max_folded + 1, n_batches + 1):
+        assert view(folded, horizon) == view(plain, horizon), horizon
+    # partition 5 kept its tag: horizon 6 sees it, horizon 5 does not
+    assert len(view(folded, 6)) == len(view(folded, 5)) + 5

@@ -163,8 +163,15 @@ def compact_batch_partitions(
     unbounded stream still makes even a terminal read listing-bound).
     ``schema_ddl`` EXCLUDES the ``batch_id`` partition column. Same
     horizon/crash-safety arguments as the registry fold (see that
-    docstring). Returns the number of partitions folded (0 =
-    skipped)."""
+    docstring) — and the same deliberate coarsening: horizons AT or
+    BELOW the max folded id see none of the folded rows (they carry
+    the max tag). Those horizons are unreachable through the sink
+    (only the last uncommitted batch redelivers); an out-of-band
+    reader wanting time-travel to a pre-fold batch boundary needs the
+    never-folded layout, not this one
+    (tests/test_streaming.py::test_compact_batch_partitions_
+    preserves_live_horizons pins both halves). Returns the number of
+    partitions folded (0 = skipped)."""
     _recover_family_compaction(out_dir)
     ids = _delta_partitions(out_dir, before_batch_id)
     if len(ids) < max(min_deltas, 2):
