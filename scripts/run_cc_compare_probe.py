@@ -97,7 +97,7 @@ def main() -> None:
         n_edges = pairs.count()
 
         t0 = time.time()
-        pd_labels, pd_rounds = _cc_pointer_doubling(pairs)
+        pd_labels, pd_rounds, _ = _cc_pointer_doubling(pairs)
         pd_map = {r.id: r.cluster_id for r in pd_labels.collect()}
         pd_wall = time.time() - t0
 

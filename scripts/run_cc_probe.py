@@ -63,7 +63,7 @@ def main() -> None:
         ).localCheckpoint(eager=True)
 
         t0 = time.time()
-        labels, rounds = _cc_pointer_doubling(pairs)
+        labels, rounds, _ = _cc_pointer_doubling(pairs)
         got = {r.cluster_id for r in labels.collect()}
         wall = time.time() - t0
         assert got == {0}, f"chain {n}: wrong labels {sorted(got)[:5]}"
@@ -94,7 +94,7 @@ def main() -> None:
             rows, "id_a bigint, id_b bigint"
         ).localCheckpoint(eager=True)
         t0 = time.time()
-        labels, rounds = _cc_pointer_doubling(pairs)
+        labels, rounds, _ = _cc_pointer_doubling(pairs)
         got = {r.cluster_id for r in labels.collect()}
         wall = time.time() - t0
         assert got == {c * 1000 for c in range(k)}, f"blob {k}x{m}: wrong minima"

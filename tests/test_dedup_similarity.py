@@ -1810,7 +1810,7 @@ def test_neardup_survivors_converged_long_chain(spark):
     # rounds — the measured claim behind the dd32 re-anchor
     from tranquility_spark.operators.dedup import _cc_pointer_doubling
 
-    labels, rounds = _cc_pointer_doubling(pairs)
+    labels, rounds, proven = _cc_pointer_doubling(pairs)
     assert {r.cluster_id for r in labels.collect()} == {0}
     assert rounds <= 4  # 14 hops: ceil(log4(14)) + O(1), not 14
 
@@ -1840,7 +1840,7 @@ def test_cc_alternating_star_matches_pointer_doubling(spark):
     for name, es in cases.items():
         pairs = spark.createDataFrame(es, "id_a bigint, id_b bigint")
         star_labels, star_rounds = _cc_alternating_star(pairs)
-        pd_labels, _ = _cc_pointer_doubling(pairs)
+        pd_labels, _, _ = _cc_pointer_doubling(pairs)
         got = {r.id: r.cluster_id for r in star_labels.collect()}
         want = {r.id: r.cluster_id for r in pd_labels.collect()}
         assert got == want, f"{name}: {got} != {want}"

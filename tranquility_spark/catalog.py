@@ -2272,9 +2272,13 @@ _CERTIFIED = frozenset(
         "dd27_audio_fp_incremental_served",
         "dd28_video_neardup_pairs", "dd29_video_served_pairs",
         "dd30_video_incremental_served",
-        "dd31_audio_fp_survivors", "dd32_video_survivors",
+        # (dd31/dd32/pipe8/pipe10 rotated back OUT in the r18
+        # optimization round: their executed plans include the
+        # _cc_pointer_doubling min-neighbor-init + proven-flag rewrite —
+        # a helper edit the fingerprint guard cannot catch, rotated per
+        # the HANDOFF discipline. Outputs re-proven identical vs the
+        # oracles at sf0.01 in the same commit.)
         "dq19_spatial_filter", "dq20_spatial_served_filter",
-        "pipe8_cross_family_dedup",
         # --- r17 window (CORRECTNESS_r17.json: 21 hash-greens, 0 fails;
         # 3 fold in — the pipe9 re-certify (after the r17 doc-only ADVICE
         # r16 #1 rotation) and the new pipe10/dd33 compositions. The r17
@@ -2286,7 +2290,6 @@ _CERTIFIED = frozenset(
         # the window until driver-re-certified; the other 16 r17 greens
         # were already-certified backfill. ---
         "pipe9_cross_family_admission",
-        "pipe10_cross_family_admission_keepone",
         "dd33_video_incremental_capped",
     }
 )

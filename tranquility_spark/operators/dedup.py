@@ -2534,7 +2534,7 @@ def video_index_sink(
 def _cc_pointer_doubling(
     pairs: DataFrame,
     max_rounds: int = 64,
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, bool]:
     """Exact min-label connected components in LOG-DIAMETER rounds —
     Shiloach–Vishkin-style hooking + pointer jumping over DataFrames
     (r16, VERDICT r15 #2: :func:`neardup_clusters`' one-hop min-label
@@ -2562,25 +2562,44 @@ def _cc_pointer_doubling(
     ~log4(diameter) rounds with the emptiness probe answered from the
     already-materialized frame.
 
-    Returns ``(labels, rounds_used)``; labels = (id, cluster_id) for
-    every node appearing in ``pairs``. If ``max_rounds`` is exhausted
-    before the fixpoint, the returned labels may be short of the
-    component minima — callers (``neardup_survivors_converged``) MUST
-    verify externally, which is also what keeps this exact-or-loud
-    rather than trusting the doubling arithmetic."""
+    Labels initialize to ``min(v, min(N(v)))`` — the one-hop minimum,
+    computed by a single aggregation over the symmetrized edge list
+    (r18 optimization round, guide §2.4: remove work outright). On the
+    star/pair graphs the admission gates actually produce (a near-dup
+    cluster is diameter 1-2) this init IS the fixpoint, so the loop's
+    first props probe proves emptiness and ZERO hook+jump rounds run —
+    measured 3.3 s -> 0.5 s on a 50-pair graph, round counts on chain
+    decades unchanged (the init moves labels one hop, exactly what
+    round 1's hook did). Exactness is untouched: the init label is a
+    member id of the same component and monotone non-increasing, the
+    same invariant the hook maintains.
+
+    Returns ``(labels, rounds_used, proven)``; labels = (id,
+    cluster_id) for every node appearing in ``pairs``. ``proven`` is
+    True iff the loop exited through the props-EMPTY check — the
+    fixpoint proof itself (every edge label-equal => labels constant
+    per component => equal to the component min). If ``max_rounds`` is
+    exhausted first, ``proven`` is False and the returned labels may be
+    short of the component minima — callers
+    (``neardup_survivors_converged``) MUST verify externally in that
+    case, which is what keeps this exact-or-loud rather than trusting
+    the doubling arithmetic."""
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).distinct()
+    sym = edges.select(F.col("src").alias("id"), F.col("dst").alias("nb")).union(
+        edges.select(F.col("dst").alias("id"), F.col("src").alias("nb"))
+    )
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-        .withColumn("cluster_id", F.col("id"))
+        sym.groupBy("id")
+        .agg(F.min("nb").alias("__mn"))
+        .select("id", F.least(F.col("id"), F.col("__mn")).alias("cluster_id"))
         # lineage cut per round (the neardup_clusters discipline):
         # without it each iteration's plan embeds all previous ones
         .localCheckpoint(eager=True)
     )
     rounds = 0
+    proven = False
     for _ in range(max_rounds):
         la = labels.select(
             F.col("id").alias("src"), F.col("cluster_id").alias("__la")
@@ -2599,6 +2618,7 @@ def _cc_pointer_doubling(
             .localCheckpoint(eager=True)
         )
         if props.isEmpty():  # fixpoint PROVEN: every edge label-equal
+            proven = True
             break
         rounds += 1
         cand = props.groupBy("id").agg(F.min("__prop").alias("__prop"))
@@ -2618,7 +2638,7 @@ def _cc_pointer_doubling(
                 "id", F.coalesce("__plbl", "cluster_id").alias("cluster_id")
             )
         labels = hooked.localCheckpoint(eager=True)
-    return labels, rounds
+    return labels, rounds, proven
 
 
 def _cc_alternating_star(
@@ -2751,29 +2771,39 @@ def neardup_survivors_converged(
     real diameter; one extra join over the edge list verifies; raises
     loudly on violation — either the answer equals the exact closure or
     the job fails, never a silent cross-engine mismatch."""
-    clusters, _ = _cc_pointer_doubling(pairs, max_rounds=max_iterations)
-    edges = pairs.select(
-        F.col("id_a").alias("__src"), F.col("id_b").alias("__dst")
-    )
-    la = clusters.select(
-        F.col("id").alias("__src"), F.col("cluster_id").alias("__ca")
-    )
-    lb = clusters.select(
-        F.col("id").alias("__dst"), F.col("cluster_id").alias("__cb")
-    )
-    violations = (
-        edges.join(la, "__src")
-        .join(lb, "__dst")
-        .filter(F.col("__ca") != F.col("__cb"))
-        .limit(1)
-        .count()
-    )
-    if violations:
-        raise RuntimeError(
-            "neardup_survivors_converged: label propagation did not reach "
-            f"a fixpoint within {max_iterations} rounds (an edge still "
-            "connects two different labels) — raise max_iterations"
+    clusters, _, proven = _cc_pointer_doubling(pairs, max_rounds=max_iterations)
+    if not proven:
+        # The loop exhausted max_rounds without reaching the props-EMPTY
+        # proof, so the labels may be short of the component minima —
+        # re-prove (or raise) from outside. When the loop DID exit through
+        # props-empty, this join is the exact check the loop already ran
+        # (every edge label-equal), so re-running it here was one
+        # redundant join + driver action per CC call (r18 optimization
+        # round, guide §2.4) — dd31/dd32/pipe8/pipe10 each paid it 1-4
+        # times per run. Exact-or-loud is unchanged: every exit path
+        # either carries the in-loop proof or runs this one.
+        edges = pairs.select(
+            F.col("id_a").alias("__src"), F.col("id_b").alias("__dst")
         )
+        la = clusters.select(
+            F.col("id").alias("__src"), F.col("cluster_id").alias("__ca")
+        )
+        lb = clusters.select(
+            F.col("id").alias("__dst"), F.col("cluster_id").alias("__cb")
+        )
+        violations = (
+            edges.join(la, "__src")
+            .join(lb, "__dst")
+            .filter(F.col("__ca") != F.col("__cb"))
+            .limit(1)
+            .count()
+        )
+        if violations:
+            raise RuntimeError(
+                "neardup_survivors_converged: label propagation did not reach "
+                f"a fixpoint within {max_iterations} rounds (an edge still "
+                "connects two different labels) — raise max_iterations"
+            )
     victims = clusters.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias(id_col)
     )
