@@ -2289,7 +2289,10 @@ _CERTIFIED = frozenset(
         # VERDICT r17 #2 certification-boolean split), so they stay in
         # the window until driver-re-certified; the other 16 r17 greens
         # were already-certified backfill. ---
-        "pipe9_cross_family_admission",
+        # (pipe9 rotated back OUT in the r18 optimization round: its fn
+        # now overlaps the four family probes via _materialize_overlapped
+        # — guide §2.6; output re-proven identical vs the oracle at
+        # sf0.01 in the same commit.)
         "dd33_video_incremental_capped",
     }
 )

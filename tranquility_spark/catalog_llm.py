@@ -5684,6 +5684,12 @@ def _pipe8_decide(
             max_df=video_max_df,
         ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")),
     }
+    # NOT overlapped via _materialize_overlapped (r18 optimization round,
+    # measured): unlike the incremental probes, these four extractions
+    # read persisted co-located index buckets — cheap scans whose eager
+    # parallel materialization measured ~15% SLOWER end-to-end than the
+    # lazy serial form (12.1 vs 10.0 s at sf0.1; pool contention + block
+    # writes outweigh the overlap on cheap jobs). Lazy checkpoints kept.
     fam_pairs = {
         k: v.localCheckpoint(eager=False) for k, v in fam_pairs.items()
     }
@@ -5834,6 +5840,11 @@ def pipe9_cross_family_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         ),
     }
+    # overlap the four independent family probes, and cut each pair
+    # frame's lineage before its double reference in the touched-union
+    # below (r18 optimization round, guide §2.6 — see
+    # _materialize_overlapped)
+    gate_pairs = _materialize_overlapped(spark, gate_pairs, "pipe9")
     for fam, pairs in gate_pairs.items():
         touched = (
             pairs.select(F.col("id_a").alias("doc_id"))
@@ -5993,9 +6004,9 @@ def pipe10_cross_family_admission_keepone(
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         ),
     }
-    gate_pairs = {
-        k: v.localCheckpoint(eager=False) for k, v in gate_pairs.items()
-    }
+    # overlap the four independent family probes (r18 optimization
+    # round, guide §2.6 — see _materialize_overlapped)
+    gate_pairs = _materialize_overlapped(spark, gate_pairs, "pipe10")
     batch_a = F.col("id_a") % 5 == 0
     batch_b = F.col("id_b") % 5 == 0
     intra_all = None
@@ -6125,6 +6136,35 @@ def pipe10_cross_family_admission_keepone(
     )
 
 
+def _materialize_overlapped(
+    spark: SparkSession, frames: dict, label: str
+) -> dict:
+    """Materialize independent frames as localCheckpoints from a small
+    thread pool (r18 optimization round, guide §2.6 — overlap independent
+    jobs): each family probe has serial narrow phases (Arrow/pandas
+    signature passes, tiny bucket joins) that leave most cores idle, so
+    overlapping lets one family's Python pass back-fill another's tail.
+    Measured at sf0.1: the four-family probe wall of the cycle ctx
+    dropped ~15-25% in pipe11/12/13 end-to-end. Semantics are untouched:
+    eager=True only moves each materialization from its first consumer
+    (the admit()/CC call inside the same entry fn) into the pool; the
+    frames are independent (distinct registry tables, shared inputs are
+    immutable parquet), and job descriptions are thread-local so the UI
+    stays labelled per family. Spark's scheduler runs concurrent jobs
+    FIFO — exactly the back-fill behaviour wanted."""
+    if len(frames) <= 1:
+        return {k: v.localCheckpoint(eager=True) for k, v in frames.items()}
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _materialize(item):
+        k, df = item
+        spark.sparkContext.setJobDescription(f"{label}: {k} probe")
+        return k, df.localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=len(frames)) as pool:
+        return dict(pool.map(_materialize, frames.items()))
+
+
 def _cross_family_cycle_ctx(
     spark: SparkSession,
     sf_dir: str,
@@ -6186,9 +6226,13 @@ def _cross_family_cycle_ctx(
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         ),
     }
-    fam_pairs = {
-        k: fam_builders[k]().localCheckpoint(eager=False) for k in families
-    }
+    # Plan construction (and any first-touch index DDL) stays SERIAL; the
+    # four families' probe MATERIALIZATIONS are independent jobs, so they
+    # run overlapped (r18 optimization round, guide §2.6) — see
+    # _materialize_overlapped.
+    fam_pairs = _materialize_overlapped(
+        spark, {k: fam_builders[k]() for k in families}, "cycle-ctx"
+    )
     union_pairs = None
     for v in fam_pairs.values():
         p = v.select("id_a", "id_b")
