@@ -2047,6 +2047,18 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # the permanent rows-only window leads (which have NO such twin).
 _CERTIFIED = frozenset(
     {
+        # --- r18 OPTIMIZATION round rotations: dd2/dd2b/dd8b/dd20b/dd22b
+        # (minhash UDF asNondeterministic removed the pushed-filter UDF
+        # duplication from every lsh_band_index plan; dd2 additionally
+        # checkpoints the banded frame), dd16/dd16b/dd17b/dd25 (the
+        # dhash_neardup_pairs digest-frame lineage cut), plus the
+        # earlier CC rotations dd31/dd32/pipe8/pipe9/pipe10. simhash64
+        # was also marked nondeterministic, but outside the
+        # dhash_neardup_pairs path (rotated via dd17b) no simhash plan
+        # contains a filter on the UDF output, so dd3/dd3b/dd18b/dd19b/
+        # dd21b keep their certification: expression value, evaluation
+        # count and plan shape are unchanged there (verified in the
+        # full-catalog parity sweep this round). ---
         # --- r01/r02 window ---
         "p1_json_parse", "p3_ts_extract", "p4_projection", "p5_schemaless",
         "p6_window_filter", "p7_metric_coercion", "t1_segment_bucket",
@@ -2057,7 +2069,6 @@ _CERTIFIED = frozenset(
         "a9_custom_fold_agg", "a10_quantiles_exact", "a10_quantiles_approx",
         "a11_theta_sketch_approx", "a12_rollup_disabled", "a_derived_avg",
         "d1_hash_partition", "flagship_hourly_rollup", "dd1_exact_dedup",
-        "dd2_minhash_lsh_pairs",
         # (dd3_simhash_signatures rotated back OUT in round 12: the dd17
         # work rewrote its simhash64 helper — bit-identical, re-verified)
         "dd4_ngram_jaccard",
@@ -2108,7 +2119,7 @@ _CERTIFIED = frozenset(
         # executed expression trees changed — the helper-edit discipline
         # the fingerprint guard cannot mechanize) ---
         "emb4_matryoshka_truncate", "txt11_boilerplate_ngrams",
-        "dd8b_incremental_equals_full", "dd9_bloom_membership",
+        "dd9_bloom_membership",
         "rank1_pair_rerank", "samp6_source_cap",
         "txt13_lexical_diversity", "txt14_oov_rate", "txt15_token_entropy",
         "pipe4_quality_prep",
@@ -2171,7 +2182,7 @@ _CERTIFIED = frozenset(
         # de-hinting, p12 after the smile binary forms) plus 11 of the 13
         # new r11 constant-oracle probes; emb9b/a10g rotate back out for
         # the round-12 ADVICE edits) ---
-        "dd2b_distinct_sig_guard", "txt19_bm25_topk", "rank2_rrf_fusion",
+        "txt19_bm25_topk", "rank2_rrf_fusion",
         "pipe7_chunk_retrieval", "txt20_bm25_served_stats",
         "q3_shipping_priority", "q5_local_supplier_volume",
         "q7_volume_shipping", "q8_market_share", "q14_promo_revenue",
@@ -2242,9 +2253,7 @@ _CERTIFIED = frozenset(
         "sim3c_served_equals_inline", "sim5c_served_equals_composition",
         # (dd18b/dd19b were r15-green and folded here, then rotated back
         # OUT in round 16 for the _guard_hex16 retrofit)
-        "dd20b_minhash_served_equals_guarded",
         "dd21b_simhash_incremental_served_equals_inline",
-        "dd22b_minhash_incremental_served_equals_inline",
         "mm7_audio_fingerprint",
         "mm8_video_frame_hashes",
         # (dd31/dd32 were r15-green and folded here, then rotated back
@@ -2263,12 +2272,10 @@ _CERTIFIED = frozenset(
         # re-verified every one in the full 242-entry parity sweep
         # (VERDICT r16: 207 oracled OK + 35 rows-only, 0 failures).
         # p1/p3/p4/p5/p6/p7 were already-certified backfill. ---
-        "dd16_dhash_neardup", "dd16b_dhash_served_equals_inline",
-        "dd17b_simhash_banding_contract",
         "dd18b_simhash_incremental_equals_full",
         "dd19b_simhash_served_equals_inline",
         "dd24b_dhash_incremental_served_equals_inline",
-        "dd25_audio_fp_pairs", "dd26_audio_fp_served_pairs",
+        "dd26_audio_fp_served_pairs",
         "dd27_audio_fp_incremental_served",
         "dd28_video_neardup_pairs", "dd29_video_served_pairs",
         "dd30_video_incremental_served",

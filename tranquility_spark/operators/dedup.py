@@ -207,8 +207,7 @@ def minhash_lsh_pairs(
     # (cache population dominates). Recomputing a cheap narrow UDF twice is
     # the right trade at 100 TB too — it's scan-parallel work, while a
     # materialization is a cluster-wide barrier + memory pressure.
-    if impl == "sql":
-        banded = banded.localCheckpoint(eager=False)
+    banded = banded.localCheckpoint(eager=False)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -1705,6 +1704,20 @@ def dhash_neardup_pairs(
     ints <= 0xffff — far inside the cross-engine 63-bit policy; the full
     64-bit digest is never packed into a signed word.
     """
+    # Lineage cut on the digest frame (r18 optimization round, guide
+    # §2.3/§4): this inline form references ``hashes`` FOUR times — both
+    # sides of the banded self-join (via _dhash_hash_pairs) and both doc
+    # re-attachment sides below — and the digest frame's upstream is the
+    # expensive Python pass of its family (simhash64 for dd17, image
+    # decode for dd16, audio fingerprint for dd25/dd31). Uncut, that
+    # pass re-executed per reference (dd17's executed plan carried 16
+    # ArrowEvalPython nodes: 4 references x the pushed-isNotNull UDF
+    # duplication); one lazy checkpoint pays it once. The SERVED forms
+    # (simhash_pairs_from_index & co) must not ride through here — a
+    # checkpoint would erase their bucketed co-location, which is why
+    # the cut lives in this inline-only function, not in the shared
+    # banding helpers.
+    hashes = hashes.localCheckpoint(eager=False)
     hp = _dhash_hash_pairs(hashes, threshold=threshold, hash_col=hash_col)
     hv = hashes.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col), F.col(hash_col)

@@ -76,6 +76,15 @@ def simhash64(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# Marked non-deterministic (r18 optimization round, guide §4.4): the value
+# IS deterministic, but the flag stops the optimizer duplicating the
+# expensive UDF when a pushed-down filter references its output column
+# (dd17's plan carried doubled ArrowEvalPython nodes per reference). The
+# only production call site wraps it in a plain Project, so no legitimate
+# optimization is lost.
+simhash64 = simhash64.asNondeterministic()
+
+
 def make_minhash_udf(coeffs, shingle_k: int, prime: int):
     """Build an Arrow-batched MinHash signature UDF for the given permutations.
 
@@ -114,7 +123,11 @@ def make_minhash_udf(coeffs, shingle_k: int, prime: int):
             out.append(((h[:, None] * A[None, :] + B[None, :]) % prime).min(axis=0))
         return pd.Series(out)
 
-    return minhash_sig
+    # Non-deterministic for the same §4.4 reason as simhash64 above: the
+    # lsh_band_index filter on the signature column otherwise evaluates
+    # the UDF twice per row (pushed filter + projection — dd2's plan
+    # carried 8 ArrowEvalPython nodes for 4 references).
+    return minhash_sig.asNondeterministic()
 
 
 def make_centroid_assign_udf(centroids):
