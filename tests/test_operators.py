@@ -1030,3 +1030,51 @@ def test_suggest_compaction_cadence_knee_rule():
         suggest_compaction_cadence(
             3.0, 0.28, probe_latency_budget_s=2.0, base_probe_s=-0.5
         )
+
+
+def test_materialize_overlapped_accepts_builders(spark):
+    """_materialize_overlapped (r18) takes DataFrames OR zero-arg
+    builders; builders must run inside the pool's worker threads (the
+    whole point: overlap the plan construction, not just the
+    materialization) and the checkpointed results must equal the
+    directly-built frames. Covers the multi-entry pool path, a mixed
+    frame/builder dict, and the single-entry shortcut."""
+    import threading
+
+    from tranquility_spark.catalog_llm import _materialize_overlapped
+
+    caller = threading.get_ident()
+    built_in = {}
+
+    def _builder(lo, hi, key):
+        def build():
+            built_in[key] = threading.get_ident()
+            return spark.range(lo, hi).withColumn("v", F.col("id") * 2)
+
+        return build
+
+    out = _materialize_overlapped(
+        spark,
+        {
+            "a": _builder(0, 5, "a"),
+            "b": _builder(5, 9, "b"),
+            "c": spark.range(9, 12).withColumn("v", F.col("id") * 2),
+        },
+        "test",
+    )
+    assert set(out) == {"a", "b", "c"}
+    # builders ran off the caller thread (construction overlapped)
+    assert built_in["a"] != caller and built_in["b"] != caller
+    rows = {
+        k: sorted((r["id"], r["v"]) for r in df.collect())
+        for k, df in out.items()
+    }
+    assert rows["a"] == [(i, 2 * i) for i in range(0, 5)]
+    assert rows["b"] == [(i, 2 * i) for i in range(5, 9)]
+    assert rows["c"] == [(i, 2 * i) for i in range(9, 12)]
+
+    # single-entry shortcut also unwraps a callable
+    solo = _materialize_overlapped(
+        spark, {"only": _builder(0, 3, "only")}, "test-solo"
+    )
+    assert sorted(r["id"] for r in solo["only"].collect()) == [0, 1, 2]

@@ -5827,23 +5827,23 @@ def pipe9_cross_family_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
     gate_pairs = {
-        "text": dd22_minhash_incremental_served(spark, sf_dir).select(
+        "text": lambda: dd22_minhash_incremental_served(spark, sf_dir).select(
             "id_a", "id_b"
         ),
-        "image": dd24_dhash_incremental_served(spark, sf_dir).select(
+        "image": lambda: dd24_dhash_incremental_served(spark, sf_dir).select(
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         ),
-        "audio": dd27_audio_fp_incremental_served(spark, sf_dir).select(
+        "audio": lambda: dd27_audio_fp_incremental_served(spark, sf_dir).select(
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         ),
-        "video": dd30_video_incremental_served(spark, sf_dir).select(
+        "video": lambda: dd30_video_incremental_served(spark, sf_dir).select(
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         ),
     }
-    # overlap the four independent family probes, and cut each pair
-    # frame's lineage before its double reference in the touched-union
-    # below (r18 optimization round, guide §2.6 — see
-    # _materialize_overlapped)
+    # overlap the four independent family probes' construction AND
+    # materialization, and cut each pair frame's lineage before its
+    # double reference in the touched-union below (r18 optimization
+    # round, guide §2.6 — see _materialize_overlapped)
     gate_pairs = _materialize_overlapped(spark, gate_pairs, "pipe9")
     for fam, pairs in gate_pairs.items():
         touched = (
@@ -5991,21 +5991,22 @@ def pipe10_cross_family_admission_keepone(
     )
 
     gate_pairs = {
-        "text": dd22_minhash_incremental_served(spark, sf_dir).select(
+        "text": lambda: dd22_minhash_incremental_served(spark, sf_dir).select(
             "id_a", "id_b"
         ),
-        "image": dd24_dhash_incremental_served(spark, sf_dir).select(
+        "image": lambda: dd24_dhash_incremental_served(spark, sf_dir).select(
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         ),
-        "audio": dd27_audio_fp_incremental_served(spark, sf_dir).select(
+        "audio": lambda: dd27_audio_fp_incremental_served(spark, sf_dir).select(
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         ),
-        "video": dd30_video_incremental_served(spark, sf_dir).select(
+        "video": lambda: dd30_video_incremental_served(spark, sf_dir).select(
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         ),
     }
-    # overlap the four independent family probes (r18 optimization
-    # round, guide §2.6 — see _materialize_overlapped)
+    # overlap the four independent family probes' construction and
+    # materialization (r18 optimization round, guide §2.6 — see
+    # _materialize_overlapped)
     gate_pairs = _materialize_overlapped(spark, gate_pairs, "pipe10")
     batch_a = F.col("id_a") % 5 == 0
     batch_b = F.col("id_b") % 5 == 0
@@ -6151,14 +6152,32 @@ def _materialize_overlapped(
     frames are independent (distinct registry tables, shared inputs are
     immutable parquet), and job descriptions are thread-local so the UI
     stays labelled per family. Spark's scheduler runs concurrent jobs
-    FIFO — exactly the back-fill behaviour wanted."""
+    FIFO — exactly the back-fill behaviour wanted.
+
+    Values may be DataFrames or ZERO-ARG BUILDERS (late r18: profiling
+    showed the serial PLAN CONSTRUCTION of the four served family
+    probes costs ~6.5 s at sf0.1 — each build holds the driver in
+    py4j round-trips, dominated by the analysis the lazy internal
+    localCheckpoints force — vs ~1.7 s for the materialization the
+    pool already overlapped). A builder runs inside its worker thread,
+    so the four analyses overlap too. Thread-safety of the builders:
+    plan construction is independent py4j calls; first-touch index DDL
+    targets per-family DISTINCT table names/locations behind
+    publish_layout_atomic (concurrent first touch of the same layout
+    was already hardened in r14), and the builder paths hold no shared
+    mutable Python state."""
     if len(frames) <= 1:
-        return {k: v.localCheckpoint(eager=True) for k, v in frames.items()}
+        return {
+            k: (v() if callable(v) else v).localCheckpoint(eager=True)
+            for k, v in frames.items()
+        }
     from concurrent.futures import ThreadPoolExecutor
 
     def _materialize(item):
         k, df = item
         spark.sparkContext.setJobDescription(f"{label}: {k} probe")
+        if callable(df):
+            df = df()
         return k, df.localCheckpoint(eager=True)
 
     with ThreadPoolExecutor(max_workers=len(frames)) as pool:
@@ -6226,12 +6245,12 @@ def _cross_family_cycle_ctx(
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         ),
     }
-    # Plan construction (and any first-touch index DDL) stays SERIAL; the
-    # four families' probe MATERIALIZATIONS are independent jobs, so they
-    # run overlapped (r18 optimization round, guide §2.6) — see
-    # _materialize_overlapped.
+    # Both the probes' plan CONSTRUCTION and their MATERIALIZATIONS run
+    # overlapped from the pool (r18 optimization round, guide §2.6; the
+    # builders-in-threads form is late r18 — construction was the
+    # larger serial cost) — see _materialize_overlapped.
     fam_pairs = _materialize_overlapped(
-        spark, {k: fam_builders[k]() for k in families}, "cycle-ctx"
+        spark, {k: fam_builders[k] for k in families}, "cycle-ctx"
     )
     union_pairs = None
     for v in fam_pairs.values():
