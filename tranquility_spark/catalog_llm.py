@@ -6861,6 +6861,13 @@ def _pipe13_parts(
     # identical frame from fam_pairs)
     union3 = ctx["union_pairs"]
 
+    # NOTE (late r18): overlapping this video leg's construction with
+    # the ctx build (the pipe9-12 builders-in-pool treatment) was
+    # implemented and MEASURED WORSE (~17 s -> ~23-27 s isolated
+    # min-of-3, eager and lazy v1 variants both) — the capped probe's
+    # heavy analysis contends with the 3-family ctx's own threaded
+    # analysis, and the demux job oversubscribes the Python workers the
+    # ctx probes need. Serial construction kept deliberately.
     docs = _t(spark, sf_dir, "documents")
     batch_frames = mm.video_frame_hashes(
         mm.attach_binary_payload(docs.filter(_dd_new_batch()))
