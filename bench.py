@@ -269,6 +269,20 @@ def main() -> None:
                 pass
 
     total = round(sum(timings.values()), 3)
+    # Quiet-box calibration anchor (r19, VERDICT r18 #5: the probes were
+    # printed since r05 but nothing consumed them). Anchored to the
+    # agreeing quiet-box readings: driver r18 ran scan=0.33/cpu=0.243 and
+    # the r18 builder's three clean same-code runs 0.34-0.45/0.20-0.43
+    # (loaded runs on the same box read 1.35/1.18). A run whose probe
+    # exceeds 1.5x the anchor was measured under ambient load and its
+    # per-query numbers should be discounted (the r18 driver bench carried
+    # a 20-position load window that produced 12 false >2x baseline
+    # breaches — this flag lets the driver/judge reject such windows
+    # mechanically). Documented in BASELINE.md §3.
+    _CAL_ANCHOR = {"scan_lineitem_agg": 0.33, "cpu_hash_50m": 0.243}
+    calibration_ok = all(
+        calibration[k] <= 1.5 * _CAL_ANCHOR[k] for k in _CAL_ANCHOR
+    )
     # n_timed/n_errors always present (ADVICE r05): with fault isolation the
     # suite total sums only the queries that succeeded, so a consumer must be
     # able to see the query-set size without inspecting the optional errors
@@ -282,10 +296,27 @@ def main() -> None:
         "n_timed": len(timings),
         "n_errors": len(errors),
         "calibration": calibration,
+        "calibration_anchor": _CAL_ANCHOR,
+        "calibration_ok": calibration_ok,
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # Loss-proof record (r19, VERDICT r18 #1): BENCH_r17's single stdout
+    # line was head-truncated in the driver's captured tail, which cost
+    # the round its whole per-query comparison (PERF n_common: 0). The
+    # same JSON is therefore ALSO written next to the repo root —
+    # additions-only; the stdout contract above is unchanged.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_out.json"),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # a read-only checkout must not kill the run
     spark.stop()
 
 

@@ -1078,3 +1078,44 @@ def test_materialize_overlapped_accepts_builders(spark):
         spark, {"only": _builder(0, 3, "only")}, "test-solo"
     )
     assert sorted(r["id"] for r in solo["only"].collect()) == [0, 1, 2]
+
+
+def test_nondeterministic_udf_call_positions(spark):
+    """ADVICE r18 #4 guard: simhash64/minhash are asNondeterministic (a
+    GLOBAL flag on every consumer — guide §4.4). Catalyst only allows
+    non-deterministic expressions in Project/Filter/Aggregate positions,
+    so (a) the shapes every production call site uses — project the UDF,
+    then filter/join on the MATERIALIZED column — must keep analyzing,
+    and (b) putting the UDF call itself in a join condition or groupBy
+    key must raise at analysis time (the failure mode the docstrings
+    warn future callers about), not silently plan."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    from tranquility_spark.operators.pandas_fns import simhash64
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], ["doc_id", "text"]
+    )
+
+    # (a) analysis-safe shapes: Project, Filter-on-output-column,
+    # join/groupBy on the materialized column (every call site's shape)
+    sigs = df.select("doc_id", simhash64("text").alias("sig"))
+    assert sigs.filter(F.col("sig") != 0).count() == 3
+    joined = sigs.alias("l").join(
+        sigs.alias("r"),
+        (F.col("l.sig") == F.col("r.sig"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    )
+    assert joined.count() == 1  # docs 1 and 2 share a signature
+    assert sigs.groupBy("sig").count().count() == 2
+
+    # (b) the UDF CALL in a join condition is analysis-illegal (a groupBy
+    # key is an Aggregate position, which Catalyst permits — verified
+    # here so the docstring's constraint stays accurate)
+    with pytest.raises(AnalysisException):
+        df.alias("l").join(
+            df.alias("r"),
+            simhash64(F.col("l.text")) == simhash64(F.col("r.text")),
+        ).count()
+    assert df.groupBy(simhash64("text")).count().count() == 2

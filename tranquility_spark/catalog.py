@@ -2047,6 +2047,25 @@ _DEFER_TO_NEXT_WINDOW: frozenset[str] = frozenset()
 # the permanent rows-only window leads (which have NO such twin).
 _CERTIFIED = frozenset(
     {
+        # --- r19 OPTIMIZATION round rotations (ADVICE r18 #1): dd7/dd7b/
+        # pipe1/pipe1b/pipe5b rotate OUT — they execute minhash_lsh_pairs /
+        # lsh_band_index, whose r18 plan changed for every caller (the
+        # pushed-filter UDF duplication removed + the unconditional banded
+        # localCheckpoint), so by the helper-edit rotation discipline their
+        # certifications were stale the moment r18 landed. Results are
+        # unchanged (full-catalog parity green at sf0.01 both rounds);
+        # they re-certify when the driver next hash-checks them. r19 also
+        # rotates emb7 (Gram-matrix Arrow fold replaces the 45-agg decimal
+        # fold — exact arithmetic preserved, see OPTIMIZATION_r19.md),
+        # a10e2/a10f2 (kll/gk partial folds vectorized — outputs
+        # bit-identical, partial-invariance re-proven), and dd3b/dd19b
+        # (ADVICE r18 #2 verified by plan diff against the pre-r18 tree:
+        # their executed plans DID change shape under the r18
+        # asNondeterministic flag — CollapseProject no longer merges the
+        # Projects over the nondeterministic simhash64, leaving stacked
+        # Project pairs; ArrowEvalPython counts and values unchanged.
+        # dd18b/dd21b were checked the same way and are byte-identical
+        # modulo run artifacts, so they KEEP their certification). ---
         # --- r18 OPTIMIZATION round rotations: dd2/dd2b/dd8b/dd20b/dd22b
         # (minhash UDF asNondeterministic removed the pushed-filter UDF
         # duplication from every lsh_band_index plan; dd2 additionally
@@ -2077,7 +2096,10 @@ _CERTIFIED = frozenset(
         "txt3_token_count", "txt4_fingerprint",
         "samp1_hash_sample", "samp2_stratified_topn", "pack1_sequence_packing",
         "dd6_contamination_overlap", "txt5_pii_redact", "txt6_repetition",
-        "txt7_quality_filter", "dd7_neardup_survivors",
+        "txt7_quality_filter",
+        # (dd7_neardup_survivors rotated back OUT in round 19: its
+        # neardup_clusters -> minhash_lsh_pairs chain executes the r18
+        # lsh_band_index plan changes — ADVICE r18 #1)
         "txt8_per_lang_quality_percentile",
         # pipe1_corpus_pipeline: r01-certified (rows-green), rotated back
         # OUT in round 12 — its fn was refactored into the shared
@@ -2207,15 +2229,20 @@ _CERTIFIED = frozenset(
         # rotate back out for the round-13 ADVICE fixes — see
         # the r13 window — folded above with the own-run caveat) ---
         "emb9b_pca_properties", "a10g_gk_deep_rollup",
-        "pipe1_corpus_pipeline", "a8_filtered_aggs",
+        "a8_filtered_aggs",
         "dd3_simhash_signatures",
+        # (pipe1_corpus_pipeline / pipe1b_staged_equals_fused /
+        # pipe5b_ingest_stage_reconciliation / dd7b_survivor_contract
+        # rotated back OUT in round 19 — ADVICE r18 #1: their executed
+        # plans route through minhash_lsh_pairs / lsh_band_index, whose
+        # r18 optimization changed the plan for every caller)
         # (dq19 rotated back OUT in round 16: the exact-double oracle
         # literal fix changed its oracle text — see the window list)
         "a11c2_theta_setops_tracks_exact", "a11e2_theta_native_tracks_exact",
-        "dd3b_simhash_partition_invariance",
-        "dd5b_lsh_precision_recall_contract", "dd7b_survivor_contract",
-        "sim2b_lsh_topk_contract", "pipe1b_staged_equals_fused",
-        "pipe5b_ingest_stage_reconciliation",
+        # (dd3b rotated back OUT in round 19 — ADVICE r18 #2, verified:
+        # stacked Projects over the nondeterministic simhash64)
+        "dd5b_lsh_precision_recall_contract",
+        "sim2b_lsh_topk_contract",
         # (dd17b was r12-green but rotated back OUT in round 16 for the
         # _guard_hex16 retrofit its simhash_neardup_pairs side executes)
         # (dd18b was r12-green but rotated back OUT in round 15: the r15
@@ -2273,7 +2300,8 @@ _CERTIFIED = frozenset(
         # (VERDICT r16: 207 oracled OK + 35 rows-only, 0 failures).
         # p1/p3/p4/p5/p6/p7 were already-certified backfill. ---
         "dd18b_simhash_incremental_equals_full",
-        "dd19b_simhash_served_equals_inline",
+        # (dd19b rotated back OUT in round 19 — ADVICE r18 #2, verified:
+        # its plan shape changed under the r18 asNondeterministic flag)
         "dd24b_dhash_incremental_served_equals_inline",
         "dd26_audio_fp_served_pairs",
         "dd27_audio_fp_incremental_served",

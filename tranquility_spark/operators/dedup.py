@@ -198,15 +198,20 @@ def minhash_lsh_pairs(
         df, text_col, id_col, num_hashes, bands, shingle_k, seed, impl
     )
 
-    # impl='sql': the join plan would hold TWO copies of the 64-permutation
-    # expression tree and Catalyst spends ~40s optimizing it (measured) —
-    # localCheckpoint truncates the lineage to a leaf. impl='pandas': the
-    # plan is one small UDF call, and MEASURING beats intuition here: no
-    # materialization at all (signatures computed once per join side) runs
-    # 1.9s at sf0.1 vs 5.2s with localCheckpoint and 5.6s cold with persist
-    # (cache population dominates). Recomputing a cheap narrow UDF twice is
-    # the right trade at 100 TB too — it's scan-parallel work, while a
-    # materialization is a cluster-wide barrier + memory pressure.
+    # Checkpoint for EVERY impl (r18 optimization round; rewrites the r06
+    # measurement this comment used to quote — ADVICE r18 #3). impl='sql':
+    # the join plan would hold TWO copies of the 64-permutation expression
+    # tree and Catalyst spends ~40s optimizing it (measured r06) — the
+    # checkpoint truncates the lineage to a leaf. impl='pandas': the r06
+    # "recompute beats materialize" call (1.9s vs 5.2s with an EAGER
+    # localCheckpoint) was made when the banded frame had TWO references;
+    # the r18 plan audit found EIGHT ArrowEvalPython nodes in dd2's plan
+    # (both self-join sides × the pushed-filter UDF duplication of guide
+    # §4.4), so the Python pass ran up to 8×. eager=False avoids the old
+    # 5.2s cost (materialization rides the first consumer instead of a
+    # separate blocking job) and the single shared leaf pays the
+    # signature UDF once — measured r18: dd2 4.09 → 1.4-2.5s at sf0.1,
+    # 0 duplicated ArrowEvalPython nodes in the after-plan.
     banded = banded.localCheckpoint(eager=False)
 
     left = banded.alias("l")

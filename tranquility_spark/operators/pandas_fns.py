@@ -82,6 +82,16 @@ def simhash64(texts: pd.Series) -> pd.Series:
 # (dd17's plan carried doubled ArrowEvalPython nodes per reference). The
 # only production call site wraps it in a plain Project, so no legitimate
 # optimization is lost.
+#
+# USAGE CONSTRAINT (ADVICE r18 #4 — this flag is global to every consumer):
+# Catalyst only allows non-deterministic expressions in Project / Filter /
+# Aggregate positions. Referencing this UDF's OUTPUT COLUMN from a later
+# Project/Filter is fine (that is what every call site does), but putting
+# the UDF CALL ITSELF inside a JOIN CONDITION raises AnalysisException at
+# plan time (a groupBy key is an Aggregate position and analyzes, but
+# re-evaluates the UDF — don't). Materialize the value in a
+# .withColumn/.select first and join/group on the materialized column —
+# guarded by tests/test_operators.py::test_nondeterministic_udf_call_positions.
 simhash64 = simhash64.asNondeterministic()
 
 
@@ -126,7 +136,10 @@ def make_minhash_udf(coeffs, shingle_k: int, prime: int):
     # Non-deterministic for the same §4.4 reason as simhash64 above: the
     # lsh_band_index filter on the signature column otherwise evaluates
     # the UDF twice per row (pushed filter + projection — dd2's plan
-    # carried 8 ArrowEvalPython nodes for 4 references).
+    # carried 8 ArrowEvalPython nodes for 4 references). Same usage
+    # constraint as simhash64 (ADVICE r18 #4): the call itself in a join
+    # condition raises at analysis time — join/group on the materialized
+    # column instead.
     return minhash_sig.asNondeterministic()
 
 
