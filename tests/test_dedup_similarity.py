@@ -1776,6 +1776,40 @@ def test_video_incremental_capped_equals_capped_full_restricted(spark, sf_dir):
     assert got == want_synth
 
 
+def test_video_incremental_capped_ids_only_same_pairs(spark, sf_dir):
+    """r19 optimization guard: ``ids_only=True`` (the form pipe13's
+    admission gates consume) returns EXACTLY the full form's (doc_a,
+    doc_b) pair id set — which pairs exist depends only on the df cap
+    and the shared-digest join, never on the per-doc count machinery it
+    skips — with only the two id columns in the schema."""
+    from tranquility_spark.operators.dedup import (
+        video_frame_index,
+        video_incremental_pairs_capped,
+    )
+    from tranquility_spark.operators.multimodal import (
+        attach_binary_payload,
+        video_frame_hashes,
+    )
+    from tranquility_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = video_frame_hashes(attach_binary_payload(docs))
+    new = fps.filter(F.col("doc_id") % 5 == 0)
+    index = video_frame_index(fps.filter(F.col("doc_id") % 5 != 0))
+    for max_df in (2, 4):
+        full = video_incremental_pairs_capped(
+            new, index, min_shared=2, max_df=max_df
+        )
+        ids = video_incremental_pairs_capped(
+            new, index, min_shared=2, max_df=max_df, ids_only=True
+        )
+        assert ids.columns == ["doc_a", "doc_b"]
+        got = {(r.doc_a, r.doc_b) for r in ids.collect()}
+        want = {(r.doc_a, r.doc_b) for r in full.collect()}
+        assert got == want, f"max_df={max_df}"
+    assert want, "fixture produced no capped pairs touching the new batch"
+
+
 def test_neardup_survivors_converged_long_chain(spark):
     """The r15b third-review finding, pinned: a chain component whose min
     node is farther than max_iterations hops used to return silently

@@ -5684,17 +5684,37 @@ def _pipe8_decide(
             max_df=video_max_df,
         ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")),
     }
-    # NOT overlapped via _materialize_overlapped (r18 optimization round,
-    # measured): unlike the incremental probes, these four extractions
-    # read persisted co-located index buckets — cheap scans whose eager
-    # parallel materialization measured ~15% SLOWER end-to-end than the
-    # lazy serial form (12.1 vs 10.0 s at sf0.1; pool contention + block
-    # writes outweigh the overlap on cheap jobs). Lazy checkpoints kept.
-    fam_pairs = {
-        k: v.localCheckpoint(eager=False) for k, v in fam_pairs.items()
+    # r18 measured the EAGER _materialize_overlapped pool 15% SLOWER here
+    # (12.1 vs 10.0 s at sf0.1: it blocks until all four extractions are
+    # fully materialized, and the block writes contend) — that rejection
+    # stands. r19 overlaps differently (guide §2.6): the four lazy
+    # checkpoints are SUBMITTED from a pool but consumed in gate order
+    # without blocking, so extraction k+1's bucket-join stages (which a
+    # lazy localCheckpoint executes at call time under AQE) back-fill the
+    # cores while gate k's serial CC bookkeeping holds the driver.
+    # eager=False semantics are exactly the old serial form's; job
+    # descriptions are thread-local (the builders-in-pool precedent).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _submit_ckpt(fam, df):
+        spark.sparkContext.setJobDescription(f"pipe8: {fam} pairs")
+        return df.localCheckpoint(eager=False)
+
+    _pool = ThreadPoolExecutor(max_workers=len(fam_pairs))
+    _futs = {
+        fam: _pool.submit(_submit_ckpt, fam, df)
+        for fam, df in fam_pairs.items()
     }
     victims = {"exact": exact_victims}
-    for fam, pairs in fam_pairs.items():
+    _fam_order = list(fam_pairs)
+    fam_pairs = {}
+    for fam in _fam_order:
+        # resolve THIS gate's extraction only, inside the gate loop:
+        # later families' stages keep materializing in their pool
+        # threads while this gate's serial CC bookkeeping holds the
+        # driver — the back-fill §2.6 describes
+        pairs = _futs[fam].result()
+        fam_pairs[fam] = pairs
         restricted = (
             pairs.join(
                 cur.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi"
@@ -5711,6 +5731,7 @@ def _pipe8_decide(
             eager=False
         )
         cur = nxt
+    _pool.shutdown(wait=True)
     final = cur
     n_final = final.agg(F.count(F.lit(1)).alias("__nf"))
 
@@ -6334,11 +6355,10 @@ def _cross_family_cycle_ctx(
         admitted = dd.neardup_survivors_converged(
             standing, intra
         ).localCheckpoint(eager=False)
-        rejs.append(
-            standing.join(admitted, "doc_id", "left_anti").localCheckpoint(
-                eager=False
-            )
-        )
+        # the CC-rejected frame is consumed exactly once (the audit
+        # row's tile union) — no checkpoint (r19; its barrier bought
+        # nothing, and standing/admitted are already leaves)
+        rejs.append(standing.join(admitted, "doc_id", "left_anti"))
         return admitted, rejs
 
     return {
@@ -6372,12 +6392,11 @@ def _pipe11_parts(spark: SparkSession, sf_dir: str) -> dict:
 
     # ---- cycle 1: batch1 vs the frozen base registries ----
     a1, rejs1 = admit(b1, half1)
-    a1_h = (
-        b1.join(a1, "doc_id", "left_semi")
-        .select("__h")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # a1_h / upd_ev: single-consumer frames (each feeds exactly one join
+    # inside admit(cycle 2)) — their own localCheckpoints were pure
+    # analysis barriers (r19 ckpt-site profile), now folded into the
+    # consumer's checkpoint
+    a1_h = b1.join(a1, "doc_id", "left_semi").select("__h").distinct()
     # update evidence: batch2 endpoints of cross-half pairs whose batch1
     # endpoint was ADMITTED (a rejected doc never enters the registry)
     upd_ev = (
@@ -6392,7 +6411,6 @@ def _pipe11_parts(spark: SparkSession, sf_dir: str) -> dict:
             .select(F.col("id_a").alias("doc_id"))
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
 
     # ---- cycle 2: batch2 vs base + delta ----
@@ -6512,18 +6530,22 @@ def _two_cycle_audit_row(
     coadm = coadm_pairs.unionByName(coadm_exact).agg(
         F.count(F.lit(1)).alias("__coadm")
     )
-    n_a1 = a1.agg(F.count(F.lit(1)).alias("__na1"))
-    n_a2 = a2.agg(F.count(F.lit(1)).alias("__na2"))
-    rj1 = sum(r.count() for r in rejs1)
-    rj2 = sum(r.count() for r in rejs2)
+    # The old form ALSO ran one driver-side r.count() per rejection frame
+    # (10 serial jobs per entry) to assert __na == __nb - Σ|rejs|. That
+    # conjunct is algebraically implied by the tile counts already in the
+    # row: tile_n counts admitted ∪ all rejs with duplicates, so
+    # tile_n == na + Σ|rejs| by construction, and hence
+    # (na == nb - Σ|rejs|) ⟺ (tile_n == nb) — the first conjunct below.
+    # Removing the redundant counts changes NO boolean's value in any
+    # world (exact integer arithmetic), it only deletes 10 driver
+    # actions per run (r19 optimization round, guide §5: the audit row
+    # was ~1 s of serial count() jobs at sf0.1).
 
     row = n_b1.crossJoin(F.broadcast(n_b2)).crossJoin(F.broadcast(tile1))
     row = (
         row.crossJoin(F.broadcast(tile2))
         .crossJoin(F.broadcast(sourced))
         .crossJoin(F.broadcast(coadm))
-        .crossJoin(F.broadcast(n_a1))
-        .crossJoin(F.broadcast(n_a2))
     )
     return row.select(
         (
@@ -6531,8 +6553,6 @@ def _two_cycle_audit_row(
             & (F.col("__t1d") == F.col("__nb1"))
             & (F.col("__t2n") == F.col("__nb2"))
             & (F.col("__t2d") == F.col("__nb2"))
-            & (F.col("__na1") == F.col("__nb1") - F.lit(rj1))
-            & (F.col("__na2") == F.col("__nb2") - F.lit(rj2))
         )
         .cast("long")
         .alias("cycles_tile"),
@@ -6829,7 +6849,10 @@ _PIPE13_MAX_DF = 4  # dd33's fixture cap: bites at every SF (hottest df 9-10)
 
 
 def _pipe13_parts(
-    spark: SparkSession, sf_dir: str, video_max_df: int = _PIPE13_MAX_DF
+    spark: SparkSession,
+    sf_dir: str,
+    video_max_df: int = _PIPE13_MAX_DF,
+    video_ids_only: bool = False,
 ) -> dict:
     """The CAPPED two-cycle registry-update pass shared by pipe13
     (headline) and pipe13b (certification probes) — r18, VERDICT r17
@@ -6850,7 +6873,18 @@ def _pipe13_parts(
 
     This is the form run_pipe11_probe's 500k leg runs (the decade where
     the uncapped probe correctly raises) — driver-certified at 3 SFs
-    here rather than probe-asserted only."""
+    here rather than probe-asserted only.
+
+    ``video_ids_only`` (r19 optimization round): the admission gates
+    consume only the capped probes' PAIR IDS, so the headline pipe13
+    passes True and the video legs skip the per-doc count machinery and
+    its analysis barriers (dedup.video_incremental_pairs_capped
+    ids_only — pair set byte-identical); pipe13b certifies each cycle's
+    probe on FULL rows and keeps the default. In ids_only mode the
+    legs' outer localCheckpoints are dropped too: the ids frame is a
+    projection over the operator's internal pairs checkpoint leaf, so a
+    second barrier bought nothing (r19 ckpt-site profile: the two outer
+    checkpoints alone cost ~1.8 s of serial driver time at sf0.1)."""
     ctx = _cross_family_cycle_ctx(
         spark, sf_dir, families=("text", "image", "audio")
     )
@@ -6882,8 +6916,11 @@ def _pipe13_parts(
 
     # ---- cycle 1: batch1 vs registry, df over registry ∪ batch1 ----
     v1 = dd.video_incremental_pairs_capped(
-        b1f, reg_idx, min_shared=2, max_df=video_max_df
-    ).localCheckpoint(eager=False)
+        b1f, reg_idx, min_shared=2, max_df=video_max_df,
+        ids_only=video_ids_only,
+    )
+    if not video_ids_only:
+        v1 = v1.localCheckpoint(eager=False)
     v1_ids = v1.select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
@@ -6892,21 +6929,20 @@ def _pipe13_parts(
         half1,
         union_ev=union3.unionByName(v1_ids).localCheckpoint(eager=False),
     )
-    a1_h = (
-        b1.join(a1, "doc_id", "left_semi")
-        .select("__h")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    a1f = dd.video_frame_index(
-        b1f.join(a1, "doc_id", "left_semi")
-    ).localCheckpoint(eager=False)
+    # a1_h / a1f / upd_ev: single-consumer frames — their own
+    # localCheckpoints were pure analysis barriers (r19 ckpt-site
+    # profile), so each now folds into its consumer's checkpoint instead
+    a1_h = b1.join(a1, "doc_id", "left_semi").select("__h").distinct()
+    a1f = dd.video_frame_index(b1f.join(a1, "doc_id", "left_semi"))
     idx2 = reg_idx.unionByName(a1f).localCheckpoint(eager=False)
 
     # ---- cycle 2: batch2 vs registry ∪ A1, df over its own population ----
     v2 = dd.video_incremental_pairs_capped(
-        b2f, idx2, min_shared=2, max_df=video_max_df
-    ).localCheckpoint(eager=False)
+        b2f, idx2, min_shared=2, max_df=video_max_df,
+        ids_only=video_ids_only,
+    )
+    if not video_ids_only:
+        v2 = v2.localCheckpoint(eager=False)
     v2_ids = v2.select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
@@ -6927,7 +6963,6 @@ def _pipe13_parts(
             .select(F.col("id_a").alias("doc_id"))
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
     a2, rejs2 = ctx["admit"](
         b2, half2, extra_reg_h=a1_h, upd_ev=upd_ev, union_ev=union_c2
@@ -6989,8 +7024,12 @@ def _pipe13_impl(
 ) -> DataFrame:
     """pipe13's headline form, parameterized for the scale probe (the
     _pipe8_decide precedent): the fixture entry runs max_df=4 so the
-    cap bites; run_pipe11_probe's 500k leg passes the production 64."""
-    parts = _pipe13_parts(spark, sf_dir, video_max_df=video_max_df)
+    cap bites; run_pipe11_probe's 500k leg passes the production 64.
+    video_ids_only=True: the gates consume pair ids only (r19 — the
+    per-doc count machinery certifies in pipe13b; pair set identical)."""
+    parts = _pipe13_parts(
+        spark, sf_dir, video_max_df=video_max_df, video_ids_only=True
+    )
     ctx = parts["ctx"]
     union_ev = (
         parts["union3"]
@@ -7091,7 +7130,11 @@ def pipe13b_capped_cycle_probes(
 def _pipe13b_impl(
     spark: SparkSession, sf_dir: str, video_max_df: int = _PIPE13_MAX_DF
 ) -> DataFrame:
-    parts = _pipe13_parts(spark, sf_dir, video_max_df=video_max_df)
+    # full-row probes: pipe13b certifies (doc_a, doc_b, n_shared, n_a,
+    # n_b, containment) rows, so the video legs keep the default path
+    parts = _pipe13_parts(
+        spark, sf_dir, video_max_df=video_max_df, video_ids_only=False
+    )
     reg_idx, b1f, b2f = parts["reg_idx"], parts["b1f"], parts["b2f"]
     v1, v2, idx2 = parts["v1"], parts["v2"], parts["idx2"]
 

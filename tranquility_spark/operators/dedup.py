@@ -2349,6 +2349,7 @@ def video_incremental_pairs_capped(
     max_df: int = 64,
     id_col: str = "doc_id",
     hash_col: str = "fhash",
+    ids_only: bool = False,
 ) -> DataFrame:
     """SNAPSHOT-capped incremental video pairs (r17): the hot-digest cap
     of :func:`video_neardup_pairs`' ``max_df``, made available to the
@@ -2374,7 +2375,20 @@ def video_incremental_pairs_capped(
     capped counts) via broadcast semi-joins into the bucketed index —
     never a full-index groupBy, so the per-cycle cost stays
     O(new batch + touched buckets + touched docs' digest buckets),
-    corpus-size-independent like the uncapped form."""
+    corpus-size-independent like the uncapped form.
+
+    ``ids_only=True`` (r19 optimization round, guide §5 driver section)
+    returns just the ``(doc_a, doc_b)`` pair ids and SKIPS the per-doc
+    capped-count machinery entirely (touched-docs probe, second
+    _global_df_ok pass, count attach joins — two analysis barriers and
+    their stages). Which PAIRS exist depends only on the df cap and the
+    shared-digest join, never on the counts, so the pair id set is
+    byte-identical to ``ids_only=False``'s (asserted in tests). This is
+    the form the admission compositions consume — pipe13's gates use
+    pair ids only, yet paid the full counts build behind each cycle's
+    checkpoint; dd33 (the oracle-certified full-row entry) and pipe13b's
+    full-row certification keep the default path, whose plan is
+    unchanged."""
     new_idx = video_frame_index(new_hashes, id_col, hash_col).localCheckpoint(
         eager=False
     )
@@ -2436,6 +2450,8 @@ def video_incremental_pairs_capped(
         .filter(F.col("__ns") >= min_shared)
         .localCheckpoint(eager=False)
     )
+    if ids_only:
+        return pairs.select("doc_a", "doc_b")
 
     # capped per-doc counts, GLOBAL-df-exact, for surfaced docs only:
     # new docs' digests are all in ok_new's population; touched INDEX
@@ -2613,7 +2629,15 @@ def _cc_pointer_doubling(
         .agg(F.min("nb").alias("__mn"))
         .select("id", F.least(F.col("id"), F.col("__mn")).alias("cluster_id"))
         # lineage cut per round (the neardup_clusters discipline):
-        # without it each iteration's plan embeds all previous ones
+        # without it each iteration's plan embeds all previous ones.
+        # eager=True is LOAD-BEARING (r19 re-measured: eager=False was
+        # tried to fold this job into the props probe and regressed
+        # dd32 4.2->6.8s / pipe10 6.9->8.9s interleaved-isolated — the
+        # props probe references this checkpoint TWICE (la/lb), and two
+        # branches of one job computing an unmaterialized lazy
+        # checkpoint race and BOTH compute it, doubling the per-round
+        # work; the "Block already exists" BlockManager warning is that
+        # race. Eager materialization makes every consumer read blocks.)
         .localCheckpoint(eager=True)
     )
     rounds = 0
