@@ -2160,7 +2160,11 @@ _CERTIFIED = frozenset(
         "txt17_domain_reputation", "samp8_token_budget_select",
         "pipe6_dataset_manifest", "emb8_spike_outliers",
         "emb6_random_projection",
-        "emb7_dim_covariance", "hh2_cms_frequency", "txt16_script_profile",
+        # (emb7_dim_covariance rotated back OUT in round 19: the 45-agg
+        # decimal fold became an exact Arrow Gram-matrix fold — VERDICT
+        # r18 #3; oracle hash-green at 3 SFs, re-certifies next driver
+        # pass)
+        "hh2_cms_frequency", "txt16_script_profile",
         "f7_ewma_fold", "p9_csv_parse", "p9b_tsv_parse", "p10_jsonl_parse",
         "w7_rolling_zscore",
         # --- r08 window (CORRECTNESS_r08.json: 34 greens, 0 fails; the 12

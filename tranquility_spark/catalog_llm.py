@@ -8659,42 +8659,157 @@ def emb7_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    vs = emb_t.select(
+    # r19 optimization round (VERDICT r18 #3): the old form folded 45
+    # DECIMAL aggregates (count + 8 sums + 36 decimal(37,12) pair
+    # products) in one HashAggregate — a codegen method so large it was
+    # the suite's compile-bound floor (BASELINE: ~1.8 s at sf0.001,
+    # driver-serial; a loaded driver turned it into 14.45 s). The same
+    # exact arithmetic now runs as ONE Arrow-batched Gram-matrix fold
+    # (guide §4.2 — heavy lifting in native code inside the UDF):
+    # values round to 6dp as decimal(18,6) IN THE JVM (identical
+    # expression to the old projection), scale exactly to int64
+    # (x * 10^6 is integral by construction), and each partition folds
+    # a (rows x 8) int64 matrix with one numpy V.T @ V per chunk,
+    # accumulating into arbitrary-precision Python ints — exact at any
+    # scale. Per-partition partials emit as decimal(38,6)/(38,12)
+    # (= acc / 10^6 resp. 10^12, exact), a tiny JVM sum merges them
+    # (sum over exact decimals — associative, partitioning-independent),
+    # and the final cov expression below is UNTOUCHED: it sees the same
+    # exact decimal totals the 45-agg fold produced, so the doubles and
+    # the rounded output are bit-identical (oracle re-proven at 3 SFs).
+    # NULL policy preserved exactly: rows count into n unconditionally
+    # (post embedding-IS-NULL filter), a NULL element contributes to no
+    # sum, a NULL factor voids the pair product, and an all-NULL column
+    # or pair emits NULL (sum-of-nothing) exactly like SQL sum.
+    # Expression construction via selectExpr/expr STRINGS, parsed
+    # server-side in one py4j call each (r19): the old per-Column py4j
+    # construction of this entry's 45-agg + 36-struct trees held the
+    # driver for ~1.5-1.8 s per call (measured — the real cost; the
+    # execution is 0.2-0.4 s at fixture scale). Expression semantics are
+    # unchanged (SQL round/CAST are the same functions).
+    scaled = emb_t.selectExpr(
         *[
-            F.round(F.element_at("embedding", i + 1).cast("double"), 6)
-            .cast("decimal(18,6)")
-            .alias(f"v{i}")
+            f"CAST((CAST(round(CAST(element_at(embedding, {i + 1}) AS"
+            f" DOUBLE), 6) AS DECIMAL(18,6)) * CAST(1000000 AS"
+            f" DECIMAL(7,0))) AS BIGINT) AS v{i}"
             for i in range(d)
         ]
     )
-    aggs = [F.count(F.lit(1)).alias("n")]
-    aggs += [F.sum(F.col(f"v{i}")).alias(f"s{i}") for i in range(d)]
-    aggs += [
-        F.sum(F.col(f"v{i}") * F.col(f"v{j}")).alias(f"p{i}_{j}")
-        for i in range(d)
-        for j in range(i, d)
-    ]
-    row = vs.agg(*aggs)
-    n = F.col("n")
-    pairs = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).cast("long").alias("dim_i"),
-                    F.lit(j).cast("long").alias("dim_j"),
-                    F.round(
-                        F.col(f"p{i}_{j}").cast("double") / n
-                        - (F.col(f"s{i}").cast("double") / n)
-                        * (F.col(f"s{j}").cast("double") / n),
-                        6,
-                    ).alias("cov"),
+    pair_idx = [(i, j) for i in range(d) for j in range(i, d)]
+    out_schema = ", ".join(
+        ["n long"]
+        + [f"s{i} decimal(38,6)" for i in range(d)]
+        + [f"p{i}_{j} decimal(38,12)" for i, j in pair_idx]
+    )
+
+    def _gram_fold(batches):
+        from decimal import Decimal
+
+        import numpy as np
+        import pyarrow as pa
+
+        n_rows = 0
+        s_acc = [0] * d
+        s_cnt = [0] * d
+        p_acc = {ij: 0 for ij in pair_idx}
+        p_cnt = {ij: 0 for ij in pair_idx}
+        for batch in batches:
+            r = batch.num_rows
+            if r == 0:
+                continue
+            n_rows += r
+            cols = [batch.column(i) for i in range(d)]
+            if all(c.null_count == 0 for c in cols):
+                V = np.stack([c.to_numpy() for c in cols], axis=1)
+                m = int(np.abs(V).max()) if V.size else 0
+                # int64 matmul overflow guard: rows_per_chunk * m^2 must
+                # stay under 2^62; embeddings are ~unit-scale (m ~ 1e6
+                # after 1e6 scaling), so one chunk is the normal case
+                if m and m * m > (1 << 62):
+                    V = V.astype(object)  # exact, slow — pathological
+                    chunk = r
+                else:
+                    chunk = max(1, (1 << 62) // max(1, m * m))
+                for lo in range(0, r, chunk):
+                    Vc = V[lo : lo + chunk]
+                    G = Vc.T @ Vc
+                    for i, j in pair_idx:
+                        p_acc[(i, j)] += int(G[i, j])
+                for i in range(d):
+                    s_acc[i] += int(V[:, i].sum(dtype=object))
+                    s_cnt[i] += r
+                for ij in pair_idx:
+                    p_cnt[ij] += r
+            else:
+                valid = [
+                    c.is_valid().to_numpy(zero_copy_only=False) for c in cols
+                ]
+                vals = [
+                    c.fill_null(0).to_numpy(zero_copy_only=False)
+                    for c in cols
+                ]
+                for i in range(d):
+                    nv = int(valid[i].sum())
+                    if nv:
+                        s_acc[i] += int(vals[i][valid[i]].sum(dtype=object))
+                        s_cnt[i] += nv
+                for i, j in pair_idx:
+                    mask = valid[i] & valid[j]
+                    np_ = int(mask.sum())
+                    if np_:
+                        a, b = vals[i][mask], vals[j][mask]
+                        p_acc[(i, j)] += int(
+                            (a.astype(object) * b.astype(object)).sum()
+                        )
+                        p_cnt[(i, j)] += np_
+        if n_rows == 0:
+            return
+        arrays = [pa.array([n_rows], type=pa.int64())]
+        for i in range(d):
+            arrays.append(
+                pa.array(
+                    [
+                        Decimal(s_acc[i]).scaleb(-6)
+                        if s_cnt[i] > 0
+                        else None
+                    ],
+                    type=pa.decimal128(38, 6),
                 )
-                for i in range(d)
-                for j in range(i, d)
-            ]
+            )
+        for ij in pair_idx:
+            arrays.append(
+                pa.array(
+                    [
+                        Decimal(p_acc[ij]).scaleb(-12)
+                        if p_cnt[ij] > 0
+                        else None
+                    ],
+                    type=pa.decimal128(38, 12),
+                )
+            )
+        names = (
+            ["n"]
+            + [f"s{i}" for i in range(d)]
+            + [f"p{i}_{j}" for i, j in pair_idx]
         )
-    ).alias("e")
-    return row.select(pairs).select("e.dim_i", "e.dim_j", "e.cov")
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    partials = scaled.mapInArrow(_gram_fold, out_schema)
+    row = partials.selectExpr(
+        "coalesce(sum(n), CAST(0 AS BIGINT)) AS n",
+        *[f"sum(s{i}) AS s{i}" for i in range(d)],
+        *[f"sum(p{i}_{j}) AS p{i}_{j}" for i, j in pair_idx],
+    )
+    structs = ", ".join(
+        f"named_struct('dim_i', CAST({i} AS BIGINT),"
+        f" 'dim_j', CAST({j} AS BIGINT),"
+        f" 'cov', round(CAST(p{i}_{j} AS DOUBLE) / n"
+        f" - (CAST(s{i} AS DOUBLE) / n) * (CAST(s{j} AS DOUBLE) / n), 6))"
+        for i, j in pair_idx
+    )
+    return row.select(
+        F.expr(f"explode(array({structs}))").alias("e")
+    ).select("e.dim_i", "e.dim_j", "e.cov")
 
 
 def _hh2_oracle_sql() -> str:
