@@ -1119,3 +1119,37 @@ def test_nondeterministic_udf_call_positions(spark):
             simhash64(F.col("l.text")) == simhash64(F.col("r.text")),
         ).count()
     assert df.groupBy(simhash64("text")).count().count() == 2
+
+
+def test_double_array_lit_bitwise_equal(spark):
+    """r19 guard for double_array_lit: the parsed-SQL array literal must
+    be BITWISE equal to the per-element F.array(F.lit(...)) build for
+    every representable double (repr round-trips and both conversions
+    are correctly rounded), and must fall back for non-finite values."""
+    import math
+    import struct
+
+    from tranquility_spark.operators.similarity import double_array_lit
+
+    df = spark.range(1)
+    probes = [
+        [0.1, 0.2, 0.30000000000000004],
+        [1e308, 5e-324, -5e-324, 2.2250738585072014e-308],
+        [-0.0, 0.0, 1.0, -1.0],
+        [3.141592653589793, -2.718281828459045e-100],
+        [],
+    ]
+    for vals in probes:
+        a = df.select(
+            F.array(*[F.lit(float(x)) for x in vals]).alias("x")
+        ).collect()[0].x
+        b = df.select(double_array_lit(vals).alias("x")).collect()[0].x
+        pack = lambda xs: [struct.pack("<d", v) for v in xs]  # noqa: E731
+        assert pack(a) == pack(b), vals
+
+    nan_row = df.select(
+        double_array_lit([1.0, float("nan"), float("inf")]).alias("x")
+    ).collect()[0].x
+    assert nan_row[0] == 1.0 and math.isnan(nan_row[1]) and math.isinf(
+        nan_row[2]
+    )

@@ -2056,9 +2056,8 @@ _CERTIFIED = frozenset(
         # unchanged (full-catalog parity green at sf0.01 both rounds);
         # they re-certify when the driver next hash-checks them. r19 also
         # rotates emb7 (Gram-matrix Arrow fold replaces the 45-agg decimal
-        # fold — exact arithmetic preserved, see OPTIMIZATION_r19.md),
-        # a10e2/a10f2 (kll/gk partial folds vectorized — outputs
-        # bit-identical, partial-invariance re-proven), and dd3b/dd19b
+        # fold — exact arithmetic preserved, see OPTIMIZATION_r19.md)
+        # and dd3b/dd19b
         # (ADVICE r18 #2 verified by plan diff against the pre-r18 tree:
         # their executed plans DID change shape under the r18
         # asNondeterministic flag — CollapseProject no longer merges the

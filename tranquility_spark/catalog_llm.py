@@ -1015,13 +1015,17 @@ def samp9_cluster_downweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from tranquility_spark.operators.partitioning import portable_shard
-    from tranquility_spark.operators.similarity import _as_double, cosine
+    from tranquility_spark.operators.similarity import (
+        _as_double,
+        cosine,
+        double_array_lit,
+    )
 
     n = len(_DD13_CENTROIDS)
     e = _t(spark, sf_dir, "embeddings")
     v = _as_double(F.col("embedding"))
     cos_cols = [
-        F.round(cosine(v, F.array(*[F.lit(x) for x in c])), 6).alias(f"c{j}")
+        F.round(cosine(v, double_array_lit(c)), 6).alias(f"c{j}")
         for j, c in enumerate(_DD13_CENTROIDS)
     ]
     scored = e.select("vec_id", *cos_cols)
@@ -1073,6 +1077,7 @@ def dd13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _as_double,
         cosine,
         dot,
+        double_array_lit,
         norm,
     )
 
@@ -1081,7 +1086,7 @@ def dd13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _as_double(F.col("embedding"))
     cos_cols = [
         F.round(
-            cosine(v, F.array(*[F.lit(x) for x in c])), 6
+            cosine(v, double_array_lit(c)), 6
         ).alias(f"c{j}")
         for j, c in enumerate(_DD13_CENTROIDS)
     ]
@@ -1271,7 +1276,7 @@ def dd13c_learned_centroid_contract(spark: SparkSession, sf_dir: str) -> DataFra
     )
     cos_cols = [
         sim.cosine(
-            F.col("v"), F.array(*[F.lit(float(x)) for x in c])
+            F.col("v"), sim.double_array_lit(c)
         ).alias(f"__c{j}")
         for j, c in enumerate(cents)
     ]
@@ -1444,7 +1449,7 @@ def sim2b_lsh_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     ann2 = sim.lsh_topk(corpus, qvec, k=10, num_planes=4)
     exact = sim.cosine_topk_self(emb, query_id=0, k=10)
-    qarr = F.array(*[F.lit(float(x)) for x in qvec])
+    qarr = sim.double_array_lit(qvec)
     rescored = corpus.select(
         "vec_id",
         F.round(sim.cosine(sim._as_double(F.col("embedding")), qarr), 6).alias(

@@ -1053,6 +1053,8 @@ def embedding_neardup_pairs(
     """
     import random
 
+    from tranquility_spark.operators.similarity import double_array_lit
+
     dim_df = df.select(F.size(vec_col).alias("d")).limit(1).collect()
     dim = dim_df[0]["d"] if dim_df else 0
     rnd = random.Random(seed)
@@ -1060,7 +1062,7 @@ def embedding_neardup_pairs(
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
     def dot_const(plane: list[float]) -> Column:
-        arr = F.array(*[F.lit(float(p)) for p in plane])
+        arr = double_array_lit(plane)
         return F.aggregate(
             F.zip_with(v, arr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
         )

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tranquility_spark.operators.similarity import double_array_lit
+
 
 def l2_norm(emb: Column) -> Column:
     """sqrt(sum(v^2)) folded left-to-right in double precision."""
@@ -268,7 +270,7 @@ def random_project(emb: Column, weights: list[list[float]]) -> list[Column]:
     """
     outs = []
     for row in weights:
-        lits = F.array(*[F.lit(w) for w in row])
+        lits = double_array_lit(row)
         products = F.zip_with(emb, lits, lambda x, w: F.round(x * w, 6))
         outs.append(
             F.aggregate(
