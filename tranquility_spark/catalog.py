@@ -2065,6 +2065,22 @@ _CERTIFIED = frozenset(
         # Project pairs; ArrowEvalPython counts and values unchanged.
         # dd18b/dd21b were checked the same way and are byte-identical
         # modulo run artifacts, so they KEEP their certification). ---
+        # --- r18 driver-green fold (r19 bookkeeping; CORRECTNESS_r18.json:
+        # 22/22 oracled hash-greens, 0 fails). p1/p3 were already-certified
+        # backfill. The greens r19 ITSELF edits do NOT fold (pipe8's
+        # extraction pool, pipe11/11b/12/12b/13/13b via the admit()/audit
+        # restructure) — they stay in the window until re-certified. The
+        # 13 whose fn and executed plan are untouched since the r18 driver
+        # hash-matched them fold in: ---
+        "dd2b_distinct_sig_guard", "dd8b_incremental_equals_full",
+        "dd16_dhash_neardup", "dd16b_dhash_served_equals_inline",
+        "dd17b_simhash_banding_contract",
+        "dd20b_minhash_served_equals_guarded",
+        "dd22b_minhash_incremental_served_equals_inline",
+        "dd25_audio_fp_pairs", "dd31_audio_fp_survivors",
+        "dd32_video_survivors", "pipe9_cross_family_admission",
+        "pipe10_cross_family_admission_keepone",
+        "adm1b_admission_serving_probes",
         # --- r18 OPTIMIZATION round rotations: dd2/dd2b/dd8b/dd20b/dd22b
         # (minhash UDF asNondeterministic removed the pushed-filter UDF
         # duplication from every lsh_band_index plan; dd2 additionally
@@ -2154,7 +2170,11 @@ _CERTIFIED = frozenset(
         "dq12_nested_groupby", "dq13_moving_average",
         "dq14_scan_keyset", "dq15_rolling_active_users", "a14_first_last",
         "dd11b_gate_equals_ungated", "dd14_duplicate_passages",
-        "dd15_duplication_density", "dd13_semantic_dedup",
+        "dd15_duplication_density",
+        # (dd13_semantic_dedup rotated back OUT in round 19: its fn now
+        # builds centroid literals via double_array_lit — executed plan
+        # byte-identical (committed diff), but the fn source changed,
+        # so the mechanized staleness rule rotates it)
         "mm5_interleaved_packing", "samp7_curriculum_schedule",
         "txt17_domain_reputation", "samp8_token_budget_select",
         "pipe6_dataset_manifest", "emb8_spike_outliers",
@@ -2177,7 +2197,9 @@ _CERTIFIED = frozenset(
         "dq16_timeseries_grand_total", "dq17_time_extraction",
         "dq8_retention_cohorts", "hh2b_cms_join_estimate",
         "mm1_decode_features", "mm3_resize",
-        "samp9_cluster_downweight", "txt18_zipf_audit",
+        # (samp9_cluster_downweight rotated back OUT in round 19 — same
+        # double_array_lit fn edit as dd13; plan byte-identical)
+        "txt18_zipf_audit",
         "w6_sessionize_batch",
         # --- r09 window (CORRECTNESS_r09.json: 31 greens, 0 fails; the 10
         # newly green fold in — the 9 new r09 oracled entries plus the mm4
@@ -2245,7 +2267,8 @@ _CERTIFIED = frozenset(
         # (dd3b rotated back OUT in round 19 — ADVICE r18 #2, verified:
         # stacked Projects over the nondeterministic simhash64)
         "dd5b_lsh_precision_recall_contract",
-        "sim2b_lsh_topk_contract",
+        # (sim2b_lsh_topk_contract rotated back OUT in round 19 — its fn
+        # routes through the double_array_lit call sites)
         # (dd17b was r12-green but rotated back OUT in round 16 for the
         # _guard_hex16 retrofit its simhash_neardup_pairs side executes)
         # (dd18b was r12-green but rotated back OUT in round 15: the r15
@@ -2261,7 +2284,8 @@ _CERTIFIED = frozenset(
         # edits (spatial grid sidecar + read fallbacks; register_bucketed
         # quoting) — see the r14 re-certify block in the window list. ---
         "sim3e_full_probe_equals_exact",
-        "dd13c_learned_centroid_contract",
+        # (dd13c_learned_centroid_contract rotated back OUT in round 19 —
+        # same double_array_lit fn edit)
         "p12_smile_parse",
         # (sim3c/sim5c were r12-green, re-folded with the r13 caveat, then
         # rotated back OUT in round 15 for the atomic first-touch retrofit
